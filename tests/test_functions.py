@@ -1,0 +1,102 @@
+"""Unit tests for the scalar kernels — parity with the reference semantics
+(/root/reference/pkg/scraper/mixup.go, pkg/item/currency.go, pkg/ciphersuite)."""
+
+from gocrawler_ray.functions import (
+    absolutize,
+    cents_to_float,
+    collapse_spaces,
+    format_cents,
+    item_id,
+    md5_hex,
+    multiply_cents,
+    normalize_kv,
+    normalize_review,
+    parse_price_text,
+    request_id,
+    split_blocks,
+    to_cents,
+)
+from gocrawler_ray.functions.text import positional_parse
+from gocrawler_ray.config import MIXUP, AMAZON
+
+
+def test_md5_matches_reference_hash():
+    # echo -n hello | md5sum
+    assert md5_hex("hello") == "5d41402abc4b2a76b9719d911017c592"
+    assert item_id("Some Product", "Mixup") == md5_hex("Some Product/Mixup")
+    assert request_id("https://x/y") == md5_hex("https://x/y")
+
+
+def test_currency_round_half_up_truncation():
+    # currency.go:10-12 — int64(f*100 + 0.5)
+    assert to_cents(1.23) == 123
+    assert to_cents(1.345) == 135
+    assert to_cents(0.004) == 0
+    assert to_cents(0.005) == 1
+    assert cents_to_float(135) == 1.35
+    assert multiply_cents(199, 1.5) == 299  # 298.5 + .5 → 299
+    assert format_cents(123456) == "$1234.56"
+
+
+def test_space_cleaner_deletes_runs():
+    # mixup.go:185 replaces runs of 2+ spaces with EMPTY string
+    assert collapse_spaces("a  b   c d") == "abc d"
+
+
+def test_divider_split():
+    # Go regexp.Split drops capture groups — ours must match that
+    assert split_blocks("a\r\n\r\tb\nc") == ["a", "b", "c"]
+
+
+def test_kv_and_review_normalizers():
+    assert normalize_kv("Peso del producto:  \n100 g") == "Peso del producto100 g"
+    assert normalize_review("nice:  very\n\nnice") == "nice:verynice"
+
+
+def test_price_parse_chain():
+    assert parse_price_text("Precio:  $1,234.56") == 123456
+    assert parse_price_text("Precio: $0.99") == 99
+    assert parse_price_text("Precio:") is None
+    assert parse_price_text("sin dos puntos") is None
+    assert parse_price_text("Precio: no-num") is None
+
+
+def test_positional_parse():
+    name, brand, details = positional_parse(
+        ["", "  Producto X  ", "Sony", "Formato: CD", "sin valor", "Peso: 100 g: extra"]
+    )
+    assert name == "Producto X"
+    assert brand == "Sony"
+    # only first ':' pair is taken (Go indices 0/1 of the split)
+    assert details == {"Formato": "CD", "Peso": "100 g"}
+
+
+def test_absolutize():
+    assert (
+        absolutize("https://h/shop/cat.aspx?etq=c1", "detproducto.aspx?sku=9")
+        == "https://h/shop/detproducto.aspx?sku=9"
+    )
+    assert absolutize("https://h/shop/x", "https://other/y") == "https://other/y"
+
+
+def test_reference_regex_parity_mixup():
+    ex = MIXUP.extraction_re()
+    pr = MIXUP.product_re()
+    ok = "https://www.mixup.com.mx/Mixup/detproducto.aspx?sku=1234567890123"
+    assert ex.search(ok) and pr.search(ok)
+    assert ex.search("https://www.mixup.com.mx/mixup/Home.aspx")
+    assert ex.search("https://www.mixup.com.mx/Mixup/Categoria.aspx?etq=rock")
+    # short sku: visitable but not a product page
+    short = "https://www.mixup.com.mx/Mixup/detproducto.aspx?sku=123"
+    assert ex.search(short) and not pr.search(short)
+    assert not ex.search("https://www.mixup.com.mx/Mixup/other.aspx")
+    assert not ex.search("https://www.evil.com/Mixup/detproducto.aspx?sku=123")
+
+
+def test_reference_regex_parity_amazon():
+    ex = AMAZON.extraction_re()
+    pr = AMAZON.product_re()
+    dp = "https://www.amazon.com.mx/gp/product/dp/B08N5WRWNW/ref=x"
+    assert ex.search(dp) and pr.search(dp)
+    assert ex.search("https://www.amazon.com/s?k=discos")
+    assert not pr.search("https://www.amazon.com/s?k=discos")
