@@ -1,0 +1,114 @@
+"""Per-host politeness scheduler (T2/T3/O1/O2) — deterministic virtual clock.
+
+The reference throttles with colly's
+``LimitRule{Parallelism:4, RandomDelay:6s}``
+(/root/reference/pkg/scraper/scraper.go:101-105) and honors robots.txt
+via the collector default (go.mod:21). Both are wall-clock,
+nondeterministic. The engine strengthens them into the deterministic
+budget the north rule requires:
+
+- per host, requests dispatch in crawl order; request *k* starts at
+  ``max(earliest_free_slot, prev_start + crawl_delay_ms)`` over
+  ``max_parallel`` slots, each held for ``fetch_latency_ms`` — so
+  in-flight ≤ max_parallel AND consecutive starts ≥ crawl_delay apart
+  (the property test checks exactly these two invariants);
+- robots: a url whose path+query starts with a disallowed prefix is
+  admitted to the seen set (colly marks visited before the robots gate)
+  but never scheduled — it becomes a ``robots_denied`` lineage row.
+
+The stage is a ``groupby("host").map_groups`` — the politeness shuffle
+(SURVEY §7.3). Skew: a hot host's group is large but the schedule loop
+is O(rows) with numpy state; the *fetch* stage afterwards re-partitions
+by salted host hash so no single fetcher actor owns the hot host.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+class HostConfig:
+    """Broadcastable per-host politeness config (FIXTURES.md §2)."""
+
+    def __init__(self, hosts_table: pa.Table, default_delay_ms: int = 3000,
+                 default_parallel: int = 4, default_latency_ms: int = 100):
+        self.delay: dict[str, int] = {}
+        self.parallel: dict[str, int] = {}
+        self.latency: dict[str, int] = {}
+        self.disallow: dict[str, list[str]] = {}
+        for row in hosts_table.to_pylist():
+            h = row["host"]
+            self.delay[h] = int(row["crawl_delay_ms"])
+            self.parallel[h] = int(row["max_parallel"])
+            self.latency[h] = int(row["fetch_latency_ms"])
+            self.disallow[h] = list(row["robots_disallow"] or [])
+        self.default_delay = default_delay_ms
+        self.default_parallel = default_parallel
+        self.default_latency = default_latency_ms
+
+    def robots_denied(self, host: str, url: str) -> bool:
+        prefixes = self.disallow.get(host)
+        if not prefixes:
+            return False
+        # path+query relative to the authority
+        i = url.find("/", url.find("://") + 3)
+        pathq = url[i:] if i >= 0 else "/"
+        return any(pathq.startswith(p) for p in prefixes)
+
+
+def schedule_host_group(
+    group: pd.DataFrame, cfg: HostConfig, seq_offsets: dict[tuple[int, str], int]
+) -> pd.DataFrame:
+    """One host's admitted urls → ordered, seq-stamped, virtually timed.
+
+    ``seq_offsets`` maps (priority, host) → global seq base (computed on
+    the driver from the tiny per-(priority,host) count aggregate), making
+    ``seq`` a contiguous global rank in (priority, host, url) order
+    without any global enumerate pass.
+    """
+    host = group["host"].iloc[0]
+    group = group.sort_values(["priority", "url"], kind="mergesort").reset_index(
+        drop=True
+    )
+    prio = group["priority"].to_numpy()
+    seq = np.empty(len(group), dtype=np.int64)
+    for p in np.unique(prio):
+        m = prio == p
+        base = seq_offsets.get((int(p), host), 0)
+        seq[m] = base + np.arange(int(m.sum()), dtype=np.int64)
+    group["seq"] = seq
+
+    delay = cfg.delay.get(host, cfg.default_delay)
+    par = cfg.parallel.get(host, cfg.default_parallel)
+    lat = cfg.latency.get(host, cfg.default_latency)
+    n = len(group)
+    starts = np.zeros(n, dtype=np.int64)
+    slots = [0] * par  # min-heap of slot-free times
+    heapq.heapify(slots)
+    last_start = -delay
+    for i in range(n):
+        t = max(heapq.heappop(slots), last_start + delay)
+        starts[i] = t
+        heapq.heappush(slots, t + lat)
+        last_start = t
+    group["sched_start_ms"] = starts
+    group["sched_end_ms"] = starts + lat
+    return group
+
+
+def compute_seq_offsets(
+    counts: list[tuple[int, str, int]], seq_base: int
+) -> dict[tuple[int, str], int]:
+    """(priority, host, count) rows → global seq base per group, in
+    (priority, host) order, starting at ``seq_base`` (the running counter
+    across waves)."""
+    offsets: dict[tuple[int, str], int] = {}
+    acc = seq_base
+    for p, h, c in sorted(counts):
+        offsets[(p, h)] = acc
+        acc += c
+    return offsets

@@ -1,0 +1,154 @@
+"""Stage unit tests: span parse (M7-M11), link extraction (M4/M5),
+candidate filter RE2/Python-re parity (M1-M3), fetcher lookup (J3)."""
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from gocrawler_ray.config import CrawlConfig
+from gocrawler_ray.corpus import REVIEW_SEP, SPAN_TYPE, CorpusSpec, generate, profile_of
+from gocrawler_ray.functions import absolutize, item_id
+from gocrawler_ray.stages.candidates import CandidateFilter
+from gocrawler_ray.stages.extract import extract_links, parse_items
+
+
+def _doc(doc_id, spans):
+    rows = [
+        {"kind": k, "text": t, "media_ref": m, "offset": i}
+        for i, (k, t, m) in enumerate(spans)
+    ]
+    return doc_id, rows
+
+
+def _batch(*docs):
+    return pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.string()),
+            "spans": pa.array([d[1] for d in docs], pa.list_(SPAN_TYPE)),
+        }
+    )
+
+
+def test_parse_items_positional_semantics():
+    batch = _batch(
+        _doc(
+            "https://h/shop/detproducto.aspx?sku=1",
+            [
+                ("text", "  Producto Uno  ", ""),
+                ("text", "Sony", ""),
+                ("detail", "Formato: CD", ""),
+                ("detail", "Peso: 100 g: extra", ""),
+                ("price", "Precio:  $1,234.56", ""),
+                ("text", "descripcion larga sin dos puntos", ""),
+                ("media", "", "https://cdn/h.jpg"),
+                ("review", REVIEW_SEP.join(["ana", "4.5 out of 5 stars", "Buen disco", "me  gusto\nmucho"]), ""),
+            ],
+        )
+    )
+    out = parse_items(batch, source_store="Synth").to_pylist()[0]
+    assert out["name"] == "Producto Uno"
+    assert out["brand"] == "Sony"
+    assert out["details"] == [
+        {"key": "Formato", "value": "CD"},
+        {"key": "Peso", "value": "100 g"},
+    ]
+    assert out["price_cents"] == 123456
+    assert out["description"] == "descripcion larga sin dos puntos"
+    assert out["image_urls"] == ["https://cdn/h.jpg"]
+    assert out["rating"] == 0.0
+    assert out["reviews"] == [
+        {
+            "title": "Buen disco",
+            "content": "megustomucho",
+            "author": "ana",
+            "stars": 4.5,
+        }
+    ]
+    assert out["id"] == item_id("Producto Uno", "Synth")
+    assert not out["is_captcha"]
+
+
+def test_parse_items_captcha_and_empty():
+    batch = _batch(
+        _doc("https://h/a", [("captcha", "type the characters", "")]),
+        _doc("https://h/b", []),
+    )
+    out = parse_items(batch).to_pylist()
+    assert out[0]["is_captcha"] and out[0]["name"] == ""
+    assert not out[1]["is_captcha"] and out[1]["name"] == ""
+
+
+def test_extract_links_absolutization_and_captcha_suppression():
+    batch = _batch(
+        _doc(
+            "https://h/shop/cat.aspx?etq=c1",
+            [
+                ("link", "a", "detproducto.aspx?sku=9"),
+                ("link", "b", "https://other/x"),
+                ("text", "hi", ""),
+            ],
+        ),
+        _doc(
+            "https://h/shop/cat.aspx?etq=c2",
+            [("captcha", "blocked", ""), ("link", "c", "https://h/y")],
+        ),
+    )
+    out = extract_links(batch).to_pylist()
+    assert [r["url"] for r in out] == [
+        "https://h/shop/detproducto.aspx?sku=9",
+        "https://other/x",
+    ]
+    assert out[0]["discovered_from"] == "https://h/shop/cat.aspx?etq=c1"
+    assert out[0]["anchor_text"] == "a"
+
+
+def test_candidate_filter_matches_python_re():
+    """RE2 (Arrow kernel) and Python re must agree on the shop patterns —
+    the engine uses the former, the oracle the latter."""
+    spec = CorpusSpec(n_docs=300, n_hosts=3)
+    t = generate(spec)
+    prof = profile_of(spec)
+    # every link target in the corpus (the realistic input distribution)
+    urls = []
+    for row in t["corpus"].to_pylist():
+        for s in row["spans"]:
+            if s["kind"] == "link":
+                urls.append(absolutize(row["doc_id"], s["media_ref"]))
+    batch = pa.table({"url": pa.array(urls, pa.string())})
+    out = CandidateFilter(prof, 4)(batch)
+    got = set(out.column("url").to_pylist())
+    ex, allowed = prof.extraction_re(), prof.allowed_hosts()
+    from gocrawler_ray.functions import host_of
+
+    expect = {u for u in urls if host_of(u) in allowed and ex.search(u)}
+    assert got == expect
+    # priority: product regex
+    pr = prof.product_re()
+    got_prio = dict(zip(out.column("url").to_pylist(), out.column("priority").to_pylist()))
+    for u, p in got_prio.items():
+        assert p == (0 if pr.search(u) else 1)
+
+
+def test_fetcher_lookup_and_not_found():
+    from gocrawler_ray.stages.fetcher import Fetcher, build_corpus_index
+
+    spec = CorpusSpec(n_docs=80, n_hosts=2)
+    corpus = generate(spec)["corpus"]
+    ref, iref = ray.put(corpus), ray.put(build_corpus_index(corpus))
+    f = Fetcher(ref, iref)
+    doc_ids = corpus.column("doc_id").to_pylist()
+    batch = pa.table(
+        {
+            "url": pa.array([doc_ids[3], "https://missing/x", doc_ids[10]]),
+            "host": pa.array(["h", "h", "h"]),
+            "depth": pa.array(np.zeros(3, dtype=np.int32)),
+            "priority": pa.array(np.zeros(3, dtype=np.int32)),
+            "seq": pa.array([0, 1, 2], pa.int64()),
+            "sched_start_ms": pa.array([0, 0, 0], pa.int64()),
+            "sched_end_ms": pa.array([1, 1, 1], pa.int64()),
+        }
+    )
+    out = f(batch).to_pylist()
+    assert [r["status"] for r in out] == ["ok", "not_found", "ok"]
+    assert out[0]["spans"] == corpus.column("spans")[3].as_py()
+    assert out[1]["spans"] is None or out[1]["spans"] == []
