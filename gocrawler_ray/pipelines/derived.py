@@ -1,0 +1,90 @@
+"""Derive a crawlable interleaved-document web from the testdata
+``documents`` table — deterministically, so a DuckDB recursive-CTE oracle
+can reproduce the reachability/BFS-depth result row for row.
+
+Mapping (pure functions of ``doc_id`` and the row's columns):
+
+- url(i)  = ``https://www.synthd{i%3}.mx/shop/detproducto.aspx?sku={10^12+i}``
+  (matches the synth shop grammar, config.synth_profile);
+- spans(i): name/brand/detail/price spans built from the row's
+  text/source/lang/n_chars, plus three out-links to documents
+  ``(7i+1)%N, (13i+2)%N, (29i+5)%N`` — a fixed expander-ish digraph;
+- seeds: documents 0 and 1.
+
+The DuckDB oracle for the BFS is in __ray_entry__.oracle_sql()["crawl_bfs"].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import ShopProfile, synth_profile
+from ..corpus import HOSTS_SCHEMA, SEEDS_SCHEMA, SPAN_TYPE, CORPUS_SCHEMA
+
+HOSTS = ("www.synthd0.mx", "www.synthd1.mx", "www.synthd2.mx")
+EDGE_MULS = ((7, 1), (13, 2), (29, 5))
+
+
+def derived_profile() -> ShopProfile:
+    return synth_profile(HOSTS)
+
+
+def url_of(i: int) -> str:
+    return f"https://{HOSTS[i % 3]}/shop/detproducto.aspx?sku={10**12 + i}"
+
+
+def edges_of(i: int, n: int) -> list[int]:
+    return [(a * i + b) % n for a, b in EDGE_MULS]
+
+
+def derive_corpus(documents: pa.Table) -> dict[str, pa.Table]:
+    """documents(doc_id,text,lang,source,n_chars) → corpus/hosts/seeds."""
+    n = documents.num_rows
+    doc_ids = documents.column("doc_id").to_pylist()
+    texts = documents.column("text").to_pylist()
+    langs = documents.column("lang").to_pylist()
+    sources = documents.column("source").to_pylist()
+    n_chars = documents.column("n_chars").to_pylist()
+
+    urls, spans_col = [], []
+    for i, (d, t, lg, src, nc) in enumerate(
+        zip(doc_ids, texts, langs, sources, n_chars)
+    ):
+        d = int(d)
+        spans = [
+            {"kind": "text", "text": f"Documento {d}", "media_ref": "", "offset": 0},
+            {"kind": "text", "text": f"Marca {src}", "media_ref": "", "offset": 1},
+            {"kind": "detail", "text": f"Lang: {lg}", "media_ref": "", "offset": 2},
+            {"kind": "price", "text": f"Precio: ${int(nc)}.00", "media_ref": "", "offset": 3},
+            {"kind": "text", "text": t, "media_ref": "", "offset": 4},
+        ]
+        off = 5
+        for dst in edges_of(d, n):
+            spans.append(
+                {"kind": "link", "text": f"l{dst}", "media_ref": url_of(dst), "offset": off}
+            )
+            off += 1
+        urls.append(url_of(d))
+        spans_col.append(spans)
+
+    corpus = pa.Table.from_arrays(
+        [pa.array(urls, pa.string()), pa.array(spans_col, pa.list_(SPAN_TYPE))],
+        schema=CORPUS_SCHEMA,
+    )
+    hosts = pa.Table.from_pydict(
+        {
+            "host": list(HOSTS),
+            "allowed": [True] * 3,
+            "robots_disallow": [[] for _ in range(3)],
+            "crawl_delay_ms": [100, 200, 300],
+            "max_parallel": [4, 4, 4],
+            "fetch_latency_ms": [50, 60, 70],
+        },
+        schema=HOSTS_SCHEMA,
+    )
+    seeds = pa.Table.from_pydict(
+        {"url": [url_of(0), url_of(1)], "priority": [1, 1], "seq": [0, 1]},
+        schema=SEEDS_SCHEMA,
+    )
+    return {"corpus": corpus, "hosts": hosts, "seeds": seeds}

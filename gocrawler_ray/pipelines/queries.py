@@ -1,0 +1,451 @@
+"""Driver-gate query implementations (SURVEY §2 coverage), one callable
+per operator family, each paired with a DuckDB oracle in
+``__ray_entry__.oracle_sql``.
+
+Every callable takes ``sf_dir`` and returns a Dataset / DataFrame /
+Arrow table whose column NAMES match the oracle SQL exactly (the driver
+sorts columns by name before hashing). Floating-point outputs that
+involve accumulation are rounded to 6 decimals on BOTH sides so IEEE
+summation-order noise cannot flip the hash.
+
+None of these call ``ray.init`` — the driver owns the session.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..config import MIXUP, CrawlConfig
+from ..functions.urls import md5_hex_many
+from ..stages.candidates import CandidateFilter
+from ..stages.dedup import MinHasher, exact_dedup, jaccard, minhash_lsh_dedup, add_simhash
+from ..stages.extract import parse_items
+from ..stages.similarity import brute_force_topk, ivf_topk
+from ..stages.textstats import fingerprint, lang_id, text_quality, token_counts
+from .derived import derive_corpus, derived_profile, url_of
+from .crawl import run_crawl
+
+
+def _pq(sf_dir: str, name: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def _docs_table(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# crawl-engine queries
+# ---------------------------------------------------------------------------
+
+def q_crawl_bfs(sf_dir: str):
+    """Full engine crawl (shard actors, politeness, fetcher) over the web
+    derived from ``documents``; rows = (doc_id, depth of first visit).
+    Oracle: recursive-CTE BFS min-depth."""
+    tables = derive_corpus(_docs_table(sf_dir))
+    ckpt = tempfile.mkdtemp(prefix="crawl_bfs_", dir="/tmp")
+    cfg = CrawlConfig(num_seen_shards=4, fetcher_concurrency=2, batch_size=8192)
+    run_crawl(
+        tables["corpus"], tables["hosts"], tables["seeds"],
+        derived_profile(), cfg, ckpt,
+    )
+    frontier_root = os.path.join(ckpt, "frontier")
+    from ..sources.tables import read_table
+
+    parts = [
+        read_table(os.path.join(frontier_root, d))
+        for d in sorted(os.listdir(frontier_root))
+    ]
+    t = pa.concat_tables(parts)
+    skus = pc.cast(
+        pc.replace_substring_regex(t.column("url"), r"^.*sku=", ""), pa.int64()
+    )
+    doc_id = pc.subtract(skus, pa.scalar(10**12, pa.int64()))
+    out = pa.table({"doc_id": doc_id, "depth": pc.cast(t.column("depth"), pa.int32())})
+    return out.sort_by("doc_id")
+
+
+def q_url_classify(sf_dir: str):
+    """URL filter + product classifier (M1-M3) with the reference MIXUP
+    regexes over urls derived from doc ids."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        urls = np.empty(len(ids), dtype=object)
+        for j, d in enumerate(ids):
+            m = d % 3
+            if m == 0:
+                urls[j] = (
+                    "https://www.mixup.com.mx/Mixup/detproducto.aspx?sku="
+                    + str(d).zfill(13)
+                )
+            elif m == 1:
+                urls[j] = f"https://www.mixup.com.mx/Mixup/Categoria.aspx?etq=c{d}"
+            else:
+                urls[j] = f"https://www.evil.com/page{d}"
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    built = docs.map_batches(build, batch_format="pyarrow")
+    filt = built.map_batches(CandidateFilter(MIXUP, 4), batch_format="pyarrow")
+    return filt.map_batches(
+        lambda t: t.select(["url", "host", "priority"]), batch_format="pyarrow"
+    )
+
+
+def q_req_md5(sf_dir: str):
+    """MD5 request-id kernel (M13) over document text."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "req_id": pa.array(md5_hex_many(t.column("text").to_pylist())),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_price_cents(sf_dir: str):
+    """Fixed-point currency kernel (M14): int64(f*100 + 0.5)."""
+    li = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        p = t.column("l_extendedprice").to_numpy()
+        c = np.floor(p * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_linenumber": t.column("l_linenumber"),
+                "price_cents": pa.array(c),
+            }
+        )
+
+    return li.map_batches(cents, batch_format="pyarrow")
+
+
+def q_items_parse(sf_dir: str):
+    """Span-sequence item parse (M7/M8/M13) over the derived corpus."""
+    tables = derive_corpus(_docs_table(sf_dir))
+    ds = rd.from_arrow(tables["corpus"])
+    items = ds.map_batches(
+        lambda t: parse_items(t, source_store="Synth"), batch_format="pyarrow"
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        skus = pc.cast(
+            pc.replace_substring_regex(t.column("doc_id"), r"^.*sku=", ""),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "doc_id": pc.subtract(skus, pa.scalar(10**12, pa.int64())),
+                "id": t.column("id"),
+                "name": t.column("name"),
+                "brand": t.column("brand"),
+                "description": t.column("description"),
+                "price_cents": t.column("price_cents"),
+            }
+        )
+
+    return items.map_batches(project, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# relational operator surface
+# ---------------------------------------------------------------------------
+
+def q_q1_agg(sf_dir: str):
+    """Grouped aggregate with per-batch partial pre-aggregation (the
+    combiner pattern — the shuffle sees one row per key per batch)."""
+    li = _pq(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(sum_qty=("l_quantity", "sum"), sum_rev=("revenue", "sum"), n=("l_quantity", "size"))
+        )
+        return g
+
+    partials = li.map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    out = (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"), Sum("sum_rev", alias_name="sum_rev"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["sum_rev"] = out["sum_rev"].round(2)
+    return out
+
+
+def q_top_orders(sf_dir: str):
+    """Global sort + limit (top-k)."""
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return orders.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def q_cust_nation_orders(sf_dir: str):
+    """Broadcast hash join (small side ray.put once) + grouped agg."""
+    cust = _docs_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+    orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    class Join:
+        def __init__(self):
+            self.lut = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pd.DataFrame:
+            df = t.to_pandas()
+            df["c_nationkey"] = df["o_custkey"].map(self.lut).astype(np.int32)
+            return df.groupby("c_nationkey", as_index=False).agg(
+                n_orders=("o_custkey", "size"), sum_total=("o_totalprice", "sum")
+            )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        orders.map_batches(Join, batch_format="pyarrow", concurrency=2)
+        .groupby("c_nationkey")
+        .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("sum_total", alias_name="sum_total"))
+        .to_pandas()
+    )
+    out["sum_total"] = out["sum_total"].round(2)
+    return out
+
+
+def _docs_small(sf_dir: str, name: str, columns) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(os.path.join(sf_dir, f"{name}.parquet"), columns=columns).to_pandas()
+
+
+def q_purchases_by_user(sf_dir: str):
+    ev = _pq(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.filter(pc.equal(t.column("event_type"), "purchase")).to_pandas()
+        return df.groupby("user_id", as_index=False).agg(
+            n=("value", "size"), total=("value", "sum")
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n"), Sum("total", alias_name="total"))
+        .to_pandas()
+    )
+    out["total"] = out["total"].round(6)
+    return out
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling event-time window as a grouped aggregate (streaming-shaped
+    workload, SURVEY §2.9 / ray guide)."""
+    ev = _pq(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        hour = us // 3_600_000_000
+        df = pd.DataFrame(
+            {
+                "hour": hour,
+                "event_type": t.column("event_type").to_pandas(),
+                "value": t.column("value").to_pandas(),
+            }
+        )
+        return df.groupby(["hour", "event_type"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["hour", "event_type"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(6)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# training-data ops
+# ---------------------------------------------------------------------------
+
+def q_text_quality(sf_dir: str):
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(text_quality, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: t.select(
+            ["doc_id", "n_chars_q", "n_words", "n_punct", "n_digit", "n_upper", "quality_keep"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_token_counts(sf_dir: str):
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(token_counts, batch_format="pyarrow").map_batches(
+        lambda t: t.select(["doc_id", "ws_tokens", "bpe_tokens"]), batch_format="pyarrow"
+    )
+
+
+def q_lang_guess(sf_dir: str):
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(lang_id, batch_format="pyarrow").map_batches(
+        lambda t: t.select(["doc_id", "lang_guess"]), batch_format="pyarrow"
+    )
+
+
+def _augmented_docs(sf_dir: str) -> rd.Dataset:
+    """documents ∪ exact copies of doc_id<20 shifted by +10000 (both sides
+    of the oracle construct this identically)."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def copies(t: pa.Table) -> pa.Table:
+        t2 = t.filter(pc.less(t.column("doc_id"), 20))
+        return pa.table(
+            {
+                "doc_id": pc.add(t2.column("doc_id"), 10000),
+                "text": t2.column("text"),
+            }
+        )
+
+    return docs.union(docs.map_batches(copies, batch_format="pyarrow"))
+
+
+def q_exact_dedup(sf_dir: str):
+    out = exact_dedup(_augmented_docs(sf_dir), col="text", id_col="doc_id")
+    return out.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+
+
+def q_embedding_topk(sf_dir: str):
+    emb = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    import pyarrow.parquet as pq
+
+    q0 = (
+        pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+        .filter(pc.equal(pc.field("vec_id"), 0))
+    )
+    queries = {
+        "ids": np.array([0], dtype=np.int64),
+        "matrix": np.array(q0.column("embedding").to_pylist(), dtype=np.float64),
+    }
+    out = brute_force_topk(emb, queries, k=10).copy()
+    out["cos"] = out["cos"].round(6)
+    out = (
+        out.sort_values(["cos", "vec_id"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    return out[["query_id", "vec_id", "cos"]]
+
+
+# -- rows-only checks (non-SQL-expressible) ---------------------------------
+
+def _near_dup_docs(sf_dir: str) -> rd.Dataset:
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tails(t: pa.Table) -> pa.Table:
+        t2 = t.filter(pc.less(t.column("doc_id"), 10))
+        texts = [x + " extra tail token appended" for x in t2.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pc.add(t2.column("doc_id"), 20000),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return docs.union(docs.map_batches(tails, batch_format="pyarrow"))
+
+
+def q_minhash_pairs(sf_dir: str):
+    ds = _near_dup_docs(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.string()),
+                "text": t.column("text"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    _, edges = minhash_lsh_dedup(ds, col="text", id_col="doc_id", threshold=0.6)
+    return pa.table(
+        {
+            "a": pa.array([a for a, _ in edges], pa.string()),
+            "b": pa.array([b for _, b in edges], pa.string()),
+        }
+    )
+
+
+def q_simhash(sf_dir: str):
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(add_simhash, batch_format="pyarrow").map_batches(
+        lambda t: t.select(["doc_id", "simhash"]), batch_format="pyarrow"
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(fingerprint, batch_format="pyarrow").map_batches(
+        lambda t: t.select(["doc_id", "fingerprint"]), batch_format="pyarrow"
+    )
+
+
+def q_ivf_topk(sf_dir: str):
+    emb = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    first = emb.take(1)[0]
+    queries = {
+        "ids": np.array([int(first["vec_id"])], dtype=np.int64),
+        "matrix": np.array([first["embedding"]], dtype=np.float64),
+    }
+    return ivf_topk(emb, queries, k=10, num_clusters=8, nprobe=4)
+
+
+def q_multimodal_decode(sf_dir: str):
+    from ..stages.multimodal import DecodeImage, ResizePlan, synth_media_table
+
+    docs = _docs_table(sf_dir)
+    tbl = synth_media_table(
+        [str(d) for d in docs.column("doc_id").to_pylist()],
+        docs.column("text").to_pylist(),
+    )
+    ds = rd.from_arrow(tbl)
+    out = ds.map_batches(
+        DecodeImage, batch_format="pyarrow", batch_size=256, concurrency=2
+    ).map_batches(ResizePlan(max_side=512), batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "decoded_width": t.column("decoded_width"),
+                "decoded_height": t.column("decoded_height"),
+                "decoded_format": t.column("decoded_format"),
+                "resize_width": t.column("resize_width"),
+                "resize_height": t.column("resize_height"),
+            }
+        ),
+        batch_format="pyarrow",
+    )

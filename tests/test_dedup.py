@@ -1,0 +1,86 @@
+"""Dedup suite: exact, MinHash+LSH, SimHash, Jaccard, embedding near-dup."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from gocrawler_ray.stages.dedup import (
+    embedding_near_dup,
+    exact_dedup,
+    hamming64,
+    jaccard,
+    minhash_lsh_dedup,
+    minhash_signatures,
+    simhash64,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill in the late afternoon sun"
+)
+
+
+def _docs():
+    rows = []
+    for i in range(30):
+        rows.append({"doc_id": f"d{i:03d}", "text": f"unique document {i} about topic {i*7} " * 3})
+    # exact dup pair
+    rows.append({"doc_id": "d900", "text": rows[0]["text"]})
+    # near-dup pair (small edit)
+    rows.append({"doc_id": "d901", "text": BASE})
+    rows.append({"doc_id": "d902", "text": BASE.replace("lazy", "sleepy")})
+    return rows
+
+
+def test_exact_dedup():
+    ds = rd.from_items(_docs())
+    out = exact_dedup(ds, "text").to_pandas()
+    assert len(out) == len(_docs()) - 1
+    assert "d900" not in set(out["doc_id"])  # d000 (min id) wins
+    assert "d000" in set(out["doc_id"])
+
+
+def test_minhash_similarity_tracks_jaccard():
+    texts = pd.Series([BASE, BASE.replace("lazy", "sleepy"), "totally different words here now"])
+    sig = minhash_signatures(texts, num_perm=128, k=3)
+    est_near = (sig[0] == sig[1]).mean()
+    est_far = (sig[0] == sig[2]).mean()
+    true_near = jaccard(texts[0], texts[1], 3)
+    assert abs(est_near - true_near) < 0.2
+    assert est_far < 0.1 < est_near
+
+
+def test_minhash_lsh_dedup_finds_near_dups():
+    ds = rd.from_items(_docs())
+    deduped, edges = minhash_lsh_dedup(ds, threshold=0.5, num_perm=64, bands=16)
+    pairs = {(a, b) for a, b in edges}
+    assert ("d901", "d902") in pairs
+    assert ("d000", "d900") in pairs  # exact dups are near-dups too
+    kept = set(deduped.to_pandas()["doc_id"])
+    assert "d901" in kept and "d902" not in kept
+    assert "d000" in kept and "d900" not in kept
+    # unique docs untouched
+    assert all(f"d{i:03d}" in kept for i in range(1, 30))
+
+
+def test_simhash_hamming():
+    texts = pd.Series([BASE, BASE.replace("lazy", "sleepy"), "unrelated content entirely different"])
+    h = simhash64(texts)
+    d_near = hamming64(h[:1], h[1:2])[0]
+    d_far = hamming64(h[:1], h[2:3])[0]
+    assert d_near < d_far
+    assert d_near <= 16
+    # deterministic across calls
+    assert np.array_equal(simhash64(texts), h)
+
+
+def test_embedding_near_dup():
+    rng = np.random.RandomState(3)
+    vecs = rng.standard_normal((40, 16))
+    vecs[7] = vecs[3] + rng.standard_normal(16) * 0.01  # near-dup of 3
+    vecs[21] = vecs[21] / np.linalg.norm(vecs[21])
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(40)]
+    pairs = embedding_near_dup(rd.from_items(rows), threshold=0.99)
+    assert (3, 7) in pairs
+    assert all(a != b for a, b in pairs)

@@ -1,0 +1,76 @@
+"""Mirror of the driver's correctness gate: every SQL-backed queries()
+entry must match its oracle_sql() on row count, column names, and values
+(order-insensitive) at sf0.01; rows-only entries must produce rows."""
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+import __ray_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+def _to_df(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+SQL_BACKED = sorted(entrymod.oracle_sql())
+ROWS_ONLY = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", SQL_BACKED)
+def test_query_matches_oracle(con, name):
+    ray_res = _to_df(entrymod.queries()[name](SF_DIR))
+    sql_res = con.sql(entrymod.oracle_sql()[name]).df()
+    assert sorted(ray_res.columns) == sorted(sql_res.columns), (
+        f"{name}: column mismatch {sorted(ray_res.columns)} vs {sorted(sql_res.columns)}"
+    )
+    assert len(ray_res) == len(sql_res), f"{name}: rowcount {len(ray_res)} vs {len(sql_res)}"
+    a, b = _canon(ray_res), _canon(sql_res)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True, obj=name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(name):
+    res = _to_df(entrymod.queries()[name](SF_DIR))
+    assert len(res) > 0
+    assert len(res.columns) > 0
+
+
+def test_entry_smoke():
+    df = _to_df(entrymod.entry())
+    assert len(df) >= 0 and "name" in df.columns
