@@ -118,3 +118,13 @@ class CrawlConfig:
     hot_host_share: float = 0.25  # frontier share beyond which a host is salted
     hot_host_salts: int = 4
     cuckoo_capacity: int = 1 << 16  # per-shard capacity, grows by spill set
+    # waves up to this many rows are politeness-scheduled on the driver
+    # (closed-form vectorized — ~1s per 2M rows; the admitted table is
+    # already resident for the seq-count pass). Bigger waves use the
+    # distributed groupby(host) shuffle, which on Zipf-skewed hosts pays
+    # a straggler — prefer the driver path until wave size threatens
+    # driver memory (~100B/row)
+    driver_schedule_limit: int = 20_000_000
+    # fetch-stage partition count; None → min(16, cluster CPUs). Bounded:
+    # more partitions than in-flight workers just churns worker processes.
+    fetch_partitions: int | None = None

@@ -49,26 +49,41 @@ def host_of(url: str) -> str:
     return urlsplit(url).netloc
 
 
+def url_hash64_many(urls, hash_key: str | None = None) -> np.ndarray:
+    """Stable 64-bit url hashes, C-vectorized.
+
+    ``pd.util.hash_array`` (siphash with pandas' fixed key) is stable
+    across processes/runs — a valid partition key, unlike Python's
+    salted ``hash``. A per-url Python md5 loop here costs ~8µs/url and
+    sat on the crawl's hottest path; the reference's md5 identity is
+    kept where it is *semantic* (req_id/item id, M13) — the internal
+    shard-routing hash only needs stability + uniformity.
+
+    ``hash_key`` selects an independent hash family (16-char key) — the
+    fetch lookup verifies matches under a second family instead of
+    comparing strings, so a false positive needs a simultaneous
+    collision in two independent 64-bit hashes (~2^-128).
+    """
+    import pandas as pd
+
+    arr = urls if isinstance(urls, np.ndarray) else np.asarray(list(urls), dtype=object)
+    if arr.dtype != object:
+        arr = arr.astype(object)
+    if hash_key is None:
+        return pd.util.hash_array(arr).astype(np.uint64)
+    return pd.util.hash_array(arr, hash_key=hash_key).astype(np.uint64)
+
+
 def url_hash64(url: str) -> int:
-    """Stable 64-bit hash of a url (first 16 hex digits of md5)."""
-    return int(hashlib.md5(url.encode("utf-8")).hexdigest()[:16], 16)
+    """Scalar form of :func:`url_hash64_many` (same values)."""
+    return int(url_hash64_many([url])[0])
 
 
 def shard_of(url: str, num_shards: int) -> int:
-    """URL-seen shard id: md5(url) mod S — stable routing (SURVEY §7.3)."""
+    """URL-seen shard id: url_hash64 mod S — stable routing (SURVEY §7.3)."""
     return url_hash64(url) % num_shards
 
 
 def host_bucket(host: str, num_buckets: int) -> int:
-    """Politeness partition: md5(host) mod H."""
-    return int(hashlib.md5(host.encode("utf-8")).hexdigest()[:16], 16) % num_buckets
-
-
-def url_hash64_many(urls) -> np.ndarray:
-    """Vectorized-ish stable 64-bit url hashes (uint64 ndarray)."""
-    _md5 = hashlib.md5
-    return np.fromiter(
-        (int(_md5(u.encode("utf-8")).hexdigest()[:16], 16) for u in urls),
-        dtype=np.uint64,
-        count=len(urls),
-    )
+    """Politeness partition: stable host hash mod H."""
+    return url_hash64(host) % num_buckets

@@ -2,67 +2,75 @@
 
 Re-expresses the reference's ``Visit…Wait`` push loop
 (/root/reference/pkg/scraper/scraper.go:236-242) as bounded per-wave Ray
-Datasets cycled through:
+Datasets. Each wave is ONE streaming Ray job:
 
-    frontier → CandidateFilter (M1-M4, zero-copy Arrow)
-             → SeenFilter (cuckoo shard actors, J2/T1: admit = seen)
-             → checkpoint frontier/wave=k          (atomic, resumable)
-             → robots gate + politeness schedule (groupby host, T2/T3)
-             → Fetcher actor pool (S2/J3)
-             → checkpoint docs/wave=k + lineage/wave=k (S6)
-             → extract_links (M5/M4) ⇒ next wave's frontier
+    links(docs wave k-1) → CandidateFilter (M1-M4, zero-copy Arrow)
+      → SeenFilter (cuckoo shard actors, J2/T1: admit = seen,
+                    concurrency-capped: the stage is RPC-bound)
+      → robots gate (T3: admitted-but-never-fetched)
+      → fetch (S2/J3, task-based with worker-cached zero-copy corpus)
+      → checkpoint docs/wave=k (atomic rename ⇒ the resume point)
+
+followed by O(wave) driver work: the politeness *sidecar*. Because the
+politeness budget is a deterministic VIRTUAL clock (stages/politeness.py)
+— request k of a host starts at max(free_slot, prev+delay) — the seq
+numbers and schedule times are a pure function of the admitted set, not
+of execution order. Computing them post-hoc from the written wave
+(columns url/host/priority only) removes a whole Ray job + barrier per
+wave versus scheduling before the fetch; the golden tests pin that both
+formulations agree with the oracle. At waves beyond
+``cfg.driver_schedule_limit`` rows the sidecar computation switches to
+the distributed ``groupby(host)`` path.
 
 Determinism: global crawl order is (depth, priority, host, url) — depth
 is the wave number, priority 0 = product page (M3), ties broken by host
-then url; ``seq`` is the contiguous rank in that order, computed without
-any global enumerate via per-(priority,host) count offsets
-(stages/politeness.py). The reference's order is racy goroutine BFS
-(SURVEY §2.9); this is its deterministic strengthening, and the Python
-oracle (pipelines/oracle.py) reproduces it exactly.
+then url; ``seq`` is the contiguous rank in that order via
+per-(priority,host) count offsets. The reference's order is racy
+goroutine BFS (SURVEY §2.9); this is its deterministic strengthening,
+and the Python oracle (pipelines/oracle.py) reproduces it exactly.
 
-Scale notes: each wave streams; the only materialization barriers are
-the checkpoint writes (which double as the resume points). The seen
-anti-join moves only (url_hash, first-occurrence rows) to S shard
-actors; the politeness groupby is the single per-wave shuffle keyed by
-host; the fetch stage is an actor pool whose inputs were already
-host-partitioned by that groupby (hot hosts span several blocks, so no
-single fetcher serializes on one host).
+Scale notes: the candidate stream (dup-heavy) is filtered down to the
+admitted set before anything is materialized; the seen anti-join moves
+only first-occurrence url hashes to S shard actors (worker-local
+monotone caches absorb repeat traffic); the fetch stage repartitions to
+a bounded number of partitions (more partitions than workers just churn
+processes). The only per-wave barrier is the docs checkpoint write —
+which is also the resume point, so it is not an extra cost.
 """
 
 from __future__ import annotations
 
-import os
 import time
 from dataclasses import dataclass, field
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
 from ..config import CrawlConfig, ShopProfile
-from ..sources.tables import read_dataset, write_dataset
+from ..sources.tables import write_dataset, write_table
 from ..state.checkpoint import CheckpointStore
-from ..stages.candidates import CandidateFilter, FRONTIER_SCHEMA
+from ..stages.candidates import CandidateFilter
 from ..stages.extract import extract_links
-from ..stages.fetcher import Fetcher, build_corpus_index
-from ..stages.politeness import HostConfig, compute_seq_offsets, schedule_host_group
+from ..stages.fetcher import DOCS_SCHEMA, build_corpus_index, make_fetch_fn
+from ..stages.politeness import (
+    HostConfig,
+    compute_seq_offsets,
+    schedule_host_group,
+    schedule_wave_driver,
+)
 from ..stages.urlseen import SeenFilter, create_shards
 
-LINEAGE_COLS = [
-    "req_id",
-    "url",
-    "host",
-    "depth",
-    "priority",
-    "seq",
-    "callback",
-    "status",
-    "error",
-    "sched_start_ms",
-    "sched_end_ms",
-]
+SCHEDULE_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("seq", pa.int64()),
+        ("sched_start_ms", pa.int64()),
+        ("sched_end_ms", pa.int64()),
+    ]
+)
 
 
 @dataclass
@@ -82,13 +90,25 @@ class _RobotsFlag:
         self.cfg = host_cfg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        hosts = batch.column("host").to_pylist()
-        denied = np.fromiter(
-            (self.cfg.robots_denied(h, u) for h, u in zip(hosts, urls)),
-            dtype=bool,
-            count=len(urls),
-        )
+        import pandas as pd
+
+        n = batch.num_rows
+        denied = np.zeros(n, dtype=bool)
+        hosts_with_rules = [h for h, p in self.cfg.disallow.items() if p]
+        if hosts_with_rules:
+            hosts = batch.column("host").to_pandas()
+            urls = batch.column("url").to_pandas()
+            # path+query = url minus scheme://host
+            pathq = urls.str.replace(r"^[a-z]+://[^/]*", "", regex=True)
+            for h in hosts_with_rules:
+                m = (hosts == h).to_numpy()
+                if not m.any():
+                    continue
+                sub = pathq[m]
+                hit = np.zeros(int(m.sum()), dtype=bool)
+                for prefix in self.cfg.disallow[h]:
+                    hit |= sub.str.startswith(prefix).to_numpy()
+                denied[m] = hit
         return batch.append_column("robots_denied", pa.array(denied))
 
 
@@ -100,11 +120,14 @@ def run_crawl(
     cfg: CrawlConfig,
     ckpt_root: str,
     resume: bool = False,
+    corpus_index: dict | None = None,
 ) -> CrawlResult:
     """Run (or resume) a crawl; all state lands under ``ckpt_root``.
 
     ``corpus`` is the synthetic web (J3); in production the Fetcher is an
-    HTTP client and this argument disappears.
+    HTTP client and this argument disappears. ``corpus_index`` lets the
+    caller supply the (cacheable) fetch index — see
+    stages.fetcher.build_corpus_index_cached.
     """
     t0 = time.time()
     ckpt = CheckpointStore(ckpt_root)
@@ -112,7 +135,7 @@ def run_crawl(
                           default_parallel=cfg.max_parallel_per_host)
     shards = create_shards(cfg.num_seen_shards, cfg.cuckoo_capacity)
     corpus_ref = ray.put(corpus)
-    index_ref = ray.put(build_corpus_index(corpus))
+    index_ref = ray.put(corpus_index or build_corpus_index(corpus))
 
     seq_counter = 0
     start_wave = 0
@@ -145,18 +168,18 @@ def run_crawl(
     while True:
         if cfg.max_waves is not None and wave - start_wave >= cfg.max_waves:
             break
-        admitted = _run_wave(
+        stats = _run_wave(
             frontier_in, wave, ckpt, profile, cfg, host_cfg, shards,
             corpus_ref, index_ref, seq_counter,
         )
-        seq_counter += admitted["scheduled"]
-        result.admitted += admitted["admitted"]
-        result.fetched += admitted["scheduled"]
-        result.stats.append({"wave": wave, **admitted})
+        seq_counter += stats["scheduled"]
+        result.admitted += stats["admitted"]
+        result.fetched += stats["scheduled"]
+        result.stats.append({"wave": wave, **stats})
         result.waves += 1
         ckpt.save_shards(shards)
         ckpt.commit_wave(wave, seq_counter)
-        if admitted["admitted"] == 0:
+        if stats["admitted"] == 0:
             break
         frontier_in = _links_of_wave(ckpt, wave, wave + 1)
         wave += 1
@@ -168,10 +191,12 @@ def run_crawl(
 
 
 def _links_of_wave(ckpt: CheckpointStore, wave: int, next_depth: int) -> rd.Dataset:
-    docs = ckpt.read_docs(wave)
+    # block count = the wave's task parallelism (batches are per-block)
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    docs = ckpt.read_docs(wave, override_num_blocks=max(4, n_cpus))
 
     def to_links(t: pa.Table) -> pa.Table:
-        t = t.filter(pa.compute.equal(t.column("status"), "ok"))
+        t = t.filter(pc.equal(t.column("status"), "ok"))
         links = extract_links(
             pa.table({"doc_id": t.column("url"), "spans": t.column("spans")})
         )
@@ -195,143 +220,93 @@ def _run_wave(
     index_ref,
     seq_base: int,
 ) -> dict:
-    # 1-3: filter → admit(seen) → robots flag, all streaming
+    from ..sources.tables import read_table
+
+    # ---- the ONE Ray job of the wave: filter → admit → robots → fetch →
+    # docs checkpoint (atomic rename = resume point)
+    # batch_size=None → one batch per block: an explicit batch_size makes
+    # Ray Data COALESCE blocks into few fat tasks, capping parallelism at
+    # rows/batch_size regardless of CPUs. Block count is set at the wave's
+    # read (override_num_blocks), which is the intended parallelism knob.
     cand = frontier_in.map_batches(
         CandidateFilter(profile, cfg.num_seen_shards),
         batch_format="pyarrow",
-        batch_size=cfg.batch_size,
+        batch_size=None,
     )
+    # concurrency cap: S shard actors can only serve ~S callers; more
+    # concurrent filter tasks just block in ray.get and oversubscribe
     unseen = cand.map_batches(
-        SeenFilter(shards), batch_format="pyarrow", batch_size=cfg.batch_size
+        SeenFilter(shards),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=max(2, cfg.num_seen_shards // 2),
     )
     flagged = unseen.map_batches(_RobotsFlag(host_cfg), batch_format="pyarrow")
-    # 4: checkpoint the admitted frontier (atomic materialization barrier)
-    write_dataset(flagged, ckpt.frontier_uri(wave))
-    admitted_ds = ckpt.read_frontier(wave)
-
-    # 5: tiny per-(priority,host) counts → global seq offsets
-    sched_only = admitted_ds.map_batches(
-        lambda t: t.filter(pa.compute.invert(t.column("robots_denied"))),
+    fetched = flagged.map_batches(
+        make_fetch_fn(corpus_ref, index_ref),
         batch_format="pyarrow",
-    )
-    counts_df = sched_only.groupby(["priority", "host"]).count().to_pandas()
-    counts = [
-        (int(r["priority"]), str(r["host"]), int(r["count()"]))
-        for _, r in counts_df.iterrows()
-    ]
-    n_sched = sum(c for _, _, c in counts)
-    n_admitted = admitted_ds.count()
-    if n_admitted == 0:
-        # write schema-bearing empty tables directly (a Ray write of an
-        # empty dataset drops the schema)
-        from ..sources.tables import write_table
-
-        write_table(
-            FRONTIER_SCHEMA.append(pa.field("robots_denied", pa.bool_())).empty_table(),
-            ckpt.frontier_uri(wave),
-        )
-        write_table(_empty_lineage(), ckpt.lineage_uri(wave))
-        write_table(_empty_docs(), ckpt.docs_uri(wave))
-        return {"admitted": 0, "scheduled": 0, "fetched_ok": 0}
-    offsets = compute_seq_offsets(counts, seq_base)
-
-    # 6: politeness shuffle + virtual-clock schedule
-    scheduled = sched_only.groupby("host").map_groups(
-        lambda g: schedule_host_group(g, host_cfg, offsets),
-        batch_format="pandas",
-    )
-
-    # 7-8: fetch (actor pool) → checkpoint docs
-    fetched = scheduled.map_batches(
-        Fetcher,
-        fn_constructor_args=(corpus_ref, index_ref),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        concurrency=cfg.fetcher_concurrency,
-        num_cpus=0.5,
+        batch_size=None,
     )
     write_dataset(fetched, ckpt.docs_uri(wave))
 
-    # 9: lineage = fetched rows + robots_denied rows
-    docs_ds = ckpt.read_docs(wave)
-    fetch_lineage = docs_ds.map_batches(_lineage_of_fetch, batch_format="pyarrow")
-    robots_rows = admitted_ds.map_batches(
-        lambda t: _lineage_of_robots(t), batch_format="pyarrow"
+    # ---- politeness sidecar (post-hoc, pure function of the admitted set)
+    import glob as _glob
+    import os as _os
+
+    has_files = bool(_glob.glob(_os.path.join(ckpt.docs_uri(wave), "*.parquet")))
+    if not has_files:  # empty wave: Ray writes zero files
+        write_table(DOCS_SCHEMA.empty_table(), ckpt.docs_uri(wave))
+        write_table(SCHEDULE_SCHEMA.empty_table(), ckpt.schedule_uri(wave))
+        return {"admitted": 0, "scheduled": 0}
+    light = read_table(
+        ckpt.docs_uri(wave), columns=["url", "host", "depth", "priority", "status"]
     )
-    write_dataset(fetch_lineage.union(robots_rows), ckpt.lineage_uri(wave))
-
-    fetched_ok = docs_ds.map_batches(
-        lambda t: t.filter(pa.compute.equal(t.column("status"), "ok")),
-        batch_format="pyarrow",
-    ).count()
-    return {"admitted": n_admitted, "scheduled": n_sched, "fetched_ok": fetched_ok}
-
-
-def _lineage_of_fetch(t: pa.Table) -> pa.Table:
-    n = t.num_rows
-    callback = pa.compute.if_else(
-        pa.compute.equal(t.column("status"), "ok"),
-        pa.scalar("OnResponse"),
-        pa.scalar("OnError"),
+    n_admitted = light.num_rows
+    if n_admitted == 0:
+        write_table(DOCS_SCHEMA.empty_table(), ckpt.docs_uri(wave))
+        write_table(SCHEDULE_SCHEMA.empty_table(), ckpt.schedule_uri(wave))
+        return {"admitted": 0, "scheduled": 0}
+    sched_tbl = light.filter(
+        pc.not_equal(light.column("status"), "robots_denied")
+    ).select(["url", "host", "priority"])
+    n_sched = sched_tbl.num_rows
+    counts_df = (
+        sched_tbl.select(["priority", "host"])
+        .to_pandas()
+        .groupby(["priority", "host"], as_index=False)
+        .size()
     )
-    cols = {
-        "req_id": t.column("req_id"),
-        "url": t.column("url"),
-        "host": t.column("host"),
-        "depth": t.column("depth"),
-        "priority": t.column("priority"),
-        "seq": t.column("seq"),
-        "callback": callback,
-        "status": t.column("status"),
-        "error": t.column("error"),
-        "sched_start_ms": t.column("sched_start_ms"),
-        "sched_end_ms": t.column("sched_end_ms"),
-    }
-    return pa.table(cols)
-
-
-def _lineage_of_robots(t: pa.Table) -> pa.Table:
-    t = t.filter(t.column("robots_denied"))
-    n = t.num_rows
-    from ..functions.urls import md5_hex_many
-
-    urls = t.column("url").to_pylist()
-    return pa.table(
-        {
-            "req_id": pa.array(md5_hex_many(urls), type=pa.string()),
-            "url": t.column("url"),
-            "host": t.column("host"),
-            "depth": t.column("depth"),
-            "priority": t.column("priority"),
-            "seq": pa.array(np.full(n, -1, dtype=np.int64)),
-            "callback": pa.array(["RobotsDenied"] * n, type=pa.string()),
-            "status": pa.array(["robots_denied"] * n, type=pa.string()),
-            "error": pa.array(["robots.txt disallow"] * n, type=pa.string()),
-            "sched_start_ms": pa.array(np.full(n, -1, dtype=np.int64)),
-            "sched_end_ms": pa.array(np.full(n, -1, dtype=np.int64)),
-        }
-    )
-
-
-def _empty_lineage() -> pa.Table:
-    return pa.table(
-        {
-            "req_id": pa.array([], pa.string()),
-            "url": pa.array([], pa.string()),
-            "host": pa.array([], pa.string()),
-            "depth": pa.array([], pa.int32()),
-            "priority": pa.array([], pa.int32()),
-            "seq": pa.array([], pa.int64()),
-            "callback": pa.array([], pa.string()),
-            "status": pa.array([], pa.string()),
-            "error": pa.array([], pa.string()),
-            "sched_start_ms": pa.array([], pa.int64()),
-            "sched_end_ms": pa.array([], pa.int64()),
-        }
-    )
-
-
-def _empty_docs() -> pa.Table:
-    from ..stages.fetcher import FETCHED_SCHEMA
-
-    return FETCHED_SCHEMA.empty_table()
+    counts = [
+        (int(r["priority"]), str(r["host"]), int(r["size"]))
+        for _, r in counts_df.iterrows()
+    ]
+    offsets = compute_seq_offsets(counts, seq_base)
+    if n_sched <= cfg.driver_schedule_limit:
+        sched = schedule_wave_driver(sched_tbl, host_cfg, offsets)
+        write_table(
+            sched.select(["url", "seq", "sched_start_ms", "sched_end_ms"]).cast(
+                SCHEDULE_SCHEMA
+            ),
+            ckpt.schedule_uri(wave),
+        )
+    else:  # distributed sidecar for enormous waves
+        sched_ds = (
+            ckpt.read_docs(wave)
+            .map_batches(
+                lambda t: t.filter(
+                    pc.not_equal(t.column("status"), "robots_denied")
+                ).select(["url", "host", "priority"]),
+                batch_format="pyarrow",
+            )
+            .groupby("host")
+            .map_groups(
+                lambda g: schedule_host_group(g, host_cfg, offsets),
+                batch_format="pandas",
+            )
+            .map_batches(
+                lambda t: t.select(["url", "seq", "sched_start_ms", "sched_end_ms"]),
+                batch_format="pyarrow",
+            )
+        )
+        write_dataset(sched_ds, ckpt.schedule_uri(wave))
+    return {"admitted": n_admitted, "scheduled": n_sched}

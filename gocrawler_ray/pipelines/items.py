@@ -35,7 +35,7 @@ def build_items(
     analyzer_concurrency: int = 4,
     batch_size: int = 2048,
 ) -> rd.Dataset:
-    """docs (FETCHED_SCHEMA or plain doc_id+spans) → enriched items."""
+    """docs (DOCS_SCHEMA or plain doc_id+spans) → enriched items."""
 
     def to_items(t: pa.Table) -> pa.Table:
         if "status" in t.schema.names:

@@ -59,12 +59,12 @@ def q_crawl_bfs(sf_dir: str):
         tables["corpus"], tables["hosts"], tables["seeds"],
         derived_profile(), cfg, ckpt,
     )
-    frontier_root = os.path.join(ckpt, "frontier")
+    docs_root = os.path.join(ckpt, "docs")
     from ..sources.tables import read_table
 
     parts = [
-        read_table(os.path.join(frontier_root, d))
-        for d in sorted(os.listdir(frontier_root))
+        read_table(os.path.join(docs_root, d))
+        for d in sorted(os.listdir(docs_root))
     ]
     t = pa.concat_tables(parts)
     skus = pc.cast(

@@ -71,9 +71,7 @@ def read_dataset(uri: str, **kwargs):
     return rd.read_parquet(uri, partitioning=None, **kwargs)
 
 
-def read_table(uri: str) -> pa.Table:
+def read_table(uri: str, columns=None) -> pa.Table:
     if HAVE_LANCE:  # pragma: no cover
-        return lance.dataset(uri).to_table()
-    if os.path.isdir(uri):
-        return pq.read_table(uri)
-    return pq.read_table(uri)
+        return lance.dataset(uri).to_table(columns=columns)
+    return pq.read_table(uri, columns=columns)

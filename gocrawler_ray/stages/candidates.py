@@ -65,8 +65,9 @@ class CandidateFilter:
             return FRONTIER_SCHEMA.empty_table()
         is_product = pc.match_substring_regex(tbl.column("url"), self.product_pattern)
         priority = pc.if_else(is_product, pa.scalar(0, pa.int32()), pa.scalar(1, pa.int32()))
-        url_list = tbl.column("url").to_pylist()
-        hashes = url_hash64_many(url_list)
+        hashes = url_hash64_many(
+            tbl.column("url").to_pandas().to_numpy(dtype=object)
+        )
         depth = (
             tbl.column("depth")
             if "depth" in tbl.schema.names

@@ -32,88 +32,189 @@ import ray
 from ..corpus import SPAN_TYPE
 from ..functions.urls import md5_hex_many, url_hash64_many
 
-FETCHED_SCHEMA = pa.schema(
+# One row per ADMITTED url (the wave's docs table doubles as the admitted
+# frontier + fetch lineage). status ∈ {ok, not_found, robots_denied}; seq
+# and virtual schedule times live in the per-wave schedule sidecar
+# (pipelines/crawl.SCHEDULE_SCHEMA) — they are a pure function of the
+# admitted set under the virtual politeness clock.
+DOCS_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
         ("host", pa.string()),
         ("depth", pa.int32()),
         ("priority", pa.int32()),
-        ("seq", pa.int64()),
         ("req_id", pa.string()),
         ("status", pa.string()),
         ("error", pa.string()),
-        ("sched_start_ms", pa.int64()),
-        ("sched_end_ms", pa.int64()),
         ("spans", pa.list_(SPAN_TYPE)),
     ]
 )
 
 
+_HASH2_KEY = "gocrawler_ray_h2"  # 16 chars → independent siphash family
+
+
+def build_corpus_index_cached(corpus: pa.Table, cache_path: str | None) -> dict:
+    """Disk-cached corpus index (a pure function of the corpus).
+
+    Building costs ~4s/M urls of driver time; benches and repeated runs
+    load the ``.npz`` instead (~0.5s mmap)."""
+    import os
+
+    if cache_path and os.path.exists(cache_path):
+        z = np.load(cache_path)
+        return {k: z[k] for k in ("sorted_hashes", "perm", "hash2")}
+    idx = build_corpus_index(corpus)
+    if cache_path:
+        tmp = cache_path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **idx)
+        os.replace(tmp, cache_path)
+    return idx
+
+
 def build_corpus_index(corpus: pa.Table) -> dict:
-    """Sorted url-hash index over the corpus, built once on the driver."""
-    hashes = url_hash64_many(corpus.column("doc_id").to_pylist())
+    """Sorted url-hash index over the corpus, built once on the driver.
+
+    24 B/row of plain numpy arrays — workers map them zero-copy from the
+    object store (never the url strings themselves). ``hash2`` is the
+    independent-family verification hash (see Fetcher.lookup).
+    """
+    urls = np.asarray(corpus.column("doc_id").to_pylist(), dtype=object)
+    hashes = url_hash64_many(urls)
     order = np.argsort(hashes, kind="stable")
     return {
         "sorted_hashes": hashes[order],
         "perm": order.astype(np.int64),
+        "hash2": url_hash64_many(urls, hash_key=_HASH2_KEY),
     }
 
 
 class Fetcher:
-    """``map_batches`` actor class: ``concurrency=F, num_cpus<1`` (an
-    IO-bound stage in production; lookup-bound here)."""
+    """Fetch stage callable.
+
+    In production this is an actor pool (``map_batches(Fetcher,
+    concurrency=F, num_cpus<1)``) holding HTTP/cookie/robots session
+    state (T2-T4). For the sandbox corpus-lookup fetch it is used as a
+    PLAIN TASK function (``map_batches(make_fetch_fn(...))``): the corpus
+    and index live in the object store once (``ray.put`` on the driver)
+    and ``ray.get`` inside a reused worker process is a zero-copy mmap of
+    local plasma — so per-wave actor-pool startup (which dominated wave
+    latency) disappears while per-batch cost stays O(lookup).
+    """
 
     def __init__(self, corpus_ref, index_ref):
-        self.corpus: pa.Table = ray.get(corpus_ref)
-        idx = ray.get(index_ref)
+        self.corpus: pa.Table = ray.get(corpus_ref) if not isinstance(corpus_ref, pa.Table) else corpus_ref
+        idx = ray.get(index_ref) if not isinstance(index_ref, dict) else index_ref
         self.sorted_hashes: np.ndarray = idx["sorted_hashes"]
         self.perm: np.ndarray = idx["perm"]
-        self.doc_ids = self.corpus.column("doc_id")
+        self.hash2: np.ndarray = idx["hash2"]
 
-    def lookup(self, urls: list[str]) -> np.ndarray:
-        """url list → corpus row index or -1."""
+    def lookup(self, urls) -> np.ndarray:
+        """url array → corpus row index or -1."""
         h = url_hash64_many(urls)
         pos = np.searchsorted(self.sorted_hashes, h)
         pos = np.clip(pos, 0, len(self.sorted_hashes) - 1)
         found = self.sorted_hashes[pos] == h
         rows = np.where(found, self.perm[pos], -1)
         if found.any():
-            # vectorized hash-collision guard: the matched doc_id string
-            # must equal the url
-            cand = self.doc_ids.take(pa.array(np.where(found, rows, 0), pa.int64()))
-            eq = pa.compute.equal(cand, pa.array(urls, type=pa.string()))
-            rows = np.where(found & np.asarray(eq), rows, -1)
+            # collision guard: match must also hold under the second,
+            # independent hash family (a string compare here would gather
+            # from the 10M-row url column per batch — memory-bound)
+            h2 = url_hash64_many(urls, hash_key=_HASH2_KEY)
+            eq = self.hash2[np.where(found, rows, 0)] == h2
+            rows = np.where(found & eq, rows, -1)
         return rows
+
+    def _gather_spans_sorted(self, sorted_rows: np.ndarray, sorted_ok: np.ndarray):
+        """Gather spans for ASCENDING row indices chunk by chunk.
+
+        ``ChunkedArray.take`` concatenates chunks first, which overflows
+        int32 list/string offsets on multi-GB nested columns (the 10M-page
+        corpus). Per-chunk take keeps every intermediate under the chunk
+        size and returns a chunked array — no concatenation ever touches
+        the full column. Trailing null indices (failed/denied fetches)
+        become one null chunk.
+        """
+        col = self.corpus.column("spans")
+        chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+        valid = sorted_rows[sorted_ok]
+        out = []
+        lo = 0
+        for c in chunks:
+            hi = lo + len(c)
+            a, b = np.searchsorted(valid, (lo, hi))
+            if b > a:
+                out.append(c.take(pa.array(valid[a:b] - lo, pa.int64())))
+            lo = hi
+        n_null = int((~sorted_ok).sum())
+        if n_null:
+            out.append(pa.nulls(n_null, type=col.type))
+        return pa.chunked_array(out, type=col.type)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
-            return FETCHED_SCHEMA.empty_table()
-        urls = batch.column("url").to_pylist()
+            return DOCS_SCHEMA.empty_table()
+        urls = batch.column("url").to_pandas().to_numpy(dtype=object)
+        if "robots_denied" in batch.schema.names:
+            denied = batch.column("robots_denied").to_numpy(zero_copy_only=False)
+        else:
+            denied = np.zeros(n, dtype=bool)
         rows = self.lookup(urls)
+        rows = np.where(denied, -1, rows)  # robots-denied: never fetched
         ok = rows >= 0
-        status = np.where(ok, "ok", "not_found").astype(object)
-        error = np.where(ok, "", "Not Found").astype(object)
-        # gather spans zero-copy-ish: take() on the shared corpus table;
-        # null indices (failed fetches) yield null span lists
-        take_idx = pa.array(
-            [int(r) if r >= 0 else None for r in rows], type=pa.int64()
-        ) if (~ok).any() else pa.array(rows, type=pa.int64())
-        spans = self.corpus.column("spans").take(take_idx)
-        spans = spans.combine_chunks() if isinstance(spans, pa.ChunkedArray) else spans
+        status = np.where(
+            ok, "ok", np.where(denied, "robots_denied", "not_found")
+        ).astype(object)
+        error = np.where(
+            ok, "", np.where(denied, "robots.txt disallow", "Not Found")
+        ).astype(object)
+        # gather spans from the shared corpus: SORTED take + inverse
+        # permutation. A random-order gather on the big plasma-mmapped
+        # nested column collapses under many concurrent workers (page/TLB
+        # thrash); a sorted gather streams — ~3× faster per task and flat
+        # scaling with workers. Null indices (failed/denied) → null spans.
+        perm = np.argsort(
+            np.where(ok, rows, np.iinfo(np.int64).max), kind="stable"
+        )
+        sorted_rows = rows[perm]
+        sorted_ok = sorted_rows >= 0
+        spans_sorted = self._gather_spans_sorted(sorted_rows, sorted_ok)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(n)
+        spans = spans_sorted.take(pa.array(inv, pa.int64()))  # local, in-cache
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
         return pa.Table.from_arrays(
             [
                 batch.column("url"),
                 batch.column("host"),
                 batch.column("depth"),
                 batch.column("priority"),
-                batch.column("seq"),
-                pa.array(md5_hex_many(urls), type=pa.string()),
+                pa.array(md5_hex_many(urls.tolist()), type=pa.string()),
                 pa.array(status, type=pa.string()),
                 pa.array(error, type=pa.string()),
-                batch.column("sched_start_ms"),
-                batch.column("sched_end_ms"),
                 spans,
             ],
-            schema=FETCHED_SCHEMA,
+            schema=DOCS_SCHEMA,
         )
+
+
+_FETCHER_CACHE: dict = {}
+
+
+def make_fetch_fn(corpus_ref, index_ref):
+    """Task-based fetch: one Fetcher instance cached per worker process
+    (Ray reuses workers across tasks; ray.get of a local object is a
+    zero-copy plasma mmap, so the cache only saves Python wrapping)."""
+    key = corpus_ref.hex() if hasattr(corpus_ref, "hex") else id(corpus_ref)
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        f = _FETCHER_CACHE.get(key)
+        if f is None:
+            f = Fetcher(corpus_ref, index_ref)
+            _FETCHER_CACHE[key] = f
+        return f(batch)
+
+    return fetch

@@ -3,14 +3,15 @@ last-URL-to-.env checkpoint (/root/reference/pkg/scraper/scraper.go:283-304).
 
 Layout under ``<root>/``:
 
-- ``frontier/wave=<k>/``  — the ADMITTED (post-seen-filter) frontier of
-  wave k, with schedule + seq columns;
-- ``docs/wave=<k>/``      — fetched interleaved-span rows;
-- ``lineage/wave=<k>/``   — requestTracker-contract rows
-  (req_id, url, callback, status, error, timings — field contract:
+- ``docs/wave=<k>/``     — one row per ADMITTED url of wave k: fetched
+  interleaved-span rows plus not_found / robots_denied rows (this table
+  is simultaneously the admitted frontier, the fetched corpus slice, and
+  the fetch lineage — requestTracker field contract:
   /root/reference/pkg/scraper/requestTracker.go:49-112);
+- ``schedule/wave=<k>/`` — politeness sidecar (url, seq, virtual
+  sched_start/end) — a pure function of the admitted set;
 - ``urlseen/shard=<s>.bin`` — serialized cuckoo shards;
-- ``MANIFEST.json``       — committed waves + seq counter, written
+- ``MANIFEST.json``      — committed waves + seq counter, written
   atomically LAST, so a kill between any two steps resumes cleanly.
 
 Resume invariant: shard snapshots are taken AFTER a wave's frontier is
@@ -42,8 +43,8 @@ class CheckpointStore:
     def docs_uri(self, wave: int) -> str:
         return os.path.join(self.root, "docs", f"wave={wave}")
 
-    def lineage_uri(self, wave: int) -> str:
-        return os.path.join(self.root, "lineage", f"wave={wave}")
+    def schedule_uri(self, wave: int) -> str:
+        return os.path.join(self.root, "schedule", f"wave={wave}")
 
     def _shard_path(self, s: int) -> str:
         return os.path.join(self.root, "urlseen", f"shard={s}.bin")
@@ -93,11 +94,11 @@ class CheckpointStore:
         return True
 
     # -- datasets --------------------------------------------------------
-    def read_frontier(self, wave: int):
-        return read_dataset(self.frontier_uri(wave))
+    def read_frontier(self, wave: int, **kwargs):
+        return read_dataset(self.frontier_uri(wave), **kwargs)
 
-    def read_docs(self, wave: int):
-        return read_dataset(self.docs_uri(wave))
+    def read_docs(self, wave: int, **kwargs):
+        return read_dataset(self.docs_uri(wave), **kwargs)
 
     def read_all_docs_table(self):
         import pyarrow as pa
@@ -108,3 +109,46 @@ class CheckpointStore:
             for d in sorted(os.listdir(docs_root)):
                 tables.append(read_table(os.path.join(docs_root, d)))
         return pa.concat_tables(tables) if tables else None
+
+    def read_lineage_table(self, wave: int):
+        """Full lineage of a wave, derived: the docs table IS the fetch
+        lineage (requestTracker contract,
+        /root/reference/pkg/scraper/requestTracker.go:49-112) joined with
+        the politeness schedule sidecar for seq + virtual timings.
+        Robots-denied rows carry seq = sched = -1 (never dispatched)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        docs = read_table(self.docs_uri(wave)).select(
+            ["req_id", "url", "host", "depth", "priority", "status", "error"]
+        )
+        sched = read_table(self.schedule_uri(wave))
+        joined = docs.join(sched, keys="url", join_type="left outer")
+        callback = pc.case_when(
+            pc.make_struct(
+                pc.equal(joined.column("status"), "ok"),
+                pc.equal(joined.column("status"), "robots_denied"),
+            ),
+            pa.scalar("OnResponse"),
+            pa.scalar("RobotsDenied"),
+            pa.scalar("OnError"),
+        )
+        out = joined.append_column("callback", callback)
+        for col in ("seq", "sched_start_ms", "sched_end_ms"):
+            idx = out.schema.get_field_index(col)
+            out = out.set_column(
+                idx,
+                col,
+                pc.fill_null(out.column(col), pa.scalar(-1, pa.int64())),
+            )
+        return out
+
+    def read_all_lineage_table(self):
+        import pyarrow as pa
+
+        root = os.path.join(self.root, "docs")
+        waves = sorted(
+            int(d.split("=")[1]) for d in os.listdir(root)
+        ) if os.path.isdir(root) else []
+        return pa.concat_tables([self.read_lineage_table(w) for w in waves])

@@ -32,6 +32,10 @@ def crawl_pair():
 
 
 def _read_all(root: str, sub: str) -> pa.Table:
+    if sub == "lineage":
+        from gocrawler_ray.state.checkpoint import CheckpointStore
+
+        return CheckpointStore(root).read_all_lineage_table()
     base = os.path.join(root, sub)
     tables = [read_table(os.path.join(base, d)) for d in sorted(os.listdir(base))]
     return pa.concat_tables([t for t in tables if t.num_rows >= 0])
@@ -50,9 +54,11 @@ def test_crawl_order_matches_oracle(crawl_pair):
 
 
 def test_seen_set_matches_oracle(crawl_pair):
+    # the docs table holds one row per admitted url (incl. robots-denied)
+    # — its url set IS the URL-seen membership
     _, oracle, res = crawl_pair
-    frontier = _read_all(CKPT, "frontier")
-    engine_seen = set(frontier.column("url").to_pylist())
+    docs = _read_all(CKPT, "docs")
+    engine_seen = set(docs.column("url").to_pylist())
     assert engine_seen == oracle.seen
 
 
@@ -100,6 +106,29 @@ def test_lineage_statuses_match_oracle(crawl_pair):
     # failures recorded, never retried: one lineage row per url
     urls = lineage.column("url").to_pylist()
     assert len(urls) == len(set(urls))
+
+
+def test_distributed_schedule_path_matches_driver_path(crawl_pair):
+    """Force the groupby(host) distributed scheduler (driver_schedule_limit=0)
+    and assert identical order + schedule as the driver-side path."""
+    t, oracle, _ = crawl_pair
+    root = CKPT + "_dist"
+    shutil.rmtree(root, ignore_errors=True)
+    cfg = CrawlConfig(
+        num_seen_shards=4, fetcher_concurrency=2, batch_size=512,
+        driver_schedule_limit=0,
+    )
+    run_crawl(t["corpus"], t["hosts"], t["seeds"], profile_of(SPEC), cfg, root)
+    lineage = _read_all(root, "lineage")
+    rows = lineage.filter(
+        pa.compute.not_equal(lineage.column("status"), "robots_denied")
+    ).to_pylist()
+    engine_order = sorted(
+        (r["seq"], r["url"], r["depth"], r["priority"], r["host"]) for r in rows
+    )
+    assert engine_order == oracle.order
+    for r in rows:
+        assert oracle.schedule[r["url"]] == (r["sched_start_ms"], r["sched_end_ms"])
 
 
 def test_crawl_has_exercised_every_path(crawl_pair):

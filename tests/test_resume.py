@@ -18,6 +18,10 @@ CFG = CrawlConfig(num_seen_shards=4, fetcher_concurrency=2, batch_size=512)
 
 
 def _read_all(root, sub):
+    if sub == "lineage":
+        from gocrawler_ray.state.checkpoint import CheckpointStore
+
+        return CheckpointStore(root).read_all_lineage_table()
     base = os.path.join(root, sub)
     return pa.concat_tables(
         [read_table(os.path.join(base, d)) for d in sorted(os.listdir(base))]
@@ -61,6 +65,6 @@ def test_kill_and_resume_no_duplicate_fetches():
     b = {r["url"]: r["spans"] for r in part_docs.to_pylist() if r["status"] == "ok"}
     assert a == b
 
-    fs = set(_read_all(full_root, "frontier").column("url").to_pylist())
-    ps = set(_read_all(part_root, "frontier").column("url").to_pylist())
+    fs = set(_read_all(full_root, "docs").column("url").to_pylist())
+    ps = set(_read_all(part_root, "docs").column("url").to_pylist())
     assert fs == ps
