@@ -121,21 +121,27 @@ def run_crawl(
     ckpt_root: str,
     resume: bool = False,
     corpus_index: dict | None = None,
+    corpus_refs: tuple | None = None,
 ) -> CrawlResult:
     """Run (or resume) a crawl; all state lands under ``ckpt_root``.
 
     ``corpus`` is the synthetic web (J3); in production the Fetcher is an
     HTTP client and this argument disappears. ``corpus_index`` lets the
-    caller supply the (cacheable) fetch index — see
-    stages.fetcher.build_corpus_index_cached.
+    caller supply the (cacheable) fetch index; ``corpus_refs`` =
+    (corpus_ref, index_ref) lets a bench pre-stage the simulated web in
+    the object store so the timed window is the crawl itself, not the
+    simulation setup (see bench.py).
     """
     t0 = time.time()
     ckpt = CheckpointStore(ckpt_root)
     host_cfg = HostConfig(hosts, default_delay_ms=cfg.default_crawl_delay_ms,
                           default_parallel=cfg.max_parallel_per_host)
     shards = create_shards(cfg.num_seen_shards, cfg.cuckoo_capacity)
-    corpus_ref = ray.put(corpus)
-    index_ref = ray.put(corpus_index or build_corpus_index(corpus))
+    if corpus_refs is not None:
+        corpus_ref, index_ref = corpus_refs
+    else:
+        corpus_ref = ray.put(corpus)
+        index_ref = ray.put(corpus_index or build_corpus_index(corpus))
 
     seq_counter = 0
     start_wave = 0
@@ -144,7 +150,7 @@ def run_crawl(
     manifest = ckpt.load_manifest() if resume else None
     if manifest and manifest["committed_waves"]:
         last = max(manifest["committed_waves"])
-        if not ckpt.restore_shards(shards):
+        if not ckpt.restore_shards(shards, last):
             raise RuntimeError("manifest exists but shard snapshots are missing")
         seq_counter = manifest["seq_counter"]
         start_wave = last + 1
@@ -163,30 +169,61 @@ def run_crawl(
             )
         )
 
-    result = CrawlResult(ckpt=ckpt)
-    wave = start_wave
-    while True:
-        if cfg.max_waves is not None and wave - start_wave >= cfg.max_waves:
-            break
-        stats = _run_wave(
-            frontier_in, wave, ckpt, profile, cfg, host_cfg, shards,
-            corpus_ref, index_ref, seq_counter,
-        )
-        seq_counter += stats["scheduled"]
-        result.admitted += stats["admitted"]
-        result.fetched += stats["scheduled"]
-        result.stats.append({"wave": wave, **stats})
-        result.waves += 1
-        ckpt.save_shards(shards)
-        ckpt.commit_wave(wave, seq_counter)
-        if stats["admitted"] == 0:
-            break
-        frontier_in = _links_of_wave(ckpt, wave, wave + 1)
-        wave += 1
+    # Pipelined wave loop: the Ray job of wave k+1 starts as soon as wave
+    # k's docs are durable; wave k's politeness sidecar + manifest commit
+    # run on a background thread (sidecars chain — seq offsets are
+    # cumulative). Crash safety: commit k happens only after docs k,
+    # schedule k AND the wave-k shard snapshot are durable, and snapshots
+    # are versioned per wave, so a kill at any point resumes exactly from
+    # the last committed wave with zero duplicate fetches.
+    from concurrent.futures import Future, ThreadPoolExecutor
 
+    result = CrawlResult(ckpt=ckpt)
+    executor = ThreadPoolExecutor(max_workers=1)
+    wave_stats: dict[int, tuple[int, int]] = {}
+
+    prev: Future = Future()
+    prev.set_result(seq_counter)
+
+    def chain_sidecar(wave: int, prev_fut: Future) -> Future:
+        def run():
+            seq_base = prev_fut.result()
+            n_adm, n_sched = _politeness_sidecar(ckpt, wave, host_cfg, cfg, seq_base)
+            ckpt.commit_wave(wave, seq_base + n_sched)
+            ckpt.prune_shard_snapshots(wave - 1)
+            wave_stats[wave] = (n_adm, n_sched)
+            return seq_base + n_sched
+
+        return executor.submit(run)
+
+    wave = start_wave
+    try:
+        while True:
+            if cfg.max_waves is not None and wave - start_wave >= cfg.max_waves:
+                break
+            n_admitted = _wave_job(
+                frontier_in, wave, ckpt, profile, cfg, host_cfg, shards,
+                corpus_ref, index_ref,
+            )
+            ckpt.save_shards(shards, wave)
+            prev = chain_sidecar(wave, prev)
+            if n_admitted == 0:
+                break
+            frontier_in = _links_of_wave(ckpt, wave, wave + 1)
+            wave += 1
+        prev.result()  # drain the sidecar chain (re-raises errors)
+    finally:
+        executor.shutdown(wait=True)
+        for s in shards:
+            ray.kill(s)
+
+    for w in sorted(wave_stats):
+        n_adm, n_sched = wave_stats[w]
+        result.admitted += n_adm
+        result.fetched += n_sched
+        result.stats.append({"wave": w, "admitted": n_adm, "scheduled": n_sched})
+        result.waves += 1
     result.seconds = time.time() - t0
-    for s in shards:
-        ray.kill(s)
     return result
 
 
@@ -208,7 +245,7 @@ def _links_of_wave(ckpt: CheckpointStore, wave: int, next_depth: int) -> rd.Data
     return docs.map_batches(to_links, batch_format="pyarrow")
 
 
-def _run_wave(
+def _wave_job(
     frontier_in: rd.Dataset,
     wave: int,
     ckpt: CheckpointStore,
@@ -218,16 +255,16 @@ def _run_wave(
     shards: list,
     corpus_ref,
     index_ref,
-    seq_base: int,
-) -> dict:
-    from ..sources.tables import read_table
+) -> int:
+    """The ONE Ray job of a wave: filter -> admit -> robots -> fetch ->
+    docs checkpoint (atomic rename = resume point). Returns the admitted
+    row count (cheap: parquet footers only).
 
-    # ---- the ONE Ray job of the wave: filter → admit → robots → fetch →
-    # docs checkpoint (atomic rename = resume point)
-    # batch_size=None → one batch per block: an explicit batch_size makes
-    # Ray Data COALESCE blocks into few fat tasks, capping parallelism at
-    # rows/batch_size regardless of CPUs. Block count is set at the wave's
-    # read (override_num_blocks), which is the intended parallelism knob.
+    batch_size=None -> one batch per block: an explicit batch_size makes
+    Ray Data COALESCE blocks into few fat tasks, capping parallelism at
+    rows/batch_size regardless of CPUs. Block count is set at the wave's
+    read (override_num_blocks), which is the intended parallelism knob.
+    """
     cand = frontier_in.map_batches(
         CandidateFilter(profile, cfg.num_seen_shards),
         batch_format="pyarrow",
@@ -249,23 +286,37 @@ def _run_wave(
     )
     write_dataset(fetched, ckpt.docs_uri(wave))
 
-    # ---- politeness sidecar (post-hoc, pure function of the admitted set)
     import glob as _glob
     import os as _os
 
-    has_files = bool(_glob.glob(_os.path.join(ckpt.docs_uri(wave), "*.parquet")))
-    if not has_files:  # empty wave: Ray writes zero files
+    import pyarrow.parquet as _pq
+
+    files = _glob.glob(_os.path.join(ckpt.docs_uri(wave), "*.parquet"))
+    if not files:  # empty wave: Ray writes zero files
         write_table(DOCS_SCHEMA.empty_table(), ckpt.docs_uri(wave))
-        write_table(SCHEDULE_SCHEMA.empty_table(), ckpt.schedule_uri(wave))
-        return {"admitted": 0, "scheduled": 0}
+        return 0
+    return sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+def _politeness_sidecar(
+    ckpt: CheckpointStore,
+    wave: int,
+    host_cfg: HostConfig,
+    cfg: CrawlConfig,
+    seq_base: int,
+) -> tuple[int, int]:
+    """Post-hoc politeness sidecar - a pure function of the admitted set,
+    run on a background thread overlapped with the next wave's Ray job.
+    Returns (n_admitted, n_scheduled)."""
+    from ..sources.tables import read_table
+
     light = read_table(
         ckpt.docs_uri(wave), columns=["url", "host", "depth", "priority", "status"]
     )
     n_admitted = light.num_rows
     if n_admitted == 0:
-        write_table(DOCS_SCHEMA.empty_table(), ckpt.docs_uri(wave))
         write_table(SCHEDULE_SCHEMA.empty_table(), ckpt.schedule_uri(wave))
-        return {"admitted": 0, "scheduled": 0}
+        return 0, 0
     sched_tbl = light.filter(
         pc.not_equal(light.column("status"), "robots_denied")
     ).select(["url", "host", "priority"])
@@ -309,4 +360,4 @@ def _run_wave(
             )
         )
         write_dataset(sched_ds, ckpt.schedule_uri(wave))
-    return {"admitted": n_admitted, "scheduled": n_sched}
+    return n_admitted, n_sched

@@ -46,8 +46,8 @@ class CheckpointStore:
     def schedule_uri(self, wave: int) -> str:
         return os.path.join(self.root, "schedule", f"wave={wave}")
 
-    def _shard_path(self, s: int) -> str:
-        return os.path.join(self.root, "urlseen", f"shard={s}.bin")
+    def _shard_path(self, wave: int, s: int) -> str:
+        return os.path.join(self.root, "urlseen", f"wave={wave}", f"shard={s}.bin")
 
     def _manifest_path(self) -> str:
         return os.path.join(self.root, "MANIFEST.json")
@@ -72,17 +72,23 @@ class CheckpointStore:
         os.replace(tmp, self._manifest_path())
 
     # -- cuckoo shards ---------------------------------------------------
-    def save_shards(self, shards: list) -> None:
-        os.makedirs(os.path.join(self.root, "urlseen"), exist_ok=True)
+    # Snapshots are VERSIONED per wave: the wave-k+1 job may run (and
+    # mutate the shard actors) while wave k's politeness sidecar + commit
+    # are still in flight on a background thread — an unversioned
+    # snapshot overwritten by k+1 admissions would, after a crash, mark
+    # uncommitted urls as seen and lose them forever on resume.
+    def save_shards(self, shards: list, wave: int) -> None:
+        d = os.path.join(self.root, "urlseen", f"wave={wave}")
+        os.makedirs(d, exist_ok=True)
         blobs = ray.get([s.snapshot.remote() for s in shards])
         for i, blob in enumerate(blobs):
-            tmp = self._shard_path(i) + f".tmp-{uuid.uuid4().hex[:8]}"
+            tmp = self._shard_path(wave, i) + f".tmp-{uuid.uuid4().hex[:8]}"
             with open(tmp, "wb") as f:
                 f.write(blob)
-            os.replace(tmp, self._shard_path(i))
+            os.replace(tmp, self._shard_path(wave, i))
 
-    def restore_shards(self, shards: list) -> bool:
-        paths = [self._shard_path(i) for i in range(len(shards))]
+    def restore_shards(self, shards: list, wave: int) -> bool:
+        paths = [self._shard_path(wave, i) for i in range(len(shards))]
         if not all(os.path.exists(p) for p in paths):
             return False
         ray.get(
@@ -92,6 +98,16 @@ class CheckpointStore:
             ]
         )
         return True
+
+    def prune_shard_snapshots(self, keep_from_wave: int) -> None:
+        import shutil
+
+        base = os.path.join(self.root, "urlseen")
+        if not os.path.isdir(base):
+            return
+        for d in os.listdir(base):
+            if d.startswith("wave=") and int(d.split("=")[1]) < keep_from_wave:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
     # -- datasets --------------------------------------------------------
     def read_frontier(self, wave: int, **kwargs):
