@@ -24,7 +24,6 @@ by salted host hash so no single fetcher actor owns the hot host.
 
 from __future__ import annotations
 
-import heapq
 
 import numpy as np
 import pandas as pd
