@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         "crawl_bfs": q.q_crawl_bfs,
+        "crawl_depth_counts": q.q_crawl_depth_counts,
         "url_classify": q.q_url_classify,
         "req_md5": q.q_req_md5,
         "price_cents": q.q_price_cents,
@@ -92,6 +93,22 @@ r(node, depth) AS (
 )
 SELECT node AS doc_id, CAST(MIN(depth) AS INTEGER) AS depth
 FROM r GROUP BY node ORDER BY doc_id
+""",
+        "crawl_depth_counts": """
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (7*doc_id+1) % nn.n AS dst FROM documents, nn
+  UNION ALL SELECT doc_id, (13*doc_id+2) % nn.n FROM documents, nn
+  UNION ALL SELECT doc_id, (29*doc_id+5) % nn.n FROM documents, nn
+),
+r(node, depth) AS (
+  SELECT * FROM (VALUES (CAST(0 AS BIGINT), 0), (CAST(1 AS BIGINT), 0))
+  UNION
+  SELECT e.dst, r.depth + 1 FROM r JOIN edges e ON e.src = r.node WHERE r.depth < 20
+),
+mindepth AS (SELECT node, MIN(depth) AS depth FROM r GROUP BY node)
+SELECT CAST(depth AS INTEGER) AS depth, count(*) AS n_pages
+FROM mindepth GROUP BY depth ORDER BY depth
 """,
         "url_classify": f"""
 WITH built AS (

@@ -48,10 +48,14 @@ def _docs_table(sf_dir: str) -> pa.Table:
 # crawl-engine queries
 # ---------------------------------------------------------------------------
 
-def q_crawl_bfs(sf_dir: str):
-    """Full engine crawl (shard actors, politeness, fetcher) over the web
-    derived from ``documents``; rows = (doc_id, depth of first visit).
-    Oracle: recursive-CTE BFS min-depth."""
+_CRAWL_CACHE: dict = {}
+
+
+def _derived_crawl_table(sf_dir: str) -> pa.Table:
+    """Run (once per sf_dir per process) the full engine crawl over the
+    documents-derived web; returns (doc_id, depth) of every admitted url."""
+    if sf_dir in _CRAWL_CACHE:
+        return _CRAWL_CACHE[sf_dir]
     tables = derive_corpus(_docs_table(sf_dir))
     ckpt = tempfile.mkdtemp(prefix="crawl_bfs_", dir="/tmp")
     cfg = CrawlConfig(num_seen_shards=4, fetcher_concurrency=2, batch_size=8192)
@@ -71,8 +75,33 @@ def q_crawl_bfs(sf_dir: str):
         pc.replace_substring_regex(t.column("url"), r"^.*sku=", ""), pa.int64()
     )
     doc_id = pc.subtract(skus, pa.scalar(10**12, pa.int64()))
-    out = pa.table({"doc_id": doc_id, "depth": pc.cast(t.column("depth"), pa.int32())})
-    return out.sort_by("doc_id")
+    out = pa.table(
+        {"doc_id": doc_id, "depth": pc.cast(t.column("depth"), pa.int32())}
+    ).sort_by("doc_id")
+    _CRAWL_CACHE[sf_dir] = out
+    return out
+
+
+def q_crawl_bfs(sf_dir: str):
+    """Full engine crawl (shard actors, politeness, fetcher) over the web
+    derived from ``documents``; rows = (doc_id, depth of first visit).
+    Oracle: recursive-CTE BFS min-depth."""
+    return _derived_crawl_table(sf_dir)
+
+
+def q_crawl_depth_counts(sf_dir: str):
+    """Grouped aggregate over the crawl frontier (A-class counters,
+    SURVEY §2.5): pages admitted per BFS depth. Shares the memoized
+    crawl run with q_crawl_bfs."""
+    t = _derived_crawl_table(sf_dir)
+    df = t.to_pandas().groupby("depth", as_index=False).size()
+    df = df.rename(columns={"size": "n_pages"})
+    return pa.table(
+        {
+            "depth": pa.array(df["depth"].to_numpy(), pa.int32()),
+            "n_pages": pa.array(df["n_pages"].to_numpy(), pa.int64()),
+        }
+    )
 
 
 def q_url_classify(sf_dir: str):
