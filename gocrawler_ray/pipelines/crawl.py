@@ -340,7 +340,22 @@ def _politeness_sidecar(
             ),
             ckpt.schedule_uri(wave),
         )
-    else:  # distributed sidecar for enormous waves
+    else:
+        # Distributed sidecar for enormous waves.
+        #
+        # Hot-host skew note: a plain groupby(host) on a Zipf frontier
+        # puts ~half the wave in one straggler group. The engine's PRIMARY
+        # answer to that skew is the analytic driver path above — seq and
+        # schedule are closed-form functions of a url's global rank, so no
+        # skewed shuffle happens at all below driver_schedule_limit. For
+        # waves beyond it, the correct salting is BY URL RANGE, not hash:
+        # split each hot host's sorted (priority, url) domain at
+        # deterministic quantile boundaries (from a per-host sketch of the
+        # wave's urls), schedule each range independently, and offset its
+        # ranks by the cumulative counts of earlier ranges — hash salting
+        # cannot work here because a sub-group's local rank is not its
+        # global rank. Range-salting is left for the multi-node round; on
+        # one node the analytic path covers every realizable wave size.
         sched_ds = (
             ckpt.read_docs(wave)
             .map_batches(
