@@ -125,6 +125,3 @@ class CrawlConfig:
     # a straggler — prefer the driver path until wave size threatens
     # driver memory (~100B/row)
     driver_schedule_limit: int = 20_000_000
-    # fetch-stage partition count; None → min(16, cluster CPUs). Bounded:
-    # more partitions than in-flight workers just churns worker processes.
-    fetch_partitions: int | None = None
