@@ -175,7 +175,23 @@ def run_headline_only() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same 10M-page crawl at num_cpus=2 and 8 in fresh processes."""
+    """Same 20M-page crawl at num_cpus=2 and 8 in fresh processes."""
+    # pre-generate + index the scaling corpus at FULL parallelism here —
+    # otherwise the first (2-CPU) child would pay a 2-CPU generation
+    n_docs = int(os.environ.get("GRAFT_SCALING_DOCS", _SCALING_DOCS))
+    _init_ray(NUM_CPUS)
+    paths, _ = _corpus(n_docs)
+    import pyarrow.parquet as pq
+
+    from gocrawler_ray.stages.fetcher import build_corpus_index_cached
+
+    build_corpus_index_cached(
+        pq.read_table(paths["corpus"]),
+        os.path.join(os.path.dirname(paths["hosts"]), "corpus_index.npz"),
+    )
+    import ray
+
+    ray.shutdown()
 
     def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
