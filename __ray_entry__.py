@@ -36,10 +36,11 @@ _MARKERS = {
 def entry() -> Any:
     """Flagship on sf0.001: derive an interleaved-span web from the
     documents table, crawl it with the full engine (cuckoo shards,
-    politeness, fetcher pool), parse items from the fetched docs."""
-    from gocrawler_ray.pipelines.queries import q_items_parse
+    politeness, fetcher pool), then run the items/enrichment pipeline
+    over the fetched docs (parse + analyzer actor pool)."""
+    from gocrawler_ray.pipelines.queries import q_crawl_flagship
 
-    return q_items_parse("/root/testdata/sf0.001")
+    return q_crawl_flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -48,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "crawl_bfs": q.q_crawl_bfs,
         "crawl_depth_counts": q.q_crawl_depth_counts,
+        "crawl_flagship": q.q_crawl_flagship,
         "url_classify": q.q_url_classify,
         "req_md5": q.q_req_md5,
         "price_cents": q.q_price_cents,

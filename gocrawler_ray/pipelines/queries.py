@@ -51,9 +51,9 @@ def _docs_table(sf_dir: str) -> pa.Table:
 _CRAWL_CACHE: dict = {}
 
 
-def _derived_crawl_table(sf_dir: str) -> pa.Table:
+def _derived_crawl_ckpt(sf_dir: str) -> str:
     """Run (once per sf_dir per process) the full engine crawl over the
-    documents-derived web; returns (doc_id, depth) of every admitted url."""
+    documents-derived web; returns the checkpoint root."""
     if sf_dir in _CRAWL_CACHE:
         return _CRAWL_CACHE[sf_dir]
     tables = derive_corpus(_docs_table(sf_dir))
@@ -63,11 +63,18 @@ def _derived_crawl_table(sf_dir: str) -> pa.Table:
         tables["corpus"], tables["hosts"], tables["seeds"],
         derived_profile(), cfg, ckpt,
     )
+    _CRAWL_CACHE[sf_dir] = ckpt
+    return ckpt
+
+
+def _derived_crawl_table(sf_dir: str) -> pa.Table:
+    """(doc_id, depth) of every admitted url of the derived-web crawl."""
+    ckpt = _derived_crawl_ckpt(sf_dir)
     docs_root = os.path.join(ckpt, "docs")
     from ..sources.tables import read_table
 
     parts = [
-        read_table(os.path.join(docs_root, d))
+        read_table(os.path.join(docs_root, d), columns=["url", "depth"])
         for d in sorted(os.listdir(docs_root))
     ]
     t = pa.concat_tables(parts)
@@ -75,11 +82,25 @@ def _derived_crawl_table(sf_dir: str) -> pa.Table:
         pc.replace_substring_regex(t.column("url"), r"^.*sku=", ""), pa.int64()
     )
     doc_id = pc.subtract(skus, pa.scalar(10**12, pa.int64()))
-    out = pa.table(
+    return pa.table(
         {"doc_id": doc_id, "depth": pc.cast(t.column("depth"), pa.int32())}
     ).sort_by("doc_id")
-    _CRAWL_CACHE[sf_dir] = out
-    return out
+
+
+def q_crawl_flagship(sf_dir: str):
+    """The flagship end-to-end: crawl the derived web with the full
+    engine, then run the items/enrichment pipeline over the FETCHED docs
+    (parse + analyzer actor pool) — the reference's crawler + parser
+    Lambda as one Ray-Data flow. Rows-only check (the crawl reachability
+    itself is SQL-verified by crawl_bfs)."""
+    import ray.data as rd
+
+    from ..state.checkpoint import CheckpointStore
+    from .items import build_items
+
+    ckpt = CheckpointStore(_derived_crawl_ckpt(sf_dir))
+    docs = ckpt.read_all_docs_table()
+    return build_items(rd.from_arrow(docs), analyzer_concurrency=2)
 
 
 def q_crawl_bfs(sf_dir: str):
