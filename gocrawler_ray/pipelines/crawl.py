@@ -189,7 +189,11 @@ def run_crawl(
         def run():
             seq_base = prev_fut.result()
             n_adm, n_sched = _politeness_sidecar(ckpt, wave, host_cfg, cfg, seq_base)
-            ckpt.commit_wave(wave, seq_base + n_sched)
+            ckpt.commit_wave(
+                wave,
+                seq_base + n_sched,
+                stats={"admitted": n_adm, "scheduled": n_sched},
+            )
             ckpt.prune_shard_snapshots(wave - 1)
             wave_stats[wave] = (n_adm, n_sched)
             return seq_base + n_sched

@@ -60,11 +60,21 @@ class CheckpointStore:
         with open(p) as f:
             return json.load(f)
 
-    def commit_wave(self, wave: int, seq_counter: int, extra: dict | None = None):
+    def commit_wave(
+        self,
+        wave: int,
+        seq_counter: int,
+        extra: dict | None = None,
+        stats: dict | None = None,
+    ):
         m = self.load_manifest() or {"committed_waves": [], "seq_counter": 0}
         if wave not in m["committed_waves"]:
             m["committed_waves"].append(wave)
         m["seq_counter"] = seq_counter
+        if stats is not None:
+            # durable per-wave counters (the reference's visit/scan
+            # counters A1-A5, SURVEY §2.5), keyed by wave
+            m.setdefault("wave_stats", {})[str(wave)] = stats
         m.update(extra or {})
         tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
