@@ -115,9 +115,10 @@ class CrawlConfig:
     max_depth: int | None = None  # reference has MaxDepth commented out
     max_waves: int | None = None
     batch_size: int = 4096
-    hot_host_share: float = 0.25  # frontier share beyond which a host is salted
-    hot_host_salts: int = 4
-    cuckoo_capacity: int = 1 << 16  # per-shard capacity, grows by spill set
+    # NOTE on hot-host skew: no salting knobs — the analytic politeness
+    # sidecar eliminates the skewed groupby(host) shuffle on the primary
+    # path entirely (see pipelines/crawl.py and README "Skew")
+    cuckoo_capacity: int = 1 << 16  # per-shard capacity, auto-grows
     # waves up to this many rows are politeness-scheduled on the driver
     # (closed-form vectorized — ~1s per 2M rows; the admitted table is
     # already resident for the seq-count pass). Bigger waves use the
