@@ -178,3 +178,47 @@ class CheckpointStore:
             int(d.split("=")[1]) for d in os.listdir(root)
         ) if os.path.isdir(root) else []
         return pa.concat_tables([self.read_lineage_table(w) for w in waves])
+
+
+def export_lineage_json(ckpt: "CheckpointStore", out_path: str) -> int:
+    """Export the crawl lineage as the reference's request-trace JSON (S6).
+
+    Field contract mirrors ``scrapingRequests.MarshalJSON``
+    (/root/reference/pkg/scraper/requestTracker.go:49-112): id,
+    absolute_url, callback, error_msg, request{url, depth, method},
+    response{status_code}, start_at/end_at (virtual-clock ms as ISO-less
+    integers here — the engine's clock is virtual), request_duration.
+    Returns the number of rows written. Intended for small/debug crawls —
+    at scale the parquet lineage tables are the system of record.
+    """
+    import json as _json
+
+    t = ckpt.read_all_lineage_table()
+    rows = []
+    for r in t.to_pylist():
+        status = {"ok": 200, "not_found": 404, "robots_denied": 0}.get(
+            r["status"], 0
+        )
+        rows.append(
+            {
+                "id": r["req_id"],
+                "absolute_url": r["url"],
+                "callback": r["callback"],
+                "error_msg": r["error"] or "",
+                "request": {
+                    "url": r["url"],
+                    "depth": r["depth"],
+                    "method": "GET",
+                },
+                "response": {"status_code": status},
+                "start_at": int(r["sched_start_ms"]),
+                "end_at": int(r["sched_end_ms"]),
+                "request_duration": f"{max(0, r['sched_end_ms'] - r['sched_start_ms'])}ms",
+            }
+        )
+    rows.sort(key=lambda x: (x["start_at"] if x["start_at"] >= 0 else 1 << 60, x["id"]))
+    tmp = out_path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        _json.dump(rows, f, indent="\t")
+    os.replace(tmp, out_path)
+    return len(rows)
