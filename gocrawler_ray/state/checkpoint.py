@@ -37,9 +37,6 @@ class CheckpointStore:
         os.makedirs(root, exist_ok=True)
 
     # -- paths -----------------------------------------------------------
-    def frontier_uri(self, wave: int) -> str:
-        return os.path.join(self.root, "frontier", f"wave={wave}")
-
     def docs_uri(self, wave: int) -> str:
         return os.path.join(self.root, "docs", f"wave={wave}")
 
@@ -120,9 +117,6 @@ class CheckpointStore:
                 shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
     # -- datasets --------------------------------------------------------
-    def read_frontier(self, wave: int, **kwargs):
-        return read_dataset(self.frontier_uri(wave), **kwargs)
-
     def read_docs(self, wave: int, **kwargs):
         return read_dataset(self.docs_uri(wave), **kwargs)
 
@@ -142,7 +136,6 @@ class CheckpointStore:
         /root/reference/pkg/scraper/requestTracker.go:49-112) joined with
         the politeness schedule sidecar for seq + virtual timings.
         Robots-denied rows carry seq = sched = -1 (never dispatched)."""
-        import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
 
