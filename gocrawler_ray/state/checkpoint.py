@@ -10,14 +10,17 @@ Layout under ``<root>/``:
   /root/reference/pkg/scraper/requestTracker.go:49-112);
 - ``schedule/wave=<k>/`` — politeness sidecar (url, seq, virtual
   sched_start/end) — a pure function of the admitted set;
-- ``urlseen/shard=<s>.bin`` — serialized cuckoo shards;
-- ``MANIFEST.json``      — committed waves + seq counter, written
-  atomically LAST, so a kill between any two steps resumes cleanly.
+- ``urlseen/wave=<k>/shard=<s>.bin`` — per-wave versioned cuckoo shard
+  snapshots (pruned as commits advance);
+- ``MANIFEST.json``      — committed waves + seq counter + per-wave
+  admitted/scheduled counters, written atomically LAST, so a kill
+  between any two steps resumes cleanly.
 
-Resume invariant: shard snapshots are taken AFTER a wave's frontier is
-admitted (seen-before-fetch) and the manifest commits after docs+lineage
-are durable — so re-running wave k+1 from the manifest re-fetches
-nothing (the kill/resume test asserts zero duplicate fetches).
+Resume invariant: a wave's shard snapshot is taken AFTER its admissions
+(seen-before-fetch) and the manifest commits only after docs + schedule
+sidecar + snapshot are all durable — so re-running wave k+1 from the
+manifest re-fetches nothing (the kill/resume test asserts zero
+duplicate fetches).
 """
 
 from __future__ import annotations

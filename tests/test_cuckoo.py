@@ -57,6 +57,25 @@ def test_saturation_keeps_no_false_negatives():
     assert f.contains_many(keys).all()
 
 
+def test_exact_mode_auto_grows_past_capacity():
+    # In exact mode the table rebuilds at 2x near saturation instead of
+    # degrading into eviction storms; membership stays exact throughout.
+    f = CuckooFilter(capacity=64, exact=True)
+    keys = (np.arange(1, 4000, dtype=np.uint64) * np.uint64(0x9E3779B9)) | np.uint64(1)
+    unseen = f.add_if_absent(keys)
+    assert unseen.all()
+    assert f.num_buckets * 4 >= 4000  # grew well past the initial 64
+    assert not f.victims  # growth, not victim parking
+    assert f.contains_many(keys).all()
+    probe = np.arange(10_000_000, 10_003_000, dtype=np.uint64)
+    probe = np.setdiff1d(probe, keys)
+    assert not f.contains_many(probe).any()
+    # serialize/restore keeps the grown geometry
+    g = CuckooFilter.restore(f.serialize())
+    assert g.num_buckets == f.num_buckets
+    assert g.contains_many(keys).all()
+
+
 @settings(max_examples=25, deadline=None)
 @given(st.lists(st.integers(min_value=1, max_value=2**63), min_size=1, max_size=300))
 def test_property_matches_python_set(xs):
