@@ -7,9 +7,11 @@ Reference semantics:
 - link absolutization — /root/reference/pkg/scraper/scraper.go:190 (M4)
 
 Sharding helpers define the two partition keys of the engine (SURVEY §7.3):
-URL-seen shard = first 8 hex digits of md5(url) mod S (stable across
-processes — never Python's salted ``hash``), politeness bucket =
-md5(host) mod H.
+URL-seen shard = stable 64-bit url hash mod S, politeness bucket =
+stable host hash mod H. The routing hash is ``pd.util.hash_array``
+(siphash with pandas' fixed key — stable across processes, never
+Python's salted ``hash``); md5 is kept only where the reference makes
+it semantic (req_id / item id, M13).
 """
 
 from __future__ import annotations

@@ -149,6 +149,14 @@ def run_crawl(
 
     manifest = ckpt.load_manifest() if resume else None
     if manifest and manifest["committed_waves"]:
+        want = manifest.get("num_seen_shards")
+        if want is not None and want != cfg.num_seen_shards:
+            raise RuntimeError(
+                f"checkpoint was written with num_seen_shards={want}, "
+                f"resume requested {cfg.num_seen_shards}: shard routing "
+                "(url_hash % S) would change and previously-seen urls "
+                "would be re-fetched — resume with the original S"
+            )
         last = max(manifest["committed_waves"])
         if not ckpt.restore_shards(shards, last):
             raise RuntimeError("manifest exists but shard snapshots are missing")
@@ -192,6 +200,11 @@ def run_crawl(
             ckpt.commit_wave(
                 wave,
                 seq_base + n_sched,
+                # shard-layout stamp: url_hash%S routing depends on S, so a
+                # resume under a different shard count would silently
+                # restore a subset and re-admit seen urls — record S (and
+                # the exactness mode) and fail resume loudly on mismatch
+                extra={"num_seen_shards": cfg.num_seen_shards, "cuckoo_exact": True},
                 stats={"admitted": n_adm, "scheduled": n_sched},
             )
             ckpt.prune_shard_snapshots(wave - 1)

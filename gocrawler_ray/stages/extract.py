@@ -151,10 +151,11 @@ def parse_items(batch: pa.Table, source_store: str = "Synth") -> pa.Table:
     p_np = (kind == "price").to_numpy()
     if p_np.any():
         p_doc = doc_idx[p_np]
-        # vectorized mixup chain: tail after ':', delete 2+-space runs, strip, drop $/,
-        p_txt = text[p_np].str.split(":", n=1).str[-1].where(
-            text[p_np].str.contains(":"), ""
-        )
+        # vectorized mixup chain: segment between the 1st and 2nd ':' only
+        # (Go strings.Split + index 1, mixup.go:125-148 — matches the
+        # scalar parse_price_text kernel), delete 2+-space runs, strip,
+        # drop $/,
+        p_txt = text[p_np].str.split(":").str[1].fillna("")
         p_txt = p_txt.str.replace(r" {2,}", "", regex=True).str.strip()
         p_txt = p_txt.str.replace("$", "", regex=False).str.replace(",", "", regex=False)
         vals = pd.to_numeric(p_txt, errors="coerce")

@@ -16,10 +16,13 @@ budget the north rule requires:
   admitted to the seen set (colly marks visited before the robots gate)
   but never scheduled — it becomes a ``robots_denied`` lineage row.
 
-The stage is a ``groupby("host").map_groups`` — the politeness shuffle
-(SURVEY §7.3). Skew: a hot host's group is large but the schedule loop
-is O(rows) with numpy state; the *fetch* stage afterwards re-partitions
-by salted host hash so no single fetcher actor owns the hot host.
+Skew strategy: because the schedule is a closed-form function of a
+url's rank within its (host, priority) segment, the PRIMARY path is the
+analytic driver sidecar (``schedule_wave_driver`` — one Arrow sort +
+numpy segment arithmetic, no shuffle at all); only waves beyond
+``CrawlConfig.driver_schedule_limit`` fall back to the distributed
+``groupby("host").map_groups`` path, where hot hosts are range-salted
+(``pipelines/crawl.py``) so no single group owns a Zipf head host.
 """
 
 from __future__ import annotations

@@ -34,12 +34,14 @@ def _emb_matrix(t: pa.Table, emb_col: str) -> np.ndarray:
 class BruteForceTopK:
     """map_batches actor: per-batch local top-k against broadcast queries."""
 
-    def __init__(self, queries_ref, k: int, id_col: str, emb_col: str):
+    def __init__(self, queries_ref, k: int, id_col: str, emb_col: str,
+                 round_to: int | None = 6):
         q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
         self.q_ids = q["ids"]
         self.q = q["matrix"].astype(np.float64)  # (nq, dim)
         self.qn = np.linalg.norm(self.q, axis=1)
         self.k = k
+        self.round_to = round_to
         self.id_col, self.emb_col = id_col, emb_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -53,14 +55,22 @@ class BruteForceTopK:
         ids = t.column(self.id_col).to_numpy()
         norms = np.linalg.norm(emb, axis=1)
         sims = (emb @ self.q.T) / np.outer(norms, self.qn)  # (n, nq)
+        if self.round_to is not None:
+            # round BEFORE selection so values that compare equal at the
+            # oracle's precision tie-break identically here and in SQL
+            sims = np.round(sims, self.round_to)
         k = min(self.k, len(ids))
         out_q, out_id, out_cos = [], [], []
         for qi in range(self.q.shape[0]):
             s = sims[:, qi]
-            top = np.argpartition(-s, k - 1)[:k]
+            # exact top-k with (−cos, id) tie-break: take every row tied
+            # with the kth value, lexsort just those, keep k
+            kth = np.partition(-s, k - 1)[k - 1]
+            sel = np.flatnonzero(-s <= kth)
+            order = sel[np.lexsort((ids[sel], -s[sel]))][:k]
             out_q.append(np.full(k, self.q_ids[qi], dtype=np.int64))
-            out_id.append(ids[top])
-            out_cos.append(s[top])
+            out_id.append(ids[order])
+            out_cos.append(s[order])
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(out_q)),

@@ -68,3 +68,13 @@ def test_kill_and_resume_no_duplicate_fetches():
     fs = set(_read_all(full_root, "docs").column("url").to_pylist())
     ps = set(_read_all(part_root, "docs").column("url").to_pylist())
     assert fs == ps
+
+    # resuming under a DIFFERENT shard count must fail loudly: url_hash%S
+    # routing changes, so a silent partial restore would re-admit (and
+    # re-fetch) previously-seen urls
+    import pytest
+
+    cfg_wrong = CrawlConfig(**{**CFG.__dict__, "num_seen_shards": 2})
+    with pytest.raises(RuntimeError, match="num_seen_shards"):
+        run_crawl(t["corpus"], t["hosts"], t["seeds"], prof, cfg_wrong,
+                  part_root, resume=True)

@@ -68,6 +68,22 @@ def test_parse_items_positional_semantics():
     assert not out["is_captcha"]
 
 
+def test_parse_items_price_multi_colon_matches_scalar_kernel():
+    # mixup semantics: strings.Split(text, ":")[1] — ONLY the segment
+    # between the 1st and 2nd colon parses ("Precio: $3: off" → 300)
+    from gocrawler_ray.functions.text import parse_price_text
+
+    batch = _batch(
+        _doc(
+            "https://h/shop/detproducto.aspx?sku=9",
+            [("text", "N", ""), ("text", "B", ""), ("price", "Precio: $3: off", "")],
+        )
+    )
+    out = parse_items(batch, source_store="Synth").to_pylist()[0]
+    assert out["price_cents"] == 300
+    assert parse_price_text("Precio: $3: off") == 300
+
+
 def test_parse_items_captcha_and_empty():
     batch = _batch(
         _doc("https://h/a", [("captcha", "type the characters", "")]),
