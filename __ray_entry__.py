@@ -3,10 +3,12 @@
 ``entry()`` runs the flagship pipeline (derived-web crawl → item parse)
 on sf0.001; ``queries()`` exposes one callable per operator family from
 SURVEY.md §2 plus the training-data ops; ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (the rest get the
-driver's rows-only check: minhash/simhash/fingerprint — which hash with
-a process-stable but SQL-unavailable hash — IVF ANN, and the multimodal
-decode stubs).
+DuckDB-equivalent SQL for EVERY query: the sketch ops (simhash /
+fingerprint) hash tokens with md5-derived uint64s DuckDB reproduces,
+minhash_pairs is checked against the full exact-pairwise-Jaccard set,
+ivf_topk against exact brute force (the probed partitions cover the
+true top-k at this scale), multimodal against the hash-derived fake
+decode, and the flagship against reachability × parse × sentiment SQL.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ``ray.init`` / ``ray.shutdown``.
@@ -64,7 +66,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_guess": q.q_lang_guess,
         "exact_dedup": q.q_exact_dedup,
         "embedding_topk": q.q_embedding_topk,
-        # rows-only (non-SQL-expressible: stable-hash sketches / ANN / stubs)
         "minhash_pairs": q.q_minhash_pairs,
         "simhash": q.q_simhash,
         "fingerprint": q.q_fingerprint,
@@ -78,39 +79,55 @@ def _lang_score_sql(lang: str) -> str:
     return f"len(regexp_extract_all(lower(text), '\\b({alt})\\b'))"
 
 
+_BFS_CTE = """
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (7*doc_id+1) % nn.n AS dst FROM documents, nn
+  UNION ALL SELECT doc_id, (13*doc_id+2) % nn.n FROM documents, nn
+  UNION ALL SELECT doc_id, (29*doc_id+5) % nn.n FROM documents, nn
+),
+r(node, depth) AS (
+  SELECT * FROM (VALUES (CAST(0 AS BIGINT), 0), (CAST(1 AS BIGINT), 0))
+  UNION
+  SELECT e.dst, r.depth + 1 FROM r JOIN edges e ON e.src = r.node WHERE r.depth < 20
+)"""
+
+# analyzer stub sentiment: md5(content) first byte mod 4 (stages/analyzer.py)
+_R_CONTENT = (
+    "CASE WHEN d.doc_id % 3 = 0 THEN 'Muy bueno ' || d.doc_id "
+    "ELSE d.source || ' review ' || d.doc_id END"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     s_de, s_en, s_es, s_fr = (_lang_score_sql(lg) for lg in ["de", "en", "es", "fr"])
     return {
-        "crawl_bfs": """
-WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
-edges AS (
-  SELECT doc_id AS src, (7*doc_id+1) % nn.n AS dst FROM documents, nn
-  UNION ALL SELECT doc_id, (13*doc_id+2) % nn.n FROM documents, nn
-  UNION ALL SELECT doc_id, (29*doc_id+5) % nn.n FROM documents, nn
-),
-r(node, depth) AS (
-  SELECT * FROM (VALUES (CAST(0 AS BIGINT), 0), (CAST(1 AS BIGINT), 0))
-  UNION
-  SELECT e.dst, r.depth + 1 FROM r JOIN edges e ON e.src = r.node WHERE r.depth < 20
-)
+        "crawl_bfs": _BFS_CTE + """
 SELECT node AS doc_id, CAST(MIN(depth) AS INTEGER) AS depth
 FROM r GROUP BY node ORDER BY doc_id
 """,
-        "crawl_depth_counts": """
-WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
-edges AS (
-  SELECT doc_id AS src, (7*doc_id+1) % nn.n AS dst FROM documents, nn
-  UNION ALL SELECT doc_id, (13*doc_id+2) % nn.n FROM documents, nn
-  UNION ALL SELECT doc_id, (29*doc_id+5) % nn.n FROM documents, nn
-),
-r(node, depth) AS (
-  SELECT * FROM (VALUES (CAST(0 AS BIGINT), 0), (CAST(1 AS BIGINT), 0))
-  UNION
-  SELECT e.dst, r.depth + 1 FROM r JOIN edges e ON e.src = r.node WHERE r.depth < 20
-),
+        "crawl_depth_counts": _BFS_CTE + """,
 mindepth AS (SELECT node, MIN(depth) AS depth FROM r GROUP BY node)
 SELECT CAST(depth AS INTEGER) AS depth, count(*) AS n_pages
 FROM mindepth GROUP BY depth ORDER BY depth
+""",
+        "crawl_flagship": _BFS_CTE + f""",
+reach AS (SELECT DISTINCT node AS doc_id FROM r)
+SELECT d.doc_id,
+  md5('Documento ' || d.doc_id || '/Synth') AS id,
+  'Documento ' || d.doc_id AS name,
+  'Marca ' || d.source AS brand,
+  d.text AS description,
+  CAST(d.n_chars * 100 AS BIGINT) AS price_cents,
+  'user' || d.doc_id AS r_author,
+  CAST((d.doc_id % 5) + 1 AS DOUBLE) AS r_stars,
+  'Opinion ' || d.doc_id AS r_title,
+  {_R_CONTENT} AS r_content,
+  ['POSITIVE','NEGATIVE','NEUTRAL','MIXED'][
+    (CAST(('0x' || substr(md5({_R_CONTENT}), 1, 2)) AS INT) % 4) + 1
+  ] AS sentiment,
+  CAST(CASE WHEN d.doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_entities
+FROM documents d JOIN reach USING (doc_id)
 """,
         "url_classify": f"""
 WITH built AS (
@@ -217,5 +234,85 @@ scored AS (
   FROM embeddings e, q)
 SELECT query_id, vec_id, cos FROM scored
 ORDER BY cos DESC, vec_id LIMIT 10
+""",
+        # IVF ANN over the augmented table (12 exact copies of vec 1):
+        # the true top-10 all sit in the query's own cluster, so the
+        # nprobe-pruned result equals exact brute force — the oracle.
+        # pytest guards recall on the raw table separately.
+        "ivf_topk": """
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT 100000 + t.i AS vec_id, e.embedding
+  FROM embeddings e, (SELECT unnest(range(12)) AS i) t WHERE e.vec_id = 1),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 1),
+scored AS (
+  SELECT CAST(1 AS BIGINT) AS query_id, a.vec_id,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 6) AS cos
+  FROM aug a, q)
+SELECT query_id, vec_id, cos FROM scored
+ORDER BY cos DESC, vec_id LIMIT 10
+""",
+        # full exact pairwise word-3-gram Jaccard — the LSH recall at the
+        # corpus' minimum true similarity (≈0.76) is 1-1e-27, so the
+        # engine's verified pair set equals this ground truth
+        "minhash_pairs": """
+WITH aug AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id + 20000 AS VARCHAR), text || ' extra tail token appended'
+  FROM documents WHERE doc_id < 10),
+words AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws FROM aug),
+grams AS (SELECT doc_id,
+  CASE WHEN len(ws) <= 3 THEN [array_to_string(ws, ' ')]
+       ELSE list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+  END AS gs FROM words),
+gsets AS (SELECT doc_id, list_distinct(gs) AS gs FROM grams),
+pairs AS (SELECT a.doc_id AS a, b.doc_id AS b,
+  len(list_intersect(a.gs, b.gs)) * 1.0 / len(list_distinct(a.gs || b.gs)) AS j
+  FROM gsets a JOIN gsets b ON a.doc_id < b.doc_id)
+SELECT a, b FROM pairs WHERE j >= 0.6
+""",
+        # simhash: md5-derived uint64 token hash, per-bit ±1 sign sum
+        "simhash": """
+WITH words AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS w
+               FROM documents),
+h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 16)) AS UBIGINT) AS hv FROM words),
+bitsum AS (
+  SELECT doc_id, b, SUM(CASE WHEN (hv >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) bb GROUP BY doc_id, b),
+sh AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS UBIGINT) << CAST(b AS INT)
+                                    ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS simhash
+       FROM bitsum GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(sh.simhash, 0) AS UBIGINT) AS simhash
+FROM documents d LEFT JOIN sh USING (doc_id)
+""",
+        # winnowing fingerprint: min md5-derived hash over word-4-grams
+        "fingerprint": """
+WITH words AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws FROM documents),
+grams AS (SELECT doc_id, CASE WHEN len(ws) = 0 THEN NULL
+   WHEN len(ws) <= 4 THEN [array_to_string(ws, ' ')]
+   ELSE list_transform(range(1, len(ws)-2), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3])
+   END AS gs FROM words),
+g2 AS (SELECT doc_id, unnest(gs) AS g FROM grams WHERE gs IS NOT NULL),
+m AS (SELECT doc_id, MIN(CAST(('0x'||substr(md5(g),1,16)) AS UBIGINT)) AS fingerprint
+      FROM g2 GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(m.fingerprint, 0) AS UBIGINT) AS fingerprint
+FROM documents d LEFT JOIN m USING (doc_id)
+""",
+        # hash-derived fake decode (stages/multimodal.py): dims/format from
+        # md5 of the payload (= the text bytes), resize = half-up round
+        "multimodal_decode": """
+WITH h AS (SELECT CAST(doc_id AS VARCHAR) AS media_id, md5(text) AS hx FROM documents),
+dec AS (SELECT media_id,
+  64 + CAST(('0x'||substr(hx,3,4)) AS INT) % 1856 AS decoded_width,
+  64 + CAST(('0x'||substr(hx,7,4)) AS INT) % 1016 AS decoded_height,
+  ['jpeg','png','webp'][(CAST(('0x'||substr(hx,1,2)) AS INT) % 3) + 1] AS decoded_format
+  FROM h)
+SELECT media_id, decoded_width, decoded_height, decoded_format,
+  CAST(floor(decoded_width * least(1.0, 512.0/greatest(decoded_width, decoded_height)) + 0.5) AS INT) AS resize_width,
+  CAST(floor(decoded_height * least(1.0, 512.0/greatest(decoded_width, decoded_height)) + 0.5) AS INT) AS resize_height
+FROM dec
 """,
     }

@@ -32,6 +32,29 @@ def md5_hex_many(texts) -> list[str]:
     return [_md5(t.encode("utf-8")).hexdigest() for t in texts]
 
 
+def md5_hash64_many(tokens) -> np.ndarray:
+    """uint64 token hashes = first 8 bytes (big-endian) of md5(token).
+
+    This is the SEMANTIC sketch hash (simhash / fingerprint): unlike the
+    internal routing hash below, it must be reproducible outside this
+    process — a SQL oracle recomputes it as
+    ``CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT)``.
+    Deduplicated through ``np.unique`` so the md5 loop runs once per
+    distinct token, not per occurrence.
+    """
+    arr = np.asarray(tokens, dtype=object)
+    if arr.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    uniq, inv = np.unique(arr, return_inverse=True)
+    _md5 = hashlib.md5
+    vals = np.fromiter(
+        (int.from_bytes(_md5(t.encode("utf-8")).digest()[:8], "big") for t in uniq),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    return vals[inv]
+
+
 def item_id(name: str, store: str) -> str:
     """MD5 of "name/STORE" (/root/reference/pkg/item/item.go:84-94)."""
     return md5_hex(f"{name}/{store}")

@@ -7,8 +7,11 @@ Mapping (pure functions of ``doc_id`` and the row's columns):
 - url(i)  = ``https://www.synthd{i%3}.mx/shop/detproducto.aspx?sku={10^12+i}``
   (matches the synth shop grammar, config.synth_profile);
 - spans(i): name/brand/detail/price spans built from the row's
-  text/source/lang/n_chars, plus three out-links to documents
-  ``(7i+1)%N, (13i+2)%N, (29i+5)%N`` — a fixed expander-ish digraph;
+  text/source/lang/n_chars, one review span (author/stars/title/content
+  all pure functions of doc_id+source — so the analyzer's md5-bucket
+  sentiment is SQL-reproducible for the flagship oracle), plus three
+  out-links to documents ``(7i+1)%N, (13i+2)%N, (29i+5)%N`` — a fixed
+  expander-ish digraph;
 - seeds: documents 0 and 1.
 
 The DuckDB oracle for the BFS is in __ray_entry__.oracle_sql()["crawl_bfs"].
@@ -20,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import ShopProfile, synth_profile
-from ..corpus import HOSTS_SCHEMA, SEEDS_SCHEMA, SPAN_TYPE, CORPUS_SCHEMA
+from ..corpus import HOSTS_SCHEMA, REVIEW_SEP, SEEDS_SCHEMA, SPAN_TYPE, CORPUS_SCHEMA
 
 HOSTS = ("www.synthd0.mx", "www.synthd1.mx", "www.synthd2.mx")
 EDGE_MULS = ((7, 1), (13, 2), (29, 5))
@@ -52,14 +55,23 @@ def derive_corpus(documents: pa.Table) -> dict[str, pa.Table]:
         zip(doc_ids, texts, langs, sources, n_chars)
     ):
         d = int(d)
+        review = REVIEW_SEP.join(
+            [
+                f"user{d}",
+                f"{(d % 5) + 1} stars",
+                f"Opinion {d}",
+                f"Muy bueno {d}" if d % 3 == 0 else f"{src} review {d}",
+            ]
+        )
         spans = [
             {"kind": "text", "text": f"Documento {d}", "media_ref": "", "offset": 0},
             {"kind": "text", "text": f"Marca {src}", "media_ref": "", "offset": 1},
             {"kind": "detail", "text": f"Lang: {lg}", "media_ref": "", "offset": 2},
             {"kind": "price", "text": f"Precio: ${int(nc)}.00", "media_ref": "", "offset": 3},
             {"kind": "text", "text": t, "media_ref": "", "offset": 4},
+            {"kind": "review", "text": review, "media_ref": "", "offset": 5},
         ]
-        off = 5
+        off = 6
         for dst in edges_of(d, n):
             spans.append(
                 {"kind": "link", "text": f"l{dst}", "media_ref": url_of(dst), "offset": off}

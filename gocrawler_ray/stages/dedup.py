@@ -17,11 +17,14 @@ Beyond the reference's exact URL dedup (SURVEY §2.7), the operators a
 Scale notes: every shuffle is keyed by a *hash* (band hash, content
 hash, hyperplane bucket), so partitions balance regardless of data skew;
 signatures are fixed-width ``binary`` columns (zero-copy Arrow), and the
-pairwise work only ever happens inside a bucket (the LSH guarantee), so
-worst-case blowup is bounded by bucket size, never O(n²) global.
-Connected components run as iterative min-label propagation — rounds of
-small groupbys over the (usually tiny) dup-edge set, no driver-side
-union-find on big data.
+pairwise work only ever happens inside a bucket (the LSH guarantee),
+with oversized buckets degrading to O(m) star edges under
+``bucket_cap`` — never O(n²), not even for a degenerate
+boilerplate/empty-doc bucket. Nothing materializes the corpus.
+Connected components run driver-side only while the verified dup-edge
+set is small; past ``driver_limit`` they switch to distributed
+iterative min-label propagation (``components_minlabel`` — rounds of
+edge-scale joins + groupby-min, no driver-side union-find on big data).
 
 Determinism: all hashing is seeded 64-bit multiply-shift over stable
 md5-derived token hashes — never Python's per-process ``hash``.
@@ -175,73 +178,36 @@ def jaccard(a: str, b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
-def minhash_lsh_dedup(
-    ds: rd.Dataset,
-    col: str = "text",
-    id_col: str = "doc_id",
-    num_perm: int = 64,
-    bands: int = 16,
-    k: int = 3,
-    threshold: float = 0.8,
-    seed: int = 13,
-) -> tuple[rd.Dataset, list[tuple]]:
-    """Near-dup removal. Returns (deduped dataset, verified dup pairs).
+def _capped_pairs_of(bucket_cap: int):
+    """Per-LSH-bucket candidate emitter with a degenerate-bucket guard.
 
-    Pipeline: MinHasher → band explosion → groupby(band) candidate pairs
-    → exact-Jaccard verify → min-label connected components → anti-join.
-    The candidate/edge set is small by construction (LSH), so components
-    + the keep-set resolve driver-side; the big table is only ever
-    filtered by a broadcast drop-set, never shuffled again.
+    Buckets within ``bucket_cap`` emit all C(m,2) pairs (the complete
+    candidate set — needed when the caller wants the exact verified pair
+    list). Oversized buckets — in practice a boilerplate/empty-doc
+    cluster whose members all share one band signature — fall back to a
+    STAR around the min id: O(m) edges instead of O(m²), preserving the
+    bucket's connectivity for component-based dedup. The ``capped``
+    column lets the caller count/log what was truncated.
     """
-    if id_col != "doc_id":
-        ds = ds.map_batches(
-            lambda t: t.append_column("doc_id", t.column(id_col)),
-            batch_format="pyarrow",
-        )
-    with_sig = ds.map_batches(
-        MinHasher(num_perm=num_perm, k=k, seed=seed, col=col),
-        batch_format="pyarrow",
-    ).materialize()
-
-    bands_ds = with_sig.map_batches(
-        lambda t: band_rows(t, num_perm, bands), batch_format="pyarrow"
-    )
 
     def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        return pd.DataFrame(
-            [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))],
-            columns=["a", "b"],
-        )
+        ids = sorted(set(g["doc_id"].tolist()))
+        m = len(ids)
+        if m < 2:
+            return pd.DataFrame({"a": [], "b": [], "capped": pd.Series([], dtype=bool)})
+        if m <= bucket_cap:
+            return pd.DataFrame(
+                [(ids[i], ids[j]) for i in range(m) for j in range(i + 1, m)],
+                columns=["a", "b"],
+            ).assign(capped=False)
+        root = ids[0]
+        return pd.DataFrame({"a": [root] * (m - 1), "b": ids[1:]}).assign(capped=True)
 
-    cand = (
-        bands_ds.groupby(["band_id", "band_hash"])
-        .map_groups(pairs_of, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-    )
+    return pairs_of
 
-    # verify with exact jaccard (texts fetched via broadcast lookup of the
-    # candidate ids only — candidate set << corpus)
-    cand_ids = set(cand["a"]) | set(cand["b"]) if len(cand) else set()
-    texts: dict = {}
-    if cand_ids:
-        small = with_sig.map_batches(
-            lambda t: t.filter(
-                pc.is_in(t.column("doc_id"), pa.array(list(cand_ids)))
-            ).select(["doc_id", col]),
-            batch_format="pyarrow",
-        ).to_pandas()
-        texts = dict(zip(small["doc_id"], small[col]))
-    edges = [
-        (a, b)
-        for a, b in cand.itertuples(index=False)
-        if jaccard(texts[a], texts[b], k) >= threshold
-    ]
 
-    # connected components by min-label propagation
+def _components_driver(edges: list[tuple]) -> set:
+    """Union-find over a small edge list → the drop set (non-min members)."""
     label: dict = {}
     for a, b in edges:
         label.setdefault(a, a)
@@ -258,24 +224,182 @@ def minhash_lsh_dedup(
         if ra != rb:
             lo, hi = min(ra, rb), max(ra, rb)
             label[hi] = lo
-    drop = {x for x in label if find(x) != x}
-    if drop:
-        drop_list = sorted(drop)
-        deduped = with_sig.map_batches(
-            lambda t: t.filter(
-                pc.invert(
-                    pc.is_in(
-                        t.column("doc_id"),
-                        pa.array(drop_list, type=t.column("doc_id").type),
-                    )
-                )
-            ).drop_columns(["minhash"]),
+    return {x for x in label if find(x) != x}
+
+
+def components_minlabel(edges_ds: rd.Dataset, num_partitions: int = 16) -> rd.Dataset:
+    """Distributed connected components by iterative min-label propagation.
+
+    Input: dataset of (a, b) edges. Output: dataset of (node, label) with
+    label = component minimum. Each round sends every node's current
+    label across its edges (two hash joins + a groupby-min over the
+    EDGE-scale dataset — never the corpus), converging in O(component
+    diameter) rounds; dup clusters are star-like so 2-4 rounds typical.
+    Convergence test is the (cheap) count of label-changing nodes.
+    """
+    import ray.data.aggregate as agg
+
+    def seed_labels(t: pa.Table) -> pa.Table:
+        lo = pc.min_element_wise(t.column("a"), t.column("b"))
+        nodes = pa.concat_arrays(
+            [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
+        )
+        labels = pa.concat_arrays([lo.combine_chunks(), lo.combine_chunks()])
+        return pa.table({"node": nodes, "label": labels})
+
+    labels = (
+        edges_ds.map_batches(seed_labels, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(agg.Min("label", alias_name="label"))
+    )
+    while True:
+        # messages: each endpoint offers its label to the other endpoint
+        m1 = edges_ds.join(
+            labels, "inner", num_partitions, on=("a",), right_on=("node",)
+        ).map_batches(
+            lambda t: pa.table({"node": t.column("b"), "label": t.column("label")}),
             batch_format="pyarrow",
         )
-    else:
-        deduped = with_sig.map_batches(
-            lambda t: t.drop_columns(["minhash"]), batch_format="pyarrow"
+        m2 = edges_ds.join(
+            labels, "inner", num_partitions, on=("b",), right_on=("node",)
+        ).map_batches(
+            lambda t: pa.table({"node": t.column("a"), "label": t.column("label")}),
+            batch_format="pyarrow",
         )
+        new_labels = (
+            labels.union(m1, m2)
+            .groupby("node")
+            .aggregate(agg.Min("label", alias_name="label"))
+        )
+        changed = (
+            new_labels.join(
+                labels, "inner", num_partitions, on=("node",),
+                right_on=("node",), right_suffix="_old",
+            )
+            .filter(lambda r: r["label"] != r["label_old"])
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+
+
+def minhash_lsh_dedup(
+    ds: rd.Dataset,
+    col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.8,
+    seed: int = 13,
+    bucket_cap: int = 256,
+    driver_limit: int = 2_000_000,
+) -> tuple[rd.Dataset, list[tuple]]:
+    """Near-dup removal. Returns (deduped dataset, verified dup pairs).
+
+    Pipeline: MinHasher → band explosion → groupby(band) candidates
+    (bucket-capped, see :func:`_capped_pairs_of`) → exact-Jaccard verify
+    → connected components → anti-join drop of non-min members.
+
+    Scale posture: the corpus is NEVER materialized — signatures are
+    recomputed per consumer (they are one column-pruned read + a
+    vectorized kernel; pinning corpus+signatures in the object store is
+    the thing that kills a 100 TB run). Candidate pairs are bounded by
+    ``bucket_cap`` per bucket (degenerate buckets degrade to O(m) star
+    edges). Components + the drop-set resolve driver-side while the
+    verified-edge count stays under ``driver_limit``; beyond it,
+    components run as distributed min-label propagation
+    (:func:`components_minlabel`) and the drop is a distributed
+    ``left_anti`` join instead of a broadcast filter.
+    """
+    import ray
+
+    if id_col != "doc_id":
+        ds = ds.map_batches(
+            lambda t: t.append_column("doc_id", t.column(id_col)),
+            batch_format="pyarrow",
+        )
+
+    bands_ds = ds.map_batches(
+        MinHasher(num_perm=num_perm, k=k, seed=seed, col=col),
+        batch_format="pyarrow",
+    ).map_batches(lambda t: band_rows(t, num_perm, bands), batch_format="pyarrow")
+
+    cand_ds = (
+        bands_ds.groupby(["band_id", "band_hash"])
+        .map_groups(_capped_pairs_of(bucket_cap), batch_format="pandas")
+        .groupby(["a", "b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")  # distinct pairs
+    )
+    cand = cand_ds.to_pandas()  # bounded: ≤ bucket_cap²/2 per bucket
+    n_capped = int(cand["capped"].sum()) if len(cand) else 0
+    if n_capped:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "minhash_lsh_dedup: %d candidate edges came from oversized "
+            "LSH buckets (> %d members) and were star-reduced — the "
+            "verified pair list is complete only for in-cap buckets",
+            n_capped, bucket_cap,
+        )
+
+    # exact-Jaccard verify. Texts are fetched for CANDIDATE ids only
+    # (<< corpus by the LSH guarantee); the id set ships once via
+    # ray.put, each fetch task filters its blocks against it.
+    cand_ids = sorted(set(cand["a"]) | set(cand["b"])) if len(cand) else []
+    texts: dict = {}
+    if cand_ids:
+        ids_ref = ray.put(cand_ids)
+
+        class FetchTexts:
+            def __init__(self):
+                self.ids = pa.array(ray.get(ids_ref))
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                return t.filter(
+                    pc.is_in(t.column("doc_id"), self.ids.cast(t.column("doc_id").type))
+                ).select(["doc_id", col])
+
+        small = ds.map_batches(
+            FetchTexts, batch_format="pyarrow", concurrency=2
+        ).to_pandas()
+        texts = dict(zip(small["doc_id"], small[col]))
+    edges = [
+        (a, b)
+        for a, b, _ in cand.itertuples(index=False)
+        if jaccard(texts[a], texts[b], k) >= threshold
+    ]
+
+    if len(edges) <= driver_limit:
+        drop = _components_driver(edges)
+    else:  # pragma: no cover - exercised via components_minlabel unit test
+        labels = components_minlabel(
+            rd.from_pandas(pd.DataFrame(edges, columns=["a", "b"]))
+        )
+        drop_df = labels.filter(lambda r: r["node"] != r["label"]).to_pandas()
+        drop = set(drop_df["node"])
+
+    if drop:
+        drop_ref = ray.put(sorted(drop))
+
+        class DropFilter:
+            def __init__(self):
+                self.drop = ray.get(drop_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                return t.filter(
+                    pc.invert(
+                        pc.is_in(
+                            t.column("doc_id"),
+                            pa.array(self.drop, type=t.column("doc_id").type),
+                        )
+                    )
+                )
+
+        deduped = ds.map_batches(DropFilter, batch_format="pyarrow", concurrency=4)
+    else:
+        deduped = ds
     return deduped, edges
 
 
@@ -284,15 +408,22 @@ def minhash_lsh_dedup(
 # ---------------------------------------------------------------------------
 
 def simhash64(texts: pd.Series) -> np.ndarray:
-    """64-bit SimHash per text (token-hash sign-sum), fully vectorized."""
+    """64-bit SimHash per text (token-hash sign-sum), fully vectorized.
+
+    Token hash is md5-derived (``md5_hash64_many``) so a SQL oracle can
+    recompute the exact fingerprints — the driver's correctness gate
+    verifies this column value-for-value against DuckDB.
+    """
+    from ..functions.urls import md5_hash64_many
+
     token_lists = texts.str.lower().str.findall(r"\w+")
     lengths = token_lists.str.len().to_numpy(dtype=np.int64)
-    flat = pd.Series([t for lst in token_lists for t in lst], dtype=object)
+    flat = [t for lst in token_lists for t in lst]
     n = len(texts)
     out = np.zeros(n, dtype=np.uint64)
     if not len(flat):
         return out
-    h = pd.util.hash_array(flat.to_numpy(dtype=object)).astype(np.uint64)
+    h = md5_hash64_many(flat)
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
     bits = bits * 2 - 1  # ±1
     starts = np.zeros(n, dtype=np.int64)

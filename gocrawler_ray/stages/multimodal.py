@@ -122,10 +122,12 @@ class ResizePlan:
         w = batch.column("decoded_width").to_numpy().astype(np.float64)
         h = batch.column("decoded_height").to_numpy().astype(np.float64)
         scale = np.minimum(1.0, self.max_side / np.maximum(w, h))
+        # floor(x + 0.5): round-half-UP, matching SQL round() — np.round's
+        # banker's rounding would diverge from the DuckDB oracle on .5
         return batch.append_column(
-            "resize_width", pa.array(np.round(w * scale).astype(np.int32))
+            "resize_width", pa.array(np.floor(w * scale + 0.5).astype(np.int32))
         ).append_column(
-            "resize_height", pa.array(np.round(h * scale).astype(np.int32))
+            "resize_height", pa.array(np.floor(h * scale + 0.5).astype(np.int32))
         )
 
 

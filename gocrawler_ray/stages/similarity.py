@@ -108,23 +108,116 @@ def brute_force_topk(
     return out
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic vectorized 64-bit mix (seeded-sample hash)."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def kmeans_lite(
     ds: rd.Dataset, num_clusters: int, emb_col: str = "embedding",
     iters: int = 5, seed: int = 17, sample_limit: int = 4096,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
-    """Deterministic centroids from a bounded head sample (numpy Lloyd)."""
-    sample = ds.limit(sample_limit).to_pandas()
+    """Deterministic centroids from a SEEDED UNIFORM sample (numpy Lloyd).
+
+    The sample is hash-selected (splitmix64(id ^ seed) mod stride), not
+    ``ds.limit`` — a head sample sees only the first blocks, which on
+    sorted/clustered data yields biased centroids."""
+    n = ds.count()
+    stride = max(1, n // sample_limit)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        keep = _splitmix64(ids.view(np.uint64) ^ np.uint64(seed)) % np.uint64(stride) == 0
+        return t.filter(pa.array(keep))
+
+    sample = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
     X = np.vstack(sample[emb_col].to_numpy()).astype(np.float64)
     rng = np.random.RandomState(seed)
-    cent = X[rng.choice(len(X), size=num_clusters, replace=False)]
+    cent = X[rng.choice(len(X), size=min(num_clusters, len(X)), replace=False)]
     for _ in range(iters):
         d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
         assign = d.argmin(1)
-        for c in range(num_clusters):
+        for c in range(len(cent)):
             m = assign == c
             if m.any():
                 cent[c] = X[m].mean(0)
     return cent
+
+
+class IvfIndex:
+    """Persisted IVF index: centroids + cluster-partitioned vector table.
+
+    ``build`` runs k-means-lite on a seeded sample, assigns EVERY vector
+    its nearest centroid in one map pass, and writes the vectors as
+    parquet partitioned by ``cluster=<c>`` — so a probe is a PRUNED READ
+    of ``nprobe`` partition directories, not a rescan+reassign of the
+    corpus. At 100 TB the partition directories are the unit of both
+    resumability (rebuild one cluster's shard) and query locality.
+    """
+
+    def __init__(self, index_dir: str, centroids: np.ndarray,
+                 id_col: str = "vec_id", emb_col: str = "embedding"):
+        self.index_dir = index_dir
+        self.centroids = centroids
+        self.id_col, self.emb_col = id_col, emb_col
+
+    @classmethod
+    def build(
+        cls, ds: rd.Dataset, num_clusters: int, index_dir: str,
+        id_col: str = "vec_id", emb_col: str = "embedding", seed: int = 17,
+    ) -> "IvfIndex":
+        import os
+
+        cent = kmeans_lite(ds, num_clusters, emb_col, seed=seed, id_col=id_col)
+
+        def assign(t: pa.Table) -> pa.Table:
+            emb = _emb_matrix(t, emb_col)
+            d = ((emb[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            return t.append_column("cluster", pa.array(d.argmin(1).astype(np.int32)))
+
+        os.makedirs(index_dir, exist_ok=True)
+        ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+            os.path.join(index_dir, "vectors"), partition_cols=["cluster"]
+        )
+        np.save(os.path.join(index_dir, "centroids.npy"), cent)
+        return cls(index_dir, cent, id_col, emb_col)
+
+    @classmethod
+    def load(cls, index_dir: str, id_col: str = "vec_id",
+             emb_col: str = "embedding") -> "IvfIndex":
+        import os
+
+        cent = np.load(os.path.join(index_dir, "centroids.npy"))
+        return cls(index_dir, cent, id_col, emb_col)
+
+    def probe(self, queries: dict, nprobe: int) -> rd.Dataset:
+        """Pruned read of the ``nprobe`` nearest cluster partitions."""
+        import os
+
+        q = queries["matrix"].astype(np.float64)
+        qd = ((q[:, None, :] - self.centroids[None, :, :]) ** 2).sum(-1)
+        probe = sorted(set(np.argsort(qd, axis=1)[:, :nprobe].ravel().tolist()))
+        import glob
+
+        dirs = [
+            os.path.join(self.index_dir, "vectors", f"cluster={c}") for c in probe
+        ]
+        files = [
+            f
+            for d in dirs
+            if os.path.isdir(d)
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
+        ]
+        return rd.read_parquet(files, columns=[self.id_col, self.emb_col])
+
+    def topk(self, queries: dict, k: int = 10, nprobe: int = 4) -> pd.DataFrame:
+        return brute_force_topk(
+            self.probe(queries, nprobe), queries, k, self.id_col, self.emb_col
+        )
 
 
 def ivf_topk(
@@ -136,9 +229,24 @@ def ivf_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     seed: int = 17,
+    index_dir: str | None = None,
 ) -> pd.DataFrame:
-    """Approximate top-k probing only the nprobe nearest clusters."""
-    cent = kmeans_lite(ds, num_clusters, emb_col, seed=seed)
+    """Approximate top-k probing only the nprobe nearest clusters.
+
+    With ``index_dir`` the persisted :class:`IvfIndex` is built (or
+    reused if present) and probed via pruned partition reads — the scale
+    path. Without it, assignment happens inline on a full scan (fine for
+    one-shot small runs; at scale always persist the index)."""
+    if index_dir is not None:
+        import os
+
+        if os.path.exists(os.path.join(index_dir, "centroids.npy")):
+            idx = IvfIndex.load(index_dir, id_col, emb_col)
+        else:
+            idx = IvfIndex.build(ds, num_clusters, index_dir, id_col, emb_col, seed)
+        return idx.topk(queries, k, nprobe)
+
+    cent = kmeans_lite(ds, num_clusters, emb_col, seed=seed, id_col=id_col)
     q = queries["matrix"].astype(np.float64)
     qd = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
     probe = set(np.argsort(qd, axis=1)[:, :nprobe].ravel().tolist())

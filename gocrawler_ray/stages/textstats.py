@@ -107,16 +107,30 @@ def lang_id(batch: pa.Table, col: str = "text") -> pa.Table:
 def fingerprint(batch: pa.Table, col: str = "text", window: int = 4) -> pa.Table:
     """Winnowing-style rolling-hash fingerprint: min 64-bit hash over
     word-``window``-grams (robust to small edits; equal fingerprints ⇒
-    near-dup candidates)."""
+    near-dup candidates).
+
+    Gram hash is md5-derived (first 8 bytes, big-endian) so a SQL oracle
+    reproduces it exactly; docs shorter than ``window`` words contribute
+    one all-words gram, empty docs fingerprint to 0. Hashing runs ONCE
+    over the flattened gram array with a per-doc ``minimum.reduceat`` —
+    no per-row Python reduction."""
+    from ..functions.urls import md5_hash64_many
+
     s = batch.column(col).to_pandas().fillna("")
     words = s.str.lower().str.findall(r"\w+")
-
-    def fp(ws: list) -> int:
-        if not ws:
-            return 0
-        grams = [" ".join(ws[i : i + window]) for i in range(max(1, len(ws) - window + 1))]
-        h = pd.util.hash_array(np.array(grams, dtype=object)).astype(np.uint64)
-        return int(h.min())
-
-    vals = words.map(fp).to_numpy(dtype=np.uint64)
+    gram_lists = words.map(
+        lambda ws: [" ".join(ws[i : i + window]) for i in range(max(1, len(ws) - window + 1))]
+        if ws
+        else []
+    )
+    counts = gram_lists.str.len().to_numpy(dtype=np.int64)
+    n = len(s)
+    vals = np.zeros(n, dtype=np.uint64)
+    flat = [g for lst in gram_lists for g in lst]
+    if flat:
+        h = md5_hash64_many(flat)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        nonempty = counts > 0
+        vals[nonempty] = np.minimum.reduceat(h, starts[nonempty])
     return batch.append_column("fingerprint", pa.array(vals))
