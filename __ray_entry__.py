@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_bfs": q.q_crawl_bfs,
         "crawl_depth_counts": q.q_crawl_depth_counts,
         "crawl_flagship": q.q_crawl_flagship,
+        "captcha_quarantine": q.q_captcha_quarantine,
         "url_classify": q.q_url_classify,
         "req_md5": q.q_req_md5,
         "price_cents": q.q_price_cents,
@@ -79,12 +80,14 @@ def _lang_score_sql(lang: str) -> str:
     return f"len(regexp_extract_all(lower(text), '\\b({alt})\\b'))"
 
 
+# captcha walls (doc_id % 37 == 3) are fetched+admitted but emit no links
+# — their edges are pruned from the BFS edge set
 _BFS_CTE = """
 WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
 edges AS (
-  SELECT doc_id AS src, (7*doc_id+1) % nn.n AS dst FROM documents, nn
-  UNION ALL SELECT doc_id, (13*doc_id+2) % nn.n FROM documents, nn
-  UNION ALL SELECT doc_id, (29*doc_id+5) % nn.n FROM documents, nn
+  SELECT doc_id AS src, (7*doc_id+1) % nn.n AS dst FROM documents, nn WHERE doc_id % 37 != 3
+  UNION ALL SELECT doc_id, (13*doc_id+2) % nn.n FROM documents, nn WHERE doc_id % 37 != 3
+  UNION ALL SELECT doc_id, (29*doc_id+5) % nn.n FROM documents, nn WHERE doc_id % 37 != 3
 ),
 r(node, depth) AS (
   SELECT * FROM (VALUES (CAST(0 AS BIGINT), 0), (CAST(1 AS BIGINT), 0))
@@ -128,6 +131,12 @@ SELECT d.doc_id,
   ] AS sentiment,
   CAST(CASE WHEN d.doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_entities
 FROM documents d JOIN reach USING (doc_id)
+WHERE d.doc_id % 37 != 3
+""",
+        "captcha_quarantine": _BFS_CTE + """
+SELECT DISTINCT node AS doc_id,
+       'Type the characters ' || node AS captcha_text
+FROM r WHERE node % 37 = 3
 """,
         "url_classify": f"""
 WITH built AS (
@@ -158,6 +167,7 @@ SELECT doc_id,
        text AS description,
        CAST(n_chars * 100 AS BIGINT) AS price_cents
 FROM documents
+WHERE doc_id % 37 != 3
 """,
         "q1_agg": """
 SELECT l_returnflag, l_linestatus,

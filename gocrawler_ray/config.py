@@ -119,6 +119,12 @@ class CrawlConfig:
     # sidecar eliminates the skewed groupby(host) shuffle on the primary
     # path entirely (see pipelines/crawl.py and README "Skew")
     cuckoo_capacity: int = 1 << 16  # per-shard capacity, auto-grows
+    # Enforce the politeness budget AT DISPATCH (groupby(host) →
+    # ordered, budget-checked fetch; stages/dispatch.py) instead of the
+    # default post-hoc analytic sidecar. Turn on when the Fetcher is a
+    # real HTTP client; real_time additionally paces on the wall clock.
+    enforce_politeness: bool = False
+    real_time: bool = False
     # waves up to this many rows are politeness-scheduled on the driver
     # (closed-form vectorized — ~1s per 2M rows; the admitted table is
     # already resident for the seq-count pass). Bigger waves use the

@@ -19,8 +19,10 @@ of execution order. Computing them post-hoc from the written wave
 (columns url/host/priority only) removes a whole Ray job + barrier per
 wave versus scheduling before the fetch; the golden tests pin that both
 formulations agree with the oracle. At waves beyond
-``cfg.driver_schedule_limit`` rows the sidecar computation switches to
-the distributed ``groupby(host)`` path.
+``cfg.driver_schedule_limit`` rows the sidecar switches to the
+distributed RANGE-SALTED path (stages/salting.py) — hot hosts split at
+url-range quantiles with exact cumulative rank offsets, so the shuffle
+is keyed by (host, salt) and no Zipf head host straggles.
 
 Determinism: global crawl order is (depth, priority, host, url) — depth
 is the wave number, priority 0 = product page (M3), ties broken by host
@@ -58,7 +60,6 @@ from ..stages.fetcher import DOCS_SCHEMA, build_corpus_index, make_fetch_fn
 from ..stages.politeness import (
     HostConfig,
     compute_seq_offsets,
-    schedule_host_group,
     schedule_wave_driver,
 )
 from ..stages.urlseen import SeenFilter, create_shards
@@ -296,11 +297,24 @@ def _wave_job(
         concurrency=max(2, cfg.num_seen_shards // 2),
     )
     flagged = unseen.map_batches(_RobotsFlag(host_cfg), batch_format="pyarrow")
-    fetched = flagged.map_batches(
-        make_fetch_fn(corpus_ref, index_ref),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
+    if cfg.enforce_politeness:
+        # budget-enforcing dispatch: one serialized, ordered, validated
+        # group per host (stages/dispatch.py) — the real-HTTP-fetcher mode
+        from ..stages.dispatch import make_polite_dispatch
+
+        fetched = flagged.groupby("host").map_groups(
+            make_polite_dispatch(
+                host_cfg, make_fetch_fn(corpus_ref, index_ref),
+                real_time=cfg.real_time,
+            ),
+            batch_format="pandas",
+        )
+    else:
+        fetched = flagged.map_batches(
+            make_fetch_fn(corpus_ref, index_ref),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
     write_dataset(fetched, ckpt.docs_uri(wave))
 
     import glob as _glob
@@ -324,16 +338,25 @@ def _politeness_sidecar(
 ) -> tuple[int, int]:
     """Post-hoc politeness sidecar - a pure function of the admitted set,
     run on a background thread overlapped with the next wave's Ray job.
-    Returns (n_admitted, n_scheduled)."""
+    Also writes the wave's captcha-quarantine table (S8 — the flag column
+    is in the light read, so no span re-scan). Returns
+    (n_admitted, n_scheduled)."""
+    from ..stages.extract import QUARANTINE_SCHEMA
     from ..sources.tables import read_table
 
     light = read_table(
-        ckpt.docs_uri(wave), columns=["url", "host", "depth", "priority", "status"]
+        ckpt.docs_uri(wave),
+        columns=["url", "host", "depth", "priority", "status", "req_id", "captcha_text"],
     )
     n_admitted = light.num_rows
     if n_admitted == 0:
         write_table(SCHEDULE_SCHEMA.empty_table(), ckpt.schedule_uri(wave))
+        write_table(QUARANTINE_SCHEMA.empty_table(), ckpt.quarantine_uri(wave))
         return 0, 0
+    quarantined = light.filter(
+        pc.not_equal(light.column("captcha_text"), "")
+    ).select(["url", "req_id", "host", "depth", "captcha_text"])
+    write_table(quarantined.cast(QUARANTINE_SCHEMA), ckpt.quarantine_uri(wave))
     sched_tbl = light.filter(
         pc.not_equal(light.column("status"), "robots_denied")
     ).select(["url", "host", "priority"])
@@ -358,38 +381,34 @@ def _politeness_sidecar(
             ckpt.schedule_uri(wave),
         )
     else:
-        # Distributed sidecar for enormous waves.
-        #
-        # Hot-host skew note: a plain groupby(host) on a Zipf frontier
-        # puts ~half the wave in one straggler group. The engine's PRIMARY
-        # answer to that skew is the analytic driver path above — seq and
-        # schedule are closed-form functions of a url's global rank, so no
-        # skewed shuffle happens at all below driver_schedule_limit. For
-        # waves beyond it, the correct salting is BY URL RANGE, not hash:
-        # split each hot host's sorted (priority, url) domain at
-        # deterministic quantile boundaries (from a per-host sketch of the
-        # wave's urls), schedule each range independently, and offset its
-        # ranks by the cumulative counts of earlier ranges — hash salting
-        # cannot work here because a sub-group's local rank is not its
-        # global rank. Range-salting is left for the multi-node round; on
-        # one node the analytic path covers every realizable wave size.
-        sched_ds = (
-            ckpt.read_docs(wave)
-            .map_batches(
+        # Distributed sidecar for enormous waves — RANGE-salted: a plain
+        # groupby(host) on a Zipf frontier puts ~half the wave in one
+        # straggler group, and hash-salting cannot work because politeness
+        # needs GLOBAL per-host ranks. schedule_wave_distributed splits
+        # each hot host's sorted (priority, url) domain at sample
+        # quantiles and schedules each range independently with exact
+        # cumulative rank offsets (stages/salting.py); the equality test
+        # pins it bit-identical to the analytic path.
+        from ..stages.salting import schedule_wave_distributed
+
+        import pandas as pd
+
+        counts_pd = pd.DataFrame(
+            [(p, h, c) for p, h, c in counts], columns=["priority", "host", "n"]
+        )
+        sched_ds = schedule_wave_distributed(
+            ckpt.read_docs(wave).map_batches(
                 lambda t: t.filter(
                     pc.not_equal(t.column("status"), "robots_denied")
                 ).select(["url", "host", "priority"]),
                 batch_format="pyarrow",
-            )
-            .groupby("host")
-            .map_groups(
-                lambda g: schedule_host_group(g, host_cfg, offsets),
-                batch_format="pandas",
-            )
-            .map_batches(
-                lambda t: t.select(["url", "seq", "sched_start_ms", "sched_end_ms"]),
-                batch_format="pyarrow",
-            )
+            ),
+            host_cfg,
+            offsets,
+            counts_pd,
+        ).map_batches(
+            lambda t: t.select(["url", "seq", "sched_start_ms", "sched_end_ms"]),
+            batch_format="pyarrow",
         )
         write_dataset(sched_ds, ckpt.schedule_uri(wave))
     return n_admitted, n_sched

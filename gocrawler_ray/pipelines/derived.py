@@ -12,6 +12,10 @@ Mapping (pure functions of ``doc_id`` and the row's columns):
   sentiment is SQL-reproducible for the flagship oracle), plus three
   out-links to documents ``(7i+1)%N, (13i+2)%N, (29i+5)%N`` — a fixed
   expander-ish digraph;
+- captcha walls: documents with ``doc_id % 37 == 3`` are blocked pages
+  (single captcha span, amazon.go:290-295): no item, no out-links —
+  they land in the quarantine sink and are pruned from the BFS edge set
+  (the oracle CTE excludes their edges);
 - seeds: documents 0 and 1.
 
 The DuckDB oracle for the BFS is in __ray_entry__.oracle_sql()["crawl_bfs"].
@@ -55,6 +59,13 @@ def derive_corpus(documents: pa.Table) -> dict[str, pa.Table]:
         zip(doc_ids, texts, langs, sources, n_chars)
     ):
         d = int(d)
+        if d % 37 == 3:  # captcha wall: blocked page, nothing else on it
+            urls.append(url_of(d))
+            spans_col.append(
+                [{"kind": "captcha", "text": f"Type the characters {d}",
+                  "media_ref": "", "offset": 0}]
+            )
+            continue
         review = REVIEW_SEP.join(
             [
                 f"user{d}",

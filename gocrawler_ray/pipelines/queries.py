@@ -143,6 +143,26 @@ def q_crawl_flagship(sf_dir: str):
     return items.map_batches(project, batch_format="pyarrow")
 
 
+def q_captcha_quarantine(sf_dir: str):
+    """Captcha quarantine sink (S8): the crawl writes one quarantine row
+    per blocked page (url, req_id, host, depth, captcha payload —
+    amazon.go:290-318); the oracle recomputes the crawl-reachable captcha
+    set from the BFS CTE. Shares the memoized crawl run."""
+    from ..state.checkpoint import CheckpointStore
+
+    ckpt = CheckpointStore(_derived_crawl_ckpt(sf_dir))
+    t = ckpt.read_all_quarantine_table()
+    skus = pc.cast(
+        pc.replace_substring_regex(t.column("url"), r"^.*sku=", ""), pa.int64()
+    )
+    return pa.table(
+        {
+            "doc_id": pc.subtract(skus, pa.scalar(10**12, pa.int64())),
+            "captcha_text": t.column("captcha_text"),
+        }
+    )
+
+
 def q_crawl_bfs(sf_dir: str):
     """Full engine crawl (shard actors, politeness, fetcher) over the web
     derived from ``documents``; rows = (doc_id, depth of first visit).
@@ -230,7 +250,10 @@ def q_items_parse(sf_dir: str):
     tables = derive_corpus(_docs_table(sf_dir))
     ds = rd.from_arrow(tables["corpus"])
     items = ds.map_batches(
-        lambda t: parse_items(t, source_store="Synth"), batch_format="pyarrow"
+        lambda t: parse_items(t, source_store="Synth").filter(
+            pc.invert(pc.field("is_captcha"))
+        ),
+        batch_format="pyarrow",
     )
 
     def project(t: pa.Table) -> pa.Table:

@@ -33,6 +33,7 @@ md5-derived token hashes — never Python's per-process ``hash``.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
@@ -166,10 +167,13 @@ def band_rows(batch: pa.Table, num_perm: int, bands: int) -> pa.Table:
     )
 
 
+_WORD_RE = re.compile(r"\w+")
+
+
 def jaccard(a: str, b: str, k: int = 3) -> float:
     """Exact word-k-gram Jaccard (the near-dup verifier)."""
     def sh(t):
-        ws = [w.lower() for w in pd.Series([t]).str.findall(r"\w+")[0]]
+        ws = _WORD_RE.findall((t or "").lower())
         return set(" ".join(ws[i : i + k]) for i in range(max(1, len(ws) - k + 1)))
 
     sa, sb = sh(a), sh(b)
@@ -194,14 +198,18 @@ def _capped_pairs_of(bucket_cap: int):
         ids = sorted(set(g["doc_id"].tolist()))
         m = len(ids)
         if m < 2:
-            return pd.DataFrame({"a": [], "b": [], "capped": pd.Series([], dtype=bool)})
+            return pd.DataFrame(
+                {"a": [], "b": [], "capped": pd.Series([], dtype=np.int8)}
+            )
         if m <= bucket_cap:
             return pd.DataFrame(
                 [(ids[i], ids[j]) for i in range(m) for j in range(i + 1, m)],
                 columns=["a", "b"],
-            ).assign(capped=False)
+            ).assign(capped=np.int8(0))
         root = ids[0]
-        return pd.DataFrame({"a": [root] * (m - 1), "b": ids[1:]}).assign(capped=True)
+        return pd.DataFrame({"a": [root] * (m - 1), "b": ids[1:]}).assign(
+            capped=np.int8(1)
+        )
 
     return pairs_of
 
@@ -247,10 +255,15 @@ def components_minlabel(edges_ds: rd.Dataset, num_partitions: int = 16) -> rd.Da
         labels = pa.concat_arrays([lo.combine_chunks(), lo.combine_chunks()])
         return pa.table({"node": nodes, "label": labels})
 
+    # materialize per round: labels are EDGE-scale (small next to the
+    # corpus), and an unmaterialized iterative lineage would re-execute
+    # every prior round's joins each time it is consumed
+    edges_ds = edges_ds.materialize()
     labels = (
         edges_ds.map_batches(seed_labels, batch_format="pyarrow")
         .groupby("node")
         .aggregate(agg.Min("label", alias_name="label"))
+        .materialize()
     )
     while True:
         # messages: each endpoint offers its label to the other endpoint
@@ -270,6 +283,7 @@ def components_minlabel(edges_ds: rd.Dataset, num_partitions: int = 16) -> rd.Da
             labels.union(m1, m2)
             .groupby("node")
             .aggregate(agg.Min("label", alias_name="label"))
+            .materialize()
         )
         changed = (
             new_labels.join(
@@ -326,13 +340,21 @@ def minhash_lsh_dedup(
         batch_format="pyarrow",
     ).map_batches(lambda t: band_rows(t, num_perm, bands), batch_format="pyarrow")
 
-    cand_ds = (
-        bands_ds.groupby(["band_id", "band_hash"])
-        .map_groups(_capped_pairs_of(bucket_cap), batch_format="pandas")
-        .groupby(["a", "b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")  # distinct pairs
+    cand_ds = bands_ds.groupby(["band_id", "band_hash"]).map_groups(
+        _capped_pairs_of(bucket_cap), batch_format="pandas"
     )
-    cand = cand_ds.to_pandas()  # bounded: ≤ bucket_cap²/2 per bucket
+    # candidate volume is bounded by construction (≤ cap²/2 per bucket,
+    # star-reduced past the cap), so cross-band dedup runs driver-side in
+    # one vectorized drop_duplicates — a distributed groupby here costs a
+    # full extra shuffle of a set that is small BY DESIGN. (Past
+    # driver_limit the verify itself would need to distribute too; the
+    # components stage already switches at that threshold.)
+    cand = cand_ds.to_pandas()
+    cand = (
+        cand.groupby(["a", "b"], as_index=False).agg(capped=("capped", "max"))
+        if len(cand)
+        else pd.DataFrame({"a": [], "b": [], "capped": []})
+    )
     n_capped = int(cand["capped"].sum()) if len(cand) else 0
     if n_capped:
         import logging

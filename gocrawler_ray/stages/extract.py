@@ -70,6 +70,45 @@ CANDIDATES_SCHEMA = pa.schema(
     ]
 )
 
+# Captcha quarantine rows (S8) — the evidence the reference persists on a
+# blocked page (/root/reference/pkg/scraper/amazon.go:290-318): identity +
+# the captcha span payload, one row per quarantined page.
+QUARANTINE_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("req_id", pa.string()),
+        ("host", pa.string()),
+        ("depth", pa.int32()),
+        ("captcha_text", pa.string()),
+    ]
+)
+
+
+def first_captcha_text(spans, n_rows: int) -> np.ndarray:
+    """Per-row first captcha-span text ('' for clean pages), vectorized.
+
+    ``spans`` is the (possibly null-entried) list<span> column; null rows
+    (failed/denied fetches) count as clean."""
+    import pyarrow.compute as pc
+
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    lengths = pc.fill_null(pc.list_value_length(spans), 0).to_numpy()
+    out = np.full(n_rows, "", dtype=object)
+    if lengths.sum() == 0:
+        return out
+    flat = pc.list_flatten(spans)
+    doc_idx = np.repeat(np.arange(n_rows, dtype=np.int64), lengths)
+    kind = flat.field("kind").to_pandas().to_numpy()
+    c_np = kind == "captcha"
+    if not c_np.any():
+        return out
+    docs = doc_idx[c_np]
+    texts = flat.field("text").to_pandas().to_numpy()[c_np]
+    uniq, first = np.unique(docs, return_index=True)
+    out[uniq] = texts[first]
+    return out
+
 
 def _flatten_spans(batch: pa.Table):
     """spans列 → (flat struct fields as numpy/pandas, doc index per span)."""

@@ -47,6 +47,9 @@ DOCS_SCHEMA = pa.schema(
         ("status", pa.string()),
         ("error", pa.string()),
         ("spans", pa.list_(SPAN_TYPE)),
+        # captcha flag column (S8): first captcha-span text, '' for clean
+        # pages — lets the quarantine sink read LIGHT columns only
+        ("captcha_text", pa.string()),
     ]
 )
 
@@ -186,6 +189,9 @@ class Fetcher:
         spans = spans_sorted.take(pa.array(inv, pa.int64()))  # local, in-cache
         if isinstance(spans, pa.ChunkedArray):
             spans = spans.combine_chunks()
+        from .extract import first_captcha_text
+
+        captcha = first_captcha_text(spans, n)
         return pa.Table.from_arrays(
             [
                 batch.column("url"),
@@ -196,6 +202,7 @@ class Fetcher:
                 pa.array(status, type=pa.string()),
                 pa.array(error, type=pa.string()),
                 spans,
+                pa.array(captcha, type=pa.string()),
             ],
             schema=DOCS_SCHEMA,
         )

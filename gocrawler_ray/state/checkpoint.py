@@ -46,6 +46,9 @@ class CheckpointStore:
     def schedule_uri(self, wave: int) -> str:
         return os.path.join(self.root, "schedule", f"wave={wave}")
 
+    def quarantine_uri(self, wave: int) -> str:
+        return os.path.join(self.root, "quarantine", f"wave={wave}")
+
     def _shard_path(self, wave: int, s: int) -> str:
         return os.path.join(self.root, "urlseen", f"wave={wave}", f"shard={s}.bin")
 
@@ -132,6 +135,21 @@ class CheckpointStore:
             for d in sorted(os.listdir(docs_root)):
                 tables.append(read_table(os.path.join(docs_root, d)))
         return pa.concat_tables(tables) if tables else None
+
+    def read_all_quarantine_table(self):
+        """All captcha-quarantine rows (S8) across committed waves."""
+        import pyarrow as pa
+
+        from ..stages.extract import QUARANTINE_SCHEMA
+
+        tables = []
+        base = os.path.join(self.root, "quarantine")
+        if os.path.isdir(base):
+            for d in sorted(os.listdir(base)):
+                tables.append(read_table(os.path.join(base, d)))
+        return (
+            pa.concat_tables(tables) if tables else QUARANTINE_SCHEMA.empty_table()
+        )
 
     def read_lineage_table(self, wave: int):
         """Full lineage of a wave, derived: the docs table IS the fetch

@@ -64,6 +64,38 @@ def test_minhash_lsh_dedup_finds_near_dups():
     assert all(f"d{i:03d}" in kept for i in range(1, 30))
 
 
+def test_minhash_lsh_degenerate_bucket_bounded():
+    # adversarial: thousands of IDENTICAL boilerplate docs share every
+    # band bucket. Uncapped all-pairs would be O(n²) (≈12.5M pairs at
+    # 5000 docs); the bucket cap must degrade to O(m) star edges and
+    # still dedup the whole cluster to one survivor.
+    n = 5000
+    rows = [{"doc_id": f"b{i:05d}", "text": "cookie banner accept all terms"} for i in range(n)]
+    rows += [{"doc_id": f"u{i}", "text": f"unique doc {i} topic {i*13} words " * 2} for i in range(20)]
+    ds = rd.from_items(rows)
+    deduped, edges = minhash_lsh_dedup(ds, threshold=0.8, num_perm=64, bands=16, bucket_cap=64)
+    assert len(edges) < 20 * n  # star edges, not C(n,2)
+    kept = set(deduped.to_pandas()["doc_id"])
+    assert kept.issuperset({f"u{i}" for i in range(20)})
+    assert len([k for k in kept if k.startswith("b")]) == 1  # one survivor
+    assert "b00000" in kept  # the min id
+
+
+def test_components_minlabel_matches_union_find():
+    from gocrawler_ray.stages.dedup import _components_driver, components_minlabel
+
+    # a chain (tests multi-round propagation), a star, and a separate pair
+    edges = [("c1", "c2"), ("c2", "c3"), ("c3", "c4"), ("c4", "c5"),
+             ("s0", "s1"), ("s0", "s2"), ("s0", "s3"), ("p8", "p9")]
+    labels = components_minlabel(
+        rd.from_items([{"a": a, "b": b} for a, b in edges]), num_partitions=2
+    ).to_pandas()
+    got = dict(zip(labels["node"], labels["label"]))
+    assert {n for n, l in got.items() if n != l} == _components_driver(edges)
+    assert all(got[n] == "c1" for n in ["c1", "c2", "c3", "c4", "c5"])
+    assert all(got[n] == "p8" for n in ["p8", "p9"])
+
+
 def test_simhash_hamming():
     texts = pd.Series([BASE, BASE.replace("lazy", "sleepy"), "unrelated content entirely different"])
     h = simhash64(texts)

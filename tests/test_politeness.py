@@ -70,6 +70,193 @@ def test_seq_offsets_global_order():
     assert off == {(0, "a"): 100, (0, "z"): 104, (1, "a"): 106, (1, "b"): 107}
 
 
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 80),
+    delay=st.integers(0, 500),
+    par=st.integers(1, 6),
+    lat=st.integers(1, 2000),
+)
+def test_polite_dispatch_orders_and_enforces(n, delay, par, lat):
+    """The ENFORCING dispatcher (stages/dispatch.py): rows reach the
+    fetch in schedule order, the dispatch log satisfies both budget
+    invariants, and its virtual starts equal the sidecar's."""
+    from gocrawler_ray.stages.dispatch import make_polite_dispatch
+
+    cfg = _host_cfg(delay, par, lat)
+    rng = np.random.RandomState(n)
+    urls = [f"https://h/p{i:05d}" for i in rng.permutation(n)]
+    g = pd.DataFrame(
+        {
+            "host": ["h"] * n,
+            "url": urls,
+            "priority": [i % 2 for i in range(n)],
+            "robots_denied": [False] * n,
+        }
+    )
+    seen_order = []
+
+    def fake_fetch(t: pa.Table) -> pa.Table:
+        seen_order.extend(t.column("url").to_pylist())
+        return t
+
+    log: list = []
+    make_polite_dispatch(cfg, fake_fetch, dispatch_log=log)(g)
+    # fetch receives rows exactly in dispatch order
+    assert [u for _, u, _ in log] == seen_order
+    # dispatch order is crawl order (priority, url)
+    expect = g.sort_values(["priority", "url"])["url"].tolist()
+    assert seen_order == expect
+    # budget invariants hold on the logged virtual starts
+    starts = np.array([s for _, _, s in log])
+    if n > 1:
+        assert (np.diff(starts) >= delay).all()
+    if n > par:
+        assert (starts[par:] - starts[:-par] >= lat).all()
+    # and they equal the analytic sidecar's schedule
+    sidecar = schedule_host_group(
+        g.drop(columns=["robots_denied"]), cfg, {(0, "h"): 0, (1, "h"): (n + 1) // 2}
+    )
+    assert starts.tolist() == sorted(sidecar["sched_start_ms"].tolist())
+
+
+def test_enforced_crawl_matches_default():
+    """enforce_politeness=True must produce bit-identical docs + schedule
+    to the default analytic path (the budget changes WHEN fetches
+    dispatch, never WHAT is crawled)."""
+    import os
+    import shutil
+
+    from gocrawler_ray.config import CrawlConfig
+    from gocrawler_ray.corpus import CorpusSpec, generate, profile_of
+    from gocrawler_ray.pipelines.crawl import run_crawl
+    from gocrawler_ray.sources.tables import read_table
+
+    spec = CorpusSpec(n_docs=200, n_hosts=2)
+    t = generate(spec)
+    prof = profile_of(spec)
+    outs = {}
+    for mode, enforce in [("default", False), ("enforced", True)]:
+        root = f"/tmp/gocrawler_test/dispatch_{mode}"
+        shutil.rmtree(root, ignore_errors=True)
+        cfg = CrawlConfig(
+            num_seen_shards=2, fetcher_concurrency=2, batch_size=512,
+            enforce_politeness=enforce,
+        )
+        run_crawl(t["corpus"], t["hosts"], t["seeds"], prof, cfg, root)
+        rows = []
+        for sub in ("docs", "schedule"):
+            base = os.path.join(root, sub)
+            for d in sorted(os.listdir(base)):
+                tb = read_table(os.path.join(base, d))
+                cols = (
+                    ["url", "status", "depth"] if sub == "docs"
+                    else ["url", "seq", "sched_start_ms"]
+                )
+                rows.extend(
+                    sorted(tuple(r[c] for c in cols) for r in tb.select(cols).to_pylist())
+                )
+        outs[mode] = rows
+    assert outs["default"] == outs["enforced"]
+
+
+def test_crawl_distributed_sidecar_matches_analytic():
+    """driver_schedule_limit=0 forces every wave through the distributed
+    range-salted sidecar; the full crawl's schedule tables must be
+    identical to the default analytic run."""
+    import os
+    import shutil
+
+    from gocrawler_ray.config import CrawlConfig
+    from gocrawler_ray.corpus import CorpusSpec, generate, profile_of
+    from gocrawler_ray.pipelines.crawl import run_crawl
+    from gocrawler_ray.sources.tables import read_table
+
+    spec = CorpusSpec(n_docs=200, n_hosts=2)
+    t = generate(spec)
+    prof = profile_of(spec)
+    outs = {}
+    for mode, limit in [("analytic", 20_000_000), ("distributed", 0)]:
+        root = f"/tmp/gocrawler_test/salted_{mode}"
+        shutil.rmtree(root, ignore_errors=True)
+        cfg = CrawlConfig(
+            num_seen_shards=2, fetcher_concurrency=2, batch_size=512,
+            driver_schedule_limit=limit,
+        )
+        run_crawl(t["corpus"], t["hosts"], t["seeds"], prof, cfg, root)
+        rows = []
+        base = os.path.join(root, "schedule")
+        for d in sorted(os.listdir(base)):
+            tb = read_table(os.path.join(base, d))
+            rows.extend(
+                sorted(
+                    (r["url"], r["seq"], r["sched_start_ms"], r["sched_end_ms"])
+                    for r in tb.to_pylist()
+                )
+            )
+        outs[mode] = rows
+    assert outs["analytic"] == outs["distributed"]
+
+
+def test_range_salted_schedule_matches_analytic():
+    """The range-salted distributed scheduler (stages/salting.py) must be
+    bit-identical to the analytic driver path on a Zipf frontier where
+    one host owns >50% of the wave, with salting FORCED (tiny
+    target_range_rows ⇒ the hot host splits into many ranges)."""
+    import ray.data as rd
+
+    from gocrawler_ray.stages.politeness import schedule_wave_driver
+    from gocrawler_ray.stages.salting import schedule_wave_distributed
+
+    rng = np.random.RandomState(5)
+    n = 4000
+    hosts = np.where(
+        rng.rand(n) < 0.6, "hot.example", np.where(rng.rand(n) < 0.5, "warm.example", "cold.example")
+    )
+    urls = np.array([f"https://{h}/p{i:06d}" for i, h in enumerate(hosts)], dtype=object)
+    prio = (rng.rand(n) < 0.3).astype(np.int32)
+    tbl = pa.table({"url": urls, "host": hosts, "priority": prio})
+
+    cfg_tbl = pa.table(
+        {
+            "host": ["hot.example", "warm.example", "cold.example"],
+            "allowed": [True] * 3,
+            "robots_disallow": [[], [], []],
+            "crawl_delay_ms": [100, 300, 50],
+            "max_parallel": [4, 2, 8],
+            "fetch_latency_ms": [900, 100, 1000],
+        }
+    )
+    cfg = HostConfig(cfg_tbl)
+    counts_pd = (
+        pd.DataFrame({"priority": prio, "host": hosts})
+        .groupby(["priority", "host"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+    )
+    offsets = compute_seq_offsets(
+        [(int(r["priority"]), str(r["host"]), int(r["n"])) for _, r in counts_pd.iterrows()],
+        seq_base=1000,
+    )
+    expect = (
+        schedule_wave_driver(tbl, cfg, offsets)
+        .select(["url", "seq", "sched_start_ms", "sched_end_ms"])
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    got = (
+        schedule_wave_distributed(
+            rd.from_arrow(tbl).repartition(8), cfg, offsets, counts_pd,
+            target_range_rows=500,  # force ~5 ranges on the hot host
+        )
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)[["url", "seq", "sched_start_ms", "sched_end_ms"]]
+    )
+    pd.testing.assert_frame_equal(expect, got, check_dtype=False)
+
+
 def test_robots_prefix_match():
     tbl = pa.table(
         {

@@ -107,6 +107,40 @@ def test_ivf_topk_recall():
     assert len(exact & approx) >= 5  # decent recall with nprobe=half
 
 
+def test_ivf_persisted_index_prunes_and_recalls():
+    import glob
+    import os
+    import shutil
+
+    from gocrawler_ray.stages.similarity import IvfIndex
+
+    root = "/tmp/gocrawler_test/ivf_index"
+    shutil.rmtree(root, ignore_errors=True)
+    rng = np.random.RandomState(7)
+    # clustered data: 6 gaussian blobs → IVF pruning is actually selective
+    centers = rng.standard_normal((6, 16)) * 5
+    vecs = np.vstack([centers[i % 6] + rng.standard_normal(16) * 0.3 for i in range(600)])
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(600)]
+    ds = rd.from_items(rows).repartition(4)
+
+    idx = IvfIndex.build(ds, num_clusters=6, index_dir=root, seed=5)
+    # index persisted: centroids + one partition dir per cluster
+    assert os.path.exists(os.path.join(root, "centroids.npy"))
+    parts = glob.glob(os.path.join(root, "vectors", "cluster=*"))
+    assert len(parts) >= 4
+
+    q = {"ids": np.array([10]), "matrix": vecs[[10]]}
+    # probe reads FEWER rows than the corpus (pruning is real)
+    assert idx.probe(q, nprobe=2).count() < 600
+    exact = set(brute_force_topk(ds, q, k=10)["vec_id"])
+    approx = set(IvfIndex.load(root).topk(q, k=10, nprobe=2)["vec_id"])
+    assert len(exact & approx) >= 9  # blob neighbors live in probed clusters
+
+    # reload path gives identical results (the index is the artifact)
+    again = set(IvfIndex.load(root).topk(q, k=10, nprobe=2)["vec_id"])
+    assert again == approx
+
+
 def test_multimodal_plumbing():
     tbl = synth_media_table(["a", "b", "c"], ["payload one", "payload two", ""])
     ds = rd.from_arrow(tbl)
