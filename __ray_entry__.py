@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_depth_counts": q.q_crawl_depth_counts,
         "crawl_flagship": q.q_crawl_flagship,
         "captcha_quarantine": q.q_captcha_quarantine,
+        "amazon_flagship": q.q_amazon_flagship,
         "url_classify": q.q_url_classify,
         "req_md5": q.q_req_md5,
         "price_cents": q.q_price_cents,
@@ -69,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_topk": q.q_embedding_topk,
         "minhash_pairs": q.q_minhash_pairs,
         "simhash": q.q_simhash,
+        "simhash_pairs": q.q_simhash_pairs,
         "fingerprint": q.q_fingerprint,
         "ivf_topk": q.q_ivf_topk,
         "multimodal_decode": q.q_multimodal_decode,
@@ -94,6 +96,27 @@ r(node, depth) AS (
   UNION
   SELECT e.dst, r.depth + 1 FROM r JOIN edges e ON e.src = r.node WHERE r.depth < 20
 )"""
+
+# exact pairwise word-3-gram Jaccard ground truth over the augmented
+# near-dup corpus — gates BOTH near-dup ops (minhash_pairs at r=2 bands
+# and simhash_pairs at exhaustive-recall band width)
+_PAIRS_SQL = """
+WITH aug AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id + 20000 AS VARCHAR), text || ' extra tail token appended'
+  FROM documents WHERE doc_id < 10),
+words AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws FROM aug),
+grams AS (SELECT doc_id,
+  CASE WHEN len(ws) <= 3 THEN [array_to_string(ws, ' ')]
+       ELSE list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+  END AS gs FROM words),
+gsets AS (SELECT doc_id, list_distinct(gs) AS gs FROM grams),
+pairs AS (SELECT a.doc_id AS a, b.doc_id AS b,
+  len(list_intersect(a.gs, b.gs)) * 1.0 / len(list_distinct(a.gs || b.gs)) AS j
+  FROM gsets a JOIN gsets b ON a.doc_id < b.doc_id)
+SELECT a, b FROM pairs WHERE j >= 0.6
+"""
 
 # analyzer stub sentiment: md5(content) first byte mod 4 (stages/analyzer.py)
 _R_CONTENT = (
@@ -129,7 +152,10 @@ SELECT d.doc_id,
   ['POSITIVE','NEGATIVE','NEUTRAL','MIXED'][
     (CAST(('0x' || substr(md5({_R_CONTENT}), 1, 2)) AS INT) % 4) + 1
   ] AS sentiment,
-  CAST(CASE WHEN d.doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_entities
+  CAST(CASE WHEN d.doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_entities,
+  'Pagina de Documento ' || d.doc_id AS meta_keywords,
+  'kw' || d.doc_id || ' ' || d.lang AS meta_description,
+  'https://cdn.synthd.mx/img' || d.doc_id || '.jpg' AS first_image
 FROM documents d JOIN reach USING (doc_id)
 WHERE d.doc_id % 37 != 3
 """,
@@ -137,6 +163,27 @@ WHERE d.doc_id % 37 != 3
 SELECT DISTINCT node AS doc_id,
        'Type the characters ' || node AS captcha_text
 FROM r WHERE node % 37 = 3
+""",
+        # amazon profile (M9/M10): same expander reachability, amazon
+        # column semantics (rating set, price nc+0.50, normalize_kv
+        # details, analyzer sentiment over the review content)
+        "amazon_flagship": _BFS_CTE + """,
+reach AS (SELECT DISTINCT node AS doc_id FROM r)
+SELECT d.doc_id,
+  md5('Producto Amazon ' || d.doc_id || '/Amazon') AS id,
+  'Producto Amazon ' || d.doc_id AS name,
+  'Marca' || d.doc_id AS brand,
+  CAST(d.doc_id % 50 AS DOUBLE) / 10 AS rating,
+  CAST(d.n_chars * 100 + 50 AS BIGINT) AS price_cents,
+  'Marca' || d.doc_id AS d_fabricante,
+  'B' || lpad(CAST(d.doc_id AS VARCHAR), 9, '0') AS d_asin,
+  'cliente' || d.doc_id AS r_author,
+  CAST(d.doc_id % 5 + 1 AS DOUBLE) AS r_stars,
+  ['POSITIVE','NEGATIVE','NEUTRAL','MIXED'][
+    (CAST(('0x' || substr(md5('Contenido ' || d.source || ' ' || d.doc_id), 1, 2)) AS INT) % 4) + 1
+  ] AS r_sentiment
+FROM documents d JOIN reach USING (doc_id)
+WHERE d.doc_id % 37 != 3
 """,
         "url_classify": f"""
 WITH built AS (
@@ -165,7 +212,9 @@ SELECT doc_id,
        'Documento ' || doc_id AS name,
        'Marca ' || source AS brand,
        text AS description,
-       CAST(n_chars * 100 AS BIGINT) AS price_cents
+       CAST(n_chars * 100 AS BIGINT) AS price_cents,
+       'Pagina de Documento ' || doc_id AS meta_keywords,
+       'kw' || doc_id || ' ' || lang AS meta_description
 FROM documents
 WHERE doc_id % 37 != 3
 """,
@@ -266,24 +315,12 @@ ORDER BY cos DESC, vec_id LIMIT 10
 """,
         # full exact pairwise word-3-gram Jaccard — the LSH recall at the
         # corpus' minimum true similarity (≈0.76) is 1-1e-27, so the
-        # engine's verified pair set equals this ground truth
-        "minhash_pairs": """
-WITH aug AS (
-  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
-  UNION ALL
-  SELECT CAST(doc_id + 20000 AS VARCHAR), text || ' extra tail token appended'
-  FROM documents WHERE doc_id < 10),
-words AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws FROM aug),
-grams AS (SELECT doc_id,
-  CASE WHEN len(ws) <= 3 THEN [array_to_string(ws, ' ')]
-       ELSE list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
-  END AS gs FROM words),
-gsets AS (SELECT doc_id, list_distinct(gs) AS gs FROM grams),
-pairs AS (SELECT a.doc_id AS a, b.doc_id AS b,
-  len(list_intersect(a.gs, b.gs)) * 1.0 / len(list_distinct(a.gs || b.gs)) AS j
-  FROM gsets a JOIN gsets b ON a.doc_id < b.doc_id)
-SELECT a, b FROM pairs WHERE j >= 0.6
-""",
+        # engine's verified pair set equals this ground truth. The
+        # simhash_pairs query runs the bit-band variant at
+        # exhaustive-recall band width over the SAME construction, so the
+        # identical ground truth gates it (see _PAIRS_SQL below).
+        "minhash_pairs": _PAIRS_SQL,
+        "simhash_pairs": _PAIRS_SQL,
         # simhash: md5-derived uint64 token hash, per-bit ±1 sign sum
         "simhash": """
 WITH words AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS w

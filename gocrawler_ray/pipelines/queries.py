@@ -137,6 +137,85 @@ def q_crawl_flagship(sf_dir: str):
                 "n_entities": pa.array(
                     [len(x["entities"]) if x else 0 for x in first], pa.int64()
                 ),
+                "meta_keywords": t.column("meta_keywords"),
+                "meta_description": t.column("meta_description"),
+                "first_image": pa.array(
+                    [(im[0] if im else "") for im in t.column("image_urls").to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return items.map_batches(project, batch_format="pyarrow")
+
+
+_AMAZON_CRAWL_CACHE: dict = {}
+
+
+def q_amazon_flagship(sf_dir: str):
+    """Second-profile end-to-end (M9/M10): crawl the AMAZON-shaped web
+    with the reference AMAZON regexes, parse with the amazon DOM-callback
+    semantics (selector spans, rating set, no colon-split price,
+    normalize_kv details, bullets TrimSpace), enrich reviews, and verify
+    every column against the shared BFS-CTE oracle."""
+    from ..config import AMAZON
+    from ..stages.analyzer import ReviewAnalyzer
+    from ..stages.extract import parse_items_amazon
+    from ..state.checkpoint import CheckpointStore
+    from .derived import derive_amazon_corpus
+
+    if sf_dir not in _AMAZON_CRAWL_CACHE:
+        tables = derive_amazon_corpus(_docs_table(sf_dir))
+        ckpt = tempfile.mkdtemp(prefix="crawl_amzn_", dir="/tmp")
+        cfg = CrawlConfig(num_seen_shards=4, fetcher_concurrency=2, batch_size=8192)
+        run_crawl(tables["corpus"], tables["hosts"], tables["seeds"], AMAZON, cfg, ckpt)
+        _AMAZON_CRAWL_CACHE[sf_dir] = ckpt
+    docs = CheckpointStore(_AMAZON_CRAWL_CACHE[sf_dir]).read_all_docs_table()
+
+    def to_items(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("status"), "ok"))
+        items = parse_items_amazon(
+            pa.table({"doc_id": t.column("url"), "spans": t.column("spans")})
+        )
+        return items.filter(pc.invert(items.column("is_captcha")))
+
+    items = (
+        rd.from_arrow(docs)
+        .map_batches(to_items, batch_format="pyarrow")
+        .map_batches(ReviewAnalyzer, batch_format="pyarrow", concurrency=2)
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        ids = pc.cast(
+            pc.replace_substring_regex(
+                pc.replace_substring_regex(t.column("doc_id"), r"^.*/dp/B", ""),
+                r"/ref=.*$", "",
+            ),
+            pa.int64(),
+        )
+        details = t.column("details").to_pylist()
+        reviews = t.column("reviews").to_pylist()
+        first = [(r[0] if r else None) for r in reviews]
+
+        def dval(dm, key):
+            for kv in dm:
+                if kv["key"] == key:
+                    return kv["value"]
+            return ""
+
+        return pa.table(
+            {
+                "doc_id": ids,
+                "id": t.column("id"),
+                "name": t.column("name"),
+                "brand": t.column("brand"),
+                "rating": t.column("rating"),
+                "price_cents": t.column("price_cents"),
+                "d_fabricante": pa.array([dval(d, "Fabricante") for d in details], pa.string()),
+                "d_asin": pa.array([dval(d, "ASIN") for d in details], pa.string()),
+                "r_author": pa.array([x["author"] if x else "" for x in first], pa.string()),
+                "r_stars": pa.array([x["stars"] if x else 0.0 for x in first], pa.float64()),
+                "r_sentiment": pa.array([x["sentiment"] if x else "" for x in first], pa.string()),
             }
         )
 
@@ -269,6 +348,8 @@ def q_items_parse(sf_dir: str):
                 "brand": t.column("brand"),
                 "description": t.column("description"),
                 "price_cents": t.column("price_cents"),
+                "meta_keywords": t.column("meta_keywords"),
+                "meta_description": t.column("meta_description"),
             }
         )
 
@@ -511,6 +592,35 @@ def q_minhash_pairs(sf_dir: str):
     )
     _, edges = minhash_lsh_dedup(
         ds, col="text", id_col="doc_id", threshold=0.6, num_perm=128, bands=64
+    )
+    return pa.table(
+        {
+            "a": pa.array([a for a, _ in edges], pa.string()),
+            "b": pa.array([b for _, b in edges], pa.string()),
+        }
+    )
+
+
+def q_simhash_pairs(sf_dir: str):
+    """SimHash bit-band near-dup over the same augmented corpus as
+    minhash_pairs. band_bits=4 (16 bands) at gate scale: per-pair recall
+    at the corpus' minimum true similarity is ≈1-3e-5, so the verified
+    output equals the exact pairwise-Jaccard set (same SQL oracle as
+    minhash_pairs); the 16-bit default is the corpus-scale config."""
+    from ..stages.dedup import simhash_near_dup
+
+    ds = _near_dup_docs(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.string()),
+                "text": t.column("text"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    edges = simhash_near_dup(
+        ds, col="text", id_col="doc_id", band_bits=4, threshold=0.6,
+        bucket_cap=1 << 20,
     )
     return pa.table(
         {

@@ -182,36 +182,100 @@ def jaccard(a: str, b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
-def _capped_pairs_of(bucket_cap: int):
-    """Per-LSH-bucket candidate emitter with a degenerate-bucket guard.
+def _pairs_from_group_df(df: pd.DataFrame, bucket_cap: int) -> list[tuple]:
+    """(a, b, capped) tuples for ONE bucket's rows: complete C(m,2)
+    pairs within ``bucket_cap``; degenerate buckets past the cap degrade
+    to an O(m) STAR around the min id (preserves connectivity)."""
+    ids = sorted(set(df["doc_id"].tolist()))
+    m = len(ids)
+    if m < 2:
+        return []
+    if m <= bucket_cap:
+        return [(ids[i], ids[j], 0) for i in range(m) for j in range(i + 1, m)]
+    return [(ids[0], x, 1) for x in ids[1:]]
 
-    Buckets within ``bucket_cap`` emit all C(m,2) pairs (the complete
-    candidate set — needed when the caller wants the exact verified pair
-    list). Oversized buckets — in practice a boilerplate/empty-doc
-    cluster whose members all share one band signature — fall back to a
-    STAR around the min id: O(m) edges instead of O(m²), preserving the
-    bucket's connectivity for component-based dedup. The ``capped``
-    column lets the caller count/log what was truncated.
+
+def _bucket_pairs(bands_ds: rd.Dataset, bucket_cap: int) -> pd.DataFrame:
+    """Candidate pairs from (band_id, band_hash, doc_id) rows WITHOUT a
+    per-group ``map_groups`` pass.
+
+    ``groupby().map_groups`` pays ~1ms of Python per GROUP; LSH band
+    buckets are mostly singletons, so a 10M-doc corpus would spend
+    minutes on group dispatch alone. Instead: global sort by the bucket
+    key, then ONE vectorized pandas pass per sorted block emits pairs
+    for every bucket fully inside the block; buckets touching a block
+    edge spill their raw rows (first/last key group per block — O(blocks
+    × bucket) rows) and are paired on the driver after regrouping.
     """
+    srt = bands_ds.sort(["band_id", "band_hash"])
 
-    def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"].tolist()))
-        m = len(ids)
-        if m < 2:
-            return pd.DataFrame(
-                {"a": [], "b": [], "capped": pd.Series([], dtype=np.int8)}
-            )
-        if m <= bucket_cap:
-            return pd.DataFrame(
-                [(ids[i], ids[j]) for i in range(m) for j in range(i + 1, m)],
-                columns=["a", "b"],
-            ).assign(capped=np.int8(0))
-        root = ids[0]
-        return pd.DataFrame({"a": [root] * (m - 1), "b": ids[1:]}).assign(
-            capped=np.int8(1)
+    def block_pairs(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        n = len(df)
+        if not n:
+            return pd.DataFrame({"a": [], "b": [], "capped": [], "band_id": [], "band_hash": []})
+        bid = df["band_id"].to_numpy()
+        bh = df["band_hash"].to_numpy()
+        docs = df["doc_id"].to_numpy()
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        sizes = ends - starts
+        # singleton interior buckets (the vast majority) get ZERO
+        # per-group Python; only multi-member + edge buckets are touched
+        pairs: list[tuple] = []
+        spill_idx: list[np.ndarray] = []
+        n_groups = len(starts)
+        for gi in np.flatnonzero((sizes >= 2) | (np.arange(n_groups) == 0) | (np.arange(n_groups) == n_groups - 1)):
+            rows = np.arange(starts[gi], ends[gi])
+            if gi == 0 or gi == n_groups - 1:
+                spill_idx.append(rows)  # may continue in a neighbor block
+                continue
+            ids = sorted(set(docs[rows].tolist()))
+            m = len(ids)
+            if m <= bucket_cap:
+                pairs.extend(
+                    (ids[i], ids[j], 0) for i in range(m) for j in range(i + 1, m)
+                )
+            else:
+                pairs.extend((ids[0], x, 1) for x in ids[1:])
+        out = pd.DataFrame(pairs, columns=["a", "b", "capped"]) if pairs else pd.DataFrame(
+            {"a": [], "b": [], "capped": []}
         )
+        out["band_id"] = np.int32(-1)
+        out["band_hash"] = np.uint64(0)
+        if spill_idx:
+            rows = np.concatenate(spill_idx)
+            sp = pd.DataFrame(
+                {
+                    "a": docs[rows],
+                    "b": None,
+                    "capped": np.int8(0),
+                    "band_id": bid[rows],
+                    "band_hash": bh[rows],
+                }
+            )
+            out = pd.concat([out, sp], ignore_index=True)
+        return out
 
-    return pairs_of
+    raw = srt.map_batches(block_pairs, batch_format="pyarrow", batch_size=None).to_pandas()
+    if not len(raw):
+        return pd.DataFrame({"a": [], "b": [], "capped": []})
+    interior = raw[raw["band_id"] == -1][["a", "b", "capped"]]
+    boundary = raw[raw["band_id"] != -1]
+    extra: list[tuple] = []
+    for _, g in boundary.groupby(["band_id", "band_hash"], sort=False):
+        extra.extend(_pairs_from_group_df(g.rename(columns={"a": "doc_id"}), bucket_cap))
+    if extra:
+        interior = pd.concat(
+            [interior, pd.DataFrame(extra, columns=["a", "b", "capped"])],
+            ignore_index=True,
+        )
+    if not len(interior):
+        return pd.DataFrame({"a": [], "b": [], "capped": []})
+    return interior.groupby(["a", "b"], as_index=False).agg(capped=("capped", "max"))
 
 
 def _components_driver(edges: list[tuple]) -> set:
@@ -298,6 +362,40 @@ def components_minlabel(edges_ds: rd.Dataset, num_partitions: int = 16) -> rd.Da
             return labels
 
 
+def _verify_candidates(
+    ds: rd.Dataset, cand: pd.DataFrame, col: str, k: int, threshold: float
+) -> list[tuple]:
+    """Exact-Jaccard verify of candidate pairs. Texts are fetched for
+    CANDIDATE ids only (<< corpus by the LSH guarantee); the id set
+    ships once via ``ray.put``, each fetch task filters its blocks
+    against it."""
+    import ray
+
+    cand_ids = sorted(set(cand["a"]) | set(cand["b"])) if len(cand) else []
+    texts: dict = {}
+    if cand_ids:
+        ids_ref = ray.put(cand_ids)
+
+        class FetchTexts:
+            def __init__(self):
+                self.ids = pa.array(ray.get(ids_ref))
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                return t.filter(
+                    pc.is_in(t.column("doc_id"), self.ids.cast(t.column("doc_id").type))
+                ).select(["doc_id", col])
+
+        small = ds.map_batches(
+            FetchTexts, batch_format="pyarrow", concurrency=2
+        ).to_pandas()
+        texts = dict(zip(small["doc_id"], small[col]))
+    return [
+        (a, b)
+        for a, b, *_ in cand.itertuples(index=False)
+        if jaccard(texts[a], texts[b], k) >= threshold
+    ]
+
+
 def minhash_lsh_dedup(
     ds: rd.Dataset,
     col: str = "text",
@@ -313,7 +411,7 @@ def minhash_lsh_dedup(
     """Near-dup removal. Returns (deduped dataset, verified dup pairs).
 
     Pipeline: MinHasher → band explosion → groupby(band) candidates
-    (bucket-capped, see :func:`_capped_pairs_of`) → exact-Jaccard verify
+    (bucket-capped, see :func:`_bucket_pairs`) → exact-Jaccard verify
     → connected components → anti-join drop of non-min members.
 
     Scale posture: the corpus is NEVER materialized — signatures are
@@ -340,21 +438,13 @@ def minhash_lsh_dedup(
         batch_format="pyarrow",
     ).map_batches(lambda t: band_rows(t, num_perm, bands), batch_format="pyarrow")
 
-    cand_ds = bands_ds.groupby(["band_id", "band_hash"]).map_groups(
-        _capped_pairs_of(bucket_cap), batch_format="pandas"
-    )
     # candidate volume is bounded by construction (≤ cap²/2 per bucket,
     # star-reduced past the cap), so cross-band dedup runs driver-side in
-    # one vectorized drop_duplicates — a distributed groupby here costs a
-    # full extra shuffle of a set that is small BY DESIGN. (Past
-    # driver_limit the verify itself would need to distribute too; the
-    # components stage already switches at that threshold.)
-    cand = cand_ds.to_pandas()
-    cand = (
-        cand.groupby(["a", "b"], as_index=False).agg(capped=("capped", "max"))
-        if len(cand)
-        else pd.DataFrame({"a": [], "b": [], "capped": []})
-    )
+    # one vectorized aggregate — a distributed groupby here costs a full
+    # extra shuffle of a set that is small BY DESIGN. (Past driver_limit
+    # the verify itself would need to distribute too; the components
+    # stage already switches at that threshold.)
+    cand = _bucket_pairs(bands_ds, bucket_cap)
     n_capped = int(cand["capped"].sum()) if len(cand) else 0
     if n_capped:
         import logging
@@ -366,32 +456,7 @@ def minhash_lsh_dedup(
             n_capped, bucket_cap,
         )
 
-    # exact-Jaccard verify. Texts are fetched for CANDIDATE ids only
-    # (<< corpus by the LSH guarantee); the id set ships once via
-    # ray.put, each fetch task filters its blocks against it.
-    cand_ids = sorted(set(cand["a"]) | set(cand["b"])) if len(cand) else []
-    texts: dict = {}
-    if cand_ids:
-        ids_ref = ray.put(cand_ids)
-
-        class FetchTexts:
-            def __init__(self):
-                self.ids = pa.array(ray.get(ids_ref))
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                return t.filter(
-                    pc.is_in(t.column("doc_id"), self.ids.cast(t.column("doc_id").type))
-                ).select(["doc_id", col])
-
-        small = ds.map_batches(
-            FetchTexts, batch_format="pyarrow", concurrency=2
-        ).to_pandas()
-        texts = dict(zip(small["doc_id"], small[col]))
-    edges = [
-        (a, b)
-        for a, b, _ in cand.itertuples(index=False)
-        if jaccard(texts[a], texts[b], k) >= threshold
-    ]
+    edges = _verify_candidates(ds, cand, col, k, threshold)
 
     if len(edges) <= driver_limit:
         drop = _components_driver(edges)
@@ -473,6 +538,59 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         cnt += (x & np.uint64(1)).astype(np.int64)
         x >>= np.uint64(1)
     return cnt
+
+
+def simhash_near_dup(
+    ds: rd.Dataset,
+    col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 16,
+    k: int = 3,
+    threshold: float = 0.8,
+    bucket_cap: int = 256,
+) -> list[tuple]:
+    """SimHash near-dup pairs: bit-band LSH over the 64-bit fingerprint
+    → in-bucket candidates → exact-Jaccard verify.
+
+    Splitting the fingerprint into ``64/band_bits`` bands guarantees a
+    collision for any pair within hamming radius ``64/band_bits − 1``
+    (pigeonhole). ``band_bits`` is the recall/cost dial: 16 (default, 4
+    bands) keeps buckets tiny at corpus scale and catches radius ≤ 3;
+    small values (e.g. 4) approach exhaustive recall but each band only
+    has ``2^band_bits`` buckets — use them only when n is small enough
+    that n²/2^band_bits pairwise verifies are affordable (the driver's
+    correctness gate does exactly this so the exact pairwise-Jaccard SQL
+    oracle applies).
+    """
+    assert 64 % band_bits == 0
+    n_bands = 64 // band_bits
+    mask = np.uint64((1 << band_bits) - 1)
+
+    if id_col != "doc_id":
+        ds = ds.map_batches(
+            lambda t: t.append_column("doc_id", t.column(id_col)),
+            batch_format="pyarrow",
+        )
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        h = simhash64(t.column(col).to_pandas())
+        m = len(h)
+        band_ids = np.repeat(np.arange(n_bands, dtype=np.int32), m)
+        bits = np.concatenate(
+            [(h >> np.uint64(b * band_bits)) & mask for b in range(n_bands)]
+        )
+        ids = t.column("doc_id")
+        rep = np.tile(np.arange(m), n_bands)
+        return pa.table(
+            {
+                "band_id": pa.array(band_ids),
+                "band_hash": pa.array(bits),
+                "doc_id": ids.take(pa.array(rep, pa.int64())),
+            }
+        )
+
+    cand = _bucket_pairs(ds.map_batches(to_bands, batch_format="pyarrow"), bucket_cap)
+    return sorted(_verify_candidates(ds, cand, col, k, threshold))
 
 
 # ---------------------------------------------------------------------------

@@ -58,6 +58,12 @@ ITEMS_SCHEMA = pa.schema(
         ("reviews", pa.list_(REVIEW_TYPE)),
         ("details", pa.list_(DETAIL_TYPE)),
         ("image_urls", pa.list_(pa.string())),
+        # M6 meta tags — deliberately SWAPPED, reproducing the
+        # reference's crossed selectors (mixup.go:72-73: the variable
+        # named `keywords` reads meta[name="Description"] and vice
+        # versa). Parity with the bug is part of the contract.
+        ("meta_keywords", pa.string()),
+        ("meta_description", pa.string()),
         ("is_captcha", pa.bool_()),
     ]
 )
@@ -235,6 +241,21 @@ def parse_items(batch: pa.Table, source_store: str = "Synth") -> pa.Table:
     for d, ref in zip(doc_idx[m_np], media[m_np]):
         images_per_doc[d].append(ref)
 
+    # --- meta tags (M6) — swapped per mixup.go:72-73: the Keywords
+    # column holds the Description meta's content and vice versa; first
+    # match wins (colly ChildAttr semantics)
+    meta_kw = np.full(n, "", dtype=object)
+    meta_desc = np.full(n, "", dtype=object)
+    mt_np = (kind == "meta").to_numpy()
+    if mt_np.any():
+        for d, t in zip(doc_idx[mt_np], text[mt_np]):
+            key, _, val = t.partition(":")
+            key, val = key.strip(), val.strip()
+            if key == "Description" and not meta_kw[d]:
+                meta_kw[d] = val
+            elif key == "Keywords" and not meta_desc[d]:
+                meta_desc[d] = val
+
     ids = md5_hex_many([f"{nm}/{source_store}" for nm in names])
 
     out = pa.Table.from_arrays(
@@ -251,11 +272,137 @@ def parse_items(batch: pa.Table, source_store: str = "Synth") -> pa.Table:
             pa.array(reviews_per_doc, type=pa.list_(REVIEW_TYPE)),
             pa.array(details_per_doc, type=pa.list_(DETAIL_TYPE)),
             pa.array(images_per_doc, type=pa.list_(pa.string())),
+            pa.array(meta_kw, type=pa.string()),
+            pa.array(meta_desc, type=pa.string()),
             pa.array(captcha_docs),
         ],
         schema=ITEMS_SCHEMA,
     )
     return out
+
+
+def parse_items_amazon(batch: pa.Table) -> pa.Table:
+    """Amazon-profile item parse (M9/M10) over amazon-shaped spans.
+
+    Mirrors the amazon DOM callbacks rather than mixup's positional
+    parse (/root/reference/pkg/scraper/amazon.go:119-240):
+
+    - ``name``/``brand`` spans: selector-addressed (first span of the
+      kind), values ``strings.Trim``-med of newlines (amazon.go:130,134);
+    - ``stars`` span: rating = ParseFloat(first whitespace field), 0.0
+      on parse failure (amazon.go:138-147) — amazon DOES set rating,
+      mixup leaves it 0;
+    - ``price`` span: drop '$' and ',' then ParseFloat — NO colon split
+      (amazon.go:149-159); unparseable → 0 cents;
+    - ``detail_row`` spans (prodDetTable, amazon.go:231-244): text is
+      ``key␟value``, BOTH sides normalized with ``:|\\s{2,}|\\n+`` → '';
+    - ``bullet_row`` spans (detailBullets, amazon.go:220-228): key
+      normalized, value only TrimSpace-d;
+    - later duplicate detail keys overwrite (Go map semantics);
+    - ``review``/``captcha``/``media`` spans: same semantics as
+      :func:`parse_items`; description is never set (amazon.go:166-174);
+    - id = MD5(name + "/Amazon") (item.go:84-94).
+    """
+    from ..corpus import REVIEW_SEP
+    from ..functions.text import normalize_kv, normalize_review
+
+    n = batch.num_rows
+    if n == 0:
+        return ITEMS_SCHEMA.empty_table()
+    flat, doc_idx = _flatten_spans(batch)
+    doc_ids = batch.column("doc_id").to_pandas()
+    kind = flat.field("kind").to_pandas().to_numpy()
+    text = flat.field("text").to_pandas()
+    media = flat.field("media_ref").to_pandas()
+
+    captcha_docs = np.bincount(doc_idx[kind == "captcha"], minlength=n) > 0
+
+    def first_of(span_kind: str) -> np.ndarray:
+        out = np.full(n, "", dtype=object)
+        m = kind == span_kind
+        if m.any():
+            docs = doc_idx[m]
+            vals = text.to_numpy()[m]
+            uniq, first = np.unique(docs, return_index=True)
+            out[uniq] = vals[first]
+        return out
+
+    names = np.array([s.strip("\n") for s in first_of("name")], dtype=object)
+    brands = np.array([s.strip("\n") for s in first_of("brand")], dtype=object)
+
+    rating = np.zeros(n, dtype=np.float64)
+    for i, s in enumerate(first_of("stars")):
+        fields = s.split()
+        if fields:
+            try:
+                rating[i] = float(fields[0])
+            except ValueError:
+                pass
+
+    price_cents = np.zeros(n, dtype=np.int64)
+    for i, s in enumerate(first_of("price")):
+        p = s.replace("$", "").replace(",", "")
+        try:
+            price_cents[i] = int(np.floor(float(p) * 100 + 0.5))
+        except ValueError:
+            pass
+
+    details_map: list[dict] = [{} for _ in range(n)]
+    for span_kind, norm_val in (("detail_row", True), ("bullet_row", False)):
+        m = kind == span_kind
+        for d, t in zip(doc_idx[m], text.to_numpy()[m]):
+            raw_key, _, raw_val = t.partition(REVIEW_SEP)
+            key = normalize_kv(raw_key)
+            val = normalize_kv(raw_val) if norm_val else raw_val.strip()
+            details_map[d][key] = val  # dup key overwrites (Go map)
+    details_per_doc = [
+        [{"key": k, "value": v} for k, v in dm.items()] for dm in details_map
+    ]
+
+    reviews_per_doc: list[list[dict]] = [[] for _ in range(n)]
+    r_np = kind == "review"
+    for d, t in zip(doc_idx[r_np], text.to_numpy()[r_np]):
+        parts = t.split(REVIEW_SEP)
+        if len(parts) < 4:
+            continue
+        author, stars_text, title, content = parts[0], parts[1], parts[2], parts[3]
+        fields = stars_text.split()
+        try:
+            stars = float(fields[0]) if fields else 0.0
+        except ValueError:
+            stars = 0.0
+        reviews_per_doc[d].append(
+            {"title": title, "content": normalize_review(content),
+             "author": author, "stars": stars}
+        )
+
+    images_per_doc: list[list[str]] = [[] for _ in range(n)]
+    m_np = kind == "media"
+    for d, ref in zip(doc_idx[m_np], media.to_numpy()[m_np]):
+        images_per_doc[d].append(ref)
+
+    ids = md5_hex_many([f"{nm}/Amazon" for nm in names])
+    empty = np.full(n, "", dtype=object)
+    return pa.Table.from_arrays(
+        [
+            pa.array(doc_ids, type=pa.string()),
+            pa.array(ids, type=pa.string()),
+            pa.array(names, type=pa.string()),
+            pa.array(brands, type=pa.string()),
+            pa.array(empty, type=pa.string()),  # description: never set
+            pa.array(price_cents),
+            pa.array(rating),
+            pa.array(np.full(n, "Amazon", dtype=object), type=pa.string()),
+            pa.array(doc_ids, type=pa.string()),
+            pa.array(reviews_per_doc, type=pa.list_(REVIEW_TYPE)),
+            pa.array(details_per_doc, type=pa.list_(DETAIL_TYPE)),
+            pa.array(images_per_doc, type=pa.list_(pa.string())),
+            pa.array(empty, type=pa.string()),  # no meta callbacks
+            pa.array(empty, type=pa.string()),
+            pa.array(captcha_docs),
+        ],
+        schema=ITEMS_SCHEMA,
+    )
 
 
 def extract_links(batch: pa.Table) -> pa.Table:

@@ -50,8 +50,54 @@ DOCS_SCHEMA = pa.schema(
         # captcha flag column (S8): first captcha-span text, '' for clean
         # pages — lets the quarantine sink read LIGHT columns only
         ("captcha_text", pa.string()),
+        # request-header rotation (M17): which headersPool entry the
+        # request carried, surfaced in lineage
+        ("header_idx", pa.int32()),
     ]
 )
+
+# Header rotation pool (M17). The reference keeps a pool and picks with
+# rand.Intn (/root/reference/pkg/scraper/scrapingHeader.go:11-24 — one
+# entry today, the rotation structure is the point); the engine
+# strengthens the pick to a deterministic url-hash so lineage is
+# reproducible. Entry 0 mirrors the reference's header set; the variants
+# rotate Accept-Language.
+HEADERS_POOL = [
+    {
+        "DNT": "1",
+        "Accept": "text/html,application/xhtml+xml,application/xml;q=0.9,image/webp,image/apng,*/*;q=0.8,application/signed-exchange;v=b3;q=0.9",
+        "Accept-Encoding": "gzip, deflate, br",
+        "Accept-Language": "es-US,es-419;q=0.9,es;q=0.8,en;q=0.7",
+        "Cache-Control": "max-age=0",
+        "Connection": "keep-alive",
+    },
+    {
+        "DNT": "1",
+        "Accept": "text/html,application/xhtml+xml,application/xml;q=0.9,*/*;q=0.8",
+        "Accept-Encoding": "gzip, deflate, br",
+        "Accept-Language": "es-MX,es;q=0.9,en;q=0.6",
+        "Cache-Control": "max-age=0",
+        "Connection": "keep-alive",
+    },
+    {
+        "DNT": "1",
+        "Accept": "text/html,application/xhtml+xml,application/xml;q=0.9,*/*;q=0.8",
+        "Accept-Encoding": "gzip, deflate",
+        "Accept-Language": "en-US,en;q=0.9,es;q=0.5",
+        "Cache-Control": "no-cache",
+        "Connection": "keep-alive",
+    },
+]
+
+
+def header_indices(urls) -> np.ndarray:
+    """Deterministic per-url header pick: url_hash mod pool size (the
+    engine's seeded stand-in for GetHeaders' rand.Intn)."""
+    return (url_hash64_many(urls) % np.uint64(len(HEADERS_POOL))).astype(np.int32)
+
+
+def headers_for(url: str) -> dict:
+    return HEADERS_POOL[int(header_indices([url])[0])]
 
 
 _HASH2_KEY = "gocrawler_ray_h2"  # 16 chars → independent siphash family
@@ -108,6 +154,12 @@ class Fetcher:
 
     def __init__(self, corpus_ref, index_ref):
         self.corpus: pa.Table = ray.get(corpus_ref) if not isinstance(corpus_ref, pa.Table) else corpus_ref
+        # per-host cookie jar (T4): the reference carries site cookies
+        # forward on every Visit (scraper.go:191-193). The jar is
+        # PER-WORKER session state — a real HTTP fetcher would read
+        # Set-Cookie here; the sandbox stamps a deterministic session
+        # cookie per host on first successful fetch.
+        self.cookies: dict[str, str] = {}
         idx = ray.get(index_ref) if not isinstance(index_ref, dict) else index_ref
         self.sorted_hashes: np.ndarray = idx["sorted_hashes"]
         self.perm: np.ndarray = idx["perm"]
@@ -192,6 +244,13 @@ class Fetcher:
         from .extract import first_captcha_text
 
         captcha = first_captcha_text(spans, n)
+        # M17/T4 session state: header rotation pick per request; cookie
+        # jar accrues a session cookie per successfully-fetched host
+        hdr_idx = header_indices(urls)
+        for h in np.unique(batch.column("host").to_numpy(zero_copy_only=False)[ok]):
+            self.cookies.setdefault(
+                str(h), f"session={md5_hex_many([str(h)])[0][:16]}"
+            )
         return pa.Table.from_arrays(
             [
                 batch.column("url"),
@@ -203,6 +262,7 @@ class Fetcher:
                 pa.array(error, type=pa.string()),
                 spans,
                 pa.array(captcha, type=pa.string()),
+                pa.array(hdr_idx, type=pa.int32()),
             ],
             schema=DOCS_SCHEMA,
         )

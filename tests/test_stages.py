@@ -84,6 +84,26 @@ def test_parse_items_price_multi_colon_matches_scalar_kernel():
     assert parse_price_text("Precio: $3: off") == 300
 
 
+def test_parse_items_meta_swap_matches_reference_bug():
+    # mixup.go:72-73 reads meta[name="Description"] into the variable
+    # named `keywords` and vice versa — the swap is part of the contract
+    batch = _batch(
+        _doc(
+            "https://h/shop/detproducto.aspx?sku=7",
+            [
+                ("text", "N", ""),
+                ("text", "B", ""),
+                ("meta", "Keywords: kw stuff", ""),
+                ("meta", "Description: a descriptive page", ""),
+                ("meta", "Keywords: second ignored", ""),
+            ],
+        )
+    )
+    out = parse_items(batch, source_store="Synth").to_pylist()[0]
+    assert out["meta_keywords"] == "a descriptive page"
+    assert out["meta_description"] == "kw stuff"  # first match wins
+
+
 def test_parse_items_captcha_and_empty():
     batch = _batch(
         _doc("https://h/a", [("captcha", "type the characters", "")]),
@@ -168,3 +188,25 @@ def test_fetcher_lookup_and_not_found():
     assert [r["status"] for r in out] == ["ok", "not_found", "ok"]
     assert out[0]["spans"] == corpus.column("spans")[3].as_py()
     assert out[1]["spans"] is None or out[1]["spans"] == []
+    # M17: header rotation surfaced in lineage, deterministic per url
+    from gocrawler_ray.stages.fetcher import HEADERS_POOL, header_indices
+
+    expect_idx = header_indices([doc_ids[3], "https://missing/x", doc_ids[10]])
+    assert [r["header_idx"] for r in out] == expect_idx.tolist()
+    assert all(0 <= i < len(HEADERS_POOL) for i in expect_idx)
+    # T4: cookie jar accrued a session cookie for the fetched host
+    assert "h" in f.cookies and f.cookies["h"].startswith("session=")
+    jar_before = dict(f.cookies)
+    f(batch)  # same host again: cookie is STABLE, not re-minted
+    assert f.cookies == jar_before
+
+
+def test_header_rotation_deterministic_sequence():
+    from gocrawler_ray.stages.fetcher import HEADERS_POOL, header_indices, headers_for
+
+    urls = [f"https://h/p{i}" for i in range(50)]
+    a = header_indices(urls)
+    b = header_indices(urls)
+    assert a.tolist() == b.tolist()  # pinned sequence
+    assert len(set(a.tolist())) > 1  # actually rotates
+    assert headers_for(urls[0]) is HEADERS_POOL[a[0]]
