@@ -99,18 +99,20 @@ def first_captcha_text(spans, n_rows: int) -> np.ndarray:
 
     if isinstance(spans, pa.ChunkedArray):
         spans = spans.combine_chunks()
-    lengths = pc.fill_null(pc.list_value_length(spans), 0).to_numpy()
     out = np.full(n_rows, "", dtype=object)
+    lengths = pc.fill_null(pc.list_value_length(spans), 0).to_numpy()
     if lengths.sum() == 0:
         return out
     flat = pc.list_flatten(spans)
-    doc_idx = np.repeat(np.arange(n_rows, dtype=np.int64), lengths)
-    kind = flat.field("kind").to_pandas().to_numpy()
-    c_np = kind == "captcha"
-    if not c_np.any():
+    # stay in Arrow: only the (rare) captcha spans ever materialize to
+    # Python — the common all-clean batch costs one equality kernel
+    cmask = pc.equal(flat.field("kind"), pa.scalar("captcha"))
+    if not pc.any(cmask).as_py():
         return out
+    c_np = cmask.to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(n_rows, dtype=np.int64), lengths)
     docs = doc_idx[c_np]
-    texts = flat.field("text").to_pandas().to_numpy()[c_np]
+    texts = np.asarray(flat.field("text").filter(cmask).to_pylist(), dtype=object)
     uniq, first = np.unique(docs, return_index=True)
     out[uniq] = texts[first]
     return out

@@ -165,9 +165,11 @@ class Fetcher:
         self.perm: np.ndarray = idx["perm"]
         self.hash2: np.ndarray = idx["hash2"]
 
-    def lookup(self, urls) -> np.ndarray:
-        """url array → corpus row index or -1."""
-        h = url_hash64_many(urls)
+    def lookup(self, urls, h: np.ndarray | None = None) -> np.ndarray:
+        """url array → corpus row index or -1. ``h`` lets the caller
+        reuse already-computed url hashes."""
+        if h is None:
+            h = url_hash64_many(urls)
         pos = np.searchsorted(self.sorted_hashes, h)
         pos = np.clip(pos, 0, len(self.sorted_hashes) - 1)
         found = self.sorted_hashes[pos] == h
@@ -216,7 +218,8 @@ class Fetcher:
             denied = batch.column("robots_denied").to_numpy(zero_copy_only=False)
         else:
             denied = np.zeros(n, dtype=bool)
-        rows = self.lookup(urls)
+        h = url_hash64_many(urls)
+        rows = self.lookup(urls, h)
         rows = np.where(denied, -1, rows)  # robots-denied: never fetched
         ok = rows >= 0
         status = np.where(
@@ -246,7 +249,7 @@ class Fetcher:
         captcha = first_captcha_text(spans, n)
         # M17/T4 session state: header rotation pick per request; cookie
         # jar accrues a session cookie per successfully-fetched host
-        hdr_idx = header_indices(urls)
+        hdr_idx = (h % np.uint64(len(HEADERS_POOL))).astype(np.int32)
         for h in np.unique(batch.column("host").to_numpy(zero_copy_only=False)[ok]):
             self.cookies.setdefault(
                 str(h), f"session={md5_hex_many([str(h)])[0][:16]}"
