@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q.q_simhash_pairs,
         "fingerprint": q.q_fingerprint,
         "ivf_topk": q.q_ivf_topk,
+        "embedding_near_dup": q.q_embedding_near_dup,
         "multimodal_decode": q.q_multimodal_decode,
     }
 
@@ -347,6 +348,20 @@ m AS (SELECT doc_id, MIN(CAST(('0x'||substr(md5(g),1,16)) AS UBIGINT)) AS finger
       FROM g2 GROUP BY doc_id)
 SELECT d.doc_id, CAST(COALESCE(m.fingerprint, 0) AS UBIGINT) AS fingerprint
 FROM documents d LEFT JOIN m USING (doc_id)
+""",
+        # embedding near-dup over the augmented table: exact pairwise
+        # cosine ≥ 0.99 (only the 13 identical copies pair — the corpus'
+        # natural maximum is ≈0.51, so the LSH recall is deterministic)
+        "embedding_near_dup": """
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT 100000 + t.i AS vec_id, e.embedding
+  FROM embeddings e, (SELECT unnest(range(12)) AS i) t WHERE e.vec_id = 1)
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.99
 """,
         # hash-derived fake decode (stages/multimodal.py): dims/format from
         # md5 of the payload (= the text bytes), resize = half-up round

@@ -700,6 +700,27 @@ def q_ivf_topk(sf_dir: str):
     return out[["query_id", "vec_id", "cos"]].reset_index(drop=True)
 
 
+def q_embedding_near_dup(sf_dir: str):
+    """Embedding near-dup (cosine ≥ τ) via random-hyperplane LSH buckets
+    with in-bucket exact verification, over the augmented table (12
+    exact copies of vec 1). Identical vectors produce identical sign
+    patterns, so every true pair collides deterministically; the corpus'
+    natural pair maximum is cos≈0.51, far below τ=0.99 — the exact
+    cross-join SQL oracle therefore gates the LSH op."""
+    from ..stages.dedup import embedding_near_dup
+
+    pairs = embedding_near_dup(
+        _augmented_embeddings(sf_dir), id_col="vec_id", emb_col="embedding",
+        threshold=0.99,
+    )
+    return pa.table(
+        {
+            "a": pa.array([int(a) for a, _ in pairs], pa.int64()),
+            "b": pa.array([int(b) for _, b in pairs], pa.int64()),
+        }
+    )
+
+
 def q_multimodal_decode(sf_dir: str):
     from ..stages.multimodal import DecodeImage, ResizePlan, synth_media_table
 

@@ -64,16 +64,41 @@ def add_content_hash(batch: pa.Table, col: str = "text", out: str = "content_has
     return batch.append_column(out, pa.array(hashes, pa.string()))
 
 
-def exact_dedup(ds: rd.Dataset, col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
-    """Keep one row per distinct content (the min id wins — deterministic)."""
+def exact_dedup(
+    ds: rd.Dataset, col: str = "text", id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Keep one row per distinct content (the min id wins — deterministic).
+
+    Two vectorized exchanges: a Min aggregate over (content_hash →
+    min id) and a hash join back to the rows — no per-group Python.
+    (``groupby().map_groups(head 1)`` shuffles whole rows AND pays ~1ms
+    of Python per group; with mostly-unique content that is per-ROW.)
+    """
+    import ray
+    from ray.data.aggregate import Min
+
+    if num_partitions is None:
+        # join aggregators are ACTORS needing CPU slots — cap them well
+        # under the cluster or the join deadlocks against its own inputs
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+
     hashed = ds.map_batches(
         lambda t: add_content_hash(t, col), batch_format="pyarrow"
     )
+    mins = hashed.groupby("content_hash").aggregate(
+        Min(id_col, alias_name="__min_id")
+    )
+    joined = hashed.join(
+        mins, "inner", num_partitions, on=("content_hash",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+    def keep_min(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column(id_col), t.column("__min_id"))
+        return t.filter(m).drop_columns(["__min_id"])
 
-    return hashed.groupby("content_hash").map_groups(first, batch_format="pandas")
+    return joined.map_batches(keep_min, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

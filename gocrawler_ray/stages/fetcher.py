@@ -249,10 +249,15 @@ class Fetcher:
         captcha = first_captcha_text(spans, n)
         # M17/T4 session state: header rotation pick per request; cookie
         # jar accrues a session cookie per successfully-fetched host
+        # (Arrow unique — hosts per batch are few, rows are many)
         hdr_idx = (h % np.uint64(len(HEADERS_POOL))).astype(np.int32)
-        for h in np.unique(batch.column("host").to_numpy(zero_copy_only=False)[ok]):
+        import pyarrow.compute as _pc
+
+        for hst in _pc.unique(
+            batch.column("host").combine_chunks().filter(pa.array(ok))
+        ).to_pylist():
             self.cookies.setdefault(
-                str(h), f"session={md5_hex_many([str(h)])[0][:16]}"
+                hst, f"session={md5_hex_many([hst])[0][:16]}"
             )
         return pa.Table.from_arrays(
             [
