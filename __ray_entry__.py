@@ -148,6 +148,7 @@ SELECT d.doc_id,
   CAST(d.n_chars * 100 AS BIGINT) AS price_cents,
   'user' || d.doc_id AS r_author,
   CAST((d.doc_id % 5) + 1 AS DOUBLE) AS r_stars,
+  '1 Jan 0001 00:00:00' AS r_date,
   'Opinion ' || d.doc_id AS r_title,
   {_R_CONTENT} AS r_content,
   ['POSITIVE','NEGATIVE','NEUTRAL','MIXED'][
@@ -180,6 +181,7 @@ SELECT d.doc_id,
   'B' || lpad(CAST(d.doc_id AS VARCHAR), 9, '0') AS d_asin,
   'cliente' || d.doc_id AS r_author,
   CAST(d.doc_id % 5 + 1 AS DOUBLE) AS r_stars,
+  '1 Jan 0001 00:00:00' AS r_date,
   ['POSITIVE','NEGATIVE','NEUTRAL','MIXED'][
     (CAST(('0x' || substr(md5('Contenido ' || d.source || ' ' || d.doc_id), 1, 2)) AS INT) % 4) + 1
   ] AS r_sentiment

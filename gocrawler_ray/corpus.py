@@ -236,6 +236,9 @@ def _host_product_chunk(
                         f"{stars} out of 5 stars",
                         _text(prng, 3),
                         _text(prng, 8) + "  con espacios",
+                        # review-date text — present on the page, read
+                        # and discarded by the parser (amazon.go:255)
+                        f"Reseñado el {prng.randrange(1, 29)} de marzo de 20{prng.randrange(10, 24)}",
                     ]
                 ),
             )

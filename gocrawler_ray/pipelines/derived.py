@@ -73,6 +73,8 @@ def derive_corpus(documents: pa.Table) -> dict[str, pa.Table]:
                 f"{(d % 5) + 1} stars",
                 f"Opinion {d}",
                 f"Muy bueno {d}" if d % 3 == 0 else f"{src} review {d}",
+                # review-date text, read-and-discarded (amazon.go:255)
+                f"Reseñado el {d % 28 + 1} de enero de 2021",
             ]
         )
         spans = [
@@ -161,7 +163,8 @@ def derive_amazon_corpus(documents: pa.Table) -> dict[str, pa.Table]:
             {"kind": "review",
              "text": REVIEW_SEP.join(
                  [f"cliente{d}", f"{(d % 5) + 1}.0 de 5 estrellas",
-                  f"Titulo {d}", f"Contenido {src} {d}"]
+                  f"Titulo {d}", f"Contenido {src} {d}",
+                  f"Reseñado en México el {d % 28 + 1} de enero de 2021"]
              ),
              "media_ref": "", "offset": 6},
         ]

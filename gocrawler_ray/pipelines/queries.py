@@ -125,6 +125,9 @@ def q_crawl_flagship(sf_dir: str):
                 "r_stars": pa.array(
                     [x["stars"] if x else 0.0 for x in first], pa.float64()
                 ),
+                "r_date": pa.array(
+                    [x["date"] if x else "" for x in first], pa.string()
+                ),
                 "r_title": pa.array(
                     [x["title"] if x else "" for x in first], pa.string()
                 ),
@@ -215,6 +218,7 @@ def q_amazon_flagship(sf_dir: str):
                 "d_asin": pa.array([dval(d, "ASIN") for d in details], pa.string()),
                 "r_author": pa.array([x["author"] if x else "" for x in first], pa.string()),
                 "r_stars": pa.array([x["stars"] if x else 0.0 for x in first], pa.float64()),
+                "r_date": pa.array([x["date"] if x else "" for x in first], pa.string()),
                 "r_sentiment": pa.array([x["sentiment"] if x else "" for x in first], pa.string()),
             }
         )

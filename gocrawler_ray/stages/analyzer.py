@@ -31,6 +31,7 @@ ENRICHED_REVIEW_TYPE = pa.struct(
         ("content", pa.string()),
         ("author", pa.string()),
         ("stars", pa.float64()),
+        ("date", pa.string()),  # Comment.Date repr (M18, item.go:326)
         ("sentiment", pa.string()),
         ("entities", pa.list_(pa.string())),
     ]

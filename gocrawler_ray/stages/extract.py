@@ -40,6 +40,14 @@ REVIEW_TYPE = pa.struct(
         ("content", pa.string()),
         ("author", pa.string()),
         ("stars", pa.float64()),
+        # Comment.Date (item.go:17). The reference's review callback
+        # reads the review-date span text and DISCARDS it
+        # (amazon.go:255: `_ = element.Find(...review-date...).Text()`),
+        # so every crawled comment carries Go's zero time — formatted
+        # with item.go:326's layout (M18). Parity with the bug is part
+        # of the contract; the page's date text is likewise extracted
+        # and dropped here.
+        ("date", pa.string()),
     ]
 )
 DETAIL_TYPE = pa.struct([("key", pa.string()), ("value", pa.string())])
@@ -217,12 +225,15 @@ def parse_items(batch: pa.Table, source_store: str = "Synth") -> pa.Table:
     r_np = (kind == "review").to_numpy()
     if r_np.any():
         from ..functions.text import normalize_review
+        from ..functions.times import ZERO_COMMENT_DATE
 
         for d, t in zip(doc_idx[r_np], text[r_np]):
             parts = t.split(REVIEW_SEP)
             if len(parts) < 4:
                 continue
             author, stars_text, title, content = parts[0], parts[1], parts[2], parts[3]
+            # parts[4:] is the review-date text — extracted then
+            # discarded like amazon.go:255; Date stays the zero time
             fields = stars_text.split()
             try:
                 stars = float(fields[0]) if fields else 0.0
@@ -234,6 +245,7 @@ def parse_items(batch: pa.Table, source_store: str = "Synth") -> pa.Table:
                     "content": normalize_review(content),
                     "author": author,
                     "stars": stars,
+                    "date": ZERO_COMMENT_DATE,
                 }
             )
 
@@ -307,6 +319,7 @@ def parse_items_amazon(batch: pa.Table) -> pa.Table:
     """
     from ..corpus import REVIEW_SEP
     from ..functions.text import normalize_kv, normalize_review
+    from ..functions.times import ZERO_COMMENT_DATE
 
     n = batch.num_rows
     if n == 0:
@@ -368,6 +381,7 @@ def parse_items_amazon(batch: pa.Table) -> pa.Table:
         if len(parts) < 4:
             continue
         author, stars_text, title, content = parts[0], parts[1], parts[2], parts[3]
+        # parts[4:] (review-date text) extracted then discarded, amazon.go:255
         fields = stars_text.split()
         try:
             stars = float(fields[0]) if fields else 0.0
@@ -375,7 +389,7 @@ def parse_items_amazon(batch: pa.Table) -> pa.Table:
             stars = 0.0
         reviews_per_doc[d].append(
             {"title": title, "content": normalize_review(content),
-             "author": author, "stars": stars}
+             "author": author, "stars": stars, "date": ZERO_COMMENT_DATE}
         )
 
     images_per_doc: list[list[str]] = [[] for _ in range(n)]

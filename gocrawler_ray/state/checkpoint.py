@@ -200,16 +200,47 @@ def export_lineage_json(ckpt: "CheckpointStore", out_path: str) -> int:
     Field contract mirrors ``scrapingRequests.MarshalJSON``
     (/root/reference/pkg/scraper/requestTracker.go:49-112): id,
     absolute_url, callback, error_msg, request{url, depth, method},
-    response{status_code}, start_at/end_at (virtual-clock ms as ISO-less
-    integers here — the engine's clock is virtual), request_duration.
-    Returns the number of rows written. Intended for small/debug crawls —
-    at scale the parquet lineage tables are the system of record.
+    response{status_code}, start_at/end_at as RFC3339 (time.Time JSON
+    marshal), request_duration as a durafmt string. M18 timestamp
+    format/parse is exercised exactly like the reference: the start
+    instant roundtrips through Go's ``time.UnixDate`` layout (ctx put at
+    OnRequest, scraper.go:119; parse at OnResponse, scraper.go:126 —
+    truncating to seconds), while the end instant keeps ms precision.
+    The engine's politeness clock is virtual; it is pinned to the fixed
+    ``VIRTUAL_EPOCH`` so the JSON is deterministic. Returns the number
+    of rows written. Intended for small/debug crawls — at scale the
+    parquet lineage tables are the system of record.
     """
     import json as _json
 
+    import numpy as np
+
+    from ..functions.times import (
+        durafmt_ms,
+        format_unixdate_many,
+        parse_unixdate_many,
+        to_rfc3339_many,
+    )
+
     t = ckpt.read_all_lineage_table()
+    recs = t.to_pylist()
+    start_ms = np.array(
+        [max(0, r["sched_start_ms"]) for r in recs], dtype=np.int64
+    )
+    end_ms = np.array([max(0, r["sched_end_ms"]) for r in recs], dtype=np.int64)
+    # ctx roundtrip: format UnixDate at request time, parse it back at
+    # response time (second resolution — Go's layout carries no ms)
+    start_parsed = (
+        parse_unixdate_many(format_unixdate_many(start_ms))
+        if recs
+        else start_ms
+    )
+    start_strs = to_rfc3339_many(start_parsed) if recs else []
+    end_strs = to_rfc3339_many(end_ms) if recs else []
     rows = []
-    for r in t.to_pylist():
+    for r, s_ms, s_str, e_ms, e_str in zip(
+        recs, start_parsed, start_strs, end_ms, end_strs
+    ):
         status = {"ok": 200, "not_found": 404, "robots_denied": 0}.get(
             r["status"], 0
         )
@@ -225,12 +256,15 @@ def export_lineage_json(ckpt: "CheckpointStore", out_path: str) -> int:
                     "method": "GET",
                 },
                 "response": {"status_code": status},
-                "start_at": int(r["sched_start_ms"]),
-                "end_at": int(r["sched_end_ms"]),
-                "request_duration": f"{max(0, r['sched_end_ms'] - r['sched_start_ms'])}ms",
+                "start_at": s_str,
+                "end_at": e_str,
+                "request_duration": durafmt_ms(max(0, int(e_ms) - int(s_ms))),
+                "_start_ms": int(r["sched_start_ms"]),
             }
         )
-    rows.sort(key=lambda x: (x["start_at"] if x["start_at"] >= 0 else 1 << 60, x["id"]))
+    rows.sort(key=lambda x: (x["_start_ms"] if x["_start_ms"] >= 0 else 1 << 60, x["id"]))
+    for x in rows:
+        del x["_start_ms"]
     tmp = out_path + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         _json.dump(rows, f, indent="\t")

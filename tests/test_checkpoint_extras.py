@@ -40,6 +40,20 @@ def test_manifest_stats_and_json_export():
     assert row["request"]["method"] == "GET"
     statuses = {d["response"]["status_code"] for d in data}
     assert 200 in statuses and 404 in statuses
-    # fetched requests are sorted by virtual start time
-    starts = [d["start_at"] for d in data if d["start_at"] >= 0]
+    # M18 contract: start_at/end_at are RFC3339 (time.Time marshal) on
+    # the fixed virtual epoch; duration is a durafmt string; the start
+    # instant roundtripped through Go's UnixDate layout (second
+    # resolution), so it never carries a fractional part
+    import re
+
+    rfc = re.compile(r"^2006-01-0\dT\d\d:\d\d:\d\d(\.\d+)?Z$")
+    for d in data:
+        assert rfc.match(d["start_at"]) and rfc.match(d["end_at"])
+        assert "." not in d["start_at"]
+        assert re.match(r"^(\d+ \w+ ?)+$", d["request_duration"])
+    # fetched requests are sorted by virtual start time (RFC3339 on one
+    # epoch sorts lexicographically; robots-denied rows sort last)
+    starts = [
+        d["start_at"] for d in data if d["response"]["status_code"] != 0
+    ]
     assert starts == sorted(starts)

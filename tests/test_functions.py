@@ -100,3 +100,47 @@ def test_reference_regex_parity_amazon():
     assert ex.search(dp) and pr.search(dp)
     assert ex.search("https://www.amazon.com/s?k=discos")
     assert not pr.search("https://www.amazon.com/s?k=discos")
+
+
+def test_m18_timestamp_kernels():
+    """M18: UnixDate format/parse roundtrip (scraper.go:119,126), RFC3339
+    marshal, durafmt strings, Comment.Date zero-time repr (item.go:326)."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from gocrawler_ray.functions.times import (
+        ZERO_COMMENT_DATE,
+        durafmt_ms,
+        format_comment_date_many,
+        format_unixdate_many,
+        parse_unixdate_many,
+        to_rfc3339_many,
+    )
+
+    ms = np.array([0, 999, 1000, 61_123, 86_400_000])
+    u = format_unixdate_many(ms)
+    assert u[0] == "Mon Jan  2 15:04:05 UTC 2006"  # the layout instant
+    # roundtrip truncates to seconds exactly like Go's UnixDate layout
+    assert (parse_unixdate_many(u) == ms // 1000 * 1000).all()
+
+    r = to_rfc3339_many(ms)
+    assert list(r[:3]) == [
+        "2006-01-02T15:04:05Z",
+        "2006-01-02T15:04:05.999Z",
+        "2006-01-02T15:04:06Z",
+    ]
+
+    assert durafmt_ms(0) == "0 milliseconds"
+    assert durafmt_ms(1) == "1 millisecond"
+    assert durafmt_ms(61_123) == "1 minute 1 second 123 milliseconds"
+    assert durafmt_ms(7 * 24 * 3_600_000) == "1 week"
+
+    assert list(format_comment_date_many(2)) == [ZERO_COMMENT_DATE] * 2
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.integers(0, 10**10), min_size=1, max_size=20))
+    def roundtrip(vals):
+        a = np.array(vals, dtype=np.int64)
+        assert (parse_unixdate_many(format_unixdate_many(a)) == a // 1000 * 1000).all()
+
+    roundtrip()

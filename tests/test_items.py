@@ -38,7 +38,8 @@ def _oracle_item(doc_id, spans):
             if p is not None:
                 price = p
         elif s["kind"] == "review":
-            a, st, ti, c = s["text"].split(REVIEW_SEP)
+            # field 5 (review-date text) is read and discarded (amazon.go:255)
+            a, st, ti, c = s["text"].split(REVIEW_SEP)[:4]
             reviews.append(
                 (ti, normalize_review(c), a, float(st.split()[0]))
             )
@@ -70,6 +71,8 @@ def test_items_pipeline_matches_oracle():
         for g, (ti, c, a, st) in zip(got["reviews"], reviews):
             n_reviews += 1
             assert (g["title"], g["content"], g["author"], g["stars"]) == (ti, c, a, st)
+            # Comment.Date never populated (amazon.go:255) → Go zero time
+            assert g["date"] == "1 Jan 0001 00:00:00"
             # deterministic enrichment stub
             h = hashlib.md5(c.encode()).digest()[0]
             assert g["sentiment"] == SENTIMENTS[h % 4]

@@ -62,6 +62,7 @@ def test_parse_items_positional_semantics():
             "content": "megustomucho",
             "author": "ana",
             "stars": 4.5,
+            "date": "1 Jan 0001 00:00:00",
         }
     ]
     assert out["id"] == item_id("Producto Uno", "Synth")
