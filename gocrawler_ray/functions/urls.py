@@ -70,6 +70,60 @@ def absolutize(base_url: str, href: str) -> str:
     return urljoin(base_url, href)
 
 
+def absolutize_many(srcs: np.ndarray, hrefs: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`absolutize` over object arrays (M4 hot path).
+
+    The link-extraction stage resolves every href of every fetched page;
+    a per-row ``urljoin`` is the single hottest Python loop in the crawl.
+    The three shapes that cover real link corpora are vectorized with
+    pandas str kernels — byte-equal to ``urljoin`` on those shapes — and
+    anything unusual (``?``/``#``/dot-segment refs, protocol-relative,
+    non-hierarchical bases) falls back to per-row ``urljoin``:
+
+    - absolute (``http…``): passthrough;
+    - root-relative (``/path``): origin(src) + href;
+    - plain relative (``page.aspx?sku=…``): dirname(src) + href.
+    """
+    import pandas as pd
+
+    href_s = pd.Series(hrefs, dtype=object)
+    src_s = pd.Series(srcs, dtype=object)
+    out = href_s.copy()
+
+    is_abs = href_s.str.startswith("http")
+    rel = ~is_abs
+    if not rel.any():
+        return out.to_numpy(dtype=object)
+
+    # vector-eligible: base has a path slash after scheme://host, href
+    # is not a query/fragment/dot-segment/protocol-relative reference
+    base_ok = src_s.str.match(r"^[a-z]+://[^/]+/")
+    odd = (
+        (href_s.str.len() == 0)  # empty ref resolves to the base itself
+        | href_s.str.match(r"^(//|[?#.])")
+        | href_s.str.contains(r"(?:^|/)\.\.?(?:/|$)", regex=True)
+    )
+    vec = rel & base_ok & ~odd
+
+    rooted = vec & href_s.str.startswith("/")
+    if rooted.any():
+        origin = src_s[rooted].str.replace(
+            r"^([a-z]+://[^/]+).*$", r"\1", regex=True
+        )
+        out[rooted] = origin + href_s[rooted]
+    plain = vec & ~href_s.str.startswith("/")
+    if plain.any():
+        basedir = src_s[plain].str.replace(r"[^/]*$", "", regex=True)
+        out[plain] = basedir + href_s[plain]
+
+    slow = rel & ~vec
+    if slow.any():
+        out[slow] = [
+            urljoin(s, h) for s, h in zip(src_s[slow], href_s[slow])
+        ]
+    return out.to_numpy(dtype=object)
+
+
 def host_of(url: str) -> str:
     return urlsplit(url).netloc
 

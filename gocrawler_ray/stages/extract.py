@@ -441,10 +441,11 @@ def extract_links(batch: pa.Table) -> pa.Table:
     hrefs = flat.field("media_ref").to_pandas().to_numpy()[l_np]
     anchors = flat.field("text").to_pandas().to_numpy()[l_np]
     srcs = doc_ids[doc_idx[l_np]]
-    # fast path: absolute hrefs pass through; relative ones urljoin
-    urls = np.empty(hrefs.size, dtype=object)
-    for i, (src, href) in enumerate(zip(srcs, hrefs)):
-        urls[i] = href if href.startswith("http") else absolutize(src, href)
+    # vectorized absolutization (M4): pandas str kernels for the common
+    # shapes, per-row urljoin only for odd references
+    from ..functions.urls import absolutize_many
+
+    urls = absolutize_many(srcs, hrefs)
     return pa.Table.from_arrays(
         [
             pa.array(urls, type=pa.string()),

@@ -144,3 +144,37 @@ def test_m18_timestamp_kernels():
         assert (parse_unixdate_many(format_unixdate_many(a)) == a // 1000 * 1000).all()
 
     roundtrip()
+
+
+def test_absolutize_many_matches_urljoin():
+    """Vectorized M4 kernel is byte-equal to per-row urljoin, including
+    the odd shapes that take the fallback path."""
+    import numpy as np
+    from urllib.parse import urljoin
+
+    from gocrawler_ray.functions.urls import absolutize_many
+
+    cases = [
+        ("https://a.mx/shop/cat.aspx?x=1", "det.aspx?sku=42"),
+        ("https://a.mx/shop/cat.aspx", "/rooted/path?q=1"),
+        ("https://a.mx/shop/sub/dir/page", "sibling.html#frag"),
+        ("https://a.mx/shop/cat.aspx", "https://other.mx/abs"),
+        ("https://a.mx/shop/cat.aspx", "?onlyquery=1"),
+        ("https://a.mx/shop/cat.aspx", "#frag"),
+        ("https://a.mx/shop/a/b/c", "../up.html"),
+        ("https://a.mx/shop/a/b/c", "./here.html"),
+        ("https://a.mx/shop/a/b/c", "x/../y.html"),
+        ("https://a.mx", "nopath.html"),          # base without path slash
+        ("https://a.mx/shop/", "//proto.mx/rel"),  # protocol-relative
+        ("https://a.mx/shop/page", ""),
+        ("http://a.mx/p", "det.aspx"),
+    ]
+    srcs = np.array([c[0] for c in cases], dtype=object)
+    hrefs = np.array([c[1] for c in cases], dtype=object)
+    got = absolutize_many(srcs, hrefs)
+    want = [urljoin(s, h) if not h.startswith("http") else h for s, h in cases]
+    assert list(got) == want
+
+    # empty input
+    z = np.zeros(0, dtype=object)
+    assert list(absolutize_many(z, z)) == []
