@@ -75,53 +75,54 @@ def absolutize_many(srcs: np.ndarray, hrefs: np.ndarray) -> np.ndarray:
 
     The link-extraction stage resolves every href of every fetched page;
     a per-row ``urljoin`` is the single hottest Python loop in the crawl.
-    The three shapes that cover real link corpora are vectorized with
-    pandas str kernels — byte-equal to ``urljoin`` on those shapes — and
-    anything unusual (``?``/``#``/dot-segment refs, protocol-relative,
+    The three shapes that cover real link corpora run on Arrow compute
+    kernels — byte-equal to ``urljoin`` on those shapes — and anything
+    unusual (empty/``?``/``#``/dot-segment refs, protocol-relative,
     non-hierarchical bases) falls back to per-row ``urljoin``:
 
     - absolute (``http…``): passthrough;
     - root-relative (``/path``): origin(src) + href;
     - plain relative (``page.aspx?sku=…``): dirname(src) + href.
     """
-    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    href_s = pd.Series(hrefs, dtype=object)
-    src_s = pd.Series(srcs, dtype=object)
-    out = href_s.copy()
+    n = len(hrefs)
+    if n == 0:
+        return np.asarray(hrefs, dtype=object)
+    href_a = pa.array(hrefs, type=pa.string())
+    src_a = pa.array(srcs, type=pa.string())
 
-    is_abs = href_s.str.startswith("http")
-    rel = ~is_abs
-    if not rel.any():
-        return out.to_numpy(dtype=object)
-
+    is_abs = pc.starts_with(href_a, "http")
     # vector-eligible: base has a path slash after scheme://host, href
     # is not a query/fragment/dot-segment/protocol-relative reference
-    base_ok = src_s.str.match(r"^[a-z]+://[^/]+/")
-    odd = (
-        (href_s.str.len() == 0)  # empty ref resolves to the base itself
-        | href_s.str.match(r"^(//|[?#.])")
-        | href_s.str.contains(r"(?:^|/)\.\.?(?:/|$)", regex=True)
+    base_ok = pc.match_substring_regex(src_a, r"^[a-z]+://[^/]+/")
+    odd = pc.or_(
+        pc.equal(pc.utf8_length(href_a), 0),
+        pc.or_(
+            pc.match_substring_regex(href_a, r"^(//|[?#.])"),
+            pc.match_substring_regex(href_a, r"(^|/)\.\.?(/|$)"),
+        ),
     )
-    vec = rel & base_ok & ~odd
+    vec = pc.and_(pc.and_(pc.invert(is_abs), base_ok), pc.invert(odd))
+    rooted = pc.starts_with(href_a, "/")
 
-    rooted = vec & href_s.str.startswith("/")
-    if rooted.any():
-        origin = src_s[rooted].str.replace(
-            r"^([a-z]+://[^/]+).*$", r"\1", regex=True
-        )
-        out[rooted] = origin + href_s[rooted]
-    plain = vec & ~href_s.str.startswith("/")
-    if plain.any():
-        basedir = src_s[plain].str.replace(r"[^/]*$", "", regex=True)
-        out[plain] = basedir + href_s[plain]
+    origin = pc.replace_substring_regex(src_a, r"^([a-z]+://[^/]+).*$", r"\1")
+    basedir = pc.replace_substring_regex(src_a, r"[^/]*$", "")
+    base = pc.if_else(rooted, origin, basedir)
+    joined = pc.binary_join_element_wise(base, href_a, "")
 
-    slow = rel & ~vec
+    out_a = pc.if_else(is_abs, href_a, pc.if_else(vec, joined, pa.nulls(n, pa.string())))
+    out = out_a.to_numpy(zero_copy_only=False)
+
+    slow = pc.and_(pc.invert(is_abs), pc.invert(vec)).to_numpy(zero_copy_only=False)
     if slow.any():
-        out[slow] = [
-            urljoin(s, h) for s, h in zip(src_s[slow], href_s[slow])
-        ]
-    return out.to_numpy(dtype=object)
+        idx = np.flatnonzero(slow)
+        s_np = np.asarray(srcs, dtype=object)
+        h_np = np.asarray(hrefs, dtype=object)
+        for i in idx:
+            out[i] = urljoin(s_np[i], h_np[i])
+    return out
 
 
 def host_of(url: str) -> str:

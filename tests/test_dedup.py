@@ -41,6 +41,16 @@ def test_exact_dedup():
     assert "d000" in set(out["doc_id"])
 
 
+def test_exact_dedup_join_fallback_matches_broadcast():
+    # broadcast_limit=0 forces the keeper set over the limit → the
+    # hash-join scale path; results must be identical
+    ds = rd.from_items(_docs())
+    fast = exact_dedup(ds, "text").to_pandas()
+    slow = exact_dedup(ds, "text", broadcast_limit=0).to_pandas()
+    assert sorted(fast["doc_id"]) == sorted(slow["doc_id"])
+    assert sorted(fast.columns) == sorted(slow.columns)
+
+
 def test_minhash_similarity_tracks_jaccard():
     texts = pd.Series([BASE, BASE.replace("lazy", "sleepy"), "totally different words here now"])
     sig = minhash_signatures(texts, num_perm=128, k=3)
