@@ -246,6 +246,12 @@ def run_crawl(
 
 
 def _links_of_wave(ckpt: CheckpointStore, wave: int, next_depth: int) -> rd.Dataset:
+    # Ray may log "RefBundle with a different schema … new schema: ."
+    # on waves where some task emits zero rows: every UDF here returns a
+    # schema-ful (possibly empty) table, but Ray 2.49's output buffer
+    # drops the schema of 0-row UDF outputs and builds a zero-column
+    # block (verified against ray.data internals). Cosmetic — the
+    # downstream consumers read per-block schemas, never the bundle's.
     # block count = the wave's task parallelism (batches are per-block)
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
     docs = ckpt.read_docs(wave, override_num_blocks=max(4, n_cpus))
