@@ -179,19 +179,15 @@ def run_scaling() -> dict:
     # pre-generate + index the scaling corpus at FULL parallelism here —
     # otherwise the first (2-CPU) child would pay a 2-CPU generation
     n_docs = int(os.environ.get("GRAFT_SCALING_DOCS", _SCALING_DOCS))
-    _init_ray(NUM_CPUS)
-    paths, _ = _corpus(n_docs)
-    import pyarrow.parquet as pq
-
-    from gocrawler_ray.stages.fetcher import build_corpus_index_cached
-
-    build_corpus_index_cached(
-        pq.read_table(paths["corpus"]),
-        os.path.join(os.path.dirname(paths["hosts"]), "corpus_index.npz"),
+    # pre-generate in a SUBPROCESS: the parent must hold neither the
+    # corpus table nor a Ray session while the timed legs run — a parent
+    # pinning ~3 GB measurably depresses the memory-bound 8-CPU leg
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--pregen"],
+        check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        capture_output=True,
     )
-    import ray
-
-    ray.shutdown()
 
     def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -232,9 +228,28 @@ def run_scaling() -> dict:
     }
 
 
+def run_pregen() -> dict:
+    """Generate + index the scaling corpus at full parallelism (child of
+    --scaling; isolates the big allocations from the timed legs)."""
+    n_docs = int(os.environ.get("GRAFT_SCALING_DOCS", _SCALING_DOCS))
+    _init_ray(NUM_CPUS)
+    paths, _ = _corpus(n_docs)
+    import pyarrow.parquet as pq
+
+    from gocrawler_ray.stages.fetcher import build_corpus_index_cached
+
+    build_corpus_index_cached(
+        pq.read_table(paths["corpus"]),
+        os.path.join(os.path.dirname(paths["hosts"]), "corpus_index.npz"),
+    )
+    return {"metric": "pregen", "value": n_docs, "unit": "docs"}
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         result = run_scaling()
+    elif "--pregen" in sys.argv:
+        result = run_pregen()
     elif "--headline-only" in sys.argv:
         result = run_headline_only()
     else:

@@ -87,15 +87,26 @@ def absolutize_many(srcs: np.ndarray, hrefs: np.ndarray) -> np.ndarray:
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    n = len(hrefs)
-    if n == 0:
-        return np.asarray(hrefs, dtype=object)
-    href_a = pa.array(hrefs, type=pa.string())
-    src_a = pa.array(srcs, type=pa.string())
+    h_np = np.asarray(hrefs, dtype=object)
+    if h_np.size == 0:
+        return h_np
+    out = h_np.copy()  # absolute hrefs (the majority) pass through
+    href_all = pa.array(h_np, type=pa.string())
+    rel_idx = np.flatnonzero(
+        pc.invert(pc.starts_with(href_all, "http")).to_numpy(zero_copy_only=False)
+    )
+    if rel_idx.size == 0:
+        return out
 
-    is_abs = pc.starts_with(href_a, "http")
+    # every heavy kernel below runs ONLY over the relative subset — the
+    # full-array variant moves ~2.5× the bytes and binds on memory
+    # bandwidth at high parallelism
+    s_np = np.asarray(srcs, dtype=object)
+    href_a = pa.array(h_np[rel_idx], type=pa.string())
+    src_a = pa.array(s_np[rel_idx], type=pa.string())
+
     # vector-eligible: base has a path slash after scheme://host, href
-    # is not a query/fragment/dot-segment/protocol-relative reference
+    # is not an empty/query/fragment/dot-segment/protocol-relative ref
     base_ok = pc.match_substring_regex(src_a, r"^[a-z]+://[^/]+/")
     odd = pc.or_(
         pc.equal(pc.utf8_length(href_a), 0),
@@ -104,24 +115,21 @@ def absolutize_many(srcs: np.ndarray, hrefs: np.ndarray) -> np.ndarray:
             pc.match_substring_regex(href_a, r"(^|/)\.\.?(/|$)"),
         ),
     )
-    vec = pc.and_(pc.and_(pc.invert(is_abs), base_ok), pc.invert(odd))
-    rooted = pc.starts_with(href_a, "/")
+    vec = pc.and_(base_ok, pc.invert(odd)).to_numpy(zero_copy_only=False)
 
-    origin = pc.replace_substring_regex(src_a, r"^([a-z]+://[^/]+).*$", r"\1")
-    basedir = pc.replace_substring_regex(src_a, r"[^/]*$", "")
-    base = pc.if_else(rooted, origin, basedir)
-    joined = pc.binary_join_element_wise(base, href_a, "")
+    if vec.any():
+        v_href = pc.array_filter(href_a, pa.array(vec))
+        v_src = pc.array_filter(src_a, pa.array(vec))
+        rooted = pc.starts_with(v_href, "/")
+        origin = pc.replace_substring_regex(v_src, r"^([a-z]+://[^/]+).*$", r"\1")
+        basedir = pc.replace_substring_regex(v_src, r"[^/]*$", "")
+        base = pc.if_else(rooted, origin, basedir)
+        joined = pc.binary_join_element_wise(base, v_href, "")
+        out[rel_idx[vec]] = joined.to_numpy(zero_copy_only=False)
 
-    out_a = pc.if_else(is_abs, href_a, pc.if_else(vec, joined, pa.nulls(n, pa.string())))
-    out = out_a.to_numpy(zero_copy_only=False)
-
-    slow = pc.and_(pc.invert(is_abs), pc.invert(vec)).to_numpy(zero_copy_only=False)
-    if slow.any():
-        idx = np.flatnonzero(slow)
-        s_np = np.asarray(srcs, dtype=object)
-        h_np = np.asarray(hrefs, dtype=object)
-        for i in idx:
-            out[i] = urljoin(s_np[i], h_np[i])
+    slow = rel_idx[~vec]
+    for i in slow:
+        out[i] = urljoin(s_np[i], h_np[i])
     return out
 
 

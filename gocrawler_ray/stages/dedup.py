@@ -104,6 +104,8 @@ def exact_dedup(
         if total > broadcast_limit:
             break
 
+    if total == 0:
+        return ds  # empty input: nothing to drop
     if total <= broadcast_limit:
         keep_ref = ray.put(pa.concat_arrays(
             [c for ch in chunks for c in ch.chunks]

@@ -41,6 +41,11 @@ def test_exact_dedup():
     assert "d000" in set(out["doc_id"])
 
 
+def test_exact_dedup_empty_input():
+    ds = rd.from_items(_docs()).filter(lambda r: False)
+    assert exact_dedup(ds, "text").count() == 0
+
+
 def test_exact_dedup_join_fallback_matches_broadcast():
     # broadcast_limit=0 forces the keeper set over the limit → the
     # hash-join scale path; results must be identical
