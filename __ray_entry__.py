@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q.q_fingerprint,
         "ivf_topk": q.q_ivf_topk,
         "embedding_near_dup": q.q_embedding_near_dup,
+        "sessionize": q.q_sessionize,
+        "asof_join": q.q_asof_join,
         "multimodal_decode": q.q_multimodal_decode,
     }
 
@@ -364,6 +366,32 @@ SELECT a.vec_id AS a, b.vec_id AS b
 FROM aug a JOIN aug b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.99
+""",
+        # gap-based session windows (6h): lag() break flags → cumulative
+        # session ids → per-session aggregates; identity (user_id,
+        # session_start), matching stages/temporal.py::sessionize
+        "sessionize": """
+WITH e AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM e)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid
+""",
+        # backward as-of join: latest order (by o_orderdate, max
+        # o_orderkey on ties) at-or-before each event's ts, left join
+        "asof_join": """
+SELECT event_id, user_id, ts, o_orderkey, o_totalprice FROM (
+  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e
+  LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+) WHERE rn = 1
 """,
         # hash-derived fake decode (stages/multimodal.py): dims/format from
         # md5 of the payload (= the text bytes), resize = half-up round

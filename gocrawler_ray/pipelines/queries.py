@@ -725,6 +725,48 @@ def q_embedding_near_dup(sf_dir: str):
     )
 
 
+def q_sessionize(sf_dir: str):
+    """Gap-based session windows (6 h) over the events stream — the
+    hash-bucket co-located, vectorized multi-user kernel
+    (stages/temporal.py); oracle = DuckDB lag()/cumulative-sum window
+    sessions. Session identity is (user_id, session_start)."""
+    from ..stages.temporal import sessionize
+
+    ev = _pq(sf_dir, "events", columns=["user_id", "ts", "value"])
+    out = sessionize(ev, gap_us=6 * 3600 * 1_000_000)
+
+    # np.round, not pc.round: Arrow's kernel lands on a different ULP
+    # than DuckDB/numpy decimal rounding and fails the value-hash gate
+    def round6(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("sum_value")
+        return t.set_column(
+            i, "sum_value",
+            pa.array(np.round(t.column("sum_value").to_numpy(), 6)),
+        )
+
+    return out.map_batches(round6, batch_format="pyarrow")
+
+
+def q_asof_join(sf_dir: str):
+    """Backward as-of join: each event picks the latest order of the
+    same user at-or-before its timestamp (point-in-time feature join);
+    ties on o_orderdate resolve to the max o_orderkey. One bucket
+    shuffle, pd.merge_asof kernel per bucket (stages/temporal.py)."""
+    from ..stages.temporal import asof_join
+
+    ev = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = _pq(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"]
+    )
+    return asof_join(
+        ev, orders,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+        right_tiebreak="o_orderkey",
+    )
+
+
 def q_multimodal_decode(sf_dir: str):
     from ..stages.multimodal import DecodeImage, ResizePlan, synth_media_table
 

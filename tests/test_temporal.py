@@ -1,0 +1,108 @@
+"""Temporal operators: session windows + backward as-of join
+(stages/temporal.py) — edge semantics pinned against hand-computed
+expectations: gap EXACTLY equal (no break), strictly greater (break),
+timestamp ties, no-match left rows, and bucket-boundary independence
+(every user's rows co-locate whole, so results are invariant in
+num_buckets)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from gocrawler_ray.stages.temporal import asof_join, sessionize
+
+TS = pd.Timestamp("2024-03-01 00:00:00")
+M = pd.Timedelta(minutes=1)
+
+
+def _sessions(df, gap_min, buckets=4):
+    out = (
+        sessionize(
+            rd.from_pandas(df), gap_us=gap_min * 60 * 1_000_000,
+            num_buckets=buckets,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    return list(
+        out[["user_id", "session_start", "session_end", "n_events", "sum_value"]]
+        .itertuples(index=False, name=None)
+    )
+
+
+def test_sessionize_gap_semantics():
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            # deltas: exactly 30min (NO break: rule is strictly >), then
+            # 30min+1µs (break)
+            "ts": [TS, TS + 30 * M, TS + 30 * M + pd.Timedelta(minutes=30, microseconds=1), TS],
+            "value": [1.0, 2.0, 4.0, 8.0],
+        }
+    )
+    assert _sessions(df, 30) == [
+        (1, TS, TS + 30 * M, 2, 3.0),
+        (1, TS + pd.Timedelta(minutes=60, microseconds=1),
+         TS + pd.Timedelta(minutes=60, microseconds=1), 1, 4.0),
+        (2, TS, TS, 1, 8.0),
+    ]
+
+
+@pytest.mark.parametrize("buckets", [1, 3, 16])
+def test_sessionize_bucket_invariance(buckets):
+    rng = np.random.default_rng(7)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 40, n),
+            "ts": TS + pd.to_timedelta(rng.integers(0, 10**7, n), unit="s"),
+            "value": rng.random(n),
+        }
+    )
+    base = _sessions(df, 60, buckets=4)
+    got = _sessions(df, 60, buckets=buckets)
+    assert [(u, s, e, c) for u, s, e, c, _ in base] == [
+        (u, s, e, c) for u, s, e, c, _ in got
+    ]
+    assert np.allclose(
+        [v for *_, v in base], [v for *_, v in got], rtol=0, atol=1e-9
+    )
+
+
+def test_asof_join_ties_and_no_match():
+    ev = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2],
+            "user_id": [1, 1, 3],
+            "ts": [TS - M, TS, TS],
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_custkey": [1, 1],
+            "o_orderdate": [TS, TS],  # tie: max o_orderkey must win
+            "o_orderkey": [7, 9],
+            "o_totalprice": [70.0, 90.0],
+        }
+    )
+    out = (
+        asof_join(
+            rd.from_pandas(ev), rd.from_pandas(orders),
+            left_key="user_id", right_key="o_custkey",
+            left_ts="ts", right_ts="o_orderdate",
+            right_cols=["o_orderkey", "o_totalprice"],
+            right_tiebreak="o_orderkey", num_buckets=2,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert out["o_orderkey"].isna().tolist() == [True, False, True]
+    assert out.loc[1, "o_orderkey"] == 9  # exact-ts match, tie → max key
+    assert out.loc[1, "o_totalprice"] == 90.0
+    assert list(out.columns) == [
+        "event_id", "user_id", "ts", "o_orderkey", "o_totalprice"
+    ]
