@@ -144,6 +144,8 @@ def run_bench() -> dict:
     timed("exact_dedup", q.q_exact_dedup)
     timed("minhash_pairs", q.q_minhash_pairs)
     timed("embedding_topk", q.q_embedding_topk)
+    timed("sessionize", q.q_sessionize)
+    timed("asof_join", q.q_asof_join)
     timed("items_parse", q.q_items_parse)
 
     value = round(

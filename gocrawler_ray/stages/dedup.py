@@ -3,12 +3,13 @@
 Beyond the reference's exact URL dedup (SURVEY §2.7), the operators a
 100 TB document pipeline needs, each Ray-Data-first:
 
-- **exact**: content-hash partition → first-per-group
-  (``groupby(hash).map_groups(head(1))`` after a vectorized hash column);
+- **exact**: vectorized content-hash column → Min-id aggregate →
+  broadcast keeper-id filter (hash-join fallback past the broadcast cap);
 - **MinHash + LSH**: shingle → minhash signature (vectorized
   ``np.minimum.reduceat`` over flattened token hashes) → band rows →
-  ``groupby(band_id, band_hash)`` → candidate pairs → exact-Jaccard
-  verify → connected components (min-label propagation) → keep min doc;
+  sort by the single fused ``band_key`` → candidate pairs →
+  exact-Jaccard verify → connected components (min-label propagation)
+  → keep min doc;
 - **SimHash**: 64-bit sign-sum fingerprint, hamming-bucket candidates;
 - **n-gram Jaccard**: exact verifier used by both near-dup paths;
 - **embedding near-dup**: cosine ≥ τ via random-hyperplane LSH buckets
@@ -197,27 +198,33 @@ class MinHasher:
 
 
 def band_rows(batch: pa.Table, num_perm: int, bands: int) -> pa.Table:
-    """Explode signatures to (band_id, band_hash, doc_id) LSH rows."""
+    """Explode signatures to (band_key, doc_id) LSH rows.
+
+    ``band_key`` folds the band index INTO the 64-bit band hash (one
+    more FNV mix step) instead of shipping a separate band_id column —
+    the band exchange is the biggest shuffle of the op, and one uint64
+    column halves its payload. A cross-band key collision merely creates
+    an extra candidate pair, which the exact-Jaccard verify discards, so
+    correctness is unaffected.
+    """
     n = batch.num_rows
     ids = batch.column("doc_id")
     sigs = np.frombuffer(
         b"".join(batch.column("minhash").to_pylist()), dtype=np.uint64
     ).reshape(n, num_perm)
     r = num_perm // bands
-    band_ids = np.repeat(np.arange(bands, dtype=np.int32), n)
     doc_rep = np.tile(np.arange(n), bands)
-    hashes = np.empty(bands * n, dtype=np.uint64)
+    keys = np.empty(bands * n, dtype=np.uint64)
     for bnd in range(bands):
         chunk = sigs[:, bnd * r : (bnd + 1) * r]
         # mix the band slice into one 64-bit hash
         h = np.zeros(n, dtype=np.uint64)
         for j in range(r):
             h = h * np.uint64(1099511628211) + chunk[:, j]
-        hashes[bnd * n : (bnd + 1) * n] = h
+        keys[bnd * n : (bnd + 1) * n] = h * np.uint64(1099511628211) + np.uint64(bnd)
     return pa.table(
         {
-            "band_id": pa.array(band_ids),
-            "band_hash": pa.array(hashes),
+            "band_key": pa.array(keys),
             "doc_id": ids.take(pa.array(doc_rep, pa.int64())),
         }
     )
@@ -252,8 +259,8 @@ def _pairs_from_group_df(df: pd.DataFrame, bucket_cap: int) -> list[tuple]:
 
 
 def _bucket_pairs(bands_ds: rd.Dataset, bucket_cap: int) -> pd.DataFrame:
-    """Candidate pairs from (band_id, band_hash, doc_id) rows WITHOUT a
-    per-group ``map_groups`` pass.
+    """Candidate pairs from (band_key, doc_id) rows WITHOUT a per-group
+    ``map_groups`` pass.
 
     ``groupby().map_groups`` pays ~1ms of Python per GROUP; LSH band
     buckets are mostly singletons, so a 10M-doc corpus would spend
@@ -263,19 +270,18 @@ def _bucket_pairs(bands_ds: rd.Dataset, bucket_cap: int) -> pd.DataFrame:
     edge spill their raw rows (first/last key group per block — O(blocks
     × bucket) rows) and are paired on the driver after regrouping.
     """
-    srt = bands_ds.sort(["band_id", "band_hash"])
+    srt = bands_ds.sort("band_key")
 
     def block_pairs(t: pa.Table) -> pd.DataFrame:
         df = t.to_pandas()
         n = len(df)
         if not n:
-            return pd.DataFrame({"a": [], "b": [], "capped": [], "band_id": [], "band_hash": []})
-        bid = df["band_id"].to_numpy()
-        bh = df["band_hash"].to_numpy()
+            return pd.DataFrame({"a": [], "b": [], "capped": [], "band_key": []})
+        bh = df["band_key"].to_numpy()
         docs = df["doc_id"].to_numpy()
         change = np.empty(n, dtype=bool)
         change[0] = True
-        change[1:] = (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])
+        change[1:] = bh[1:] != bh[:-1]
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], n)
         sizes = ends - starts
@@ -300,8 +306,10 @@ def _bucket_pairs(bands_ds: rd.Dataset, bucket_cap: int) -> pd.DataFrame:
         out = pd.DataFrame(pairs, columns=["a", "b", "capped"]) if pairs else pd.DataFrame(
             {"a": [], "b": [], "capped": []}
         )
-        out["band_id"] = np.int32(-1)
-        out["band_hash"] = np.uint64(0)
+        # interior pair rows carry a placeholder key; the is_spill flag
+        # (not the key) partitions the driver-side regroup
+        out["band_key"] = np.uint64(0)
+        out["is_spill"] = False
         if spill_idx:
             rows = np.concatenate(spill_idx)
             sp = pd.DataFrame(
@@ -309,8 +317,8 @@ def _bucket_pairs(bands_ds: rd.Dataset, bucket_cap: int) -> pd.DataFrame:
                     "a": docs[rows],
                     "b": None,
                     "capped": np.int8(0),
-                    "band_id": bid[rows],
-                    "band_hash": bh[rows],
+                    "band_key": bh[rows],
+                    "is_spill": True,
                 }
             )
             out = pd.concat([out, sp], ignore_index=True)
@@ -319,10 +327,10 @@ def _bucket_pairs(bands_ds: rd.Dataset, bucket_cap: int) -> pd.DataFrame:
     raw = srt.map_batches(block_pairs, batch_format="pyarrow", batch_size=None).to_pandas()
     if not len(raw):
         return pd.DataFrame({"a": [], "b": [], "capped": []})
-    interior = raw[raw["band_id"] == -1][["a", "b", "capped"]]
-    boundary = raw[raw["band_id"] != -1]
+    interior = raw[~raw["is_spill"]][["a", "b", "capped"]]
+    boundary = raw[raw["is_spill"]]
     extra: list[tuple] = []
-    for _, g in boundary.groupby(["band_id", "band_hash"], sort=False):
+    for _, g in boundary.groupby("band_key", sort=False):
         extra.extend(_pairs_from_group_df(g.rename(columns={"a": "doc_id"}), bucket_cap))
     if extra:
         interior = pd.concat(
@@ -631,7 +639,11 @@ def simhash_near_dup(
     def to_bands(t: pa.Table) -> pa.Table:
         h = simhash64(t.column(col).to_pandas())
         m = len(h)
-        band_ids = np.repeat(np.arange(n_bands, dtype=np.int32), m)
+        # band_key = band bits | band index above them — exact (bits <
+        # 2^band_bits), one uint64 through the shuffle
+        band_ids = np.repeat(
+            np.arange(n_bands, dtype=np.uint64) << np.uint64(band_bits), m
+        )
         bits = np.concatenate(
             [(h >> np.uint64(b * band_bits)) & mask for b in range(n_bands)]
         )
@@ -639,8 +651,7 @@ def simhash_near_dup(
         rep = np.tile(np.arange(m), n_bands)
         return pa.table(
             {
-                "band_id": pa.array(band_ids),
-                "band_hash": pa.array(bits),
+                "band_key": pa.array(bits | band_ids),
                 "doc_id": ids.take(pa.array(rep, pa.int64())),
             }
         )
