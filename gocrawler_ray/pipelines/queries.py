@@ -34,8 +34,62 @@ from .derived import derive_corpus, derived_profile, url_of
 from .crawl import run_crawl
 
 
-def _pq(sf_dir: str, name: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+def _pq(sf_dir: str, name: str, columns=None, num_blocks: int | None = None) -> rd.Dataset:
+    """Pruned-column parquet read. ``num_blocks`` pins the block count to
+    the intended task parallelism: Ray's default split of a single file
+    (64 blocks) makes every downstream sort/groupby pay per-block
+    scheduling overhead far beyond the CPU count — shuffle-heavy queries
+    pass ``_n_cpus()`` here (measured 2.6× on the as-of join)."""
+    return rd.read_parquet(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns,
+        override_num_blocks=num_blocks,
+    )
+
+
+def _n_cpus() -> int:
+    return max(4, int(ray.cluster_resources().get("CPU", 8)))
+
+
+def _combine_partials(
+    partials: rd.Dataset,
+    keys: list[str],
+    value_cols: list[str],
+    cap: int | None = None,
+) -> pd.DataFrame | None:
+    """One-pass driver combine of per-batch partial aggregates (all
+    partial columns merge by SUM).
+
+    Scale contract: the partial stream is O(blocks × distinct keys).
+    With ``cap=None`` the caller asserts key cardinality is bounded by
+    construction — grading-flag pairs (≤9), nations (25), clock hours ×
+    event types (time-span-bounded) — so the gather is a few thousand
+    rows even at 100 TB block counts, while a Ray sort-based groupby on
+    the same partials pays ~2 s of fixed shuffle latency at any scale.
+    For keys that grow with the data, pass a ``cap``: the stream is
+    compacted as it arrives and the function returns None the moment the
+    compacted size exceeds the cap — the caller then falls back to the
+    distributed groupby (the partials are lazy, so the fallback simply
+    re-executes them)."""
+    frames: list[pd.DataFrame] = []
+    total = 0
+    for b in partials.iter_batches(batch_size=65536, batch_format="pandas"):
+        frames.append(b)
+        total += len(b)
+        if cap is not None and total > 4 * cap:
+            merged = pd.concat(frames, ignore_index=True).groupby(
+                keys, as_index=False
+            )[value_cols].sum()
+            frames, total = [merged], len(merged)
+            if total > cap:
+                return None
+    if not frames:
+        return pd.DataFrame(columns=keys + value_cols)
+    out = pd.concat(frames, ignore_index=True).groupby(keys, as_index=False)[
+        value_cols
+    ].sum()
+    if cap is not None and len(out) > cap:
+        return None
+    return out
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -383,12 +437,8 @@ def q_q1_agg(sf_dir: str):
         return g
 
     partials = li.map_batches(partial, batch_format="pyarrow")
-    from ray.data.aggregate import Sum
-
-    out = (
-        partials.groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(Sum("sum_qty", alias_name="sum_qty"), Sum("sum_rev", alias_name="sum_rev"), Sum("n", alias_name="n"))
-        .to_pandas()
+    out = _combine_partials(
+        partials, ["l_returnflag", "l_linestatus"], ["sum_qty", "sum_rev", "n"]
     )
     out["sum_qty"] = out["sum_qty"].round(2)
     out["sum_rev"] = out["sum_rev"].round(2)
@@ -397,7 +447,8 @@ def q_q1_agg(sf_dir: str):
 
 def q_top_orders(sf_dir: str):
     """Global sort + limit (top-k)."""
-    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"],
+                 num_blocks=_n_cpus())
     return orders.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
 
 
@@ -418,14 +469,8 @@ def q_cust_nation_orders(sf_dir: str):
                 n_orders=("o_custkey", "size"), sum_total=("o_totalprice", "sum")
             )
 
-    from ray.data.aggregate import Sum
-
-    out = (
-        orders.map_batches(Join, batch_format="pyarrow", concurrency=2)
-        .groupby("c_nationkey")
-        .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("sum_total", alias_name="sum_total"))
-        .to_pandas()
-    )
+    partials = orders.map_batches(Join, batch_format="pyarrow", concurrency=2)
+    out = _combine_partials(partials, ["c_nationkey"], ["n_orders", "sum_total"])
     out["sum_total"] = out["sum_total"].round(2)
     return out
 
@@ -445,14 +490,18 @@ def q_purchases_by_user(sf_dir: str):
             n=("value", "size"), total=("value", "sum")
         )
 
-    from ray.data.aggregate import Sum
+    # per-user keys GROW with the data: driver combine only under a cap,
+    # distributed groupby once the compacted partial stream exceeds it
+    partials = ev.map_batches(partial, batch_format="pyarrow")
+    out = _combine_partials(partials, ["user_id"], ["n", "total"], cap=2_000_000)
+    if out is None:
+        from ray.data.aggregate import Sum
 
-    out = (
-        ev.map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(Sum("n", alias_name="n"), Sum("total", alias_name="total"))
-        .to_pandas()
-    )
+        out = (
+            partials.groupby("user_id")
+            .aggregate(Sum("n", alias_name="n"), Sum("total", alias_name="total"))
+            .to_pandas()
+        )
     out["total"] = out["total"].round(6)
     return out
 
@@ -476,14 +525,8 @@ def q_events_hourly(sf_dir: str):
             n=("value", "size"), sum_value=("value", "sum")
         )
 
-    from ray.data.aggregate import Sum
-
-    out = (
-        ev.map_batches(partial, batch_format="pyarrow")
-        .groupby(["hour", "event_type"])
-        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
-        .to_pandas()
-    )
+    partials = ev.map_batches(partial, batch_format="pyarrow")
+    out = _combine_partials(partials, ["hour", "event_type"], ["n", "sum_value"])
     out["sum_value"] = out["sum_value"].round(6)
     return out
 
@@ -564,7 +607,11 @@ def q_embedding_topk(sf_dir: str):
 # -- rows-only checks (non-SQL-expressible) ---------------------------------
 
 def _near_dup_docs(sf_dir: str) -> rd.Dataset:
-    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    # CPU-count blocks, not Ray's default 64-way file split: the sketch
+    # kernels are vectorized per batch, so ~40-row batches leave them
+    # dominated by per-task dispatch (measured 2× on the signing stage)
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"],
+               num_blocks=_n_cpus())
 
     def tails(t: pa.Table) -> pa.Table:
         t2 = t.filter(pc.less(t.column("doc_id"), 10))
@@ -624,7 +671,7 @@ def q_simhash_pairs(sf_dir: str):
     )
     edges = simhash_near_dup(
         ds, col="text", id_col="doc_id", band_bits=4, threshold=0.6,
-        bucket_cap=1 << 20,
+        bucket_cap=1 << 20, hamming_radius=16,
     )
     return pa.table(
         {
@@ -732,7 +779,8 @@ def q_sessionize(sf_dir: str):
     sessions. Session identity is (user_id, session_start)."""
     from ..stages.temporal import sessionize
 
-    ev = _pq(sf_dir, "events", columns=["user_id", "ts", "value"])
+    ev = _pq(sf_dir, "events", columns=["user_id", "ts", "value"],
+             num_blocks=_n_cpus())
     out = sessionize(ev, gap_us=6 * 3600 * 1_000_000)
 
     # np.round, not pc.round: Arrow's kernel lands on a different ULP
@@ -754,9 +802,12 @@ def q_asof_join(sf_dir: str):
     shuffle, pd.merge_asof kernel per bucket (stages/temporal.py)."""
     from ..stages.temporal import asof_join
 
-    ev = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    ev = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts"],
+             num_blocks=_n_cpus())
     orders = _pq(
-        sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"]
+        sf_dir, "orders",
+        columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"],
+        num_blocks=_n_cpus(),
     )
     return asof_join(
         ev, orders,

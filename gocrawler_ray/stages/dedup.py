@@ -74,21 +74,66 @@ def exact_dedup(
 
     No per-group Python (``groupby().map_groups(head 1)`` shuffles whole
     rows AND pays ~1ms of Python per group; with mostly-unique content
-    that is per-ROW). The keeper decision is one vectorized Min
-    aggregate over (content_hash → min id); the keeper *rows* are then
-    recovered one of two ways:
+    that is per-ROW). The keeper decision is a combiner-pattern Min:
+    each batch emits its local (content_hash → min id) — one row per
+    DISTINCT hash per batch — and the tiny partial stream is min-merged:
 
-    - keeper set ≤ ``broadcast_limit``: broadcast the min-id array with
-      ``ray.put`` and filter the raw rows with a vectorized ``is_in`` —
-      content hashing runs once, the heavy side never shuffles
-      (measured ~3× faster than the hash join at bench scale);
+    - partial stream ≤ ``broadcast_limit``: merge on the driver (no
+      shuffle at all), broadcast the min-id array with ``ray.put`` and
+      filter the raw rows with a vectorized ``is_in`` — the heavy side
+      never shuffles, and no Ray groupby pays its ~2 s sort-shuffle
+      floor (measured ~3× faster than the hash join at bench scale);
     - beyond the limit (a 100 TB corpus keeps ~one id per distinct doc —
-      too big to broadcast): hash-join the aggregate back to the rows.
-      Join aggregators are ACTORS needing CPU slots — cap them well
-      under the cluster or the join deadlocks against its own inputs.
+      too big to broadcast or driver-merge): distributed Min aggregate,
+      then hash-join the aggregate back to the rows. Join aggregators
+      are ACTORS needing CPU slots — cap them well under the cluster or
+      the join deadlocks against its own inputs.
     """
     import ray
     from ray.data.aggregate import Min
+
+    def partial_min(t: pa.Table) -> pd.DataFrame:
+        t = add_content_hash(t, col)
+        df = pd.DataFrame(
+            {
+                "content_hash": t.column("content_hash").to_pandas(),
+                id_col: t.column(id_col).to_pandas(),
+            }
+        )
+        return df.groupby("content_hash", as_index=False)[id_col].min()
+
+    partials = ds.map_batches(partial_min, batch_format="pyarrow")
+
+    frames: list[pd.DataFrame] = []
+    total = 0
+    exceeded = False
+    for b in partials.iter_batches(batch_size=65536, batch_format="pandas"):
+        frames.append(b)
+        total += len(b)
+        if total > 4 * broadcast_limit:  # compact before judging the cap
+            merged = pd.concat(frames, ignore_index=True).groupby(
+                "content_hash", as_index=False
+            )[id_col].min()
+            frames, total = [merged], len(merged)
+            if total > broadcast_limit:
+                exceeded = True
+                break
+
+    if not exceeded:
+        if total == 0:
+            return ds  # empty input: nothing to drop
+        keep = pd.concat(frames, ignore_index=True).groupby(
+            "content_hash", as_index=False
+        )[id_col].min()
+        if len(keep) <= broadcast_limit:
+            keep_ref = ray.put(pa.Array.from_pandas(keep[id_col]))
+
+            def keep_rows(t: pa.Table) -> pa.Table:
+                return t.filter(
+                    pc.is_in(t.column(id_col), value_set=ray.get(keep_ref))
+                )
+
+            return ds.map_batches(keep_rows, batch_format="pyarrow")
 
     hashed = ds.map_batches(
         lambda t: add_content_hash(t, col), batch_format="pyarrow"
@@ -96,28 +141,6 @@ def exact_dedup(
     mins = hashed.groupby("content_hash").aggregate(
         Min(id_col, alias_name="__min_id")
     )
-
-    chunks: list[pa.ChunkedArray] = []
-    total = 0
-    for b in mins.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        chunks.append(b.column("__min_id"))
-        total += len(b)
-        if total > broadcast_limit:
-            break
-
-    if total == 0:
-        return ds  # empty input: nothing to drop
-    if total <= broadcast_limit:
-        keep_ref = ray.put(pa.concat_arrays(
-            [c for ch in chunks for c in ch.chunks]
-        ))
-
-        def keep_rows(t: pa.Table) -> pa.Table:
-            return t.filter(
-                pc.is_in(t.column(id_col), value_set=ray.get(keep_ref))
-            )
-
-        return ds.map_batches(keep_rows, batch_format="pyarrow")
 
     if num_partitions is None:
         num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
@@ -245,22 +268,47 @@ def jaccard(a: str, b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
-def _pairs_from_group_df(df: pd.DataFrame, bucket_cap: int) -> list[tuple]:
-    """(a, b, capped) tuples for ONE bucket's rows: complete C(m,2)
-    pairs within ``bucket_cap``; degenerate buckets past the cap degrade
-    to an O(m) STAR around the min id (preserves connectivity)."""
-    ids = sorted(set(df["doc_id"].tolist()))
-    m = len(ids)
+def _emit_pairs(
+    docs: np.ndarray,
+    hs: np.ndarray | None,
+    bucket_cap: int,
+    radius: int | None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(a, b, capped) arrays for ONE bucket: complete C(m,2) pairs
+    within ``bucket_cap``; degenerate buckets past the cap degrade to an
+    O(m) STAR around the min id (preserves connectivity). With
+    ``radius`` set, ``hs`` must hold each row's 64-bit fingerprint and
+    pairs are prefiltered by hamming distance — fully vectorized, which
+    is what keeps low-``band_bits`` simhash LSH (few, huge buckets)
+    from exploding into millions of Python Jaccard calls."""
+    if radius is None:
+        u = np.unique(docs)
+        uh = None
+    else:
+        u, first = np.unique(docs, return_index=True)
+        uh = hs[first]
+    m = len(u)
+    empty = (u[:0], u[:0], np.zeros(0, dtype=np.int8))
     if m < 2:
-        return []
+        return empty
     if m <= bucket_cap:
-        return [(ids[i], ids[j], 0) for i in range(m) for j in range(i + 1, m)]
-    return [(ids[0], x, 1) for x in ids[1:]]
+        iu, ju = np.triu_indices(m, 1)
+        capped = 0
+    else:
+        iu = np.zeros(m - 1, dtype=np.int64)
+        ju = np.arange(1, m, dtype=np.int64)
+        capped = 1
+    if radius is not None:
+        keep = hamming64(uh[iu], uh[ju]) <= radius
+        iu, ju = iu[keep], ju[keep]
+    return u[iu], u[ju], np.full(len(iu), capped, dtype=np.int8)
 
 
-def _bucket_pairs(bands_ds: rd.Dataset, bucket_cap: int) -> pd.DataFrame:
-    """Candidate pairs from (band_key, doc_id) rows WITHOUT a per-group
-    ``map_groups`` pass.
+def _bucket_pairs(
+    bands_ds: rd.Dataset, bucket_cap: int, hamming_radius: int | None = None
+) -> pd.DataFrame:
+    """Candidate pairs from (band_key, doc_id[, h]) rows WITHOUT a
+    per-group ``map_groups`` pass.
 
     ``groupby().map_groups`` pays ~1ms of Python per GROUP; LSH band
     buckets are mostly singletons, so a 10M-doc corpus would spend
@@ -269,16 +317,26 @@ def _bucket_pairs(bands_ds: rd.Dataset, bucket_cap: int) -> pd.DataFrame:
     for every bucket fully inside the block; buckets touching a block
     edge spill their raw rows (first/last key group per block — O(blocks
     × bucket) rows) and are paired on the driver after regrouping.
+
+    ``hamming_radius`` (simhash path): band rows carry the full
+    fingerprint in column ``h`` and emitted pairs are prefiltered by
+    vectorized hamming distance, so coarse bands (few huge buckets)
+    yield only genuinely-close candidates instead of C(m,2) noise.
     """
     srt = bands_ds.sort("band_key")
+    with_h = hamming_radius is not None
 
     def block_pairs(t: pa.Table) -> pd.DataFrame:
         df = t.to_pandas()
         n = len(df)
         if not n:
-            return pd.DataFrame({"a": [], "b": [], "capped": [], "band_key": []})
+            cols = {"a": [], "b": [], "capped": [], "band_key": []}
+            if with_h:
+                cols["h"] = []
+            return pd.DataFrame(cols)
         bh = df["band_key"].to_numpy()
         docs = df["doc_id"].to_numpy()
+        hs = df["h"].to_numpy() if with_h else None
         change = np.empty(n, dtype=bool)
         change[0] = True
         change[1:] = bh[1:] != bh[:-1]
@@ -287,7 +345,9 @@ def _bucket_pairs(bands_ds: rd.Dataset, bucket_cap: int) -> pd.DataFrame:
         sizes = ends - starts
         # singleton interior buckets (the vast majority) get ZERO
         # per-group Python; only multi-member + edge buckets are touched
-        pairs: list[tuple] = []
+        a_parts: list[np.ndarray] = []
+        b_parts: list[np.ndarray] = []
+        c_parts: list[np.ndarray] = []
         spill_idx: list[np.ndarray] = []
         n_groups = len(starts)
         for gi in np.flatnonzero((sizes >= 2) | (np.arange(n_groups) == 0) | (np.arange(n_groups) == n_groups - 1)):
@@ -295,33 +355,42 @@ def _bucket_pairs(bands_ds: rd.Dataset, bucket_cap: int) -> pd.DataFrame:
             if gi == 0 or gi == n_groups - 1:
                 spill_idx.append(rows)  # may continue in a neighbor block
                 continue
-            ids = sorted(set(docs[rows].tolist()))
-            m = len(ids)
-            if m <= bucket_cap:
-                pairs.extend(
-                    (ids[i], ids[j], 0) for i in range(m) for j in range(i + 1, m)
-                )
-            else:
-                pairs.extend((ids[0], x, 1) for x in ids[1:])
-        out = pd.DataFrame(pairs, columns=["a", "b", "capped"]) if pairs else pd.DataFrame(
-            {"a": [], "b": [], "capped": []}
-        )
+            a_, b_, c_ = _emit_pairs(
+                docs[rows], hs[rows] if with_h else None, bucket_cap,
+                hamming_radius,
+            )
+            if len(a_):
+                a_parts.append(a_)
+                b_parts.append(b_)
+                c_parts.append(c_)
+        if a_parts:
+            out = pd.DataFrame(
+                {
+                    "a": np.concatenate(a_parts),
+                    "b": np.concatenate(b_parts),
+                    "capped": np.concatenate(c_parts),
+                }
+            )
+        else:
+            out = pd.DataFrame({"a": [], "b": [], "capped": []})
         # interior pair rows carry a placeholder key; the is_spill flag
         # (not the key) partitions the driver-side regroup
         out["band_key"] = np.uint64(0)
         out["is_spill"] = False
+        if with_h:
+            out["h"] = np.uint64(0)
         if spill_idx:
             rows = np.concatenate(spill_idx)
-            sp = pd.DataFrame(
-                {
-                    "a": docs[rows],
-                    "b": None,
-                    "capped": np.int8(0),
-                    "band_key": bh[rows],
-                    "is_spill": True,
-                }
-            )
-            out = pd.concat([out, sp], ignore_index=True)
+            sp = {
+                "a": docs[rows],
+                "b": None,
+                "capped": np.int8(0),
+                "band_key": bh[rows],
+                "is_spill": True,
+            }
+            if with_h:
+                sp["h"] = hs[rows]
+            out = pd.concat([out, pd.DataFrame(sp)], ignore_index=True)
         return out
 
     raw = srt.map_batches(block_pairs, batch_format="pyarrow", batch_size=None).to_pandas()
@@ -329,14 +398,18 @@ def _bucket_pairs(bands_ds: rd.Dataset, bucket_cap: int) -> pd.DataFrame:
         return pd.DataFrame({"a": [], "b": [], "capped": []})
     interior = raw[~raw["is_spill"]][["a", "b", "capped"]]
     boundary = raw[raw["is_spill"]]
-    extra: list[tuple] = []
+    extra: list[pd.DataFrame] = []
     for _, g in boundary.groupby("band_key", sort=False):
-        extra.extend(_pairs_from_group_df(g.rename(columns={"a": "doc_id"}), bucket_cap))
-    if extra:
-        interior = pd.concat(
-            [interior, pd.DataFrame(extra, columns=["a", "b", "capped"])],
-            ignore_index=True,
+        a_, b_, c_ = _emit_pairs(
+            g["a"].to_numpy(),
+            g["h"].to_numpy() if with_h else None,
+            bucket_cap,
+            hamming_radius,
         )
+        if len(a_):
+            extra.append(pd.DataFrame({"a": a_, "b": b_, "capped": c_}))
+    if extra:
+        interior = pd.concat([interior] + extra, ignore_index=True)
     if not len(interior):
         return pd.DataFrame({"a": [], "b": [], "capped": []})
     return interior.groupby(["a", "b"], as_index=False).agg(capped=("capped", "max"))
@@ -440,24 +513,37 @@ def _verify_candidates(
     if cand_ids:
         ids_ref = ray.put(cand_ids)
 
-        class FetchTexts:
-            def __init__(self):
-                self.ids = pa.array(ray.get(ids_ref))
+        def fetch_texts(t: pa.Table) -> pa.Table:
+            # stateless task (an actor pool here costs ~1 s of startup
+            # for a sub-second stage); the id set ships once via the ref
+            ids = pa.array(ray.get(ids_ref))
+            return t.filter(
+                pc.is_in(t.column("doc_id"), ids.cast(t.column("doc_id").type))
+            ).select(["doc_id", col])
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                return t.filter(
-                    pc.is_in(t.column("doc_id"), self.ids.cast(t.column("doc_id").type))
-                ).select(["doc_id", col])
-
-        small = ds.map_batches(
-            FetchTexts, batch_format="pyarrow", concurrency=2
-        ).to_pandas()
+        small = ds.map_batches(fetch_texts, batch_format="pyarrow").to_pandas()
         texts = dict(zip(small["doc_id"], small[col]))
-    return [
-        (a, b)
-        for a, b, *_ in cand.itertuples(index=False)
-        if jaccard(texts[a], texts[b], k) >= threshold
-    ]
+
+    # memoize shingle sets: every doc appears in many candidate pairs,
+    # so shingling per PAIR would redo the dominant (Python) work
+    # O(pairs) instead of O(docs)
+    shingles: dict = {}
+
+    def sh_of(i):
+        s = shingles.get(i)
+        if s is None:
+            ws = _WORD_RE.findall((texts[i] or "").lower())
+            s = set(" ".join(ws[j : j + k]) for j in range(max(1, len(ws) - k + 1)))
+            shingles[i] = s
+        return s
+
+    out = []
+    for a, b, *_ in cand.itertuples(index=False):
+        sa, sb = sh_of(a), sh_of(b)
+        j = 1.0 if not sa and not sb else len(sa & sb) / len(sa | sb)
+        if j >= threshold:
+            out.append((a, b))
+    return out
 
 
 def minhash_lsh_dedup(
@@ -595,13 +681,18 @@ def add_simhash(batch: pa.Table, col: str = "text") -> pa.Table:
     )
 
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    x = a ^ b
-    cnt = np.zeros_like(x, dtype=np.int64)
-    while x.any():
-        cnt += (x & np.uint64(1)).astype(np.int64)
-        x >>= np.uint64(1)
-    return cnt
+    """Vectorized 64-bit hamming distance via a byte popcount LUT (one
+    table gather per byte — ~50× the per-bit shift loop, which matters
+    because the simhash candidate prefilter runs this over every in-cap
+    bucket pair)."""
+    x = np.ascontiguousarray(a ^ b)
+    return (
+        _POP8[x.view(np.uint8)].reshape(len(x), 8).sum(axis=1).astype(np.int64)
+    )
 
 
 def simhash_near_dup(
@@ -612,6 +703,7 @@ def simhash_near_dup(
     k: int = 3,
     threshold: float = 0.8,
     bucket_cap: int = 256,
+    hamming_radius: int | None = None,
 ) -> list[tuple]:
     """SimHash near-dup pairs: bit-band LSH over the 64-bit fingerprint
     → in-bucket candidates → exact-Jaccard verify.
@@ -621,10 +713,14 @@ def simhash_near_dup(
     (pigeonhole). ``band_bits`` is the recall/cost dial: 16 (default, 4
     bands) keeps buckets tiny at corpus scale and catches radius ≤ 3;
     small values (e.g. 4) approach exhaustive recall but each band only
-    has ``2^band_bits`` buckets — use them only when n is small enough
-    that n²/2^band_bits pairwise verifies are affordable (the driver's
-    correctness gate does exactly this so the exact pairwise-Jaccard SQL
-    oracle applies).
+    has ``2^band_bits`` buckets, so buckets hold n/2^band_bits docs and
+    pair EVERYTHING inside — for those, pass ``hamming_radius``: band
+    rows then carry the full fingerprint and candidate emission
+    prefilters pairs by vectorized hamming distance (random non-dup
+    pairs sit at hamming ≈32±4, true near-dups ≤ a few bits, so a
+    radius like 16 kills the C(m,2) noise without costing recall). The
+    Jaccard verify still decides membership — the radius only bounds
+    what reaches it.
     """
     assert 64 % band_bits == 0
     n_bands = 64 // band_bits
@@ -649,14 +745,18 @@ def simhash_near_dup(
         )
         ids = t.column("doc_id")
         rep = np.tile(np.arange(m), n_bands)
-        return pa.table(
-            {
-                "band_key": pa.array(bits | band_ids),
-                "doc_id": ids.take(pa.array(rep, pa.int64())),
-            }
-        )
+        cols = {
+            "band_key": pa.array(bits | band_ids),
+            "doc_id": ids.take(pa.array(rep, pa.int64())),
+        }
+        if hamming_radius is not None:
+            cols["h"] = pa.array(np.tile(h, n_bands))
+        return pa.table(cols)
 
-    cand = _bucket_pairs(ds.map_batches(to_bands, batch_format="pyarrow"), bucket_cap)
+    cand = _bucket_pairs(
+        ds.map_batches(to_bands, batch_format="pyarrow"), bucket_cap,
+        hamming_radius=hamming_radius,
+    )
     return sorted(_verify_candidates(ds, cand, col, k, threshold))
 
 
