@@ -273,6 +273,8 @@ def _emit_pairs(
     hs: np.ndarray | None,
     bucket_cap: int,
     radius: int | None,
+    band_idx: int | None = None,
+    band_bits: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(a, b, capped) arrays for ONE bucket: complete C(m,2) pairs
     within ``bucket_cap``; degenerate buckets past the cap degrade to an
@@ -280,7 +282,16 @@ def _emit_pairs(
     ``radius`` set, ``hs`` must hold each row's 64-bit fingerprint and
     pairs are prefiltered by hamming distance — fully vectorized, which
     is what keeps low-``band_bits`` simhash LSH (few, huge buckets)
-    from exploding into millions of Python Jaccard calls."""
+    from exploding into millions of Python Jaccard calls.
+
+    With ``band_idx``/``band_bits`` also set (uncapped buckets only), a
+    pair is emitted ONLY from the first band where its fingerprints
+    collide (lowest zero ``band_bits``-wide field of ``a XOR b`` —
+    decidable locally from the two fingerprints, no cross-band state).
+    Every colliding pair has a unique first band, so the global pair
+    stream is duplicate-free without any shuffle or driver-side
+    regroup; multiplicity otherwise approaches the band count for true
+    near-dups."""
     if radius is None:
         u = np.unique(docs)
         uh = None
@@ -301,11 +312,64 @@ def _emit_pairs(
     if radius is not None:
         keep = hamming64(uh[iu], uh[ju]) <= radius
         iu, ju = iu[keep], ju[keep]
+        if band_idx is not None and not capped and len(iu):
+            x = uh[iu] ^ uh[ju]
+            mask = np.uint64((1 << band_bits) - 1)
+            first_band = np.full(len(x), 255, dtype=np.uint8)
+            for j in reversed(range(64 // band_bits)):
+                z = ((x >> np.uint64(j * band_bits)) & mask) == 0
+                first_band[z] = j
+            sel = first_band == band_idx
+            iu, ju = iu[sel], ju[sel]
     return u[iu], u[ju], np.full(len(iu), capped, dtype=np.int8)
 
 
+def _coarse_band_pairs(
+    bands_ds: rd.Dataset,
+    bucket_cap: int,
+    hamming_radius: int | None,
+    band_bits: int,
+) -> rd.Dataset:
+    """Candidate (a, b, capped) pairs for the coarse-band (simhash)
+    regime: at most ``n_bands × 2^band_bits`` fat buckets, so per-GROUP
+    dispatch cost is negligible and ``groupby().map_groups`` pairs every
+    bucket inside one parallel task — nothing spills to a driver-side
+    regroup. Stays a Dataset: callers verify with ``map_batches``
+    without ever pulling the pair list to the driver. (The sorted-block
+    scan in :func:`_bucket_pairs` exists for the opposite regime:
+    millions of near-singleton minhash buckets.)"""
+    with_h = hamming_radius is not None
+
+    def group_pairs(t: pa.Table) -> pa.Table:
+        a_, b_, c_ = _emit_pairs(
+            t.column("doc_id").to_numpy(zero_copy_only=False),
+            t.column("h").to_numpy() if with_h else None,
+            bucket_cap,
+            hamming_radius,
+            band_idx=int(t.column("band_key")[0].as_py()) >> band_bits,
+            band_bits=band_bits,
+        )
+        # explicit types: an all-singleton group emits 0 rows, and
+        # inference would type those columns null → schema drift
+        id_type = t.column("doc_id").type
+        return pa.table(
+            {
+                "a": pa.array(a_, type=id_type),
+                "b": pa.array(b_, type=id_type),
+                "capped": pa.array(c_, type=pa.int8()),
+            }
+        )
+
+    return bands_ds.groupby("band_key").map_groups(
+        group_pairs, batch_format="pyarrow"
+    )
+
+
 def _bucket_pairs(
-    bands_ds: rd.Dataset, bucket_cap: int, hamming_radius: int | None = None
+    bands_ds: rd.Dataset,
+    bucket_cap: int,
+    hamming_radius: int | None = None,
+    band_bits: int | None = None,
 ) -> pd.DataFrame:
     """Candidate pairs from (band_key, doc_id[, h]) rows WITHOUT a
     per-group ``map_groups`` pass.
@@ -323,8 +387,26 @@ def _bucket_pairs(
     vectorized hamming distance, so coarse bands (few huge buckets)
     yield only genuinely-close candidates instead of C(m,2) noise.
     """
-    srt = bands_ds.sort("band_key")
     with_h = hamming_radius is not None
+
+    if band_bits is not None:
+        # coarse-band path (simhash): at most n_bands × 2^band_bits fat
+        # buckets, so per-GROUP dispatch cost is negligible and
+        # groupby().map_groups beats the sorted-block scan — every
+        # bucket is paired inside one parallel task, nothing spills to
+        # the driver. (The sorted-block path below exists for the
+        # opposite regime: millions of near-singleton minhash buckets.)
+        raw = _coarse_band_pairs(
+            bands_ds, bucket_cap, hamming_radius, band_bits
+        ).to_pandas()
+        if not len(raw):
+            return pd.DataFrame({"a": [], "b": [], "capped": []})
+        if not raw["capped"].any():
+            # first-band emission already made pairs globally unique
+            return raw.reset_index(drop=True)
+        return raw.groupby(["a", "b"], as_index=False).agg(capped=("capped", "max"))
+
+    srt = bands_ds.sort("band_key")
 
     def block_pairs(t: pa.Table) -> pd.DataFrame:
         df = t.to_pandas()
@@ -499,51 +581,95 @@ def components_minlabel(edges_ds: rd.Dataset, num_partitions: int = 16) -> rd.Da
             return labels
 
 
+def _jaccard_keep(
+    a_ids: list, b_ids: list, sets: dict, threshold: float
+) -> np.ndarray:
+    """Per-pair exact Jaccard over pre-hashed sorted-unique shingle
+    arrays: an O(|A|+|B|) sorted intersection per pair (C-speed
+    ``intersect1d``), no Python set ops in the loop body. Pairs whose
+    set sizes already violate J ≤ min(|A|,|B|)/max(|A|,|B|) < threshold
+    short-circuit before paying the intersection (lossless)."""
+    keep = np.zeros(len(a_ids), dtype=bool)
+    for i in range(len(a_ids)):
+        sa, sb = sets[a_ids[i]], sets[b_ids[i]]
+        na, nb = sa.size, sb.size
+        if min(na, nb) < threshold * max(na, nb):
+            continue
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = na + nb - inter
+        keep[i] = True if union == 0 else (inter / union) >= threshold
+    return keep
+
+
+def _candidate_shingle_sets(
+    ds: rd.Dataset, cand_ids: list, col: str, k: int
+) -> dict:
+    """{doc_id: sorted-unique uint64 shingle-hash array} for CANDIDATE
+    ids only (<< corpus by the LSH guarantee). Texts are fetched with
+    one streaming pass over ``ds`` (the id set ships once via
+    ``ray.put``), then hashed in ONE vectorized ``hash_array`` pass over
+    the flattened grams. Shingle identity is by 64-bit hash — a
+    cross-doc collision altering a Jaccard value needs ~2^32 shingles
+    per pair, so exactness holds at any realistic doc size."""
+    import ray
+
+    ids_ref = ray.put(cand_ids)
+
+    def fetch_texts(t: pa.Table) -> pa.Table:
+        # stateless task (an actor pool here costs ~1 s of startup
+        # for a sub-second stage); the id set ships once via the ref
+        ids = pa.array(ray.get(ids_ref))
+        return t.filter(
+            pc.is_in(t.column("doc_id"), ids.cast(t.column("doc_id").type))
+        ).select(["doc_id", col])
+
+    small = ds.map_batches(fetch_texts, batch_format="pyarrow").to_pandas()
+    flat, lengths = _shingles_of(small[col].fillna(""), k)
+    starts = np.zeros(len(small), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    return {
+        d: np.unique(flat[starts[i] : starts[i] + lengths[i]])
+        for i, d in enumerate(small["doc_id"].to_numpy())
+    }
+
+
 def _verify_candidates(
     ds: rd.Dataset, cand: pd.DataFrame, col: str, k: int, threshold: float
 ) -> list[tuple]:
-    """Exact-Jaccard verify of candidate pairs. Texts are fetched for
-    CANDIDATE ids only (<< corpus by the LSH guarantee); the id set
-    ships once via ``ray.put``, each fetch task filters its blocks
-    against it."""
+    """Exact-Jaccard verify of a driver-side candidate pair frame (the
+    minhash path, where LSH at a high threshold keeps the pair list
+    small). Small sets verify on the driver; large ones fan out over
+    Ray in fixed-size blocks with the shingle map shipped once."""
     import ray
 
-    cand_ids = sorted(set(cand["a"]) | set(cand["b"])) if len(cand) else []
-    texts: dict = {}
-    if cand_ids:
-        ids_ref = ray.put(cand_ids)
+    if not len(cand):
+        return []
+    cand_ids = sorted(set(cand["a"]) | set(cand["b"]))
+    sets = _candidate_shingle_sets(ds, cand_ids, col, k)
 
-        def fetch_texts(t: pa.Table) -> pa.Table:
-            # stateless task (an actor pool here costs ~1 s of startup
-            # for a sub-second stage); the id set ships once via the ref
-            ids = pa.array(ray.get(ids_ref))
-            return t.filter(
-                pc.is_in(t.column("doc_id"), ids.cast(t.column("doc_id").type))
-            ).select(["doc_id", col])
+    a_ids, b_ids = cand["a"].tolist(), cand["b"].tolist()
+    if len(cand) <= 16384:
+        keep = _jaccard_keep(a_ids, b_ids, sets, threshold)
+        return [(a_ids[i], b_ids[i]) for i in np.flatnonzero(keep)]
 
-        small = ds.map_batches(fetch_texts, batch_format="pyarrow").to_pandas()
-        texts = dict(zip(small["doc_id"], small[col]))
+    # large candidate sets: fan out in ~16k-pair blocks (sliced
+    # zero-copy) with the shingle map broadcast once
+    sets_ref = ray.put(sets)
+    tbl = pa.table({"a": pa.array(a_ids), "b": pa.array(b_ids)})
+    step = 16384
+    blocks = [tbl.slice(o, step) for o in range(0, len(tbl), step)]
 
-    # memoize shingle sets: every doc appears in many candidate pairs,
-    # so shingling per PAIR would redo the dominant (Python) work
-    # O(pairs) instead of O(docs)
-    shingles: dict = {}
+    def verify_batch(t: pa.Table) -> pa.Table:
+        sm = ray.get(sets_ref)
+        a, b = t.column("a").to_pylist(), t.column("b").to_pylist()
+        return t.filter(pa.array(_jaccard_keep(a, b, sm, threshold)))
 
-    def sh_of(i):
-        s = shingles.get(i)
-        if s is None:
-            ws = _WORD_RE.findall((texts[i] or "").lower())
-            s = set(" ".join(ws[j : j + k]) for j in range(max(1, len(ws) - k + 1)))
-            shingles[i] = s
-        return s
-
-    out = []
-    for a, b, *_ in cand.itertuples(index=False):
-        sa, sb = sh_of(a), sh_of(b)
-        j = 1.0 if not sa and not sb else len(sa & sb) / len(sa | sb)
-        if j >= threshold:
-            out.append((a, b))
-    return out
+    kept = (
+        rd.from_arrow(blocks)
+        .map_batches(verify_batch, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    return list(zip(kept["a"], kept["b"]))
 
 
 def minhash_lsh_dedup(
@@ -753,11 +879,46 @@ def simhash_near_dup(
             cols["h"] = pa.array(np.tile(h, n_bands))
         return pa.table(cols)
 
-    cand = _bucket_pairs(
-        ds.map_batches(to_bands, batch_format="pyarrow"), bucket_cap,
-        hamming_radius=hamming_radius,
-    )
-    return sorted(_verify_candidates(ds, cand, col, k, threshold))
+    bands_ds = ds.map_batches(to_bands, batch_format="pyarrow")
+    if hamming_radius is None:
+        # fine-band regime: near-singleton buckets, sorted-block scan
+        cand = _bucket_pairs(bands_ds, bucket_cap)
+        return sorted(_verify_candidates(ds, cand, col, k, threshold))
+
+    import ray
+
+    # coarse-band regime: candidates stay a DATASET end to end — the
+    # pair list (O(n²/buckets) before the hamming prefilter) never
+    # lands on the driver; only the verified near-dup edges do.
+    # Materialized once because three consumers read it (unique ids ×2,
+    # verify) — it is LSH-bounded, not corpus-sized.
+    cand_ds = _coarse_band_pairs(
+        bands_ds, bucket_cap, hamming_radius, band_bits
+    ).materialize()
+    if not cand_ds.count():
+        return []
+    if cand_ds.max("capped"):
+        # capped star pairs may duplicate first-band pairs — rare
+        # (degenerate buckets only); dedupe on the driver
+        cand = (
+            cand_ds.to_pandas()
+            .groupby(["a", "b"], as_index=False)
+            .agg(capped=("capped", "max"))
+        )
+        return sorted(_verify_candidates(ds, cand, col, k, threshold))
+
+    cand_ids = sorted(set(cand_ds.unique("a")) | set(cand_ds.unique("b")))
+    sets_ref = ray.put(_candidate_shingle_sets(ds, cand_ids, col, k))
+
+    def verify_batch(t: pa.Table) -> pa.Table:
+        sm = ray.get(sets_ref)
+        a, b = t.column("a").to_pylist(), t.column("b").to_pylist()
+        return t.filter(pa.array(_jaccard_keep(a, b, sm, threshold)))
+
+    kept = cand_ds.map_batches(
+        verify_batch, batch_format="pyarrow", batch_size=16384
+    ).to_pandas()
+    return sorted(zip(kept["a"], kept["b"]))
 
 
 # ---------------------------------------------------------------------------
