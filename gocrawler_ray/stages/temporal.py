@@ -120,6 +120,7 @@ def asof_join(
     right_cols: list[str],
     right_tiebreak: str,
     num_buckets: int = 32,
+    broadcast_limit: int = 2_000_000,
 ) -> rd.Dataset:
     """Backward as-of join: for every left row, attach ``right_cols``
     from the LATEST right row of the same key with ``right_ts ≤
@@ -129,11 +130,24 @@ def asof_join(
     no match keep typed nulls (left join). ``right_tiebreak`` must be in
     ``right_cols``; ``right_cols`` must not collide with left columns.
 
-    Per bucket the kernel is ``pd.merge_asof(by=key)`` — the C
+    The kernel everywhere is ``pd.merge_asof(by=key)`` — the C
     merge-join over both sides sorted by timestamp (among equal
     timestamps it takes the LAST right row, hence the tie-break sort).
-    One shuffle total (the bucket groupby); neither side is broadcast,
-    so a right side far bigger than one node's memory still streams.
+    Two execution paths:
+
+    - right row count ≤ ``broadcast_limit``: the right side is pulled
+      once, sorted, and broadcast via ``ray.put``; every LEFT batch
+      joins against the cached sorted right in a map-only actor stage —
+      NO shuffle at all. This is the dominant point-in-time feature
+      join shape (a huge event stream against a dimension-sized right),
+      and it skips Ray's ~2 s groupby sort-shuffle floor entirely. The
+      partitioning assumption is that the right side fits one actor's
+      heap (rows × width), same as any broadcast join.
+    - bigger right: hash-bucket co-location — both sides take a
+      ``bucket = hash(key) % P`` column, ONE union+groupby shuffle
+      co-locates each key's rows, and the kernel runs per bucket.
+      Neither side is broadcast, so a right side far bigger than one
+      node's memory still streams.
     """
     assert right_tiebreak in right_cols
     left_schema = _arrow_schema(left)
@@ -143,6 +157,17 @@ def asof_join(
     right_types = {c: right_schema.field(c).type for c in right_cols}
     key_t = left_schema.field(left_key).type
     ts_t = left_schema.field(left_ts).type
+    out_schema = pa.schema(
+        [left_schema.field(c) for c in left_names]
+        + [pa.field(c, right_types[c]) for c in right_cols]
+    )
+
+    if right.count() <= broadcast_limit:
+        return _asof_broadcast(
+            left, right, left_names, right_cols, out_schema,
+            left_key, right_key, left_ts, right_ts, right_tiebreak,
+            key_t, ts_t,
+        )
 
     # both sides mapped onto ONE layout (typed nulls pad the other
     # side's columns) so a single groupby co-locates them
@@ -175,11 +200,6 @@ def asof_join(
         tag_right, batch_format="pyarrow"
     )
 
-    out_schema = pa.schema(
-        [left_schema.field(c) for c in left_names]
-        + [pa.field(c, right_types[c]) for c in right_cols]
-    )
-
     def join_bucket(g: pd.DataFrame) -> pa.Table:
         le = (
             g[g["__side"] == 0][left_names + ["__key", "__ts"]]
@@ -203,3 +223,58 @@ def asof_join(
         .groupby("__bucket")
         .map_groups(join_bucket, batch_format="pandas")
     )
+
+
+def _asof_broadcast(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_names: list[str],
+    right_cols: list[str],
+    out_schema: pa.Schema,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_tiebreak: str,
+    key_t: pa.DataType,
+    ts_t: pa.DataType,
+) -> rd.Dataset:
+    """Small-right as-of join: sort the right side ONCE, ``ray.put`` it,
+    and merge every left batch against the cached copy in a map-only
+    TASK stage (no shuffle, no actor-pool spin-up — the closure carries
+    only the object ref; ``ray.get`` resolves from node-local plasma and
+    is cached per worker process). The per-batch sort of the left side
+    is the only added work, and it is tiny (one block)."""
+    import ray
+
+    rt = (
+        right.select_columns(
+            list(dict.fromkeys([right_key, right_ts] + right_cols))
+        )
+        .to_pandas()
+    )
+    rt = pd.DataFrame(
+        {
+            "__key": pa.Array.from_pandas(rt[right_key]).cast(key_t).to_pandas(),
+            "__ts": pa.Array.from_pandas(rt[right_ts]).cast(ts_t).to_pandas(),
+            **{c: rt[c] for c in right_cols},
+        }
+    ).sort_values(["__ts", right_tiebreak], kind="mergesort", ignore_index=True)
+    right_ref = ray.put(rt)
+
+    def join_batch(g: pd.DataFrame) -> pa.Table:
+        r = ray.get(right_ref)
+        le = g[left_names].copy()
+        le["__key"] = pa.Array.from_pandas(g[left_key]).cast(key_t).to_pandas()
+        le["__ts"] = pa.Array.from_pandas(g[left_ts]).cast(ts_t).to_pandas()
+        le = le.sort_values("__ts", kind="mergesort")
+        out = pd.merge_asof(
+            le, r, on="__ts", by="__key", direction="backward"
+        )
+        arrays = [
+            pa.Array.from_pandas(out[c], type=out_schema.field(c).type)
+            for c in out_schema.names
+        ]
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
+    return left.map_batches(join_batch, batch_format="pandas")

@@ -72,7 +72,8 @@ def test_sessionize_bucket_invariance(buckets):
     )
 
 
-def test_asof_join_ties_and_no_match():
+@pytest.mark.parametrize("broadcast_limit", [2_000_000, 0])
+def test_asof_join_ties_and_no_match(broadcast_limit):
     ev = pd.DataFrame(
         {
             "event_id": [0, 1, 2],
@@ -95,6 +96,7 @@ def test_asof_join_ties_and_no_match():
             left_ts="ts", right_ts="o_orderdate",
             right_cols=["o_orderkey", "o_totalprice"],
             right_tiebreak="o_orderkey", num_buckets=2,
+            broadcast_limit=broadcast_limit,
         )
         .to_pandas()
         .sort_values("event_id")
@@ -106,3 +108,41 @@ def test_asof_join_ties_and_no_match():
     assert list(out.columns) == [
         "event_id", "user_id", "ts", "o_orderkey", "o_totalprice"
     ]
+
+
+def test_asof_join_broadcast_equals_shuffle():
+    rng = np.random.default_rng(11)
+    n_ev, n_ord = 600, 200
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n_ev),
+            "user_id": rng.integers(0, 30, n_ev),
+            "ts": TS + pd.to_timedelta(rng.integers(0, 10**6, n_ev), unit="s"),
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_custkey": rng.integers(0, 30, n_ord),
+            "o_orderdate": TS
+            + pd.to_timedelta(rng.integers(0, 10**6, n_ord), unit="s"),
+            "o_orderkey": np.arange(n_ord),
+            "o_totalprice": rng.random(n_ord).round(2),
+        }
+    )
+
+    def run(limit):
+        return (
+            asof_join(
+                rd.from_pandas(ev), rd.from_pandas(orders),
+                left_key="user_id", right_key="o_custkey",
+                left_ts="ts", right_ts="o_orderdate",
+                right_cols=["o_orderkey", "o_totalprice"],
+                right_tiebreak="o_orderkey", num_buckets=8,
+                broadcast_limit=limit,
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run(2_000_000), run(0))
