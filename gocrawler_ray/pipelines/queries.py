@@ -458,18 +458,17 @@ def q_cust_nation_orders(sf_dir: str):
     lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
     orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
-    class Join:
-        def __init__(self):
-            self.lut = ray.get(lookup_ref)
+    # plain TASK stage, not an actor pool: the only state is the
+    # broadcast ref, and ray.get resolves from node-local plasma with a
+    # per-worker deserialization cache — tasks skip actor spin-up
+    def join(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df["c_nationkey"] = df["o_custkey"].map(ray.get(lookup_ref)).astype(np.int32)
+        return df.groupby("c_nationkey", as_index=False).agg(
+            n_orders=("o_custkey", "size"), sum_total=("o_totalprice", "sum")
+        )
 
-        def __call__(self, t: pa.Table) -> pd.DataFrame:
-            df = t.to_pandas()
-            df["c_nationkey"] = df["o_custkey"].map(self.lut).astype(np.int32)
-            return df.groupby("c_nationkey", as_index=False).agg(
-                n_orders=("o_custkey", "size"), sum_total=("o_totalprice", "sum")
-            )
-
-    partials = orders.map_batches(Join, batch_format="pyarrow", concurrency=2)
+    partials = orders.map_batches(join, batch_format="pyarrow")
     out = _combine_partials(partials, ["c_nationkey"], ["n_orders", "sum_total"])
     out["sum_total"] = out["sum_total"].round(2)
     return out

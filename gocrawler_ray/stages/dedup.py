@@ -746,21 +746,19 @@ def minhash_lsh_dedup(
     if drop:
         drop_ref = ray.put(sorted(drop))
 
-        class DropFilter:
-            def __init__(self):
-                self.drop = ray.get(drop_ref)
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                return t.filter(
-                    pc.invert(
-                        pc.is_in(
-                            t.column("doc_id"),
-                            pa.array(self.drop, type=t.column("doc_id").type),
-                        )
+        # task stage, not an actor pool: the only state is the broadcast
+        # ref (node-local plasma read, cached per worker process)
+        def drop_filter(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.invert(
+                    pc.is_in(
+                        t.column("doc_id"),
+                        pa.array(ray.get(drop_ref), type=t.column("doc_id").type),
                     )
                 )
+            )
 
-        deduped = ds.map_batches(DropFilter, batch_format="pyarrow", concurrency=4)
+        deduped = ds.map_batches(drop_filter, batch_format="pyarrow")
     else:
         deduped = ds
     return deduped, edges

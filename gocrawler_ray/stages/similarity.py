@@ -93,12 +93,14 @@ def brute_force_topk(
     (−cos, id) so results are deterministic and SQL-comparable.
     """
     ref = ray.put(queries)
-    partials = ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_args=(ref, k, id_col, emb_col),
-        batch_format="pyarrow",
-        concurrency=2,
-    ).to_pandas()
+
+    # task stage: per-batch reconstruction is one node-local ray.get
+    # plus normalizing a (nq, dim) matrix — negligible next to the
+    # matmul, and tasks skip the actor-pool spin-up an actor stage pays
+    def local_topk(t: pa.Table) -> pa.Table:
+        return BruteForceTopK(ref, k, id_col, emb_col)(t)
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
     out = (
         partials.sort_values(["query_id", "cos", id_col], ascending=[True, False, True])
         .groupby("query_id", as_index=False)
