@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": q.q_embedding_near_dup,
         "sessionize": q.q_sessionize,
         "asof_join": q.q_asof_join,
+        "hopping_window": q.q_hopping_window,
+        "interval_join": q.q_interval_join,
         "multimodal_decode": q.q_multimodal_decode,
     }
 
@@ -392,6 +394,27 @@ SELECT event_id, user_id, ts, o_orderkey, o_totalprice FROM (
   FROM events e
   LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
 ) WHERE rn = 1
+""",
+        # hopping 4h windows on hourly hops: each event lands in 4
+        # windows (explode via range(4)); window_start µs-since-epoch,
+        # matching stages/temporal.py::hopping_window_agg
+        "hopping_window": """
+WITH w AS (
+  SELECT user_id, value,
+         (epoch_us(ts) // 3600000000) * 3600000000
+           - 3600000000 * t.i AS window_start
+  FROM events, (SELECT unnest(range(4)) AS i) t)
+SELECT user_id, window_start, COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM w GROUP BY user_id, window_start
+""",
+        # same-user event pairs within ±6h, self-pairs excluded,
+        # matching stages/temporal.py::interval_join
+        "interval_join": """
+SELECT a.event_id, a.user_id, a.ts, b.event_id AS b_event_id
+FROM events a JOIN events b
+  ON b.user_id = a.user_id AND b.event_id != a.event_id
+ AND b.ts BETWEEN a.ts - INTERVAL 6 HOUR AND a.ts + INTERVAL 6 HOUR
 """,
         # hash-derived fake decode (stages/multimodal.py): dims/format from
         # md5 of the payload (= the text bytes), resize = half-up round

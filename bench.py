@@ -146,6 +146,8 @@ def run_bench() -> dict:
     timed("embedding_topk", q.q_embedding_topk)
     timed("sessionize", q.q_sessionize)
     timed("asof_join", q.q_asof_join)
+    timed("hopping_window", q.q_hopping_window)
+    timed("interval_join", q.q_interval_join)
     timed("items_parse", q.q_items_parse)
 
     value = round(

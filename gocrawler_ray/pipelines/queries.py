@@ -794,6 +794,62 @@ def q_sessionize(sf_dir: str):
     return out.map_batches(round6, batch_format="pyarrow")
 
 
+def q_hopping_window(sf_dir: str):
+    """Hopping (sliding) window aggregate: 4 h windows hopping hourly,
+    per user — each event contributes to 4 windows; explode + partial
+    agg inside the batch, one bucketed combine shuffle
+    (stages/temporal.py). window_start is µs-since-epoch."""
+    from ..stages.temporal import hopping_window_agg
+
+    H = 3_600_000_000
+    ev = _pq(sf_dir, "events", columns=["user_id", "ts", "value"],
+             num_blocks=_n_cpus())
+    out = hopping_window_agg(ev, width_us=4 * H, hop_us=H)
+
+    def round6(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("sum_value")
+        return t.set_column(
+            i, "sum_value",
+            pa.array(np.round(t.column("sum_value").to_numpy(), 6)),
+        )
+
+    return out.map_batches(round6, batch_format="pyarrow")
+
+
+def q_interval_join(sf_dir: str):
+    """Interval (range) join: pairs of same-user events within ±6 h —
+    time-cell replication + one hash-bucket co-location shuffle
+    (stages/temporal.py); self-pairs dropped post-join."""
+    from ..stages.temporal import interval_join
+
+    H6 = 6 * 3_600_000_000
+    ev = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts"],
+             num_blocks=_n_cpus())
+    evr = ev.map_batches(
+        lambda t: pa.table(
+            {
+                "b_event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = interval_join(
+        ev, evr,
+        left_key="user_id", right_key="user_id",
+        left_ts="ts", right_ts="ts",
+        lower_us=-H6, upper_us=H6,
+        right_cols=["b_event_id"],
+    )
+    return out.map_batches(
+        lambda t: t.filter(
+            pc.not_equal(t.column("event_id"), t.column("b_event_id"))
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_asof_join(sf_dir: str):
     """Backward as-of join: each event picks the latest order of the
     same user at-or-before its timestamp (point-in-time feature join);

@@ -1,6 +1,7 @@
-"""Temporal operators: gap-based session windows and a backward as-of
-join — custom operators the Dataset API lacks, composed from one hash
-shuffle + vectorized group kernels.
+"""Temporal operators: gap-based session windows, a backward as-of
+join, hopping (sliding) window aggregates, and an interval/range join —
+custom operators the Dataset API lacks, composed from one hash shuffle +
+vectorized group kernels.
 
 Both use the HASH-BUCKET CO-LOCATION pattern: rows get a
 ``bucket = siphash(key) % P`` column, ``groupby("__bucket")`` co-locates
@@ -212,6 +213,222 @@ def asof_join(
         out = pd.merge_asof(
             le, ri, on="__ts", by="__key", direction="backward"
         )
+        arrays = [
+            pa.Array.from_pandas(out[c], type=out_schema.field(c).type)
+            for c in out_schema.names
+        ]
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
+    return (
+        lt.union(rt)
+        .groupby("__bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+    )
+
+
+def hopping_window_agg(
+    ds: rd.Dataset,
+    width_us: int,
+    hop_us: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Hopping (sliding) window aggregate: windows ``[w, w+width)`` for
+    every ``w ≡ 0 (mod hop)``; each event lands in exactly
+    ``width/hop`` windows (``width % hop == 0`` required). Output: one
+    row per (key, window_start) with (n_events, sum_value);
+    ``window_start`` is µs-since-epoch.
+
+    Combiner pattern end to end: the per-batch kernel EXPLODES each
+    event into its covering windows with one ``np.repeat``/``arange``
+    broadcast (no Python loop) and immediately partial-aggregates
+    within the batch — so what shuffles is the pre-aggregated
+    (key, window) partial stream, not width/hop copies of the raw
+    events. The final combine co-locates partials by
+    ``hash(key, window) % P`` and sums per bucket — one shuffle of the
+    small side, vectorized everywhere.
+    """
+    assert width_us % hop_us == 0, "width must be a multiple of hop"
+    k = width_us // hop_us
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame(
+                {key_col: pd.Series([], dtype=np.int64),
+                 "window_start": pd.Series([], dtype=np.int64),
+                 "n_events": pd.Series([], dtype=np.int64),
+                 "sum_value": pd.Series([], dtype=np.float64)}
+            )
+        ts = (
+            t.column(ts_col)
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        key = t.column(key_col).to_numpy(zero_copy_only=False)
+        val = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        # floor-div that is correct for negative ts too
+        w_max = (ts // hop_us) * hop_us
+        starts = (
+            w_max[:, None] - hop_us * np.arange(k, dtype=np.int64)[None, :]
+        ).ravel()
+        df = pd.DataFrame(
+            {
+                key_col: np.repeat(key, k),
+                "window_start": starts,
+                "n_events": 1,
+                "sum_value": np.repeat(val, k),
+            }
+        )
+        return df.groupby([key_col, "window_start"], as_index=False).agg(
+            n_events=("n_events", "sum"), sum_value=("sum_value", "sum")
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        hk = pd.util.hash_array(t.column(key_col).to_numpy(zero_copy_only=False))
+        hw = t.column("window_start").to_numpy().astype(np.uint64)
+        mix = hk ^ (hw * np.uint64(0x9E3779B97F4A7C15))
+        return t.append_column(
+            "__bucket", pa.array((mix % np.uint64(num_buckets)).astype(np.int32))
+        )
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby([key_col, "window_start"], as_index=False).agg(
+            n_events=("n_events", "sum"), sum_value=("sum_value", "sum")
+        )
+        return pa.table(
+            {
+                key_col: pa.array(out[key_col]),
+                "window_start": pa.array(out["window_start"], pa.int64()),
+                "n_events": pa.array(out["n_events"], pa.int64()),
+                "sum_value": pa.array(out["sum_value"], pa.float64()),
+            }
+        )
+
+    return (
+        partials.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+def interval_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    lower_us: int,
+    upper_us: int,
+    right_cols: list[str],
+    num_buckets: int = 32,
+    cell_us: int | None = None,
+) -> rd.Dataset:
+    """Interval (range) join: emit (left row × ``right_cols``) for every
+    right row of the same key with ``right_ts ∈ [left_ts + lower,
+    left_ts + upper]`` (µs offsets; ``lower`` may be negative). Inner
+    join — unmatched left rows are dropped.
+
+    Scale design — time-cell replication, not per-key cross products:
+    time is cut into cells of ``cell_us ≥ upper - lower`` (default:
+    exactly the window span). A left row lives in ONE cell
+    (``ts // cell``); a right row can match lefts spanning at most TWO
+    adjacent cells, so it is replicated to ≤2 (key, cell) slots. Both
+    sides co-locate by ``hash(key, cell) % P`` — one union+groupby
+    shuffle — and the per-bucket kernel merges on (key, cell) before
+    the exact window filter. The equi-merge cross product is therefore
+    bounded per (key × one window span) no matter how long the stream
+    is; a key hot WITHIN one span is the irreducible output itself.
+    Each (left, right) pair meets in exactly one cell (the left's), so
+    no dedup pass is needed.
+    """
+    span = upper_us - lower_us
+    assert span >= 0
+    cell = int(cell_us) if cell_us else max(span, 1)
+    assert cell >= span, "cell_us must cover the window span (≤2 cells/right row)"
+
+    left_schema = _arrow_schema(left)
+    left_names = list(left_schema.names)
+    assert not set(right_cols) & set(left_names)
+    right_schema = _arrow_schema(right)
+    right_types = {c: right_schema.field(c).type for c in right_cols}
+    key_t = left_schema.field(left_key).type
+    ts_t = left_schema.field(left_ts).type
+    out_schema = pa.schema(
+        [left_schema.field(c) for c in left_names]
+        + [pa.field(c, right_types[c]) for c in right_cols]
+    )
+
+    def _ts_us(col: pa.ChunkedArray) -> np.ndarray:
+        return (
+            col.to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+
+    def _bucket_of(key_np: np.ndarray, cell_np: np.ndarray) -> pa.Array:
+        hk = pd.util.hash_array(key_np)
+        mix = hk ^ (cell_np.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        return pa.array((mix % np.uint64(num_buckets)).astype(np.int32))
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ts = _ts_us(t.column(left_ts))
+        cell_id = ts // cell
+        cols = {c: t.column(c) for c in left_names}
+        cols["__key"] = t.column(left_key).cast(key_t)
+        cols["__ts"] = pa.array(ts, pa.int64())
+        cols["__cell"] = pa.array(cell_id, pa.int64())
+        for c in right_cols:
+            cols[c] = pa.nulls(n, right_types[c])
+        cols["__rts"] = pa.nulls(n, pa.int64())
+        cols["__side"] = pa.array(np.zeros(n, np.int8))
+        cols["__bucket"] = _bucket_of(
+            t.column(left_key).to_numpy(zero_copy_only=False), cell_id
+        )
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        ts = _ts_us(t.column(right_ts))
+        # cells of the lefts this right row can match:
+        # ts_l ∈ [ts_r - upper, ts_r - lower] → ≤2 adjacent cells
+        c_lo = (ts - upper_us) // cell
+        c_hi = (ts - lower_us) // cell
+        reps = (c_hi - c_lo + 1).astype(np.int64)  # 1 or 2
+        idx = np.repeat(np.arange(t.num_rows), reps)
+        cum = np.cumsum(reps) - reps  # start offset per source row
+        cell_id = c_lo[idx] + (np.arange(len(idx)) - cum[idx])
+        tt = t.take(pa.array(idx))
+        n = tt.num_rows
+        cols = {c: pa.nulls(n, left_schema.field(c).type) for c in left_names}
+        cols["__key"] = tt.column(right_key).cast(key_t)
+        cols["__ts"] = pa.nulls(n, pa.int64())
+        cols["__cell"] = pa.array(cell_id, pa.int64())
+        for c in right_cols:
+            cols[c] = tt.column(c)
+        cols["__rts"] = pa.array(ts[idx], pa.int64())
+        cols["__side"] = pa.array(np.ones(n, np.int8))
+        cols["__bucket"] = _bucket_of(
+            tt.column(right_key).to_numpy(zero_copy_only=False), cell_id
+        )
+        return pa.table(cols)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
+
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
+        le = g[g["__side"] == 0][left_names + ["__key", "__cell", "__ts"]]
+        ri = g[g["__side"] == 1][["__key", "__cell", "__rts"] + right_cols]
+        if len(le) == 0 or len(ri) == 0:
+            return out_schema.empty_table()
+        out = le.merge(ri, on=["__key", "__cell"])
+        d = out["__rts"] - out["__ts"]
+        out = out[(d >= lower_us) & (d <= upper_us)]
         arrays = [
             pa.Array.from_pandas(out[c], type=out_schema.field(c).type)
             for c in out_schema.names

@@ -146,3 +146,84 @@ def test_asof_join_broadcast_equals_shuffle():
         )
 
     pd.testing.assert_frame_equal(run(2_000_000), run(0))
+
+
+def test_hopping_window_agg():
+    from gocrawler_ray.stages.temporal import hopping_window_agg
+
+    H = 3_600_000_000  # 1h in µs
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "ts": [TS, TS + pd.Timedelta(minutes=90), TS],
+            "value": [1.0, 2.0, 4.0],
+        }
+    )
+    out = (
+        hopping_window_agg(
+            rd.from_pandas(df), width_us=2 * H, hop_us=H, num_buckets=4
+        )
+        .to_pandas()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    t0 = TS.value // 1000  # pandas Timestamp.value is ns
+    # user1: ev@t0 covers windows [t0-H, t0]; ev@t0+1.5H covers [t0, t0+H]
+    expect = [
+        (1, t0 - H, 1, 1.0),
+        (1, t0, 2, 3.0),
+        (1, t0 + H, 1, 2.0),
+        (2, t0 - H, 1, 4.0),
+        (2, t0, 1, 4.0),
+    ]
+    got = list(
+        out[["user_id", "window_start", "n_events", "sum_value"]]
+        .itertuples(index=False, name=None)
+    )
+    assert got == expect
+
+
+@pytest.mark.parametrize("cell_factor", [1.0, 2.5])
+def test_interval_join_vs_bruteforce(cell_factor):
+    from gocrawler_ray.stages.temporal import interval_join
+
+    rng = np.random.default_rng(5)
+    n_ev, n_ord = 300, 200
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n_ev),
+            "user_id": rng.integers(0, 20, n_ev),
+            "ts": TS + pd.to_timedelta(rng.integers(0, 10**5, n_ev), unit="s"),
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_custkey": rng.integers(0, 20, n_ord),
+            "o_orderdate": TS
+            + pd.to_timedelta(rng.integers(0, 10**5, n_ord), unit="s"),
+            "o_orderkey": np.arange(n_ord),
+        }
+    )
+    lower, upper = -3 * 86400 * 1_000_000, 86400 * 1_000_000  # [-3d, +1d]
+    out = (
+        interval_join(
+            rd.from_pandas(ev), rd.from_pandas(orders),
+            left_key="user_id", right_key="o_custkey",
+            left_ts="ts", right_ts="o_orderdate",
+            lower_us=lower, upper_us=upper,
+            right_cols=["o_orderkey"], num_buckets=8,
+            cell_us=int((upper - lower) * cell_factor),
+        )
+        .to_pandas()
+        .sort_values(["event_id", "o_orderkey"])
+        .reset_index(drop=True)
+    )
+    brute = ev.merge(orders, left_on="user_id", right_on="o_custkey")
+    d = (brute["o_orderdate"] - brute["ts"]).dt.total_seconds() * 1_000_000
+    brute = (
+        brute[(d >= lower) & (d <= upper)][["event_id", "user_id", "ts", "o_orderkey"]]
+        .sort_values(["event_id", "o_orderkey"])
+        .reset_index(drop=True)
+    )
+    assert list(out.columns) == ["event_id", "user_id", "ts", "o_orderkey"]
+    pd.testing.assert_frame_equal(out, brute)
