@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q.q_token_counts,
         "lang_guess": q.q_lang_guess,
         "exact_dedup": q.q_exact_dedup,
+        "corpus_prep": q.q_corpus_prep,
         "embedding_topk": q.q_embedding_topk,
         "minhash_pairs": q.q_minhash_pairs,
         "simhash": q.q_simhash,
@@ -290,6 +291,39 @@ WITH aug AS (
   UNION ALL
   SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20)
 SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)
+""",
+        # composed prep chain: the stat/filter expressions are the same
+        # fragments the individual text_quality / lang_guess /
+        # token_counts oracles use, applied after the min-id dedup
+        "corpus_prep": f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20),
+keep AS (SELECT min(doc_id) AS doc_id FROM aug GROUP BY md5(text)),
+ded AS (SELECT a.doc_id, a.text FROM aug a JOIN keep USING (doc_id)),
+st AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\\w+')) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens,
+         CAST(len(regexp_extract_all(text, '{_BPE_ISH}')) AS BIGINT) AS bpe_tokens,
+         (len(regexp_extract_all(text, '\\w+')) >= 5
+          AND length(text) >= 20
+          AND len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / greatest(length(text), 1) < 0.3
+          AND len(regexp_extract_all(text, '[0-9]')) * 1.0 / greatest(length(text), 1) < 0.3
+         ) AS quality_keep,
+         {s_de} AS s_de, {s_en} AS s_en, {s_es} AS s_es, {s_fr} AS s_fr
+  FROM ded)
+SELECT doc_id,
+  CASE
+    WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+    WHEN s_es >= s_fr THEN 'es'
+    ELSE 'fr' END AS lang_guess,
+  n_words, ws_tokens, bpe_tokens
+FROM st
+WHERE quality_keep AND greatest(s_de, s_en, s_es, s_fr) > 0
 """,
         "embedding_topk": """
 WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),

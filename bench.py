@@ -142,6 +142,7 @@ def run_bench() -> dict:
     timed("text_quality", q.q_text_quality)
     timed("token_counts", q.q_token_counts)
     timed("exact_dedup", q.q_exact_dedup)
+    timed("corpus_prep", q.q_corpus_prep)
     timed("minhash_pairs", q.q_minhash_pairs)
     timed("embedding_topk", q.q_embedding_topk)
     timed("sessionize", q.q_sessionize)

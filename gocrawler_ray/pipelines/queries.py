@@ -581,6 +581,33 @@ def q_exact_dedup(sf_dir: str):
     return out.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
 
 
+def q_corpus_prep(sf_dir: str):
+    """Composed training-corpus prep: exact dedup → language id →
+    quality filter → token counts, one streaming pipeline over the
+    augmented documents table. Dedup runs FIRST so the stat kernels
+    (text_quality / lang_id / token_counts — all vectorized) execute
+    once over survivors only, fused into a single ``map_batches`` pass;
+    re-expresses the LLM-data prep chain a reference user would script
+    around the crawler's output store (scan → clean → dedupe,
+    /root/reference/pkg/itemparser/extractor.go:30-67 is the scan
+    shape)."""
+    ded = exact_dedup(_augmented_docs(sf_dir), col="text", id_col="doc_id")
+
+    def stats(t: pa.Table) -> pa.Table:
+        t = text_quality(t)
+        t = lang_id(t)
+        t = token_counts(t)
+        keep = pc.and_(
+            t.column("quality_keep").combine_chunks(),
+            pc.not_equal(t.column("lang_guess"), "und"),
+        )
+        return t.filter(keep).select(
+            ["doc_id", "lang_guess", "n_words", "ws_tokens", "bpe_tokens"]
+        )
+
+    return ded.map_batches(stats, batch_format="pyarrow")
+
+
 def q_embedding_topk(sf_dir: str):
     emb = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     import pyarrow.parquet as pq
