@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_guess": q.q_lang_guess,
         "exact_dedup": q.q_exact_dedup,
         "corpus_prep": q.q_corpus_prep,
+        "split_sample": q.q_split_sample,
         "embedding_topk": q.q_embedding_topk,
         "minhash_pairs": q.q_minhash_pairs,
         "simhash": q.q_simhash,
@@ -133,6 +134,14 @@ _R_CONTENT = (
 
 def oracle_sql() -> dict[str, str]:
     s_de, s_en, s_es, s_fr = (_lang_score_sql(lg) for lg in ["de", "en", "es", "fr"])
+    # exact uint64 bounds shared with stages/sampling.py — computed by
+    # the same helpers so the kernel and the oracle cannot drift
+    from gocrawler_ray.stages.sampling import sample_bound, split_thresholds
+
+    _samp = sample_bound(0.2)
+    (_, _b_train), (_, _b_val), _ = split_thresholds(
+        {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
     return {
         "crawl_bfs": _BFS_CTE + """
 SELECT node AS doc_id, CAST(MIN(depth) AS INTEGER) AS depth
@@ -324,6 +333,21 @@ SELECT doc_id,
   n_words, ws_tokens, bpe_tokens
 FROM st
 WHERE quality_keep AND greatest(s_de, s_en, s_es, s_fr) > 0
+""",
+        "split_sample": f"""
+WITH s AS (
+  SELECT doc_id FROM documents
+  WHERE CAST(('0x' || substr(md5('sample:7:' || CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) < {_samp}
+),
+h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('split:7:' || CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) AS hv
+  FROM s)
+SELECT doc_id,
+  CASE WHEN hv < {_b_train} THEN 'train'
+       WHEN hv < {_b_val} THEN 'val'
+       ELSE 'test' END AS split
+FROM h
 """,
         "embedding_topk": """
 WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),

@@ -608,6 +608,22 @@ def q_corpus_prep(sf_dir: str):
     return ded.map_batches(stats, batch_format="pyarrow")
 
 
+def q_split_sample(sf_dir: str):
+    """Deterministic 20 % sample → 80/10/10 train/val/test split over
+    documents — pure hash-of-id map-only kernels (stages/sampling.py),
+    stable under re-partitioning/retries; no shuffle at any scale."""
+    from ..stages.sampling import assign_split, sample_mask
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id"])
+
+    def go(t: pa.Table) -> pa.Table:
+        t = sample_mask(t, rate=0.2, seed=7)
+        t = assign_split(t, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7)
+        return t.select(["doc_id", "split"])
+
+    return docs.map_batches(go, batch_format="pyarrow")
+
+
 def q_embedding_topk(sf_dir: str):
     emb = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     import pyarrow.parquet as pq

@@ -1,0 +1,79 @@
+"""Deterministic splits and samples for training-data pipelines.
+
+A 100 TB corpus is split train/val/test and subsampled by HASH, never by
+position or RNG state: each row's fate is a pure function of its id and
+the seed, so the assignment is stable under re-partitioning, retries,
+and incremental re-runs (the properties a resumable Ray pipeline needs),
+and any node can evaluate it map-only — no shuffle, no coordination.
+
+The hash is the repo's semantic-sketch scheme (first 8 big-endian bytes
+of md5, ``functions/urls.py::md5_hash64_many``) so a SQL oracle
+reproduces it exactly:
+``CAST(('0x' || substr(md5(key), 1, 16)) AS UBIGINT)``.
+
+The reference has no sampling at all (its only "split" is the shop
+profile switch, /root/reference/pkg/scraper/shopfactory.go:20-37); these
+are part of the beyond-reference LLM-data operator suite.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.urls import md5_hash64_many
+
+_U64 = 1 << 64
+
+
+def _unit_hash(ids, salt: str) -> np.ndarray:
+    """uint64 hash of ``salt || id`` — uniform on [0, 2^64)."""
+    return md5_hash64_many([f"{salt}{i}" for i in ids])
+
+
+def split_thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """(name, exclusive upper uint64 bound) per split, in dict order.
+    Bounds are exact integers — embed the SAME literals in any oracle."""
+    total = float(sum(weights.values()))
+    acc = 0.0
+    out = []
+    for name, w in weights.items():
+        acc += w / total
+        out.append((name, min(int(acc * _U64), _U64)))
+    out[-1] = (out[-1][0], _U64)  # float roundoff must not orphan rows
+    return out
+
+
+def assign_split(
+    batch: pa.Table,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 7,
+    out: str = "split",
+) -> pa.Table:
+    """Append a split-name column: row → the first split whose cumulative
+    hash bound exceeds ``hash(split:{seed}:{id})``. Map-only kernel."""
+    u = _unit_hash(batch.column(id_col).to_pylist(), f"split:{seed}:")
+    names, bounds = zip(*split_thresholds(weights))
+    idx = np.searchsorted(np.array(bounds[:-1], dtype=np.uint64), u, side="right")
+    arr = pa.DictionaryArray.from_arrays(
+        pa.array(idx, pa.int32()), pa.array(list(names))
+    ).cast(pa.string())
+    return batch.append_column(out, arr)
+
+
+def sample_bound(rate: float) -> int:
+    """Exact uint64 keep-bound for ``rate`` — the single source of truth
+    shared by the kernel and any SQL oracle."""
+    return min(int(rate * _U64), _U64 - 1)
+
+
+def sample_mask(
+    batch: pa.Table, rate: float, id_col: str = "doc_id", seed: int = 7
+) -> pa.Table:
+    """Filter to a deterministic ``rate`` fraction:
+    keep iff ``hash(sample:{seed}:{id}) < rate * 2^64``."""
+    u = _unit_hash(batch.column(id_col).to_pylist(), f"sample:{seed}:")
+    bound = np.uint64(sample_bound(rate))
+    return batch.filter(pa.array(u < bound))

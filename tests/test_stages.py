@@ -211,3 +211,38 @@ def test_header_rotation_deterministic_sequence():
     assert a.tolist() == b.tolist()  # pinned sequence
     assert len(set(a.tolist())) > 1  # actually rotates
     assert headers_for(urls[0]) is HEADERS_POOL[a[0]]
+
+
+def test_split_sample_deterministic_and_partitioned():
+    """Sampling/split ops: pure hash-of-id — stable across calls and
+    batch boundaries; splits partition the kept set at ~the weights."""
+    from gocrawler_ray.stages.sampling import (
+        assign_split, sample_bound, sample_mask, split_thresholds,
+    )
+
+    t = pa.table({"doc_id": pa.array(range(20000), pa.int64())})
+    kept = sample_mask(t, rate=0.25, seed=3)
+    # deterministic, and independent of how rows are batched
+    again = sample_mask(t, rate=0.25, seed=3)
+    assert kept.column("doc_id").to_pylist() == again.column("doc_id").to_pylist()
+    halves = [sample_mask(t.slice(0, 9999), 0.25, seed=3),
+              sample_mask(t.slice(9999), 0.25, seed=3)]
+    assert (
+        halves[0].column("doc_id").to_pylist() + halves[1].column("doc_id").to_pylist()
+        == kept.column("doc_id").to_pylist()
+    )
+    assert abs(kept.num_rows / 20000 - 0.25) < 0.02  # uniform-ish
+
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s = assign_split(kept, w, seed=3)
+    counts = dict(zip(*np.unique(np.asarray(s.column("split")), return_counts=True)))
+    assert set(counts) == set(w)
+    for name, frac in w.items():
+        assert abs(counts[name] / s.num_rows - frac) < 0.03
+    # a different seed reshuffles membership; same seed never does
+    assert sample_mask(t, 0.25, seed=4).column("doc_id").to_pylist() != \
+        kept.column("doc_id").to_pylist()
+    # threshold helper: bounds are exact ints, last bound covers 2^64
+    bounds = split_thresholds(w)
+    assert bounds[-1][1] == 1 << 64 and all(isinstance(b, int) for _, b in bounds)
+    assert 0 < sample_bound(0.25) < (1 << 64)
