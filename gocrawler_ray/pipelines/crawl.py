@@ -254,7 +254,14 @@ def _links_of_wave(ckpt: CheckpointStore, wave: int, next_depth: int) -> rd.Data
     # downstream consumers read per-block schemas, never the bundle's.
     # block count = the wave's task parallelism (batches are per-block)
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
-    docs = ckpt.read_docs(wave, override_num_blocks=max(4, n_cpus))
+    # prune at the read: link extraction needs 3 of the ~16 doc columns —
+    # spans dominate the row, but lineage/captcha/meta columns are dead
+    # weight for this scan
+    docs = ckpt.read_docs(
+        wave,
+        override_num_blocks=max(4, n_cpus),
+        columns=["url", "status", "spans"],
+    )
 
     def to_links(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t.column("status"), "ok"))

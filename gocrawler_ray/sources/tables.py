@@ -63,9 +63,15 @@ def write_dataset(ds, uri: str) -> None:
             shutil.rmtree(tmp, ignore_errors=True)
 
 
-def read_dataset(uri: str, **kwargs):
+def read_dataset(uri: str, columns=None, **kwargs):
     if HAVE_LANCE:  # pragma: no cover
-        return rd.read_lance(uri, **kwargs)
+        return rd.read_lance(uri, columns=columns, **kwargs)
+    if columns is not None:
+        # Ray 2.49's read_parquet(columns=..., partitioning=None) crashes
+        # (UnboundLocalError in _infer_data_and_partition_columns). The
+        # default hive partitioning path works, and the explicit column
+        # list already keeps layout dirs (wave=<k>) out of the schema.
+        return rd.read_parquet(uri, columns=columns, **kwargs)
     # partitioning=None: our wave=<k> directory names are layout, not hive
     # partition columns — don't let the reader infer them into the schema
     return rd.read_parquet(uri, partitioning=None, **kwargs)
