@@ -81,6 +81,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": q.q_hopping_window,
         "interval_join": q.q_interval_join,
         "multimodal_decode": q.q_multimodal_decode,
+        "group_topk": q.q_group_topk,
+        "distinct_users": q.q_distinct_users,
+        "doc_frequency": q.q_doc_frequency,
+        "hll_distinct": q.q_hll_distinct,
+        "group_quantiles": q.q_group_quantiles,
     }
 
 
@@ -487,5 +492,49 @@ SELECT media_id, decoded_width, decoded_height, decoded_format,
   CAST(floor(decoded_width * least(1.0, 512.0/greatest(decoded_width, decoded_height)) + 0.5) AS INT) AS resize_width,
   CAST(floor(decoded_height * least(1.0, 512.0/greatest(decoded_width, decoded_height)) + 0.5) AS INT) AS resize_height
 FROM dec
+""",
+        "group_topk": """
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders)
+WHERE rank <= 3
+""",
+        "distinct_users": """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type
+""",
+        "doc_frequency": """
+WITH terms AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_extract_all(lower(text), '\\w+'))) AS term
+  FROM documents),
+dfreq AS (SELECT term, count(*) AS df FROM terms GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT term, df, round(ln((1.0 + n.n) / (1.0 + df)) + 1.0, 6) AS idf
+FROM dfreq, n WHERE df >= 2
+""",
+        # same md5-derived uint64 hash as the kernel; rho from the exact
+        # integer bit length (length(bin(w)) — no float log in SQL)
+        "hll_distinct": """
+WITH h AS (
+  SELECT DISTINCT
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16)) AS UBIGINT) AS hv
+  FROM events),
+parts AS (
+  SELECT CAST(hv >> 54 AS INT) AS bucket,
+         hv & ((CAST(1 AS UBIGINT) << 54) - 1) AS w
+  FROM h)
+SELECT bucket,
+       CAST(MAX(54 - (CASE WHEN w = 0 THEN 0 ELSE length(bin(w)) END) + 1)
+            AS INT) AS rho
+FROM parts GROUP BY bucket
+""",
+        "group_quantiles": """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.5), 6) AS q50,
+       round(quantile_cont(value, 0.95), 6) AS q95
+FROM events GROUP BY event_type
 """,
     }

@@ -941,3 +941,62 @@ def q_multimodal_decode(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# wide aggregates / sketches (stages/aggregates.py)
+# ---------------------------------------------------------------------------
+
+def q_group_topk(sf_dir: str):
+    """Top-3 orders per customer by total price (ties → min orderkey),
+    with rank. Per-block partial top-k prunes before the one bucket
+    shuffle, so a hot customer moves ≤ 3×blocks rows."""
+    from ..stages.aggregates import group_topk
+
+    orders = _pq(sf_dir, "orders",
+                 columns=["o_custkey", "o_orderkey", "o_totalprice"],
+                 num_blocks=_n_cpus())
+    return group_topk(orders, key_col="o_custkey", order_col="o_totalprice",
+                      k=3, tiebreak_col="o_orderkey")
+
+
+def q_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type: pair-hash bucket
+    dedup then a partial-sum combine (stages/aggregates.py)."""
+    from ..stages.aggregates import count_distinct
+
+    ev = _pq(sf_dir, "events", columns=["event_type", "user_id"],
+             num_blocks=_n_cpus())
+    return count_distinct(ev, key_col="event_type", value_col="user_id")
+
+
+def q_doc_frequency(sf_dir: str):
+    """Document frequency + smoothed IDF per term over the documents
+    table (min_df=2) — the broadcastable global half of TF-IDF."""
+    from ..stages.aggregates import doc_frequency
+
+    docs = _pq(sf_dir, "documents", columns=["text"], num_blocks=_n_cpus())
+    return doc_frequency(docs, col="text", min_df=2)
+
+
+def q_hll_distinct(sf_dir: str):
+    """HyperLogLog register table (p=10) for distinct user_ids in
+    events. The registers are integer-exact and SQL-reproducible; the
+    float estimate is derived via hll_estimate (pytest asserts the
+    accuracy envelope)."""
+    from ..stages.aggregates import hll_registers
+
+    ev = _pq(sf_dir, "events", columns=["user_id"], num_blocks=_n_cpus())
+    return hll_registers(ev, value_col="user_id", p=10)
+
+
+def q_group_quantiles(sf_dir: str):
+    """Exact p50/p95 of event value per event_type (quantile_cont
+    linear-interpolation semantics), one bucket shuffle + a vectorized
+    multi-key segment kernel."""
+    from ..stages.aggregates import group_quantiles
+
+    ev = _pq(sf_dir, "events", columns=["event_type", "value"],
+             num_blocks=_n_cpus())
+    return group_quantiles(ev, key_col="event_type", value_col="value",
+                           qs=(0.5, 0.95))

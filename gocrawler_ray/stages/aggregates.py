@@ -1,0 +1,378 @@
+"""Distributed aggregate / sketch operators for training-data pipelines:
+top-k per group, exact grouped count-distinct, document frequency (IDF),
+HyperLogLog registers, and grouped quantiles.
+
+The reference has no grouped aggregation at all (SURVEY §2.5 — its only
+"aggregates" are mutex counters, scraper.go:195); these are the
+wide-aggregation half of the training-data-op brief, built on the two
+patterns every other wide op in this repo uses:
+
+- PARTIAL-THEN-SMALL-GROUPBY: each block reduces to at most (keys-in-
+  block) rows inside ``map_batches`` before anything shuffles, so the
+  exchange moves partials, not rows (``doc_frequency``, ``hll_registers``,
+  the final combine of ``count_distinct``).
+- HASH-BUCKET CO-LOCATION (see stages/temporal.py): one
+  ``groupby(siphash(key) % P)`` shuffle, then a single vectorized numpy
+  kernel handles MANY keys per group — never ``map_groups`` keyed by the
+  raw key (~1 ms Python per group) and never per-key Python loops
+  (``group_topk``, ``group_quantiles``, the pair-dedup of
+  ``count_distinct``).
+
+Partitioning assumptions (custom-operator contract):
+- ``group_topk`` / ``group_quantiles``: the heaviest single KEY's rows
+  fit one task after per-block partial reduction (top-k pre-prunes each
+  block to ≤k rows per key; quantiles are exact and therefore must see
+  every value of a key — the documented inherent bound).
+- ``count_distinct`` buckets by the (key, value) PAIR, so one key's
+  pairs spread over all buckets and no single bucket owns a hot key;
+  only the deduped partial counts (≤ P rows per key) meet again.
+- ``hll_registers`` is the bounded-state path when exact distinct is
+  too big: state is 2^p registers TOTAL regardless of input size. The
+  register table (not the float estimate) is the operator output, so a
+  SQL oracle can reproduce it bit-for-bit from the same md5-derived
+  hashes (functions/urls.py::md5_hash64_many).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..functions.urls import md5_hash64_many
+
+
+def _bucket_of(values: np.ndarray, num_buckets: int) -> np.ndarray:
+    h = pd.util.hash_array(values)
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+def _rank_in_key(
+    key: np.ndarray, val: np.ndarray, tie: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sort by (key asc, val desc, tie asc); return (order, 0-based rank
+    within key). One lexsort + one cummax — no per-key loop."""
+    order = np.lexsort((tie, -val, key))
+    k = key[order]
+    n = len(k)
+    idx = np.arange(n, dtype=np.int64)
+    new = np.empty(n, dtype=bool)
+    if n:
+        new[0] = True
+        new[1:] = k[1:] != k[:-1]
+    start = np.maximum.accumulate(np.where(new, idx, 0))
+    return order, idx - start
+
+
+def group_topk(
+    ds: rd.Dataset,
+    key_col: str,
+    order_col: str,
+    k: int,
+    tiebreak_col: str,
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Top-k rows per key by ``order_col`` DESC (ties broken by
+    ``tiebreak_col`` ASC), with a 1-based ``rank`` column.
+
+    Two-phase: every block first prunes itself to ≤k rows per key (a
+    local top-k can only shrink the global one), then one hash-bucket
+    shuffle co-locates the survivors and the same kernel ranks them
+    globally. The shuffle therefore moves at most k × blocks rows per
+    key no matter how hot the key is.
+    """
+    cols = [c.name for c in _schema_fields(ds)]
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        key = t.column(key_col).to_numpy(zero_copy_only=False)
+        val = t.column(order_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        tie = t.column(tiebreak_col).to_numpy(zero_copy_only=False)
+        order, rank = _rank_in_key(key, val, tie)
+        return t.take(pa.array(order[rank < k]))
+
+    def bucket_col(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("__bucket", pa.array([], pa.int32()))
+        key = t.column(key_col).to_numpy(zero_copy_only=False)
+        return t.append_column("__bucket", pa.array(_bucket_of(key, num_buckets)))
+
+    def final_topk(g: pd.DataFrame) -> pa.Table:
+        key = g[key_col].to_numpy()
+        val = g[order_col].to_numpy(dtype=np.float64)
+        tie = g[tiebreak_col].to_numpy()
+        order, rank = _rank_in_key(key, val, tie)
+        keep = rank < k
+        out = g.iloc[order[keep]][cols].reset_index(drop=True)
+        out["rank"] = (rank[keep] + 1).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .map_batches(bucket_col, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+def _schema_fields(ds: rd.Dataset):
+    base = ds.schema().base_schema
+    if isinstance(base, pa.Schema):
+        return list(base)
+    return [pa.field(n, pa.string()) for n in base.names]
+
+
+def count_distinct(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Exact COUNT(DISTINCT value) GROUP BY key, two-level.
+
+    Level 1 dedups (key, value) pairs: blocks drop local duplicates,
+    then pairs shuffle by ``hash(key ⊕ value) % P`` — the SAME pair
+    always lands in the SAME bucket, so a per-bucket dedup is globally
+    exact, while one key's distinct values spread across all buckets
+    (no hot-key bucket). Level 2 sums the per-bucket partial counts per
+    key — a groupby over ≤ P rows per key.
+    """
+
+    def local_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: t.column(key_col),
+                    value_col: t.column(value_col),
+                    "__bucket": pa.array([], pa.int32()),
+                }
+            )
+        df = pd.DataFrame(
+            {
+                key_col: t.column(key_col).to_numpy(zero_copy_only=False),
+                value_col: t.column(value_col).to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        pair_hash = pd.util.hash_pandas_object(
+            df[[key_col, value_col]], index=False
+        ).to_numpy()
+        df["__bucket"] = (pair_hash % np.uint64(num_buckets)).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def bucket_counts(g: pd.DataFrame) -> pa.Table:
+        part = (
+            g[[key_col, value_col]]
+            .drop_duplicates()
+            .groupby(key_col, sort=False)
+            .size()
+            .reset_index(name="__n")
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    partials = (
+        ds.map_batches(local_pairs, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_counts, batch_format="pandas")
+    )
+    out = partials.groupby(key_col).sum("__n")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                key_col: t.column(key_col),
+                "n_distinct": pc.cast(t.column("sum(__n)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_TOKEN_RE = r"\w+"
+
+
+def doc_frequency(
+    ds: rd.Dataset,
+    col: str = "text",
+    min_df: int = 1,
+) -> rd.Dataset:
+    """Document frequency + smoothed IDF per term (the global half of
+    TF-IDF — the per-doc TF side is a stateless map once this small
+    table is broadcast).
+
+    Per block: tokenize (lowercased ``\\w+``), dedup terms WITHIN each
+    doc, count docs per term — one partial row per (term, block). The
+    shuffle then moves term partials (vocabulary-sized), never the
+    corpus, and a tiny groupby sums them. ``idf = ln((1+N)/(1+df)) + 1``
+    (sklearn's smooth variant), rounded to 6 so a SQL oracle reproduces
+    it with ``round(ln(...), 6)``.
+    """
+    n_docs = ds.count()
+
+    def partial_df(t: pa.Table) -> pd.DataFrame:
+        texts = t.column(col).to_pandas()
+        if len(texts) == 0:
+            return pd.DataFrame({"term": pd.Series([], dtype=object),
+                                 "__df": pd.Series([], dtype=np.int64)})
+        toks = texts.str.lower().str.findall(_TOKEN_RE)
+        per_doc = toks.map(set)
+        exploded = per_doc.explode().dropna()
+        part = exploded.value_counts()
+        return pd.DataFrame({"term": part.index.to_numpy(dtype=object),
+                             "__df": part.to_numpy(dtype=np.int64)})
+
+    summed = (
+        ds.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("term")
+        .sum("__df")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        df_ = t.column("sum(__df)").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = df_ >= min_df
+        df_k = df_[keep]
+        idf = np.round(np.log((1.0 + n_docs) / (1.0 + df_k)) + 1.0, 6)
+        return pa.table(
+            {
+                "term": pc.cast(t.column("term"), pa.string()).filter(
+                    pa.array(keep)
+                ),
+                "df": pa.array(df_k),
+                "idf": pa.array(idf),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow")
+
+
+def hll_registers(
+    ds: rd.Dataset,
+    value_col: str,
+    p: int = 10,
+) -> rd.Dataset:
+    """HyperLogLog register table for COUNT(DISTINCT value), 2^p
+    registers (Flajolet et al. 2007).
+
+    ``h = md5-derived uint64(value)``; register index = top ``p`` bits;
+    rho = leading-zero count of the remaining ``64-p`` bits + 1 (rho =
+    65-p when they are all zero). Registers merge by MAX, so each block
+    emits its ≤2^p partial registers and ONE small groupby(bucket).max
+    finishes — the only state that ever moves is 2^p ints per block,
+    which is what makes this the 100 TB path when exact
+    :func:`count_distinct` would shuffle too many pairs.
+
+    Output (bucket, rho) contains only non-empty registers and is
+    integer-exact — a SQL oracle recomputes it from the same md5 hash
+    (the float estimate, :func:`hll_estimate`, is derived client-side).
+    """
+    w_bits = 64 - p
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        vals = t.column(value_col).to_pandas().astype(str)
+        empty = pd.DataFrame({"bucket": pd.Series([], dtype=np.int32),
+                              "rho": pd.Series([], dtype=np.int32)})
+        if len(vals) == 0:
+            return empty
+        h = md5_hash64_many(vals.to_numpy(dtype=object))
+        bucket = (h >> np.uint64(w_bits)).astype(np.int32)
+        w = h & np.uint64((1 << w_bits) - 1)
+        # rho = w_bits - bitlength(w) + 1; bitlength(0) treated as 0
+        nz = w > 0
+        bitlen = np.zeros(len(w), dtype=np.int32)
+        bitlen[nz] = np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int32) + 1
+        # float log2 can be off by one at exact powers of two — repair
+        # exactly with integer shifts
+        too_hi = nz & (w >> np.clip(bitlen, 0, 63).astype(np.uint64) > 0)
+        bitlen[too_hi] += 1
+        too_lo = nz & (w < (np.uint64(1) << np.clip(bitlen - 1, 0, 63).astype(np.uint64)))
+        bitlen[too_lo] -= 1
+        rho = (w_bits - bitlen + 1).astype(np.int32)
+        part = pd.DataFrame({"bucket": bucket, "rho": rho}).groupby(
+            "bucket", sort=False
+        )["rho"].max().reset_index()
+        return part
+
+    regs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .max("rho")
+    )
+    return regs.map_batches(
+        lambda t: pa.table(
+            {
+                "bucket": pc.cast(t.column("bucket"), pa.int32()),
+                "rho": pc.cast(t.column("max(rho)"), pa.int32()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def hll_estimate(registers: pa.Table, p: int = 10) -> float:
+    """Cardinality estimate from a register table (standard HLL with
+    small-range linear counting; no large-range correction — 64-bit
+    hashes don't need it)."""
+    m = 1 << p
+    rho = np.zeros(m, dtype=np.int32)
+    rho[registers.column("bucket").to_numpy()] = registers.column("rho").to_numpy()
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    est = alpha * m * m / np.sum(np.power(2.0, -rho.astype(np.float64)))
+    zeros = int(np.sum(rho == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def group_quantiles(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.95),
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Exact linear-interpolated quantiles per key (numpy's default /
+    SQL ``quantile_cont`` semantics), vectorized across all keys of a
+    bucket: one lexsort, per-key segment arithmetic on the sorted
+    array, zero per-key Python. Exactness requires each key's values to
+    co-locate (the documented per-key memory bound); for sketch-sized
+    state at 100 TB swap in a mergeable digest the same way
+    :func:`hll_registers` replaces :func:`count_distinct`."""
+
+    def bucket_col(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("__bucket", pa.array([], pa.int32()))
+        key = t.column(key_col).to_numpy(zero_copy_only=False)
+        return t.append_column("__bucket", pa.array(_bucket_of(key, num_buckets)))
+
+    q_arr = np.asarray(qs, dtype=np.float64)
+
+    def quantiles_of_bucket(g: pd.DataFrame) -> pa.Table:
+        key = g[key_col].to_numpy()
+        val = g[value_col].to_numpy(dtype=np.float64)
+        order = np.lexsort((val, key))
+        k, v = key[order], val[order]
+        n = len(k)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, n))
+        out = {key_col: k[starts], "n": lens.astype(np.int64)}
+        last = starts + lens - 1
+        for q in q_arr:
+            pos = starts + q * (lens - 1)
+            lo = np.floor(pos).astype(np.int64)
+            hi = np.minimum(lo + 1, last)
+            frac = pos - lo
+            out[f"q{int(round(q * 100))}"] = np.round(
+                v[lo] + (v[hi] - v[lo]) * frac, 6
+            )
+        return pa.Table.from_pandas(pd.DataFrame(out), preserve_index=False)
+
+    return (
+        ds.map_batches(bucket_col, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(quantiles_of_bucket, batch_format="pandas")
+    )

@@ -1,0 +1,152 @@
+"""Unit/property tests for stages/aggregates.py (top-k per group, exact
+count-distinct, document frequency, HLL sketch, grouped quantiles) —
+each against an independent pandas/numpy oracle on multi-block inputs
+so the shuffle paths actually execute."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from gocrawler_ray.stages.aggregates import (
+    count_distinct,
+    doc_frequency,
+    group_quantiles,
+    group_topk,
+    hll_estimate,
+    hll_registers,
+)
+
+
+def _events_df(n=5000, seed=7):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "key": rng.integers(0, 40, n),
+            "val": np.round(rng.normal(100, 25, n), 2),
+            "id": np.arange(n, dtype=np.int64),
+            "user": rng.integers(0, 300, n),
+        }
+    )
+
+
+def _ds_of(df, blocks=7):
+    return rd.from_pandas(df).repartition(blocks)
+
+
+def test_group_topk_matches_pandas_with_ties():
+    df = _events_df()
+    # force ties so the tiebreak path is exercised
+    df.loc[df.index % 11 == 0, "val"] = 50.0
+    got = (
+        group_topk(_ds_of(df), "key", "val", k=3, tiebreak_col="id")
+        .to_pandas()
+        .sort_values(["key", "rank"])
+        .reset_index(drop=True)
+    )
+    exp = df.copy()
+    exp["rank"] = (
+        exp.sort_values(["val", "id"], ascending=[False, True])
+        .groupby("key")
+        .cumcount()
+        + 1
+    )
+    exp = (
+        exp[exp["rank"] <= 3]
+        .sort_values(["key", "rank"])
+        .reset_index(drop=True)[["key", "val", "id", "user", "rank"]]
+    )
+    pd.testing.assert_frame_equal(
+        got[["key", "val", "id", "user", "rank"]], exp, check_dtype=False
+    )
+
+
+def test_group_topk_k_larger_than_group():
+    df = pd.DataFrame({"key": [1, 1, 2], "val": [3.0, 1.0, 9.0],
+                       "id": [0, 1, 2]})
+    got = group_topk(_ds_of(df, blocks=2), "key", "val", k=5,
+                     tiebreak_col="id").to_pandas()
+    assert len(got) == 3
+    assert set(got["rank"]) <= {1, 2}
+
+
+def test_count_distinct_exact():
+    df = _events_df()
+    got = (
+        count_distinct(_ds_of(df), "key", "user")
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.groupby("key")["user"]
+        .nunique()
+        .reset_index(name="n_distinct")
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    assert (got["key"].to_numpy() == exp["key"].to_numpy()).all()
+    assert (got["n_distinct"].to_numpy() == exp["n_distinct"].to_numpy()).all()
+
+
+def test_doc_frequency_counts_docs_not_occurrences():
+    docs = pd.DataFrame(
+        {
+            "text": [
+                "alpha alpha alpha beta",   # alpha counts once here
+                "Alpha gamma",              # lowercased
+                "beta beta",
+                "",                         # empty doc contributes nothing
+            ]
+        }
+    )
+    got = (
+        doc_frequency(_ds_of(docs, blocks=3), col="text", min_df=1)
+        .to_pandas()
+        .set_index("term")
+    )
+    assert got.loc["alpha", "df"] == 2
+    assert got.loc["beta", "df"] == 2
+    assert got.loc["gamma", "df"] == 1
+    n = 4
+    assert got.loc["gamma", "idf"] == pytest.approx(
+        round(np.log((1 + n) / (1 + 1)) + 1, 6)
+    )
+
+
+def test_hll_registers_merge_and_estimate():
+    n_unique = 20000
+    df = pd.DataFrame({"v": np.arange(n_unique, dtype=np.int64) % n_unique})
+    regs = hll_registers(_ds_of(df, blocks=9), "v", p=10).to_pandas()
+    # registers must be a function of the DISTINCT value set: duplicating
+    # every row cannot change them
+    regs2 = hll_registers(
+        _ds_of(pd.concat([df, df], ignore_index=True), blocks=4), "v", p=10
+    ).to_pandas()
+    a = regs.sort_values("bucket").reset_index(drop=True)
+    b = regs2.sort_values("bucket").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    est = hll_estimate(pa.Table.from_pandas(regs), p=10)
+    # standard error ~1.04/sqrt(1024) = 3.3%; allow 3 sigma
+    assert abs(est - n_unique) / n_unique < 0.10
+
+
+def test_group_quantiles_matches_numpy():
+    df = _events_df()
+    got = (
+        group_quantiles(_ds_of(df), "key", "val", qs=(0.5, 0.95))
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    for _, row in got.iterrows():
+        vals = df.loc[df["key"] == row["key"], "val"].to_numpy()
+        assert row["n"] == len(vals)
+        assert row["q50"] == pytest.approx(
+            round(float(np.quantile(vals, 0.5)), 6), abs=1e-6
+        )
+        assert row["q95"] == pytest.approx(
+            round(float(np.quantile(vals, 0.95)), 6), abs=1e-6
+        )
