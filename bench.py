@@ -149,6 +149,11 @@ def run_bench() -> dict:
     timed("asof_join", q.q_asof_join)
     timed("hopping_window", q.q_hopping_window)
     timed("interval_join", q.q_interval_join)
+    timed("group_topk", q.q_group_topk)
+    timed("distinct_users", q.q_distinct_users)
+    timed("doc_frequency", q.q_doc_frequency)
+    timed("hll_distinct", q.q_hll_distinct)
+    timed("group_quantiles", q.q_group_quantiles)
     timed("items_parse", q.q_items_parse)
 
     value = round(

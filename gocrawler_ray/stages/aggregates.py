@@ -251,7 +251,7 @@ def hll_registers(
     ds: rd.Dataset,
     value_col: str,
     p: int = 10,
-) -> rd.Dataset:
+) -> pa.Table:
     """HyperLogLog register table for COUNT(DISTINCT value), 2^p
     registers (Flajolet et al. 2007).
 
@@ -294,19 +294,23 @@ def hll_registers(
         )["rho"].max().reset_index()
         return part
 
-    regs = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("bucket")
-        .max("rho")
-    )
-    return regs.map_batches(
-        lambda t: pa.table(
-            {
-                "bucket": pc.cast(t.column("bucket"), pa.int32()),
-                "rho": pc.cast(t.column("max(rho)"), pa.int32()),
-            }
-        ),
-        batch_format="pyarrow",
+    # registers are sketch-sized BY DESIGN (≤2^p rows per block), so the
+    # final MAX-merge is a driver combine of partials — the same bounded-
+    # key pattern as pipelines/queries.py::_combine_partials; a Ray
+    # groupby here would pay a full sort-shuffle launch (~3 s fixed) to
+    # merge a few thousand ints. At extreme block counts (100 TB ⇒ ~1e5
+    # blocks ⇒ ≤1e8 partial rows) insert one coalescing repartition
+    # before the combine; the state itself never grows past 2^p.
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        return pa.table({"bucket": pa.array([], pa.int32()),
+                         "rho": pa.array([], pa.int32())})
+    regs = parts.groupby("bucket", sort=True)["rho"].max().reset_index()
+    return pa.table(
+        {
+            "bucket": pa.array(regs["bucket"].to_numpy(np.int32)),
+            "rho": pa.array(regs["rho"].to_numpy(np.int32)),
+        }
     )
 
 
