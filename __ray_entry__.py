@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_frequency": q.q_doc_frequency,
         "hll_distinct": q.q_hll_distinct,
         "group_quantiles": q.q_group_quantiles,
+        "tfidf_topk": q.q_tfidf_topk,
     }
 
 
@@ -536,5 +537,26 @@ SELECT event_type, count(*) AS n,
        round(quantile_cont(value, 0.5), 6) AS q50,
        round(quantile_cont(value, 0.95), 6) AS q95
 FROM events GROUP BY event_type
+""",
+        # idf is rounded to 6 BEFORE the tf product (that is what the
+        # broadcast table carries), and rank orders by the rounded score
+        # — both sides rank and emit the same quantity
+        "tfidf_topk": """
+WITH n AS (SELECT count(*) AS n FROM documents),
+terms AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS c FROM terms GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.c * round(ln((1.0 + n.n) / (1.0 + dfreq.df)) + 1.0, 6), 6)
+           AS score
+  FROM tf JOIN dfreq USING (term), n),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rank
+  FROM scored)
+SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 3
 """,
     }

@@ -153,6 +153,7 @@ def run_bench() -> dict:
     timed("distinct_users", q.q_distinct_users)
     timed("doc_frequency", q.q_doc_frequency)
     timed("hll_distinct", q.q_hll_distinct)
+    timed("tfidf_topk", q.q_tfidf_topk)
     timed("group_quantiles", q.q_group_quantiles)
     timed("items_parse", q.q_items_parse)
 

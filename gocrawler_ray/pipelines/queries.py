@@ -1000,3 +1000,19 @@ def q_group_quantiles(sf_dir: str):
              num_blocks=_n_cpus())
     return group_quantiles(ev, key_col="event_type", value_col="value",
                            qs=(0.5, 0.95))
+
+
+def q_tfidf_topk(sf_dir: str):
+    """Top-3 TF-IDF terms per document: the global IDF table (tiny)
+    broadcasts via ray.put and the scoring pass is one stateless
+    map_batches — zero shuffles end to end."""
+    from ..stages.aggregates import doc_frequency, tfidf_topk
+
+    idf_ds = doc_frequency(
+        _pq(sf_dir, "documents", columns=["text"], num_blocks=_n_cpus()),
+        col="text", min_df=1,
+    )
+    idf_tbl = pa.Table.from_pandas(idf_ds.to_pandas())  # vocabulary-sized
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"],
+               num_blocks=_n_cpus())
+    return tfidf_topk(docs, idf_tbl, id_col="doc_id", col="text", k=3)

@@ -380,3 +380,68 @@ def group_quantiles(
         .groupby("__bucket")
         .map_groups(quantiles_of_bucket, batch_format="pandas")
     )
+
+
+def tfidf_topk(
+    ds: rd.Dataset,
+    idf_table: pa.Table,
+    id_col: str = "doc_id",
+    col: str = "text",
+    k: int = 3,
+) -> rd.Dataset:
+    """Top-k TF-IDF terms per document, given the (small) global IDF
+    table from :func:`doc_frequency`.
+
+    The IDF table is vocabulary-sized, so it broadcasts once via
+    ``ray.put`` and every task reads it zero-copy from the local object
+    store — the classic broadcast-small-side pattern (no shuffle at
+    all: the whole operator is one stateless ``map_batches`` pass).
+    Score = term count in the doc × idf, ranked (score DESC, term ASC);
+    terms absent from the IDF table (e.g. pruned by min_df) score 0 and
+    are dropped.
+    """
+    import ray
+
+    idf_ref = ray.put(
+        {
+            t: float(i)
+            for t, i in zip(
+                idf_table.column("term").to_pylist(),
+                idf_table.column("idf").to_pylist(),
+            )
+        }
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        idf = ray.get(idf_ref)
+        ids = t.column(id_col).to_pandas()
+        toks = t.column(col).to_pandas().str.lower().str.findall(_TOKEN_RE)
+        out_id, out_term, out_score, out_rank = [], [], [], []
+        for doc_id, words in zip(ids, toks):
+            if not words:
+                continue
+            tf = pd.Series(words).value_counts()
+            # round BEFORE ranking: rank and emitted value must be the
+            # same quantity or a tie at 6 decimals could rank differently
+            # from the value a SQL oracle sorts by
+            scores = {
+                w: round(c * idf[w], 6) for w, c in tf.items() if w in idf
+            }
+            if not scores:
+                continue
+            top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            for rank, (w, s) in enumerate(top, 1):
+                out_id.append(doc_id)
+                out_term.append(w)
+                out_score.append(s)
+                out_rank.append(rank)
+        return pa.table(
+            {
+                id_col: pa.array(out_id, t.column(id_col).type),
+                "term": pa.array(out_term, pa.string()),
+                "score": pa.array(out_score, pa.float64()),
+                "rank": pa.array(out_rank, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

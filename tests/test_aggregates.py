@@ -150,3 +150,64 @@ def test_group_quantiles_matches_numpy():
         assert row["q95"] == pytest.approx(
             round(float(np.quantile(vals, 0.95)), 6), abs=1e-6
         )
+
+
+def test_group_topk_hot_key():
+    """Adversarial skew: one key owns 60% of all rows across many
+    blocks — the per-block partial must bound the shuffle and the
+    result must still be exact."""
+    rng = np.random.default_rng(3)
+    n = 20000
+    key = np.where(rng.random(n) < 0.6, 0, rng.integers(1, 50, n))
+    df = pd.DataFrame({"key": key, "val": rng.random(n), "id": np.arange(n)})
+    got = (
+        group_topk(_ds_of(df, blocks=16), "key", "val", k=2, tiebreak_col="id")
+        .to_pandas()
+        .sort_values(["key", "rank"])
+        .reset_index(drop=True)
+    )
+    exp = df.copy()
+    exp["rank"] = (
+        exp.sort_values(["val", "id"], ascending=[False, True])
+        .groupby("key")
+        .cumcount()
+        + 1
+    )
+    exp = (
+        exp[exp["rank"] <= 2]
+        .sort_values(["key", "rank"])
+        .reset_index(drop=True)[["key", "val", "id", "rank"]]
+    )
+    pd.testing.assert_frame_equal(
+        got[["key", "val", "id", "rank"]], exp, check_dtype=False
+    )
+
+
+def test_tfidf_topk_broadcast_scoring():
+    from gocrawler_ray.stages.aggregates import tfidf_topk
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "cat cat cat dog",     # tf(cat)=3 dominates
+                "dog bird",
+                "",                     # no tokens -> no rows
+            ],
+        }
+    )
+    idf = doc_frequency(_ds_of(docs, blocks=2), col="text", min_df=1)
+    idf_tbl = pa.Table.from_pandas(idf.to_pandas())
+    got = (
+        tfidf_topk(_ds_of(docs, blocks=2), idf_tbl, k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == [1, 1, 2, 2]
+    assert got.loc[0, "term"] == "cat"  # highest score in doc 1
+    n = 3
+    idf_cat = round(np.log((1 + n) / (1 + 1)) + 1, 6)
+    assert got.loc[0, "score"] == pytest.approx(round(3 * idf_cat, 6))
+    # doc 2: dog (df=2) vs bird (df=1), both tf=1 -> bird scores higher
+    assert got.loc[2, "term"] == "bird"
