@@ -217,9 +217,14 @@ def doc_frequency(
             return pd.DataFrame({"term": pd.Series([], dtype=object),
                                  "__df": pd.Series([], dtype=np.int64)})
         toks = texts.str.lower().str.findall(_TOKEN_RE)
-        per_doc = toks.map(set)
-        exploded = per_doc.explode().dropna()
-        part = exploded.value_counts()
+        ex = toks.explode().dropna()
+        # within-doc dedup without a per-row Python set(): explode keeps
+        # the doc's positional index, so (doc, term) drop_duplicates is
+        # one vectorized pass
+        pairs = pd.DataFrame(
+            {"d": ex.index.to_numpy(), "term": ex.to_numpy(dtype=object)}
+        ).drop_duplicates()
+        part = pairs["term"].value_counts()
         return pd.DataFrame({"term": part.index.to_numpy(dtype=object),
                              "__df": part.to_numpy(dtype=np.int64)})
 
@@ -403,44 +408,61 @@ def tfidf_topk(
     import ray
 
     idf_ref = ray.put(
-        {
-            t: float(i)
-            for t, i in zip(
-                idf_table.column("term").to_pylist(),
-                idf_table.column("idf").to_pylist(),
-            )
-        }
+        pd.Series(
+            idf_table.column("idf").to_numpy(),
+            index=pd.Index(idf_table.column("term").to_pylist(), dtype=object),
+        )
     )
 
     def score(t: pa.Table) -> pa.Table:
-        idf = ray.get(idf_ref)
+        empty = pa.table(
+            {
+                id_col: pa.array([], t.column(id_col).type),
+                "term": pa.array([], pa.string()),
+                "score": pa.array([], pa.float64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        idf: pd.Series = ray.get(idf_ref)
         ids = t.column(id_col).to_pandas()
         toks = t.column(col).to_pandas().str.lower().str.findall(_TOKEN_RE)
-        out_id, out_term, out_score, out_rank = [], [], [], []
-        for doc_id, words in zip(ids, toks):
-            if not words:
-                continue
-            tf = pd.Series(words).value_counts()
-            # round BEFORE ranking: rank and emitted value must be the
-            # same quantity or a tie at 6 decimals could rank differently
-            # from the value a SQL oracle sorts by
-            scores = {
-                w: round(c * idf[w], 6) for w, c in tf.items() if w in idf
-            }
-            if not scores:
-                continue
-            top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
-            for rank, (w, s) in enumerate(top, 1):
-                out_id.append(doc_id)
-                out_term.append(w)
-                out_score.append(s)
-                out_rank.append(rank)
+        ex = toks.explode().dropna()
+        if len(ex) == 0:
+            return empty
+        # tf per (doc, term) in one vectorized groupby; idf joins via an
+        # indexed Series.map (hash lookup in C) — no per-doc Python
+        tf = (
+            pd.DataFrame(
+                {"d": ex.index.to_numpy(), "term": ex.to_numpy(dtype=object)}
+            )
+            .groupby(["d", "term"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        tf["idf"] = tf["term"].map(idf)
+        tf = tf.dropna(subset=["idf"])
+        if len(tf) == 0:
+            return empty
+        # round BEFORE ranking: rank and emitted value must be the same
+        # quantity or a tie at 6 decimals could rank differently from
+        # the value a SQL oracle sorts by
+        sc = np.round(tf["c"].to_numpy(np.float64) * tf["idf"].to_numpy(), 6)
+        order, rank = _rank_in_key(
+            tf["d"].to_numpy(), sc, tf["term"].to_numpy(dtype=object)
+        )
+        keep = rank < k
+        sel = order[keep]
         return pa.table(
             {
-                id_col: pa.array(out_id, t.column(id_col).type),
-                "term": pa.array(out_term, pa.string()),
-                "score": pa.array(out_score, pa.float64()),
-                "rank": pa.array(out_rank, pa.int64()),
+                id_col: pa.array(
+                    ids.iloc[tf["d"].to_numpy()[sel]].to_numpy(),
+                    t.column(id_col).type,
+                ),
+                "term": pa.array(tf["term"].to_numpy(dtype=object)[sel], pa.string()),
+                "score": pa.array(sc[sel], pa.float64()),
+                "rank": pa.array((rank[keep] + 1).astype(np.int64)),
             }
         )
 
