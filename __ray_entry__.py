@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": q.q_hll_distinct,
         "group_quantiles": q.q_group_quantiles,
         "tfidf_topk": q.q_tfidf_topk,
+        "multimodal_frames": q.q_multimodal_frames,
     }
 
 
@@ -558,5 +559,17 @@ ranked AS (
                                ORDER BY score DESC, term) AS rank
   FROM scored)
 SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 3
+""",
+        # synthetic video duration = 10 ms/char; 1 frame/s, ≤16 frames
+        "multimodal_frames": """
+WITH v AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id, length(text) * 10 AS dur
+  FROM documents),
+f AS (
+  SELECT media_id, unnest(range(0, least(dur, 16000), 1000)) AS frame_ms
+  FROM v WHERE dur > 0)
+SELECT media_id, CAST(frame_ms // 1000 AS BIGINT) AS frame_no,
+       CAST(frame_ms AS INT) AS frame_ms
+FROM f
 """,
     }

@@ -1016,3 +1016,61 @@ def q_tfidf_topk(sf_dir: str):
     docs = _pq(sf_dir, "documents", columns=["doc_id", "text"],
                num_blocks=_n_cpus())
     return tfidf_topk(docs, idf_tbl, id_col="doc_id", col="text", k=3)
+
+
+def q_multimodal_frames(sf_dir: str):
+    """Video frame-sampling plan (stages/multimodal.py::FrameSamplePlan)
+    over synthetic video media (duration = 10 ms per text char), frames
+    exploded to one row per sampled frame. The codec is the declared
+    stub; the plumbing — list column, explode, batch sizing — is real."""
+    from ..stages.multimodal import MEDIA_META_TYPE, MEDIA_SCHEMA, FrameSamplePlan
+
+    docs = _docs_table(sf_dir)
+    ids = [str(d) for d in docs.column("doc_id").to_pylist()]
+    texts = docs.column("text").to_pylist()
+    metas = [
+        {
+            "media_type": "video",
+            "format": "mp4",
+            "width": 0,
+            "height": 0,
+            "duration_ms": 10 * len(t or ""),
+        }
+        for t in texts
+    ]
+    tbl = pa.Table.from_arrays(
+        [
+            pa.array(ids, pa.string()),
+            pa.array([(t or "").encode() for t in texts], pa.binary()),
+            pa.array(metas, MEDIA_META_TYPE),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        frames = t.column("sample_frames_ms")
+        flat = frames.combine_chunks().flatten() if isinstance(
+            frames, pa.ChunkedArray
+        ) else frames.flatten()
+        lens = pc.list_value_length(frames).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens, nan=0).astype(np.int64)
+        parent = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        ms = flat.to_numpy(zero_copy_only=False).astype(np.int32)
+        return pa.table(
+            {
+                "media_id": t.column("media_id").take(pa.array(parent)),
+                "frame_no": pa.array(ms.astype(np.int64) // 1000),
+                "frame_ms": pa.array(ms, pa.int32()),
+            }
+        )
+
+    return (
+        rd.from_arrow(tbl)
+        .map_batches(
+            FrameSamplePlan(frame_interval_ms=1000, max_frames=16),
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=2,
+        )
+        .map_batches(explode, batch_format="pyarrow")
+    )
