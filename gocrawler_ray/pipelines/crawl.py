@@ -254,14 +254,13 @@ def _links_of_wave(ckpt: CheckpointStore, wave: int, next_depth: int) -> rd.Data
     # downstream consumers read per-block schemas, never the bundle's.
     # block count = the wave's task parallelism (batches are per-block)
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
-    # prune at the read: link extraction needs 3 of the ~16 doc columns —
-    # spans dominate the row, but lineage/captcha/meta columns are dead
-    # weight for this scan
-    docs = ckpt.read_docs(
-        wave,
-        override_num_blocks=max(4, n_cpus),
-        columns=["url", "status", "spans"],
-    )
+    # Deliberately NOT a pruned-column read: link extraction needs only
+    # (url, status, spans), but spans are ~95 % of the bytes, and Ray
+    # 2.49's projected parquet read (columns=...) measured 34 % SLOWER
+    # end-to-end on the 20M-page crawl (8 cpus: 194.7 s pruned vs
+    # 145.1 s full-width) — the projection path loses more than the
+    # dead columns cost. Re-evaluate on a Ray with projection pushdown.
+    docs = ckpt.read_docs(wave, override_num_blocks=max(4, n_cpus))
 
     def to_links(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t.column("status"), "ok"))
