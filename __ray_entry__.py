@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_quantiles": q.q_group_quantiles,
         "tfidf_topk": q.q_tfidf_topk,
         "multimodal_frames": q.q_multimodal_frames,
+        "connected_components": q.q_connected_components,
     }
 
 
@@ -571,5 +572,34 @@ f AS (
 SELECT media_id, CAST(frame_ms // 1000 AS BIGINT) AS frame_no,
        CAST(frame_ms AS INT) AS frame_ms
 FROM f
+""",
+        # min-label propagation fixpoint over the exact near-dup pair
+        # set (same ground-truth edges as minhash_pairs); VARCHAR MIN is
+        # lexicographic on BOTH sides, and the fixpoint is order-metric
+        # independent anyway
+        "connected_components": """
+WITH RECURSIVE
+aug AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id + 20000 AS VARCHAR), text || ' extra tail token appended'
+  FROM documents WHERE doc_id < 10),
+words AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws FROM aug),
+grams AS (SELECT doc_id,
+  CASE WHEN len(ws) <= 3 THEN [array_to_string(ws, ' ')]
+       ELSE list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+  END AS gs FROM words),
+gsets AS (SELECT doc_id, list_distinct(gs) AS gs FROM grams),
+pairs AS (SELECT a.doc_id AS a, b.doc_id AS b
+  FROM gsets a JOIN gsets b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.gs, b.gs)) * 1.0
+        / len(list_distinct(a.gs || b.gs)) >= 0.6),
+ed AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+r(node, label) AS (
+  SELECT node, node FROM (SELECT DISTINCT a AS node FROM ed)
+  UNION
+  SELECT ed.b, r.label FROM r JOIN ed ON ed.a = r.node
+)
+SELECT node, MIN(label) AS label FROM r GROUP BY node
 """,
     }

@@ -1074,3 +1074,34 @@ def q_multimodal_frames(sf_dir: str):
         )
         .map_batches(explode, batch_format="pyarrow")
     )
+
+
+def q_connected_components(sf_dir: str):
+    """Distributed connected components (iterative min-label propagation,
+    stages/dedup.py::components_minlabel) over the verified near-dup
+    pair set — the dup-cluster resolution step of LSH dedup run through
+    the DISTRIBUTED path (the driver-side union-find is the small-edge
+    shortcut). Label = component-min doc_id (string order, both sides)."""
+    from ..stages.dedup import components_minlabel, minhash_lsh_dedup
+
+    ds = _near_dup_docs(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.string()),
+                "text": t.column("text"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    _, edges = minhash_lsh_dedup(
+        ds, col="text", id_col="doc_id", threshold=0.6, num_perm=128, bands=64
+    )
+    edges_ds = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([a for a, _ in edges], pa.string()),
+                "b": pa.array([b for _, b in edges], pa.string()),
+            }
+        )
+    )
+    return components_minlabel(edges_ds, num_partitions=4)
