@@ -89,6 +89,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": q.q_tfidf_topk,
         "multimodal_frames": q.q_multimodal_frames,
         "connected_components": q.q_connected_components,
+        "order_lineitem_join": q.q_order_lineitem_join,
+        "customer_no_orders": q.q_customer_no_orders,
+        "events_rollup": q.q_events_rollup,
+        "pagerank_paths": q.q_pagerank_paths,
+        "link_degrees": q.q_link_degrees,
+        "url_normalize": q.q_url_normalize,
+        "audio_chunks": q.q_audio_chunks,
     }
 
 
@@ -132,6 +139,16 @@ pairs AS (SELECT a.doc_id AS a, b.doc_id AS b,
   FROM gsets a JOIN gsets b ON a.doc_id < b.doc_id)
 SELECT a, b FROM pairs WHERE j >= 0.6
 """
+
+# derived-web edge set alone (no BFS recursion) — shared by the
+# link-graph analytics oracles (pagerank_paths, link_degrees)
+_EDGES_CTE = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (7*doc_id+1) % nn.n AS dst FROM documents, nn WHERE doc_id % 37 != 3
+  UNION ALL SELECT doc_id, (13*doc_id+2) % nn.n FROM documents, nn WHERE doc_id % 37 != 3
+  UNION ALL SELECT doc_id, (29*doc_id+5) % nn.n FROM documents, nn WHERE doc_id % 37 != 3
+)"""
 
 # analyzer stub sentiment: md5(content) first byte mod 4 (stages/analyzer.py)
 _R_CONTENT = (
@@ -601,5 +618,86 @@ r(node, label) AS (
   SELECT ed.b, r.label FROM r JOIN ed ON ed.a = r.node
 )
 SELECT node, MIN(label) AS label FROM r GROUP BY node
+""",
+        # big-big hash shuffle join, bounded grouped agg on top
+        "order_lineitem_join": """
+SELECT o_orderpriority, l_returnflag, count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_rev
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority, l_returnflag
+""",
+        "customer_no_orders": """
+SELECT c_custkey, c_nationkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+""",
+        # every rollup level is derived from the ROUNDED base aggregate
+        # (both sides), so subtotal hashes are summation-order stable
+        "events_rollup": """
+WITH base AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+         count(*) AS n, round(sum(value), 6) AS sum_value
+  FROM events GROUP BY 1, 2)
+SELECT event_type, hour, n, sum_value FROM base
+UNION ALL
+SELECT event_type, CAST(-1 AS BIGINT), CAST(SUM(n) AS BIGINT),
+       round(SUM(sum_value), 6)
+FROM base GROUP BY event_type
+UNION ALL
+SELECT 'ALL', CAST(-1 AS BIGINT), CAST(SUM(n) AS BIGINT),
+       round(SUM(sum_value), 6)
+FROM base
+""",
+        # 3-step integer power iteration (PageRank dataflow), unrolled
+        "pagerank_paths": _EDGES_CTE + """,
+r1 AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS w FROM edges GROUP BY dst),
+r2 AS (SELECT e.dst AS node, CAST(SUM(r1.w) AS BIGINT) AS w
+       FROM edges e JOIN r1 ON r1.node = e.src GROUP BY e.dst),
+r3 AS (SELECT e.dst AS node, CAST(SUM(r2.w) AS BIGINT) AS w
+       FROM edges e JOIN r2 ON r2.node = e.src GROUP BY e.dst)
+SELECT d.doc_id, CAST(COALESCE(r3.w, 0) AS BIGINT) AS paths
+FROM documents d LEFT JOIN r3 ON r3.node = d.doc_id
+""",
+        "link_degrees": _EDGES_CTE + """,
+ind AS (SELECT dst, count(*) AS c FROM edges GROUP BY dst)
+SELECT d.doc_id,
+  CAST(CASE WHEN d.doc_id % 37 = 3 THEN 0 ELSE 3 END AS BIGINT) AS out_degree,
+  CAST(COALESCE(ind.c, 0) AS BIGINT) AS in_degree
+FROM documents d LEFT JOIN ind ON ind.dst = d.doc_id
+""",
+        # canonicalization: lowercase scheme/host, strip fragment, drop
+        # default port, empty path → '/'
+        "url_normalize": """
+WITH built AS (
+  SELECT CASE doc_id % 4
+    WHEN 0 THEN 'HTTPS://WWW.MixUp.COM.MX:443/Mixup/detproducto.aspx?sku=' || doc_id || '#ref'
+    WHEN 1 THEN 'https://www.synthd1.mx:8080/shop/Home.aspx#frag' || doc_id
+    WHEN 2 THEN 'HTTP://News.Site.MX:80#top' || doc_id
+    ELSE 'https://shop.example.mx/p?q=' || doc_id END AS url
+  FROM documents),
+p AS (SELECT url,
+  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)) AS host,
+  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^#]*)', 1) AS rest
+  FROM built),
+q AS (SELECT url, scheme,
+  CASE WHEN scheme = 'https' THEN regexp_replace(host, ':443$', '')
+       WHEN scheme = 'http' THEN regexp_replace(host, ':80$', '')
+       ELSE host END AS host2,
+  CASE WHEN rest = '' THEN '/' ELSE rest END AS rest2 FROM p)
+SELECT url, scheme || '://' || host2 || rest2 AS url_norm FROM q
+""",
+        # synthetic audio duration = 10 ms/char; 2 s chunks, ≤32, tail kept
+        "audio_chunks": """
+WITH a AS (SELECT CAST(doc_id AS VARCHAR) AS media_id, length(text) * 10 AS dur
+           FROM documents),
+c AS (SELECT media_id, dur,
+             unnest(range(0, least(dur, 64000), 2000)) AS start_ms
+      FROM a)
+SELECT media_id, CAST(start_ms // 2000 AS BIGINT) AS chunk_no,
+       CAST(start_ms AS INT) AS start_ms,
+       CAST(least(start_ms + 2000, dur) AS INT) AS end_ms
+FROM c
 """,
     }

@@ -156,6 +156,13 @@ def run_bench() -> dict:
     timed("tfidf_topk", q.q_tfidf_topk)
     timed("group_quantiles", q.q_group_quantiles)
     timed("items_parse", q.q_items_parse)
+    timed("order_lineitem_join", q.q_order_lineitem_join)
+    timed("customer_no_orders", q.q_customer_no_orders)
+    timed("events_rollup", q.q_events_rollup)
+    timed("pagerank_paths", q.q_pagerank_paths)
+    timed("link_degrees", q.q_link_degrees)
+    timed("url_normalize", q.q_url_normalize)
+    timed("audio_chunks", q.q_audio_chunks)
 
     value = round(
         sum(v for k, v in timings.items() if not k.startswith("crawl_")), 3

@@ -133,6 +133,51 @@ def absolutize_many(srcs: np.ndarray, hrefs: np.ndarray) -> np.ndarray:
     return out
 
 
+def normalize_urls(urls) -> "pa.Array":
+    """Vectorized URL canonicalization — frontier hygiene so one page
+    does not enter the URL-seen set under several spellings (the
+    reference never normalizes, which is a real duplicate-fetch bug at
+    crawl scale; SURVEY §2.7 hardening):
+
+    - scheme and host lowercased (RFC 3986 §6.2.2.1 case normalization);
+    - fragment stripped (never sent to the server);
+    - default port dropped (``:80`` http / ``:443`` https);
+    - empty path → ``/``.
+
+    Arrow kernels only — one ``extract_regex`` split plus branch-free
+    ``if_else`` recombination; rows that don't look like hierarchical
+    URLs pass through untouched.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = urls if isinstance(urls, (pa.Array, pa.ChunkedArray)) else pa.array(
+        list(urls), pa.string()
+    )
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    parts = pc.extract_regex(
+        arr,
+        r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<host>[^/?#]*)(?P<rest>[^#]*)",
+    )
+    scheme = pc.utf8_lower(pc.struct_field(parts, "scheme"))
+    host = pc.utf8_lower(pc.struct_field(parts, "host"))
+    rest = pc.struct_field(parts, "rest")
+    host = pc.if_else(
+        pc.equal(scheme, "https"),
+        pc.replace_substring_regex(host, r":443$", ""),
+        pc.if_else(
+            pc.equal(scheme, "http"),
+            pc.replace_substring_regex(host, r":80$", ""),
+            host,
+        ),
+    )
+    rest = pc.if_else(pc.equal(rest, ""), pa.scalar("/", pa.string()), rest)
+    norm = pc.binary_join_element_wise(scheme, "://", host, rest, "")
+    # non-matching rows (no scheme://) pass through verbatim
+    return pc.if_else(pc.is_null(norm), arr, norm)
+
+
 def host_of(url: str) -> str:
     return urlsplit(url).netloc
 

@@ -1105,3 +1105,242 @@ def q_connected_components(sf_dir: str):
         )
     )
     return components_minlabel(edges_ds, num_partitions=4)
+
+
+# ---------------------------------------------------------------------------
+# shuffle joins / rollup / link-graph analytics (round 2 widening)
+# ---------------------------------------------------------------------------
+
+def _doc_count(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")
+    ).metadata.num_rows
+
+
+def q_order_lineitem_join(sf_dir: str):
+    """Big-big hash-shuffle join (J1 at fact×fact scale, where the
+    broadcast pattern of cust_nation_orders stops applying): lineitem ⋈
+    orders on orderkey via ``Dataset.join`` — both sides hash-partitioned
+    on the key, no side materialized — then a bounded grouped agg
+    (priority × returnflag ≤ 15) combined from per-block partials."""
+    li = _pq(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+        num_blocks=_n_cpus(),
+    )
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"],
+                 num_blocks=_n_cpus())
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=_n_cpus(),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        rev = t.column("l_extendedprice").to_numpy() * (
+            1.0 - t.column("l_discount").to_numpy()
+        )
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": t.column("o_orderpriority").to_pandas(),
+                "l_returnflag": t.column("l_returnflag").to_pandas(),
+                "rev": rev,
+            }
+        )
+        return df.groupby(["o_orderpriority", "l_returnflag"], as_index=False).agg(
+            n_lines=("rev", "size"), sum_rev=("rev", "sum")
+        )
+
+    partials = joined.map_batches(partial, batch_format="pyarrow")
+    out = _combine_partials(
+        partials, ["o_orderpriority", "l_returnflag"], ["n_lines", "sum_rev"]
+    )
+    out["sum_rev"] = out["sum_rev"].round(2)
+    return out
+
+
+def q_customer_no_orders(sf_dir: str):
+    """Distributed ANTI join (J2's seen-anti-join shape as a relational
+    operator): customers with no URGENT orders via ``Dataset.join
+    (left_anti)`` — hash-partitioned both sides, so it holds when
+    neither side fits a broadcast dict. (The urgent filter keeps the
+    result non-trivial: this corpus gives every customer ≥1 order.)"""
+    cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_nationkey"],
+               num_blocks=_n_cpus())
+    orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"],
+                 num_blocks=_n_cpus())
+    urgent = orders.filter(
+        expr="o_orderpriority == '1-URGENT'"
+    ).select_columns(["o_custkey"])
+    anti = cust.join(
+        urgent,
+        join_type="left_anti",
+        num_partitions=_n_cpus(),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+    return anti.map_batches(
+        lambda t: t.select(["c_custkey", "c_nationkey"]), batch_format="pyarrow"
+    )
+
+
+def q_events_rollup(sf_dir: str):
+    """ROLLUP(event_type, hour): base tumbling-window agg from per-block
+    partials, subtotal and grand-total levels derived from the ROUNDED
+    base aggregate on BOTH sides (sentinels hour=-1 / event_type='ALL'),
+    so every rollup level is hash-stable regardless of summation order.
+    The upper levels are driver arithmetic over the bounded base table —
+    at 100 TB the base agg is still (types × clock-hours) rows."""
+    ev = _pq(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        df = pd.DataFrame(
+            {
+                "event_type": t.column("event_type").to_pandas(),
+                "hour": us // 3_600_000_000,
+                "value": t.column("value").to_pandas(),
+            }
+        )
+        return df.groupby(["event_type", "hour"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        )
+
+    partials = ev.map_batches(partial, batch_format="pyarrow")
+    base = _combine_partials(partials, ["event_type", "hour"], ["n", "sum_value"])
+    base["sum_value"] = base["sum_value"].round(6)
+    lvl1 = base.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), sum_value=("sum_value", "sum")
+    )
+    lvl1["hour"] = np.int64(-1)
+    lvl2 = pd.DataFrame(
+        {
+            "event_type": ["ALL"],
+            "hour": np.array([-1], np.int64),
+            "n": [base["n"].sum()],
+            "sum_value": [base["sum_value"].sum()],
+        }
+    )
+    out = pd.concat(
+        [base, lvl1[base.columns], lvl2[base.columns]], ignore_index=True
+    )
+    out["sum_value"] = out["sum_value"].round(6)
+    return out
+
+
+def q_pagerank_paths(sf_dir: str):
+    """Iterative link-analysis (PageRank dataflow) over the derived web:
+    3 rounds of edges⋈weights + groupby-sum shuffles with integer path
+    counts (stages/graph.py::path_weights) — hash-exact, so the
+    unrolled-CTE oracle gates the full iterative pipeline."""
+    from ..stages.graph import path_weights
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id"], num_blocks=_n_cpus())
+    return path_weights(
+        docs, n=_doc_count(sf_dir), iters=3, num_partitions=_n_cpus()
+    )
+
+
+def q_link_degrees(sf_dir: str):
+    """In/out degree per page of the derived link graph: one distributed
+    count shuffle + a left_outer stitch (stages/graph.py::degree_table)."""
+    from ..stages.graph import degree_table
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id"], num_blocks=_n_cpus())
+    return degree_table(docs, n=_doc_count(sf_dir), num_partitions=_n_cpus())
+
+
+def q_url_normalize(sf_dir: str):
+    """URL canonicalization kernel (frontier hygiene, SURVEY §2.7
+    hardening): lowercase scheme/host, strip fragment, drop default
+    port, empty path → '/'. Pure Arrow kernels over deterministic messy
+    spellings built from doc ids."""
+    from ..functions.urls import normalize_urls
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        urls = np.empty(len(ids), dtype=object)
+        for j, d in enumerate(ids):
+            m = d % 4
+            if m == 0:
+                urls[j] = (
+                    f"HTTPS://WWW.MixUp.COM.MX:443/Mixup/detproducto.aspx?sku={d}#ref"
+                )
+            elif m == 1:
+                urls[j] = f"https://www.synthd1.mx:8080/shop/Home.aspx#frag{d}"
+            elif m == 2:
+                urls[j] = f"HTTP://News.Site.MX:80#top{d}"
+            else:
+                urls[j] = f"https://shop.example.mx/p?q={d}"
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    return docs.map_batches(build, batch_format="pyarrow").map_batches(
+        lambda t: pa.table(
+            {"url": t.column("url"), "url_norm": normalize_urls(t.column("url"))}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_audio_chunks(sf_dir: str):
+    """Audio chunk plan (multimodal §: audio modality): synthetic clips
+    (duration = 10 ms/char), AudioChunkPlan actor pool, chunk list
+    exploded to one row per window. Codec behind the declared stub; the
+    plumbing — struct list column, explode, batch sizing — is real."""
+    from ..stages.multimodal import MEDIA_META_TYPE, MEDIA_SCHEMA, AudioChunkPlan
+
+    docs = _docs_table(sf_dir)
+    ids = [str(d) for d in docs.column("doc_id").to_pylist()]
+    texts = docs.column("text").to_pylist()
+    metas = [
+        {
+            "media_type": "audio",
+            "format": "wav",
+            "width": 0,
+            "height": 0,
+            "duration_ms": 10 * len(t or ""),
+        }
+        for t in texts
+    ]
+    tbl = pa.Table.from_arrays(
+        [
+            pa.array(ids, pa.string()),
+            pa.array([(t or "").encode() for t in texts], pa.binary()),
+            pa.array(metas, MEDIA_META_TYPE),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        chunks = t.column("chunks")
+        if isinstance(chunks, pa.ChunkedArray):
+            chunks = chunks.combine_chunks()
+        flat = chunks.flatten()
+        lens = pc.list_value_length(chunks).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens, nan=0).astype(np.int64)
+        parent = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        return pa.table(
+            {
+                "media_id": t.column("media_id").take(pa.array(parent)),
+                "chunk_no": flat.field("chunk_no"),
+                "start_ms": flat.field("start_ms"),
+                "end_ms": flat.field("end_ms"),
+            }
+        )
+
+    return (
+        rd.from_arrow(tbl)
+        .map_batches(
+            AudioChunkPlan(chunk_ms=2000, max_chunks=32),
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=2,
+        )
+        .map_batches(explode, batch_format="pyarrow")
+    )

@@ -1,0 +1,168 @@
+"""Distributed link-graph operators over the derived crawl web.
+
+The derived web (pipelines/derived.py) gives every non-captcha document
+three out-links ``(7i+1)%N, (13i+2)%N, (29i+5)%N`` — an expander-ish
+digraph. These operators run the classic link-analysis dataflows over
+that edge set with Ray Data's shuffle primitives (the crawl-adjacent
+analytics the reference's item pipeline never had, but any web-scale
+corpus needs):
+
+- :func:`edges_dataset` — documents → ``(src, dst)`` edge table
+  (map-only, vectorized);
+- :func:`degree_table` — in/out degree per node: one distributed
+  ``groupby(dst).count()`` stitched back with a hash-shuffle
+  ``left_outer`` join;
+- :func:`path_weights` — K rounds of ``edges ⋈ weights on src`` →
+  ``groupby(dst).sum()`` — the PageRank dataflow. Weights are INTEGER
+  path counts (uniform start weight 1, no damping/normalization), so
+  every iteration is hash-exact and a DuckDB oracle with K unrolled
+  CTE joins gates the whole iterative pipeline; damped float PageRank
+  is the identical two shuffles per round with a scalar multiply and a
+  teleport add folded into the aggregate.
+
+Partitioning contract at scale: the join and the groupby both hash on
+the node-id domain. Ray 2.49's hash-shuffle join takes
+``num_partitions`` explicitly; per-round state is one ``(node, w)``
+table the size of the node set, kept in the OBJECT STORE via
+``materialize()`` between rounds (iterative lineage otherwise re-runs
+every previous round per reference — the state is O(nodes), distributed
+and spillable, never a driver-side gather). Edge blocks are
+materialized once and re-read every round, exactly how an N-node
+cluster would pin its edge partitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+# byte-for-byte the derived-web expander constants (pipelines/derived.py)
+EDGE_MULS = ((7, 1), (13, 2), (29, 5))
+CAPTCHA_MOD = 37
+CAPTCHA_RES = 3
+
+
+def edges_dataset(documents: rd.Dataset, n: int) -> rd.Dataset:
+    """``(src, dst)`` edges of the derived web. Captcha walls
+    (``doc_id % 37 == 3``) emit no out-links — same pruning as the BFS
+    oracle edge set (__ray_entry__._BFS_CTE)."""
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        ids = ids[ids % CAPTCHA_MOD != CAPTCHA_RES]
+        src = np.repeat(ids, len(EDGE_MULS))
+        dst = np.stack([(a * ids + b) % n for a, b in EDGE_MULS], axis=1).ravel()
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+
+    return documents.map_batches(to_edges, batch_format="pyarrow")
+
+
+def _as_weights(t: pa.Table, node_col: str, w_col: str) -> pa.Table:
+    return pa.table(
+        {
+            "node": pc.cast(t.column(node_col), pa.int64()),
+            "w": pc.cast(t.column(w_col), pa.int64()),
+        }
+    )
+
+
+def degree_table(documents: rd.Dataset, n: int, num_partitions: int) -> rd.Dataset:
+    """Per-node in/out degree. Out-degree is map-side arithmetic (3 or
+    0); in-degree is one distributed count shuffle, joined back
+    ``left_outer`` so zero-in-degree nodes keep a row."""
+    edges = edges_dataset(documents, n)
+    indeg = edges.groupby("dst").count()  # (dst, count())
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        out = np.where(ids % CAPTCHA_MOD == CAPTCHA_RES, 0, len(EDGE_MULS))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "out_degree": pa.array(out.astype(np.int64), pa.int64()),
+            }
+        )
+
+    nodes = documents.map_batches(node_rows, batch_format="pyarrow")
+    joined = nodes.join(
+        indeg,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("doc_id",),
+        right_on=("dst",),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "out_degree": t.column("out_degree"),
+                "in_degree": pc.coalesce(
+                    pc.cast(t.column("count()"), pa.int64()), pa.scalar(0, pa.int64())
+                ),
+            }
+        )
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
+def path_weights(
+    documents: rd.Dataset, n: int, iters: int, num_partitions: int
+) -> rd.Dataset:
+    """K-step integer power iteration: ``w_{k+1}(dst) = Σ_{src→dst}
+    w_k(src)``, ``w_0 ≡ 1`` — the (undamped, unnormalized) PageRank
+    dataflow, integer-exact so the unrolled-CTE oracle hash-gates it.
+    Returns ``(doc_id, paths)`` with 0 for nodes unreachable in k steps.
+    """
+    edges = edges_dataset(documents, n).materialize()  # pinned edge partitions
+
+    ids_ds = documents.map_batches(
+        lambda t: pa.table({"node": pc.cast(t.column("doc_id"), pa.int64())}),
+        batch_format="pyarrow",
+    )
+    w = ids_ds.map_batches(
+        lambda t: t.append_column(
+            "w", pa.array(np.ones(t.num_rows, dtype=np.int64))
+        ),
+        batch_format="pyarrow",
+    )
+    for _ in range(iters):
+        joined = edges.join(
+            w,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("node",),
+        )
+        agg = joined.groupby("dst").sum("w")  # (dst, sum(w))
+        # materialize per round: O(nodes) state in the object store —
+        # without it the lazy lineage re-executes all prior rounds
+        w = agg.map_batches(
+            lambda t: _as_weights(t, "dst", "sum(w)"), batch_format="pyarrow"
+        ).materialize()
+
+    final = ids_ds.join(
+        w.map_batches(
+            lambda t: pa.table({"wnode": t.column("node"), "w": t.column("w")}),
+            batch_format="pyarrow",
+        ),
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("node",),
+        right_on=("wnode",),
+    )
+    return final.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("node"),
+                "paths": pc.coalesce(
+                    pc.cast(t.column("w"), pa.int64()), pa.scalar(0, pa.int64())
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )

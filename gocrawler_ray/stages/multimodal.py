@@ -131,6 +131,55 @@ class ResizePlan:
         )
 
 
+class AudioChunkPlan:
+    """Audio chunking plan: fixed-length windows over the clip duration
+    (the ASR/embedding pre-segmentation shape — plumbing for a real
+    libsndfile/torchaudio actor, which is behind the declared codec
+    stub like :class:`DecodeImage`). Emits ``chunks`` as a
+    ``list<struct<chunk_no,start_ms,end_ms>>`` column; the final partial
+    window is kept (ASR wants the tail), and ``max_chunks`` bounds the
+    per-row explosion exactly like ``max_frames`` above."""
+
+    def __init__(self, chunk_ms: int = 2000, max_chunks: int = 32):
+        self.chunk_ms = chunk_ms
+        self.max_chunks = max_chunks
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metas = batch.column("meta").to_pylist()
+        chunks = []
+        for m in metas:
+            dur = m["duration_ms"]
+            if m["media_type"] != "audio" or dur <= 0:
+                chunks.append([])
+                continue
+            starts = range(0, min(dur, self.chunk_ms * self.max_chunks), self.chunk_ms)
+            chunks.append(
+                [
+                    {
+                        "chunk_no": i,
+                        "start_ms": s,
+                        "end_ms": min(s + self.chunk_ms, dur),
+                    }
+                    for i, s in enumerate(starts)
+                ]
+            )
+        return batch.append_column(
+            "chunks",
+            pa.array(
+                chunks,
+                pa.list_(
+                    pa.struct(
+                        [
+                            ("chunk_no", pa.int64()),
+                            ("start_ms", pa.int32()),
+                            ("end_ms", pa.int32()),
+                        ]
+                    )
+                ),
+            ),
+        )
+
+
 class FrameSamplePlan:
     """Video frame-sampling plan: every ``fps_divisor``-th frame index up
     to duration (plumbing for a real ffmpeg actor)."""

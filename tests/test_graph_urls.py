@@ -1,0 +1,116 @@
+"""Unit tests for the link-graph operators (stages/graph.py), the URL
+canonicalization kernel (functions/urls.py::normalize_urls), and the
+audio chunk plan (stages/multimodal.py::AudioChunkPlan)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from gocrawler_ray.functions.urls import normalize_urls
+from gocrawler_ray.stages.graph import (
+    EDGE_MULS,
+    degree_table,
+    edges_dataset,
+    path_weights,
+)
+from gocrawler_ray.stages.multimodal import (
+    MEDIA_META_TYPE,
+    MEDIA_SCHEMA,
+    AudioChunkPlan,
+)
+
+
+def _docs(n):
+    return rd.from_arrow(pa.table({"doc_id": pa.array(range(n), pa.int64())}))
+
+
+def _brute_edges(n):
+    out = []
+    for i in range(n):
+        if i % 37 == 3:
+            continue
+        for a, b in EDGE_MULS:
+            out.append((i, (a * i + b) % n))
+    return out
+
+
+def test_edges_match_brute_force(ray_session):
+    n = 100
+    got = sorted(
+        map(tuple, edges_dataset(_docs(n), n).to_pandas().to_numpy().tolist())
+    )
+    assert got == sorted(_brute_edges(n))
+
+
+def test_degree_table(ray_session):
+    n = 100
+    df = degree_table(_docs(n), n, num_partitions=4).to_pandas()
+    assert len(df) == n
+    edges = _brute_edges(n)
+    indeg = {}
+    for _, d in edges:
+        indeg[d] = indeg.get(d, 0) + 1
+    by_id = df.set_index("doc_id")
+    for i in range(n):
+        assert by_id.loc[i, "out_degree"] == (0 if i % 37 == 3 else 3)
+        assert by_id.loc[i, "in_degree"] == indeg.get(i, 0)
+    # total conservation: every edge has exactly one head and one tail
+    assert df["in_degree"].sum() == df["out_degree"].sum() == len(edges)
+
+
+def test_path_weights_matches_numpy_power_iteration(ray_session):
+    n, iters = 60, 3
+    df = path_weights(_docs(n), n, iters=iters, num_partitions=4).to_pandas()
+    # dense adjacency brute force: w_{k+1} = A^T w_k, w_0 = 1
+    A = np.zeros((n, n), dtype=np.int64)
+    for s, d in _brute_edges(n):
+        A[s, d] += 1
+    w = np.ones(n, dtype=np.int64)
+    for _ in range(iters):
+        w = A.T @ w
+    got = df.set_index("doc_id")["paths"].sort_index().to_numpy()
+    assert (got == w).all()
+
+
+@pytest.mark.parametrize(
+    "raw,norm",
+    [
+        ("HTTPS://WWW.Example.COM:443/Path/x?a=B#frag", "https://www.example.com/Path/x?a=B"),
+        ("http://Host.MX:80", "http://host.mx/"),
+        ("http://Host.MX:8080/a", "http://host.mx:8080/a"),
+        ("https://h.mx:80/a", "https://h.mx:80/a"),  # :80 is non-default for https
+        ("ftp://Mixed.Case/KeepPort:443", "ftp://mixed.case/KeepPort:443"),
+        ("not a url", "not a url"),  # passthrough
+        ("https://h.mx/#only-frag", "https://h.mx/"),
+    ],
+)
+def test_normalize_urls(raw, norm):
+    assert normalize_urls([raw]).to_pylist() == [norm]
+
+
+def test_audio_chunk_plan_boundaries():
+    metas = [
+        {"media_type": "audio", "format": "wav", "width": 0, "height": 0, "duration_ms": d}
+        for d in (0, 1500, 2000, 4500, 200_000)
+    ]
+    metas.append(
+        {"media_type": "video", "format": "mp4", "width": 0, "height": 0, "duration_ms": 9000}
+    )
+    tbl = pa.Table.from_arrays(
+        [
+            pa.array([str(i) for i in range(len(metas))], pa.string()),
+            pa.array([b""] * len(metas), pa.binary()),
+            pa.array(metas, MEDIA_META_TYPE),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    out = AudioChunkPlan(chunk_ms=2000, max_chunks=32)(tbl)
+    chunks = out.column("chunks").to_pylist()
+    assert chunks[0] == []  # zero duration
+    assert chunks[1] == [{"chunk_no": 0, "start_ms": 0, "end_ms": 1500}]  # tail kept
+    assert chunks[2] == [{"chunk_no": 0, "start_ms": 0, "end_ms": 2000}]
+    assert [c["end_ms"] for c in chunks[3]] == [2000, 4000, 4500]
+    assert len(chunks[4]) == 32  # capped
+    assert chunks[4][-1] == {"chunk_no": 31, "start_ms": 62000, "end_ms": 64000}
+    assert chunks[5] == []  # non-audio rows emit no chunks
