@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_degrees": q.q_link_degrees,
         "url_normalize": q.q_url_normalize,
         "audio_chunks": q.q_audio_chunks,
+        "user_running_total": q.q_user_running_total,
     }
 
 
@@ -699,5 +700,17 @@ SELECT media_id, CAST(start_ms // 2000 AS BIGINT) AS chunk_no,
        CAST(start_ms AS INT) AS start_ms,
        CAST(least(start_ms + 2000, dur) AS INT) AS end_ms
 FROM c
+""",
+        # ROWS (not the default RANGE) frame: tied (ts, value_u) rows
+        # must accumulate one-by-one like the segmented cumsum kernel;
+        # ties are pinned by value_u so the output SET is unique
+        "user_running_total": """
+SELECT user_id, ts, value_u,
+  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, value_u) AS k,
+  CAST(SUM(value_u) OVER (PARTITION BY user_id ORDER BY ts, value_u
+       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_value_u
+FROM (SELECT user_id, ts,
+             CAST(round(value * 1000000) AS BIGINT) AS value_u
+      FROM events) e
 """,
     }

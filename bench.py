@@ -163,6 +163,7 @@ def run_bench() -> dict:
     timed("link_degrees", q.q_link_degrees)
     timed("url_normalize", q.q_url_normalize)
     timed("audio_chunks", q.q_audio_chunks)
+    timed("user_running_total", q.q_user_running_total)
 
     value = round(
         sum(v for k, v in timings.items() if not k.startswith("crawl_")), 3

@@ -1374,3 +1374,16 @@ def q_audio_chunks(sf_dir: str):
         )
         .map_batches(explode, batch_format="pyarrow")
     )
+
+
+def q_user_running_total(sf_dir: str):
+    """Per-user cumulative running totals over the event stream — the
+    SUM OVER (PARTITION BY ... ORDER BY ts ROWS UNBOUNDED PRECEDING)
+    dataflow as one bucket shuffle + segmented-cumsum kernel
+    (stages/temporal.py::running_total). Fixed-point micro-units make
+    the distributed cumsum bit-identical to the SQL window oracle."""
+    from ..stages.temporal import running_total
+
+    ev = _pq(sf_dir, "events", columns=["user_id", "ts", "value"],
+             num_blocks=_n_cpus())
+    return running_total(ev)

@@ -111,6 +111,64 @@ def sessionize(
     )
 
 
+def running_total(
+    ds: rd.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    num_buckets: int = 32,
+    scale: int = 1_000_000,
+) -> rd.Dataset:
+    """Per-key cumulative running totals — the ``SUM(v) OVER (PARTITION
+    BY key ORDER BY ts ROWS UNBOUNDED PRECEDING)`` dataflow, plus the
+    per-key row number ``k``. One hash-bucket shuffle, then a single
+    ``np.lexsort`` + segmented ``np.cumsum`` over ALL keys in the bucket
+    (zero per-key Python).
+
+    Determinism contract: values are fixed-pointed to integer
+    ``1/scale`` units BEFORE accumulating, so the running sum is exact
+    in any execution order, and ties on ``ts`` are pinned by the value
+    itself — rows that remain tied are fully identical, so the emitted
+    (k, running) SET is unique even though tied rows are
+    interchangeable. That is what lets a DuckDB window-function oracle
+    hash-gate a distributed cumulative aggregate.
+    """
+
+    def kernel(g: pd.DataFrame) -> pa.Table:
+        u = g[key_col].to_numpy()
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = np.round(g[value_col].to_numpy(dtype=np.float64) * scale).astype(
+            np.int64
+        )
+        order = np.lexsort((v, ts, u))
+        u, ts, v = u[order], ts[order], v[order]
+        n = len(u)
+        brk = np.empty(n, dtype=bool)
+        brk[0] = True
+        brk[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(brk)
+        counts = np.diff(np.append(starts, n))
+        cs = np.cumsum(v)
+        base = np.where(starts > 0, cs[starts - 1], 0)
+        run = cs - np.repeat(base, counts)
+        k = np.arange(n, dtype=np.int64) - np.repeat(starts, counts) + 1
+        return pa.table(
+            {
+                key_col: pa.array(u),
+                ts_col: pa.array(ts.view("datetime64[us]")),
+                "value_u": pa.array(v, pa.int64()),
+                "k": pa.array(k, pa.int64()),
+                "running_value_u": pa.array(run, pa.int64()),
+            }
+        )
+
+    return (
+        _with_bucket(ds, key_col, num_buckets)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
 def asof_join(
     left: rd.Dataset,
     right: rd.Dataset,

@@ -227,3 +227,36 @@ def test_interval_join_vs_bruteforce(cell_factor):
     )
     assert list(out.columns) == ["event_id", "user_id", "ts", "o_orderkey"]
     pd.testing.assert_frame_equal(out, brute)
+
+
+@pytest.mark.parametrize("buckets", [1, 4])
+def test_running_total(buckets):
+    from gocrawler_ray.stages.temporal import running_total
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2],
+            # user 1 has a ts tie (rows 1,2) pinned by value order
+            "ts": [TS + 2 * M, TS, TS, TS + M, TS],
+            "value": [0.5, 3.0, 1.25, 2.0, -1.0],
+        }
+    )
+    out = (
+        running_total(rd.from_pandas(df), num_buckets=buckets)
+        .to_pandas()
+        .sort_values(["user_id", "k"])
+        .reset_index(drop=True)
+    )
+    got = list(
+        out[["user_id", "k", "value_u", "running_value_u"]].itertuples(
+            index=False, name=None
+        )
+    )
+    assert got == [
+        (1, 1, 1_250_000, 1_250_000),   # ts tie: 1.25 before 3.0
+        (1, 2, 3_000_000, 4_250_000),
+        (1, 3, 500_000, 4_750_000),
+        (2, 1, -1_000_000, -1_000_000),
+        (2, 2, 2_000_000, 1_000_000),
+    ]
+    assert list(out.loc[[0, 1], "ts"]) == [TS, TS]
