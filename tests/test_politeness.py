@@ -4,6 +4,7 @@ clock, for arbitrary workloads."""
 
 import heapq
 
+import pytest
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -195,7 +196,18 @@ def test_crawl_distributed_sidecar_matches_analytic():
                 )
             )
         outs[mode] = rows
-    assert outs["analytic"] == outs["distributed"]
+    if outs["analytic"] != outs["distributed"]:
+        # intermittent in full-suite runs (seen twice in round 2) —
+        # surface a real diff instead of a bare assert so the next
+        # occurrence is diagnosable from CI output alone
+        a, d = outs["analytic"], outs["distributed"]
+        sa, sd = set(a), set(d)
+        msg = [
+            f"analytic {len(a)} rows vs distributed {len(d)} rows",
+            f"only-analytic ({len(sa - sd)}): {sorted(sa - sd)[:8]}",
+            f"only-distributed ({len(sd - sa)}): {sorted(sd - sa)[:8]}",
+        ]
+        pytest.fail("schedule mismatch: " + "; ".join(msg))
 
 
 def test_range_salted_schedule_matches_analytic():
