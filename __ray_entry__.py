@@ -97,6 +97,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_normalize": q.q_url_normalize,
         "audio_chunks": q.q_audio_chunks,
         "user_running_total": q.q_user_running_total,
+        "event_deltas": q.q_event_deltas,
+        "stratified_sample": q.q_stratified_sample,
+        "sample_k": q.q_sample_k,
     }
 
 
@@ -167,6 +170,12 @@ def oracle_sql() -> dict[str, str]:
     _samp = sample_bound(0.2)
     (_, _b_train), (_, _b_val), _ = split_thresholds(
         {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    from gocrawler_ray.pipelines.queries import STRATIFIED_RATES
+
+    _strat_arms = "\n       ".join(
+        f"WHEN '{s}' THEN {sample_bound(r)}"
+        for s, r in sorted(STRATIFIED_RATES.items())
     )
     return {
         "crawl_bfs": _BFS_CTE + """
@@ -712,5 +721,32 @@ SELECT user_id, ts, value_u,
 FROM (SELECT user_id, ts,
              CAST(round(value * 1000000) AS BIGINT) AS value_u
       FROM events) e
+""",
+        # order within a user is pinned by (ts, event_id) — event_id is
+        # unique, so LAG's predecessor is deterministic; first-of-key
+        # rows are COALESCEd to -1/0 like the kernel (null-free hash)
+        "event_deltas": """
+SELECT user_id, event_id, ts, value_u,
+  COALESCE(ts_us - LAG(ts_us) OVER w, -1) AS delta_us,
+  COALESCE(LAG(value_u) OVER w, 0) AS lag_value_u
+FROM (SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,
+             CAST(round(value * 1000000) AS BIGINT) AS value_u
+      FROM events) e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+        # per-stratum uint64 keep-bounds computed by the SAME
+        # sample_bound() the kernel uses (queries.STRATIFIED_RATES)
+        "stratified_sample": f"""
+SELECT event_id, event_type FROM events
+WHERE CAST(('0x' || substr(md5('strat:7:' || CAST(event_id AS VARCHAR)), 1, 16)) AS UBIGINT)
+    < CASE event_type
+       {_strat_arms}
+       ELSE 0 END
+""",
+        "sample_k": """
+SELECT doc_id FROM documents
+ORDER BY CAST(('0x' || substr(md5('topk:7:' || CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT),
+         doc_id
+LIMIT 256
 """,
     }

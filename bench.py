@@ -164,6 +164,9 @@ def run_bench() -> dict:
     timed("url_normalize", q.q_url_normalize)
     timed("audio_chunks", q.q_audio_chunks)
     timed("user_running_total", q.q_user_running_total)
+    timed("event_deltas", q.q_event_deltas)
+    timed("stratified_sample", q.q_stratified_sample)
+    timed("sample_k", q.q_sample_k)
 
     value = round(
         sum(v for k, v in timings.items() if not k.startswith("crawl_")), 3

@@ -1387,3 +1387,54 @@ def q_user_running_total(sf_dir: str):
     ev = _pq(sf_dir, "events", columns=["user_id", "ts", "value"],
              num_blocks=_n_cpus())
     return running_total(ev)
+
+
+def q_event_deltas(sf_dir: str):
+    """Per-user inter-event time deltas + previous-event value — the
+    LAG window dataflow (stages/temporal.py::lag_deltas): one
+    hash-bucket shuffle, shifted-compare kernel, order pinned by the
+    unique event_id so the distributed result hash-matches the SQL
+    window oracle exactly."""
+    from ..stages.temporal import lag_deltas
+
+    ev = _pq(sf_dir, "events",
+             columns=["user_id", "event_id", "ts", "value"],
+             num_blocks=_n_cpus())
+    return lag_deltas(ev)
+
+
+# per-stratum keep rates for the stratified-sample query: downsample the
+# high-volume boilerplate types, keep every conversion — the single
+# source of truth for BOTH the kernel and the SQL oracle's CASE bounds.
+STRATIFIED_RATES = {
+    "view": 0.25,
+    "click": 0.5,
+    "purchase": 1.0,
+    "signup": 1.0,
+    "error": 0.0625,
+}
+
+
+def q_stratified_sample(sf_dir: str):
+    """Class-rebalanced deterministic sample of the event stream —
+    per-stratum hash bounds (stages/sampling.py::stratified_mask),
+    map-only, stable under re-partitioning and retries; the exact
+    uint64 bounds are shared verbatim with the oracle's CASE arms."""
+    from ..stages.sampling import stratified_mask
+
+    ev = _pq(sf_dir, "events", columns=["event_id", "event_type"])
+    return ev.map_batches(
+        lambda t: stratified_mask(t, STRATIFIED_RATES, "event_type", seed=7),
+        batch_format="pyarrow",
+    )
+
+
+def q_sample_k(sf_dir: str):
+    """Deterministic uniform 256-sample of documents without
+    replacement — global smallest-hash top-k via per-block partial
+    top-k + a bounded driver merge (stages/sampling.py), the
+    reproducible stand-in for reservoir sampling."""
+    from ..stages.sampling import sample_topk_hash
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id"])
+    return sample_topk_hash(docs, k=256, id_col="doc_id", seed=7)

@@ -77,3 +77,56 @@ def sample_mask(
     u = _unit_hash(batch.column(id_col).to_pylist(), f"sample:{seed}:")
     bound = np.uint64(sample_bound(rate))
     return batch.filter(pa.array(u < bound))
+
+
+def stratified_mask(
+    batch: pa.Table,
+    rates: dict[str, float],
+    strata_col: str,
+    id_col: str = "event_id",
+    seed: int = 7,
+) -> pa.Table:
+    """Per-stratum deterministic sampling: each row keeps iff
+    ``hash(strat:{seed}:{id}) < rates[stratum] * 2^64``; strata absent
+    from ``rates`` are dropped (rate 0). The standard class-rebalancing
+    move for training corpora (downsample boilerplate `view`/`click`
+    rows, keep every rare `purchase`) — still a pure map-only kernel,
+    so the rebalanced corpus is stable under retries and incremental
+    re-runs. The per-stratum bound vector is looked up through the
+    batch's dictionary encoding: one hash per row, one bound per
+    DISTINCT stratum value per batch, zero per-row Python."""
+    u = _unit_hash(batch.column(id_col).to_pylist(), f"strat:{seed}:")
+    enc = batch.column(strata_col).combine_chunks().dictionary_encode()
+    bound_of = {s: sample_bound(r) for s, r in rates.items()}
+    per_dict = np.array(
+        [bound_of.get(v, 0) for v in enc.dictionary.to_pylist()], dtype=np.uint64
+    )
+    row_bounds = per_dict[enc.indices.to_numpy(zero_copy_only=False)]
+    return batch.filter(pa.array(u < row_bounds))
+
+
+def sample_topk_hash(ds, k: int, id_col: str = "doc_id", seed: int = 7) -> pa.Table:
+    """Deterministic uniform k-sample without replacement: the k rows
+    with the globally smallest ``hash(topk:{seed}:{id})`` — the
+    distributed equivalent of reservoir sampling, but reproducible and
+    order-free. Each block contributes its local k smallest (a partial
+    top-k, so at most ``blocks × k`` rows ever leave the mappers); the
+    driver merges the bounded partials and keeps the global k. Ties are
+    pinned by the id itself so the winner set is unique.
+
+    Returns an Arrow table of the winning ids (the payload re-attaches
+    with a broadcast-keeper filter, the same move as exact_dedup)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        u = _unit_hash(ids, f"topk:{seed}:")
+        order = np.lexsort((ids, u))[:k]
+        return pa.table(
+            {id_col: pa.array(ids[order]), "__hv": pa.array(u[order], pa.uint64())}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    ids = np.array([r[id_col] for r in parts])
+    hv = np.array([r["__hv"] for r in parts], dtype=np.uint64)
+    order = np.lexsort((ids, hv))[:k]
+    return pa.table({id_col: pa.array(np.sort(ids[order]))})

@@ -169,6 +169,67 @@ def running_total(
     )
 
 
+def lag_deltas(
+    ds: rd.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    num_buckets: int = 32,
+    scale: int = 1_000_000,
+) -> rd.Dataset:
+    """Per-key LAG: time since the previous event (``delta_us``) and the
+    previous event's value (``lag_value_u``) — the ``LAG(x) OVER
+    (PARTITION BY key ORDER BY ts, id)`` dataflow (inter-event gaps,
+    feature deltas, dwell times). Same shape as :func:`running_total`:
+    one hash-bucket shuffle, then a single ``np.lexsort`` + shifted-
+    compare kernel over ALL keys in the bucket.
+
+    Determinism contract: the within-key order is pinned by the unique
+    ``id_col`` after ``ts``, so every row's predecessor — hence every
+    delta — is a pure function of the data. First-of-key rows carry
+    ``delta_us = -1`` / ``lag_value_u = 0`` (COALESCE on the SQL side)
+    rather than nulls, keeping the hash gate null-free."""
+
+    def kernel(g: pd.DataFrame) -> pa.Table:
+        u = g[key_col].to_numpy()
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g[id_col].to_numpy().astype(np.int64)
+        v = np.round(g[value_col].to_numpy(dtype=np.float64) * scale).astype(
+            np.int64
+        )
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid, v = u[order], ts[order], eid[order], v[order]
+        n = len(u)
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        delta = np.empty(n, dtype=np.int64)
+        delta[0] = -1
+        delta[1:] = ts[1:] - ts[:-1]
+        delta[first] = -1
+        lagv = np.empty(n, dtype=np.int64)
+        lagv[0] = 0
+        lagv[1:] = v[:-1]
+        lagv[first] = 0
+        return pa.table(
+            {
+                key_col: pa.array(u),
+                id_col: pa.array(eid, pa.int64()),
+                ts_col: pa.array(ts.view("datetime64[us]")),
+                "value_u": pa.array(v, pa.int64()),
+                "delta_us": pa.array(delta, pa.int64()),
+                "lag_value_u": pa.array(lagv, pa.int64()),
+            }
+        )
+
+    return (
+        _with_bucket(ds, key_col, num_buckets)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
 def asof_join(
     left: rd.Dataset,
     right: rd.Dataset,

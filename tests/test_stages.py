@@ -246,3 +246,45 @@ def test_split_sample_deterministic_and_partitioned():
     bounds = split_thresholds(w)
     assert bounds[-1][1] == 1 << 64 and all(isinstance(b, int) for _, b in bounds)
     assert 0 < sample_bound(0.25) < (1 << 64)
+
+
+def test_stratified_mask_rates_and_partition_stability():
+    """Per-stratum rates apply independently; unseen strata drop; the
+    kept set is a pure function of (id, seed) — batch-boundary-free."""
+    from gocrawler_ray.stages.sampling import stratified_mask
+
+    n = 30000
+    strata = ["a", "b", "c"]
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "event_type": pa.array([strata[i % 3] for i in range(n)]),
+    })
+    rates = {"a": 1.0, "b": 0.25}  # "c" absent → dropped
+    kept = stratified_mask(t, rates, "event_type", seed=11)
+    types = np.asarray(kept.column("event_type"))
+    assert (types != "c").all()
+    assert (types == "a").sum() == n // 3  # rate 1.0 keeps every row
+    assert abs((types == "b").sum() / (n // 3) - 0.25) < 0.03
+    halves = [stratified_mask(t.slice(0, 13337), rates, "event_type", seed=11),
+              stratified_mask(t.slice(13337), rates, "event_type", seed=11)]
+    assert (
+        halves[0].column("event_id").to_pylist()
+        + halves[1].column("event_id").to_pylist()
+        == kept.column("event_id").to_pylist()
+    )
+
+
+def test_sample_topk_hash_matches_global_rank(ray_session):
+    """The per-block partial top-k + driver merge equals the global
+    smallest-hash k-set regardless of block layout."""
+    import ray.data as rd
+    from gocrawler_ray.functions.urls import md5_hash64_many
+    from gocrawler_ray.stages.sampling import sample_topk_hash
+
+    ids = np.arange(5000, dtype=np.int64)
+    u = md5_hash64_many([f"topk:9:{i}" for i in ids])
+    expect = sorted(ids[np.lexsort((ids, u))[:64]].tolist())
+    for nblocks in (1, 7):
+        ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids)})).repartition(nblocks)
+        got = sample_topk_hash(ds, k=64, id_col="doc_id", seed=9)
+        assert got.column("doc_id").to_pylist() == expect

@@ -260,3 +260,37 @@ def test_running_total(buckets):
         (2, 2, 2_000_000, 1_000_000),
     ]
     assert list(out.loc[[0, 1], "ts"]) == [TS, TS]
+
+
+@pytest.mark.parametrize("buckets", [1, 4])
+def test_lag_deltas(buckets):
+    from gocrawler_ray.stages.temporal import lag_deltas
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2],
+            # user 1 has a ts tie (event_ids 11,12) pinned by event_id
+            "event_id": [13, 12, 11, 20, 21],
+            "ts": [TS + 2 * M, TS, TS, TS + M, TS],
+            "value": [0.5, 3.0, 1.25, 2.0, -1.0],
+        }
+    )
+    out = (
+        lag_deltas(rd.from_pandas(df), num_buckets=buckets)
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    got = list(
+        out[["user_id", "event_id", "delta_us", "lag_value_u"]].itertuples(
+            index=False, name=None
+        )
+    )
+    us = 60_000_000  # M is one minute of microseconds
+    assert got == [
+        (1, 11, -1, 0),                     # first of key
+        (1, 12, 0, 1_250_000),              # ts tie → zero delta, lag=11's value
+        (1, 13, 2 * us, 3_000_000),
+        (2, 20, us, -1_000_000),            # ts order, not event_id order
+        (2, 21, -1, 0),
+    ]
