@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_deltas": q.q_event_deltas,
         "stratified_sample": q.q_stratified_sample,
         "sample_k": q.q_sample_k,
+        "urgent_lineitems": q.q_urgent_lineitems,
     }
 
 
@@ -748,5 +749,12 @@ SELECT doc_id FROM documents
 ORDER BY CAST(('0x' || substr(md5('topk:7:' || CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT),
          doc_id
 LIMIT 256
+""",
+        "urgent_lineitems": """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l_orderkey
+                AND o.o_orderpriority = '1-URGENT')
 """,
     }

@@ -167,6 +167,7 @@ def run_bench() -> dict:
     timed("event_deltas", q.q_event_deltas)
     timed("stratified_sample", q.q_stratified_sample)
     timed("sample_k", q.q_sample_k)
+    timed("urgent_lineitems", q.q_urgent_lineitems)
 
     value = round(
         sum(v for k, v in timings.items() if not k.startswith("crawl_")), 3

@@ -1429,6 +1429,33 @@ def q_stratified_sample(sf_dir: str):
     )
 
 
+def q_urgent_lineitems(sf_dir: str):
+    """Fact ⋉ dim semi-join with Bloom pushdown (stages/joins.py):
+    lineitems of 1-URGENT orders. The urgent key set is summarized as a
+    distributed-built Bloom filter, broadcast once, and applied map-only
+    to the streaming lineitem scan; only the ~20 % survivors take the
+    exact hash join, so the all-to-all moves a fifth of the fact bytes
+    (false positives are removed by the verify join — the bloom only
+    prunes shuffle volume, never decides membership)."""
+    from ..stages.joins import bloom_semi_join
+
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    keys = orders.map_batches(
+        lambda t: t.filter(
+            pc.equal(t.column("o_orderpriority"), "1-URGENT")
+        ).select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    fact = _pq(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+        num_blocks=_n_cpus(),
+    )
+    return bloom_semi_join(
+        fact, keys, "l_orderkey", "o_orderkey", num_partitions=_n_cpus()
+    )
+
+
 def q_sample_k(sf_dir: str):
     """Deterministic uniform 256-sample of documents without
     replacement — global smallest-hash top-k via per-block partial
