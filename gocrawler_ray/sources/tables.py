@@ -63,6 +63,55 @@ def write_dataset(ds, uri: str) -> None:
             shutil.rmtree(tmp, ignore_errors=True)
 
 
+def write_partitioned(
+    ds, root: str, partition_col: str, resume: bool = True
+) -> list[str]:
+    """Resumable hive-partitioned Parquet sink — the 100 TB output
+    contract (SURVEY §4.3): one directory per partition value, each
+    sealed with a ``_SUCCESS`` marker once complete, so a re-run after
+    a crash (a) SKIPS every sealed partition without re-reading or
+    re-shuffling its rows (they are filtered out map-only at the
+    source), (b) rebuilds any half-written partition from scratch (its
+    unsealed directory is discarded — the write itself is not atomic
+    per file, the marker is the commit point), and (c) never writes one
+    giant file. Returns the partition values sealed by THIS call.
+
+    The skip-filter broadcasts only the sealed-value set (bounded by
+    partition cardinality, never row count); everything else streams.
+    """
+    import pyarrow.compute as pc
+
+    os.makedirs(root, exist_ok=True)
+    done: set[str] = set()
+    for d in os.listdir(root):
+        p = os.path.join(root, d)
+        if "=" not in d or not os.path.isdir(p):
+            continue
+        if resume and os.path.exists(os.path.join(p, "_SUCCESS")):
+            done.add(d.split("=", 1)[1])
+        else:  # half-written (or resume=False): rebuild from scratch
+            shutil.rmtree(p)
+    if done:
+        done_arr = pa.array(sorted(done), pa.string())
+
+        def drop_done(t: pa.Table) -> pa.Table:
+            vals = pc.cast(t.column(partition_col), pa.string())
+            return t.filter(pc.invert(pc.is_in(vals, value_set=done_arr)))
+
+        ds = ds.map_batches(drop_done, batch_format="pyarrow")
+    ds.write_parquet(root, partition_cols=[partition_col])
+    sealed = []
+    for d in sorted(os.listdir(root)):
+        p = os.path.join(root, d)
+        if "=" in d and os.path.isdir(p) and not os.path.exists(
+            os.path.join(p, "_SUCCESS")
+        ):
+            with open(os.path.join(p, "_SUCCESS"), "w"):
+                pass
+            sealed.append(d.split("=", 1)[1])
+    return sealed
+
+
 def read_dataset(uri: str, columns=None, **kwargs):
     if HAVE_LANCE:  # pragma: no cover
         return rd.read_lance(uri, columns=columns, **kwargs)

@@ -1,0 +1,90 @@
+"""Resumable partitioned sink (sources/tables.py::write_partitioned):
+sealed partitions are skipped byte-identically on resume, half-written
+partitions are rebuilt, and the read-back always equals the input —
+the crash/resume contract of SURVEY §4.3."""
+
+import glob
+import os
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from gocrawler_ray.sources.tables import write_partitioned
+
+
+def _mk(tmpdir, n=4000, parts=8):
+    t = pa.table({
+        "p": pa.array([i % parts for i in range(n)], pa.int64()),
+        "v": pa.array(range(n), pa.int64()),
+    })
+    return rd.from_arrow(t).repartition(5), t.to_pandas()
+
+
+def _readback(root) -> pd.DataFrame:
+    files = glob.glob(os.path.join(root, "p=*", "*.parquet"))
+    frames = []
+    for f in files:
+        df = pd.read_parquet(f)
+        df["p"] = int(f.split("p=")[1].split(os.sep)[0])
+        frames.append(df)
+    return (
+        pd.concat(frames)[["p", "v"]].sort_values(["p", "v"]).reset_index(drop=True)
+    )
+
+
+def test_write_partitioned_seals_and_roundtrips(ray_session, tmp_path):
+    root = str(tmp_path / "out")
+    ds, expect = _mk(tmp_path)
+    sealed = write_partitioned(ds, root, "p")
+    assert sealed == [str(i) for i in range(8)]
+    assert all(
+        os.path.exists(os.path.join(root, f"p={i}", "_SUCCESS")) for i in range(8)
+    )
+    got = _readback(root)
+    pd.testing.assert_frame_equal(
+        got, expect.sort_values(["p", "v"]).reset_index(drop=True)
+    )
+
+
+def test_write_partitioned_resume_skips_sealed(ray_session, tmp_path):
+    root = str(tmp_path / "out")
+    ds, expect = _mk(tmp_path)
+    write_partitioned(ds, root, "p")
+
+    # crash simulation: partition 3 half-written (marker gone), the rest sealed
+    shutil.rmtree(os.path.join(root, "p=3"))
+    os.makedirs(os.path.join(root, "p=3"))
+    with open(os.path.join(root, "p=3", "garbage.parquet"), "w") as f:
+        f.write("not parquet")
+    before = {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(os.path.join(root, "p=*", "*.parquet"))
+        if "p=3" not in f
+    }
+
+    sealed = write_partitioned(ds, root, "p")
+    assert sealed == ["3"]  # only the damaged partition was rebuilt
+    after = {f: os.stat(f).st_mtime_ns for f in before}
+    assert after == before  # sealed partitions untouched, byte-for-byte skip
+    assert not os.path.exists(os.path.join(root, "p=3", "garbage.parquet"))
+    pd.testing.assert_frame_equal(
+        _readback(root), expect.sort_values(["p", "v"]).reset_index(drop=True)
+    )
+
+    # fully-sealed resume: nothing to do, nothing rewritten
+    assert write_partitioned(ds, root, "p") == []
+
+
+def test_write_partitioned_no_resume_rebuilds_all(ray_session, tmp_path):
+    root = str(tmp_path / "out")
+    ds, expect = _mk(tmp_path)
+    write_partitioned(ds, root, "p")
+    sealed = write_partitioned(ds, root, "p", resume=False)
+    assert sealed == [str(i) for i in range(8)]
+    pd.testing.assert_frame_equal(
+        _readback(root), expect.sort_values(["p", "v"]).reset_index(drop=True)
+    )
