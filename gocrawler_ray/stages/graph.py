@@ -61,6 +61,50 @@ def edges_dataset(documents: rd.Dataset, n: int) -> rd.Dataset:
     return documents.map_batches(to_edges, batch_format="pyarrow")
 
 
+def _path_weights_dense(documents: rd.Dataset, n: int, iters: int) -> rd.Dataset:
+    """Dense power iteration (see :func:`path_weights`): per-block
+    bincount partials against a broadcast weight vector, driver-summed.
+    Exact: every weight and every partial sum is an integer < 2^53, so
+    the float64 bincount accumulators round-trip losslessly (asserted
+    each round). Assumes the node domain is exactly ``[0, n)`` — true
+    for the derived web by construction (and asserted per block); pass
+    ``dense_threshold=0`` to force the sparse plan on any other id
+    domain."""
+    import ray
+
+    edges = edges_dataset(documents, n).materialize()
+    w = np.ones(n, dtype=np.int64)
+    for _ in range(iters):
+        ref = ray.put(w)
+
+        def partial(t: pa.Table, _ref=ref) -> pa.Table:
+            wv = ray.get(_ref)
+            src = t.column("src").to_numpy()
+            dst = t.column("dst").to_numpy()
+            assert len(src) == 0 or (0 <= src.min() and src.max() < n)
+            acc = np.bincount(dst, weights=wv[src].astype(np.float64), minlength=n)
+            assert acc.max(initial=0.0) < 2**53
+            return pa.table(
+                {"acc": pa.array([acc.astype(np.int64).tobytes()], pa.binary())}
+            )
+
+        w_new = np.zeros(n, dtype=np.int64)
+        for b in edges.map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow"):
+            for buf in b.column("acc").to_pylist():
+                w_new += np.frombuffer(buf, dtype=np.int64)
+        w = w_new
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "paths": pa.array(w, pa.int64()),
+            }
+        )
+    )
+
+
 def _as_weights(t: pa.Table, node_col: str, w_col: str) -> pa.Table:
     return pa.table(
         {
@@ -111,13 +155,33 @@ def degree_table(documents: rd.Dataset, n: int, num_partitions: int) -> rd.Datas
 
 
 def path_weights(
-    documents: rd.Dataset, n: int, iters: int, num_partitions: int
+    documents: rd.Dataset,
+    n: int,
+    iters: int,
+    num_partitions: int,
+    dense_threshold: int = 1 << 20,
 ) -> rd.Dataset:
     """K-step integer power iteration: ``w_{k+1}(dst) = Σ_{src→dst}
     w_k(src)``, ``w_0 ≡ 1`` — the (undamped, unnormalized) PageRank
     dataflow, integer-exact so the unrolled-CTE oracle hash-gates it.
     Returns ``(doc_id, paths)`` with 0 for nodes unreachable in k steps.
+
+    Two physical plans, same result:
+
+    - **dense** (``n ≤ dense_threshold``): the weight vector fits in one
+      broadcastable numpy array (8 MB at the default threshold), so each
+      round is ONE map job over the pinned edge partitions — every block
+      bincounts its edges against the broadcast ``w`` and ships an 8n-byte
+      partial vector; the driver sums the bounded partials (the HLL/
+      bloom merge move). Zero shuffles per round vs two (join + groupby)
+      on the sparse path — on a fixed-cost-dominated cluster that is the
+      whole latency of the operator.
+    - **sparse** (bigger ``n``): per-round state no longer broadcasts —
+      the original hash-shuffle plan: ``edges ⋈ w on src`` →
+      ``groupby(dst).sum``, state in the object store between rounds.
     """
+    if n <= dense_threshold:
+        return _path_weights_dense(documents, n, iters)
     edges = edges_dataset(documents, n).materialize()  # pinned edge partitions
 
     ids_ds = documents.map_batches(

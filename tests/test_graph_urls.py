@@ -59,9 +59,13 @@ def test_degree_table(ray_session):
     assert df["in_degree"].sum() == df["out_degree"].sum() == len(edges)
 
 
-def test_path_weights_matches_numpy_power_iteration(ray_session):
+@pytest.mark.parametrize("dense_threshold", [1 << 20, 0])  # dense and sparse plans
+def test_path_weights_matches_numpy_power_iteration(ray_session, dense_threshold):
     n, iters = 60, 3
-    df = path_weights(_docs(n), n, iters=iters, num_partitions=4).to_pandas()
+    df = path_weights(
+        _docs(n), n, iters=iters, num_partitions=4,
+        dense_threshold=dense_threshold,
+    ).to_pandas()
     # dense adjacency brute force: w_{k+1} = A^T w_k, w_0 = 1
     A = np.zeros((n, n), dtype=np.int64)
     for s, d in _brute_edges(n):
