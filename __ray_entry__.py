@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q.q_stratified_sample,
         "sample_k": q.q_sample_k,
         "urgent_lineitems": q.q_urgent_lineitems,
+        "heavy_hitters": q.q_heavy_hitters,
     }
 
 
@@ -756,5 +757,21 @@ FROM lineitem
 WHERE EXISTS (SELECT 1 FROM orders o
               WHERE o.o_orderkey = l_orderkey
                 AND o.o_orderpriority = '1-URGENT')
+""",
+        # rebuild the count-min sketch from the same md5 register scheme
+        # (depth 4 × width 1024, stages/aggregates.py::cms_counts), then
+        # point-query it: est(key) = MIN over rows of that key's cell
+        "heavy_hitters": """
+WITH rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+hashed AS (
+  SELECT r, user_id,
+         CAST(('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || ':'
+               || CAST(user_id AS VARCHAR)), 1, 16)) AS UBIGINT) % 1024 AS c
+  FROM events, rs),
+regs AS (SELECT r, c, count(*) AS cnt FROM hashed GROUP BY r, c),
+keycells AS (SELECT DISTINCT user_id, r, c FROM hashed)
+SELECT k.user_id, CAST(MIN(g.cnt) AS BIGINT) AS est
+FROM keycells k JOIN regs g ON g.r = k.r AND g.c = k.c
+GROUP BY k.user_id
 """,
     }

@@ -168,6 +168,7 @@ def run_bench() -> dict:
     timed("stratified_sample", q.q_stratified_sample)
     timed("sample_k", q.q_sample_k)
     timed("urgent_lineitems", q.q_urgent_lineitems)
+    timed("heavy_hitters", q.q_heavy_hitters)
 
     value = round(
         sum(v for k, v in timings.items() if not k.startswith("crawl_")), 3

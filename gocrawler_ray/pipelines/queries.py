@@ -1429,6 +1429,31 @@ def q_stratified_sample(sf_dir: str):
     )
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Count-min-sketch frequency estimates per user over the event
+    stream (stages/aggregates.py::cms_counts): each block ships one
+    fixed 32 KB counter matrix, the driver sums them, and the candidate
+    keys (bounded user domain) read back as min-over-rows point
+    queries. The sketch registers are integer-exact and md5-derived, so
+    the SQL oracle rebuilds the identical sketch and the identical
+    estimates — the gate verifies the sketch, not a float summary."""
+    from ..stages.aggregates import cms_counts, cms_estimate_many
+
+    ev = _pq(sf_dir, "events", columns=["user_id"])
+    sketch = cms_counts(ev, "user_id")
+    uniq: set = set()
+    for b in ev.map_batches(
+        lambda t: pa.table({"user_id": pc.unique(t.column("user_id"))}),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        uniq.update(b.column("user_id").to_pylist())
+    keys = sorted(uniq)  # bounded candidate set (the user domain)
+    est = cms_estimate_many(sketch, keys)
+    return pa.table(
+        {"user_id": pa.array(keys, pa.int64()), "est": pa.array(est, pa.int64())}
+    )
+
+
 def q_urgent_lineitems(sf_dir: str):
     """Fact ⋉ dim semi-join with Bloom pushdown (stages/joins.py):
     lineitems of 1-URGENT orders. The urgent key set is summarized as a

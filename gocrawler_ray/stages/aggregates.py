@@ -334,6 +334,59 @@ def hll_estimate(registers: pa.Table, p: int = 10) -> float:
     return float(est)
 
 
+def cms_counts(
+    ds: rd.Dataset,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> np.ndarray:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over a key
+    column: a ``depth × width`` int64 counter matrix where row ``r``
+    counts keys by ``md5-derived-hash('cms{r}:' || key) % width``.
+
+    The third mergeable sketch beside HLL and the bloom filter, and the
+    frequency counterpart to HLL's cardinality: rows merge by ADDITION,
+    so each block emits ONE fixed 32 KB partial matrix (at the default
+    geometry) and the driver sums them — bounded state regardless of
+    data scale, the 100 TB path when exact per-key counts would shuffle
+    the whole key domain. Estimates read back as the MIN over rows
+    (:func:`cms_estimate_many`): never an undercount, overcounts bounded
+    by collisions (ε ≈ e/width of total mass, δ ≈ e^-depth).
+
+    Integer-exact and hash-reproducible: a SQL oracle rebuilds the same
+    registers from the same md5 scheme, so the sketch itself — not a
+    float summary — is the gated artifact."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t.column(value_col).to_pandas().astype(str).to_numpy(dtype=object)
+        m = np.zeros((depth, width), dtype=np.int64)
+        for r in range(depth):
+            h = md5_hash64_many([f"cms{r}:{v}" for v in vals]) % np.uint64(width)
+            m[r] = np.bincount(h.astype(np.int64), minlength=width)
+        return pa.table({"m": pa.array([m.tobytes()], pa.binary())})
+
+    total = np.zeros((depth, width), dtype=np.int64)
+    for b in ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow"):
+        for buf in b.column("m").to_pylist():
+            total += np.frombuffer(buf, dtype=np.int64).reshape(depth, width)
+    return total
+
+
+def cms_estimate_many(
+    sketch: np.ndarray, keys, depth: int = 4, width: int = 1024
+) -> np.ndarray:
+    """Point-query the sketch for each key: ``min_r sketch[r][h_r(key)]``
+    — ≥ the true count, with the standard (ε, δ) overcount bound."""
+    keys = [str(k) for k in keys]
+    est = np.full(len(keys), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(depth):
+        h = md5_hash64_many([f"cms{r}:{k}" for k in keys]) % np.uint64(width)
+        est = np.minimum(est, sketch[r][h.astype(np.int64)])
+    return est
+
+
 def group_quantiles(
     ds: rd.Dataset,
     key_col: str,

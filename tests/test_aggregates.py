@@ -133,6 +133,27 @@ def test_hll_registers_merge_and_estimate():
     assert abs(est - n_unique) / n_unique < 0.10
 
 
+def test_cms_never_undercounts_and_block_invariant():
+    from gocrawler_ray.stages.aggregates import cms_counts, cms_estimate_many
+
+    rng = np.random.default_rng(3)
+    keys = rng.zipf(1.5, size=20000) % 500  # skewed frequencies
+    df = pd.DataFrame({"k": keys.astype(np.int64)})
+    sketch = cms_counts(_ds_of(df, blocks=7), "k")
+    # merge-by-sum: the sketch is block-layout-invariant
+    sketch2 = cms_counts(_ds_of(df, blocks=2), "k")
+    assert (sketch == sketch2).all()
+    # total mass per row is exactly the row count
+    assert (sketch.sum(axis=1) == len(df)).all()
+    uniq, true = np.unique(df["k"].to_numpy(), return_counts=True)
+    est = cms_estimate_many(sketch, uniq.tolist())
+    assert (est >= true).all()  # CMS never undercounts
+    # overcount bounded: mean error well under e*N/width per query
+    assert (est - true).mean() < 2.72 * len(df) / 1024
+    # heavy hitters surface: the true top key is the estimated top key
+    assert uniq[np.argmax(est)] == uniq[np.argmax(true)]
+
+
 def test_group_quantiles_matches_numpy():
     df = _events_df()
     got = (
