@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_k": q.q_sample_k,
         "urgent_lineitems": q.q_urgent_lineitems,
         "heavy_hitters": q.q_heavy_hitters,
+        "user_top_event": q.q_user_top_event,
     }
 
 
@@ -773,5 +774,16 @@ keycells AS (SELECT DISTINCT user_id, r, c FROM hashed)
 SELECT k.user_id, CAST(MIN(g.cnt) AS BIGINT) AS est
 FROM keycells k JOIN regs g ON g.r = k.r AND g.c = k.c
 GROUP BY k.user_id
+""",
+        # mode tie-break pinned: highest count, then smallest value
+        "user_top_event": """
+WITH c AS (SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2),
+r AS (SELECT user_id, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rn
+      FROM c)
+SELECT user_id, event_type, CAST(n AS BIGINT) AS mode_n
+FROM r WHERE rn = 1
 """,
     }

@@ -169,6 +169,7 @@ def run_bench() -> dict:
     timed("sample_k", q.q_sample_k)
     timed("urgent_lineitems", q.q_urgent_lineitems)
     timed("heavy_hitters", q.q_heavy_hitters)
+    timed("user_top_event", q.q_user_top_event)
 
     value = round(
         sum(v for k, v in timings.items() if not k.startswith("crawl_")), 3

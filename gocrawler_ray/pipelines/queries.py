@@ -1429,6 +1429,17 @@ def q_stratified_sample(sf_dir: str):
     )
 
 
+def q_user_top_event(sf_dir: str):
+    """Exact grouped mode: each user's most frequent event type
+    (stages/aggregates.py::grouped_mode) — counts-not-rows through two
+    small shuffles, ties pinned by smallest value so the winner matches
+    the SQL ROW_NUMBER oracle exactly."""
+    from ..stages.aggregates import grouped_mode
+
+    ev = _pq(sf_dir, "events", columns=["user_id", "event_type"])
+    return grouped_mode(ev, "user_id", "event_type")
+
+
 def q_heavy_hitters(sf_dir: str):
     """Count-min-sketch frequency estimates per user over the event
     stream (stages/aggregates.py::cms_counts): each block ships one

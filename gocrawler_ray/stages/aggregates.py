@@ -334,6 +334,73 @@ def hll_estimate(registers: pa.Table, p: int = 10) -> float:
     return float(est)
 
 
+def grouped_mode(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Exact MODE(value) per key — the most frequent value, ties broken
+    by smallest value (so the winner is unique and SQL-reproducible via
+    ``ROW_NUMBER() OVER (ORDER BY n DESC, value)``).
+
+    Three stages, each over COUNTS, never rows: blocks emit partial
+    (key, value, n) counts; a pair-hash bucket shuffle co-locates equal
+    pairs so per-bucket sums are globally exact (same bucketing proof
+    as :func:`count_distinct` — one key's values spread across buckets,
+    no hot-key bucket); then the pair-count table (distinct-pairs-sized,
+    tiny next to the input) re-buckets by KEY and a vectorized
+    sort + drop_duplicates kernel picks each key's argmax. Output:
+    ``(key, value, mode_n)``."""
+
+    def local_counts(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                key_col: t.column(key_col).to_numpy(zero_copy_only=False),
+                value_col: t.column(value_col).to_numpy(zero_copy_only=False),
+            }
+        )
+        part = df.groupby([key_col, value_col], sort=False).size().reset_index(
+            name="__n"
+        )
+        pair_hash = pd.util.hash_pandas_object(
+            part[[key_col, value_col]], index=False
+        ).to_numpy()
+        part["__bucket"] = (pair_hash % np.uint64(num_buckets)).astype(np.int32)
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    def pair_sums(g: pd.DataFrame) -> pa.Table:
+        part = (
+            g.groupby([key_col, value_col], sort=False)["__n"]
+            .sum()
+            .reset_index()
+        )
+        key = part[key_col].to_numpy()
+        part["__bucket"] = _bucket_of(key, num_buckets)
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    def argmax_of_key(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(
+            [key_col, "__n", value_col], ascending=[True, False, True]
+        ).drop_duplicates(key_col, keep="first")
+        return pa.table(
+            {
+                key_col: pa.array(g[key_col].to_numpy()),
+                value_col: pa.array(g[value_col].to_numpy()),
+                "mode_n": pa.array(g["__n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(local_counts, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(pair_sums, batch_format="pandas")
+    )
+    return pairs.groupby("__bucket").map_groups(
+        argmax_of_key, batch_format="pandas"
+    )
+
+
 def cms_counts(
     ds: rd.Dataset,
     value_col: str,

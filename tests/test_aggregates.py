@@ -133,6 +133,36 @@ def test_hll_registers_merge_and_estimate():
     assert abs(est - n_unique) / n_unique < 0.10
 
 
+def test_grouped_mode_matches_pandas_with_tiebreak():
+    from gocrawler_ray.stages.aggregates import grouped_mode
+
+    rng = np.random.default_rng(8)
+    df = pd.DataFrame({
+        "key": rng.integers(0, 40, size=6000),
+        "val": rng.choice(list("abcde"), size=6000),
+    })
+    # force a tie on one key: equal counts for 'a' and 'b' → 'a' wins
+    df = pd.concat(
+        [df[df["key"] != 0],
+         pd.DataFrame({"key": [0] * 6, "val": ["b", "a", "b", "a", "c", "z"]})],
+        ignore_index=True,
+    )
+    got = (
+        grouped_mode(_ds_of(df, blocks=5), "key", "val")
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    counts = df.groupby(["key", "val"]).size().reset_index(name="n")
+    expect = counts.sort_values(
+        ["key", "n", "val"], ascending=[True, False, True]
+    ).drop_duplicates("key").sort_values("key").reset_index(drop=True)
+    assert (got["key"].to_numpy() == expect["key"].to_numpy()).all()
+    assert (got["val"].to_numpy() == expect["val"].to_numpy()).all()
+    assert (got["mode_n"].to_numpy() == expect["n"].to_numpy()).all()
+    assert got.loc[got["key"] == 0, "val"].item() == "a"
+
+
 def test_cms_never_undercounts_and_block_invariant():
     from gocrawler_ray.stages.aggregates import cms_counts, cms_estimate_many
 
