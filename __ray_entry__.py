@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "urgent_lineitems": q.q_urgent_lineitems,
         "heavy_hitters": q.q_heavy_hitters,
         "user_top_event": q.q_user_top_event,
+        "pack_sequences": q.q_pack_sequences,
     }
 
 
@@ -785,5 +786,31 @@ r AS (SELECT user_id, event_type, n,
       FROM c)
 SELECT user_id, event_type, CAST(n AS BIGINT) AS mode_n
 FROM r WHERE rn = 1
+""",
+        # replay the greedy packing recurrence per md5 shard: running
+        # total resets (and pack_id increments) when a doc would
+        # overflow the 256-token budget; first doc of a shard anchors
+        # pack 0 unconditionally — identical to stages/packing.py
+        "pack_sequences": """
+WITH RECURSIVE b AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens,
+         CAST(CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 16))
+              AS UBIGINT) % 8 AS INTEGER) AS bucket
+  FROM documents),
+t AS (SELECT b.*, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+      FROM b),
+g AS (
+  SELECT bucket, rn, doc_id, ws_tokens,
+         ws_tokens AS running, CAST(0 AS BIGINT) AS pack_id
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.bucket, t.rn, t.doc_id, t.ws_tokens,
+         CASE WHEN g.running + t.ws_tokens <= 256
+              THEN g.running + t.ws_tokens ELSE t.ws_tokens END,
+         CASE WHEN g.running + t.ws_tokens <= 256
+              THEN g.pack_id ELSE g.pack_id + 1 END
+  FROM g JOIN t ON t.bucket = g.bucket AND t.rn = g.rn + 1)
+SELECT doc_id, bucket, pack_id, ws_tokens FROM g
 """,
     }

@@ -170,6 +170,7 @@ def run_bench() -> dict:
     timed("urgent_lineitems", q.q_urgent_lineitems)
     timed("heavy_hitters", q.q_heavy_hitters)
     timed("user_top_event", q.q_user_top_event)
+    timed("pack_sequences", q.q_pack_sequences)
 
     value = round(
         sum(v for k, v in timings.items() if not k.startswith("crawl_")), 3

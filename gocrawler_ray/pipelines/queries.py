@@ -1429,6 +1429,22 @@ def q_stratified_sample(sf_dir: str):
     )
 
 
+def q_pack_sequences(sf_dir: str):
+    """Greedy sequence packing of tokenized documents into 256-token
+    training windows (stages/packing.py): md5-sharded buckets pack
+    independently in doc-id order — the deterministic parallel form of
+    the LLM context-packing step; a recursive-CTE oracle replays the
+    identical greedy recurrence."""
+    from ..stages.packing import pack_sequences
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    with_tok = docs.map_batches(
+        lambda t: token_counts(t).select(["doc_id", "ws_tokens"]),
+        batch_format="pyarrow",
+    )
+    return pack_sequences(with_tok, budget=256)
+
+
 def q_user_top_event(sf_dir: str):
     """Exact grouped mode: each user's most frequent event type
     (stages/aggregates.py::grouped_mode) — counts-not-rows through two

@@ -274,6 +274,35 @@ def test_stratified_mask_rates_and_partition_stability():
     )
 
 
+def test_pack_sequences_greedy_edges(ray_session):
+    """Greedy packing edge semantics: exact fit stays in the pack, the
+    overflowing doc opens the next one, an oversized doc owns a pack
+    alone, and the first doc anchors pack 0 even when oversized."""
+    import ray.data as rd
+    from gocrawler_ray.stages.packing import pack_sequences
+
+    t = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "ws_tokens": pa.array([120, 80, 56, 1, 999, 10], pa.int64()),
+    })
+    out = (
+        pack_sequences(rd.from_arrow(t), budget=256, num_buckets=1)
+        .to_pandas().sort_values("doc_id")
+    )
+    # 120+80+56 = 256 exact fit; +1 overflows; 999 oversized → alone
+    assert out["pack_id"].tolist() == [0, 0, 0, 1, 2, 3]
+
+    big_first = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "ws_tokens": pa.array([999, 5], pa.int64()),
+    })
+    out2 = (
+        pack_sequences(rd.from_arrow(big_first), budget=256, num_buckets=1)
+        .to_pandas().sort_values("doc_id")
+    )
+    assert out2["pack_id"].tolist() == [0, 1]
+
+
 def test_sample_topk_hash_matches_global_rank(ray_session):
     """The per-block partial top-k + driver merge equals the global
     smallest-hash k-set regardless of block layout."""
