@@ -104,6 +104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q.q_heavy_hitters,
         "user_top_event": q.q_user_top_event,
         "pack_sequences": q.q_pack_sequences,
+        "event_pivot": q.q_event_pivot,
+        "value_scaled": q.q_value_scaled,
     }
 
 
@@ -812,5 +814,30 @@ g AS (
               THEN g.pack_id ELSE g.pack_id + 1 END
   FROM g JOIN t ON t.bucket = g.bucket AND t.rn = g.rn + 1)
 SELECT doc_id, bucket, pack_id, ws_tokens FROM g
+""",
+        "event_pivot": """
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM events GROUP BY user_id
+""",
+        # quartiles rounded to 6 INSIDE the stat (matching the kernel)
+        # so both sides scale with bit-identical (median, IQR) operands;
+        # degenerate groups (IQR = 0) emit 0
+        "value_scaled": """
+WITH s AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.25), 6) AS q25,
+         round(quantile_cont(value, 0.50), 6) AS q50,
+         round(quantile_cont(value, 0.75), 6) AS q75
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type,
+       CASE WHEN s.q75 - s.q25 = 0 THEN 0.0
+            ELSE round((e.value - s.q50) / (s.q75 - s.q25), 6) END AS value_scaled
+FROM events e JOIN s USING (event_type)
 """,
     }

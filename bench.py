@@ -171,6 +171,8 @@ def run_bench() -> dict:
     timed("heavy_hitters", q.q_heavy_hitters)
     timed("user_top_event", q.q_user_top_event)
     timed("pack_sequences", q.q_pack_sequences)
+    timed("event_pivot", q.q_event_pivot)
+    timed("value_scaled", q.q_value_scaled)
 
     value = round(
         sum(v for k, v in timings.items() if not k.startswith("crawl_")), 3

@@ -24,3 +24,9 @@ schemas are identical either way (see ``gocrawler_ray.sources.tables``).
 """
 
 __version__ = "0.1.0"
+
+from ._compat import shim_fsspec_http as _shim_fsspec_http
+
+# one-time, thread-safe-by-construction: runs at package import, before
+# any crawl thread exists (see _compat.py for the race this prevents)
+_shim_fsspec_http()

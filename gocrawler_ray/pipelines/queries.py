@@ -1429,6 +1429,47 @@ def q_stratified_sample(sf_dir: str):
     )
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_event_pivot(sf_dir: str):
+    """PIVOT/crosstab: per-user wide counts of each event type + total
+    (stages/aggregates.py::pivot_counts) — blocks emit wide int partial
+    rows that merge by SUM; bounded user domain combines on the driver,
+    unbounded domains fall back to one distributed groupby-sum."""
+    from ..stages.aggregates import pivot_counts
+
+    ev = _pq(sf_dir, "events", columns=["user_id", "event_type"])
+    n_cols = [f"n_{c}" for c in EVENT_TYPES] + ["n_total"]
+    partials = pivot_counts(ev, "user_id", "event_type", EVENT_TYPES)
+    out = _combine_partials(partials, ["user_id"], n_cols, cap=200_000)
+    if out is None:  # unbounded key domain: distributed merge
+        agg = partials.groupby("user_id").sum(n_cols)
+        return agg.map_batches(
+            lambda t: t.rename_columns(
+                [c[4:-1] if c.startswith("sum(") else c for c in t.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+    return out
+
+
+def q_value_scaled(sf_dir: str):
+    """Per-event-type robust scaling of the value column —
+    (value − median) / IQR (stages/aggregates.py::robust_scale): grouped
+    quartiles via the hash-gate-proven quantile kernel, broadcast once,
+    then one stateless map pass. The canonical two-phase
+    global-stats-then-map normalization of a feature pipeline."""
+    from ..stages.aggregates import robust_scale
+
+    ev = _pq(sf_dir, "events", columns=["event_id", "event_type", "value"],
+             num_blocks=_n_cpus())
+    return robust_scale(ev, "event_type", "value").map_batches(
+        lambda t: t.select(["event_id", "event_type", "value_scaled"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_pack_sequences(sf_dir: str):
     """Greedy sequence packing of tokenized documents into 256-token
     training windows (stages/packing.py): md5-sharded buckets pack

@@ -507,6 +507,83 @@ def group_quantiles(
     )
 
 
+def pivot_counts(
+    ds: rd.Dataset,
+    key_col: str,
+    col: str,
+    categories: list[str],
+) -> rd.Dataset:
+    """Wide per-key category counts (the PIVOT/crosstab dataflow):
+    blocks emit one wide partial row per distinct key — ``n_<cat>``
+    columns plus ``n_total`` — and everything downstream merges by SUM
+    (the caller finishes with ``_combine_partials`` for bounded key
+    domains or one distributed ``groupby(key).sum`` otherwise). The
+    category list is fixed up front, so the exchange carries
+    ``distinct keys × blocks`` rows of ints, never the input rows.
+    Unlisted categories land only in ``n_total``."""
+
+    cat_idx = {c: i for i, c in enumerate(categories)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = t.column(key_col).to_numpy(zero_copy_only=False)
+        cat = t.column(col).to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(key, return_inverse=True)
+        m = np.zeros((len(uk), len(categories) + 1), dtype=np.int64)
+        code = np.array([cat_idx.get(c, -1) for c in cat], dtype=np.int64)
+        hit = code >= 0
+        np.add.at(m, (inv[hit], code[hit]), 1)
+        np.add.at(m, (inv, len(categories)), 1)  # n_total counts every row
+        out = {key_col: pa.array(uk)}
+        for c, i in cat_idx.items():
+            out[f"n_{c}"] = pa.array(m[:, i], pa.int64())
+        out["n_total"] = pa.array(m[:, -1], pa.int64())
+        return pa.table(out)
+
+    return ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+
+def robust_scale(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    out_col: str = "value_scaled",
+) -> rd.Dataset:
+    """Per-key robust scaling: ``(value - median) / IQR`` — the feature
+    normalization pass of a training pipeline, in two phases:
+
+    1. grouped quartiles via :func:`group_quantiles` (already
+       hash-gate-proven ULP-equal to SQL ``quantile_cont``), gathered
+       driver-side — bounded by key cardinality, the documented
+       contract of every broadcast stat here;
+    2. one stateless ``map_batches`` pass with the (median, IQR) table
+       broadcast via ``ray.put`` — no shuffle touches the rows.
+
+    Determinism: the quartiles are rounded to 6 decimals INSIDE the
+    quantile kernel, so both sides of the gate scale with bit-identical
+    operands; degenerate keys (IQR = 0) emit 0."""
+    import ray
+
+    stats = group_quantiles(ds, key_col, value_col, qs=(0.25, 0.5, 0.75)).to_pandas()
+    med = pd.Series(stats["q50"].to_numpy(), index=stats[key_col])
+    iqr = pd.Series(
+        stats["q75"].to_numpy() - stats["q25"].to_numpy(), index=stats[key_col]
+    )
+    ref = ray.put((med, iqr))
+
+    def scale(t: pa.Table) -> pa.Table:
+        m, q = ray.get(ref)
+        key = pd.Series(t.column(key_col).to_numpy(zero_copy_only=False))
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        mv = key.map(m).to_numpy(dtype=np.float64)
+        qv = key.map(q).to_numpy(dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.round((v - mv) / qv, 6)
+        z[qv == 0] = 0.0
+        return t.append_column(out_col, pa.array(z, pa.float64()))
+
+    return ds.map_batches(scale, batch_format="pyarrow")
+
+
 def tfidf_topk(
     ds: rd.Dataset,
     idf_table: pa.Table,

@@ -133,6 +133,40 @@ def test_hll_registers_merge_and_estimate():
     assert abs(est - n_unique) / n_unique < 0.10
 
 
+def test_pivot_counts_partials_sum_to_crosstab():
+    from gocrawler_ray.stages.aggregates import pivot_counts
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({
+        "u": rng.integers(0, 30, size=5000),
+        "t": rng.choice(["a", "b", "c", "zz"], size=5000),  # zz unlisted
+    })
+    parts = pivot_counts(_ds_of(df, blocks=6), "u", "t", ["a", "b", "c"]).to_pandas()
+    got = parts.groupby("u", as_index=False).sum().sort_values("u")
+    ct = pd.crosstab(df["u"], df["t"])
+    for c in ("a", "b", "c"):
+        assert (got[f"n_{c}"].to_numpy() == ct[c].to_numpy()).all()
+    # unlisted category counts only toward the total
+    assert (got["n_total"].to_numpy() == ct.sum(axis=1).to_numpy()).all()
+
+
+def test_robust_scale_degenerate_and_values():
+    from gocrawler_ray.stages.aggregates import robust_scale
+
+    df = pd.DataFrame({
+        "k": ["a"] * 5 + ["b"] * 3,
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0, 7.0, 7.0, 7.0],  # b: IQR = 0
+    })
+    out = (
+        robust_scale(_ds_of(df, blocks=2), "k", "v")
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    # a: median 3, IQR (q75-q25) = 4-2 = 2
+    a = out[out["k"] == "a"]["value_scaled"].to_numpy()
+    assert a.tolist() == [-1.0, -0.5, 0.0, 0.5, 1.0]
+    assert (out[out["k"] == "b"]["value_scaled"] == 0.0).all()
+
+
 def test_grouped_mode_matches_pandas_with_tiebreak():
     from gocrawler_ray.stages.aggregates import grouped_mode
 
