@@ -1505,18 +1505,12 @@ def q_heavy_hitters(sf_dir: str):
     queries. The sketch registers are integer-exact and md5-derived, so
     the SQL oracle rebuilds the identical sketch and the identical
     estimates — the gate verifies the sketch, not a float summary."""
-    from ..stages.aggregates import cms_counts, cms_estimate_many
+    from ..stages.aggregates import cms_counts_and_keys, cms_estimate_many
 
     ev = _pq(sf_dir, "events", columns=["user_id"])
-    sketch = cms_counts(ev, "user_id")
-    uniq: set = set()
-    for b in ev.map_batches(
-        lambda t: pa.table({"user_id": pc.unique(t.column("user_id"))}),
-        batch_format="pyarrow",
-    ).iter_batches(batch_format="pyarrow"):
-        uniq.update(b.column("user_id").to_pylist())
-    keys = sorted(uniq)  # bounded candidate set (the user domain)
-    est = cms_estimate_many(sketch, keys)
+    # one pass: blocks ship (partial sketch, distinct keys) together
+    sketch, keys = cms_counts_and_keys(ev, "user_id")
+    est = cms_estimate_many(sketch, keys.tolist())
     return pa.table(
         {"user_id": pa.array(keys, pa.int64()), "est": pa.array(est, pa.int64())}
     )

@@ -339,19 +339,24 @@ def grouped_mode(
     key_col: str,
     value_col: str,
     num_buckets: int = 64,
-) -> rd.Dataset:
+    combine_cap: int | None = 500_000,
+):
     """Exact MODE(value) per key — the most frequent value, ties broken
     by smallest value (so the winner is unique and SQL-reproducible via
     ``ROW_NUMBER() OVER (ORDER BY n DESC, value)``).
 
-    Three stages, each over COUNTS, never rows: blocks emit partial
-    (key, value, n) counts; a pair-hash bucket shuffle co-locates equal
-    pairs so per-bucket sums are globally exact (same bucketing proof
-    as :func:`count_distinct` — one key's values spread across buckets,
-    no hot-key bucket); then the pair-count table (distinct-pairs-sized,
-    tiny next to the input) re-buckets by KEY and a vectorized
-    sort + drop_duplicates kernel picks each key's argmax. Output:
-    ``(key, value, mode_n)``."""
+    Everything downstream of the input scan moves COUNTS, never rows:
+    blocks emit partial (key, value, n) counts. When the distinct-pair
+    stream compacts under ``combine_cap`` the argmax finishes on the
+    driver in one pass (two Ray sort-groupby launches cost ~2 s fixed
+    each at ANY scale — the bounded-partials combine is the fast path
+    exactly as in ``pipelines/queries._combine_partials``). Otherwise
+    the distributed plan runs: a pair-hash bucket shuffle co-locates
+    equal pairs so per-bucket sums are globally exact (same bucketing
+    proof as :func:`count_distinct`), then the pair-count table
+    re-buckets by KEY and a vectorized sort + drop_duplicates kernel
+    picks each key's argmax. Output: ``(key, value, mode_n)``; the fast
+    path returns an Arrow table, the distributed path a Dataset."""
 
     def local_counts(t: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -363,11 +368,54 @@ def grouped_mode(
         part = df.groupby([key_col, value_col], sort=False).size().reset_index(
             name="__n"
         )
-        pair_hash = pd.util.hash_pandas_object(
-            part[[key_col, value_col]], index=False
-        ).to_numpy()
-        part["__bucket"] = (pair_hash % np.uint64(num_buckets)).astype(np.int32)
         return pa.Table.from_pandas(part, preserve_index=False)
+
+    partials = ds.map_batches(local_counts, batch_format="pyarrow")
+
+    def _argmax_frame(summed: pd.DataFrame) -> pa.Table:
+        g = summed.sort_values(
+            [key_col, "__n", value_col], ascending=[True, False, True]
+        ).drop_duplicates(key_col, keep="first")
+        return pa.table(
+            {
+                key_col: pa.array(g[key_col].to_numpy()),
+                value_col: pa.array(g[value_col].to_numpy()),
+                "mode_n": pa.array(g["__n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    if combine_cap:
+        frames: list[pd.DataFrame] = []
+        total, fits = 0, True
+        for b in partials.iter_batches(batch_size=65536, batch_format="pandas"):
+            frames.append(b)
+            total += len(b)
+            if total > 4 * combine_cap:
+                merged = pd.concat(frames, ignore_index=True).groupby(
+                    [key_col, value_col], as_index=False
+                )["__n"].sum()
+                frames, total = [merged], len(merged)
+                if total > combine_cap:
+                    fits = False
+                    break
+        if fits:
+            if not frames:
+                return _argmax_frame(
+                    pd.DataFrame(columns=[key_col, value_col, "__n"])
+                )
+            summed = pd.concat(frames, ignore_index=True).groupby(
+                [key_col, value_col], as_index=False
+            )["__n"].sum()
+            return _argmax_frame(summed)
+
+    # distributed plan (partials are lazy — this simply re-executes them)
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        pair_hash = pd.util.hash_pandas_object(
+            df[[key_col, value_col]], index=False
+        ).to_numpy()
+        df["__bucket"] = (pair_hash % np.uint64(num_buckets)).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
 
     def pair_sums(g: pd.DataFrame) -> pa.Table:
         part = (
@@ -380,19 +428,10 @@ def grouped_mode(
         return pa.Table.from_pandas(part, preserve_index=False)
 
     def argmax_of_key(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(
-            [key_col, "__n", value_col], ascending=[True, False, True]
-        ).drop_duplicates(key_col, keep="first")
-        return pa.table(
-            {
-                key_col: pa.array(g[key_col].to_numpy()),
-                value_col: pa.array(g[value_col].to_numpy()),
-                "mode_n": pa.array(g["__n"].to_numpy(np.int64), pa.int64()),
-            }
-        )
+        return _argmax_frame(g)
 
     pairs = (
-        ds.map_batches(local_counts, batch_format="pyarrow")
+        partials.map_batches(add_pair_bucket, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(pair_sums, batch_format="pandas")
     )
@@ -439,6 +478,50 @@ def cms_counts(
         for buf in b.column("m").to_pylist():
             total += np.frombuffer(buf, dtype=np.int64).reshape(depth, width)
     return total
+
+
+def cms_counts_and_keys(
+    ds: rd.Dataset,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> tuple[np.ndarray, np.ndarray]:
+    """One-pass variant of :func:`cms_counts` that also returns the
+    sorted distinct key set (for bounded key domains, where the caller
+    wants point estimates for every key without a second scan): each
+    block ships its partial matrix PLUS its distinct keys as one row —
+    still bounded state per block, one job instead of two."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t.column(value_col).to_pandas().astype(str).to_numpy(dtype=object)
+        m = np.zeros((depth, width), dtype=np.int64)
+        for r in range(depth):
+            h = md5_hash64_many([f"cms{r}:{v}" for v in vals]) % np.uint64(width)
+            m[r] = np.bincount(h.astype(np.int64), minlength=width)
+        uk = np.unique(t.column(value_col).to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "m": pa.array([m.tobytes()], pa.binary()),
+                "keys": pa.array([uk.astype(np.int64).tobytes()], pa.binary()),
+            }
+        )
+
+    total = np.zeros((depth, width), dtype=np.int64)
+    key_parts: list[np.ndarray] = []
+    for b in ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow"):
+        for buf, kbuf in zip(
+            b.column("m").to_pylist(), b.column("keys").to_pylist()
+        ):
+            total += np.frombuffer(buf, dtype=np.int64).reshape(depth, width)
+            key_parts.append(np.frombuffer(kbuf, dtype=np.int64))
+    keys = (
+        np.unique(np.concatenate(key_parts))
+        if key_parts
+        else np.zeros(0, dtype=np.int64)
+    )
+    return total, keys
 
 
 def cms_estimate_many(

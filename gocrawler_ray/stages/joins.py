@@ -119,6 +119,7 @@ def bloom_semi_join(
     dim_key: str,
     num_partitions: int,
     fpp: float = 0.008,
+    broadcast_limit: int = 4_000_000,
 ) -> rd.Dataset:
     """``fact ⋉ dim_keys`` — exact semi-join with bloom pushdown.
 
@@ -126,11 +127,36 @@ def bloom_semi_join(
     dedupes if its dimension isn't keyed); the final inner join is then
     exactly the semi-join and emits each matching fact row once. The
     broadcast is one ``ray.put`` of the bit words, read zero-copy by
-    every prefilter task."""
-    # the small side is consumed three times (count, bloom build, the
-    # verify join) — pin it; it is dimension-sized by contract
+    every prefilter task.
+
+    Auto-switch (same policy as the as-of join's broadcast path): when
+    the key set itself fits a broadcast (≤ ``broadcast_limit`` keys —
+    a sorted int64 array, 32 MB at the default), the EXACT membership
+    filter runs map-only via ``np.isin`` against the broadcast keys and
+    no join ships a single fact row; the bloom stage only earns its
+    keep when the key set is too big to broadcast exactly, which is
+    precisely when the verify join needs its shuffle volume pruned."""
+    # the small side is consumed up to three times (count, bloom build,
+    # the verify join) — pin it; it is dimension-sized by contract
     dim_keys = dim_keys.materialize()
-    bloom = build_bloom(dim_keys, dim_key, n_items=dim_keys.count(), fpp=fpp)
+    n_keys = dim_keys.count()
+    fact_cols = list(fact.schema().names)
+
+    if n_keys <= broadcast_limit:
+        keys = np.sort(dim_keys.to_pandas()[dim_key].to_numpy())
+        keys_ref = ray.put(keys)
+
+        def exact_filter(t: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            col = t.column(fact_key).to_numpy(zero_copy_only=False)
+            if len(ks) == 0:
+                return t.filter(pa.array(np.zeros(len(col), dtype=bool)))
+            pos = np.clip(np.searchsorted(ks, col), 0, len(ks) - 1)
+            return t.filter(pa.array(ks[pos] == col))
+
+        return fact.map_batches(exact_filter, batch_format="pyarrow")
+
+    bloom = build_bloom(dim_keys, dim_key, n_items=n_keys, fpp=fpp)
     m_bits, k = bloom.m_bits, bloom.k
     bits_ref = ray.put(bloom.words)
 
@@ -149,7 +175,6 @@ def bloom_semi_join(
         on=(fact_key,),
         right_on=(dim_key,),
     )
-    fact_cols = [f for f in fact.schema().names]
     return joined.map_batches(
         lambda t: t.select(fact_cols), batch_format="pyarrow"
     )

@@ -167,7 +167,8 @@ def test_robust_scale_degenerate_and_values():
     assert (out[out["k"] == "b"]["value_scaled"] == 0.0).all()
 
 
-def test_grouped_mode_matches_pandas_with_tiebreak():
+@pytest.mark.parametrize("combine_cap", [500_000, None])  # driver / distributed
+def test_grouped_mode_matches_pandas_with_tiebreak(combine_cap):
     from gocrawler_ray.stages.aggregates import grouped_mode
 
     rng = np.random.default_rng(8)
@@ -181,9 +182,10 @@ def test_grouped_mode_matches_pandas_with_tiebreak():
          pd.DataFrame({"key": [0] * 6, "val": ["b", "a", "b", "a", "c", "z"]})],
         ignore_index=True,
     )
+    res = grouped_mode(_ds_of(df, blocks=5), "key", "val",
+                       combine_cap=combine_cap)
     got = (
-        grouped_mode(_ds_of(df, blocks=5), "key", "val")
-        .to_pandas()
+        res.to_pandas()
         .sort_values("key")
         .reset_index(drop=True)
     )

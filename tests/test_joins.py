@@ -44,8 +44,15 @@ def test_bloom_distributed_build_equals_single(ray_session):
     assert (merged.words == single.words).all()
 
 
-@pytest.mark.parametrize("fpp", [0.008, 0.6])  # 0.6 → bloom nearly useless
-def test_bloom_semi_join_exact(ray_session, fpp):
+@pytest.mark.parametrize(
+    "fpp,broadcast_limit",
+    [
+        (0.008, 0),       # bloom prefilter + shuffle verify join
+        (0.6, 0),         # bloom nearly useless → verify join must save it
+        (0.008, 10**6),   # broadcast exact-keyset fast path (no join)
+    ],
+)
+def test_bloom_semi_join_exact(ray_session, fpp, broadcast_limit):
     rng = np.random.default_rng(5)
     fact_keys = rng.integers(0, 3000, size=20000).astype(np.int64)
     fact = pa.table({
@@ -57,6 +64,7 @@ def test_bloom_semi_join_exact(ray_session, fpp):
         rd.from_arrow(fact).repartition(5),
         rd.from_arrow(dim).repartition(2),
         "fk", "dk", num_partitions=4, fpp=fpp,
+        broadcast_limit=broadcast_limit,
     ).to_pandas().sort_values("payload").reset_index(drop=True)
     keep = np.isin(fact_keys, dim.column("dk").to_numpy())
     expect = fact.to_pandas()[keep].reset_index(drop=True)
