@@ -149,6 +149,25 @@ def test_pivot_counts_partials_sum_to_crosstab():
     # unlisted category counts only toward the total
     assert (got["n_total"].to_numpy() == ct.sum(axis=1).to_numpy()).all()
 
+    # distributed fallback merge (the unbounded-key-domain plan):
+    # groupby-sum over the wide partials + sum(col) -> col rename
+    n_cols = ["n_a", "n_b", "n_c", "n_total"]
+    agg = (
+        pivot_counts(_ds_of(df, blocks=6), "u", "t", ["a", "b", "c"])
+        .groupby("u").sum(n_cols)
+        .map_batches(
+            lambda t: t.rename_columns(
+                [c[4:-1] if c.startswith("sum(") else c for c in t.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas().sort_values("u").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        agg[["u"] + n_cols], got[["u"] + n_cols].reset_index(drop=True),
+        check_dtype=False,
+    )
+
 
 def test_robust_scale_degenerate_and_values():
     from gocrawler_ray.stages.aggregates import robust_scale
