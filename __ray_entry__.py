@@ -106,6 +106,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q.q_pack_sequences,
         "event_pivot": q.q_event_pivot,
         "value_scaled": q.q_value_scaled,
+        "events_cube": q.q_events_cube,
+        "value_share": q.q_value_share,
+        "incremental_ingest": q.q_incremental_ingest,
     }
 
 
@@ -839,5 +842,49 @@ SELECT e.event_id, e.event_type,
        CASE WHEN s.q75 - s.q25 = 0 THEN 0.0
             ELSE round((e.value - s.q50) / (s.q75 - s.q25), 6) END AS value_scaled
 FROM events e JOIN s USING (event_type)
+""",
+        # CUBE = the rollup levels + the by-hour subtotal; every level
+        # is derived from the SAME rounded base (matching the kernel)
+        "events_cube": """
+WITH base AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+         count(*) AS n, round(sum(value), 6) AS sum_value
+  FROM events GROUP BY 1, 2)
+SELECT event_type, hour, n, sum_value FROM base
+UNION ALL
+SELECT event_type, CAST(-1 AS BIGINT), CAST(SUM(n) AS BIGINT),
+       round(SUM(sum_value), 6)
+FROM base GROUP BY event_type
+UNION ALL
+SELECT 'ALL', hour, CAST(SUM(n) AS BIGINT), round(SUM(sum_value), 6)
+FROM base GROUP BY hour
+UNION ALL
+SELECT 'ALL', CAST(-1 AS BIGINT), CAST(SUM(n) AS BIGINT),
+       round(SUM(sum_value), 6)
+FROM base
+""",
+        # integer micro-unit operands make value_u / total_u the same
+        # double on both sides; zero totals pin share to 0
+        "value_share": """
+WITH e AS (SELECT event_id, user_id,
+                  CAST(round(value * 1000000) AS BIGINT) AS value_u
+           FROM events),
+t AS (SELECT user_id, SUM(value_u) AS total_u FROM e GROUP BY user_id)
+SELECT e.event_id, e.user_id, e.value_u,
+       CASE WHEN t.total_u = 0 THEN 0.0
+            ELSE round(CAST(e.value_u AS DOUBLE) / CAST(t.total_u AS DOUBLE), 6)
+       END AS share
+FROM e JOIN t USING (user_id)
+""",
+        # content anti-join: incoming = 20 exact copies + 20 edited
+        # docs; a row survives only if NO existing doc shares its md5
+        "incremental_ingest": """
+WITH incoming AS (
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 20
+  UNION ALL
+  SELECT doc_id + 20000, text || ' v2' FROM documents
+  WHERE doc_id >= 20 AND doc_id < 40)
+SELECT i.doc_id FROM incoming i
+WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE md5(d.text) = md5(i.text))
 """,
     }

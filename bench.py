@@ -173,6 +173,9 @@ def run_bench() -> dict:
     timed("pack_sequences", q.q_pack_sequences)
     timed("event_pivot", q.q_event_pivot)
     timed("value_scaled", q.q_value_scaled)
+    timed("events_cube", q.q_events_cube)
+    timed("value_share", q.q_value_share)
+    timed("incremental_ingest", q.q_incremental_ingest)
 
     value = round(
         sum(v for k, v in timings.items() if not k.startswith("crawl_")), 3

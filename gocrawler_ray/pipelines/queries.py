@@ -1259,6 +1259,152 @@ def q_events_rollup(sf_dir: str):
     return out
 
 
+def q_events_cube(sf_dir: str):
+    """CUBE(event_type, hour): the rollup machinery plus the
+    hour-subtotal level ROLLUP lacks — all four levels derived from the
+    SAME rounded base aggregate on both sides (sentinels hour=-1 /
+    event_type='ALL'), so every level is hash-stable regardless of
+    summation order; upper levels are driver arithmetic over the
+    bounded (types × clock-hours) base."""
+    ev = _pq(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        df = pd.DataFrame(
+            {
+                "event_type": t.column("event_type").to_pandas(),
+                "hour": us // 3_600_000_000,
+                "value": t.column("value").to_pandas(),
+            }
+        )
+        return df.groupby(["event_type", "hour"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        )
+
+    partials = ev.map_batches(partial, batch_format="pyarrow")
+    base = _combine_partials(partials, ["event_type", "hour"], ["n", "sum_value"])
+    base["sum_value"] = base["sum_value"].round(6)
+    by_type = base.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), sum_value=("sum_value", "sum")
+    )
+    by_type["hour"] = np.int64(-1)
+    by_hour = base.groupby("hour", as_index=False).agg(
+        n=("n", "sum"), sum_value=("sum_value", "sum")
+    )
+    by_hour["event_type"] = "ALL"
+    grand = pd.DataFrame(
+        {
+            "event_type": ["ALL"],
+            "hour": np.array([-1], np.int64),
+            "n": [base["n"].sum()],
+            "sum_value": [base["sum_value"].sum()],
+        }
+    )
+    out = pd.concat(
+        [base, by_type[base.columns], by_hour[base.columns], grand[base.columns]],
+        ignore_index=True,
+    )
+    out["sum_value"] = out["sum_value"].round(6)
+    return out
+
+
+def q_value_share(sf_dir: str):
+    """Percent-of-total window: each event's share of its user's total
+    value — per-user totals from fixed-point partial sums (bounded user
+    domain combines on the driver), broadcast once, then one map pass.
+    Integer operands make the division bit-identical on both sides;
+    zero totals emit share 0."""
+    ev = _pq(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user_id": t.column("user_id").to_pandas(),
+                "value_u": np.round(
+                    t.column("value").to_numpy(zero_copy_only=False) * 1_000_000
+                ).astype(np.int64),
+            }
+        )
+        return df.groupby("user_id", as_index=False).agg(total_u=("value_u", "sum"))
+
+    totals = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"), ["user_id"], ["total_u"]
+    )
+    ref = ray.put(pd.Series(totals["total_u"].to_numpy(), index=totals["user_id"]))
+
+    def share(t: pa.Table) -> pa.Table:
+        tot = ray.get(ref)
+        u = pd.Series(t.column("user_id").to_numpy(zero_copy_only=False))
+        v = np.round(
+            t.column("value").to_numpy(zero_copy_only=False) * 1_000_000
+        ).astype(np.int64)
+        tu = u.map(tot).to_numpy(dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = np.round(v.astype(np.float64) / tu, 6)
+        s[tu == 0] = 0.0
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "value_u": pa.array(v, pa.int64()),
+                "share": pa.array(s, pa.float64()),
+            }
+        )
+
+    return ev.map_batches(share, batch_format="pyarrow")
+
+
+def q_incremental_ingest(sf_dir: str):
+    """Incremental-ingest content anti-join: which docs of an incoming
+    batch are genuinely NEW against the existing corpus (dups by
+    CONTENT hash are dropped even when their ids differ). The scalable
+    plan streams the 100 TB corpus ONCE map-only against the broadcast
+    incoming hash set (bounded by the increment size), gathers only the
+    matched hashes, and anti-joins driver-side — a bloom cannot serve
+    an anti-join (false positives would silently DROP new docs), which
+    is why this flips the probe direction instead. Incoming batch here:
+    20 exact copies of existing docs + 20 edited (' v2') docs; the
+    edited 20 survive."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    import pyarrow.parquet as pq
+
+    d = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pandas().sort_values("doc_id")
+    dup = d[d["doc_id"] < 20]
+    edited = d[(d["doc_id"] >= 20) & (d["doc_id"] < 40)]
+    incoming = pd.DataFrame(
+        {
+            "doc_id": np.concatenate(
+                [dup["doc_id"].to_numpy() + 10000, edited["doc_id"].to_numpy() + 20000]
+            ),
+            "text": np.concatenate(
+                [dup["text"].to_numpy(), (edited["text"] + " v2").to_numpy()]
+            ),
+        }
+    )
+    inc_hash = np.array(md5_hex_many(incoming["text"].tolist()), dtype=object)
+    probe_ref = ray.put(np.sort(np.unique(inc_hash)))
+
+    def matched(t: pa.Table) -> pa.Table:
+        probe = ray.get(probe_ref)
+        hs = np.array(
+            md5_hex_many(t.column("text").to_pandas().fillna("").tolist()),
+            dtype=object,
+        )
+        pos = np.clip(np.searchsorted(probe, hs), 0, len(probe) - 1)
+        hit = probe[pos] == hs
+        return pa.table({"h": pa.array(hs[hit], pa.string())})
+
+    seen: set = set()
+    for b in docs.map_batches(matched, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        seen.update(b.column("h").to_pylist())
+    keep = np.array([h not in seen for h in inc_hash])
+    return pa.table({"doc_id": pa.array(incoming["doc_id"].to_numpy()[keep], pa.int64())})
+
+
 def q_pagerank_paths(sf_dir: str):
     """Iterative link-analysis (PageRank dataflow) over the derived web:
     3 rounds of edges⋈weights + groupby-sum shuffles with integer path
