@@ -13,6 +13,10 @@ deterministic greedy scan per shard, shards in parallel, no
 coordination — at 100 TB ``num_buckets`` scales with the cluster while
 each scan stays a linear pass over its bucket.
 
+The reference has no notion of token budgets or packing (its unit of
+work is one page, /root/reference/pkg/itemparser/extractor.go:30-67);
+this is part of the beyond-reference LLM-data operator suite.
+
 The per-bucket scan is an explicit Python loop over a numpy array: the
 recurrence ``running ← running + x if ≤ B else x`` has no vectorized
 form (each step depends on the previous reset), and the loop touches

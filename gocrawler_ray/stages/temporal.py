@@ -1,7 +1,8 @@
 """Temporal operators: gap-based session windows, a backward as-of
-join, hopping (sliding) window aggregates, and an interval/range join —
-custom operators the Dataset API lacks, composed from one hash shuffle +
-vectorized group kernels.
+join, hopping (sliding) window aggregates, an interval/range join, and
+the per-key window functions (cumulative ``running_total``, LAG-style
+``lag_deltas``) — custom operators the Dataset API lacks, composed from
+one hash shuffle + vectorized group kernels.
 
 Both use the HASH-BUCKET CO-LOCATION pattern: rows get a
 ``bucket = siphash(key) % P`` column, ``groupby("__bucket")`` co-locates
