@@ -109,6 +109,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": q.q_events_cube,
         "value_share": q.q_value_share,
         "incremental_ingest": q.q_incremental_ingest,
+        "props_k_stats": q.q_props_k_stats,
+        "clickers_buyers": q.q_clickers_buyers,
+        "viewers_no_purchase": q.q_viewers_no_purchase,
     }
 
 
@@ -886,5 +889,33 @@ WITH incoming AS (
   WHERE doc_id >= 20 AND doc_id < 40)
 SELECT i.doc_id FROM incoming i
 WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE md5(d.text) = md5(i.text))
+""",
+        # the engine extracts k with one Arrow regex pass; COALESCE -1
+        # mirrors the kernel's missing-key sentinel
+        "props_k_stats": """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM (SELECT event_type,
+             COALESCE(CAST(json_extract(props, '$.k') AS BIGINT), -1) AS k
+      FROM events) e
+GROUP BY event_type
+""",
+        # sparse slice (event_id % 37 == 0) keeps user×type membership
+        # genuinely partial so the set ops are non-trivial
+        "clickers_buyers": """
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'click' AND event_id % 37 = 0
+INTERSECT
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'purchase' AND event_id % 37 = 0
+""",
+        "viewers_no_purchase": """
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'view' AND event_id % 37 = 0
+EXCEPT
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'purchase' AND event_id % 37 = 0
 """,
     }

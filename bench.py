@@ -176,6 +176,9 @@ def run_bench() -> dict:
     timed("events_cube", q.q_events_cube)
     timed("value_share", q.q_value_share)
     timed("incremental_ingest", q.q_incremental_ingest)
+    timed("props_k_stats", q.q_props_k_stats)
+    timed("clickers_buyers", q.q_clickers_buyers)
+    timed("viewers_no_purchase", q.q_viewers_no_purchase)
 
     value = round(
         sum(v for k, v in timings.items() if not k.startswith("crawl_")), 3

@@ -122,3 +122,21 @@ def positional_parse(blocks: list[str]) -> tuple[str, str, dict[str, str]]:
                 details[detail[0].strip()] = detail[1].strip()
         count += 1
     return name, brand, details
+
+
+def json_int_field(col, key: str):
+    """Vectorized extraction of an integer field from a flat JSON-string
+    column (the engine's JSON-unmarshal surface, SURVEY §2.8 — the
+    reference unmarshals items back out of Redis the same way,
+    /root/reference/pkg/item/marshal.go): one Arrow ``extract_regex``
+    pass, no per-row json.loads. Missing keys yield -1 (COALESCE on the
+    SQL side keeps the gate null-free). Flat integer fields only — a
+    nested document needs a real parser behind an actor pool instead.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    pat = f'"{key}":\\s*(?P<v>-?\\d+)'
+    ex = pc.extract_regex(col, pat)
+    val = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+    return pc.coalesce(val, pa.scalar(-1, pa.int64()))

@@ -1354,6 +1354,77 @@ def q_value_share(sf_dir: str):
     return ev.map_batches(share, batch_format="pyarrow")
 
 
+def q_props_k_stats(sf_dir: str):
+    """JSON unmarshal surface (SURVEY §2.8): extract the integer field
+    ``k`` from the events' JSON props column with one vectorized Arrow
+    regex pass (functions/text.py::json_int_field — never per-row
+    json.loads), then a bounded per-type aggregate from per-block
+    partials (missing keys COALESCE to -1 on both sides)."""
+    from ..functions.text import json_int_field
+
+    ev = _pq(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        k = json_int_field(t.column("props"), "k").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"event_type": t.column("event_type").to_pandas(), "k": k}
+        )
+        return df.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), sum_k=("k", "sum"), max_k=("k", "max")
+        )
+
+    partials = ev.map_batches(partial, batch_format="pyarrow")
+    agg_sum = _combine_partials(partials, ["event_type"], ["n", "sum_k"])
+    # MAX does not merge by SUM — combine it separately (bounded rows)
+    maxes = (
+        partials.to_pandas().groupby("event_type", as_index=False)["max_k"].max()
+    )
+    out = agg_sum.merge(maxes, on="event_type")
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_k"] = out["sum_k"].astype(np.int64)
+    out["max_k"] = out["max_k"].astype(np.int64)
+    return out
+
+
+def _sparse_event_pivot(sf_dir: str) -> pd.DataFrame:
+    """Per-user wide counts over the sparse event slice
+    ``event_id % 37 == 0`` (~270 of 10k events at sf0.01, so user×type
+    membership is genuinely partial and the set ops are non-trivial) —
+    one pivot-partial stream serves both set-op queries."""
+    from ..stages.aggregates import pivot_counts
+
+    ev = _pq(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+
+    def sparse_filter(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(eid % 37 == 0))
+
+    sparse = ev.map_batches(sparse_filter, batch_format="pyarrow")
+    n_cols = [f"n_{c}" for c in EVENT_TYPES] + ["n_total"]
+    return _combine_partials(
+        pivot_counts(sparse, "user_id", "event_type", EVENT_TYPES),
+        ["user_id"], n_cols, cap=200_000,
+    )
+
+
+def q_clickers_buyers(sf_dir: str):
+    """INTERSECT set op: users who clicked AND purchased (within the
+    sparse slice) — derived from the pivot partials (counts, never
+    rows) combined on the driver."""
+    base = _sparse_event_pivot(sf_dir)
+    keep = base[(base["n_click"] > 0) & (base["n_purchase"] > 0)]
+    return pa.table({"user_id": pa.array(np.sort(keep["user_id"].to_numpy()))})
+
+
+def q_viewers_no_purchase(sf_dir: str):
+    """EXCEPT set op: users who viewed but never purchased (within the
+    sparse slice) — same pivot-partial stream, complementary
+    predicate."""
+    base = _sparse_event_pivot(sf_dir)
+    keep = base[(base["n_view"] > 0) & (base["n_purchase"] == 0)]
+    return pa.table({"user_id": pa.array(np.sort(keep["user_id"].to_numpy()))})
+
+
 def q_incremental_ingest(sf_dir: str):
     """Incremental-ingest content anti-join: which docs of an incoming
     batch are genuinely NEW against the existing corpus (dups by
