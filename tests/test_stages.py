@@ -303,6 +303,43 @@ def test_pack_sequences_greedy_edges(ray_session):
     assert out2["pack_id"].tolist() == [0, 1]
 
 
+def test_pack_sequences_invariants_random(ray_session):
+    """Randomized invariants: within every bucket, pack ids start at 0
+    and are contiguous; every pack's token sum fits the budget unless
+    it is a single oversized doc; doc order within a bucket is id
+    order; and the greedy recurrence matches a reference loop."""
+    import ray.data as rd
+    from gocrawler_ray.stages.packing import pack_sequences
+
+    rng = np.random.default_rng(23)
+    n, budget = 3000, 200
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ws_tokens": pa.array(
+            rng.choice([0, 1, 17, 60, 199, 200, 201, 450], size=n), pa.int64()
+        ),
+    })
+    out = (
+        pack_sequences(rd.from_arrow(t), budget=budget, num_buckets=8)
+        .to_pandas().sort_values(["bucket", "doc_id"]).reset_index(drop=True)
+    )
+    assert len(out) == n
+    for _, g in out.groupby("bucket"):
+        packs = g["pack_id"].to_numpy()
+        assert packs[0] == 0 and (np.diff(packs) >= 0).all()
+        assert set(np.unique(packs)) == set(range(packs.max() + 1))
+        # reference greedy replay (same recurrence as the kernel/oracle)
+        running, p = 0, 0
+        for i, (tok, pid) in enumerate(zip(g["ws_tokens"].to_numpy(), packs)):
+            if i > 0 and running + tok > budget:
+                p, running = p + 1, 0
+            assert pid == p
+            running += tok
+        sums = g.groupby("pack_id")["ws_tokens"].agg(["sum", "size"])
+        over = sums[sums["sum"] > budget]
+        assert (over["size"] == 1).all()  # only lone oversized docs overflow
+
+
 def test_sample_topk_hash_matches_global_rank(ray_session):
     """The per-block partial top-k + driver merge equals the global
     smallest-hash k-set regardless of block layout."""

@@ -294,3 +294,33 @@ def test_lag_deltas(buckets):
         (2, 20, us, -1_000_000),            # ts order, not event_id order
         (2, 21, -1, 0),
     ]
+
+
+def test_lag_deltas_matches_pandas_shift_bruteforce():
+    """Randomized brute force: the distributed LAG equals pandas
+    groupby().shift() under the pinned (ts, event_id) order, including
+    duplicate timestamps."""
+    from gocrawler_ray.stages.temporal import lag_deltas
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 50, size=n),
+        "event_id": np.arange(n, dtype=np.int64),
+        # coarse second resolution forces plenty of ts ties per user
+        "ts": TS + pd.to_timedelta(rng.integers(0, 300, size=n), unit="s"),
+        "value": rng.normal(0, 10, size=n).round(3),
+    })
+    got = (
+        lag_deltas(rd.from_pandas(df), num_buckets=8)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    ref = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    ref["value_u"] = (ref["value"] * 1_000_000).round().astype(np.int64)
+    ref["ts_us"] = ref["ts"].astype("datetime64[us]").astype(np.int64)
+    g = ref.groupby("user_id")
+    ref["delta_us"] = (ref["ts_us"] - g["ts_us"].shift()).fillna(-1).astype(np.int64)
+    ref["lag_value_u"] = g["value_u"].shift().fillna(0).astype(np.int64)
+    ref = ref.sort_values("event_id").reset_index(drop=True)
+    for c in ("delta_us", "lag_value_u", "value_u"):
+        assert (got[c].to_numpy() == ref[c].to_numpy()).all(), c
