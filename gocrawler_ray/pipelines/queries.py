@@ -1373,16 +1373,14 @@ def q_props_k_stats(sf_dir: str):
             n=("k", "size"), sum_k=("k", "sum"), max_k=("k", "max")
         )
 
-    partials = ev.map_batches(partial, batch_format="pyarrow")
-    agg_sum = _combine_partials(partials, ["event_type"], ["n", "sum_k"])
-    # MAX does not merge by SUM — combine it separately (bounded rows)
-    maxes = (
-        partials.to_pandas().groupby("event_type", as_index=False)["max_k"].max()
+    # one gather serves both merge rules (SUM for n/sum_k, MAX for
+    # max_k) — the partial stream is blocks × event-types rows
+    parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), sum_k=("sum_k", "sum"), max_k=("max_k", "max")
     )
-    out = agg_sum.merge(maxes, on="event_type")
-    out["n"] = out["n"].astype(np.int64)
-    out["sum_k"] = out["sum_k"].astype(np.int64)
-    out["max_k"] = out["max_k"].astype(np.int64)
+    for c in ("n", "sum_k", "max_k"):
+        out[c] = out[c].astype(np.int64)
     return out
 
 
