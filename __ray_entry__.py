@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": q.q_events_cube,
         "value_share": q.q_value_share,
         "incremental_ingest": q.q_incremental_ingest,
+        "hourly_distinct_hll": q.q_hourly_distinct_hll,
         "props_k_stats": q.q_props_k_stats,
         "clickers_buyers": q.q_clickers_buyers,
         "viewers_no_purchase": q.q_viewers_no_purchase,
@@ -889,6 +890,23 @@ WITH incoming AS (
   WHERE doc_id >= 20 AND doc_id < 40)
 SELECT i.doc_id FROM incoming i
 WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE md5(d.text) = md5(i.text))
+""",
+        # per-hour HLL registers, p=6: bucket = top 6 bits, rho from
+        # the exact bit length of the low 58 — same scheme as
+        # hll_distinct with the tumbling window as an extra group key
+        "hourly_distinct_hll": """
+WITH h AS (
+  SELECT DISTINCT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16)) AS UBIGINT) AS hv
+  FROM events),
+parts AS (
+  SELECT hour, CAST(hv >> 58 AS INT) AS bucket,
+         hv & ((CAST(1 AS UBIGINT) << 58) - 1) AS w
+  FROM h)
+SELECT hour, bucket,
+       CAST(MAX(58 - (CASE WHEN w = 0 THEN 0 ELSE length(bin(w)) END) + 1)
+            AS INT) AS rho
+FROM parts GROUP BY hour, bucket
 """,
         # the engine extracts k with one Arrow regex pass; COALESCE -1
         # mirrors the kernel's missing-key sentinel

@@ -1354,6 +1354,17 @@ def q_value_share(sf_dir: str):
     return ev.map_batches(share, batch_format="pyarrow")
 
 
+def q_hourly_distinct_hll(sf_dir: str):
+    """Tumbling-window HyperLogLog: per-hour distinct-user registers
+    (stages/aggregates.py::windowed_hll_registers) — bounded sketch
+    state per window, the streaming-distinct pattern at 100 TB; the
+    integer register table is the gated artifact (p=6)."""
+    from ..stages.aggregates import windowed_hll_registers
+
+    ev = _pq(sf_dir, "events", columns=["ts", "user_id"])
+    return windowed_hll_registers(ev, "ts", "user_id", p=6)
+
+
 def q_props_k_stats(sf_dir: str):
     """JSON unmarshal surface (SURVEY §2.8): extract the integer field
     ``k`` from the events' JSON props column with one vectorized Arrow

@@ -252,6 +252,100 @@ def doc_frequency(
     return summed.map_batches(finish, batch_format="pyarrow")
 
 
+def _bitlen_u64(w: np.ndarray) -> np.ndarray:
+    """Exact integer bit length of uint64 values (bitlength(0) = 0):
+    float log2 seeds the answer, integer shifts repair the
+    power-of-two off-by-ones exactly — matches SQL ``length(bin(w))``."""
+    nz = w > 0
+    bitlen = np.zeros(len(w), dtype=np.int32)
+    bitlen[nz] = np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int32) + 1
+    too_hi = nz & (w >> np.clip(bitlen, 0, 63).astype(np.uint64) > 0)
+    bitlen[too_hi] += 1
+    too_lo = nz & (w < (np.uint64(1) << np.clip(bitlen - 1, 0, 63).astype(np.uint64)))
+    bitlen[too_lo] -= 1
+    return bitlen
+
+
+def windowed_hll_registers(
+    ds: rd.Dataset,
+    ts_col: str,
+    value_col: str,
+    p: int = 6,
+    window_s: int = 3600,
+    combine_cap: int = 1_000_000,
+):
+    """Per-window HyperLogLog registers — COUNT(DISTINCT value) per
+    tumbling time window with BOUNDED state per window (2^p mergeable
+    ints), the streaming-sketch pattern a 100 TB event pipeline needs
+    where exact per-window distinct would buffer every key.
+
+    Each block emits ≤ (windows-in-block × 2^p) partial registers that
+    merge by MAX; bounded streams combine on the driver, bigger ones
+    fall back to one distributed groupby-max over the partials (the
+    grouped_mode policy). Output (hour, bucket, rho) is integer-exact
+    and md5-derived, so a SQL oracle rebuilds it register-for-register.
+    """
+    w_bits = 64 - p
+    window_us = window_s * 1_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        # normalize to µs first — inputs may carry ns or us timestamps
+        us = pc.cast(
+            pc.cast(t.column(ts_col), pa.timestamp("us")), pa.int64()
+        ).to_numpy()
+        hour = us // window_us
+        vals = t.column(value_col).to_pandas().astype(str)
+        h = md5_hash64_many(vals.to_numpy(dtype=object))
+        bucket = (h >> np.uint64(w_bits)).astype(np.int32)
+        w = h & np.uint64((1 << w_bits) - 1)
+        rho = (w_bits - _bitlen_u64(w) + 1).astype(np.int32)
+        df = pd.DataFrame({"hour": hour, "bucket": bucket, "rho": rho})
+        part = df.groupby(["hour", "bucket"], sort=False)["rho"].max().reset_index()
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    frames: list[pd.DataFrame] = []
+    total, fits = 0, True
+    for b in partials.iter_batches(batch_size=65536, batch_format="pandas"):
+        frames.append(b)
+        total += len(b)
+        if total > 4 * combine_cap:
+            merged = pd.concat(frames, ignore_index=True).groupby(
+                ["hour", "bucket"], as_index=False
+            )["rho"].max()
+            frames, total = [merged], len(merged)
+            if total > combine_cap:
+                fits = False
+                break
+    if fits:
+        if not frames:
+            return pa.table({"hour": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int32()),
+                             "rho": pa.array([], pa.int32())})
+        regs = pd.concat(frames, ignore_index=True).groupby(
+            ["hour", "bucket"], as_index=False
+        )["rho"].max()
+        return pa.table(
+            {
+                "hour": pa.array(regs["hour"].to_numpy(np.int64)),
+                "bucket": pa.array(regs["bucket"].to_numpy(np.int32)),
+                "rho": pa.array(regs["rho"].to_numpy(np.int32)),
+            }
+        )
+    # distributed fallback (lazy partials re-execute)
+    agg = partials.groupby(["hour", "bucket"]).max("rho")
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "hour": pc.cast(t.column("hour"), pa.int64()),
+                "bucket": pc.cast(t.column("bucket"), pa.int32()),
+                "rho": pc.cast(t.column("max(rho)"), pa.int32()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def hll_registers(
     ds: rd.Dataset,
     value_col: str,
@@ -284,16 +378,7 @@ def hll_registers(
         bucket = (h >> np.uint64(w_bits)).astype(np.int32)
         w = h & np.uint64((1 << w_bits) - 1)
         # rho = w_bits - bitlength(w) + 1; bitlength(0) treated as 0
-        nz = w > 0
-        bitlen = np.zeros(len(w), dtype=np.int32)
-        bitlen[nz] = np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int32) + 1
-        # float log2 can be off by one at exact powers of two — repair
-        # exactly with integer shifts
-        too_hi = nz & (w >> np.clip(bitlen, 0, 63).astype(np.uint64) > 0)
-        bitlen[too_hi] += 1
-        too_lo = nz & (w < (np.uint64(1) << np.clip(bitlen - 1, 0, 63).astype(np.uint64)))
-        bitlen[too_lo] -= 1
-        rho = (w_bits - bitlen + 1).astype(np.int32)
+        rho = (w_bits - _bitlen_u64(w) + 1).astype(np.int32)
         part = pd.DataFrame({"bucket": bucket, "rho": rho}).groupby(
             "bucket", sort=False
         )["rho"].max().reset_index()

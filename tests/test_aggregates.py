@@ -239,6 +239,46 @@ def test_cms_never_undercounts_and_block_invariant():
     assert uniq[np.argmax(est)] == uniq[np.argmax(true)]
 
 
+def test_windowed_hll_registers_per_window_and_invariance():
+    from gocrawler_ray.stages.aggregates import (
+        hll_estimate, hll_registers, windowed_hll_registers,
+    )
+
+    rng = np.random.default_rng(12)
+    n = 8000
+    base = pd.Timestamp("2024-05-01").value // 1000  # µs
+    df = pd.DataFrame({
+        "ts": pd.to_datetime(
+            base + rng.integers(0, 4 * 3600, size=n) * 1_000_000, unit="us"
+        ),
+        "v": rng.integers(0, 900, size=n),
+    })
+    regs = windowed_hll_registers(_ds_of(df, blocks=6), "ts", "v", p=6).to_pandas()
+    assert set(regs["hour"].unique()) == set(
+        (df["ts"].astype("datetime64[us]").astype(np.int64) // 3_600_000_000).unique()
+    )
+    # each window's registers equal an independent single-window HLL
+    # over exactly that window's values (merge-by-max correctness)
+    hours = sorted(regs["hour"].unique())
+    for hr in hours[:2]:
+        in_win = df[
+            df["ts"].astype("datetime64[us]").astype(np.int64) // 3_600_000_000 == hr
+        ]
+        solo = hll_registers(_ds_of(in_win, blocks=2), "v", p=6).to_pandas()
+        win = regs[regs["hour"] == hr][["bucket", "rho"]].sort_values(
+            "bucket"
+        ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            win, solo.sort_values("bucket").reset_index(drop=True),
+            check_dtype=False,
+        )
+        est = hll_estimate(
+            pa.Table.from_pandas(win, preserve_index=False), p=6
+        )
+        true = in_win["v"].nunique()
+        assert abs(est - true) / true < 0.45  # p=6 → se ~13%, 3σ slack
+
+
 def test_group_quantiles_matches_numpy():
     df = _events_df()
     got = (
