@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": q.q_events_cube,
         "value_share": q.q_value_share,
         "incremental_ingest": q.q_incremental_ingest,
+        "importance_sample": q.q_importance_sample,
         "hourly_distinct_hll": q.q_hourly_distinct_hll,
         "props_k_stats": q.q_props_k_stats,
         "clickers_buyers": q.q_clickers_buyers,
@@ -890,6 +891,19 @@ WITH incoming AS (
   WHERE doc_id >= 20 AND doc_id < 40)
 SELECT i.doc_id FROM incoming i
 WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE md5(d.text) = md5(i.text))
+""",
+        # the keep test runs in DOUBLE on both sides with identical
+        # operand expressions: hash/2^64 < min(1, ws_tokens/80)
+        "importance_sample": """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens,
+         CAST(('0x' || substr(md5('wsample:7:' || CAST(doc_id AS VARCHAR)), 1, 16))
+              AS UBIGINT) AS hv
+  FROM documents)
+SELECT doc_id, ws_tokens FROM t
+WHERE CAST(hv AS DOUBLE) / 18446744073709551616.0
+      < least(1.0, CAST(ws_tokens AS DOUBLE) / 80.0)
 """,
         # per-hour HLL registers, p=6: bucket = top 6 bits, rho from
         # the exact bit length of the low 58 — same scheme as

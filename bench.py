@@ -177,6 +177,7 @@ def run_bench() -> dict:
     timed("value_share", q.q_value_share)
     timed("incremental_ingest", q.q_incremental_ingest)
     timed("hourly_distinct_hll", q.q_hourly_distinct_hll)
+    timed("importance_sample", q.q_importance_sample)
     timed("props_k_stats", q.q_props_k_stats)
     timed("clickers_buyers", q.q_clickers_buyers)
     timed("viewers_no_purchase", q.q_viewers_no_purchase)

@@ -1354,6 +1354,26 @@ def q_value_share(sf_dir: str):
     return ev.map_batches(share, batch_format="pyarrow")
 
 
+def q_importance_sample(sf_dir: str):
+    """Importance sampling: keep probability = min(1, ws_tokens/80) —
+    long docs survive, short boilerplate is thinned proportionally
+    (stages/sampling.py::weighted_mask). Map-only; the double-precision
+    compare uses identical operand expressions on both sides."""
+    from ..stages.sampling import weighted_mask
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def go(t: pa.Table) -> pa.Table:
+        tok = token_counts(t)
+        w = np.minimum(
+            1.0, tok.column("ws_tokens").to_numpy(zero_copy_only=False) / 80.0
+        )
+        kept = weighted_mask(tok, w, id_col="doc_id", seed=7)
+        return kept.select(["doc_id", "ws_tokens"])
+
+    return docs.map_batches(go, batch_format="pyarrow")
+
+
 def q_hourly_distinct_hll(sf_dir: str):
     """Tumbling-window HyperLogLog: per-hour distinct-user registers
     (stages/aggregates.py::windowed_hll_registers) — bounded sketch

@@ -105,6 +105,28 @@ def stratified_mask(
     return batch.filter(pa.array(u < row_bounds))
 
 
+def weighted_mask(
+    batch: pa.Table,
+    weights: np.ndarray,
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> pa.Table:
+    """Importance sampling: keep each row with probability
+    ``weights[i]`` (clipped to [0, 1]) — longer/higher-quality docs
+    kept preferentially, boilerplate downsampled, still a pure
+    map-only function of (id, seed, weight).
+
+    Determinism across the SQL gate: the comparison runs in DOUBLE on
+    both sides — ``hash/2^64 < weight`` — so as long as the oracle
+    computes the weight with the same arithmetic expression, the
+    operands (hence the verdict) are bit-identical; no integer-bound
+    rounding is involved."""
+    u = _unit_hash(batch.column(id_col).to_pylist(), f"wsample:{seed}:")
+    frac = u.astype(np.float64) / float(_U64)
+    w = np.clip(np.asarray(weights, dtype=np.float64), 0.0, 1.0)
+    return batch.filter(pa.array(frac < w))
+
+
 def sample_topk_hash(ds, k: int, id_col: str = "doc_id", seed: int = 7) -> pa.Table:
     """Deterministic uniform k-sample without replacement: the k rows
     with the globally smallest ``hash(topk:{seed}:{id})`` — the

@@ -274,6 +274,24 @@ def test_stratified_mask_rates_and_partition_stability():
     )
 
 
+def test_weighted_mask_rates_and_determinism():
+    from gocrawler_ray.stages.sampling import weighted_mask
+
+    n = 30000
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64())})
+    # weight 1 keeps everything; weight 0 keeps nothing
+    assert weighted_mask(t, np.ones(n), seed=5).num_rows == n
+    assert weighted_mask(t, np.zeros(n), seed=5).num_rows == 0
+    # intermediate weights keep ~the expected fraction, deterministically
+    w = np.full(n, 0.3)
+    kept = weighted_mask(t, w, seed=5)
+    again = weighted_mask(t, w, seed=5)
+    assert kept.column("doc_id").to_pylist() == again.column("doc_id").to_pylist()
+    assert abs(kept.num_rows / n - 0.3) < 0.02
+    # out-of-range weights clip instead of misbehaving
+    assert weighted_mask(t, np.full(n, 7.0), seed=5).num_rows == n
+
+
 def test_pack_sequences_greedy_edges(ray_session):
     """Greedy packing edge semantics: exact fit stays in the pack, the
     overflowing doc opens the next one, an oversized doc owns a pack
