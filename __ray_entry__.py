@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": q.q_events_cube,
         "value_share": q.q_value_share,
         "incremental_ingest": q.q_incremental_ingest,
+        "value_ranks": q.q_value_ranks,
         "importance_sample": q.q_importance_sample,
         "hourly_distinct_hll": q.q_hourly_distinct_hll,
         "props_k_stats": q.q_props_k_stats,
@@ -891,6 +892,20 @@ WITH incoming AS (
   WHERE doc_id >= 20 AND doc_id < 40)
 SELECT i.doc_id FROM incoming i
 WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE md5(d.text) = md5(i.text))
+""",
+        # RANK orders by value alone (ties share); NTILE needs the
+        # pinned unique (value, event_id) order — two window specs
+        "value_ranks": """
+WITH e AS (SELECT event_type, event_id,
+                  CAST(round(value * 1000000) AS BIGINT) AS value_u
+           FROM events)
+SELECT event_type, event_id, value_u,
+  RANK() OVER (PARTITION BY event_type ORDER BY value_u) AS rnk,
+  round(PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value_u), 6)
+    AS pct_rank,
+  CAST(NTILE(4) OVER (PARTITION BY event_type ORDER BY value_u, event_id)
+       AS BIGINT) AS tile
+FROM e
 """,
         # the keep test runs in DOUBLE on both sides with identical
         # operand expressions: hash/2^64 < min(1, ws_tokens/80)

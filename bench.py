@@ -178,6 +178,7 @@ def run_bench() -> dict:
     timed("incremental_ingest", q.q_incremental_ingest)
     timed("hourly_distinct_hll", q.q_hourly_distinct_hll)
     timed("importance_sample", q.q_importance_sample)
+    timed("value_ranks", q.q_value_ranks)
     timed("props_k_stats", q.q_props_k_stats)
     timed("clickers_buyers", q.q_clickers_buyers)
     timed("viewers_no_purchase", q.q_viewers_no_purchase)

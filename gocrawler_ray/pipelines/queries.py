@@ -1354,6 +1354,19 @@ def q_value_share(sf_dir: str):
     return ev.map_batches(share, batch_format="pyarrow")
 
 
+def q_value_ranks(sf_dir: str):
+    """Ranking-window family in one pass: per-event-type RANK (ties
+    share), PERCENT_RANK, and NTILE(4) quartile over the pinned
+    (value, event_id) order (stages/temporal.py::rank_windows) — one
+    bucket shuffle, segment arithmetic for all keys, integer operands
+    so the rank divisions hash-match SQL."""
+    from ..stages.temporal import rank_windows
+
+    ev = _pq(sf_dir, "events", columns=["event_type", "event_id", "value"],
+             num_blocks=_n_cpus())
+    return rank_windows(ev, "event_type", "value", "event_id", ntile=4)
+
+
 def q_importance_sample(sf_dir: str):
     """Importance sampling: keep probability = min(1, ws_tokens/80) —
     long docs survive, short boilerplate is thinned proportionally

@@ -231,6 +231,76 @@ def lag_deltas(
     )
 
 
+def rank_windows(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    ntile: int = 4,
+    num_buckets: int = 32,
+    scale: int = 1_000_000,
+) -> rd.Dataset:
+    """The ranking-window family in one kernel: per-key RANK (ties
+    share), PERCENT_RANK = (rank−1)/(n−1) (0 for singleton keys), and
+    NTILE(k) over the pinned unique order (value, id) — one hash-bucket
+    shuffle, one lexsort, segment arithmetic for every key in the
+    bucket. Values are fixed-pointed so tie groups are exact, and the
+    percent-rank division uses integer operands — bit-identical to the
+    SQL window oracle."""
+
+    def kernel(g: pd.DataFrame) -> pa.Table:
+        u = g[key_col].to_numpy()
+        eid = g[id_col].to_numpy().astype(np.int64)
+        v = np.round(g[value_col].to_numpy(dtype=np.float64) * scale).astype(
+            np.int64
+        )
+        order = np.lexsort((eid, v, u))
+        u, eid, v = u[order], eid[order], v[order]
+        n_all = len(u)
+        newkey = np.empty(n_all, dtype=bool)
+        newkey[0] = True
+        newkey[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(newkey)
+        counts = np.diff(np.append(starts, n_all))
+        seg_start = np.repeat(starts, counts)
+        n_of_key = np.repeat(counts, counts)
+        idx = np.arange(n_all, dtype=np.int64) - seg_start  # row_number-1
+        # RANK: first index of each equal-value run within the key
+        newval = newkey.copy()
+        newval[1:] |= v[1:] != v[:-1]
+        run_start = np.maximum.accumulate(
+            np.where(newval, np.arange(n_all, dtype=np.int64), 0)
+        )
+        rank = run_start - seg_start + 1
+        denom = np.maximum(n_of_key - 1, 1)
+        pr = np.round((rank - 1).astype(np.float64) / denom.astype(np.float64), 6)
+        pr[n_of_key == 1] = 0.0
+        # NTILE(k): first n%k tiles take ceil(n/k) rows (SQL semantics)
+        q, r = n_of_key // ntile, n_of_key % ntile
+        big = r * (q + 1)
+        tile = np.where(
+            idx < big,
+            idx // np.maximum(q + 1, 1),
+            r + (idx - big) // np.maximum(q, 1),
+        ) + 1
+        return pa.table(
+            {
+                key_col: pa.array(u),
+                id_col: pa.array(eid, pa.int64()),
+                "value_u": pa.array(v, pa.int64()),
+                "rnk": pa.array(rank, pa.int64()),
+                "pct_rank": pa.array(pr, pa.float64()),
+                "tile": pa.array(tile.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        _with_bucket(ds, key_col, num_buckets)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
 def asof_join(
     left: rd.Dataset,
     right: rd.Dataset,

@@ -296,6 +296,27 @@ def test_lag_deltas(buckets):
     ]
 
 
+@pytest.mark.parametrize("buckets", [1, 4])
+def test_rank_windows_ties_and_ntile(buckets):
+    from gocrawler_ray.stages.temporal import rank_windows
+
+    df = pd.DataFrame({
+        "k": ["a"] * 5 + ["b"],
+        "event_id": [1, 2, 3, 4, 5, 6],
+        # a: values 1,1,2,2,2 → ranks 1,1,3,3,3; b: singleton
+        "value": [1.0, 1.0, 2.0, 2.0, 2.0, 9.0],
+    })
+    out = (
+        rank_windows(rd.from_pandas(df), "k", "value", "event_id",
+                     ntile=4, num_buckets=buckets)
+        .to_pandas().sort_values(["k", "event_id"]).reset_index(drop=True)
+    )
+    assert out["rnk"].tolist() == [1, 1, 3, 3, 3, 1]
+    assert out["pct_rank"].tolist() == [0.0, 0.0, 0.5, 0.5, 0.5, 0.0]
+    # n=5, k=4 → tile sizes 2,1,1,1 over the (value, id) order
+    assert out["tile"].tolist() == [1, 1, 2, 3, 4, 1]
+
+
 def test_lag_deltas_matches_pandas_shift_bruteforce():
     """Randomized brute force: the distributed LAG equals pandas
     groupby().shift() under the pinned (ts, event_id) order, including
