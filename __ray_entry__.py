@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_share": q.q_value_share,
         "incremental_ingest": q.q_incremental_ingest,
         "value_ranks": q.q_value_ranks,
+        "user_paths": q.q_user_paths,
+        "funnel_users": q.q_funnel_users,
         "importance_sample": q.q_importance_sample,
         "hourly_distinct_hll": q.q_hourly_distinct_hll,
         "props_k_stats": q.q_props_k_stats,
@@ -892,6 +894,22 @@ WITH incoming AS (
   WHERE doc_id >= 20 AND doc_id < 40)
 SELECT i.doc_id FROM incoming i
 WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE md5(d.text) = md5(i.text))
+""",
+        "user_paths": """
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+       CAST(count(*) AS BIGINT) AS n_steps
+FROM events WHERE event_id % 37 = 0 GROUP BY user_id
+""",
+        # event-type names are prefix-free, so LIKE-style subsequence
+        # matching over the path string is exact
+        "funnel_users": """
+WITH p AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM events WHERE event_id % 37 = 0 GROUP BY user_id)
+SELECT user_id, path FROM p
+WHERE regexp_matches(path, 'view.*click.*purchase')
 """,
         # RANK orders by value alone (ties share); NTILE needs the
         # pinned unique (value, event_id) order — two window specs

@@ -179,6 +179,7 @@ def run_bench() -> dict:
     timed("hourly_distinct_hll", q.q_hourly_distinct_hll)
     timed("importance_sample", q.q_importance_sample)
     timed("value_ranks", q.q_value_ranks)
+    timed("user_paths", q.q_user_paths)
     timed("props_k_stats", q.q_props_k_stats)
     timed("clickers_buyers", q.q_clickers_buyers)
     timed("viewers_no_purchase", q.q_viewers_no_purchase)

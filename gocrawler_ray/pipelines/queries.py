@@ -1354,6 +1354,52 @@ def q_value_share(sf_dir: str):
     return ev.map_batches(share, batch_format="pyarrow")
 
 
+def _sparse_events(sf_dir: str) -> rd.Dataset:
+    """The sparse event slice (event_id % 37 == 0) shared by the
+    set-op/path queries — membership stays genuinely partial."""
+    ev = _pq(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "event_type"])
+
+    def sparse_filter(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(eid % 37 == 0))
+
+    return ev.map_batches(sparse_filter, batch_format="pyarrow")
+
+
+def q_user_paths(sf_dir: str):
+    """Per-user ordered journey string — string_agg(event_type ORDER BY
+    ts, event_id) over the sparse slice
+    (stages/temporal.py::ordered_paths): one bucket shuffle; output is
+    one row per user so per-key join cost is proportional to the
+    result."""
+    from ..stages.temporal import ordered_paths
+
+    return ordered_paths(
+        _sparse_events(sf_dir), "user_id", "ts", "event_id", "event_type"
+    )
+
+
+def q_funnel_users(sf_dir: str):
+    """Ordered-funnel filter: users whose sparse journey contains the
+    view → click → purchase subsequence — a regex over the path string
+    on both sides (event-type names are prefix-free, so substring
+    matching is exact)."""
+    from ..stages.temporal import ordered_paths
+
+    paths = ordered_paths(
+        _sparse_events(sf_dir), "user_id", "ts", "event_id", "event_type"
+    )
+
+    def funnel(t: pa.Table) -> pa.Table:
+        hit = pc.match_substring_regex(
+            t.column("path"), r"view.*click.*purchase"
+        )
+        return t.filter(hit).select(["user_id", "path"])
+
+    return paths.map_batches(funnel, batch_format="pyarrow")
+
+
 def q_value_ranks(sf_dir: str):
     """Ranking-window family in one pass: per-event-type RANK (ties
     share), PERCENT_RANK, and NTILE(4) quartile over the pinned

@@ -231,6 +231,41 @@ def lag_deltas(
     )
 
 
+def ordered_paths(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    label_col: str,
+    sep: str = ">",
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Per-key ordered event path — ``string_agg(label, sep ORDER BY
+    ts, id)`` (the product-analytics "user journey" string): one
+    hash-bucket shuffle, one lexsort; the join itself runs per KEY (the
+    output is one row per key, so per-key cost is proportional to the
+    result, not the input). Order is pinned by the unique id after ts,
+    making the concatenation deterministic."""
+
+    def kernel(g: pd.DataFrame) -> pa.Table:
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort(
+            (g[id_col].to_numpy().astype(np.int64), ts, g[key_col].to_numpy())
+        )
+        s = g.iloc[order]
+        agg = s.groupby(key_col, sort=True)[label_col].agg(sep.join)
+        out = agg.reset_index().rename(columns={label_col: "path"})
+        n = s.groupby(key_col, sort=True).size().reset_index(name="n_steps")
+        out["n_steps"] = n["n_steps"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        _with_bucket(ds, key_col, num_buckets)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
 def rank_windows(
     ds: rd.Dataset,
     key_col: str,

@@ -297,6 +297,26 @@ def test_lag_deltas(buckets):
 
 
 @pytest.mark.parametrize("buckets", [1, 4])
+def test_ordered_paths_pinned_order(buckets):
+    from gocrawler_ray.stages.temporal import ordered_paths
+
+    df = pd.DataFrame({
+        "user_id": [7, 7, 7, 8],
+        "event_id": [3, 1, 2, 9],
+        # events 1 and 2 share a ts → event_id breaks the tie
+        "ts": [TS + M, TS, TS, TS],
+        "event_type": ["purchase", "view", "click", "signup"],
+    })
+    out = (
+        ordered_paths(rd.from_pandas(df), "user_id", "ts", "event_id",
+                      "event_type", num_buckets=buckets)
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    assert out["path"].tolist() == ["view>click>purchase", "signup"]
+    assert out["n_steps"].tolist() == [3, 1]
+
+
+@pytest.mark.parametrize("buckets", [1, 4])
 def test_rank_windows_ties_and_ntile(buckets):
     from gocrawler_ray.stages.temporal import rank_windows
 
