@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_share": q.q_value_share,
         "incremental_ingest": q.q_incremental_ingest,
         "value_ranks": q.q_value_ranks,
+        "value_hist": q.q_value_hist,
         "user_paths": q.q_user_paths,
         "funnel_users": q.q_funnel_users,
         "importance_sample": q.q_importance_sample,
@@ -894,6 +895,11 @@ WITH incoming AS (
   WHERE doc_id >= 20 AND doc_id < 40)
 SELECT i.doc_id FROM incoming i
 WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE md5(d.text) = md5(i.text))
+""",
+        "value_hist": """
+SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1
 """,
         "user_paths": """
 SELECT user_id,

@@ -180,6 +180,7 @@ def run_bench() -> dict:
     timed("importance_sample", q.q_importance_sample)
     timed("value_ranks", q.q_value_ranks)
     timed("user_paths", q.q_user_paths)
+    timed("value_hist", q.q_value_hist)
     timed("props_k_stats", q.q_props_k_stats)
     timed("clickers_buyers", q.q_clickers_buyers)
     timed("viewers_no_purchase", q.q_viewers_no_purchase)

@@ -1367,6 +1367,27 @@ def _sparse_events(sf_dir: str) -> rd.Dataset:
     return ev.map_batches(sparse_filter, batch_format="pyarrow")
 
 
+def q_value_hist(sf_dir: str):
+    """Fixed-width histogram of the event values (bin = floor(v/10)):
+    per-block bincount partials merged by SUM — the bounded-state
+    profile/EDA aggregate (bin domain is fixed by construction, so the
+    exchange is a few dozen ints per block at any scale). The single
+    floor(v/10) double op is identical on both sides."""
+    ev = _pq(sf_dir, "events", columns=["value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        b = np.floor(v / 10.0).astype(np.int64)
+        bins, counts = np.unique(b, return_counts=True)
+        return pd.DataFrame({"bin": bins, "n": counts.astype(np.int64)})
+
+    out = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"), ["bin"], ["n"]
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
 def q_user_paths(sf_dir: str):
     """Per-user ordered journey string — string_agg(event_type ORDER BY
     ts, event_id) over the sparse slice
