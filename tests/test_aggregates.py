@@ -257,6 +257,15 @@ def test_windowed_hll_registers_per_window_and_invariance():
     assert set(regs["hour"].unique()) == set(
         (df["ts"].astype("datetime64[us]").astype(np.int64) // 3_600_000_000).unique()
     )
+    # the distributed groupby-max fallback returns identical registers
+    dist = windowed_hll_registers(
+        _ds_of(df, blocks=6), "ts", "v", p=6, combine_cap=0
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        regs.sort_values(["hour", "bucket"]).reset_index(drop=True),
+        dist.sort_values(["hour", "bucket"]).reset_index(drop=True),
+        check_dtype=False,
+    )
     # each window's registers equal an independent single-window HLL
     # over exactly that window's values (merge-by-max correctness)
     hours = sorted(regs["hour"].unique())
