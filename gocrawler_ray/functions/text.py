@@ -124,19 +124,41 @@ def positional_parse(blocks: list[str]) -> tuple[str, str, dict[str, str]]:
     return name, brand, details
 
 
-def json_int_field(col, key: str):
+def json_int_field(col, key: str, strict: bool = False):
     """Vectorized extraction of an integer field from a flat JSON-string
     column (the engine's JSON-unmarshal surface, SURVEY §2.8 — the
     reference unmarshals items back out of Redis the same way,
     /root/reference/pkg/item/marshal.go): one Arrow ``extract_regex``
     pass, no per-row json.loads. Missing keys yield -1 (COALESCE on the
-    SQL side keeps the gate null-free). Flat integer fields only — a
-    nested document needs a real parser behind an actor pool instead.
+    SQL side keeps the gate null-free).
+
+    PRECONDITION (fast path): props are FLAT objects whose ``key`` value
+    is a whole JSON integer. The pattern requires the key token to open
+    after ``{``/``,`` and the number to terminate at ``,``/``}``/space,
+    so it cannot truncate a float (``"k":1.5`` → -1, never 1), but it
+    still cannot see nesting depth — a same-named key inside a NESTED
+    object or a string value containing ``,"k":7,`` would match. When
+    the schema is not guaranteed flat, pass ``strict=True`` for a real
+    per-row ``json.loads`` (exact ``json_extract('$.key')`` semantics,
+    ~20× slower — keep it off the hot path or push it into an actor
+    pool).
     """
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    pat = f'"{key}":\\s*(?P<v>-?\\d+)'
+    if strict:
+        import json
+
+        out = []
+        for v in col.to_pylist():
+            try:
+                got = json.loads(v).get(key) if v else None
+            except (ValueError, AttributeError):
+                got = None
+            out.append(got if isinstance(got, int) and not isinstance(got, bool) else -1)
+        return pa.array(out, pa.int64())
+
+    pat = f'[{{,]\\s*"{key}"\\s*:\\s*(?P<v>-?\\d+)\\s*[,}}]'
     ex = pc.extract_regex(col, pat)
     val = pc.cast(pc.struct_field(ex, "v"), pa.int64())
     return pc.coalesce(val, pa.scalar(-1, pa.int64()))

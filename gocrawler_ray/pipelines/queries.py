@@ -24,6 +24,7 @@ import ray
 import ray.data as rd
 
 from ..config import MIXUP, CrawlConfig
+from ..functions.numeric import round_half_away
 from ..functions.urls import md5_hex_many
 from ..stages.candidates import CandidateFilter
 from ..stages.dedup import MinHasher, exact_dedup, jaccard, minhash_lsh_dedup, add_simhash
@@ -831,7 +832,7 @@ def q_sessionize(sf_dir: str):
         i = t.schema.get_field_index("sum_value")
         return t.set_column(
             i, "sum_value",
-            pa.array(np.round(t.column("sum_value").to_numpy(), 6)),
+            pa.array(round_half_away(t.column("sum_value").to_numpy(), 6)),
         )
 
     return out.map_batches(round6, batch_format="pyarrow")
@@ -853,7 +854,7 @@ def q_hopping_window(sf_dir: str):
         i = t.schema.get_field_index("sum_value")
         return t.set_column(
             i, "sum_value",
-            pa.array(np.round(t.column("sum_value").to_numpy(), 6)),
+            pa.array(round_half_away(t.column("sum_value").to_numpy(), 6)),
         )
 
     return out.map_batches(round6, batch_format="pyarrow")
@@ -1320,7 +1321,7 @@ def q_value_share(sf_dir: str):
         df = pd.DataFrame(
             {
                 "user_id": t.column("user_id").to_pandas(),
-                "value_u": np.round(
+                "value_u": round_half_away(
                     t.column("value").to_numpy(zero_copy_only=False) * 1_000_000
                 ).astype(np.int64),
             }
@@ -1335,12 +1336,12 @@ def q_value_share(sf_dir: str):
     def share(t: pa.Table) -> pa.Table:
         tot = ray.get(ref)
         u = pd.Series(t.column("user_id").to_numpy(zero_copy_only=False))
-        v = np.round(
+        v = round_half_away(
             t.column("value").to_numpy(zero_copy_only=False) * 1_000_000
         ).astype(np.int64)
         tu = u.map(tot).to_numpy(dtype=np.float64)
         with np.errstate(divide="ignore", invalid="ignore"):
-            s = np.round(v.astype(np.float64) / tu, 6)
+            s = round_half_away(v.astype(np.float64) / tu, 6)
         s[tu == 0] = 0.0
         return pa.table(
             {
@@ -1495,11 +1496,17 @@ def q_props_k_stats(sf_dir: str):
     return out
 
 
-def _sparse_event_pivot(sf_dir: str) -> pd.DataFrame:
+def _sparse_pivot_users(sf_dir: str, predicate) -> pa.Table | rd.Dataset:
     """Per-user wide counts over the sparse event slice
     ``event_id % 37 == 0`` (~270 of 10k events at sf0.01, so user×type
     membership is genuinely partial and the set ops are non-trivial) —
-    one pivot-partial stream serves both set-op queries."""
+    one pivot-partial stream serves both set-op queries.
+
+    ``predicate(df) -> bool mask`` selects users from the wide count
+    frame. Bounded user domains combine on the driver; past the cap the
+    partials re-execute through ONE distributed groupby-sum and the
+    predicate is applied inside map_batches — the 100 TB path never
+    gathers the pivot (mirrors q_event_pivot's fallback)."""
     from ..stages.aggregates import pivot_counts
 
     ev = _pq(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
@@ -1510,28 +1517,43 @@ def _sparse_event_pivot(sf_dir: str) -> pd.DataFrame:
 
     sparse = ev.map_batches(sparse_filter, batch_format="pyarrow")
     n_cols = [f"n_{c}" for c in EVENT_TYPES] + ["n_total"]
-    return _combine_partials(
-        pivot_counts(sparse, "user_id", "event_type", EVENT_TYPES),
-        ["user_id"], n_cols, cap=200_000,
-    )
+    partials = pivot_counts(sparse, "user_id", "event_type", EVENT_TYPES)
+    base = _combine_partials(partials, ["user_id"], n_cols, cap=200_000)
+    if base is not None:
+        keep = base[predicate(base)]
+        return pa.table(
+            {"user_id": pa.array(np.sort(keep["user_id"].to_numpy()))}
+        )
+    # unbounded user domain: distributed merge + distributed predicate
+    agg = partials.groupby("user_id").sum(n_cols)
+
+    def select(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(
+            [c[4:-1] if c.startswith("sum(") else c for c in t.column_names]
+        )
+        df = t.to_pandas()
+        return pa.table({"user_id": df.loc[predicate(df), "user_id"].to_numpy()})
+
+    return agg.map_batches(select, batch_format="pyarrow").sort("user_id")
 
 
 def q_clickers_buyers(sf_dir: str):
     """INTERSECT set op: users who clicked AND purchased (within the
     sparse slice) — derived from the pivot partials (counts, never
-    rows) combined on the driver."""
-    base = _sparse_event_pivot(sf_dir)
-    keep = base[(base["n_click"] > 0) & (base["n_purchase"] > 0)]
-    return pa.table({"user_id": pa.array(np.sort(keep["user_id"].to_numpy()))})
+    rows) combined on the driver, with a distributed fallback past the
+    combine cap."""
+    return _sparse_pivot_users(
+        sf_dir, lambda df: (df["n_click"] > 0) & (df["n_purchase"] > 0)
+    )
 
 
 def q_viewers_no_purchase(sf_dir: str):
     """EXCEPT set op: users who viewed but never purchased (within the
     sparse slice) — same pivot-partial stream, complementary
     predicate."""
-    base = _sparse_event_pivot(sf_dir)
-    keep = base[(base["n_view"] > 0) & (base["n_purchase"] == 0)]
-    return pa.table({"user_id": pa.array(np.sort(keep["user_id"].to_numpy()))})
+    return _sparse_pivot_users(
+        sf_dir, lambda df: (df["n_view"] > 0) & (df["n_purchase"] == 0)
+    )
 
 
 def q_incremental_ingest(sf_dir: str):

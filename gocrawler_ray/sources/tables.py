@@ -80,6 +80,7 @@ def write_partitioned(
     partition cardinality, never row count); everything else streams.
     """
     import pyarrow.compute as pc
+    from urllib.parse import unquote
 
     os.makedirs(root, exist_ok=True)
     done: set[str] = set()
@@ -88,7 +89,10 @@ def write_partitioned(
         if "=" not in d or not os.path.isdir(p):
             continue
         if resume and os.path.exists(os.path.join(p, "_SUCCESS")):
-            done.add(d.split("=", 1)[1])
+            # hive dirs carry URL-ENCODED values (space, '/', '=', '%'):
+            # decode before comparing against raw column values, or an
+            # encoded partition would be silently re-written on resume
+            done.add(unquote(d.split("=", 1)[1]))
         else:  # half-written (or resume=False): rebuild from scratch
             shutil.rmtree(p)
     if done:
@@ -108,7 +112,7 @@ def write_partitioned(
         ):
             with open(os.path.join(p, "_SUCCESS"), "w"):
                 pass
-            sealed.append(d.split("=", 1)[1])
+            sealed.append(unquote(d.split("=", 1)[1]))
     return sealed
 
 

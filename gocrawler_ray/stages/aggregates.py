@@ -38,6 +38,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from ..functions.numeric import round_half_away
 import pyarrow.compute as pc
 
 import ray.data as rd
@@ -238,7 +239,7 @@ def doc_frequency(
         df_ = t.column("sum(__df)").to_numpy(zero_copy_only=False).astype(np.int64)
         keep = df_ >= min_df
         df_k = df_[keep]
-        idf = np.round(np.log((1.0 + n_docs) / (1.0 + df_k)) + 1.0, 6)
+        idf = round_half_away(np.log((1.0 + n_docs) / (1.0 + df_k)) + 1.0, 6)
         return pa.table(
             {
                 "term": pc.cast(t.column("term"), pa.string()).filter(
@@ -663,7 +664,7 @@ def group_quantiles(
             lo = np.floor(pos).astype(np.int64)
             hi = np.minimum(lo + 1, last)
             frac = pos - lo
-            out[f"q{int(round(q * 100))}"] = np.round(
+            out[f"q{int(round(q * 100))}"] = round_half_away(
                 v[lo] + (v[hi] - v[lo]) * frac, 6
             )
         return pa.Table.from_pandas(pd.DataFrame(out), preserve_index=False)
@@ -745,7 +746,7 @@ def robust_scale(
         mv = key.map(m).to_numpy(dtype=np.float64)
         qv = key.map(q).to_numpy(dtype=np.float64)
         with np.errstate(divide="ignore", invalid="ignore"):
-            z = np.round((v - mv) / qv, 6)
+            z = round_half_away((v - mv) / qv, 6)
         z[qv == 0] = 0.0
         return t.append_column(out_col, pa.array(z, pa.float64()))
 
@@ -813,7 +814,7 @@ def tfidf_topk(
         # round BEFORE ranking: rank and emitted value must be the same
         # quantity or a tie at 6 decimals could rank differently from
         # the value a SQL oracle sorts by
-        sc = np.round(tf["c"].to_numpy(np.float64) * tf["idf"].to_numpy(), 6)
+        sc = round_half_away(tf["c"].to_numpy(np.float64) * tf["idf"].to_numpy(), 6)
         order, rank = _rank_in_key(
             tf["d"].to_numpy(), sc, tf["term"].to_numpy(dtype=object)
         )

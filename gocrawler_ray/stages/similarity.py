@@ -22,6 +22,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
+from ..functions.numeric import round_half_away
 
 
 def _emb_matrix(t: pa.Table, emb_col: str) -> np.ndarray:
@@ -58,7 +59,7 @@ class BruteForceTopK:
         if self.round_to is not None:
             # round BEFORE selection so values that compare equal at the
             # oracle's precision tie-break identically here and in SQL
-            sims = np.round(sims, self.round_to)
+            sims = round_half_away(sims, self.round_to)
         k = min(self.k, len(ids))
         out_q, out_id, out_cos = [], [], []
         for qi in range(self.q.shape[0]):

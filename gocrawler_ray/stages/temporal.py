@@ -28,6 +28,7 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
+from ..functions.numeric import round_half_away
 
 
 def _arrow_schema(ds: rd.Dataset) -> pa.Schema:
@@ -138,9 +139,9 @@ def running_total(
     def kernel(g: pd.DataFrame) -> pa.Table:
         u = g[key_col].to_numpy()
         ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
-        v = np.round(g[value_col].to_numpy(dtype=np.float64) * scale).astype(
-            np.int64
-        )
+        v = round_half_away(
+            g[value_col].to_numpy(dtype=np.float64) * scale
+        ).astype(np.int64)
         order = np.lexsort((v, ts, u))
         u, ts, v = u[order], ts[order], v[order]
         n = len(u)
@@ -196,9 +197,9 @@ def lag_deltas(
         u = g[key_col].to_numpy()
         ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
         eid = g[id_col].to_numpy().astype(np.int64)
-        v = np.round(g[value_col].to_numpy(dtype=np.float64) * scale).astype(
-            np.int64
-        )
+        v = round_half_away(
+            g[value_col].to_numpy(dtype=np.float64) * scale
+        ).astype(np.int64)
         order = np.lexsort((eid, ts, u))
         u, ts, eid, v = u[order], ts[order], eid[order], v[order]
         n = len(u)
@@ -286,9 +287,9 @@ def rank_windows(
     def kernel(g: pd.DataFrame) -> pa.Table:
         u = g[key_col].to_numpy()
         eid = g[id_col].to_numpy().astype(np.int64)
-        v = np.round(g[value_col].to_numpy(dtype=np.float64) * scale).astype(
-            np.int64
-        )
+        v = round_half_away(
+            g[value_col].to_numpy(dtype=np.float64) * scale
+        ).astype(np.int64)
         order = np.lexsort((eid, v, u))
         u, eid, v = u[order], eid[order], v[order]
         n_all = len(u)
@@ -308,7 +309,9 @@ def rank_windows(
         )
         rank = run_start - seg_start + 1
         denom = np.maximum(n_of_key - 1, 1)
-        pr = np.round((rank - 1).astype(np.float64) / denom.astype(np.float64), 6)
+        pr = round_half_away(
+            (rank - 1).astype(np.float64) / denom.astype(np.float64), 6
+        )
         pr[n_of_key == 1] = 0.0
         # NTILE(k): first n%k tiles take ceil(n/k) rows (SQL semantics)
         q, r = n_of_key // ntile, n_of_key % ntile

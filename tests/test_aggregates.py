@@ -366,3 +366,22 @@ def test_tfidf_topk_broadcast_scoring():
     assert got.loc[0, "score"] == pytest.approx(round(3 * idf_cat, 6))
     # doc 2: dog (df=2) vs bird (df=1), both tf=1 -> bird scores higher
     assert got.loc[2, "term"] == "bird"
+
+
+def test_sparse_pivot_setops_distributed_fallback(ray_session, monkeypatch):
+    """When _combine_partials returns None (user domain over the cap),
+    the set-op queries must take the distributed groupby-sum path and
+    produce the same user sets — not crash on None (round-2 advice)."""
+    import numpy as np
+
+    from gocrawler_ray.pipelines import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    want_cb = q.q_clickers_buyers(sf).column("user_id").to_pylist()
+    want_vn = q.q_viewers_no_purchase(sf).column("user_id").to_pylist()
+
+    monkeypatch.setattr(q, "_combine_partials", lambda *a, **k: None)
+    got_cb = q.q_clickers_buyers(sf).to_pandas()["user_id"].tolist()
+    got_vn = q.q_viewers_no_purchase(sf).to_pandas()["user_id"].tolist()
+    assert got_cb == want_cb
+    assert got_vn == want_vn

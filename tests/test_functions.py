@@ -178,3 +178,54 @@ def test_absolutize_many_matches_urljoin():
     # empty input
     z = np.zeros(0, dtype=object)
     assert list(absolutize_many(z, z)) == []
+
+
+def test_round_half_away_matches_duckdb():
+    """DuckDB round() is half-AWAY-from-zero; np.round is half-to-even.
+    The helper must match DuckDB exactly on decimal ties (1/128 at 6dp),
+    near-tie binary edge cases, and ordinary values."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    from gocrawler_ray.functions.numeric import round_half_away
+
+    rng = np.random.default_rng(3)
+    vals = np.concatenate([
+        rng.normal(0, 50, 5000),
+        np.arange(1, 1025) / 128.0, -(np.arange(1, 1025) / 128.0),
+        np.array([0.5, -0.5, 2.5, -2.5, 0.0078125,
+                  0.49999999999999994, -0.49999999999999994, 0.0, -0.0]),
+    ])
+    con = duckdb.connect()
+    con.register("t", pa.table({"x": vals}))
+    for nd in (0, 2, 6):
+        mine = round_half_away(vals, nd)
+        theirs = np.array(
+            [r[0] for r in con.sql(f"select round(x,{nd}) from t").fetchall()]
+        )
+        assert (mine == theirs).all()
+    # the canonical advisor case: percent_rank 1/128 with 129 rows
+    assert round_half_away(np.array([1 / 128]), 6)[0] == 0.007813
+    assert np.round(1 / 128, 6) == 0.007812  # numpy alone would mismatch
+
+
+def test_json_int_field_anchored_and_strict():
+    import pyarrow as pa
+
+    from gocrawler_ray.functions.text import json_int_field
+
+    col = pa.array([
+        '{"k": 7, "x": 1}',          # flat int -> 7
+        '{"x": {"k": 5}}',           # nested same-name key
+        '{"k": 1.5}',                # float: anchored regex must NOT truncate to 1
+        '{"s": "no k here"}',        # missing -> -1
+        '{"kk": 3}',                 # key is a strict token, not a prefix match
+        None,
+    ])
+    fast = json_int_field(col, "k").to_pylist()
+    assert fast[0] == 7
+    assert fast[2] == -1 and fast[3] == -1 and fast[4] == -1
+    strict = json_int_field(col, "k", strict=True).to_pylist()
+    # strict json.loads sees nesting depth: top-level k only
+    assert strict == [7, -1, -1, -1, -1, -1]

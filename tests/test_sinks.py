@@ -88,3 +88,26 @@ def test_write_partitioned_no_resume_rebuilds_all(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         _readback(root), expect.sort_values(["p", "v"]).reset_index(drop=True)
     )
+
+
+def test_write_partitioned_resume_with_encoded_values(ray_session, tmp_path):
+    """Partition values that hive-encode (space, '/', '=', '%') must be
+    URL-decoded when building the resume skip-set and the sealed list —
+    otherwise a resumed run re-writes rows into sealed directories."""
+    root = str(tmp_path / "enc")
+    vals = ["plain", "has space", "a/b", "k=v", "100%"]
+    t = pa.table({
+        "p": pa.array([vals[i % len(vals)] for i in range(500)]),
+        "v": pa.array(range(500), pa.int64()),
+    })
+    ds = rd.from_arrow(t).repartition(3)
+    sealed = write_partitioned(ds, root, "p")
+    assert sorted(sealed) == sorted(vals)  # decoded, not raw dir suffixes
+    n_files = len(glob.glob(os.path.join(root, "p=*", "*.parquet")))
+    # resume: every partition sealed -> nothing written, nothing sealed
+    assert write_partitioned(rd.from_arrow(t).repartition(3), root, "p") == []
+    assert len(glob.glob(os.path.join(root, "p=*", "*.parquet"))) == n_files
+    # read-back is exactly the input (no duplicated rows)
+    files = glob.glob(os.path.join(root, "p=*", "*.parquet"))
+    got = pd.concat(pd.read_parquet(f)[["v"]] for f in files)
+    assert sorted(got["v"]) == list(range(500))
