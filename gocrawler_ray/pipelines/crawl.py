@@ -194,10 +194,12 @@ def run_crawl(
     prev: Future = Future()
     prev.set_result(seq_counter)
 
-    def chain_sidecar(wave: int, prev_fut: Future) -> Future:
+    def chain_sidecar(wave: int, prev_fut: Future, n_admitted: int) -> Future:
         def run():
             seq_base = prev_fut.result()
-            n_adm, n_sched = _politeness_sidecar(ckpt, wave, host_cfg, cfg, seq_base)
+            n_adm, n_sched = _politeness_sidecar(
+                ckpt, wave, host_cfg, cfg, seq_base, n_admitted
+            )
             ckpt.commit_wave(
                 wave,
                 seq_base + n_sched,
@@ -224,7 +226,7 @@ def run_crawl(
                 corpus_ref, index_ref,
             )
             ckpt.save_shards(shards, wave)
-            prev = chain_sidecar(wave, prev)
+            prev = chain_sidecar(wave, prev, n_admitted)
             if n_admitted == 0:
                 break
             frontier_in = _links_of_wave(ckpt, wave, wave + 1)
@@ -341,50 +343,64 @@ def _wave_job(
     return sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
+_SIDECAR_LIGHT = ["url", "host", "depth", "priority", "status", "req_id",
+                  "captcha_text"]
+
+
 def _politeness_sidecar(
     ckpt: CheckpointStore,
     wave: int,
     host_cfg: HostConfig,
     cfg: CrawlConfig,
     seq_base: int,
+    n_admitted: int,
 ) -> tuple[int, int]:
     """Post-hoc politeness sidecar - a pure function of the admitted set,
     run on a background thread overlapped with the next wave's Ray job.
     Also writes the wave's captcha-quarantine table (S8 — the flag column
     is in the light read, so no span re-scan). Returns
-    (n_admitted, n_scheduled)."""
+    (n_admitted, n_scheduled).
+
+    The path split happens BEFORE any read, on ``n_admitted`` (already
+    known from the wave write's parquet footers): below
+    ``cfg.driver_schedule_limit`` one driver-side light-column read
+    serves quarantine + counts + the analytic schedule; above it NOTHING
+    wave-sized touches the driver — quarantine is a distributed filtered
+    write, the (priority, host) seq counts come from per-batch partials
+    (the gather is bounded by blocks × live hosts, never rows), and the
+    schedule is the range-salted distributed job."""
     from ..stages.extract import QUARANTINE_SCHEMA
     from ..sources.tables import read_table
 
-    light = read_table(
-        ckpt.docs_uri(wave),
-        columns=["url", "host", "depth", "priority", "status", "req_id", "captcha_text"],
-    )
-    n_admitted = light.num_rows
     if n_admitted == 0:
         write_table(SCHEDULE_SCHEMA.empty_table(), ckpt.schedule_uri(wave))
         write_table(QUARANTINE_SCHEMA.empty_table(), ckpt.quarantine_uri(wave))
         return 0, 0
-    quarantined = light.filter(
-        pc.not_equal(light.column("captcha_text"), "")
-    ).select(["url", "req_id", "host", "depth", "captcha_text"])
-    write_table(quarantined.cast(QUARANTINE_SCHEMA), ckpt.quarantine_uri(wave))
-    sched_tbl = light.filter(
-        pc.not_equal(light.column("status"), "robots_denied")
-    ).select(["url", "host", "priority"])
-    n_sched = sched_tbl.num_rows
-    counts_df = (
-        sched_tbl.select(["priority", "host"])
-        .to_pandas()
-        .groupby(["priority", "host"], as_index=False)
-        .size()
-    )
-    counts = [
-        (int(r["priority"]), str(r["host"]), int(r["size"]))
-        for _, r in counts_df.iterrows()
-    ]
-    offsets = compute_seq_offsets(counts, seq_base)
-    if n_sched <= cfg.driver_schedule_limit:
+
+    if n_admitted <= cfg.driver_schedule_limit:
+        light = read_table(ckpt.docs_uri(wave), columns=_SIDECAR_LIGHT)
+        quarantined = light.filter(
+            pc.not_equal(light.column("captcha_text"), "")
+        ).select(["url", "req_id", "host", "depth", "captcha_text"])
+        write_table(quarantined.cast(QUARANTINE_SCHEMA), ckpt.quarantine_uri(wave))
+        sched_tbl = light.filter(
+            pc.not_equal(light.column("status"), "robots_denied")
+        ).select(["url", "host", "priority"])
+        n_sched = sched_tbl.num_rows
+        counts_df = (
+            sched_tbl.select(["priority", "host"])
+            .to_pandas()
+            .groupby(["priority", "host"], as_index=False)
+            .size()
+        )
+        counts = list(
+            zip(
+                counts_df["priority"].astype(int),
+                counts_df["host"].astype(str),
+                counts_df["size"].astype(int),
+            )
+        )
+        offsets = compute_seq_offsets(counts, seq_base)
         sched = schedule_wave_driver(sched_tbl, host_cfg, offsets)
         write_table(
             sched.select(["url", "seq", "sched_start_ms", "sched_end_ms"]).cast(
@@ -392,35 +408,82 @@ def _politeness_sidecar(
             ),
             ckpt.schedule_uri(wave),
         )
-    else:
-        # Distributed sidecar for enormous waves — RANGE-salted: a plain
-        # groupby(host) on a Zipf frontier puts ~half the wave in one
-        # straggler group, and hash-salting cannot work because politeness
-        # needs GLOBAL per-host ranks. schedule_wave_distributed splits
-        # each hot host's sorted (priority, url) domain at sample
-        # quantiles and schedules each range independently with exact
-        # cumulative rank offsets (stages/salting.py); the equality test
-        # pins it bit-identical to the analytic path.
-        from ..stages.salting import schedule_wave_distributed
+        return n_admitted, n_sched
 
-        import pandas as pd
+    # ---- distributed sidecar for enormous waves ----------------------
+    # Pruned streaming reads: the sidecar needs 7 light columns and NOT
+    # spans (~95 % of wave bytes), so columns= wins here even on Ray
+    # 2.49's slower projection path (the _links_of_wave revert applied
+    # to a read that still needed the span bytes).
+    import pandas as pd
 
-        counts_pd = pd.DataFrame(
-            [(p, h, c) for p, h, c in counts], columns=["priority", "host", "n"]
+    def light_ds() -> rd.Dataset:
+        return ckpt.read_docs(wave, columns=_SIDECAR_LIGHT)
+
+    quar = light_ds().map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("captcha_text"), ""))
+        .select(["url", "req_id", "host", "depth", "captcha_text"])
+        .cast(QUARANTINE_SCHEMA),
+        batch_format="pyarrow",
+    )
+    write_dataset(quar, ckpt.quarantine_uri(wave))
+    import glob as _glob
+    import os as _os
+
+    if not _glob.glob(_os.path.join(ckpt.quarantine_uri(wave), "*.parquet")):
+        write_table(QUARANTINE_SCHEMA.empty_table(), ckpt.quarantine_uri(wave))
+
+    # per-batch (priority, host) count partials → bounded driver combine
+    def count_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("status"), "robots_denied"))
+        df = (
+            t.select(["priority", "host"])
+            .to_pandas()
+            .groupby(["priority", "host"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
         )
-        sched_ds = schedule_wave_distributed(
-            ckpt.read_docs(wave).map_batches(
-                lambda t: t.filter(
-                    pc.not_equal(t.column("status"), "robots_denied")
-                ).select(["url", "host", "priority"]),
-                batch_format="pyarrow",
-            ),
-            host_cfg,
-            offsets,
-            counts_pd,
-        ).map_batches(
-            lambda t: t.select(["url", "seq", "sched_start_ms", "sched_end_ms"]),
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = light_ds().map_batches(
+        count_partial, batch_format="pyarrow"
+    ).to_pandas()
+    counts_pd = parts.groupby(["priority", "host"], as_index=False)["n"].sum()
+    n_sched = int(counts_pd["n"].sum())
+    counts = list(
+        zip(
+            counts_pd["priority"].astype(int),
+            counts_pd["host"].astype(str),
+            counts_pd["n"].astype(int),
+        )
+    )
+    offsets = compute_seq_offsets(counts, seq_base)
+    if n_sched == 0:
+        write_table(SCHEDULE_SCHEMA.empty_table(), ckpt.schedule_uri(wave))
+        return n_admitted, 0
+    # RANGE-salted distributed schedule: a plain groupby(host) on a Zipf
+    # frontier puts ~half the wave in one straggler group, and
+    # hash-salting cannot work because politeness needs GLOBAL per-host
+    # ranks. schedule_wave_distributed splits each hot host's sorted
+    # (priority, url) domain at sample quantiles and schedules each range
+    # independently with exact cumulative rank offsets
+    # (stages/salting.py); the equality test pins it bit-identical to the
+    # analytic path.
+    from ..stages.salting import schedule_wave_distributed
+
+    sched_ds = schedule_wave_distributed(
+        light_ds().map_batches(
+            lambda t: t.filter(
+                pc.not_equal(t.column("status"), "robots_denied")
+            ).select(["url", "host", "priority"]),
             batch_format="pyarrow",
-        )
-        write_dataset(sched_ds, ckpt.schedule_uri(wave))
+        ),
+        host_cfg,
+        offsets,
+        counts_pd,
+    ).map_batches(
+        lambda t: t.select(["url", "seq", "sched_start_ms", "sched_end_ms"]),
+        batch_format="pyarrow",
+    )
+    write_dataset(sched_ds, ckpt.schedule_uri(wave))
     return n_admitted, n_sched

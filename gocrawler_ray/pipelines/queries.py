@@ -310,15 +310,29 @@ def q_crawl_bfs(sf_dir: str):
 
 def q_crawl_depth_counts(sf_dir: str):
     """Grouped aggregate over the crawl frontier (A-class counters,
-    SURVEY §2.5): pages admitted per BFS depth. Shares the memoized
-    crawl run with q_crawl_bfs."""
-    t = _derived_crawl_table(sf_dir)
-    df = t.to_pandas().groupby("depth", as_index=False).size()
-    df = df.rename(columns={"size": "n_pages"})
+    SURVEY §2.5): pages admitted per BFS depth. Streams the crawl's
+    checkpointed waves (pruned to the depth column) through per-batch
+    count partials; the driver combine is bounded by DEPTH cardinality
+    (≤ max_waves), never by frontier size — the distributed-combiner
+    form of the reference's visit counters."""
+    ckpt = _derived_crawl_ckpt(sf_dir)
+    from ..sources.tables import read_dataset
+
+    docs = read_dataset(os.path.join(ckpt, "docs"), columns=["depth"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        d = t.column("depth").to_numpy(zero_copy_only=False)
+        u, c = np.unique(d, return_counts=True)
+        return pd.DataFrame({"depth": u, "n_pages": c})
+
+    out = _combine_partials(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["depth"], ["n_pages"],
+    ).sort_values("depth")
     return pa.table(
         {
-            "depth": pa.array(df["depth"].to_numpy(), pa.int32()),
-            "n_pages": pa.array(df["n_pages"].to_numpy(), pa.int64()),
+            "depth": pa.array(out["depth"].to_numpy(), pa.int32()),
+            "n_pages": pa.array(out["n_pages"].to_numpy(), pa.int64()),
         }
     )
 

@@ -930,6 +930,7 @@ def embedding_near_dup(
     threshold: float = 0.95,
     num_planes: int = 12,
     seed: int = 31,
+    bucket_cap: int = 2048,
 ) -> list[tuple]:
     """Pairs of rows with cosine ≥ threshold.
 
@@ -937,6 +938,14 @@ def embedding_near_dup(
     hyperplanes (cosine-preserving LSH), verify exactly inside each
     bucket only. Near-identical vectors collide with high probability;
     tune num_planes down / probe multiple seeds for higher recall.
+
+    In-bucket verify is complete C(m,2) only up to ``bucket_cap`` rows;
+    a degenerate bucket past the cap (boilerplate / identical vectors —
+    hyperplanes cannot split them) degrades to an O(m·d) STAR around
+    its min id, same contract as the minhash/simhash paths
+    (:func:`_emit_pairs`): connectivity of the true near-dup cluster is
+    preserved for downstream connected-components, completeness of the
+    raw pair list is not; the truncation is logged.
     """
     def to_numpy(t: pa.Table):
         emb = np.vstack(t.column(emb_col).to_pandas().to_numpy())
@@ -965,19 +974,38 @@ def embedding_near_dup(
         )
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
+        m = len(g)
+        if m < 2:
             return pd.DataFrame({"a": [], "b": [], "cos": []})
         emb = np.vstack(g[emb_col].to_numpy()).astype(np.float64)
         ids = g[id_col].to_numpy()
         norms = g["norm"].to_numpy()
-        sims = (emb @ emb.T) / np.outer(norms, norms)
-        ii, jj = np.triu_indices(len(g), k=1)
-        keep = sims[ii, jj] >= threshold
+        if m <= bucket_cap:
+            sims = (emb @ emb.T) / np.outer(norms, norms)
+            ii, jj = np.triu_indices(m, k=1)
+            s = sims[ii, jj]
+        else:
+            # degenerate bucket: O(m·d) star around the min id — the
+            # C(m,2) matmul would be O(m²·d) time and O(m²) memory
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "embedding_near_dup: bucket of %d rows exceeds "
+                "bucket_cap=%d — degrading to star pairs (connectivity "
+                "preserved, completeness not)", m, bucket_cap,
+            )
+            k = int(np.argmin(ids))
+            s = (emb @ emb[k]) / (norms * norms[k])
+            ii = np.full(m, k, dtype=np.int64)
+            jj = np.arange(m, dtype=np.int64)
+            drop = jj == k
+            ii, jj, s = ii[~drop], jj[~drop], s[~drop]
+        keep = s >= threshold
         return pd.DataFrame(
             {
                 "a": np.minimum(ids[ii][keep], ids[jj][keep]),
                 "b": np.maximum(ids[ii][keep], ids[jj][keep]),
-                "cos": sims[ii, jj][keep],
+                "cos": s[keep],
             }
         )
 

@@ -131,3 +131,36 @@ def test_embedding_near_dup():
     pairs = embedding_near_dup(rd.from_items(rows), threshold=0.99)
     assert (3, 7) in pairs
     assert all(a != b for a, b in pairs)
+
+
+def test_embedding_near_dup_degenerate_bucket_is_linear(ray_session):
+    """A bucket of IDENTICAL vectors (hyperplanes cannot split it) past
+    bucket_cap must degrade to O(m) star pairs around the min id —
+    connectivity preserved, no C(m,2) blowup (round-2 verdict)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gocrawler_ray.stages.dedup import embedding_near_dup
+
+    m = 300
+    vec = np.ones(8)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(m), pa.int64()),
+        "embedding": pa.array([vec.tolist()] * m),
+    })
+    pairs = embedding_near_dup(
+        rd.from_arrow(t), threshold=0.99, bucket_cap=50
+    )
+    # star: exactly m-1 pairs, all anchored at the min id
+    assert len(pairs) == m - 1
+    assert all(a == 0 for a, b in pairs)
+    assert sorted(b for _, b in pairs) == list(range(1, m))
+    # connectivity: one component over all m nodes
+    # (min-id star spans the cluster by construction)
+
+    # under the cap the same input is complete C(m,2)
+    small = embedding_near_dup(
+        rd.from_arrow(t.slice(0, 20)), threshold=0.99, bucket_cap=50
+    )
+    assert len(small) == 20 * 19 // 2
