@@ -25,7 +25,7 @@ import ray.data as rd
 
 from ..config import MIXUP, CrawlConfig
 from ..functions.numeric import round_half_away
-from ..functions.urls import md5_hex_many
+from ..functions.urls import md5_hex_arrow, md5_hex_many
 from ..stages.candidates import CandidateFilter
 from ..stages.dedup import MinHasher, exact_dedup, jaccard, minhash_lsh_dedup, add_simhash
 from ..stages.extract import parse_items
@@ -372,7 +372,7 @@ def q_req_md5(sf_dir: str):
         lambda t: pa.table(
             {
                 "doc_id": t.column("doc_id"),
-                "req_id": pa.array(md5_hex_many(t.column("text").to_pylist())),
+                "req_id": pa.array(md5_hex_arrow(t.column("text"))),
             }
         ),
         batch_format="pyarrow",
@@ -932,14 +932,13 @@ def q_asof_join(sf_dir: str):
 
 
 def q_multimodal_decode(sf_dir: str):
-    from ..stages.multimodal import DecodeImage, ResizePlan, synth_media_table
+    from ..stages.multimodal import DecodeImage, ResizePlan, synth_media_batch
 
-    docs = _docs_table(sf_dir)
-    tbl = synth_media_table(
-        [str(d) for d in docs.column("doc_id").to_pylist()],
-        docs.column("text").to_pylist(),
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = docs.map_batches(
+        lambda t: synth_media_batch(t, media_type="image"),
+        batch_format="pyarrow",
     )
-    ds = rd.from_arrow(tbl)
     out = ds.map_batches(
         DecodeImage, batch_format="pyarrow", batch_size=256, concurrency=2
     ).map_batches(ResizePlan(max_side=512), batch_format="pyarrow")
@@ -1038,28 +1037,11 @@ def q_multimodal_frames(sf_dir: str):
     over synthetic video media (duration = 10 ms per text char), frames
     exploded to one row per sampled frame. The codec is the declared
     stub; the plumbing — list column, explode, batch sizing — is real."""
-    from ..stages.multimodal import MEDIA_META_TYPE, MEDIA_SCHEMA, FrameSamplePlan
+    from ..stages.multimodal import FrameSamplePlan, synth_media_batch
 
-    docs = _docs_table(sf_dir)
-    ids = [str(d) for d in docs.column("doc_id").to_pylist()]
-    texts = docs.column("text").to_pylist()
-    metas = [
-        {
-            "media_type": "video",
-            "format": "mp4",
-            "width": 0,
-            "height": 0,
-            "duration_ms": 10 * len(t or ""),
-        }
-        for t in texts
-    ]
-    tbl = pa.Table.from_arrays(
-        [
-            pa.array(ids, pa.string()),
-            pa.array([(t or "").encode() for t in texts], pa.binary()),
-            pa.array(metas, MEDIA_META_TYPE),
-        ],
-        schema=MEDIA_SCHEMA,
+    media = _pq(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda t: synth_media_batch(t, media_type="video", fmt="mp4"),
+        batch_format="pyarrow",
     )
 
     def explode(t: pa.Table) -> pa.Table:
@@ -1080,7 +1062,7 @@ def q_multimodal_frames(sf_dir: str):
         )
 
     return (
-        rd.from_arrow(tbl)
+        media
         .map_batches(
             FrameSamplePlan(frame_interval_ms=1000, max_frames=16),
             batch_format="pyarrow",
@@ -1605,7 +1587,7 @@ def q_incremental_ingest(sf_dir: str):
     def matched(t: pa.Table) -> pa.Table:
         probe = ray.get(probe_ref)
         hs = np.array(
-            md5_hex_many(t.column("text").to_pandas().fillna("").tolist()),
+            md5_hex_arrow(t.column("text")),
             dtype=object,
         )
         pos = np.clip(np.searchsorted(probe, hs), 0, len(probe) - 1)
@@ -1685,28 +1667,11 @@ def q_audio_chunks(sf_dir: str):
     (duration = 10 ms/char), AudioChunkPlan actor pool, chunk list
     exploded to one row per window. Codec behind the declared stub; the
     plumbing — struct list column, explode, batch sizing — is real."""
-    from ..stages.multimodal import MEDIA_META_TYPE, MEDIA_SCHEMA, AudioChunkPlan
+    from ..stages.multimodal import AudioChunkPlan, synth_media_batch
 
-    docs = _docs_table(sf_dir)
-    ids = [str(d) for d in docs.column("doc_id").to_pylist()]
-    texts = docs.column("text").to_pylist()
-    metas = [
-        {
-            "media_type": "audio",
-            "format": "wav",
-            "width": 0,
-            "height": 0,
-            "duration_ms": 10 * len(t or ""),
-        }
-        for t in texts
-    ]
-    tbl = pa.Table.from_arrays(
-        [
-            pa.array(ids, pa.string()),
-            pa.array([(t or "").encode() for t in texts], pa.binary()),
-            pa.array(metas, MEDIA_META_TYPE),
-        ],
-        schema=MEDIA_SCHEMA,
+    media = _pq(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda t: synth_media_batch(t, media_type="audio", fmt="wav"),
+        batch_format="pyarrow",
     )
 
     def explode(t: pa.Table) -> pa.Table:
@@ -1727,7 +1692,7 @@ def q_audio_chunks(sf_dir: str):
         )
 
     return (
-        rd.from_arrow(tbl)
+        media
         .map_batches(
             AudioChunkPlan(chunk_ms=2000, max_chunks=32),
             batch_format="pyarrow",

@@ -59,9 +59,12 @@ def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def add_content_hash(batch: pa.Table, col: str = "text", out: str = "content_hash") -> pa.Table:
-    """Vectorized md5 content hash (the exact-dedup key)."""
-    texts = batch.column(col).to_pylist()
-    hashes = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+    """md5 content hash (the exact-dedup key) — zero-copy Arrow-buffer
+    slicing, no intermediate str/bytes (see md5_hex_arrow's recorded
+    measurement; the md5 C call itself is semantic and irreducible)."""
+    from ..functions.urls import md5_hex_arrow
+
+    hashes = md5_hex_arrow(batch.column(col))
     return batch.append_column(out, pa.array(hashes, pa.string()))
 
 

@@ -47,6 +47,62 @@ MEDIA_SCHEMA = pa.schema(
 _FORMATS = ["jpeg", "png", "webp"]
 
 
+def synth_media_batch(
+    t: pa.Table,
+    media_type: str = "image",
+    fmt: str | None = None,
+    ms_per_char: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """STREAMING form of :func:`synth_media_table`: one vectorized Arrow
+    pass over a (doc_id, text) batch → MEDIA_SCHEMA rows. Used inside
+    ``map_batches`` over the documents read, so deriving the media
+    fixture never pulls the table to the driver (round-2 verdict). The
+    payload is the text bytes (the declared deterministic stand-in);
+    video/audio duration = ``ms_per_char`` × char count, image dims are
+    md5-derived exactly as in :func:`synth_media_table`."""
+    import pyarrow.compute as pc
+
+    txt = pc.coalesce(
+        pc.cast(t.column(text_col), pa.string()), pa.scalar("", pa.string())
+    )
+    ids = pc.cast(t.column(id_col), pa.string())
+    payload = pc.cast(txt, pa.binary())
+    n = t.num_rows
+    if media_type == "image":
+        fmts, widths, heights = [], [], []
+        for b in payload.to_pylist():  # md5-derived fake dims (stub fixture)
+            h = hashlib.md5(b).digest()
+            fmts.append(_FORMATS[h[0] % 3])
+            widths.append(64 + int.from_bytes(h[1:3], "big") % 1856)
+            heights.append(64 + int.from_bytes(h[3:5], "big") % 1016)
+        meta = pa.StructArray.from_arrays(
+            [
+                pa.array(["image"] * n, pa.string()),
+                pa.array(fmts, pa.string()),
+                pa.array(widths, pa.int32()),
+                pa.array(heights, pa.int32()),
+                pa.array(np.zeros(n, dtype=np.int32), pa.int32()),
+            ],
+            fields=list(MEDIA_META_TYPE),
+        )
+    else:
+        nchars = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
+        dur = (ms_per_char * nchars).astype(np.int32)
+        meta = pa.StructArray.from_arrays(
+            [
+                pa.array([media_type] * n, pa.string()),
+                pa.array([fmt or ("wav" if media_type == "audio" else "mp4")] * n),
+                pa.array(np.zeros(n, dtype=np.int32), pa.int32()),
+                pa.array(np.zeros(n, dtype=np.int32), pa.int32()),
+                pa.array(dur, pa.int32()),
+            ],
+            fields=list(MEDIA_META_TYPE),
+        )
+    return pa.Table.from_arrays([ids, payload, meta], schema=MEDIA_SCHEMA)
+
+
 def synth_media_table(doc_ids: list[str], texts: list[str]) -> pa.Table:
     """Deterministic fake payloads (text bytes as stand-in blobs) with
     hash-derived metadata — the sandbox source for multimodal tests."""

@@ -723,3 +723,109 @@ def _asof_broadcast(
         return pa.Table.from_arrays(arrays, schema=out_schema)
 
     return left.map_batches(join_batch, batch_format="pandas")
+
+
+def moving_window(
+    ds: rd.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    window_rows: int = 4,
+    num_buckets: int = 32,
+    scale: int = 1_000_000,
+) -> rd.Dataset:
+    """Per-key rows-window moving sum/avg — the ``SUM/COUNT(v) OVER
+    (PARTITION BY key ORDER BY ts, id ROWS BETWEEN w-1 PRECEDING AND
+    CURRENT ROW)`` dataflow. Same shape as :func:`running_total`: one
+    hash-bucket shuffle, then one lexsort + a global-cumsum difference
+    per bucket (``mov = cs[i] − cs[lo−1]`` with ``lo`` clamped at the
+    key's segment start) — zero per-key Python.
+
+    Determinism contract: fixed-point integer sums in any execution
+    order; the emitted average divides the SAME integer operands the SQL
+    window oracle divides (``mov_sum_u / (n_win * 1e6)`` rounded
+    half-away to 6), so floats are hash-exact."""
+
+    def kernel(g: pd.DataFrame) -> pa.Table:
+        u = g[key_col].to_numpy()
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g[id_col].to_numpy().astype(np.int64)
+        v = round_half_away(
+            g[value_col].to_numpy(dtype=np.float64) * scale
+        ).astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid, v = u[order], ts[order], eid[order], v[order]
+        n = len(u)
+        brk = np.empty(n, dtype=bool)
+        brk[0] = True
+        brk[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(brk)
+        counts = np.diff(np.append(starts, n))
+        idx = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+        n_win = np.minimum(idx + 1, window_rows)
+        cs = np.cumsum(v)
+        lo = np.arange(n, dtype=np.int64) - n_win + 1  # window start row
+        mov = cs - np.where(lo > 0, cs[np.maximum(lo - 1, 0)], 0)
+        avg = round_half_away(mov / (n_win * float(scale)), 6)
+        return pa.table(
+            {
+                key_col: pa.array(u),
+                id_col: pa.array(eid, pa.int64()),
+                "value_u": pa.array(v, pa.int64()),
+                "mov_sum_u": pa.array(mov, pa.int64()),
+                "n_win": pa.array(n_win, pa.int64()),
+                "mov_avg": pa.array(avg, pa.float64()),
+            }
+        )
+
+    return (
+        _with_bucket(ds, key_col, num_buckets)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+def first_last_by_key(
+    ds: rd.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    attr_col: str = "event_type",
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Per-key FIRST_VALUE/LAST_VALUE snapshot over the pinned unique
+    order (ts, id): one row per key with the first and last event's id
+    and attribute plus the key's row count — the entity-state /
+    latest-snapshot pattern. One hash-bucket shuffle, one lexsort,
+    segment first/last indexing; zero per-key Python."""
+
+    def kernel(g: pd.DataFrame) -> pa.Table:
+        u = g[key_col].to_numpy()
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g[id_col].to_numpy().astype(np.int64)
+        attr = g[attr_col].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u, eid, attr = u[order], eid[order], attr[order]
+        n = len(u)
+        brk = np.empty(n, dtype=bool)
+        brk[0] = True
+        brk[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(brk)
+        lasts = np.append(starts[1:], n) - 1
+        return pa.table(
+            {
+                key_col: pa.array(u[starts]),
+                "first_event_id": pa.array(eid[starts], pa.int64()),
+                "first_type": pa.array(attr[starts]),
+                "last_event_id": pa.array(eid[lasts], pa.int64()),
+                "last_type": pa.array(attr[lasts]),
+                "n": pa.array(lasts - starts + 1, pa.int64()),
+            }
+        )
+
+    return (
+        _with_bucket(ds, key_col, num_buckets)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )

@@ -229,3 +229,30 @@ def test_json_int_field_anchored_and_strict():
     strict = json_int_field(col, "k", strict=True).to_pylist()
     # strict json.loads sees nesting depth: top-level k only
     assert strict == [7, -1, -1, -1, -1, -1]
+
+
+def test_md5_hex_arrow_zero_copy_variants():
+    """Zero-copy Arrow md5 must equal hashlib on plain, null, unicode,
+    sliced (nonzero offset), chunked, and binary inputs."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from gocrawler_ray.functions.urls import md5_hex_arrow
+
+    ref = lambda vals: [
+        hashlib.md5((v or ("" if isinstance(v, str) or v is None else b"")).encode()
+                    if isinstance(v, str) or v is None else (v or b"")).hexdigest()
+        for v in vals
+    ]
+    arr = pa.array(["hello", "", None, "Ω unicode ≠", "x" * 500])
+    assert md5_hex_arrow(arr) == ref(arr.to_pylist())
+    sl = arr.slice(2, 3)
+    assert md5_hex_arrow(sl) == ref(sl.to_pylist())
+    ch = pa.chunked_array([["a", "b"], ["c", None]])
+    assert md5_hex_arrow(ch) == ref(ch.to_pylist())
+    bn = pa.array([b"ab", None, b"\x00\xff"])
+    assert md5_hex_arrow(bn) == [
+        hashlib.md5(x or b"").hexdigest() for x in bn.to_pylist()
+    ]
+    assert md5_hex_arrow(pa.array([], pa.string())) == []

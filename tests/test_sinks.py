@@ -111,3 +111,61 @@ def test_write_partitioned_resume_with_encoded_values(ray_session, tmp_path):
     files = glob.glob(os.path.join(root, "p=*", "*.parquet"))
     got = pd.concat(pd.read_parquet(f)[["v"]] for f in files)
     assert sorted(got["v"]) == list(range(500))
+
+
+def test_lance_branch_stub_backed(monkeypatch, tmp_path):
+    """Execute the HAVE_LANCE=True arms of write_table / write_dataset /
+    read_table / read_dataset at least once (round-2 verdict #5): a stub
+    lance module stands in for the absent wheel; the atomicity contract
+    (temp-dir-then-rename) must hold identically on the Lance arms."""
+    import pyarrow.parquet as pq
+
+    from gocrawler_ray.sources import tables as tm
+
+    class FakeLanceDataset:
+        def __init__(self, uri):
+            self.uri = uri
+
+        def to_table(self, columns=None):
+            return pq.read_table(os.path.join(self.uri, "stub.parquet"),
+                                 columns=columns)
+
+    class FakeLance:
+        @staticmethod
+        def write_dataset(table, uri):
+            os.makedirs(uri, exist_ok=True)
+            pq.write_table(table, os.path.join(uri, "stub.parquet"))
+
+        @staticmethod
+        def dataset(uri):
+            return FakeLanceDataset(uri)
+
+    monkeypatch.setattr(tm, "HAVE_LANCE", True)
+    monkeypatch.setattr(tm, "lance", FakeLance)
+
+    t = pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    uri = str(tmp_path / "lance_tbl")
+    tm.write_table(t, uri)                      # lance write arm
+    assert os.path.isdir(uri) and not glob.glob(f"{uri}.tmp-*")
+    got = tm.read_table(uri)                    # lance read arm
+    assert got.equals(t)
+    assert tm.read_table(uri, columns=["a"]).column_names == ["a"]
+
+    # write_dataset lance arm: the sink calls ds.write_lance(tmp)
+    class FakeDS:
+        def write_lance(self, tmp):
+            FakeLance.write_dataset(t, tmp)
+
+    uri2 = str(tmp_path / "lance_ds")
+    tm.write_dataset(FakeDS(), uri2)
+    assert tm.read_table(uri2).equals(t) and not glob.glob(f"{uri2}.tmp-*")
+
+    # read_dataset lance arm routes through rd.read_lance
+    calls = {}
+    monkeypatch.setattr(
+        tm.rd, "read_lance",
+        lambda uri, columns=None, **kw: (calls.setdefault("uri", uri), "DS")[1],
+        raising=False,
+    )
+    assert tm.read_dataset(uri2, columns=["a"]) == "DS"
+    assert calls["uri"] == uri2

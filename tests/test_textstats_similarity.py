@@ -162,3 +162,24 @@ def test_multimodal_plumbing():
 
     with pytest.raises(NotImplementedError):
         DecodeImage(real=True)
+
+
+def test_synth_media_batch_matches_table_builder():
+    """The streaming per-batch derivation must produce byte-identical
+    MEDIA_SCHEMA rows to the driver-side list builder it replaced."""
+    import pyarrow as pa
+
+    from gocrawler_ray.stages.multimodal import synth_media_batch, synth_media_table
+
+    ids = ["10", "11", "12", "13"]
+    texts = ["hello world", "", "Ω unicode ≠ ascii", "x" * 300]
+    want = synth_media_table(ids, texts)
+    src = pa.table({"doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+                    "text": pa.array(texts)})
+    got = synth_media_batch(src, media_type="image")
+    assert got.equals(want)
+    # video/audio metadata: duration in chars x 10, zero dims
+    vid = synth_media_batch(src, media_type="video", fmt="mp4")
+    metas = vid.column("meta").to_pylist()
+    assert [m["duration_ms"] for m in metas] == [10 * len(t) for t in texts]
+    assert all(m["media_type"] == "video" and m["format"] == "mp4" for m in metas)
