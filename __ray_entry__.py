@@ -118,6 +118,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_k_stats": q.q_props_k_stats,
         "clickers_buyers": q.q_clickers_buyers,
         "viewers_no_purchase": q.q_viewers_no_purchase,
+        "moving_avg": q.q_moving_avg,
+        "first_last_events": q.q_first_last_events,
+        "local_supplier_revenue": q.q_local_supplier_revenue,
+        "promo_revenue": q.q_promo_revenue,
+        "events_profile": q.q_events_profile,
     }
 
 
@@ -988,5 +993,68 @@ WHERE event_type = 'view' AND event_id % 37 = 0
 EXCEPT
 SELECT DISTINCT user_id FROM events
 WHERE event_type = 'purchase' AND event_id % 37 = 0
+""",
+        # fixed-point window operands; the avg divides the SAME integer
+        # operands the kernel divides (mov_sum_u / (n_win * 1e6))
+        "moving_avg": """
+WITH e AS (SELECT user_id, ts, event_id,
+                  CAST(round(value * 1000000) AS BIGINT) AS value_u
+           FROM events)
+SELECT user_id, event_id, value_u,
+       CAST(sum(value_u) OVER w AS BIGINT) AS mov_sum_u,
+       count(*) OVER w AS n_win,
+       round(sum(value_u) OVER w / (count(*) OVER w * 1000000.0), 6) AS mov_avg
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+""",
+        "first_last_events": """
+WITH o AS (SELECT user_id, event_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY user_id) AS n
+           FROM events)
+SELECT a.user_id,
+       a.event_id  AS first_event_id, a.event_type AS first_type,
+       b.event_id  AS last_event_id,  b.event_type AS last_type,
+       a.n
+FROM o a JOIN o b ON a.user_id = b.user_id
+WHERE a.rn = 1 AND b.rn = b.n
+""",
+        "local_supplier_revenue": """
+SELECT n_name,
+       count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_rev
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY n_name
+""",
+        "promo_revenue": """
+SELECT strftime(l_shipdate, '%Y-%m') AS month,
+       count(*) AS n_lines,
+       round(sum(CASE WHEN p_type = 'PROMO'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+         AS promo_rev,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+ORDER BY 1
+""",
+        # timestamps profile as epoch-us so min/max are exact integers
+        "events_profile": """
+SELECT 'event_id' AS col, count(*) AS n,
+       count(*) - count(event_id) AS n_null,
+       min(event_id) AS min_i, max(event_id) AS max_i FROM events
+UNION ALL
+SELECT 'ts', count(*), count(*) - count(ts),
+       min(epoch_us(ts)), max(epoch_us(ts)) FROM events
+UNION ALL
+SELECT 'user_id', count(*), count(*) - count(user_id),
+       min(user_id), max(user_id) FROM events
+ORDER BY col
 """,
     }

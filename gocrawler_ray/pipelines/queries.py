@@ -1879,3 +1879,149 @@ def q_sample_k(sf_dir: str):
 
     docs = _pq(sf_dir, "documents", columns=["doc_id"])
     return sample_topk_hash(docs, k=256, id_col="doc_id", seed=7)
+
+
+def q_moving_avg(sf_dir: str):
+    """Rows-window moving aggregate: per-user moving sum/avg of the last
+    4 events ordered by (ts, event_id) — the ``ROWS BETWEEN 3 PRECEDING
+    AND CURRENT ROW`` window (stages/temporal.py::moving_window). One
+    hash-bucket shuffle, then a cumsum-difference kernel; fixed-point
+    sums and an identical-operand division keep the emitted average
+    hash-exact against the SQL window oracle."""
+    from ..stages.temporal import moving_window
+
+    ev = _pq(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"],
+             num_blocks=_n_cpus())
+    return moving_window(ev, window_rows=4)
+
+
+def q_first_last_events(sf_dir: str):
+    """Entity-snapshot window: each user's FIRST and LAST event (id +
+    type) over the pinned order (ts, event_id) plus their row count
+    (stages/temporal.py::first_last_by_key) — the latest-state /
+    entity-resolution pattern, one bucket shuffle + segment indexing."""
+    from ..stages.temporal import first_last_by_key
+
+    ev = _pq(sf_dir, "events",
+             columns=["user_id", "ts", "event_id", "event_type"],
+             num_blocks=_n_cpus())
+    return first_last_by_key(ev)
+
+
+def q_local_supplier_revenue(sf_dir: str):
+    """TPC-H Q5-shape multi-join: revenue from lineitems where the
+    supplier and the ordering customer share a nation inside one region
+    ('ASIA'). The star plan at 100 TB: the big-big core (lineitem ⋈
+    orders) is ONE hash-shuffle ``Dataset.join``; every dimension-side
+    predicate (region→nations, nation names, supplier→nation,
+    customer→nation restricted to the region) broadcasts once via
+    ray.put and applies inside map_batches — so exactly one all-to-all
+    exchange end-to-end. (customer is the one side that grows with the
+    data; past broadcast size it becomes a second bucketed join on
+    o_custkey — documented trade, same machinery as the core join.)"""
+    region = _docs_small(sf_dir, "region", ["r_regionkey", "r_name"])
+    nation = _docs_small(sf_dir, "nation",
+                         ["n_nationkey", "n_name", "n_regionkey"])
+    rkeys = set(region.loc[region["r_name"] == "ASIA", "r_regionkey"])
+    nat = nation[nation["n_regionkey"].isin(rkeys)]
+    nat_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    supp = _docs_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    supp_nat = dict(zip(supp["s_suppkey"], supp["s_nationkey"]))
+    cust = _docs_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust = cust[cust["c_nationkey"].isin(nat_name)]
+    cust_nat = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    dims_ref = ray.put((nat_name, supp_nat, cust_nat))
+
+    parts = _shuffle_partitions(
+        _row_count(sf_dir, "lineitem"), _row_count(sf_dir, "orders")
+    )
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                      "l_discount"],
+             num_blocks=parts)
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+                 num_blocks=parts)
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=parts,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        nat_name_, supp_nat_, cust_nat_ = ray.get(dims_ref)
+        df = t.to_pandas()
+        sn = df["l_suppkey"].map(supp_nat_)
+        cn = df["o_custkey"].map(cust_nat_)
+        keep = sn.notna() & cn.notna() & (sn == cn)
+        df = df[keep]
+        if not len(df):
+            return pd.DataFrame({"n_name": [], "n_lines": [], "sum_rev": []})
+        rev = df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
+        out = pd.DataFrame({"n_name": sn[keep].map(nat_name_), "rev": rev})
+        return out.groupby("n_name", as_index=False).agg(
+            n_lines=("rev", "size"), sum_rev=("rev", "sum")
+        )
+
+    partials = joined.map_batches(partial, batch_format="pyarrow")
+    out = _combine_partials(partials, ["n_name"], ["n_lines", "sum_rev"])
+    out["n_lines"] = out["n_lines"].astype(np.int64)
+    out["sum_rev"] = out["sum_rev"].round(2)
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def q_promo_revenue(sf_dir: str):
+    """TPC-H Q14-shape promo share: per ship-month, total revenue and
+    the revenue from PROMO-type parts. part is the dimension side —
+    p_partkey → is-promo broadcasts once via ray.put — so the plan is
+    ONE map-only pass over lineitem with per-batch (month, sums)
+    partials; the driver combine is bounded by the time span."""
+    part = _docs_small(sf_dir, "part", ["p_partkey", "p_type"])
+    promo_ref = ray.put(
+        dict(zip(part["p_partkey"], part["p_type"] == "PROMO"))
+    )
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                      "l_discount"],
+             num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        pm = ray.get(promo_ref)
+        df = t.to_pandas()
+        month = df["l_shipdate"].dt.strftime("%Y-%m")
+        rev = df["l_extendedprice"].to_numpy() * (
+            1.0 - df["l_discount"].to_numpy()
+        )
+        is_promo = df["l_partkey"].map(pm).fillna(False).to_numpy(dtype=bool)
+        out = pd.DataFrame(
+            {"month": month, "rev": rev, "promo_rev": np.where(is_promo, rev, 0.0)}
+        )
+        return out.groupby("month", as_index=False).agg(
+            n_lines=("rev", "size"),
+            promo_rev=("promo_rev", "sum"),
+            total_rev=("rev", "sum"),
+        )
+
+    partials = li.map_batches(partial, batch_format="pyarrow")
+    out = _combine_partials(
+        partials, ["month"], ["n_lines", "promo_rev", "total_rev"]
+    )
+    out["n_lines"] = out["n_lines"].astype(np.int64)
+    out["promo_rev"] = out["promo_rev"].round(2)
+    out["total_rev"] = out["total_rev"].round(2)
+    return out.sort_values("month").reset_index(drop=True)
+
+
+def q_events_profile(sf_dir: str):
+    """Column-profiling sweep (stages/aggregates.py::profile_columns):
+    row/null counts + exact integer min/max per profiled column of the
+    events table (timestamps as epoch-µs) — one streaming pass, one
+    partial row per column per block."""
+    from ..stages.aggregates import profile_columns
+
+    ev = _pq(sf_dir, "events", columns=["event_id", "ts", "user_id"],
+             num_blocks=_n_cpus())
+    return profile_columns(
+        ev, {"event_id": "int", "ts": "ts", "user_id": "int"}
+    )

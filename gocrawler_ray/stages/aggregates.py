@@ -833,3 +833,53 @@ def tfidf_topk(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def profile_columns(
+    ds: rd.Dataset,
+    int_cols: dict[str, str],
+) -> pa.Table:
+    """One-pass column profiler — the data-quality sweep every ingest
+    runs before training: per column (row count, null count, int64
+    min/max). ``int_cols`` maps column name → kind (``"int"`` or
+    ``"ts"``; timestamps profile as epoch-µs so min/max stay exact
+    integers — float formatting never crosses the hash gate).
+
+    Per-batch partials are one ROW PER COLUMN (never per value), so the
+    driver combine is bounded by columns × blocks at any data size;
+    merge rules are sum/sum/min/max."""
+
+    cols = list(int_cols)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            col = t.column(c)
+            n = len(col)
+            n_null = col.null_count
+            if int_cols[c] == "ts":
+                v = col.cast(pa.timestamp("us")).cast(pa.int64())
+            else:
+                v = col.cast(pa.int64())
+            vmin = pc.min(v).as_py()
+            vmax = pc.max(v).as_py()
+            rows.append((c, n, n_null, vmin, vmax))
+        return pd.DataFrame(
+            rows, columns=["col", "n", "n_null", "min_i", "max_i"]
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("col", as_index=False).agg(
+        n=("n", "sum"), n_null=("n_null", "sum"),
+        min_i=("min_i", "min"), max_i=("max_i", "max"),
+    )
+    g = g.sort_values("col").reset_index(drop=True)
+    return pa.table(
+        {
+            "col": pa.array(g["col"], pa.string()),
+            "n": pa.array(g["n"].to_numpy(), pa.int64()),
+            "n_null": pa.array(g["n_null"].to_numpy(), pa.int64()),
+            "min_i": pa.array(g["min_i"].to_numpy(), pa.int64()),
+            "max_i": pa.array(g["max_i"].to_numpy(), pa.int64()),
+        }
+    )

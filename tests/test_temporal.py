@@ -365,3 +365,55 @@ def test_lag_deltas_matches_pandas_shift_bruteforce():
     ref = ref.sort_values("event_id").reset_index(drop=True)
     for c in ("delta_us", "lag_value_u", "value_u"):
         assert (got[c].to_numpy() == ref[c].to_numpy()).all(), c
+
+
+def test_moving_window_short_keys_and_exactness(ray_session):
+    """Keys shorter than the window clamp n_win; window never crosses a
+    key boundary; sums are fixed-point exact."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gocrawler_ray.stages.temporal import moving_window
+
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 1, 2, 3, 3]),
+        "ts": pa.array(
+            pd.to_datetime([1, 2, 3, 4, 5, 1, 1, 2], unit="s")),
+        "event_id": pa.array(range(8), pa.int64()),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 7.5, 0.25, 0.75]),
+    })
+    out = (
+        moving_window(rd.from_arrow(t), window_rows=3)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    assert out["n_win"].tolist() == [1, 2, 3, 3, 3, 1, 1, 2]
+    # user 1: windows of last 3 -> sums 1,3,6,9,12 (in 1e-6 units)
+    assert out.loc[:4, "mov_sum_u"].tolist() == [
+        1_000_000, 3_000_000, 6_000_000, 9_000_000, 12_000_000]
+    assert out.loc[5, "mov_sum_u"] == 7_500_000   # singleton key
+    assert out.loc[7, "mov_sum_u"] == 1_000_000   # 0.25+0.75, no crossover
+    assert out.loc[7, "mov_avg"] == 0.5
+
+
+def test_first_last_by_key_segments(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gocrawler_ray.stages.temporal import first_last_by_key
+
+    t = pa.table({
+        "user_id": pa.array([5, 5, 5, 9]),
+        "ts": pa.array(pd.to_datetime([3, 1, 3, 2], unit="s")),
+        "event_id": pa.array([30, 10, 20, 40], pa.int64()),
+        "event_type": pa.array(["c", "a", "b", "z"]),
+    })
+    out = (
+        first_last_by_key(rd.from_arrow(t))
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    # user 5 order by (ts, id): (1,10,a) (3,20,b) (3,30,c)
+    assert out.loc[0].tolist() == [5, 10, "a", 30, "c", 3]
+    assert out.loc[1].tolist() == [9, 40, "z", 40, "z", 1]
