@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_revenue": q.q_local_supplier_revenue,
         "promo_revenue": q.q_promo_revenue,
         "events_profile": q.q_events_profile,
+        "class_balanced_sample": q.q_class_balanced_sample,
     }
 
 
@@ -1056,5 +1057,20 @@ UNION ALL
 SELECT 'user_id', count(*), count(*) - count(user_id),
        min(user_id), max(user_id) FROM events
 ORDER BY col
+""",
+        # same md5-uint64 scheme as sample_k; rank ties are impossible
+        # (the hash input embeds the unique id)
+        "class_balanced_sample": """
+SELECT event_type, event_id, rank FROM (
+  SELECT event_type, event_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(('0x' || substr(md5('bal:7:' ||
+                     CAST(event_id AS VARCHAR)), 1, 16)) AS UBIGINT),
+                    event_id
+         ) AS rank
+  FROM events)
+WHERE rank <= 100
+ORDER BY event_type, rank
 """,
     }

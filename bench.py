@@ -184,6 +184,12 @@ def run_bench() -> dict:
     timed("props_k_stats", q.q_props_k_stats)
     timed("clickers_buyers", q.q_clickers_buyers)
     timed("viewers_no_purchase", q.q_viewers_no_purchase)
+    timed("moving_avg", q.q_moving_avg)
+    timed("first_last_events", q.q_first_last_events)
+    timed("local_supplier_revenue", q.q_local_supplier_revenue)
+    timed("promo_revenue", q.q_promo_revenue)
+    timed("events_profile", q.q_events_profile)
+    timed("class_balanced_sample", q.q_class_balanced_sample)
 
     value = round(
         sum(v for k, v in timings.items() if not k.startswith("crawl_")), 3

@@ -2025,3 +2025,18 @@ def q_events_profile(sf_dir: str):
     return profile_columns(
         ev, {"event_id": "int", "ts": "ts", "user_id": "int"}
     )
+
+
+def q_class_balanced_sample(sf_dir: str):
+    """Class-balanced subsampling (stages/sampling.py::group_sample_k):
+    cap every event_type at 100 uniformly-hash-chosen events — the
+    dataset-rebalancing step before training. Per-block per-class
+    partial top-k bounds the gather at blocks × classes × k; ranks
+    compare exact uint64 hashes so the SQL oracle's ORDER BY picks the
+    identical winner set."""
+    from ..stages.sampling import group_sample_k
+
+    ev = _pq(sf_dir, "events", columns=["event_type", "event_id"],
+             num_blocks=_n_cpus())
+    return group_sample_k(ev, key_col="event_type", id_col="event_id",
+                          k=100, seed=7)

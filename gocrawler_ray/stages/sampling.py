@@ -152,3 +152,81 @@ def sample_topk_hash(ds, k: int, id_col: str = "doc_id", seed: int = 7) -> pa.Ta
     hv = np.array([r["__hv"] for r in parts], dtype=np.uint64)
     order = np.lexsort((ids, hv))[:k]
     return pa.table({id_col: pa.array(np.sort(ids[order]))})
+
+
+def group_sample_k(
+    ds,
+    key_col: str,
+    id_col: str,
+    k: int,
+    seed: int = 7,
+) -> pa.Table:
+    """Deterministic k-PER-CLASS uniform sample without replacement —
+    the class-balancing move for training corpora (cap every class at k
+    examples, uniformly and reproducibly). Per class, keep the k rows
+    with the smallest ``hash(bal:{seed}:{id})``; ranks are exact uint64
+    comparisons (never float64-rounded — a 64-bit hash loses low bits in
+    a double and could select differently from the SQL oracle).
+
+    Same partial-top-k shape as :func:`sample_topk_hash`: each block
+    contributes at most k rows PER CLASS IT SEES, so the gather is
+    bounded by blocks × classes × k regardless of data size; the driver
+    merge re-ranks the bounded partials. Classes are assumed
+    catalog-bounded (event types, languages, labels); a key domain that
+    grows with the data wants :func:`stratified_mask` (rate-based)
+    instead."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = t.column(key_col).to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        u = _unit_hash(ids, f"bal:{seed}:")
+        order = np.lexsort((ids, u, key))
+        key, ids, u = key[order], ids[order], u[order]
+        n = len(key)
+        if n == 0:
+            return pa.table(
+                {key_col: key, id_col: ids, "__hv": pa.array(u, pa.uint64())}
+            )
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = key[1:] != key[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, n))
+        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+        keep = rank < k
+        return pa.table(
+            {
+                key_col: pa.array(key[keep]),
+                id_col: pa.array(ids[keep]),
+                "__hv": pa.array(u[keep], pa.uint64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    merged = pa.Table.from_pandas(
+        parts.to_pandas(), preserve_index=False
+    )  # bounded: blocks × classes × k
+    key = merged.column(key_col).to_numpy(zero_copy_only=False)
+    ids = merged.column(id_col).to_numpy(zero_copy_only=False)
+    u = merged.column("__hv").to_numpy(zero_copy_only=False).astype(np.uint64)
+    order = np.lexsort((ids, u, key))
+    key, ids = key[order], ids[order]
+    n = len(key)
+    if n == 0:
+        return pa.table({key_col: key, id_col: ids,
+                         "rank": pa.array([], pa.int64())})
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = key[1:] != key[:-1]
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, n))
+    rank = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+    keep = rank < k
+    out = pa.table(
+        {
+            key_col: pa.array(key[keep]),
+            id_col: pa.array(ids[keep]),
+            "rank": pa.array(rank[keep] + 1, pa.int64()),
+        }
+    )
+    return out.sort_by([(key_col, "ascending"), ("rank", "ascending")])
