@@ -1989,7 +1989,11 @@ def q_promo_revenue(sf_dir: str):
     def partial(t: pa.Table) -> pd.DataFrame:
         pm = ray.get(promo_ref)
         df = t.to_pandas()
-        month = df["l_shipdate"].dt.strftime("%Y-%m")
+        # numpy datetime64[M]→str is exactly 'YYYY-MM' — vectorized,
+        # unlike pandas dt.strftime (per-row Python)
+        month = (
+            df["l_shipdate"].to_numpy().astype("datetime64[M]").astype(str)
+        )
         rev = df["l_extendedprice"].to_numpy() * (
             1.0 - df["l_discount"].to_numpy()
         )
