@@ -124,6 +124,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": q.q_promo_revenue,
         "events_profile": q.q_events_profile,
         "class_balanced_sample": q.q_class_balanced_sample,
+        "ngram_jaccard_pairs": q.q_ngram_jaccard_pairs,
+        "order_priority_counts": q.q_order_priority_counts,
+        "customer_distribution": q.q_customer_distribution,
+        "large_orders": q.q_large_orders,
+        "rich_dormant_customers": q.q_rich_dormant_customers,
+        "events_unpivot": q.q_events_unpivot,
     }
 
 
@@ -1072,5 +1078,60 @@ SELECT event_type, event_id, rank FROM (
   FROM events)
 WHERE rank <= 100
 ORDER BY event_type, rank
+""",
+        # exact similarity join: same ground-truth CTE as minhash_pairs
+        # but emitting the Jaccard score (the join is exact, so the
+        # value — not just membership — must match)
+        "ngram_jaccard_pairs": _PAIRS_SQL.replace(
+            "SELECT a, b FROM pairs",
+            "SELECT a, b, round(j, 6) AS j FROM pairs",
+        ),
+        # EXISTS semi-join (TPC-H Q4 shape)
+        "order_priority_counts": """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+        # left-outer count distribution (TPC-H Q13 shape)
+        "customer_distribution": """
+SELECT c_count, count(*) AS n_custs FROM (
+  SELECT c_custkey, count(o_custkey) AS c_count
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY c_count
+""",
+        # HAVING-filtered semi-join back to the header (TPC-H Q18 shape)
+        "large_orders": """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       round(sum_qty, 2) AS sum_qty
+FROM orders JOIN (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+) ON l_orderkey = o_orderkey
+ORDER BY o_orderkey
+""",
+        # scalar-subquery broadcast + NOT EXISTS anti-join (Q22 shape)
+        "rich_dormant_customers": """
+SELECT c_nationkey, count(*) AS n_custs,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+        # wide→long reshape (UNPIVOT); values pass through bit-exact
+        "events_unpivot": """
+SELECT event_id, 'value' AS metric, value AS mval FROM events
+UNION ALL
+SELECT event_id, 'user_id', CAST(user_id AS DOUBLE) FROM events
+UNION ALL
+SELECT event_id, 'epoch_us', CAST(epoch_us(ts) AS DOUBLE) FROM events
 """,
     }

@@ -2044,3 +2044,232 @@ def q_class_balanced_sample(sf_dir: str):
              num_blocks=_n_cpus())
     return group_sample_k(ev, key_col="event_type", id_col="event_id",
                           k=100, seed=7)
+
+
+# ---------------------------------------------------------------------------
+# round-3 widening: exact similarity join, semi/outer join shapes, reshape
+# ---------------------------------------------------------------------------
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """EXACT n-gram Jaccard similarity self-join (AllPairs prefix
+    filtering, stages/dedup.py::ngram_jaccard_join) over the same
+    augmented near-dup corpus as minhash_pairs — the dedup flavor with a
+    deterministic recall guarantee (no LSH miss probability). Returns
+    the scored pair list (a, b, j)."""
+    from ..stages.dedup import ngram_jaccard_join
+
+    ds = _near_dup_docs(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.string()),
+                "text": t.column("text"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = ngram_jaccard_join(ds, col="text", id_col="doc_id", k=3, threshold=0.6)
+    out["j"] = round_half_away(out["j"].to_numpy(), 6)
+    return out
+
+
+def q_order_priority_counts(sf_dir: str):
+    """EXISTS semi-join (TPC-H Q4 shape): orders with ≥1 returned line,
+    counted per priority. Uses Ray's native LEFT SEMI hash join — each
+    left row emitted at most once, no dedup shuffle, no row duplication
+    — then ≤5-key partial counts combined on the driver."""
+    parts = _shuffle_partitions(
+        _row_count(sf_dir, "lineitem"), _row_count(sf_dir, "orders")
+    )
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"],
+                 num_blocks=parts)
+    returned = (
+        _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"],
+            num_blocks=parts)
+        .filter(expr="l_returnflag == 'R'")
+        .select_columns(["l_orderkey"])
+    )
+    semi = orders.join(
+        returned,
+        join_type="left_semi",
+        num_partitions=parts,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"o_orderpriority": t.column("o_orderpriority").to_pandas()})
+        out = df.groupby("o_orderpriority", as_index=False).size()
+        return out.rename(columns={"size": "n_orders"})
+
+    partials = semi.map_batches(partial, batch_format="pyarrow")
+    out = _combine_partials(partials, ["o_orderpriority"], ["n_orders"])
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q_customer_distribution(sf_dir: str):
+    """Histogram of per-customer order counts INCLUDING zero-order
+    customers (TPC-H Q13 shape): distributed count per custkey, LEFT
+    OUTER join customer → counts (nulls → 0), then a bounded histogram
+    combine (distinct per-customer counts ≲ max orders per customer)."""
+    from ray.data.aggregate import Count
+
+    parts = _shuffle_partitions(
+        _row_count(sf_dir, "customer"), _row_count(sf_dir, "orders")
+    )
+    cust = _pq(sf_dir, "customer", columns=["c_custkey"], num_blocks=parts)
+    counts = (
+        _pq(sf_dir, "orders", columns=["o_custkey"], num_blocks=parts)
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="c_count"))
+    )
+    joined = cust.join(
+        counts,
+        join_type="left_outer",
+        num_partitions=parts,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        c = t.column("c_count").to_pandas().fillna(0).astype(np.int64)
+        out = pd.DataFrame({"c_count": c}).groupby(
+            "c_count", as_index=False
+        ).size()
+        return out.rename(columns={"size": "n_custs"})
+
+    partials = joined.map_batches(partial, batch_format="pyarrow")
+    out = _combine_partials(partials, ["c_count"], ["n_custs"])
+    out["n_custs"] = out["n_custs"].astype(np.int64)
+    return out.sort_values("c_count").reset_index(drop=True)
+
+
+def q_large_orders(sf_dir: str):
+    """HAVING-filtered semi-join (TPC-H Q18 shape): orders whose total
+    quantity exceeds 300, joined back to the order header. The grouped
+    sum is a distributed fact-key groupby (order keys grow with the
+    data); only the filtered survivors meet the orders table in the
+    join."""
+    from ray.data.aggregate import Sum
+
+    parts = _shuffle_partitions(
+        _row_count(sf_dir, "lineitem"), _row_count(sf_dir, "orders")
+    )
+    sums = (
+        _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"],
+            num_blocks=parts)
+        .groupby("l_orderkey")
+        .aggregate(Sum("l_quantity", alias_name="sum_qty"))
+        .filter(expr="sum_qty > 300")
+    )
+    orders = _pq(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey", "o_totalprice"],
+                 num_blocks=parts)
+    joined = sums.join(
+        orders,
+        join_type="inner",
+        num_partitions=parts,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def select(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("l_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "o_totalprice": t.column("o_totalprice"),
+                "sum_qty": pa.array(
+                    round_half_away(t.column("sum_qty").to_numpy(), 2)
+                ),
+            }
+        )
+
+    return joined.map_batches(select, batch_format="pyarrow").sort("o_orderkey")
+
+
+def q_rich_dormant_customers(sf_dir: str):
+    """Scalar-subquery broadcast + anti-join (TPC-H Q22 shape):
+    customers with above-average balance and NO urgent order, grouped by
+    nation. The global average is one (sum, n) partial combine — a
+    scalar shipped in the filter closure, not a join — and the NOT
+    EXISTS is Ray's native LEFT ANTI hash join."""
+    parts = _shuffle_partitions(
+        _row_count(sf_dir, "customer"), _row_count(sf_dir, "orders")
+    )
+    cust = _pq(sf_dir, "customer",
+               columns=["c_custkey", "c_nationkey", "c_acctbal"],
+               num_blocks=parts)
+
+    def avg_partial(t: pa.Table) -> pd.DataFrame:
+        bal = t.column("c_acctbal").to_numpy()
+        return pd.DataFrame({"g": [0], "s": [bal.sum()], "n": [len(bal)]})
+
+    tot = _combine_partials(
+        cust.map_batches(avg_partial, batch_format="pyarrow"), ["g"], ["s", "n"]
+    )
+    avg_bal = float(tot["s"][0] / tot["n"][0])
+
+    rich = cust.map_batches(
+        lambda t, _a=avg_bal: t.filter(pc.greater(t.column("c_acctbal"), _a)),
+        batch_format="pyarrow",
+    )
+    urgent = (
+        _pq(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"],
+            num_blocks=parts)
+        .filter(expr="o_orderpriority == '1-URGENT'")
+        .select_columns(["o_custkey"])
+    )
+    anti = rich.join(
+        urgent,
+        join_type="left_anti",
+        num_partitions=parts,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "c_nationkey": t.column("c_nationkey").to_pandas(),
+                "total_bal": t.column("c_acctbal").to_numpy(),
+            }
+        )
+        g = df.groupby("c_nationkey", as_index=False).agg(
+            n_custs=("total_bal", "size"), total_bal=("total_bal", "sum")
+        )
+        return g
+
+    partials = anti.map_batches(partial, batch_format="pyarrow")
+    out = _combine_partials(partials, ["c_nationkey"], ["n_custs", "total_bal"])
+    out["n_custs"] = out["n_custs"].astype(np.int64)
+    out["total_bal"] = round_half_away(out["total_bal"].to_numpy(), 2)
+    return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
+def q_events_unpivot(sf_dir: str):
+    """Wide→long reshape (UNPIVOT/melt): each event row explodes into
+    one (event_id, metric, mval) row per measure — a map-only stage (no
+    shuffle), the standard prep step before a long-format metric store
+    or per-metric windowing."""
+    ev = _pq(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"],
+             num_blocks=_n_cpus())
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        eid = t.column("event_id").to_numpy()
+        vals = [
+            t.column("value").to_numpy().astype(np.float64),
+            t.column("user_id").to_numpy().astype(np.float64),
+            pc.cast(t.column("ts"), pa.int64()).to_numpy().astype(np.float64),
+        ]
+        metric = ["value", "user_id", "epoch_us"]
+        return pa.table(
+            {
+                "event_id": pa.array(np.tile(eid, 3)),
+                "metric": pa.array(np.repeat(np.array(metric, dtype=object), n)),
+                "mval": pa.array(np.concatenate(vals)),
+            }
+        )
+
+    return ev.map_batches(melt, batch_format="pyarrow")

@@ -1019,3 +1019,156 @@ def embedding_near_dup(
         .to_pandas()
     )
     return sorted(set(zip(pairs["a"], pairs["b"])))
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard similarity join (AllPairs prefix filtering — no LSH)
+# ---------------------------------------------------------------------------
+
+def _prefix_rows(t: pa.Table, col: str, k: int, threshold: float) -> pa.Table:
+    """(shingle_hash, doc_id) rows for each doc's PREFIX shingles.
+
+    Prefix-filter principle (Bayardo et al. WWW'07 / Xiao et al. PPJoin):
+    under any fixed total order of shingles, J(A,B) >= t implies
+    |A∩B| >= ceil(t·max(|A|,|B|)), hence the common elements cannot all
+    hide in A's last ceil(t|A|)-1 positions NOR B's — so the
+    (|S|-ceil(t|S|)+1)-prefixes of the two sorted shingle sets must
+    share an element. Bucketing docs by prefix shingle therefore has
+    ZERO false negatives; the verify stage only removes false positives.
+
+    Fully vectorized: one lexsort per batch segments (doc, hash) pairs,
+    adjacent-dup removal uniquifies per doc, and a positional mask takes
+    each doc's prefix — no Python loop over docs.
+    """
+    texts = t.column(col).to_pandas().fillna("")
+    ids = t.column("doc_id")
+    flat, lengths = _shingles_of(texts, k)
+    n = len(texts)
+    if flat.size == 0:
+        return pa.table(
+            {"band_key": pa.array(np.zeros(0, np.uint64)), "doc_id": ids.slice(0, 0)}
+        )
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    order = np.lexsort((flat, doc_idx))
+    d, h = doc_idx[order], flat[order]
+    keep = np.ones(len(h), dtype=bool)
+    keep[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+    d, h = d[keep], h[keep]
+    uniq = np.bincount(d, minlength=n)
+    # required overlap per set; rounding DOWN only lengthens the prefix
+    # (extra candidates, never a missed pair)
+    req = np.maximum(1, np.ceil(uniq * threshold - 1e-9)).astype(np.int64)
+    plen = uniq - req + 1
+    seg = np.zeros(n, dtype=np.int64)
+    np.cumsum(uniq[:-1], out=seg[1:])
+    pos = np.arange(len(d), dtype=np.int64) - seg[d]
+    sel = pos < plen[d]
+    return pa.table(
+        {
+            "band_key": pa.array(h[sel]),
+            "doc_id": ids.take(pa.array(d[sel], pa.int64())),
+        }
+    )
+
+
+def _jaccard_values(
+    a_ids: list, b_ids: list, sets: dict, threshold: float
+) -> np.ndarray:
+    """Exact Jaccard VALUE per candidate pair (the similarity join emits
+    the score, not just the >= t verdict). Pairs whose set sizes already
+    violate J <= min/max < threshold short-circuit to 0.0 — they are
+    below the keep line by construction, so the output is unaffected."""
+    vals = np.zeros(len(a_ids), dtype=np.float64)
+    for i in range(len(a_ids)):
+        sa, sb = sets[a_ids[i]], sets[b_ids[i]]
+        na, nb = sa.size, sb.size
+        if min(na, nb) < threshold * max(na, nb):
+            continue
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = na + nb - inter
+        vals[i] = 1.0 if union == 0 else inter / union
+    return vals
+
+
+def ngram_jaccard_join(
+    ds: rd.Dataset,
+    col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.6,
+    bucket_cap: int = 8192,
+) -> pd.DataFrame:
+    """EXACT word-k-gram Jaccard similarity self-join — the dedup
+    flavor with a deterministic (non-probabilistic) recall guarantee,
+    complementing minhash/simhash LSH.
+
+    Pipeline: prefix rows (:func:`_prefix_rows`) → the same sorted-block
+    bucket pair scan as the minhash path (:func:`_bucket_pairs`) → exact
+    Jaccard verify over candidate shingle sets shipped once.
+
+    Scale posture: the prefix exchange is ~(1-t)·|shingles| rows keyed
+    by 64-bit shingle hash (vs ALL shingles for an inverted-index join);
+    buckets are near-singletons for content shingles, and oversized ones
+    (boilerplate shingles) star-reduce past ``bucket_cap`` with a logged
+    completeness warning — identical contract to minhash_lsh_dedup. The
+    corpus is never materialized; verify ships only candidate docs'
+    shingle sets (<< corpus by the prefix filter).
+
+    Returns DataFrame(a, b, j) with exact j >= threshold, a < b.
+    """
+    if id_col != "doc_id":
+        ds = ds.map_batches(
+            lambda t: t.append_column("doc_id", t.column(id_col)),
+            batch_format="pyarrow",
+        )
+    prefix = ds.map_batches(
+        lambda t: _prefix_rows(t, col, k, threshold), batch_format="pyarrow"
+    )
+    cand = _bucket_pairs(prefix, bucket_cap)
+    if len(cand):
+        n_capped = int(cand["capped"].sum())
+        if n_capped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard_join: %d candidate edges star-reduced from "
+                "oversized shingle buckets (> %d docs share a prefix "
+                "shingle) — pair list complete only for in-cap buckets",
+                n_capped, bucket_cap,
+            )
+    if not len(cand):
+        return pd.DataFrame({"a": [], "b": [], "j": np.zeros(0)})
+    cand_ids = sorted(set(cand["a"]) | set(cand["b"]))
+    sets = _candidate_shingle_sets(ds, cand_ids, col, k)
+    a_ids, b_ids = cand["a"].tolist(), cand["b"].tolist()
+    if len(cand) <= 16384:
+        vals = _jaccard_values(a_ids, b_ids, sets, threshold)
+        kept = pd.DataFrame({"a": a_ids, "b": b_ids, "j": vals})
+    else:
+        # fan out in fixed blocks with the shingle map broadcast once
+        # (same shape as _verify_candidates' large path)
+        import ray
+
+        sets_ref = ray.put(sets)
+        tbl = pa.table({"a": pa.array(a_ids), "b": pa.array(b_ids)})
+        step = 16384
+        blocks = [tbl.slice(o, step) for o in range(0, len(tbl), step)]
+
+        def score_batch(t: pa.Table) -> pa.Table:
+            sm = ray.get(sets_ref)
+            a, b = t.column("a").to_pylist(), t.column("b").to_pylist()
+            return t.append_column(
+                "j", pa.array(_jaccard_values(a, b, sm, threshold))
+            )
+
+        kept = (
+            rd.from_arrow(blocks)
+            .map_batches(score_batch, batch_format="pyarrow", batch_size=None)
+            .to_pandas()
+        )
+    kept = kept[kept["j"] >= threshold].reset_index(drop=True)
+    lo = np.minimum(kept["a"], kept["b"])
+    hi = np.maximum(kept["a"], kept["b"])
+    return pd.DataFrame({"a": lo, "b": hi, "j": kept["j"]}).sort_values(
+        ["a", "b"]
+    ).reset_index(drop=True)

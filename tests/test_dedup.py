@@ -164,3 +164,53 @@ def test_embedding_near_dup_degenerate_bucket_is_linear(ray_session):
         rd.from_arrow(t.slice(0, 20)), threshold=0.99, bucket_cap=50
     )
     assert len(small) == 20 * 19 // 2
+
+
+def test_ngram_jaccard_join_matches_bruteforce():
+    """Prefix filtering is EXACT: the join equals all-pairs Jaccard ≥ τ
+    on a randomized corpus with planted near-dups, at several τ."""
+    from gocrawler_ray.stages.dedup import ngram_jaccard_join
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(40):
+        words = list(rng.choice(vocab, size=rng.integers(4, 25)))
+        rows.append({"doc_id": f"d{i:03d}", "text": " ".join(words)})
+    # planted: exact dup, one-token edit, empty and tiny docs
+    rows.append({"doc_id": "e1", "text": rows[0]["text"]})
+    rows.append({"doc_id": "e2", "text": rows[1]["text"] + " tail"})
+    rows.append({"doc_id": "e3", "text": ""})
+    rows.append({"doc_id": "e4", "text": ""})
+    rows.append({"doc_id": "e5", "text": "solo"})
+    texts = {r["doc_id"]: r["text"] for r in rows}
+
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(4)
+    for tau in (0.4, 0.6, 0.8):
+        got = ngram_jaccard_join(ds, threshold=tau, k=3)
+        got_pairs = set(zip(got["a"], got["b"]))
+        ids = sorted(texts)
+        want = {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if jaccard(texts[a], texts[b], 3) >= tau
+        }
+        assert got_pairs == want, f"tau={tau}"
+        for a, b, j in zip(got["a"], got["b"], got["j"]):
+            assert abs(j - jaccard(texts[a], texts[b], 3)) < 1e-12
+
+
+def test_ngram_jaccard_join_bucket_cap_star_degrades():
+    """A degenerate corpus (every doc identical) exceeds bucket_cap and
+    degrades to O(m) star pairs instead of C(m,2)."""
+    from gocrawler_ray.stages.dedup import ngram_jaccard_join
+
+    rows = [{"doc_id": f"d{i:02d}", "text": "same text for all documents here"}
+            for i in range(20)]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    got = ngram_jaccard_join(ds, threshold=0.9, bucket_cap=4)
+    pairs = set(zip(got["a"], got["b"]))
+    # star around the min id: m-1 pairs, all touching d00
+    assert len(pairs) == 19
+    assert all(a == "d00" for a, _ in pairs)
