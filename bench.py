@@ -190,6 +190,12 @@ def run_bench() -> dict:
     timed("promo_revenue", q.q_promo_revenue)
     timed("events_profile", q.q_events_profile)
     timed("class_balanced_sample", q.q_class_balanced_sample)
+    timed("ngram_jaccard_pairs", q.q_ngram_jaccard_pairs)
+    timed("order_priority_counts", q.q_order_priority_counts)
+    timed("customer_distribution", q.q_customer_distribution)
+    timed("large_orders", q.q_large_orders)
+    timed("rich_dormant_customers", q.q_rich_dormant_customers)
+    timed("events_unpivot", q.q_events_unpivot)
 
     value = round(
         sum(v for k, v in timings.items() if not k.startswith("crawl_")), 3

@@ -2067,7 +2067,13 @@ def q_ngram_jaccard_pairs(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    out = ngram_jaccard_join(ds, col="text", id_col="doc_id", k=3, threshold=0.6)
+    # freq_order off: this corpus' shingle-df profile is FLAT (random
+    # small-vocab grams, max in-batch df 7/600 — no boilerplate skew),
+    # so the sampled df pass finds an empty hot set and costs ~2 s for
+    # nothing; on real web text (Zipfian df) it stays on. Measured both.
+    out = ngram_jaccard_join(
+        ds, col="text", id_col="doc_id", k=3, threshold=0.6, freq_order=False
+    )
     out["j"] = round_half_away(out["j"].to_numpy(), 6)
     return out
 

@@ -214,3 +214,33 @@ def test_ngram_jaccard_join_bucket_cap_star_degrades():
     # star around the min id: m-1 pairs, all touching d00
     assert len(pairs) == 19
     assert all(a == "d00" for a, _ in pairs)
+
+
+def test_ngram_jaccard_join_freq_order_exact_on_skewed_corpus():
+    """Boilerplate-heavy corpus: every doc shares a long footer (hot
+    shingles), uniqueness lives in a short head. freq_order=True must
+    find the hot set, reorder prefixes, and STILL equal brute force."""
+    from gocrawler_ray.stages.dedup import _sample_hot_shingles, ngram_jaccard_join
+
+    footer = " ".join(f"boiler plate footer token{i % 5}" for i in range(12))
+    rows = []
+    for i in range(32):
+        rows.append({"doc_id": f"d{i:03d}", "text": f"unique head {i} alpha {i*3} " + footer})
+    rows.append({"doc_id": "e1", "text": rows[0]["text"]})  # exact dup
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(2)
+
+    hot = _sample_hot_shingles(ds, "text", 3, mod=1, hot_min=4)
+    assert hot.size > 0  # the footer shingles ARE detected as hot
+
+    for fo in (True, False):
+        got = ngram_jaccard_join(ds, threshold=0.5, k=3, freq_order=fo)
+        got_pairs = set(zip(got["a"], got["b"]))
+        ids = sorted(texts)
+        want = {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if jaccard(texts[a], texts[b], 3) >= 0.5
+        }
+        assert got_pairs == want, f"freq_order={fo}"
