@@ -130,6 +130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_orders": q.q_large_orders,
         "rich_dormant_customers": q.q_rich_dormant_customers,
         "events_unpivot": q.q_events_unpivot,
+        "dup_cluster_sizes": q.q_dup_cluster_sizes,
+        "top_bigrams": q.q_top_bigrams,
     }
 
 
@@ -207,7 +209,7 @@ def oracle_sql() -> dict[str, str]:
         f"WHEN '{s}' THEN {sample_bound(r)}"
         for s, r in sorted(STRATIFIED_RATES.items())
     )
-    return {
+    out = {
         "crawl_bfs": _BFS_CTE + """
 SELECT node AS doc_id, CAST(MIN(depth) AS INTEGER) AS depth
 FROM r GROUP BY node ORDER BY doc_id
@@ -1135,3 +1137,21 @@ UNION ALL
 SELECT event_id, 'epoch_us', CAST(epoch_us(ts) AS DOUBLE) FROM events
 """,
     }
+    # derived: cluster-size histogram over the SAME component fixpoint
+    out["dup_cluster_sizes"] = (
+        "SELECT size, count(*) AS n_clusters FROM ("
+        "SELECT label, count(*) AS size FROM ("
+        + out["connected_components"]
+        + ") GROUP BY label) GROUP BY size ORDER BY size"
+    )
+    out["top_bigrams"] = r"""
+WITH words AS (
+  SELECT regexp_extract_all(lower(text), '\w+') AS ws FROM documents),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i+1])) AS bigram
+  FROM words WHERE len(ws) >= 2)
+SELECT bigram, count(*) AS n FROM bg
+GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+"""
+    return out

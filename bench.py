@@ -196,6 +196,8 @@ def run_bench() -> dict:
     timed("large_orders", q.q_large_orders)
     timed("rich_dormant_customers", q.q_rich_dormant_customers)
     timed("events_unpivot", q.q_events_unpivot)
+    timed("dup_cluster_sizes", q.q_dup_cluster_sizes)
+    timed("top_bigrams", q.q_top_bigrams)
 
     value = round(
         sum(v for k, v in timings.items() if not k.startswith("crawl_")), 3

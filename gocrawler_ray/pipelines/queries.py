@@ -2279,3 +2279,97 @@ def q_events_unpivot(sf_dir: str):
         )
 
     return ev.map_batches(melt, batch_format="pyarrow")
+
+
+def q_dup_cluster_sizes(sf_dir: str):
+    """Dup-cluster size histogram — the dedup QA aggregate (how much of
+    the corpus is duplicated, at what multiplicity): distributed
+    connected components over the verified near-dup edges, a label-keyed
+    distributed count (labels grow with the corpus), then a bounded
+    size-histogram combine (distinct sizes ≤ max cluster size)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.dedup import components_minlabel, minhash_lsh_dedup
+
+    ds = _near_dup_docs(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.string()),
+                "text": t.column("text"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    _, edges = minhash_lsh_dedup(
+        ds, col="text", id_col="doc_id", threshold=0.6, num_perm=128, bands=64
+    )
+    labels = components_minlabel(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([a for a, _ in edges], pa.string()),
+                    "b": pa.array([b for _, b in edges], pa.string()),
+                }
+            )
+        ),
+        num_partitions=4,
+    )
+    counts = labels.groupby("label").aggregate(Count(alias_name="size"))
+
+    def hist(t: pa.Table) -> pd.DataFrame:
+        s = t.column("size").to_pandas().astype(np.int64)
+        vc = s.value_counts()
+        return pd.DataFrame(
+            {"size": vc.index.to_numpy(np.int64),
+             "n_clusters": vc.to_numpy(np.int64)}
+        )
+
+    out = _combine_partials(
+        counts.map_batches(hist, batch_format="pyarrow"), ["size"], ["n_clusters"]
+    )
+    out["n_clusters"] = out["n_clusters"].astype(np.int64)
+    return out.sort_values("size").reset_index(drop=True)
+
+
+def q_top_bigrams(sf_dir: str):
+    """Corpus-wide top-20 word bigrams (count desc, bigram asc) — the
+    n-gram LM / boilerplate-detection primitive. Per-batch vectorized
+    bigram counts shuffle a vocabulary-sized partial stream into a
+    distributed sum; the top-k is per-block partial top-k merged on the
+    driver (blocks × k rows), never a full sort."""
+    docs = _pq(sf_dir, "documents", columns=["text"], num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        texts = t.column("text").to_pandas().fillna("")
+        toks = texts.str.lower().str.findall(r"\w+")
+        flat_l: list = []
+        for ws in toks:
+            flat_l.extend(
+                ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1)
+            )
+        if not flat_l:
+            return pd.DataFrame({"bigram": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        vc = pd.Series(flat_l, dtype=object).value_counts()
+        return pd.DataFrame({"bigram": vc.index.to_numpy(dtype=object),
+                             "n": vc.to_numpy(np.int64)})
+
+    summed = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .sum("n")
+    )
+
+    def block_topk(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "bigram": t.column("bigram").to_pandas().astype(object),
+                "n": t.column("sum(n)").to_pandas().astype(np.int64),
+            }
+        )
+        return df.sort_values(["n", "bigram"], ascending=[False, True]).head(20)
+
+    parts = summed.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    out = parts.sort_values(["n", "bigram"], ascending=[False, True]).head(20)
+    out["n"] = out["n"].astype(np.int64)
+    return out.reset_index(drop=True)
