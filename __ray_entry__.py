@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_unpivot": q.q_events_unpivot,
         "dup_cluster_sizes": q.q_dup_cluster_sizes,
         "top_bigrams": q.q_top_bigrams,
+        "daily_new_users": q.q_daily_new_users,
     }
 
 
@@ -1153,5 +1154,19 @@ bg AS (
   FROM words WHERE len(ws) >= 2)
 SELECT bigram, count(*) AS n FROM bg
 GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+"""
+    # first-touch attribution: per-user min day -> daily new users ->
+    # cumulative total (epoch-day ints so no date formatting crosses
+    # the hash gate)
+    out["daily_new_users"] = """
+SELECT day, n_new,
+       CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM (
+  SELECT day, count(*) AS n_new FROM (
+    SELECT user_id,
+           min(CAST(epoch_us(ts) // 86400000000 AS BIGINT)) AS day
+    FROM events GROUP BY user_id)
+  GROUP BY day)
+ORDER BY day
 """
     return out

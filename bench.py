@@ -198,6 +198,7 @@ def run_bench() -> dict:
     timed("events_unpivot", q.q_events_unpivot)
     timed("dup_cluster_sizes", q.q_dup_cluster_sizes)
     timed("top_bigrams", q.q_top_bigrams)
+    timed("daily_new_users", q.q_daily_new_users)
 
     value = round(
         sum(v for k, v in timings.items() if not k.startswith("crawl_")), 3

@@ -2421,3 +2421,44 @@ def q_top_bigrams(sf_dir: str):
     out = combined.sort_values(["n", "bigram"], ascending=[False, True]).head(20)
     out["n"] = out["n"].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+def q_daily_new_users(sf_dir: str):
+    """First-touch attribution (retention-cohort prep): per-user
+    first-seen day, per-day new-user counts, cumulative user total.
+
+    ONE hash-bucket shuffle co-locates each user's events; the in-bucket
+    kernel takes a segmented per-user min day and emits per-day count
+    partials — each user counted exactly once globally because a user's
+    rows never straddle buckets. The per-day stream is clock-bounded
+    (days × buckets rows even at 100 TB), so the histogram combine and
+    the cumulative sum run on the driver."""
+    from ..stages.temporal import _with_bucket
+
+    ev = _pq(sf_dir, "events", columns=["user_id", "ts"], num_blocks=_n_cpus())
+
+    def kernel(g: pd.DataFrame) -> pa.Table:
+        day = (
+            g["ts"].astype("int64").to_numpy() // 86_400_000_000
+        ).astype(np.int64)
+        first = pd.DataFrame(
+            {"user_id": g["user_id"].to_numpy(), "day": day}
+        ).groupby("user_id", as_index=False)["day"].min()
+        vc = first["day"].value_counts()
+        return pa.table(
+            {
+                "day": pa.array(vc.index.to_numpy(np.int64)),
+                "n_new": pa.array(vc.to_numpy(np.int64)),
+            }
+        )
+
+    partials = (
+        _with_bucket(ev, "user_id", 32)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )
+    out = _combine_partials(partials, ["day"], ["n_new"])
+    out = out.sort_values("day").reset_index(drop=True)
+    out["n_new"] = out["n_new"].astype(np.int64)
+    out["cum_users"] = out["n_new"].cumsum().astype(np.int64)
+    return out
