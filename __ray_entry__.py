@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_cluster_sizes": q.q_dup_cluster_sizes,
         "top_bigrams": q.q_top_bigrams,
         "daily_new_users": q.q_daily_new_users,
+        "grouped_corr": q.q_grouped_corr,
     }
 
 
@@ -1168,5 +1169,13 @@ FROM (
     FROM events GROUP BY user_id)
   GROUP BY day)
 ORDER BY day
+"""
+    # mergeable second-moment aggregate; corr is normalization-invariant
+    # so the sufficient-statistics formula matches corr() at round-6
+    out["grouped_corr"] = """
+SELECT event_type, count(*) AS n,
+       round(corr(value,
+                  CAST(epoch_us(ts) % 86400000000 AS DOUBLE)), 6) AS corr_vh
+FROM events GROUP BY event_type ORDER BY event_type
 """
     return out

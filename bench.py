@@ -199,6 +199,7 @@ def run_bench() -> dict:
     timed("dup_cluster_sizes", q.q_dup_cluster_sizes)
     timed("top_bigrams", q.q_top_bigrams)
     timed("daily_new_users", q.q_daily_new_users)
+    timed("grouped_corr", q.q_grouped_corr)
 
     value = round(
         sum(v for k, v in timings.items() if not k.startswith("crawl_")), 3

