@@ -134,6 +134,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": q.q_top_bigrams,
         "daily_new_users": q.q_daily_new_users,
         "grouped_corr": q.q_grouped_corr,
+        "retention_cohorts": q.q_retention_cohorts,
+        "winsorized_stats": q.q_winsorized_stats,
+        "rolling_active_users": q.q_rolling_active_users,
     }
 
 
@@ -1177,5 +1180,42 @@ SELECT event_type, count(*) AS n,
        round(corr(value,
                   CAST(epoch_us(ts) % 86400000000 AS DOUBLE)), 6) AS corr_vh
 FROM events GROUP BY event_type ORDER BY event_type
+"""
+    # cohort retention: distinct users active at week-offset w from
+    # their first-touch day (epoch-day ints)
+    out["retention_cohorts"] = """
+WITH f AS (SELECT user_id,
+           min(CAST(epoch_us(ts) // 86400000000 AS BIGINT)) AS cohort
+           FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT e.user_id, f.cohort,
+      (CAST(epoch_us(e.ts) // 86400000000 AS BIGINT) - f.cohort) // 7
+        AS week_offset
+      FROM events e JOIN f USING (user_id))
+SELECT cohort, week_offset, count(*) AS n_users
+FROM a GROUP BY cohort, week_offset ORDER BY cohort, week_offset
+"""
+    # winsorized mean: clip bounds rounded to 6 BEFORE clipping on both
+    # sides so clip decisions are hash-identical
+    out["winsorized_stats"] = """
+WITH q AS (SELECT event_type,
+        round(quantile_cont(value, 0.05), 6) AS p05,
+        round(quantile_cont(value, 0.95), 6) AS p95
+        FROM events GROUP BY event_type)
+SELECT e.event_type, count(*) AS n,
+       any_value(q.p05) AS p05, any_value(q.p95) AS p95,
+       round(avg(least(greatest(e.value, q.p05), q.p95)), 6)
+         AS clipped_mean
+FROM events e JOIN q USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+    # sliding 7-day distinct users per window_end day (epoch days)
+    out["rolling_active_users"] = """
+WITH d AS (SELECT DISTINCT user_id,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),
+w AS (SELECT DISTINCT user_id, unnest(range(day, day + 7)) AS win FROM d),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d)
+SELECT win AS window_end, count(*) AS active_users
+FROM w, bounds WHERE win BETWEEN lo AND hi
+GROUP BY win ORDER BY win
 """
     return out

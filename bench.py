@@ -200,6 +200,9 @@ def run_bench() -> dict:
     timed("top_bigrams", q.q_top_bigrams)
     timed("daily_new_users", q.q_daily_new_users)
     timed("grouped_corr", q.q_grouped_corr)
+    timed("retention_cohorts", q.q_retention_cohorts)
+    timed("winsorized_stats", q.q_winsorized_stats)
+    timed("rolling_active_users", q.q_rolling_active_users)
 
     value = round(
         sum(v for k, v in timings.items() if not k.startswith("crawl_")), 3

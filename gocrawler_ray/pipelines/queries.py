@@ -2505,3 +2505,124 @@ def q_grouped_corr(sf_dir: str):
             "corr_vh": round_half_away(corr, 6),
         }
     ).sort_values("event_type").reset_index(drop=True)
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Cohort-retention matrix: distinct users active in week-offset w
+    from their first-touch day. ONE hash-bucket shuffle computes the
+    first-touch AND every event's offset co-located (a user's rows never
+    straddle buckets, so the per-bucket distinct (user, cohort, offset)
+    dedup is globally exact) — no user→cohort broadcast, no self-join.
+    The (cohort × offset) partial stream is clock-bounded."""
+    from ..stages.temporal import _with_bucket
+
+    ev = _pq(sf_dir, "events", columns=["user_id", "ts"], num_blocks=_n_cpus())
+
+    def kernel(g: pd.DataFrame) -> pa.Table:
+        day = (g["ts"].astype("int64").to_numpy() // 86_400_000_000).astype(
+            np.int64
+        )
+        u = g["user_id"].to_numpy()
+        df = pd.DataFrame({"user_id": u, "day": day})
+        df["cohort"] = df.groupby("user_id")["day"].transform("min")
+        df["week_offset"] = (df["day"] - df["cohort"]) // 7
+        act = df[["user_id", "cohort", "week_offset"]].drop_duplicates()
+        out = act.groupby(["cohort", "week_offset"], as_index=False).size()
+        return pa.table(
+            {
+                "cohort": pa.array(out["cohort"].to_numpy(np.int64)),
+                "week_offset": pa.array(out["week_offset"].to_numpy(np.int64)),
+                "n_users": pa.array(out["size"].to_numpy(np.int64)),
+            }
+        )
+
+    partials = (
+        _with_bucket(ev, "user_id", 32)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )
+    out = _combine_partials(partials, ["cohort", "week_offset"], ["n_users"])
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values(["cohort", "week_offset"]).reset_index(drop=True)
+
+
+def q_winsorized_stats(sf_dir: str):
+    """Two-pass robust-stats pipeline (winsorization): exact per-class
+    p5/p95 from the quantile kernel (a class-bounded table), broadcast
+    via ray.put, then ONE stateless clip+sum pass over the stream —
+    the compute-stats → broadcast → transform pattern that replaces a
+    self-join at any scale. Bounds are rounded to 6 BEFORE clipping on
+    both sides so the clip decisions are hash-identical."""
+    from ..stages.aggregates import group_quantiles
+
+    ev = _pq(sf_dir, "events", columns=["event_type", "value"],
+             num_blocks=_n_cpus())
+    qdf = group_quantiles(ev, "event_type", "value", (0.05, 0.95)).to_pandas()
+    lo_map = dict(zip(qdf["event_type"], qdf["q5"]))
+    hi_map = dict(zip(qdf["event_type"], qdf["q95"]))
+    bref = ray.put((lo_map, hi_map))
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        lo_m, hi_m = ray.get(bref)
+        et = t.column("event_type").to_pandas()
+        v = t.column("value").to_numpy()
+        lo = et.map(lo_m).to_numpy(np.float64)
+        hi = et.map(hi_m).to_numpy(np.float64)
+        clip = np.clip(v, lo, hi)
+        return pd.DataFrame({"event_type": et, "n": np.int64(1), "s": clip}) \
+            .groupby("event_type", as_index=False).sum()
+
+    out = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"), ["event_type"], ["n", "s"]
+    )
+    out["p05"] = out["event_type"].map(lo_map)
+    out["p95"] = out["event_type"].map(hi_map)
+    out["clipped_mean"] = round_half_away(
+        out["s"].to_numpy() / out["n"].to_numpy(), 6
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out[["event_type", "n", "p05", "p95", "clipped_mean"]].sort_values(
+        "event_type"
+    ).reset_index(drop=True)
+
+
+def q_rolling_active_users(sf_dir: str):
+    """Rolling 7-day active users (sliding-window DISTINCT — the
+    WAU metric): one hash-bucket shuffle co-locates each user, the
+    kernel dedups (user, day), fans each active day into the ≤7 windows
+    it covers, dedups (user, window) — exact because a user never
+    straddles buckets — and emits clock-bounded (window, count)
+    partials. Window bounds come from the partial stream itself (min
+    window = first active day, max − 6 = last), no extra pass."""
+    from ..stages.temporal import _with_bucket
+
+    ev = _pq(sf_dir, "events", columns=["user_id", "ts"], num_blocks=_n_cpus())
+
+    def kernel(g: pd.DataFrame) -> pa.Table:
+        day = (g["ts"].astype("int64").to_numpy() // 86_400_000_000).astype(
+            np.int64
+        )
+        act = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "day": day}) \
+            .drop_duplicates()
+        n = len(act)
+        win = (act["day"].to_numpy()[:, None] + np.arange(7, dtype=np.int64)).ravel()
+        usr = np.repeat(act["user_id"].to_numpy(), 7)
+        uw = pd.DataFrame({"user_id": usr, "win": win}).drop_duplicates()
+        vc = uw["win"].value_counts()
+        return pa.table(
+            {
+                "window_end": pa.array(vc.index.to_numpy(np.int64)),
+                "active_users": pa.array(vc.to_numpy(np.int64)),
+            }
+        )
+
+    partials = (
+        _with_bucket(ev, "user_id", 32)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )
+    out = _combine_partials(partials, ["window_end"], ["active_users"])
+    lo, hi = out["window_end"].min(), out["window_end"].max() - 6
+    out = out[(out["window_end"] >= lo) & (out["window_end"] <= hi)]
+    out["active_users"] = out["active_users"].astype(np.int64)
+    return out.sort_values("window_end").reset_index(drop=True)
