@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": q.q_retention_cohorts,
         "winsorized_stats": q.q_winsorized_stats,
         "rolling_active_users": q.q_rolling_active_users,
+        "lsh_topk": q.q_lsh_topk,
     }
 
 
@@ -1218,4 +1219,8 @@ SELECT win AS window_end, count(*) AS active_users
 FROM w, bounds WHERE win BETWEEN lo AND hi
 GROUP BY win ORDER BY win
 """
+    # LSH multi-probe ANN shares ivf_topk's ground truth: the same
+    # augmented table concentrates the true top-10 in the query's own
+    # bucket, so exact brute force gates both approximate indexes
+    out["lsh_topk"] = out["ivf_topk"]
     return out

@@ -203,6 +203,7 @@ def run_bench() -> dict:
     timed("retention_cohorts", q.q_retention_cohorts)
     timed("winsorized_stats", q.q_winsorized_stats)
     timed("rolling_active_users", q.q_rolling_active_users)
+    timed("lsh_topk", q.q_lsh_topk)
 
     value = round(
         sum(v for k, v in timings.items() if not k.startswith("crawl_")), 3

@@ -29,7 +29,7 @@ from ..functions.urls import md5_hex_arrow, md5_hex_many
 from ..stages.candidates import CandidateFilter
 from ..stages.dedup import MinHasher, exact_dedup, jaccard, minhash_lsh_dedup, add_simhash
 from ..stages.extract import parse_items
-from ..stages.similarity import brute_force_topk, ivf_topk
+from ..stages.similarity import brute_force_topk, ivf_topk, lsh_topk
 from ..stages.textstats import fingerprint, lang_id, text_quality, token_counts
 from .derived import derive_corpus, derived_profile, url_of
 from .crawl import run_crawl
@@ -2626,3 +2626,27 @@ def q_rolling_active_users(sf_dir: str):
     out = out[(out["window_end"] >= lo) & (out["window_end"] <= hi)]
     out["active_users"] = out["active_users"].astype(np.int64)
     return out.sort_values("window_end").reset_index(drop=True)
+
+
+def q_lsh_topk(sf_dir: str):
+    """Second ANN scale path (next to IVF): random-hyperplane LSH with
+    multi-probe (stages/similarity.py::lsh_topk) over the SAME augmented
+    table as ivf_topk. Identical copies share the query's sign pattern
+    bit-for-bit, so the probe set provably contains the true top-10 and
+    the exact brute-force SQL oracle gates the approximate index;
+    pytest guards the full-radius ≡ brute-force identity and the
+    probe-pruning behavior on raw vectors."""
+    import pyarrow.parquet as pq
+
+    emb = _augmented_embeddings(sf_dir)
+    q1 = (
+        pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+        .filter(pc.equal(pc.field("vec_id"), 1))
+    )
+    queries = {
+        "ids": np.array([1], dtype=np.int64),
+        "matrix": np.array(q1.column("embedding").to_pylist(), dtype=np.float64),
+    }
+    out = lsh_topk(emb, queries, k=10, n_planes=12, probe_radius=2, seed=5)
+    return out[["query_id", "vec_id", "cos"]].reset_index(drop=True)

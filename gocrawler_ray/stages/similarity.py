@@ -263,3 +263,89 @@ def ivf_topk(
 
     pruned = ds.map_batches(in_probed, batch_format="pyarrow")
     return brute_force_topk(pruned, queries, k, id_col, emb_col)
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (random-hyperplane signs + multi-probe)
+# ---------------------------------------------------------------------------
+
+def _lsh_code(emb: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-bit bucket code per row: bit j = (v · r_j > 0)."""
+    bits = emb @ planes > 0.0
+    weights = (np.int64(1) << np.arange(planes.shape[1], dtype=np.int64))
+    return (bits * weights).sum(axis=1).astype(np.int64)
+
+
+def _probe_codes(code: int, n_planes: int, radius: int) -> np.ndarray:
+    """All bucket codes within hamming ``radius`` of ``code``
+    (multi-probe): Σ_{i≤r} C(n_planes, i) codes — 79 for 12 planes at
+    r=2, independent of corpus size."""
+    from itertools import combinations
+
+    out = [code]
+    for r in range(1, radius + 1):
+        for flips in combinations(range(n_planes), r):
+            m = 0
+            for f in flips:
+                m |= 1 << f
+            out.append(code ^ m)
+    return np.unique(np.array(out, dtype=np.int64))
+
+
+def lsh_topk(
+    ds: rd.Dataset,
+    queries: dict,
+    k: int = 10,
+    n_planes: int = 12,
+    probe_radius: int = 2,
+    seed: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pd.DataFrame:
+    """ANN via random-hyperplane LSH with multi-probe — the
+    second scale path next to IVF (`ivf_topk`): vectors bucket by the
+    sign pattern of ``n_planes`` seeded projections; a query scans only
+    rows whose code lies within hamming ``probe_radius`` of its own.
+
+    Scale posture: the code is a partition key exactly like IVF's
+    cluster id — at corpus scale vectors persist partitioned by code
+    (``write_partitioned``) and a probe is a pruned READ of
+    Σ C(planes, ≤r) directories; in-stream here the probe set prunes
+    each batch with one vectorized ``isin`` before the matmul. Recall
+    follows the hyperplane collision bound P[bit equal] = 1 − θ/π per
+    plane; at full radius the filter passes everything and the result
+    equals brute force by construction (pytest guards that identity)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    q = queries["matrix"].astype(np.float64)
+    q_code = int(_lsh_code(q, planes)[0])
+    probe = _probe_codes(q_code, n_planes, probe_radius)
+
+    planes_ref = ray.put(planes)
+    probe_ref = ray.put(probe)
+    q_ref = ray.put(queries)
+
+    class _Probe:
+        def __init__(self):
+            self.planes = ray.get(planes_ref)
+            self.probe = ray.get(probe_ref)
+            self.inner = BruteForceTopK(q_ref, k, id_col, emb_col)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return self.inner(t)
+            emb = _emb_matrix(t, emb_col)
+            codes = _lsh_code(emb, self.planes)
+            keep = np.isin(codes, self.probe)
+            return self.inner(t.filter(pa.array(keep)))
+
+    parts = ds.map_batches(
+        _Probe, batch_format="pyarrow", concurrency=(1, 4)
+    ).to_pandas()
+    out = (
+        parts.sort_values(["cos", id_col], ascending=[False, True])
+        .groupby("query_id", as_index=False, group_keys=False)
+        .head(k)
+    )
+    return out.reset_index(drop=True)

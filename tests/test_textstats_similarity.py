@@ -183,3 +183,60 @@ def test_synth_media_batch_matches_table_builder():
     metas = vid.column("meta").to_pylist()
     assert [m["duration_ms"] for m in metas] == [10 * len(t) for t in texts]
     assert all(m["media_type"] == "video" and m["format"] == "mp4" for m in metas)
+
+
+def test_lsh_topk_full_radius_equals_bruteforce():
+    """At probe_radius = n_planes the LSH filter passes every row, so
+    the result must EQUAL exact brute force on raw (unclustered)
+    vectors — the algebraic identity that anchors the approximate op."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gocrawler_ray.stages.similarity import brute_force_topk, lsh_topk
+
+    import pyarrow as pa
+
+    rng = np.random.default_rng(3)
+    emb = rng.standard_normal((200, 16))
+    tbl = pa.table({"vec_id": pa.array(np.arange(200, dtype=np.int64)),
+                    "embedding": pa.array([list(r) for r in emb],
+                                          pa.list_(pa.float64()))})
+    ds = rd.from_arrow(tbl).repartition(4)
+    queries = {"ids": np.array([7], dtype=np.int64),
+               "matrix": emb[7:8].copy()}
+    exact = brute_force_topk(ds, queries, k=10)
+    approx = lsh_topk(ds, queries, k=10, n_planes=8, probe_radius=8,
+                      seed=5, dim=16)
+    pd.testing.assert_frame_equal(
+        exact[["query_id", "vec_id", "cos"]].reset_index(drop=True),
+        approx[["query_id", "vec_id", "cos"]].reset_index(drop=True),
+    )
+
+
+def test_lsh_topk_probe_prunes_but_keeps_duplicate_cluster():
+    """radius 0: only the query's own bucket is scanned — identical
+    copies (same sign pattern by construction) must all be found, and
+    the result set must be a subset of the corpus the probe admits."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gocrawler_ray.stages.similarity import lsh_topk
+
+    import pyarrow as pa
+
+    rng = np.random.default_rng(4)
+    emb = rng.standard_normal((100, 16))
+    emb[50:60] = emb[0]  # 10 exact copies of vec 0
+    tbl = pa.table({"vec_id": pa.array(np.arange(100, dtype=np.int64)),
+                    "embedding": pa.array([list(r) for r in emb],
+                                          pa.list_(pa.float64()))})
+    ds = rd.from_arrow(tbl).repartition(4)
+    queries = {"ids": np.array([0], dtype=np.int64),
+               "matrix": emb[0:1].copy()}
+    out = lsh_topk(ds, queries, k=11, n_planes=8, probe_radius=0,
+                   seed=5, dim=16)
+    got = set(out["vec_id"])
+    assert {0, *range(50, 60)} <= got  # every exact copy found
+    assert (out["cos"][: 11][out["vec_id"].isin({0, *range(50, 60)})] == 1.0).all()
