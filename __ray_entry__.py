@@ -138,6 +138,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_stats": q.q_winsorized_stats,
         "rolling_active_users": q.q_rolling_active_users,
         "lsh_topk": q.q_lsh_topk,
+        "decontaminate": q.q_decontaminate,
+        "unigram_logprob": q.q_unigram_logprob,
+        "forecast_revenue": q.q_forecast_revenue,
+        "small_qty_parts": q.q_small_qty_parts,
+        "shipping_priority": q.q_shipping_priority,
     }
 
 
@@ -1223,4 +1228,69 @@ GROUP BY win ORDER BY win
     # augmented table concentrates the true top-10 in the query's own
     # bucket, so exact brute force gates both approximate indexes
     out["lsh_topk"] = out["ivf_topk"]
+    # benchmark 3-gram decontamination: docs with doc_id % 97 == 0 stand
+    # in for the eval benchmark; a corpus doc is contaminated if it
+    # shares ANY word 3-gram with the benchmark set
+    out["decontaminate"] = """
+WITH words AS (
+  SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, source, array_to_string(list_slice(w, i, i + 2), ' ') AS g
+  FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+flags AS (
+  SELECT d.doc_id, d.source,
+         CASE WHEN EXISTS (SELECT 1 FROM grams g JOIN bench b ON g.g = b.g
+                           WHERE g.doc_id = d.doc_id) THEN 1 ELSE 0 END AS hit
+  FROM documents d WHERE d.doc_id % 97 <> 0
+)
+SELECT source, count(*) AS n_docs, CAST(sum(hit) AS BIGINT) AS n_contaminated
+FROM flags GROUP BY source ORDER BY source
+"""
+    out["unigram_logprob"] = """
+WITH words AS (
+  SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS w FROM documents
+),
+counts AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+tot AS (SELECT sum(c) AS t FROM counts)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(log2(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))), 6) AS avg_logprob
+FROM words JOIN counts USING (w), tot
+GROUP BY doc_id ORDER BY doc_id
+"""
+    out["forecast_revenue"] = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.04 AND 0.08
+  AND l_quantity < 24
+"""
+    out["small_qty_parts"] = """
+WITH avg_q AS (
+  SELECT l_partkey AS pk, avg(l_quantity) AS aq
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#4' GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*) AS n_lines
+FROM lineitem JOIN avg_q ON l_partkey = pk
+WHERE l_quantity < 0.5 * aq
+"""
+    out["shipping_priority"] = """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
     return out

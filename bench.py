@@ -204,6 +204,11 @@ def run_bench() -> dict:
     timed("winsorized_stats", q.q_winsorized_stats)
     timed("rolling_active_users", q.q_rolling_active_users)
     timed("lsh_topk", q.q_lsh_topk)
+    timed("decontaminate", q.q_decontaminate)
+    timed("unigram_logprob", q.q_unigram_logprob)
+    timed("forecast_revenue", q.q_forecast_revenue)
+    timed("small_qty_parts", q.q_small_qty_parts)
+    timed("shipping_priority", q.q_shipping_priority)
 
     value = round(
         sum(v for k, v in timings.items() if not k.startswith("crawl_")), 3

@@ -2650,3 +2650,319 @@ def q_lsh_topk(sf_dir: str):
     }
     out = lsh_topk(emb, queries, k=10, n_planes=12, probe_radius=2, seed=5)
     return out[["query_id", "vec_id", "cos"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# training-data hygiene: benchmark decontamination + corpus-LM scoring
+# ---------------------------------------------------------------------------
+
+
+def _flat_tokens(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Whitespace-tokenize a batch into ONE flat object array plus the
+    per-row doc index of every token — the layout every downstream
+    n-gram / lookup kernel wants (shifted concats, searchsorted,
+    reduceat) with zero per-row Python past the split itself."""
+    toks = texts.fillna("").str.split()
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    flat = toks.explode().dropna().to_numpy(dtype=object)
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    return flat, doc_idx
+
+
+def _word_ngrams(flat: np.ndarray, doc_idx: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Word n-grams over the flat token layout: pandas shifted string
+    concat (C kernels), masked to positions where the window stays
+    inside one document. Returns (grams, gram_doc_idx)."""
+    if len(flat) < n:
+        return np.empty(0, dtype=object), np.empty(0, dtype=np.int64)
+    g = pd.Series(flat[: len(flat) - n + 1], dtype=object)
+    for j in range(1, n):
+        g = g + " " + pd.Series(flat[j : len(flat) - n + 1 + j], dtype=object)
+    valid = doc_idx[: len(flat) - n + 1] == doc_idx[n - 1 :]
+    return g.to_numpy(dtype=object)[valid], doc_idx[: len(flat) - n + 1][valid]
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark n-gram decontamination — the training-data hygiene pass
+    (flag corpus docs sharing any word n-gram with an eval benchmark;
+    the GPT-3/PaLM 8-13-gram rule, n=3 here so the small-vocab synthetic
+    corpus produces a non-degenerate hit rate).
+
+    Scale shape: the benchmark side is TINY by definition (eval sets,
+    not corpora), so its distinct-gram set broadcasts once via ray.put
+    and the 100 TB corpus is scanned exactly ONCE, map-only — gram
+    construction is vectorized shifted-concat, membership is np.isin
+    against the sorted broadcast array, and the per-source flag counts
+    are bounded partials combined on the driver."""
+    n = 3
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "source", "text"],
+               num_blocks=_n_cpus())
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        mask = ids % 97 == 0
+        if not mask.any():
+            return pa.table({"g": pa.array([], type=pa.string())})
+        texts = t.column("text").to_pandas()[mask].reset_index(drop=True)
+        flat, di = _flat_tokens(texts)
+        grams, _ = _word_ngrams(flat, di, n)
+        return pa.table({"g": pa.array(pd.unique(grams), type=pa.string())})
+
+    bench = np.unique(
+        np.concatenate(
+            [b["g"].to_numpy(dtype=object) for b in
+             docs.map_batches(bench_grams, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pandas")]
+            or [np.empty(0, dtype=object)]
+        )
+    )
+    bench_ref = ray.put(bench)
+
+    def flag_partial(t: pa.Table) -> pd.DataFrame:
+        bg = ray.get(bench_ref)
+        ids = t.column("doc_id").to_numpy()
+        keep = ids % 97 != 0  # benchmark docs are not corpus candidates
+        texts = t.column("text").to_pandas()[keep].reset_index(drop=True)
+        src = t.column("source").to_pandas()[keep].reset_index(drop=True)
+        flat, di = _flat_tokens(texts)
+        grams, gdi = _word_ngrams(flat, di, n)
+        hit = np.zeros(len(texts), dtype=bool)
+        hit[np.unique(gdi[np.isin(grams, bg)])] = True
+        out = pd.DataFrame({"source": src, "hit": hit.astype(np.int64)})
+        agg = out.groupby("source", as_index=False).agg(
+            n_docs=("hit", "size"), n_contaminated=("hit", "sum")
+        )
+        return agg
+
+    partials = docs.map_batches(flag_partial, batch_format="pyarrow")
+    out = _combine_partials(partials, ["source"], ["n_docs", "n_contaminated"])
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_contaminated"] = out["n_contaminated"].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def q_unigram_logprob(sf_dir: str):
+    """Corpus-LM quality score: per-document mean log2 probability of
+    its tokens under the corpus unigram model — the classic cheap
+    perplexity filter for training-data curation.
+
+    Two passes, zero shuffles: (1) vocabulary counts as per-batch
+    partials combined on the driver (Heaps' law keeps even a 100 TB
+    corpus's vocabulary in the low millions — the broadcast IS the
+    algorithm, the cap + distributed-compaction fallback guards
+    pathology); (2) a map-only scoring scan — searchsorted lookup into
+    the broadcast (word -> log2 p) arrays, segmented reduceat mean."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"],
+               num_blocks=_n_cpus())
+
+    def count_partial(t: pa.Table) -> pd.DataFrame:
+        flat, _ = _flat_tokens(t.column("text").to_pandas())
+        if len(flat) == 0:
+            return pd.DataFrame({"w": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype=np.int64)})
+        vc = pd.Series(flat, dtype=object).value_counts()
+        return pd.DataFrame({"w": vc.index.to_numpy(dtype=object),
+                             "c": vc.to_numpy(np.int64)})
+
+    partials = docs.map_batches(count_partial, batch_format="pyarrow")
+    vocab = _combine_partials(partials, ["w"], ["c"], cap=2_000_000)
+    if vocab is None:  # pragma: no cover - vocab past the broadcast cap
+        summed = partials.groupby("w").sum("c")
+        vocab = summed.to_pandas().rename(columns={"sum(c)": "c"})
+    vocab = vocab.sort_values("w").reset_index(drop=True)
+    total = float(vocab["c"].sum())
+    lm_ref = ray.put(
+        (vocab["w"].to_numpy(dtype=object),
+         np.log2(vocab["c"].to_numpy(np.float64) / total))
+    )
+
+    def score(t: pa.Table) -> pd.DataFrame:
+        words, logp = ray.get(lm_ref)
+        texts = t.column("text").to_pandas()
+        flat, di = _flat_tokens(texts)
+        lens = np.bincount(di, minlength=len(texts)).astype(np.int64)
+        vals = logp[np.searchsorted(words, flat)]
+        starts = np.zeros(len(texts), dtype=np.int64)
+        starts[1:] = np.cumsum(lens)[:-1]
+        nz = lens > 0
+        sums = np.zeros(len(texts))
+        sums[nz] = np.add.reduceat(vals, starts[nz]) if nz.any() else 0.0
+        avg = np.where(nz, sums / np.maximum(lens, 1), np.nan)
+        return pd.DataFrame(
+            {
+                "doc_id": t.column("doc_id").to_numpy()[nz],
+                "n_tokens": lens[nz],
+                "avg_logprob": round_half_away(avg[nz], 6),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 / Q17 / Q3 shapes
+# ---------------------------------------------------------------------------
+
+
+def q_forecast_revenue(sf_dir: str):
+    """Range-filter aggregation (TPC-H Q6 shape): revenue delta from a
+    discount band in one ship-year. Map-only — pyarrow-compute filters
+    inside the pruned scan, two scalar partials per block, driver sum.
+    The canonical 'prune at the read' query: 4 of 11 columns leave
+    storage and nothing shuffles at any scale."""
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_shipdate", "l_discount", "l_quantity",
+                      "l_extendedprice"],
+             num_blocks=_n_cpus())
+    lo = np.datetime64("1996-01-01").astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64("1997-01-01").astype("datetime64[us]").astype(np.int64)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ship = t.column("l_shipdate").cast(pa.timestamp("us")).to_numpy().astype(np.int64)
+        disc = t.column("l_discount").to_numpy()
+        qty = t.column("l_quantity").to_numpy()
+        price = t.column("l_extendedprice").to_numpy()
+        m = (ship >= lo) & (ship < hi) & (disc >= 0.04) & (disc <= 0.08) & (qty < 24.0)
+        return pd.DataFrame({"k": [0], "revenue": [float((price[m] * disc[m]).sum())],
+                             "n_lines": [int(m.sum())]})
+
+    out = _combine_partials(
+        li.map_batches(partial, batch_format="pyarrow"), ["k"],
+        ["revenue", "n_lines"],
+    )
+    return pd.DataFrame(
+        {
+            "revenue": round_half_away(out["revenue"].to_numpy(), 2),
+            "n_lines": out["n_lines"].astype(np.int64),
+        }
+    )
+
+
+def q_small_qty_parts(sf_dir: str):
+    """Correlated-average filter (TPC-H Q17 shape): revenue loss from
+    lines ordering under half a part's average quantity, one brand.
+
+    The brand prunes the part side to a broadcastable key set, so the
+    correlated subquery is two map-only lineitem scans: (1) per-part
+    (sum, count) partials -> driver combine (bounded by the brand's part
+    count) -> broadcast thresholds; (2) threshold filter + scalar
+    partials. Quantities are small integers, so sum/count averages are
+    FP-exact and the comparison cannot flip between engines."""
+    parts = _pq(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    keys = np.sort(
+        np.concatenate(
+            [b["p_partkey"].to_numpy()
+             for b in parts.filter(expr="p_brand == 'Brand#4'")
+             .iter_batches(batch_size=65536, batch_format="pandas")]
+            or [np.empty(0, dtype=np.int64)]
+        )
+    )
+    keys_ref = ray.put(keys)
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    li = _pq(sf_dir, "lineitem", columns=li_cols, num_blocks=_n_cpus())
+
+    def avg_partial(t: pa.Table) -> pd.DataFrame:
+        ks = ray.get(keys_ref)
+        pk = t.column("l_partkey").to_numpy()
+        m = np.isin(pk, ks)
+        df = pd.DataFrame({"l_partkey": pk[m],
+                           "qty": t.column("l_quantity").to_numpy()[m]})
+        agg = df.groupby("l_partkey", as_index=False).agg(
+            s=("qty", "sum"), n=("qty", "size")
+        )
+        return agg
+
+    stats = _combine_partials(
+        li.map_batches(avg_partial, batch_format="pyarrow"),
+        ["l_partkey"], ["s", "n"],
+    ).sort_values("l_partkey")
+    thr_ref = ray.put(
+        (stats["l_partkey"].to_numpy(),
+         0.5 * stats["s"].to_numpy(np.float64) / stats["n"].to_numpy(np.float64))
+    )
+
+    def rev_partial(t: pa.Table) -> pd.DataFrame:
+        tk, thr = ray.get(thr_ref)
+        pk = t.column("l_partkey").to_numpy()
+        m = np.isin(pk, tk)
+        qty = t.column("l_quantity").to_numpy()[m]
+        price = t.column("l_extendedprice").to_numpy()[m]
+        under = qty < thr[np.searchsorted(tk, pk[m])]
+        return pd.DataFrame({"k": [0], "rev": [float(price[under].sum())],
+                             "n_lines": [int(under.sum())]})
+
+    out = _combine_partials(
+        li.map_batches(rev_partial, batch_format="pyarrow"), ["k"],
+        ["rev", "n_lines"],
+    )
+    return pd.DataFrame(
+        {
+            "avg_yearly": round_half_away(out["rev"].to_numpy() / 7.0, 2),
+            "n_lines": out["n_lines"].astype(np.int64),
+        }
+    )
+
+
+def q_shipping_priority(sf_dir: str):
+    """Unshipped-order revenue top-10 (TPC-H Q3 shape): 3-table join
+    through Ray's native hash joins (customer semi -> orders -> lineitem)
+    with date pushdown at every read, then ONE hash-bucket shuffle for
+    complete per-order revenue (an order's lines never straddle buckets)
+    and per-bucket top-10 partials merged on the driver — never a global
+    sort."""
+    from ..stages.temporal import _with_bucket
+
+    cut = pd.Timestamp("1998-06-01")
+    parts = _shuffle_partitions(
+        _row_count(sf_dir, "orders"), _row_count(sf_dir, "lineitem")
+    )
+    bldg = (
+        _pq(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"],
+            num_blocks=parts)
+        .filter(expr="c_mktsegment == 'BUILDING'")
+        .select_columns(["c_custkey"])
+    )
+    orders = (
+        _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"],
+            num_blocks=parts)
+        .map_batches(
+            lambda t: t.filter(pc.less(t.column("o_orderdate"),
+                                       pa.scalar(cut, type=pa.timestamp("us")))),
+            batch_format="pyarrow")
+        .join(bldg, join_type="left_semi", num_partitions=parts,
+              on=("o_custkey",), right_on=("c_custkey",))
+        .select_columns(["o_orderkey", "o_orderdate"])
+    )
+    li = (
+        _pq(sf_dir, "lineitem",
+            columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+            num_blocks=parts)
+        .map_batches(
+            lambda t: t.filter(pc.greater(t.column("l_shipdate"),
+                                          pa.scalar(cut, type=pa.timestamp("us")))),
+            batch_format="pyarrow")
+        .select_columns(["l_orderkey", "l_extendedprice", "l_discount"])
+    )
+    joined = li.join(orders, join_type="inner", num_partitions=parts,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(rev=g["l_extendedprice"].to_numpy()
+                     * (1.0 - g["l_discount"].to_numpy()))
+        s = g.groupby(["l_orderkey", "o_orderdate"], as_index=False)["rev"].sum()
+        s["revenue"] = round_half_away(s["rev"].to_numpy(), 2)
+        return s.sort_values(
+            ["revenue", "l_orderkey"], ascending=[False, True]
+        ).head(10)[["l_orderkey", "revenue", "o_orderdate"]]
+
+    cand = (
+        _with_bucket(joined, "l_orderkey", 32)
+        .groupby("__bucket")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        cand.sort_values(["revenue", "l_orderkey"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
