@@ -143,6 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forecast_revenue": q.q_forecast_revenue,
         "small_qty_parts": q.q_small_qty_parts,
         "shipping_priority": q.q_shipping_priority,
+        "label_centroids": q.q_label_centroids,
+        "repeated_ngrams": q.q_repeated_ngrams,
     }
 
 
@@ -1279,6 +1281,28 @@ SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
        count(*) AS n_lines
 FROM lineitem JOIN avg_q ON l_partkey = pk
 WHERE l_quantity < 0.5 * aq
+"""
+    # per-label embedding centroids, long form (list<float> column math)
+    out["label_centroids"] = """
+SELECT label, i AS dim,
+       round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS centroid,
+       count(*) AS n
+FROM embeddings, UNNEST(range(len(embedding))) AS t(i)
+GROUP BY label, i ORDER BY label, dim
+"""
+    # word 5-grams occurring in >1 distinct document, counted per doc
+    out["repeated_ngrams"] = """
+WITH words AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(list_slice(w, i, i + 4), ' ') AS g
+  FROM words, UNNEST(range(1, len(w) - 3)) AS t(i)
+),
+gd AS (SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g)
+SELECT doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+FROM grams JOIN gd USING (g) GROUP BY doc_id ORDER BY doc_id
 """
     out["shipping_priority"] = """
 SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

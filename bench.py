@@ -209,6 +209,8 @@ def run_bench() -> dict:
     timed("forecast_revenue", q.q_forecast_revenue)
     timed("small_qty_parts", q.q_small_qty_parts)
     timed("shipping_priority", q.q_shipping_priority)
+    timed("label_centroids", q.q_label_centroids)
+    timed("repeated_ngrams", q.q_repeated_ngrams)
 
     value = round(
         sum(v for k, v in timings.items() if not k.startswith("crawl_")), 3

@@ -2966,3 +2966,141 @@ def q_shipping_priority(sf_dir: str):
         .head(10)
         .reset_index(drop=True)
     )
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids (the k-means / IVF-training
+    primitive: one mean vector per class over a `list<float>` column),
+    emitted long-form (label, dim, centroid, n).
+
+    Map-only + driver combine: each batch flattens its list column
+    zero-copy (Arrow values buffer -> (n, d) numpy view), sums rows per
+    label with one np.add.at, and emits (label, dim) partials — the
+    partial stream is labels x dims x blocks, bounded at any corpus
+    size, so no shuffle ever happens."""
+    emb = _pq(sf_dir, "embeddings", columns=["embedding", "label"],
+              num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        col = t.column("embedding").combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        d = len(flat) // max(t.num_rows, 1)
+        mat = flat.reshape(t.num_rows, d).astype(np.float64)
+        labels = t.column("label").to_numpy()
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), d))
+        np.add.at(sums, inv, mat)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "label": np.repeat(uniq, d).astype(np.int64),
+                "dim": np.tile(np.arange(d, dtype=np.int64), len(uniq)),
+                "s": sums.ravel(),
+                "n": np.repeat(counts, d),
+            }
+        )
+
+    out = _combine_partials(
+        emb.map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"], ["s", "n"],
+    )
+    out["centroid"] = round_half_away(
+        out["s"].to_numpy() / out["n"].to_numpy(np.float64), 6
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return (
+        out[["label", "dim", "centroid", "n"]]
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+
+
+def q_repeated_ngrams(sf_dir: str, cap: int = 5_000_000):
+    """Substring-level duplication signal (the cheap cousin of
+    suffix-array dedup from 'Deduplicating Training Data Makes Language
+    Models Better'): per document, how many of its word 5-grams occur in
+    at least one OTHER document.
+
+    Pass 1 counts distinct-docs-per-gram as per-batch partials (a doc's
+    text lives in one row, so per-batch distinct doc counts SUM exactly
+    across batches) combined under a cap; the duplicated-gram set
+    broadcasts and pass 2 is a map-only probe (np.isin + reduceat),
+    emitting one row per doc with no driver materialization. Past the
+    cap the gram counts fall back to a distributed groupby + inner join
+    against the gram stream."""
+    n = 5
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"],
+               num_blocks=_n_cpus())
+
+    def gram_doc_partial(t: pa.Table) -> pd.DataFrame:
+        flat, di = _flat_tokens(t.column("text").to_pandas())
+        grams, gdi = _word_ngrams(flat, di, n)
+        if len(grams) == 0:
+            return pd.DataFrame({"g": pd.Series([], dtype=object),
+                                 "nd": pd.Series([], dtype=np.int64)})
+        pairs = pd.DataFrame({"g": grams, "d": gdi})
+        nd = pairs.drop_duplicates().groupby("g", as_index=False).size()
+        return nd.rename(columns={"size": "nd"})
+
+    partials = docs.map_batches(gram_doc_partial, batch_format="pyarrow")
+    counts = _combine_partials(partials, ["g"], ["nd"], cap=cap)
+    if counts is None:  # gram domain past the broadcast cap
+        summed = partials.groupby("g").sum("nd")
+        dup = summed.map_batches(
+            lambda t: t.filter(pc.greater(t.column("sum(nd)"), 1))
+            .select(["g"]),
+            batch_format="pyarrow",
+        )
+
+        def gram_rows(t: pa.Table) -> pa.Table:
+            flat, di = _flat_tokens(t.column("text").to_pandas())
+            grams, gdi = _word_ngrams(flat, di, n)
+            return pa.table(
+                {
+                    "doc_id": pa.array(t.column("doc_id").to_numpy()[gdi]),
+                    "g": pa.array(grams, type=pa.string()),
+                }
+            )
+
+        grams_ds = docs.map_batches(gram_rows, batch_format="pyarrow")
+        hits = grams_ds.join(
+            dup, join_type="left_semi",
+            num_partitions=_shuffle_partitions(_row_count(sf_dir, "documents")),
+            on=("g",),
+        )
+        dup_counts = hits.groupby("doc_id").count()
+        totals = grams_ds.groupby("doc_id").count()
+        merged = totals.join(
+            dup_counts, join_type="left_outer", num_partitions=4,
+            on=("doc_id",), right_suffix="_dup",
+        ).to_pandas()
+        merged = merged.rename(
+            columns={"count()": "n_grams", "count()_dup": "n_dup"}
+        )
+        merged["n_dup"] = merged["n_dup"].fillna(0).astype(np.int64)
+        merged["n_grams"] = merged["n_grams"].astype(np.int64)
+        return merged.sort_values("doc_id").reset_index(drop=True)
+
+    dup_set = np.sort(
+        counts.loc[counts["nd"] > 1, "g"].to_numpy(dtype=object)
+    )
+    dup_ref = ray.put(dup_set)
+
+    def probe(t: pa.Table) -> pd.DataFrame:
+        dg = ray.get(dup_ref)
+        flat, di = _flat_tokens(t.column("text").to_pandas())
+        grams, gdi = _word_ngrams(flat, di, n)
+        n_rows = t.num_rows
+        n_grams = np.bincount(gdi, minlength=n_rows).astype(np.int64)
+        hit = np.isin(grams, dg)
+        n_dup = np.bincount(gdi[hit], minlength=n_rows).astype(np.int64)
+        keep = n_grams > 0  # docs shorter than n emit no gram rows in SQL
+        return pd.DataFrame(
+            {
+                "doc_id": t.column("doc_id").to_numpy()[keep],
+                "n_grams": n_grams[keep],
+                "n_dup": n_dup[keep],
+            }
+        )
+
+    return docs.map_batches(probe, batch_format="pyarrow").sort("doc_id")

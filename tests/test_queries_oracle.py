@@ -74,3 +74,15 @@ def test_rows_only_queries_run(name):
 def test_entry_smoke():
     df = _to_df(entrymod.entry())
     assert len(df) >= 0 and "name" in df.columns
+
+
+def test_repeated_ngrams_fallback_matches_broadcast_path():
+    """Past the gram-broadcast cap, the distributed groupby+semi-join
+    fallback must produce exactly the broadcast path's answer."""
+    from gocrawler_ray.pipelines import queries as q
+
+    a = _to_df(q.q_repeated_ngrams(SF_DIR))
+    b = _to_df(q.q_repeated_ngrams(SF_DIR, cap=10))
+    a = a.sort_values("doc_id").reset_index(drop=True)[sorted(a.columns)]
+    b = b.sort_values("doc_id").reset_index(drop=True)[sorted(b.columns)]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
