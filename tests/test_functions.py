@@ -256,3 +256,45 @@ def test_md5_hex_arrow_zero_copy_variants():
         hashlib.md5(x or b"").hexdigest() for x in bn.to_pylist()
     ]
     assert md5_hex_arrow(pa.array([], pa.string())) == []
+
+
+class TestFlatTokensNgrams:
+    """Vectorized flat-token/n-gram kernels vs a per-row brute force."""
+
+    def test_ngrams_match_brute_force(self):
+        import numpy as np
+        import pandas as pd
+        from hypothesis import given, settings, strategies as st
+
+        from gocrawler_ray.pipelines.queries import _flat_tokens, _word_ngrams
+
+        words = st.sampled_from(["a", "bb", "ccc", "dd", "e"])
+        texts = st.lists(
+            st.lists(words, min_size=0, max_size=8).map(" ".join),
+            min_size=0, max_size=6,
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(texts=texts, n=st.integers(min_value=1, max_value=4))
+        def check(texts, n):
+            flat, di = _flat_tokens(pd.Series(texts, dtype=object))
+            grams, gdi = _word_ngrams(flat, di, n)
+            expect = []
+            for i, t in enumerate(texts):
+                ws = t.split()
+                expect += [(" ".join(ws[j:j + n]), i)
+                           for j in range(len(ws) - n + 1)]
+            got = list(zip(grams.tolist(), gdi.tolist()))
+            assert got == expect
+
+        check()
+
+    def test_empty_and_null(self):
+        import pandas as pd
+
+        from gocrawler_ray.pipelines.queries import _flat_tokens, _word_ngrams
+
+        flat, di = _flat_tokens(pd.Series([None, "", "x y"], dtype=object))
+        assert flat.tolist() == ["x", "y"] and di.tolist() == [2, 2]
+        grams, gdi = _word_ngrams(flat, di, 2)
+        assert grams.tolist() == ["x y"] and gdi.tolist() == [2]
