@@ -145,6 +145,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": q.q_shipping_priority,
         "label_centroids": q.q_label_centroids,
         "repeated_ngrams": q.q_repeated_ngrams,
+        "nation_trade_flows": q.q_nation_trade_flows,
+        "returned_top_customers": q.q_returned_top_customers,
+        "top_supplier_revenue": q.q_top_supplier_revenue,
     }
 
 
@@ -1316,5 +1319,54 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
+"""
+    out["nation_trade_flows"] = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       count(*) AS n_lines,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2) AS revenue
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND sn.n_nationkey <> cn.n_nationkey
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+    out["returned_top_customers"] = """
+SELECT c_custkey, c_name,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2) AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+    out["top_supplier_revenue"] = """
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_rev
+FROM rev JOIN supplier USING (s_suppkey)
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+ORDER BY s_suppkey
 """
     return out

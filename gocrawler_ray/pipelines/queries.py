@@ -3104,3 +3104,229 @@ def q_repeated_ngrams(sf_dir: str, cap: int = 5_000_000):
         )
 
     return docs.map_batches(probe, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# round-3 widening II: Q7/Q10/Q15/Q16/Q19 join-aggregate shapes
+# ---------------------------------------------------------------------------
+
+def q_nation_trade_flows(sf_dir: str):
+    """TPC-H Q7-shape cross-nation trade matrix: revenue shipped between
+    every (supplier nation, customer nation) pair with supp ≠ cust, per
+    ship year, 1996-1997. Same star plan as Q5
+    (q_local_supplier_revenue): ONE lineitem ⋈ orders hash shuffle;
+    supplier→nation and customer→nation broadcast once via ray.put; the
+    driver combine is bounded by nations² × years (≤ 25·25·2), never by
+    fact rows."""
+    nation = _docs_small(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nat_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    supp = _docs_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    supp_nat = dict(zip(supp["s_suppkey"], supp["s_nationkey"]))
+    cust = _docs_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust_nat = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    dims_ref = ray.put((nat_name, supp_nat, cust_nat))
+
+    parts = _shuffle_partitions(
+        _row_count(sf_dir, "lineitem"), _row_count(sf_dir, "orders")
+    )
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                      "l_extendedprice", "l_discount"],
+             num_blocks=parts)
+
+    def in_window(t: pa.Table) -> pa.Table:
+        lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+        hi = pa.scalar(pd.Timestamp("1998-01-01"), pa.timestamp("us"))
+        m = pc.and_(pc.greater_equal(t.column("l_shipdate"), lo),
+                    pc.less(t.column("l_shipdate"), hi))
+        return t.filter(m)
+
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+                 num_blocks=parts)
+    joined = li.map_batches(in_window, batch_format="pyarrow").join(
+        orders, join_type="inner", num_partitions=parts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        nat_name_, supp_nat_, cust_nat_ = ray.get(dims_ref)
+        df = t.to_pandas()
+        sn = df["l_suppkey"].map(supp_nat_)
+        cn = df["o_custkey"].map(cust_nat_)
+        keep = sn.notna() & cn.notna() & (sn != cn)
+        df = df[keep]
+        if not len(df):
+            return pd.DataFrame({"supp_nation": [], "cust_nation": [],
+                                 "l_year": [], "n_lines": [], "revenue": []})
+        year = (
+            df["l_shipdate"].to_numpy().astype("datetime64[Y]")
+            .astype(np.int64) + 1970
+        )
+        # exact integer fixed-point (price in cents x (100 - disc pct)):
+        # float sums of ~1e6 over hundreds of lines carry ~1e-4 absolute
+        # noise -- enough to flip a cent at the .005 rounding boundary
+        # between summation orders, so the oracle gate demands int64 sums
+        rev4 = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(
+            np.int64
+        ) * (100 - np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64))
+        out = pd.DataFrame({
+            "supp_nation": sn[keep].map(nat_name_),
+            "cust_nation": cn[keep].map(nat_name_),
+            "l_year": year, "rev": rev4,
+        })
+        return out.groupby(
+            ["supp_nation", "cust_nation", "l_year"], as_index=False
+        ).agg(n_lines=("rev", "size"), revenue=("rev", "sum"))
+
+    partials = joined.map_batches(partial, batch_format="pyarrow")
+    out = _combine_partials(
+        partials, ["supp_nation", "cust_nation", "l_year"],
+        ["n_lines", "revenue"],
+    )
+    out["n_lines"] = out["n_lines"].astype(np.int64)
+    out["l_year"] = out["l_year"].astype(np.int64)
+    out["revenue"] = round_half_away(
+        out["revenue"].to_numpy(np.int64) / 10000.0, 2
+    )
+    return out.sort_values(
+        ["supp_nation", "cust_nation", "l_year"]
+    ).reset_index(drop=True)
+
+
+def q_returned_top_customers(sf_dir: str):
+    """TPC-H Q10-shape: the 20 customers losing the most revenue to
+    returned items (l_returnflag = 'R') among Q4-1996 orders. Plan: ONE
+    lineitem ⋈ (date-pruned orders) hash shuffle → per-customer revenue
+    partials (cap + distributed-groupby fallback, per-customer keys grow
+    with the data) → top-20 on the bounded combine → winner attributes
+    come from a broadcast-filtered SCAN of customer (20 keys via
+    ray.put), never a driver read of the whole dimension."""
+    parts = _shuffle_partitions(
+        _row_count(sf_dir, "lineitem"), _row_count(sf_dir, "orders")
+    )
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                      "l_discount"],
+             num_blocks=parts)
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey",
+                                            "o_orderdate"],
+                 num_blocks=parts)
+
+    def returned(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("l_returnflag"), "R"))
+
+    def in_q(t: pa.Table) -> pa.Table:
+        lo = pa.scalar(pd.Timestamp("1996-10-01"), pa.timestamp("us"))
+        hi = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
+        m = pc.and_(pc.greater_equal(t.column("o_orderdate"), lo),
+                    pc.less(t.column("o_orderdate"), hi))
+        return t.filter(m).select(["o_orderkey", "o_custkey"])
+
+    joined = li.map_batches(returned, batch_format="pyarrow").join(
+        orders.map_batches(in_q, batch_format="pyarrow"),
+        join_type="inner", num_partitions=parts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        # same exact fixed-point trick as nation_trade_flows
+        df["rev"] = np.rint(
+            df["l_extendedprice"].to_numpy() * 100
+        ).astype(np.int64) * (
+            100 - np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        )
+        return df.groupby("o_custkey", as_index=False).agg(
+            revenue=("rev", "sum")
+        )
+
+    partials = joined.map_batches(partial, batch_format="pyarrow")
+    per_cust = _combine_partials(partials, ["o_custkey"], ["revenue"],
+                                 cap=2_000_000)
+    if per_cust is None:  # pragma: no cover - >2M active-customer regime
+        from ray.data.aggregate import Sum
+
+        per_cust = (
+            partials.groupby("o_custkey")
+            .aggregate(Sum("revenue", alias_name="revenue"))
+            .to_pandas()
+        )
+    per_cust["revenue"] = round_half_away(
+        per_cust["revenue"].to_numpy(np.int64) / 10000.0, 2
+    )
+    top = per_cust.sort_values(
+        ["revenue", "o_custkey"], ascending=[False, True]
+    ).head(20).rename(columns={"o_custkey": "c_custkey"})
+
+    keys_ref = ray.put(set(int(k) for k in top["c_custkey"]))
+    nation = _docs_small(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nat_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    def pick_winners(t: pa.Table) -> pd.DataFrame:
+        keys, nat = ray.get(keys_ref), ray.get(nat_ref)
+        df = t.to_pandas()
+        df = df[df["c_custkey"].isin(keys)].copy()
+        df["n_name"] = df["c_nationkey"].map(nat)
+        return df[["c_custkey", "c_name", "c_acctbal", "n_name"]]
+
+    winners = (
+        _pq(sf_dir, "customer",
+            columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+        .map_batches(pick_winners, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = top.merge(winners, on="c_custkey", how="inner")
+    return out[["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]
+               ].sort_values(["revenue", "c_custkey"],
+                             ascending=[False, True]).reset_index(drop=True)
+
+
+def q_top_supplier_revenue(sf_dir: str):
+    """TPC-H Q15-shape: the supplier(s) with maximum Q1-1996 shipped
+    revenue (ties kept, like the view-based original). Map-only
+    per-supplier revenue partials over the date-pruned lineitem scan
+    (zero shuffles); the combine is bounded by the supplier dimension
+    (cap + distributed fallback guards the unbounded regime); winner
+    names attach from the supplier dim read."""
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                      "l_discount"],
+             num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+        hi = pa.scalar(pd.Timestamp("1996-04-01"), pa.timestamp("us"))
+        t = t.filter(pc.and_(pc.greater_equal(t.column("l_shipdate"), lo),
+                             pc.less(t.column("l_shipdate"), hi)))
+        df = t.to_pandas()
+        df["rev"] = np.rint(
+            df["l_extendedprice"].to_numpy() * 100
+        ).astype(np.int64) * (
+            100 - np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        )
+        return df.groupby("l_suppkey", as_index=False).agg(
+            total_rev=("rev", "sum")
+        )
+
+    partials = li.map_batches(partial, batch_format="pyarrow")
+    rev = _combine_partials(partials, ["l_suppkey"], ["total_rev"],
+                            cap=2_000_000)
+    if rev is None:  # pragma: no cover - >2M supplier regime
+        from ray.data.aggregate import Sum
+
+        rev = (
+            partials.groupby("l_suppkey")
+            .aggregate(Sum("total_rev", alias_name="total_rev"))
+            .to_pandas()
+        )
+    rev["total_rev"] = round_half_away(
+        rev["total_rev"].to_numpy(np.int64) / 10000.0, 2
+    )
+    rev = rev[rev["total_rev"] == rev["total_rev"].max()]
+    supp = _docs_small(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    out = rev.rename(columns={"l_suppkey": "s_suppkey"}).merge(
+        supp, on="s_suppkey", how="inner"
+    )
+    return out[["s_suppkey", "s_name", "total_rev"]].sort_values(
+        "s_suppkey"
+    ).reset_index(drop=True)
