@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_trade_flows": q.q_nation_trade_flows,
         "returned_top_customers": q.q_returned_top_customers,
         "top_supplier_revenue": q.q_top_supplier_revenue,
+        "disjunctive_revenue": q.q_disjunctive_revenue,
+        "supplier_part_variety": q.q_supplier_part_variety,
     }
 
 
@@ -1368,5 +1370,27 @@ SELECT s_suppkey, s_name, total_rev
 FROM rev JOIN supplier USING (s_suppkey)
 WHERE total_rev = (SELECT max(total_rev) FROM rev)
 ORDER BY s_suppkey
+"""
+    out["disjunctive_revenue"] = """
+SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2)
+         AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+    out["supplier_part_variety"] = """
+SELECT p_brand,
+       CAST((p_size - 1) // 10 AS BIGINT) AS size_bucket,
+       count(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13'
+GROUP BY 1, 2
+ORDER BY 1, 2
 """
     return out

@@ -3330,3 +3330,123 @@ def q_top_supplier_revenue(sf_dir: str):
     return out[["s_suppkey", "s_name", "total_rev"]].sort_values(
         "s_suppkey"
     ).reset_index(drop=True)
+
+
+def q_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19-shape OR-of-ANDs predicate: revenue from lineitems
+    matching any of three (brand, size-range, quantity-range) conjuncts.
+    part attributes broadcast once via ray.put (partkey → (brand, size))
+    so the whole query is a ZERO-shuffle map-only scan of lineitem with
+    a 1-row-per-batch partial; revenue sums in exact integer fixed-point
+    (see q_nation_trade_flows)."""
+    part = _docs_small(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    attrs_ref = ray.put((
+        pd.Series(part["p_brand"].to_numpy(), index=part["p_partkey"]),
+        pd.Series(part["p_size"].to_numpy(), index=part["p_partkey"]),
+    ))
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_partkey", "l_quantity", "l_extendedprice",
+                      "l_discount"],
+             num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        brand_s, size_s = ray.get(attrs_ref)
+        df = t.to_pandas()
+        brand = df["l_partkey"].map(brand_s)
+        size = df["l_partkey"].map(size_s)
+        qty = df["l_quantity"].to_numpy()
+        m = (
+            ((brand == "Brand#12") & size.between(1, 5)
+             & (qty >= 1) & (qty <= 11))
+            | ((brand == "Brand#23") & size.between(1, 10)
+               & (qty >= 10) & (qty <= 20))
+            | ((brand == "Brand#34") & size.between(1, 15)
+               & (qty >= 20) & (qty <= 30))
+        ).to_numpy()
+        rev4 = np.rint(df["l_extendedprice"].to_numpy()[m] * 100).astype(
+            np.int64
+        ) * (100 - np.rint(df["l_discount"].to_numpy()[m] * 100).astype(
+            np.int64
+        ))
+        return pd.DataFrame({"k": [0], "revenue": [rev4.sum()],
+                             "n_lines": [int(m.sum())]})
+
+    partials = li.map_batches(partial, batch_format="pyarrow")
+    out = _combine_partials(partials, ["k"], ["revenue", "n_lines"])
+    return pd.DataFrame({
+        "revenue": round_half_away(
+            out["revenue"].to_numpy(np.int64) / 10000.0, 2
+        ),
+        "n_lines": out["n_lines"].astype(np.int64),
+    })
+
+
+def q_supplier_part_variety(sf_dir: str):
+    """TPC-H Q16-shape supplier variety: per (p_brand, size decade),
+    how many DISTINCT suppliers shipped such parts (one brand excluded).
+    part attrs broadcast; the count-distinct runs as per-batch
+    triple dedup → capped driver combine of (brand, bucket, suppkey)
+    triples; past the cap it falls back to ONE hash-bucket shuffle on
+    the composite key (a triple lands in exactly one bucket, so
+    in-bucket dedup is globally exact) followed by a bounded
+    (brand × bucket) count combine — never a full sort-based
+    count-distinct."""
+    from ..stages.temporal import _with_bucket
+
+    part = _docs_small(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    attrs_ref = ray.put((
+        pd.Series(part["p_brand"].to_numpy(), index=part["p_partkey"]),
+        pd.Series(part["p_size"].to_numpy(), index=part["p_partkey"]),
+    ))
+    li = _pq(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"],
+             num_blocks=_n_cpus())
+
+    def triples(t: pa.Table) -> pd.DataFrame:
+        brand_s, size_s = ray.get(attrs_ref)
+        df = t.to_pandas()
+        df["p_brand"] = df["l_partkey"].map(brand_s)
+        df["size_bucket"] = (
+            (df["l_partkey"].map(size_s).to_numpy(np.int64) - 1) // 10
+        )
+        df = df[df["p_brand"] != "Brand#13"]
+        out = df[["p_brand", "size_bucket", "l_suppkey"]].drop_duplicates()
+        out = out.copy()
+        out["n"] = np.int64(1)
+        return out
+
+    trip = li.map_batches(triples, batch_format="pyarrow")
+    comb = _combine_partials(
+        trip, ["p_brand", "size_bucket", "l_suppkey"], ["n"], cap=2_000_000
+    )
+    if comb is not None:
+        out = (
+            comb[["p_brand", "size_bucket"]]
+            .groupby(["p_brand", "size_bucket"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_suppliers"})
+        )
+    else:  # pragma: no cover - >2M distinct-triple regime
+        def add_key(t: pa.Table) -> pa.Table:
+            b = t.column("p_brand").to_pandas().astype(str)
+            k = (b + "|" + t.column("size_bucket").to_pandas().astype(str)
+                 + "|" + t.column("l_suppkey").to_pandas().astype(str))
+            return t.append_column("__k", pa.array(k, pa.string()))
+
+        def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+            d = g.drop_duplicates(subset="__k")
+            return d.groupby(
+                ["p_brand", "size_bucket"], as_index=False
+            ).agg(n_suppliers=("__k", "size"))
+
+        per_bucket = (
+            _with_bucket(trip.map_batches(add_key, batch_format="pyarrow"),
+                         "__k", 64)
+            .groupby("__bucket")
+            .map_groups(bucket_counts, batch_format="pandas")
+        )
+        out = _combine_partials(
+            per_bucket, ["p_brand", "size_bucket"], ["n_suppliers"]
+        )
+    out["n_suppliers"] = out["n_suppliers"].astype(np.int64)
+    out["size_bucket"] = out["size_bucket"].astype(np.int64)
+    return out.sort_values(["p_brand", "size_bucket"]).reset_index(drop=True)
