@@ -150,6 +150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier_revenue": q.q_top_supplier_revenue,
         "disjunctive_revenue": q.q_disjunctive_revenue,
         "supplier_part_variety": q.q_supplier_part_variety,
+        "kmeans_assign": q.q_kmeans_assign,
+        "source_vocab": q.q_source_vocab,
     }
 
 
@@ -1392,5 +1394,31 @@ FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_brand <> 'Brand#13'
 GROUP BY 1, 2
 ORDER BY 1, 2
+"""
+    # one Lloyd step: nearest of the k=8 smallest-vec_id seed centroids
+    out["kmeans_assign"] = """
+WITH seeds AS (
+  SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS s
+  FROM embeddings WHERE vec_id < 8
+),
+d AS (
+  SELECT e.vec_id, s.sid,
+         sum((CAST(e.embedding[i + 1] AS DOUBLE) - s.s[i + 1])
+           * (CAST(e.embedding[i + 1] AS DOUBLE) - s.s[i + 1])) AS d2
+  FROM embeddings e CROSS JOIN seeds s, UNNEST(range(len(e.embedding))) AS t(i)
+  GROUP BY e.vec_id, s.sid
+),
+a AS (SELECT vec_id, sid, d2,
+      row_number() OVER (PARTITION BY vec_id ORDER BY d2, sid) AS rn FROM d)
+SELECT sid AS cluster, count(*) AS n, round(avg(d2), 6) AS avg_dist2
+FROM a WHERE rn = 1 GROUP BY sid ORDER BY sid
+"""
+    out["source_vocab"] = """
+WITH w AS (
+  SELECT source, unnest(string_split(trim(text), ' ')) AS tok
+  FROM documents
+)
+SELECT source, count(*) AS n_tokens, count(DISTINCT tok) AS n_vocab
+FROM w GROUP BY source ORDER BY source
 """
     return out

@@ -3450,3 +3450,101 @@ def q_supplier_part_variety(sf_dir: str):
     out["n_suppliers"] = out["n_suppliers"].astype(np.int64)
     out["size_bucket"] = out["size_bucket"].astype(np.int64)
     return out.sort_values(["p_brand", "size_bucket"]).reset_index(drop=True)
+
+
+def q_kmeans_assign(sf_dir: str):
+    """One Lloyd assignment step of k-means over the embedding column:
+    every vector goes to its nearest of k=8 deterministic seed centroids
+    (the vectors with vec_id < 8), ties to the smaller seed id. The
+    scale path for iterative clustering at 100 TB: seeds broadcast once
+    via ray.put, each batch computes squared-L2 distances vectorized
+    ((B,1,D)-(1,K,D) in float64), and the shuffle-free per-cluster
+    partials (n, sum_d2) combine on the driver bounded by k."""
+    import pyarrow.parquet as pq
+    from ..stages.similarity import _emb_matrix
+
+    seeds_t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 8)],
+    ).sort_by("vec_id")
+    seeds = _emb_matrix(seeds_t, "embedding")
+    sids = seeds_t.column("vec_id").to_numpy()
+    seeds_ref = ray.put((seeds, sids))
+
+    emb = _pq(sf_dir, "embeddings", columns=["embedding"],
+              num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        c, sid = ray.get(seeds_ref)
+        x = _emb_matrix(t, "embedding")
+        # (B, K) squared L2 via explicit difference (matches the
+        # oracle's sum((x_i - c_i)^2) term by term in float64)
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        best = np.argmin(d2, axis=1)  # first min = smallest sid
+        best_d2 = d2[np.arange(len(x)), best]
+        df = pd.DataFrame({"cluster": sid[best], "d2": best_d2})
+        return df.groupby("cluster", as_index=False).agg(
+            n=("d2", "size"), sum_d2=("d2", "sum")
+        )
+
+    partials = emb.map_batches(partial, batch_format="pyarrow")
+    out = _combine_partials(partials, ["cluster"], ["n", "sum_d2"])
+    out["n"] = out["n"].astype(np.int64)
+    out["avg_dist2"] = round_half_away(
+        out["sum_d2"].to_numpy() / out["n"].to_numpy(), 6
+    )
+    return out[["cluster", "n", "avg_dist2"]].sort_values(
+        "cluster"
+    ).reset_index(drop=True)
+
+
+def q_source_vocab(sf_dir: str):
+    """Type-token profile per corpus source: total tokens and DISTINCT
+    vocabulary size — the lexical-diversity screen of a training-data
+    quality pass. Per-batch (source, token) count partials combine
+    under a cap (vocabulary-sized stream); past it the fallback is ONE
+    hash-bucket shuffle on the composite key with in-bucket dedup
+    (globally exact — a pair lands in one bucket) and a
+    source-bounded count combine."""
+    from ..stages.temporal import _with_bucket
+
+    docs = _pq(sf_dir, "documents", columns=["source", "text"],
+               num_blocks=_n_cpus())
+
+    def pair_counts(t: pa.Table) -> pd.DataFrame:
+        flat, di = _flat_tokens(t.column("text").to_pandas())
+        src = t.column("source").to_numpy(zero_copy_only=False)[di]
+        df = pd.DataFrame({"source": src, "tok": flat})
+        out = df.groupby(["source", "tok"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    pairs = docs.map_batches(pair_counts, batch_format="pyarrow")
+    comb = _combine_partials(pairs, ["source", "tok"], ["n"], cap=5_000_000)
+    if comb is not None:
+        out = comb.groupby("source", as_index=False).agg(
+            n_tokens=("n", "sum"), n_vocab=("tok", "size")
+        )
+    else:  # pragma: no cover - >5M (source, token) vocabulary regime
+        def add_key(t: pa.Table) -> pa.Table:
+            k = (t.column("source").to_pandas().astype(str) + "|"
+                 + t.column("tok").to_pandas().astype(str))
+            return t.append_column("__k", pa.array(k, pa.string()))
+
+        def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+            d = g.groupby(["source", "tok"], as_index=False)["n"].sum()
+            return d.groupby("source", as_index=False).agg(
+                n_tokens=("n", "sum"), n_vocab=("tok", "size")
+            )
+
+        per_bucket = (
+            _with_bucket(pairs.map_batches(add_key, batch_format="pyarrow"),
+                         "__k", 64)
+            .groupby("__bucket")
+            .map_groups(bucket_stats, batch_format="pandas")
+        )
+        out = _combine_partials(per_bucket, ["source"],
+                                ["n_tokens", "n_vocab"])
+    out["n_tokens"] = out["n_tokens"].astype(np.int64)
+    out["n_vocab"] = out["n_vocab"].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
