@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_part_variety": q.q_supplier_part_variety,
         "kmeans_assign": q.q_kmeans_assign,
         "source_vocab": q.q_source_vocab,
+        "triangle_count": q.q_triangle_count,
+        "corpus_mix": q.q_corpus_mix,
     }
 
 
@@ -1420,5 +1422,50 @@ WITH w AS (
 )
 SELECT source, count(*) AS n_tokens, count(DISTINCT tok) AS n_vocab
 FROM w GROUP BY source ORDER BY source
+"""
+    # undirected triangle census of the derived-web expander
+    # (edge formula + captcha pruning match pipelines/derived.py)
+    out["triangle_count"] = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (7*doc_id+1) % nn.n AS dst
+  FROM documents, nn WHERE doc_id % 37 != 3
+  UNION ALL SELECT doc_id, (13*doc_id+2) % nn.n
+  FROM documents, nn WHERE doc_id % 37 != 3
+  UNION ALL SELECT doc_id, (29*doc_id+5) % nn.n
+  FROM documents, nn WHERE doc_id % 37 != 3
+),
+e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM e0 WHERE src <> dst)
+SELECT (SELECT count(*) FROM e) AS n_edges,
+       (SELECT count(*) FROM e e1 JOIN e e2 ON e2.a = e1.b) AS n_wedges,
+       (SELECT count(*) FROM e e1 JOIN e e2 ON e2.a = e1.b
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+"""
+    # weighted round-robin interleave: even-numbered sources weight 2,
+    # odd weight 1; cycle order = sources ascending
+    out["corpus_mix"] = """
+WITH w AS (
+  SELECT DISTINCT source,
+         CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+              THEN 2 ELSE 1 END AS wt
+  FROM documents
+),
+off AS (
+  SELECT source, wt,
+         coalesce(sum(wt) OVER (ORDER BY source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off0,
+         sum(wt) OVER () AS cyc
+  FROM w
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS rn
+  FROM documents
+)
+SELECT doc_id, source,
+       CAST((rn // wt) * cyc + off0 + (rn % wt) AS BIGINT) AS mix_pos
+FROM r JOIN off USING (source)
+ORDER BY doc_id
 """
     return out

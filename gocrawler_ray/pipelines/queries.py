@@ -3548,3 +3548,51 @@ def q_source_vocab(sf_dir: str):
     out["n_tokens"] = out["n_tokens"].astype(np.int64)
     out["n_vocab"] = out["n_vocab"].astype(np.int64)
     return out.sort_values("source").reset_index(drop=True)
+
+
+def q_triangle_count(sf_dir: str):
+    """Triangle census of the derived link graph
+    (stages/graph.py::triangle_stats): dedup'd low→high edge set, wedge
+    join, closing-edge join — two hash shuffles end-to-end."""
+    from ..stages.graph import triangle_stats
+
+    n = _doc_count(sf_dir)
+    parts = _shuffle_partitions(4 * n)
+    docs = _pq(sf_dir, "documents", columns=["doc_id"], num_blocks=parts)
+    n_edges, n_wedges, n_triangles = triangle_stats(
+        docs, n=n, num_partitions=parts
+    )
+    return pd.DataFrame({
+        "n_edges": [np.int64(n_edges)],
+        "n_wedges": [np.int64(n_wedges)],
+        "n_triangles": [np.int64(n_triangles)],
+    })
+
+
+def q_corpus_mix(sf_dir: str):
+    """Weighted deterministic corpus interleave
+    (stages/packing.py::interleave_positions): even-numbered sources get
+    weight 2, odd get 1; every doc receives its slot in the mixed
+    training stream. Distinct-source weights come from a bounded
+    per-batch combine; the rank itself is one hash-bucket shuffle."""
+    from ..stages.packing import interleave_positions
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "source"],
+               num_blocks=_n_cpus())
+
+    def src_partial(t: pa.Table) -> pd.DataFrame:
+        u = pd.unique(t.column("source").to_pandas())
+        return pd.DataFrame({"source": u, "n": np.int64(1)})
+
+    srcs = _combine_partials(
+        docs.map_batches(src_partial, batch_format="pyarrow"),
+        ["source"], ["n"],
+    )["source"].sort_values().tolist()
+    wts = {s: (2 if int(s[3:]) % 2 == 0 else 1) for s in srcs}
+    cyc = sum(wts.values())
+    off, acc = {}, 0
+    for s in srcs:
+        off[s] = acc
+        acc += wts[s]
+    wmap_ref = ray.put({s: (wts[s], off[s], cyc) for s in srcs})
+    return interleave_positions(docs, "source", "doc_id", wmap_ref)

@@ -230,3 +230,83 @@ def path_weights(
         ),
         batch_format="pyarrow",
     )
+
+
+def triangle_stats(documents: rd.Dataset, n: int, num_partitions: int):
+    """Undirected triangle census of the derived web: (n_edges,
+    n_wedges, n_triangles) over the dedup'd low→high-oriented edge set.
+
+    The classic two-shuffle distributed plan (node-iterator join form):
+
+    1. orient every edge low→high and DEDUP it with one hash-bucket
+       shuffle on the low endpoint (a duplicate pair shares BOTH
+       endpoints, so in-bucket dedup is globally exact);
+    2. wedges = edges ⋈ edges on e1.b = e2.a — every (a < b < c) path;
+    3. triangles = wedges ⋈ edges on (a, c) — the closing edge.
+
+    Both joins hash on node ids; orientation bounds each wedge list by
+    the SQUARE of the max oriented out-degree (the standard skew guard —
+    high-degree hubs orient most incident edges inward). Counts come
+    back as 1-row-per-block partials, never a row gather."""
+    edges = edges_dataset(documents, n)
+
+    def orient(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy()
+        dst = t.column("dst").to_numpy()
+        m = src != dst
+        lo = np.minimum(src[m], dst[m])
+        hi = np.maximum(src[m], dst[m])
+        ab = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        return pa.table({"a": pa.array(ab[:, 0], pa.int64()),
+                         "b": pa.array(ab[:, 1], pa.int64())})
+
+    def bucket_of(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy()
+        return t.append_column(
+            "__bucket", pa.array((a % num_partitions).astype(np.int32))
+        )
+
+    def dedup_bucket(g) -> "pa.Table":
+        d = g.drop_duplicates(subset=["a", "b"])
+        return pa.table({"a": pa.array(d["a"].to_numpy(np.int64)),
+                         "b": pa.array(d["b"].to_numpy(np.int64))})
+
+    # bucket-shuffle dedup (duplicates share `a`, so bucketing on `a`
+    # co-locates them)
+    distinct = (
+        edges.map_batches(orient, batch_format="pyarrow")
+        .map_batches(bucket_of, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(dedup_bucket, batch_format="pandas")
+        .materialize()  # reused by three dataflows below
+    )
+
+    def count_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    def total(ds: rd.Dataset) -> int:
+        s = 0
+        for b in ds.map_batches(count_rows, batch_format="pyarrow").iter_batches(
+            batch_format="pandas"
+        ):
+            s += int(b["n"].sum())
+        return s
+
+    n_edges = total(distinct)
+    wedges = distinct.join(
+        distinct, join_type="inner", num_partitions=num_partitions,
+        on=("b",), right_on=("a",), right_suffix="_r",
+    )
+
+    def wedge_project(t: pa.Table) -> pa.Table:
+        # (a, b=b, c=b_r): a < b < c by orientation
+        return pa.table({"a": t.column("a"), "c": t.column("b_r")})
+
+    wedge_ends = wedges.map_batches(wedge_project, batch_format="pyarrow")
+    n_wedges = total(wedge_ends)
+    closed = wedge_ends.join(
+        distinct, join_type="inner", num_partitions=num_partitions,
+        on=("a", "c"), right_on=("a", "b"),
+    )
+    n_triangles = total(closed)
+    return n_edges, n_wedges, n_triangles

@@ -88,3 +88,56 @@ def pack_sequences(
         .groupby("bucket")
         .map_groups(pack_of_bucket, batch_format="pandas")
     )
+
+
+def interleave_positions(
+    ds: "rd.Dataset",
+    key_col: str,
+    id_col: str,
+    weights_ref,
+    num_buckets: int = 32,
+) -> "rd.Dataset":
+    """Deterministic weighted corpus interleave — the dataset-mixing
+    step of LLM training (each source s appears ``w(s)`` times per
+    round-robin cycle, cycle order = sources ascending). Emits
+    ``(id_col, key_col, mix_pos)`` where ``mix_pos`` is the doc's slot
+    in the global mixed stream:
+
+        rn      = 0-based rank of the doc within its source (by id)
+        mix_pos = (rn // w) * cycle_len + offset(source) + rn % w
+
+    ``weights_ref`` is a ray.put of ``{source: (w, offset, cycle_len)}``
+    (driver-computed from the bounded distinct-source combine).
+
+    Plan: ONE hash-bucket shuffle on the source key — a source's rows
+    co-locate, so the in-bucket sort-by-id rank is globally exact; the
+    position formula is pure per-row arithmetic after that. Skewed
+    giant sources would hot-spot their bucket; the scale path is the
+    standard two-pass salted rank (per-salt-segment counts, then prefix
+    offsets broadcast back), the same machinery as the politeness
+    sidecar's salted schedule."""
+    import pyarrow as pa
+    import ray
+
+    from .temporal import _with_bucket
+
+    def positions(g: pd.DataFrame) -> pa.Table:
+        wmap = ray.get(weights_ref)
+        g = g.sort_values([key_col, id_col], kind="mergesort")
+        rn = g.groupby(key_col, sort=False).cumcount().to_numpy(np.int64)
+        meta = g[key_col].map(wmap)
+        w = np.array([m[0] for m in meta], dtype=np.int64)
+        off = np.array([m[1] for m in meta], dtype=np.int64)
+        cyc = np.array([m[2] for m in meta], dtype=np.int64)
+        pos = (rn // w) * cyc + off + rn % w
+        return pa.table({
+            id_col: pa.array(g[id_col].to_numpy(np.int64)),
+            key_col: pa.array(g[key_col].astype(str), pa.string()),
+            "mix_pos": pa.array(pos, pa.int64()),
+        })
+
+    return (
+        _with_bucket(ds, key_col, num_buckets)
+        .groupby("__bucket")
+        .map_groups(positions, batch_format="pandas")
+    )
