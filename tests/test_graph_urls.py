@@ -118,3 +118,27 @@ def test_audio_chunk_plan_boundaries():
     assert len(chunks[4]) == 32  # capped
     assert chunks[4][-1] == {"chunk_no": 31, "start_ms": 62000, "end_ms": 64000}
     assert chunks[5] == []  # non-audio rows emit no chunks
+
+
+@pytest.mark.parametrize("n", [20, 53, 100])
+def test_triangle_stats_match_brute_force(ray_session, n):
+    from gocrawler_ray.stages.graph import triangle_stats
+
+    und = {tuple(sorted(e)) for e in _brute_edges(n) if e[0] != e[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(
+        1
+        for a, b in und
+        for c in adj[a] & adj[b]
+        if a < b < c
+    )
+    wedges = sum(
+        1 for a, b in und for c in adj[b] if b < c
+    )
+    n_e, n_w, n_t = triangle_stats(_docs(n), n, num_partitions=4)
+    assert n_e == len(und)
+    assert n_w == wedges
+    assert n_t == tri

@@ -372,3 +372,63 @@ def test_sample_topk_hash_matches_global_rank(ray_session):
         ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids)})).repartition(nblocks)
         got = sample_topk_hash(ds, k=64, id_col="doc_id", seed=9)
         assert got.column("doc_id").to_pylist() == expect
+
+
+def test_interleave_positions_match_slot_grid(ray_session):
+    """interleave_positions vs an independent slot-grid simulation:
+    walk cycles, hand each source w slots per cycle in ascending source
+    order, assign that source's next docs (by id) to those slots."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from gocrawler_ray.stages.packing import interleave_positions
+
+    rng = np.random.default_rng(11)
+    sources = ["srcA", "srcB", "srcC", "srcD"]
+    weights = {"srcA": 3, "srcB": 1, "srcC": 2, "srcD": 1}
+    ids, srcs = [], []
+    next_id = 0
+    for s in sources:
+        for _ in range(int(rng.integers(5, 40))):
+            ids.append(next_id)
+            srcs.append(s)
+            next_id += 1
+    perm = rng.permutation(len(ids))
+    t = pa.table({
+        "doc_id": pa.array(np.array(ids)[perm], pa.int64()),
+        "source": pa.array(np.array(srcs, dtype=object)[perm], pa.string()),
+    })
+
+    cyc = sum(weights.values())
+    off, acc = {}, 0
+    for s in sorted(sources):
+        off[s] = acc
+        acc += weights[s]
+    wmap_ref = ray.put({s: (weights[s], off[s], cyc) for s in sources})
+    got = (
+        interleave_positions(
+            rd.from_arrow(t), "source", "doc_id", wmap_ref, num_buckets=3
+        )
+        .to_pandas()
+        .set_index("doc_id")["mix_pos"]
+        .to_dict()
+    )
+
+    # independent simulation: deal slots cycle by cycle
+    per_src = {
+        s: sorted(i for i, x in zip(ids, srcs) if x == s) for s in sources
+    }
+    taken = {s: 0 for s in sources}
+    expected = {}
+    slot = 0
+    while any(taken[s] < len(per_src[s]) for s in sources):
+        for s in sorted(sources):
+            for _ in range(weights[s]):
+                if taken[s] < len(per_src[s]):
+                    expected[per_src[s][taken[s]]] = slot
+                    taken[s] += 1
+                slot += 1  # exhausted sources leave gaps in the grid
+
+    assert got == expected
