@@ -211,6 +211,15 @@ def run_bench() -> dict:
     timed("shipping_priority", q.q_shipping_priority)
     timed("label_centroids", q.q_label_centroids)
     timed("repeated_ngrams", q.q_repeated_ngrams)
+    timed("nation_trade_flows", q.q_nation_trade_flows)
+    timed("returned_top_customers", q.q_returned_top_customers)
+    timed("top_supplier_revenue", q.q_top_supplier_revenue)
+    timed("disjunctive_revenue", q.q_disjunctive_revenue)
+    timed("supplier_part_variety", q.q_supplier_part_variety)
+    timed("kmeans_assign", q.q_kmeans_assign)
+    timed("source_vocab", q.q_source_vocab)
+    timed("triangle_count", q.q_triangle_count)
+    timed("corpus_mix", q.q_corpus_mix)
 
     value = round(
         sum(v for k, v in timings.items() if not k.startswith("crawl_")), 3

@@ -302,7 +302,11 @@ def triangle_stats(documents: rd.Dataset, n: int, num_partitions: int):
         # (a, b=b, c=b_r): a < b < c by orientation
         return pa.table({"a": t.column("a"), "c": t.column("b_r")})
 
-    wedge_ends = wedges.map_batches(wedge_project, batch_format="pyarrow")
+    # materialize: consumed twice (count + closing join) — without it
+    # the closing join re-executes the whole wedge shuffle from lineage
+    wedge_ends = wedges.map_batches(
+        wedge_project, batch_format="pyarrow"
+    ).materialize()
     n_wedges = total(wedge_ends)
     closed = wedge_ends.join(
         distinct, join_type="inner", num_partitions=num_partitions,
