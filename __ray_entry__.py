@@ -154,6 +154,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab": q.q_source_vocab,
         "triangle_count": q.q_triangle_count,
         "corpus_mix": q.q_corpus_mix,
+        "market_share": q.q_market_share,
+        "product_profit": q.q_product_profit,
+        "important_parts": q.q_important_parts,
+        "waiting_orders": q.q_waiting_orders,
     }
 
 
@@ -1467,5 +1471,80 @@ SELECT doc_id, source,
        CAST((rn // wt) * cyc + off0 + (rn % wt) AS BIGINT) AS mix_pos
 FROM r JOIN off USING (source)
 ORDER BY doc_id
+"""
+    out["market_share"] = """
+WITH base AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev4,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part      ON p_partkey = l_partkey
+  JOIN orders    ON o_orderkey = l_orderkey
+  JOIN customer  ON c_custkey = o_custkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  JOIN region    ON r_regionkey = cn.n_regionkey
+  JOIN supplier  ON s_suppkey = l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev4 ELSE 0 END)
+             / sum(rev4), 6) AS mkt_share
+FROM base GROUP BY 1 ORDER BY 1
+"""
+    out["product_profit"] = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0,
+           2) AS profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+    out["important_parts"] = """
+WITH v AS (
+  SELECT l_partkey AS p_partkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev4
+  FROM lineitem GROUP BY 1
+)
+SELECT p_partkey, round(rev4 / 10000.0, 2) AS value
+FROM v
+WHERE rev4 * 1000 > (SELECT sum(rev4) FROM v)
+ORDER BY value DESC, p_partkey
+"""
+    out["waiting_orders"] = """
+WITH f AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+),
+stats AS (
+  SELECT l_orderkey, max(l_shipdate) AS mx,
+         count(DISTINCT l_suppkey) AS ns
+  FROM f GROUP BY 1
+),
+winners AS (
+  SELECT f.l_orderkey, min(f.l_suppkey) AS w,
+         count(DISTINCT f.l_suppkey) AS nmax
+  FROM f JOIN stats ON f.l_orderkey = stats.l_orderkey
+                   AND f.l_shipdate = stats.mx
+  WHERE stats.ns >= 2
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, count(*) AS numwait
+FROM winners JOIN supplier ON s_suppkey = w
+WHERE nmax = 1
+GROUP BY 1, 2
+ORDER BY numwait DESC, s_suppkey
+LIMIT 10
 """
     return out

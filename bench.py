@@ -220,6 +220,10 @@ def run_bench() -> dict:
     timed("source_vocab", q.q_source_vocab)
     timed("triangle_count", q.q_triangle_count)
     timed("corpus_mix", q.q_corpus_mix)
+    timed("market_share", q.q_market_share)
+    timed("product_profit", q.q_product_profit)
+    timed("important_parts", q.q_important_parts)
+    timed("waiting_orders", q.q_waiting_orders)
 
     value = round(
         sum(v for k, v in timings.items() if not k.startswith("crawl_")), 3

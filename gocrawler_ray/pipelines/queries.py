@@ -3629,3 +3629,279 @@ def q_corpus_mix(sf_dir: str):
         acc += wts[s]
     wmap_ref = ray.put({s: (wts[s], off[s], cyc) for s in srcs})
     return interleave_positions(docs, "source", "doc_id", wmap_ref)
+
+
+def q_market_share(sf_dir: str):
+    """TPC-H Q8-shape national market share: among 1996-1997 orders by
+    EUROPE customers for PROMO-type parts, the per-order-year fraction
+    of revenue supplied by NATION_3.
+
+    Plan: the three filters (part type, customer region, supplier
+    nation) are broadcast key sets built from driver reads of the
+    dimension tables (the established dim-broadcast pattern of
+    q_nation_trade_flows); the fact side pays ONE lineitem ⋈ orders
+    hash shuffle, and the combine is bounded by distinct order years
+    (2), never by fact rows. Revenue is exact int64 fixed-point
+    (cents × (100 - disc pct)); only the final share divides."""
+    part = _docs_small(sf_dir, "part", ["p_partkey", "p_type"])
+    promo = set(part.loc[part["p_type"] == "PROMO", "p_partkey"].tolist())
+    nation = _docs_small(sf_dir, "nation",
+                         ["n_nationkey", "n_name", "n_regionkey"])
+    region = _docs_small(sf_dir, "region", ["r_regionkey", "r_name"])
+    euro_rk = int(region.loc[region["r_name"] == "EUROPE",
+                             "r_regionkey"].iloc[0])
+    euro_nats = set(
+        nation.loc[nation["n_regionkey"] == euro_rk, "n_nationkey"].tolist()
+    )
+    n3 = int(nation.loc[nation["n_name"] == "NATION_3", "n_nationkey"].iloc[0])
+    cust = _docs_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    euro_custs = set(
+        cust.loc[cust["c_nationkey"].isin(euro_nats), "c_custkey"].tolist()
+    )
+    supp = _docs_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    n3_supps = set(supp.loc[supp["s_nationkey"] == n3, "s_suppkey"].tolist())
+    dims_ref = ray.put((promo, euro_custs, n3_supps))
+
+    parts = _shuffle_partitions(
+        _row_count(sf_dir, "lineitem"), _row_count(sf_dir, "orders")
+    )
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_partkey", "l_suppkey",
+                      "l_extendedprice", "l_discount"],
+             num_blocks=parts)
+
+    def promo_only(t: pa.Table) -> pa.Table:
+        promo_, _, _ = ray.get(dims_ref)
+        m = pc.is_in(t.column("l_partkey"),
+                     value_set=pa.array(sorted(promo_), pa.int64()))
+        return t.filter(m).drop_columns(["l_partkey"])
+
+    orders = _pq(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                 num_blocks=parts)
+
+    def euro_window(t: pa.Table) -> pa.Table:
+        _, euro_, _ = ray.get(dims_ref)
+        lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+        hi = pa.scalar(pd.Timestamp("1998-01-01"), pa.timestamp("us"))
+        m = pc.and_(
+            pc.and_(pc.greater_equal(t.column("o_orderdate"), lo),
+                    pc.less(t.column("o_orderdate"), hi)),
+            pc.is_in(t.column("o_custkey"),
+                     value_set=pa.array(sorted(euro_), pa.int64())),
+        )
+        t = t.filter(m)
+        year = pc.add(pc.year(t.column("o_orderdate")), 0)
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "o_year": pc.cast(year, pa.int64())})
+
+    joined = li.map_batches(promo_only, batch_format="pyarrow").join(
+        orders.map_batches(euro_window, batch_format="pyarrow"),
+        join_type="inner", num_partitions=parts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        _, _, n3s = ray.get(dims_ref)
+        df = t.to_pandas()
+        rev4 = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(
+            np.int64
+        ) * (100 - np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64))
+        isn3 = df["l_suppkey"].isin(n3s).to_numpy()
+        out = pd.DataFrame({"o_year": df["o_year"].to_numpy(np.int64),
+                            "num": np.where(isn3, rev4, 0), "den": rev4})
+        return out.groupby("o_year", as_index=False)[["num", "den"]].sum()
+
+    out = _combine_partials(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["o_year"], ["num", "den"],
+    )
+    out["mkt_share"] = round_half_away(
+        out["num"].to_numpy(np.float64) / out["den"].to_numpy(np.float64), 6
+    )
+    out["o_year"] = out["o_year"].astype(np.int64)
+    return out[["o_year", "mkt_share"]].sort_values("o_year").reset_index(
+        drop=True
+    )
+
+
+def q_product_profit(sf_dir: str):
+    """TPC-H Q9-shape product-type profit: revenue from parts whose name
+    contains 'red', grouped by supplier nation × order year. Same
+    dim-broadcast + single fact shuffle plan as q_market_share; the
+    combine is bounded by nations × years (≤ 25 × 7)."""
+    part = _docs_small(sf_dir, "part", ["p_partkey", "p_name"])
+    red = set(
+        part.loc[part["p_name"].str.contains("red"), "p_partkey"].tolist()
+    )
+    nation = _docs_small(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nat_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    supp = _docs_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    supp_nat = dict(zip(supp["s_suppkey"], supp["s_nationkey"]))
+    dims_ref = ray.put((red, supp_nat, nat_name))
+
+    parts = _shuffle_partitions(
+        _row_count(sf_dir, "lineitem"), _row_count(sf_dir, "orders")
+    )
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_partkey", "l_suppkey",
+                      "l_extendedprice", "l_discount"],
+             num_blocks=parts)
+
+    def red_only(t: pa.Table) -> pa.Table:
+        red_, _, _ = ray.get(dims_ref)
+        m = pc.is_in(t.column("l_partkey"),
+                     value_set=pa.array(sorted(red_), pa.int64()))
+        return t.filter(m).drop_columns(["l_partkey"])
+
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"],
+                 num_blocks=parts)
+
+    def year_of(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "o_year": pc.cast(pc.year(t.column("o_orderdate")), pa.int64()),
+        })
+
+    joined = li.map_batches(red_only, batch_format="pyarrow").join(
+        orders.map_batches(year_of, batch_format="pyarrow"),
+        join_type="inner", num_partitions=parts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        _, supp_nat_, nat_name_ = ray.get(dims_ref)
+        df = t.to_pandas()
+        rev4 = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(
+            np.int64
+        ) * (100 - np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64))
+        out = pd.DataFrame({
+            "nation": df["l_suppkey"].map(supp_nat_).map(nat_name_),
+            "o_year": df["o_year"].to_numpy(np.int64),
+            "profit4": rev4,
+        })
+        return out.groupby(["nation", "o_year"], as_index=False)[
+            "profit4"
+        ].sum()
+
+    out = _combine_partials(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["nation", "o_year"], ["profit4"],
+    )
+    out["profit"] = round_half_away(
+        out["profit4"].to_numpy(np.int64) / 10000.0, 2
+    )
+    out["o_year"] = out["o_year"].astype(np.int64)
+    return out[["nation", "o_year", "profit"]].sort_values(
+        ["nation", "o_year"]
+    ).reset_index(drop=True)
+
+
+def q_important_parts(sf_dir: str):
+    """TPC-H Q11-shape important stock: parts whose lineitem revenue
+    exceeds 0.1% of TOTAL lineitem revenue. Per-part keys grow with the
+    data, so the per-batch partials flow through _combine_partials under
+    a cap with a distributed groupby-sum fallback; the global threshold
+    is the exact int64 sum of the same partials (value*1000 > total — no
+    float compare)."""
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_partkey", "l_extendedprice", "l_discount"],
+             num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        rev4 = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(
+            np.int64
+        ) * (100 - np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64))
+        out = pd.DataFrame({"p_partkey": df["l_partkey"].to_numpy(np.int64),
+                            "rev4": rev4})
+        return out.groupby("p_partkey", as_index=False)["rev4"].sum()
+
+    partials = li.map_batches(partial, batch_format="pyarrow")
+    per_part = _combine_partials(partials, ["p_partkey"], ["rev4"],
+                                 cap=2_000_000)
+    if per_part is None:  # pragma: no cover - >2M distinct parts regime
+        from ray.data.aggregate import Sum
+
+        per_part = (
+            partials.groupby("p_partkey")
+            .aggregate(Sum("rev4", alias_name="rev4"))
+            .to_pandas()
+        )
+    total = int(per_part["rev4"].sum())
+    keep = per_part[per_part["rev4"].to_numpy(np.int64) * 1000 > total].copy()
+    keep["value"] = round_half_away(keep["rev4"].to_numpy(np.int64) / 10000.0, 2)
+    keep["p_partkey"] = keep["p_partkey"].astype(np.int64)
+    return keep[["p_partkey", "value"]].sort_values(
+        ["value", "p_partkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
+def q_waiting_orders(sf_dir: str):
+    """TPC-H Q21-shape sole-delay supplier: among multi-supplier 'F'
+    orders, credit the supplier holding the order's UNIQUE latest
+    shipdate; top 10 suppliers by wait count.
+
+    Plan: lineitem ⋈ (F-filtered orders) hash join, then ONE hash-bucket
+    shuffle on l_orderkey so each order's lines are co-located; the
+    per-bucket kernel computes max-shipdate uniqueness with vectorized
+    pandas groupby transforms. Per-supplier wait counts combine under a
+    cap (supplier count grows with SF) with a distributed fallback;
+    winner names come from the supplier dim broadcast."""
+    from ..stages.temporal import _with_bucket
+
+    parts = _shuffle_partitions(
+        _row_count(sf_dir, "lineitem"), _row_count(sf_dir, "orders")
+    )
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+             num_blocks=parts)
+    orders = _pq(sf_dir, "orders",
+                 columns=["o_orderkey", "o_orderstatus"], num_blocks=parts)
+
+    def f_only(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.equal(t.column("o_orderstatus"), "F")
+        ).select(["o_orderkey"])
+
+    joined = li.join(
+        orders.map_batches(f_only, batch_format="pyarrow"),
+        join_type="inner", num_partitions=parts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def bucket_waits(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("l_orderkey")
+        multi = grp["l_suppkey"].transform("nunique") >= 2
+        at_max = g["l_shipdate"] == grp["l_shipdate"].transform("max")
+        sub = g[multi & at_max]
+        w = sub.groupby("l_orderkey")["l_suppkey"].agg(["nunique", "min"])
+        winners = w.loc[w["nunique"] == 1, "min"]
+        vc = winners.value_counts()
+        return pd.DataFrame({
+            "s_suppkey": vc.index.to_numpy(np.int64),
+            "numwait": vc.to_numpy(np.int64),
+        })
+
+    per_bucket = (
+        _with_bucket(joined, "l_orderkey", 32)
+        .groupby("__bucket")
+        .map_groups(bucket_waits, batch_format="pandas")
+    )
+    waits = _combine_partials(per_bucket, ["s_suppkey"], ["numwait"],
+                              cap=2_000_000)
+    if waits is None:  # pragma: no cover - >2M suppliers regime
+        from ray.data.aggregate import Sum
+
+        waits = (
+            per_bucket.groupby("s_suppkey")
+            .aggregate(Sum("numwait", alias_name="numwait"))
+            .to_pandas()
+        )
+    supp = _docs_small(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    out = waits.merge(supp, on="s_suppkey", how="inner")
+    out["numwait"] = out["numwait"].astype(np.int64)
+    out["s_suppkey"] = out["s_suppkey"].astype(np.int64)
+    return out.sort_values(
+        ["numwait", "s_suppkey"], ascending=[False, True]
+    ).head(10)[["s_suppkey", "s_name", "numwait"]].reset_index(drop=True)
