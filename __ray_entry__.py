@@ -158,6 +158,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "product_profit": q.q_product_profit,
         "important_parts": q.q_important_parts,
         "waiting_orders": q.q_waiting_orders,
+        "cheapest_supplier": q.q_cheapest_supplier,
+        "priority_linecounts": q.q_priority_linecounts,
+        "dominant_supplier_counts": q.q_dominant_supplier_counts,
+        "value_zscore": q.q_value_zscore,
     }
 
 
@@ -1546,5 +1550,79 @@ WHERE nmax = 1
 GROUP BY 1, 2
 ORDER BY numwait DESC, s_suppkey
 LIMIT 10
+"""
+    out["cheapest_supplier"] = """
+WITH offers AS (
+  SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_size >= 30
+),
+best AS (
+  SELECT p_partkey, min(price_cents) AS mn FROM offers GROUP BY 1
+),
+win AS (
+  SELECT o.p_partkey, min(o.s_suppkey) AS s_suppkey, b.mn
+  FROM offers o JOIN best b
+    ON o.p_partkey = b.p_partkey AND o.price_cents = b.mn
+  GROUP BY 1, 3
+)
+SELECT w.p_partkey, p_name, w.s_suppkey, s_name,
+       round(mn / 100.0, 2) AS price
+FROM win w
+JOIN part ON part.p_partkey = w.p_partkey
+JOIN supplier ON supplier.s_suppkey = w.s_suppkey
+ORDER BY w.p_partkey
+"""
+    out["priority_linecounts"] = """
+SELECT l_linestatus,
+       count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+         AS high_line_count,
+       count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+         AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+    out["dominant_supplier_counts"] = """
+WITH pair AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(round(l_quantity * 100) AS BIGINT)) AS q100
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+),
+tot AS (SELECT l_partkey, sum(q100) AS tq FROM pair GROUP BY 1)
+SELECT l_suppkey AS s_suppkey, count(*) AS n_parts
+FROM pair JOIN tot USING (l_partkey)
+WHERE q100 * 2 > tq
+GROUP BY 1
+ORDER BY n_parts DESC, s_suppkey
+"""
+    # z-score: the discriminant n*ss - s*s is closed over exact HUGEINTs
+    # on both sides; the single int->double rounding before sqrt/divide
+    # is shared, so the rounded doubles are hash-identical
+    out["value_zscore"] = """
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 1000) AS BIGINT) AS v3
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(v3 AS HUGEINT)) AS s,
+         sum(CAST(v3 AS HUGEINT) * CAST(v3 AS HUGEINT)) AS ss
+  FROM v GROUP BY 1
+)
+SELECT event_id, v.event_type,
+       round(CASE WHEN n * ss - s * s > 0
+             THEN CAST(v3 * n - s AS DOUBLE)
+                  / sqrt(CAST(n * ss - s * s AS DOUBLE))
+             ELSE 0.0 END, 6) AS z
+FROM v JOIN m USING (event_type)
+ORDER BY event_id
 """
     return out

@@ -224,6 +224,10 @@ def run_bench() -> dict:
     timed("product_profit", q.q_product_profit)
     timed("important_parts", q.q_important_parts)
     timed("waiting_orders", q.q_waiting_orders)
+    timed("cheapest_supplier", q.q_cheapest_supplier)
+    timed("priority_linecounts", q.q_priority_linecounts)
+    timed("dominant_supplier_counts", q.q_dominant_supplier_counts)
+    timed("value_zscore", q.q_value_zscore)
 
     value = round(
         sum(v for k, v in timings.items() if not k.startswith("crawl_")), 3

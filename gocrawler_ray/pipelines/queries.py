@@ -3905,3 +3905,259 @@ def q_waiting_orders(sf_dir: str):
     return out.sort_values(
         ["numwait", "s_suppkey"], ascending=[False, True]
     ).head(10)[["s_suppkey", "s_name", "numwait"]].reset_index(drop=True)
+
+
+def q_cheapest_supplier(sf_dir: str):
+    """TPC-H Q2-shape min-cost supplier: for every part with p_size >= 30
+    the supplier offering the lowest lineitem price (cents, exact int),
+    tie-broken by the smallest suppkey.
+
+    The per-part minimum is a MERGEABLE partial: each batch compacts to
+    one (partkey → lexicographic-min (price, suppkey)) row via
+    sort+drop_duplicates, and the driver combine re-applies the same
+    kernel under a cap. Past the cap a hash-bucket shuffle co-locates
+    each part's offers so the in-bucket kernel is globally exact. Winner
+    names come from the already-read part dim and the supplier dim
+    broadcast."""
+    part = _docs_small(sf_dir, "part", ["p_partkey", "p_name", "p_size"])
+    big = part[part["p_size"] >= 30]
+    keys = set(big["p_partkey"].tolist())
+    keys_ref = ray.put(keys)
+
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+             num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ks = ray.get(keys_ref)
+        m = pc.is_in(t.column("l_partkey"),
+                     value_set=pa.array(sorted(ks), pa.int64()))
+        t = t.filter(m)
+        df = pd.DataFrame({
+            "p_partkey": t.column("l_partkey").to_numpy(),
+            "s_suppkey": t.column("l_suppkey").to_numpy(),
+            "price_cents": np.rint(
+                t.column("l_extendedprice").to_numpy() * 100
+            ).astype(np.int64),
+        })
+        return df.sort_values(
+            ["p_partkey", "price_cents", "s_suppkey"]
+        ).drop_duplicates("p_partkey")
+
+    partials = li.map_batches(partial, batch_format="pyarrow")
+    cap = 2_000_000
+    frames: list[pd.DataFrame] = []
+    total = 0
+    best: pd.DataFrame | None = None
+    for b in partials.iter_batches(batch_size=65536, batch_format="pandas"):
+        frames.append(b)
+        total += len(b)
+        if total > cap:
+            best = None
+            break
+    else:
+        best = (
+            pd.concat(frames, ignore_index=True)
+            .sort_values(["p_partkey", "price_cents", "s_suppkey"])
+            .drop_duplicates("p_partkey")
+            if frames
+            else pd.DataFrame({"p_partkey": [], "s_suppkey": [],
+                               "price_cents": []})
+        )
+    if best is None:  # pragma: no cover - >2M qualifying parts regime
+        from ..stages.temporal import _with_bucket
+
+        def bucket_min(g: pd.DataFrame) -> pd.DataFrame:
+            return g.sort_values(
+                ["p_partkey", "price_cents", "s_suppkey"]
+            ).drop_duplicates("p_partkey")
+
+        best = (
+            _with_bucket(partials, "p_partkey", 64)
+            .groupby("__bucket")
+            .map_groups(bucket_min, batch_format="pandas")
+            .to_pandas()[["p_partkey", "s_suppkey", "price_cents"]]
+        )
+    supp = _docs_small(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    out = best.merge(big[["p_partkey", "p_name"]], on="p_partkey").merge(
+        supp, on="s_suppkey"
+    )
+    out["price"] = round_half_away(
+        out["price_cents"].to_numpy(np.int64) / 100.0, 2
+    )
+    out["p_partkey"] = out["p_partkey"].astype(np.int64)
+    out["s_suppkey"] = out["s_suppkey"].astype(np.int64)
+    return out[["p_partkey", "p_name", "s_suppkey", "s_name", "price"]
+               ].sort_values("p_partkey").reset_index(drop=True)
+
+
+def q_priority_linecounts(sf_dir: str):
+    """TPC-H Q12-shape conditional line counts: 1996-shipped lineitems
+    joined to their order header, counting URGENT/HIGH-priority vs other
+    lines per l_linestatus. ONE fact-fact hash shuffle; the combine is
+    bounded by distinct linestatus values."""
+    parts = _shuffle_partitions(
+        _row_count(sf_dir, "lineitem"), _row_count(sf_dir, "orders")
+    )
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+             num_blocks=parts)
+
+    def in_1996(t: pa.Table) -> pa.Table:
+        lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+        hi = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
+        m = pc.and_(pc.greater_equal(t.column("l_shipdate"), lo),
+                    pc.less(t.column("l_shipdate"), hi))
+        return t.filter(m).select(["l_orderkey", "l_linestatus"])
+
+    orders = _pq(sf_dir, "orders",
+                 columns=["o_orderkey", "o_orderpriority"], num_blocks=parts)
+    joined = li.map_batches(in_1996, batch_format="pyarrow").join(
+        orders, join_type="inner", num_partitions=parts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        hi = df["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]).to_numpy()
+        out = pd.DataFrame({
+            "l_linestatus": df["l_linestatus"],
+            "high_line_count": np.where(hi, 1, 0).astype(np.int64),
+            "low_line_count": np.where(hi, 0, 1).astype(np.int64),
+        })
+        return out.groupby("l_linestatus", as_index=False).sum()
+
+    out = _combine_partials(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["l_linestatus"], ["high_line_count", "low_line_count"],
+    )
+    out["high_line_count"] = out["high_line_count"].astype(np.int64)
+    out["low_line_count"] = out["low_line_count"].astype(np.int64)
+    return out.sort_values("l_linestatus").reset_index(drop=True)
+
+
+def q_dominant_supplier_counts(sf_dir: str):
+    """TPC-H Q20-shape dominant-share semi-aggregate: per supplier, how
+    many parts it dominated in 1996 (its shipped quantity strictly more
+    than half the part's total — exact int compare on centiquantities).
+
+    ONE hash-bucket shuffle on l_partkey co-locates a part's 1996 lines;
+    the in-bucket kernel computes part totals and (part, supplier) sums
+    together and emits per-supplier domination counts, which combine
+    under a supplier-cardinality cap with a distributed fallback."""
+    from ..stages.temporal import _with_bucket
+
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+             num_blocks=_n_cpus())
+
+    def in_1996(t: pa.Table) -> pa.Table:
+        lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+        hi = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
+        m = pc.and_(pc.greater_equal(t.column("l_shipdate"), lo),
+                    pc.less(t.column("l_shipdate"), hi))
+        t = t.filter(m)
+        q100 = pc.cast(pc.round(pc.multiply(t.column("l_quantity"), 100.0)),
+                       pa.int64())
+        return pa.table({"l_partkey": t.column("l_partkey"),
+                         "l_suppkey": t.column("l_suppkey"),
+                         "q100": q100})
+
+    def bucket_dominators(g: pd.DataFrame) -> pd.DataFrame:
+        pair = g.groupby(["l_partkey", "l_suppkey"], as_index=False)[
+            "q100"
+        ].sum()
+        tot = pair.groupby("l_partkey")["q100"].transform("sum")
+        dom = pair[pair["q100"] * 2 > tot]
+        vc = dom["l_suppkey"].value_counts()
+        return pd.DataFrame({
+            "s_suppkey": vc.index.to_numpy(np.int64),
+            "n_parts": vc.to_numpy(np.int64),
+        })
+
+    per_bucket = (
+        _with_bucket(li.map_batches(in_1996, batch_format="pyarrow"),
+                     "l_partkey", 32)
+        .groupby("__bucket")
+        .map_groups(bucket_dominators, batch_format="pandas")
+    )
+    out = _combine_partials(per_bucket, ["s_suppkey"], ["n_parts"],
+                            cap=2_000_000)
+    if out is None:  # pragma: no cover - >2M suppliers regime
+        from ray.data.aggregate import Sum
+
+        out = (
+            per_bucket.groupby("s_suppkey")
+            .aggregate(Sum("n_parts", alias_name="n_parts"))
+            .to_pandas()
+        )
+    out["s_suppkey"] = out["s_suppkey"].astype(np.int64)
+    out["n_parts"] = out["n_parts"].astype(np.int64)
+    return out.sort_values(
+        ["n_parts", "s_suppkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
+def q_value_zscore(sf_dir: str):
+    """Per-event-type z-score of every event's value — the
+    broadcast-moments window shape: per-group (n, Σv, Σv²) sufficient
+    stats on EXACT fixed-point milliunits (Python-int Σv² so the second
+    moment can't overflow int64 at scale) combine driver-side (groups =
+    event types, bounded), broadcast once via ray.put, and a map-only
+    second pass computes z = (v·n − Σv)/√(n·Σv² − Σv²) identically to
+    the oracle's HUGEINT arithmetic — shared exact integer operands make
+    the final float hash-stable; both sides round to 6."""
+    ev = _pq(sf_dir, "events", columns=["event_id", "event_type", "value"],
+             num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        v3 = np.rint(t.column("value").to_numpy() * 1000).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas(),
+            "n": np.int64(1),
+            "s": v3,
+            "ss": [int(x) * int(x) for x in v3],  # Python ints: no overflow
+        })
+        return df.groupby("event_type", as_index=False).sum()
+
+    stats = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], ["n", "s", "ss"],
+    )
+    import math
+
+    # the discriminant n·Σv² − (Σv)² exceeds 2^53, so it must be closed
+    # over EXACT Python ints before the one rounding int→double both
+    # engines share (DuckDB casts the same HUGEINT); the numerator
+    # v·n − Σv stays well inside int64
+    mom = pd.DataFrame({
+        "event_type": stats["event_type"],
+        "__n": stats["n"].astype(np.int64),
+        "__s": stats["s"].astype(np.int64),
+        "__d": [
+            math.sqrt(int(r.n) * int(r.ss) - int(r.s) * int(r.s))
+            for r in stats.itertuples()
+        ],
+    })
+    mom_ref = ray.put(mom)
+
+    def zmap(t: pa.Table) -> pd.DataFrame:
+        m = ray.get(mom_ref)
+        df = pd.DataFrame({
+            "event_id": t.column("event_id").to_numpy(),
+            "event_type": t.column("event_type").to_pandas(),
+            "__v": np.rint(t.column("value").to_numpy() * 1000).astype(
+                np.int64
+            ),
+        }).merge(m, on="event_type", how="left")
+        num = (df["__v"].to_numpy(np.int64) * df["__n"].to_numpy(np.int64)
+               - df["__s"].to_numpy(np.int64))
+        d = df["__d"].to_numpy(np.float64)
+        z = np.where(d > 0, num.astype(np.float64) / d, 0.0)
+        return pd.DataFrame({
+            "event_id": df["event_id"],
+            "event_type": df["event_type"],
+            "z": round_half_away(z, 6),
+        })
+
+    return ev.map_batches(zmap, batch_format="pyarrow").sort("event_id")
