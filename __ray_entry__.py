@@ -162,6 +162,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_linecounts": q.q_priority_linecounts,
         "dominant_supplier_counts": q.q_dominant_supplier_counts,
         "value_zscore": q.q_value_zscore,
+        "bigram_lift": q.q_bigram_lift,
+        "value_mad": q.q_value_mad,
+        "event_type_pairs": q.q_event_type_pairs,
+        "daily_value_change": q.q_daily_value_change,
     }
 
 
@@ -1624,5 +1628,65 @@ SELECT event_id, v.event_type,
              ELSE 0.0 END, 6) AS z
 FROM v JOIN m USING (event_type)
 ORDER BY event_id
+"""
+    # lift = P(xy)/(P(x)P(y)) floor-scaled to 1e6, closed over exact
+    # HUGEINTs (no libm log crosses the hash gate)
+    out["bigram_lift"] = r"""
+WITH words AS (
+  SELECT regexp_extract_all(lower(text), '\w+') AS ws FROM documents),
+uni AS (SELECT unnest(ws) AS w FROM words),
+ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+nu AS (SELECT CAST(count(*) AS HUGEINT) AS n_u FROM uni),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i+1])) AS bigram
+  FROM words WHERE len(ws) >= 2),
+bcnt AS (SELECT bigram, count(*) AS n FROM bg
+         GROUP BY 1 HAVING count(*) >= 5),
+nb AS (SELECT CAST(count(*) AS HUGEINT) AS n_b FROM bg)
+SELECT bigram, n,
+       CAST(CAST(n AS HUGEINT) * n_u * n_u * 1000000
+            // (n_b * cx.c * cy.c) AS BIGINT) AS lift6
+FROM bcnt
+CROSS JOIN nu
+CROSS JOIN nb
+JOIN ucnt cx ON cx.w = split_part(bigram, ' ', 1)
+JOIN ucnt cy ON cy.w = split_part(bigram, ' ', 2)
+ORDER BY lift6 DESC, bigram
+LIMIT 20
+"""
+    # exact median/MAD on milliunit ints: quantile_cont interpolation
+    # lands on exact half/quarter-integers both engines reproduce
+    out["value_mad"] = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS v3
+  FROM events),
+m AS (SELECT event_type, quantile_cont(v3, 0.5) AS med3 FROM v GROUP BY 1)
+SELECT v.event_type,
+       round(any_value(med3) / 1000.0, 6) AS med,
+       round(quantile_cont(abs(v3 - med3), 0.5) / 1000.0, 6) AS mad
+FROM v JOIN m USING (event_type)
+GROUP BY v.event_type
+ORDER BY v.event_type
+"""
+    out["event_type_pairs"] = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*) AS n_users
+FROM d a JOIN d b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    out["daily_value_change"] = """
+WITH d AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         sum(CAST(round(value * 1000) AS BIGINT)) AS s3
+  FROM events GROUP BY 1),
+w AS (SELECT day, s3, lag(s3) OVER (ORDER BY day) AS prev FROM d)
+SELECT day, round(s3 / 1000.0, 6) AS total,
+       round(CAST(s3 - prev AS DOUBLE) / prev, 6) AS pct_change
+FROM w
+WHERE prev IS NOT NULL AND prev != 0
+ORDER BY day
 """
     return out

@@ -228,6 +228,10 @@ def run_bench() -> dict:
     timed("priority_linecounts", q.q_priority_linecounts)
     timed("dominant_supplier_counts", q.q_dominant_supplier_counts)
     timed("value_zscore", q.q_value_zscore)
+    timed("bigram_lift", q.q_bigram_lift)
+    timed("value_mad", q.q_value_mad)
+    timed("event_type_pairs", q.q_event_type_pairs)
+    timed("daily_value_change", q.q_daily_value_change)
 
     value = round(
         sum(v for k, v in timings.items() if not k.startswith("crawl_")), 3

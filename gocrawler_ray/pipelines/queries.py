@@ -4161,3 +4161,214 @@ def q_value_zscore(sf_dir: str):
         })
 
     return ev.map_batches(zmap, batch_format="pyarrow").sort("event_id")
+
+
+def q_bigram_lift(sf_dir: str):
+    """Collocation mining: top-20 bigrams (count >= 5) by LIFT
+    P(xy)/(P(x)P(y)) — the PMI ranking with the log dropped so the score
+    is CLOSED OVER EXACT INTEGERS (floor-scaled to 1e6; libm log ulp
+    differences can't cross the hash gate). One pass emits unigram and
+    bigram count partials together (kind-tagged rows); the vocabulary-
+    sized combine runs under a cap, and past it the bigram counts stay a
+    distributed groupby with the unigram map broadcast (unigram vocab ≪
+    bigram vocab by Heaps' law) and a per-block partial top-k."""
+    docs = _pq(sf_dir, "documents", columns=["text"], num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        texts = t.column("text").to_pandas().fillna("")
+        toks = texts.str.lower().str.findall(r"\w+")
+        uni: list = []
+        bi: list = []
+        for ws in toks:
+            uni.extend(ws)
+            bi.extend(ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1))
+        frames = []
+        if uni:
+            vc = pd.Series(uni, dtype=object).value_counts()
+            frames.append(pd.DataFrame({
+                "gram": vc.index.to_numpy(dtype=object), "kind": "u",
+                "n": vc.to_numpy(np.int64)}))
+        if bi:
+            vc = pd.Series(bi, dtype=object).value_counts()
+            frames.append(pd.DataFrame({
+                "gram": vc.index.to_numpy(dtype=object), "kind": "b",
+                "n": vc.to_numpy(np.int64)}))
+        if not frames:
+            return pd.DataFrame({"gram": pd.Series([], dtype=object),
+                                 "kind": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        return pd.concat(frames, ignore_index=True)
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+    counts = _combine_partials(partials, ["gram", "kind"], ["n"],
+                               cap=1_000_000)
+
+    def lift_rows(bg: pd.DataFrame, ucnt: dict, n_u: int, n_b: int
+                  ) -> pd.DataFrame:
+        bg = bg[bg["n"] >= 5]
+        lifts, grams, ns = [], [], []
+        for g, c_xy in zip(bg["gram"], bg["n"]):
+            x, y = g.split(" ", 1)
+            c_x, c_y = ucnt.get(x, 0), ucnt.get(y, 0)
+            if not c_x or not c_y:
+                continue
+            lifts.append(int(c_xy) * n_u * n_u * 1_000_000
+                         // (n_b * c_x * c_y))
+            grams.append(g)
+            ns.append(int(c_xy))
+        return pd.DataFrame({"bigram": pd.Series(grams, dtype=object),
+                             "n": pd.Series(ns, dtype=np.int64),
+                             "lift6": pd.Series(lifts, dtype=np.int64)})
+
+    if counts is not None:
+        u = counts[counts["kind"] == "u"]
+        ucnt = dict(zip(u["gram"], u["n"].astype(int)))
+        n_u = int(u["n"].sum())
+        bg = counts[counts["kind"] == "b"]
+        n_b = int(bg["n"].sum())
+        out = lift_rows(bg, ucnt, n_u, n_b)
+    else:  # pragma: no cover - vocab past the driver cap
+        from ray.data.aggregate import Sum
+
+        summed = partials.groupby(["gram", "kind"]).aggregate(
+            Sum("n", alias_name="n")
+        )
+        u = summed.filter(lambda r: r["kind"] == "u").to_pandas()
+        ucnt = dict(zip(u["gram"], u["n"].astype(int)))
+        n_u = int(u["n"].sum())
+        n_b_row = summed.filter(lambda r: r["kind"] == "b").sum("n")
+        n_b = int(n_b_row)
+        uref = ray.put((ucnt, n_u, n_b))
+
+        def block_topk(t: pa.Table) -> pd.DataFrame:
+            ucnt_, n_u_, n_b_ = ray.get(uref)
+            df = t.to_pandas()
+            df = df[df["kind"] == "b"]
+            r = lift_rows(df, ucnt_, n_u_, n_b_)
+            return r.sort_values(["lift6", "bigram"],
+                                 ascending=[False, True]).head(20)
+
+        out = summed.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["lift6", "bigram"], ascending=[False, True]).head(20)
+    out["n"] = out["n"].astype(np.int64)
+    out["lift6"] = out["lift6"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def q_value_mad(sf_dir: str):
+    """Per-event-type robust center/spread: exact median and MAD of the
+    value column via a BOUNDED-DOMAIN HISTOGRAM — values quantize to
+    milliunits, so the per-(type, v3) count partials are capped by the
+    value domain (≤ types × 561k rows at ANY corpus scale), and the
+    driver closes both medians from cumulative counts in exact
+    half-integer arithmetic that the oracle's quantile interpolation
+    reproduces bit-for-bit."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "value"],
+             num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas(),
+            "v3": np.rint(t.column("value").to_numpy() * 1000).astype(
+                np.int64
+            ),
+            "n": np.int64(1),
+        })
+        return df.groupby(["event_type", "v3"], as_index=False)["n"].sum()
+
+    hist = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "v3"], ["n"],
+    )
+
+    def hist_median2(vals: np.ndarray, cnts: np.ndarray) -> int:
+        """2× the interpolated median of a weighted int histogram
+        (sorted by value) — exact integer."""
+        n = int(cnts.sum())
+        cum = np.cumsum(cnts)
+        i1 = int(np.searchsorted(cum, (n - 1) // 2 + 1))
+        i2 = int(np.searchsorted(cum, n // 2 + 1))
+        return int(vals[i1]) + int(vals[i2])
+
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("v3")
+        vals = g["v3"].to_numpy(np.int64)
+        cnts = g["n"].to_numpy(np.int64)
+        m2 = hist_median2(vals, cnts)  # 2·median in milliunits
+        dv = np.abs(2 * vals - m2)  # |v − med| in half-milliunits
+        dh = pd.DataFrame({"dv": dv, "n": cnts}).groupby(
+            "dv", as_index=False
+        )["n"].sum().sort_values("dv")
+        d2 = hist_median2(dh["dv"].to_numpy(np.int64),
+                          dh["n"].to_numpy(np.int64))
+        rows.append({
+            "event_type": et,
+            "med": round_half_away(np.array([m2 / 2 / 1000.0]), 6)[0],
+            "mad": round_half_away(np.array([d2 / 4 / 1000.0]), 6)[0],
+        })
+    return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+
+
+def q_event_type_pairs(sf_dir: str):
+    """Market-basket co-occurrence: for every unordered event-type pair,
+    how many users performed both. ONE hash-bucket shuffle on user_id
+    co-locates a user's rows; the in-bucket kernel dedups (user, type)
+    and self-merges per user; the pair partials combine bounded by
+    type-vocabulary²."""
+    from ..stages.temporal import _with_bucket
+
+    ev = _pq(sf_dir, "events", columns=["user_id", "event_type"],
+             num_blocks=_n_cpus())
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "event_type"])
+        m = d.merge(d, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        out = m.groupby(["event_type_x", "event_type_y"]).size()
+        return pd.DataFrame({
+            "type_a": out.index.get_level_values(0),
+            "type_b": out.index.get_level_values(1),
+            "n_users": out.to_numpy(np.int64),
+        })
+
+    per_bucket = (
+        _with_bucket(ev, "user_id", 32)
+        .groupby("__bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    out = _combine_partials(per_bucket, ["type_a", "type_b"], ["n_users"])
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+def q_daily_value_change(sf_dir: str):
+    """Aggregate-then-window: daily value totals (exact milliunit int
+    sums, clock-bounded combine) with day-over-day percent change closed
+    on the driver from the SAME exact integers the oracle's lag() sees —
+    the canonical small-series window after a big distributed reduce."""
+    ev = _pq(sf_dir, "events", columns=["ts", "value"], num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        day = (pc.cast(t.column("ts"), pa.int64()).to_numpy()
+               // 86_400_000_000).astype(np.int64)
+        v3 = np.rint(t.column("value").to_numpy() * 1000).astype(np.int64)
+        return pd.DataFrame({"day": day, "s3": v3}).groupby(
+            "day", as_index=False
+        )["s3"].sum()
+
+    d = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"), ["day"], ["s3"]
+    ).sort_values("day").reset_index(drop=True)
+    s3 = d["s3"].to_numpy(np.int64)
+    prev = np.roll(s3, 1)
+    keep = np.arange(len(d)) > 0
+    keep &= prev != 0
+    out = pd.DataFrame({
+        "day": d["day"].to_numpy(np.int64)[keep],
+        "total": round_half_away(s3[keep] / 1000.0, 6),
+        "pct_change": round_half_away(
+            (s3[keep] - prev[keep]).astype(np.float64) / prev[keep], 6
+        ),
+    })
+    return out.sort_values("day").reset_index(drop=True)
