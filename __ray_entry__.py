@@ -166,6 +166,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_mad": q.q_value_mad,
         "event_type_pairs": q.q_event_type_pairs,
         "daily_value_change": q.q_daily_value_change,
+        "kmeans_1d": q.q_kmeans_1d,
+        "corpus_shards": q.q_corpus_shards,
     }
 
 
@@ -1688,5 +1690,39 @@ SELECT day, round(s3 / 1000.0, 6) AS total,
 FROM w
 WHERE prev IS NOT NULL AND prev != 0
 ORDER BY day
+"""
+    # Lloyd's k-means unrolled: init + 2 refinement rounds; assignments
+    # and means close over the same exact ints/doubles the engine uses
+    out["kmeans_1d"] = """
+WITH v AS (SELECT CAST(round(value * 1000) AS BIGINT) AS v3 FROM events),
+h AS (SELECT v3, count(*) AS n FROM v GROUP BY 1),
+b AS (SELECT CAST(min(v3) AS DOUBLE) AS mn,
+             CAST(max(v3) AS DOUBLE) AS mx FROM h),
+c0 AS (SELECT i, mn + (mx - mn) * (2 * i + 1) / 8.0 AS c
+       FROM b CROSS JOIN range(4) t(i)),
+a1 AS (SELECT h.v3, h.n,
+              (SELECT i FROM c0 ORDER BY abs(h.v3 - c0.c), i LIMIT 1) AS cl
+       FROM h),
+c1 AS (SELECT c0.i,
+              coalesce(CAST(u.s AS DOUBLE) / CAST(u.nn AS DOUBLE), c0.c) AS c
+       FROM c0 LEFT JOIN (
+         SELECT cl AS i, sum(v3 * n) AS s, sum(n) AS nn FROM a1 GROUP BY 1
+       ) u USING (i)),
+a2 AS (SELECT h2.v3, h2.n,
+              (SELECT i FROM c1 ORDER BY abs(h2.v3 - c1.c), i LIMIT 1) AS cl
+       FROM a1 h2)
+SELECT cl AS cluster, CAST(sum(n) AS BIGINT) AS n,
+       round(CAST(sum(v3 * n) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+             / 1000.0, 6) AS centroid
+FROM a2 GROUP BY 1 ORDER BY 1
+"""
+    out["corpus_shards"] = r"""
+WITH s AS (
+  SELECT CAST(CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                    1, 16)) AS UBIGINT) % 16 AS BIGINT) AS shard,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+  FROM documents)
+SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM s GROUP BY 1 ORDER BY 1
 """
     return out

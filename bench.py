@@ -232,6 +232,8 @@ def run_bench() -> dict:
     timed("value_mad", q.q_value_mad)
     timed("event_type_pairs", q.q_event_type_pairs)
     timed("daily_value_change", q.q_daily_value_change)
+    timed("kmeans_1d", q.q_kmeans_1d)
+    timed("corpus_shards", q.q_corpus_shards)
 
     value = round(
         sum(v for k, v in timings.items() if not k.startswith("crawl_")), 3

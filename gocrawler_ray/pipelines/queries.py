@@ -4372,3 +4372,116 @@ def q_daily_value_change(sf_dir: str):
         ),
     })
     return out.sort_values("day").reset_index(drop=True)
+
+
+def q_kmeans_1d(sf_dir: str):
+    """Iterative Lloyd's k-means (k=4, 2 refinement rounds) over the
+    event-value axis — the distributed iterative-algorithm family with
+    an EXACT oracle: a single pass builds the bounded-domain milliunit
+    histogram (the same domain-capped combine as q_value_mad), then both
+    refinement rounds run driver-side on the weighted histogram with
+    centroids as int-exact rationals, so the oracle's unrolled CTE chain
+    assigns and averages bit-identically. At corpus scale the histogram
+    stays ≤ |value domain| rows regardless of row count — iterating on
+    it costs no further cluster passes."""
+    ev = _pq(sf_dir, "events", columns=["value"], num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        v3 = np.rint(t.column("value").to_numpy() * 1000).astype(np.int64)
+        return pd.DataFrame({"v3": v3, "n": np.int64(1)}).groupby(
+            "v3", as_index=False
+        )["n"].sum()
+
+    hist = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"), ["v3"], ["n"]
+    ).sort_values("v3").reset_index(drop=True)
+    vals = hist["v3"].to_numpy(np.int64)
+    cnts = hist["n"].to_numpy(np.int64)
+    mn, mx = float(vals.min()), float(vals.max())
+    k = 4
+    cents = np.array([mn + (mx - mn) * (2 * i + 1) / (2.0 * k)
+                      for i in range(k)])
+
+    fv = vals.astype(np.float64)
+    assign = None
+    for _ in range(2):
+        # argmin over |v − c_j|, first-min tie-break (matches the
+        # oracle's ORDER BY dist, i LIMIT 1)
+        d = np.abs(fv[:, None] - cents[None, :])
+        assign = np.argmin(d, axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                s = int((vals[m] * cnts[m]).sum())
+                n = int(cnts[m].sum())
+                cents[j] = float(s) / float(n)
+    out = []
+    for j in range(k):
+        m = assign == j
+        if not m.any():  # pragma: no cover - empty cluster
+            continue
+        n = int(cnts[m].sum())
+        s = int((vals[m] * cnts[m]).sum())
+        out.append({"cluster": np.int64(j), "n": np.int64(n),
+                    "centroid": round_half_away(
+                        np.array([float(s) / float(n) / 1000.0]), 6)[0]})
+    return pd.DataFrame(out).sort_values("cluster").reset_index(drop=True)
+
+
+def q_corpus_shards(sf_dir: str):
+    """Training-corpus shard manifest: every document routes to one of
+    16 shards by reproducible content-independent hash (first 8 md5
+    bytes of ``shard:{doc_id}`` — the repo's oracle-recomputable
+    scheme), the stream is WRITTEN as hive-partitioned parquet through
+    the resumable sealed-directory sink (sources/tables.py::
+    write_partitioned — the 100 TB output contract), and the manifest
+    (per-shard doc/token counts) is re-read from the SINK's files, so
+    the oracle also gates the writer round-trip."""
+    import tempfile as _tf
+
+    from ..functions.urls import md5_hash64_many
+    from ..sources.tables import write_partitioned
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"],
+               num_blocks=_n_cpus())
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        shard = (md5_hash64_many([f"shard:{i}" for i in ids])
+                 % np.uint64(16)).astype(np.int64)
+        texts = t.column("text").to_pandas().fillna("")
+        toks = texts.str.count(r"\S+").to_numpy(np.int64)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "shard": pa.array(shard, pa.int64()),
+            "n_tok": pa.array(toks, pa.int64()),
+        })
+
+    root = os.path.join(_tf.gettempdir(), "gocrawler_shards",
+                        os.path.basename(sf_dir.rstrip("/")))
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    sharded = docs.map_batches(assign, batch_format="pyarrow")
+    write_partitioned(sharded, root, "shard", resume=False)
+
+    manifest = rd.read_parquet(root)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "shard": pd.to_numeric(t.column("shard").to_pandas()).astype(
+                np.int64
+            ),
+            "n_docs": np.int64(1),
+            "n_tokens": t.column("n_tok").to_numpy(),
+        })
+        return df.groupby("shard", as_index=False).sum()
+
+    out = _combine_partials(
+        manifest.map_batches(partial, batch_format="pyarrow"),
+        ["shard"], ["n_docs", "n_tokens"],
+    )
+    out["shard"] = out["shard"].astype(np.int64)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_tokens"] = out["n_tokens"].astype(np.int64)
+    return out.sort_values("shard").reset_index(drop=True)
