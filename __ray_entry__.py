@@ -168,6 +168,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_value_change": q.q_daily_value_change,
         "kmeans_1d": q.q_kmeans_1d,
         "corpus_shards": q.q_corpus_shards,
+        "user_drawdown": q.q_user_drawdown,
+        "key_skew": q.q_key_skew,
+        "latest_events": q.q_latest_events,
     }
 
 
@@ -1724,5 +1727,37 @@ WITH s AS (
   FROM documents)
 SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
 FROM s GROUP BY 1 ORDER BY 1
+"""
+    out["user_drawdown"] = """
+WITH v AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 1000) AS BIGINT) AS v3
+  FROM events)
+SELECT event_id, user_id,
+       round(CAST(max(v3) OVER w AS BIGINT) / 1000.0, 6) AS peak,
+       round((max(v3) OVER w - v3) / 1000.0, 6) AS drawdown
+FROM v
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)
+ORDER BY event_id
+"""
+    out["key_skew"] = """
+SELECT events_per_user, count(*) AS n_users
+FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS events_per_user
+      FROM events GROUP BY 1)
+GROUP BY 1 ORDER BY 1
+"""
+    out["latest_events"] = """
+SELECT user_id, day, event_id, event_type
+FROM (
+  SELECT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         event_id, event_type,
+         row_number() OVER (
+           PARTITION BY user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1
+ORDER BY user_id, day
 """
     return out

@@ -234,6 +234,9 @@ def run_bench() -> dict:
     timed("daily_value_change", q.q_daily_value_change)
     timed("kmeans_1d", q.q_kmeans_1d)
     timed("corpus_shards", q.q_corpus_shards)
+    timed("user_drawdown", q.q_user_drawdown)
+    timed("key_skew", q.q_key_skew)
+    timed("latest_events", q.q_latest_events)
 
     value = round(
         sum(v for k, v in timings.items() if not k.startswith("crawl_")), 3

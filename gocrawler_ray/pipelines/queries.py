@@ -4485,3 +4485,101 @@ def q_corpus_shards(sf_dir: str):
     out["n_docs"] = out["n_docs"].astype(np.int64)
     out["n_tokens"] = out["n_tokens"].astype(np.int64)
     return out.sort_values("shard").reset_index(drop=True)
+
+
+def q_user_drawdown(sf_dir: str):
+    """Per-user running-max / drawdown window: for every event, the
+    user's cumulative value peak so far and how far below it this event
+    sits — the cummax window op (monotone-accumulate, not cumsum). ONE
+    hash-bucket shuffle on user_id; in-bucket pandas sort + C-kernel
+    groupby cummax on exact milliunit ints; row order within a user is
+    pinned by (ts, event_id) so LAG-free determinism holds."""
+    from ..stages.temporal import _with_bucket
+
+    ev = _pq(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "value"],
+             num_blocks=_n_cpus())
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        v3 = np.rint(g["value"].to_numpy() * 1000).astype(np.int64)
+        g = g.assign(__v3=v3)
+        peak = g.groupby("user_id")["__v3"].cummax().to_numpy(np.int64)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "peak": round_half_away(peak / 1000.0, 6),
+            "drawdown": round_half_away((peak - v3) / 1000.0, 6),
+        })
+
+    out = (
+        _with_bucket(ev, "user_id", 32)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )
+    return out.sort("event_id")
+
+
+def q_key_skew(sf_dir: str):
+    """Partition-skew diagnostic: the distribution of per-user event
+    counts as a count-of-counts histogram — the measurement that decides
+    when a groupby key needs salting. ONE hash-bucket shuffle computes
+    exact per-user counts (users never straddle buckets); the
+    count-of-counts partial stream is bounded by the max per-key
+    multiplicity, not by users."""
+    from ..stages.temporal import _with_bucket
+
+    ev = _pq(sf_dir, "events", columns=["user_id"], num_blocks=_n_cpus())
+
+    def bucket_hist(g: pd.DataFrame) -> pd.DataFrame:
+        per_user = g.groupby("user_id").size()
+        vc = per_user.value_counts()
+        return pd.DataFrame({
+            "events_per_user": vc.index.to_numpy(np.int64),
+            "n_users": vc.to_numpy(np.int64),
+        })
+
+    per_bucket = (
+        _with_bucket(ev, "user_id", 32)
+        .groupby("__bucket")
+        .map_groups(bucket_hist, batch_format="pandas")
+    )
+    out = _combine_partials(per_bucket, ["events_per_user"], ["n_users"])
+    out["events_per_user"] = out["events_per_user"].astype(np.int64)
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values("events_per_user").reset_index(drop=True)
+
+
+def q_latest_events(sf_dir: str):
+    """Dedup-by-recency (the CDC / ingest-compaction op): keep each
+    (user, day)'s LAST event — max ts, event_id tie-break — emitting one
+    surviving row per key. ONE hash-bucket shuffle on user_id (a user's
+    rows carry all its days); the in-bucket kernel is a vectorized
+    sort + drop_duplicates(keep=last), globally exact because keys never
+    straddle buckets."""
+    from ..stages.temporal import _with_bucket
+
+    ev = _pq(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "event_type"],
+             num_blocks=_n_cpus())
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        day = (g["ts"].astype("int64").to_numpy() // 86_400_000_000).astype(
+            np.int64
+        )
+        g = g.assign(day=day)
+        g = g.sort_values(["user_id", "day", "ts", "event_id"])
+        last = g.drop_duplicates(["user_id", "day"], keep="last")
+        return pd.DataFrame({
+            "user_id": last["user_id"].to_numpy(np.int64),
+            "day": last["day"].to_numpy(np.int64),
+            "event_id": last["event_id"].to_numpy(np.int64),
+            "event_type": last["event_type"].to_numpy(dtype=object),
+        })
+
+    out = (
+        _with_bucket(ev, "user_id", 32)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )
+    return out.sort(["user_id", "day"])
