@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_drawdown": q.q_user_drawdown,
         "key_skew": q.q_key_skew,
         "latest_events": q.q_latest_events,
+        "source_diversity": q.q_source_diversity,
     }
 
 
@@ -1759,5 +1760,18 @@ FROM (
   FROM events)
 WHERE rn = 1
 ORDER BY user_id, day
+"""
+    # Simpson diversity closed over exact HUGEINTs (see q_source_diversity)
+    out["source_diversity"] = r"""
+WITH tok AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '\w+')) AS tok
+  FROM documents),
+c AS (SELECT source, tok, CAST(count(*) AS HUGEINT) AS n
+      FROM tok GROUP BY 1, 2),
+f AS (SELECT source, CAST(sum(n) AS HUGEINT) AS nt, sum(n * n) AS sq
+      FROM c GROUP BY 1)
+SELECT source, CAST(nt AS BIGINT) AS n_tokens,
+       CAST((nt * nt - sq) * 1000000 // (nt * nt) AS BIGINT) AS simpson6
+FROM f ORDER BY source
 """
     return out

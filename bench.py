@@ -237,6 +237,7 @@ def run_bench() -> dict:
     timed("user_drawdown", q.q_user_drawdown)
     timed("key_skew", q.q_key_skew)
     timed("latest_events", q.q_latest_events)
+    timed("source_diversity", q.q_source_diversity)
 
     value = round(
         sum(v for k, v in timings.items() if not k.startswith("crawl_")), 3

@@ -4583,3 +4583,63 @@ def q_latest_events(sf_dir: str):
         .map_groups(kernel, batch_format="pandas")
     )
     return out.sort(["user_id", "day"])
+
+
+def q_source_diversity(sf_dir: str):
+    """Per-source token diversity: Simpson index 1 − Σc²/N² floor-scaled
+    to 1e6 — the corpus-mix health metric, chosen over Shannon entropy
+    because it closes over EXACT integers (Σc² in unbounded Python ints
+    / HUGEINT; no libm log can cross the hash gate). The (source, token)
+    count partials shuffle vocabulary-sized through the capped combine;
+    Σc² per source is then a bounded fold."""
+    docs = _pq(sf_dir, "documents", columns=["source", "text"],
+               num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        texts = t.column("text").to_pandas().fillna("")
+        src = t.column("source").to_pandas()
+        toks = texts.str.lower().str.findall(r"\w+")
+        lens = toks.str.len().to_numpy(np.int64)
+        flat = toks.explode().dropna().to_numpy(dtype=object)
+        srcs = np.repeat(src.to_numpy(dtype=object), lens)
+        df = pd.DataFrame({"source": srcs, "tok": flat, "n": np.int64(1)})
+        return df.groupby(["source", "tok"], as_index=False)["n"].sum()
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+    counts = _combine_partials(partials, ["source", "tok"], ["n"],
+                               cap=2_000_000)
+    if counts is None:  # pragma: no cover - vocab past the driver cap
+        from ray.data.aggregate import Sum
+
+        summed = partials.groupby(["source", "tok"]).aggregate(
+            Sum("n", alias_name="n")
+        )
+
+        def sq_partial(t: pa.Table) -> pd.DataFrame:
+            df = t.to_pandas()
+            return pd.DataFrame({
+                "source": df["source"],
+                "n_tok": df["n"].astype(np.int64),
+                "sq": [int(x) * int(x) for x in df["n"]],
+            }).groupby("source", as_index=False).sum()
+
+        counts = None
+        folded = _combine_partials(
+            summed.map_batches(sq_partial, batch_format="pyarrow"),
+            ["source"], ["n_tok", "sq"],
+        )
+    else:
+        counts["sq"] = [int(x) * int(x) for x in counts["n"]]
+        counts["n_tok"] = counts["n"].astype(np.int64)
+        folded = counts.groupby("source", as_index=False)[
+            ["n_tok", "sq"]
+        ].sum()
+    out_rows = []
+    for r in folded.itertuples():
+        n, sq = int(r.n_tok), int(r.sq)
+        out_rows.append({
+            "source": r.source,
+            "n_tokens": np.int64(n),
+            "simpson6": np.int64((n * n - sq) * 1_000_000 // (n * n)),
+        })
+    return pd.DataFrame(out_rows).sort_values("source").reset_index(drop=True)
