@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew": q.q_key_skew,
         "latest_events": q.q_latest_events,
         "source_diversity": q.q_source_diversity,
+        "click_to_purchase": q.q_click_to_purchase,
     }
 
 
@@ -1773,5 +1774,16 @@ f AS (SELECT source, CAST(sum(n) AS HUGEINT) AS nt, sum(n * n) AS sq
 SELECT source, CAST(nt AS BIGINT) AS n_tokens,
        CAST((nt * nt - sq) * 1000000 // (nt * nt) AS BIGINT) AS simpson6
 FROM f ORDER BY source
+"""
+    out["click_to_purchase"] = """
+SELECT c.event_id,
+       CAST(count(p.event_id) AS BIGINT) AS n_purchases_7d
+FROM events c
+LEFT JOIN events p
+  ON p.user_id = c.user_id AND p.event_type = 'purchase'
+ AND p.ts > c.ts
+ AND epoch_us(p.ts) <= epoch_us(c.ts) + 604800000000
+WHERE c.event_type = 'click'
+GROUP BY 1 ORDER BY 1
 """
     return out

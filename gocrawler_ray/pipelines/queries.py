@@ -4651,3 +4651,66 @@ def q_source_diversity(sf_dir: str):
             "simpson6": np.int64((n * n - sq) * 1_000_000 // (n * n)),
         })
     return pd.DataFrame(out_rows).sort_values("source").reset_index(drop=True)
+
+
+def q_click_to_purchase(sf_dir: str):
+    """Attribution-window lead join: for every click, how many purchases
+    the SAME user makes within the following 7 days (exclusive of the
+    click instant) — the conversion-attribution op. ONE hash-bucket
+    shuffle on user_id co-locates each user's clicks and purchases; the
+    in-bucket kernel sorts each user's purchase timestamps once and
+    answers every click with two vectorized np.searchsorted calls
+    (O((C+P) log P) per user, never the C×P self-join the naive SQL
+    plan would do)."""
+    from ..stages.temporal import _with_bucket
+
+    ev = _pq(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "event_type"],
+             num_blocks=_n_cpus())
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t.column("event_type"),
+                     value_set=pa.array(["click", "purchase"]))
+        return t.filter(m)
+
+    win = np.int64(7 * 86_400_000_000)
+
+    def merge_count(p_uid, p_ts, q_uid, q_ts):
+        """#{j : (p_uid_j, p_ts_j) <= (q_uid_i, q_ts_i)} per query i —
+        the two-level searchsorted, vectorized as ONE lexsort merge
+        (no per-row slice search; composite-int packing would overflow
+        int64 at uid·ts scale)."""
+        n_p = len(p_uid)
+        uid_all = np.concatenate([p_uid, q_uid])
+        ts_all = np.concatenate([p_ts, q_ts])
+        flag = np.concatenate([
+            np.zeros(n_p, np.int8), np.ones(len(q_uid), np.int8)
+        ])  # queries sort AFTER tied purchases → '<=' semantics
+        order = np.lexsort((flag, ts_all, uid_all))
+        pos = np.empty(len(order), np.int64)
+        pos[order] = np.arange(len(order))
+        is_q = flag[order].astype(np.int64)
+        q_before = np.cumsum(is_q) - is_q  # queries ahead of each slot
+        return pos[n_p:] - q_before[pos[n_p:]]
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy(np.int64)
+        is_p = (g["event_type"] == "purchase").to_numpy()
+        is_c = (g["event_type"] == "click").to_numpy()
+        p_uid, p_ts = uid[is_p], ts[is_p]
+        c_uid, c_ts = uid[is_c], ts[is_c]
+        lo = merge_count(p_uid, p_ts, c_uid, c_ts)
+        hi = merge_count(p_uid, p_ts, c_uid, c_ts + win)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64)[is_c],
+            "n_purchases_7d": (hi - lo).astype(np.int64),
+        })
+
+    out = (
+        _with_bucket(ev.map_batches(keep, batch_format="pyarrow"),
+                     "user_id", 32)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )
+    return out.sort("event_id")
