@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_events": q.q_latest_events,
         "source_diversity": q.q_source_diversity,
         "click_to_purchase": q.q_click_to_purchase,
+        "revenue_gini": q.q_revenue_gini,
     }
 
 
@@ -1785,5 +1786,25 @@ LEFT JOIN events p
  AND epoch_us(p.ts) <= epoch_us(c.ts) + 604800000000
 WHERE c.event_type = 'click'
 GROUP BY 1 ORDER BY 1
+"""
+    # exact Gini closed over HUGEINTs; Σi·x is permutation-invariant
+    # within revenue ties, so ORDER BY x alone is deterministic
+    out["revenue_gini"] = """
+WITH r AS (
+  SELECT o_custkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS x
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY 1
+),
+s AS (SELECT CAST(x AS HUGEINT) AS x,
+             CAST(row_number() OVER (ORDER BY x) AS HUGEINT) AS i FROM r),
+t AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+             sum(i * x) AS six FROM s)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       round(CAST(sx AS DOUBLE) / 10000.0, 2) AS total_rev,
+       CAST((2 * six - (n + 1) * sx) * 1000000 // (n * sx) AS BIGINT)
+         AS gini6
+FROM t
 """
     return out

@@ -239,6 +239,7 @@ def run_bench() -> dict:
     timed("latest_events", q.q_latest_events)
     timed("source_diversity", q.q_source_diversity)
     timed("click_to_purchase", q.q_click_to_purchase)
+    timed("revenue_gini", q.q_revenue_gini)
 
     value = round(
         sum(v for k, v in timings.items() if not k.startswith("crawl_")), 3

@@ -4714,3 +4714,107 @@ def q_click_to_purchase(sf_dir: str):
         .map_groups(kernel, batch_format="pandas")
     )
     return out.sort("event_id")
+
+
+def q_revenue_gini(sf_dir: str):
+    """Revenue concentration (exact Gini over per-customer revenue) —
+    the GLOBAL-ORDER aggregate done distributed end-to-end: no driver
+    sort, no global rank materialization.
+
+    Plan: (1) per-customer exact int revenue via the one-shuffle
+    lineitem ⋈ orders + custkey-bucket partials; (2) a VALUE-RANGE
+    second shuffle (16 ordered buckets on evenly spaced revenue
+    boundaries — skew affects balance, never exactness); (3) each
+    ordered bucket locally sorts and emits (count, Σx, Σi₀·x) with
+    bucket-local 1-based ranks; (4) the driver closes
+    Σi·x = Σ_b (six_b + offset_b·sx_b) over B=16 rows using cumulative
+    counts as offsets — valid because ties contribute the same Σi·x
+    under ANY permutation, so bucket-boundary tie splits are harmless.
+    All sums are unbounded Python ints (Σi·x overflows int64 at ~2M
+    customers); the oracle closes the same HUGEINT formula
+    gini6 = ⌊(2Σix − (n+1)Σx)·10⁶ / (n·Σx)⌋."""
+    from ..stages.temporal import _with_bucket
+
+    parts = _shuffle_partitions(
+        _row_count(sf_dir, "lineitem"), _row_count(sf_dir, "orders")
+    )
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_extendedprice", "l_discount"],
+             num_blocks=parts)
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+                 num_blocks=parts)
+    joined = li.join(orders, join_type="inner", num_partitions=parts,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        rev4 = np.rint(g["l_extendedprice"].to_numpy() * 100).astype(
+            np.int64
+        ) * (100 - np.rint(g["l_discount"].to_numpy() * 100).astype(np.int64))
+        s = pd.DataFrame({"c": g["o_custkey"].to_numpy(np.int64),
+                          "x": rev4}).groupby("c", as_index=False)["x"].sum()
+        return pd.DataFrame({"x": s["x"].to_numpy(np.int64)})
+
+    revs = (
+        _with_bucket(joined, "o_custkey", 32)
+        .groupby("__bucket")
+        .map_groups(per_cust, batch_format="pandas")
+    ).materialize()  # consumed twice: bounds scan + range shuffle
+
+    # range boundaries from the exact global min/max (two scalar
+    # partials per block — one cheap pass)
+    def mm(t: pa.Table) -> pd.DataFrame:
+        x = t.column("x").to_numpy()
+        return pd.DataFrame({"k": [0], "mn": [int(x.min())],
+                             "mx": [int(x.max())]}) if len(x) else \
+            pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                          "mn": pd.Series([], dtype=np.int64),
+                          "mx": pd.Series([], dtype=np.int64)})
+
+    bounds = pd.concat(
+        list(revs.map_batches(mm, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pandas")),
+        ignore_index=True,
+    )
+    lo, hi = int(bounds["mn"].min()), int(bounds["mx"].max())
+    n_rb = 16
+    width = max(1, (hi - lo) // n_rb + 1)
+
+    def to_range_bucket(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy()
+        rb = ((x - lo) // width).astype(np.int64)
+        return pa.table({"x": t.column("x"), "__rb": pa.array(rb)})
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        x = np.sort(g["x"].to_numpy(np.int64))
+        xo = x.astype(object)  # unbounded ints: Σi·x overflows int64
+        i0 = np.arange(1, len(x) + 1, dtype=np.int64).astype(object)
+        return pd.DataFrame({
+            "rb": [np.int64(g["__rb"].iloc[0])],
+            "cnt": [np.int64(len(x))],
+            "sx": [str(int(xo.sum()))],       # strings: exceed int64
+            "six": [str(int((i0 * xo).sum()))],
+        })
+
+    stats = pd.concat(
+        list(
+            revs.map_batches(to_range_bucket, batch_format="pyarrow")
+            .groupby("__rb")
+            .map_groups(bucket_stats, batch_format="pandas")
+            .iter_batches(batch_size=1024, batch_format="pandas")
+        ),
+        ignore_index=True,
+    ).sort_values("rb")
+
+    n = int(stats["cnt"].sum())
+    sx = sum(int(s) for s in stats["sx"])
+    six = 0
+    offset = 0
+    for r in stats.itertuples():
+        six += int(r.six) + offset * int(r.sx)
+        offset += int(r.cnt)
+    gini6 = (2 * six - (n + 1) * sx) * 1_000_000 // (n * sx)
+    return pd.DataFrame({
+        "n_customers": [np.int64(n)],
+        "total_rev": round_half_away(np.array([sx / 10000.0]), 2),
+        "gini6": [np.int64(gini6)],
+    })
