@@ -155,3 +155,62 @@ def test_corpus_shards_resume_skips_sealed(tmp_path, ray_session):
     assert second == []  # everything sealed → nothing rewritten
     back = rd.read_parquet(root).to_pandas()
     assert len(back) == 5
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_merge_count_matches_brute_force(seed):
+    """The lexsort merge-count (click_to_purchase kernel) vs an O(C·P)
+    brute force, with heavy (uid, ts) ties."""
+    rng = _rng(seed)
+    n_p, n_c = 80, 60
+    p_uid = np.sort(rng.integers(0, 6, n_p)).astype(np.int64)
+    p_ts = rng.integers(0, 10, n_p).astype(np.int64)
+    order = np.lexsort((p_ts, p_uid))
+    p_uid, p_ts = p_uid[order], p_ts[order]
+    q_uid = rng.integers(0, 6, n_c).astype(np.int64)
+    q_ts = rng.integers(0, 10, n_c).astype(np.int64)
+
+    def merge_count(p_uid, p_ts, q_uid, q_ts):
+        n_pp = len(p_uid)
+        uid_all = np.concatenate([p_uid, q_uid])
+        ts_all = np.concatenate([p_ts, q_ts])
+        flag = np.concatenate([np.zeros(n_pp, np.int8),
+                               np.ones(len(q_uid), np.int8)])
+        o = np.lexsort((flag, ts_all, uid_all))
+        pos = np.empty(len(o), np.int64)
+        pos[o] = np.arange(len(o))
+        is_q = flag[o].astype(np.int64)
+        q_before = np.cumsum(is_q) - is_q
+        return pos[n_pp:] - q_before[pos[n_pp:]]
+
+    got = merge_count(p_uid, p_ts, q_uid, q_ts)
+    want = np.array([
+        int(((p_uid < u) | ((p_uid == u) & (p_ts <= t))).sum())
+        for u, t in zip(q_uid, q_ts)
+    ])
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_bucketed_gini_equals_flat_gini(seed):
+    """The ordered-range-bucket Σi·x closure (revenue_gini) equals the
+    flat single-sort formula, including ties split across bucket
+    boundaries."""
+    rng = _rng(seed)
+    x = rng.integers(1, 50, 300).astype(np.int64)  # heavy ties
+
+    xs = np.sort(x)
+    i0 = np.arange(1, len(xs) + 1)
+    six_flat = int((i0.astype(object) * xs.astype(object)).sum())
+
+    lo, hi = int(x.min()), int(x.max())
+    width = max(1, (hi - lo) // 16 + 1)
+    rb = (x - lo) // width
+    six, offset = 0, 0
+    for b in sorted(set(rb.tolist())):
+        xb = np.sort(x[rb == b])
+        ib = np.arange(1, len(xb) + 1)
+        six += int((ib.astype(object) * xb.astype(object)).sum())
+        six += offset * int(xb.sum())
+        offset += len(xb)
+    assert six == six_flat
