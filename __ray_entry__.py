@@ -174,6 +174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_diversity": q.q_source_diversity,
         "click_to_purchase": q.q_click_to_purchase,
         "revenue_gini": q.q_revenue_gini,
+        "range_moving_sum": q.q_range_moving_sum,
+        "missing_days": q.q_missing_days,
     }
 
 
@@ -1806,5 +1808,24 @@ SELECT CAST(n AS BIGINT) AS n_customers,
        CAST((2 * six - (n + 1) * sx) * 1000000 // (n * sx) AS BIGINT)
          AS gini6
 FROM t
+"""
+    out["range_moving_sum"] = """
+WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS tu,
+                  CAST(round(value * 1000) AS BIGINT) AS v3 FROM events)
+SELECT event_id,
+       round(CAST(sum(v3) OVER (PARTITION BY user_id ORDER BY tu
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+             AS BIGINT) / 1000.0, 6) AS sum_24h
+FROM v ORDER BY event_id
+"""
+    out["missing_days"] = """
+WITH d AS (SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+           AS day FROM events WHERE event_id % 397 = 0),
+span AS (SELECT min(day) AS lo, max(day) AS hi FROM d)
+SELECT r.day
+FROM (SELECT unnest(range(lo, hi + 1)) AS day FROM span) r
+LEFT JOIN d USING (day)
+WHERE d.day IS NULL
+ORDER BY r.day
 """
     return out

@@ -240,6 +240,8 @@ def run_bench() -> dict:
     timed("source_diversity", q.q_source_diversity)
     timed("click_to_purchase", q.q_click_to_purchase)
     timed("revenue_gini", q.q_revenue_gini)
+    timed("range_moving_sum", q.q_range_moving_sum)
+    timed("missing_days", q.q_missing_days)
 
     value = round(
         sum(v for k, v in timings.items() if not k.startswith("crawl_")), 3

@@ -4818,3 +4818,85 @@ def q_revenue_gini(sf_dir: str):
         "total_rev": round_half_away(np.array([sx / 10000.0]), 2),
         "gini6": [np.int64(gini6)],
     })
+
+
+def q_range_moving_sum(sf_dir: str):
+    """Time-RANGE window frame (vs q_moving_avg's ROWS frame): per
+    event, the user's value sum over the trailing 24 HOURS — the frame
+    every rate-limit / rolling-exposure feature uses. ONE hash-bucket
+    shuffle on user_id; the in-bucket kernel is per-user prefix sums +
+    one vectorized searchsorted for the window's left edge (O(n log n)
+    per bucket, no per-row loop). Exact milliunit int sums; ties inside
+    a user share a timestamp and are all included (RANGE semantics —
+    frame bounds depend on ts VALUE, not row position)."""
+    from ..stages.temporal import _with_bucket
+
+    ev = _pq(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "value"],
+             num_blocks=_n_cpus())
+    win = np.int64(24 * 3600 * 1_000_000)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].astype("int64").to_numpy()
+        v3 = np.rint(g["value"].to_numpy() * 1000).astype(np.int64)
+        cs = np.concatenate([[0], np.cumsum(v3)])  # prefix sums
+
+        # RANGE frame bounds via the lexsort merge-count (same trick as
+        # click_to_purchase): rows of OTHER users appear in both edge
+        # counts and cancel in cs[hi] − cs[lo], so no segment clamping
+        def merge_count(k_uid, k_ts, q_uid, q_ts, q_first):
+            n_k = len(k_uid)
+            uid_all = np.concatenate([k_uid, q_uid])
+            ts_all = np.concatenate([k_ts, q_ts])
+            flag = np.concatenate([
+                np.zeros(n_k, np.int8),
+                np.full(len(q_uid), -1 if q_first else 1, np.int8),
+            ])  # q_first → queries sort BEFORE tied keys ('<' semantics)
+            o = np.lexsort((flag, ts_all, uid_all))
+            pos = np.empty(len(o), np.int64)
+            pos[o] = np.arange(len(o))
+            is_q = (flag[o] != 0).astype(np.int64)
+            q_before = np.cumsum(is_q) - is_q
+            return pos[n_k:] - q_before[pos[n_k:]]
+
+        lo = merge_count(uid, ts, uid, ts - win, q_first=True)
+        hi = merge_count(uid, ts, uid, ts, q_first=False)
+        s3 = cs[hi] - cs[lo]
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "sum_24h": round_half_away(s3 / 1000.0, 6),
+        })
+
+    out = (
+        _with_bucket(ev, "user_id", 32)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )
+    return out.sort("event_id")
+
+
+def q_missing_days(sf_dir: str):
+    """Calendar-gap detection: days inside the stream's [min, max] span
+    with ZERO events — the data-freshness / ingestion-hole check, over
+    the sparse slice ``event_id % 397 == 0`` (denser slices still cover
+    every day of the 30-day span, so their gap set is degenerately
+    empty). The
+    distinct-day set is a clock-bounded combine (days, not rows); the
+    complement closes on the driver against the integer day range."""
+    ev = _pq(sf_dir, "events", columns=["event_id", "ts"],
+             num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy()[eid % 397 == 0]
+        day = np.unique(ts // 86_400_000_000).astype(np.int64)
+        return pd.DataFrame({"day": day, "n": np.int64(1)})
+
+    days = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"), ["day"], ["n"]
+    )["day"].to_numpy(np.int64)
+    full = np.arange(days.min(), days.max() + 1, dtype=np.int64)
+    missing = np.setdiff1d(full, days)
+    return pd.DataFrame({"day": missing})
