@@ -1536,7 +1536,8 @@ WITH v AS (
 )
 SELECT p_partkey, round(rev4 / 10000.0, 2) AS value
 FROM v
-WHERE rev4 * 1000 > (SELECT sum(rev4) FROM v)
+WHERE CAST(rev4 AS HUGEINT) * 2 * (SELECT count(*) FROM v)
+      > 3 * (SELECT sum(rev4) FROM v)
 ORDER BY value DESC, p_partkey
 """
     out["waiting_orders"] = """

@@ -3807,11 +3807,12 @@ def q_product_profit(sf_dir: str):
 
 def q_important_parts(sf_dir: str):
     """TPC-H Q11-shape important stock: parts whose lineitem revenue
-    exceeds 0.1% of TOTAL lineitem revenue. Per-part keys grow with the
-    data, so the per-batch partials flow through _combine_partials under
-    a cap with a distributed groupby-sum fallback; the global threshold
-    is the exact int64 sum of the same partials (value*1000 > total — no
-    float compare)."""
+    exceeds 1.5x the MEAN per-part revenue — the scale-invariant analog
+    of Q11's 0.0001/SF fraction (a fixed corpus share selects nothing
+    once part count grows). Per-part keys grow with the data, so the
+    per-batch partials flow through _combine_partials under a cap with
+    a distributed groupby-sum fallback; the threshold compare is exact
+    integer (2·value·n > 3·total — no float)."""
     li = _pq(sf_dir, "lineitem",
              columns=["l_partkey", "l_extendedprice", "l_discount"],
              num_blocks=_n_cpus())
@@ -3837,7 +3838,11 @@ def q_important_parts(sf_dir: str):
             .to_pandas()
         )
     total = int(per_part["rev4"].sum())
-    keep = per_part[per_part["rev4"].to_numpy(np.int64) * 1000 > total].copy()
+    n_parts = len(per_part)
+    keep = per_part[
+        per_part["rev4"].to_numpy(np.int64).astype(object) * (2 * n_parts)
+        > 3 * total
+    ].copy()
     keep["value"] = round_half_away(keep["rev4"].to_numpy(np.int64) / 10000.0, 2)
     keep["p_partkey"] = keep["p_partkey"].astype(np.int64)
     return keep[["p_partkey", "value"]].sort_values(
