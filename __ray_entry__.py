@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_gini": q.q_revenue_gini,
         "range_moving_sum": q.q_range_moving_sum,
         "missing_days": q.q_missing_days,
+        "training_manifest": q.q_training_manifest,
     }
 
 
@@ -1829,4 +1830,14 @@ LEFT JOIN d USING (day)
 WHERE d.day IS NULL
 ORDER BY r.day
 """
+    # capstone composition: the corpus_prep oracle verbatim as a CTE,
+    # then the md5 shard routing + manifest on its survivors
+    out["training_manifest"] = (
+        "WITH prep AS (" + out["corpus_prep"] + """)
+SELECT CAST(CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                  1, 16)) AS UBIGINT) % 16 AS BIGINT) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(ws_tokens) AS BIGINT) AS n_tokens
+FROM prep GROUP BY 1 ORDER BY 1"""
+    )
     return out

@@ -242,6 +242,7 @@ def run_bench() -> dict:
     timed("revenue_gini", q.q_revenue_gini)
     timed("range_moving_sum", q.q_range_moving_sum)
     timed("missing_days", q.q_missing_days)
+    timed("training_manifest", q.q_training_manifest)
 
     value = round(
         sum(v for k, v in timings.items() if not k.startswith("crawl_")), 3

@@ -4905,3 +4905,35 @@ def q_missing_days(sf_dir: str):
     full = np.arange(days.min(), days.max() + 1, dtype=np.int64)
     missing = np.setdiff1d(full, days)
     return pd.DataFrame({"day": missing})
+
+
+def q_training_manifest(sf_dir: str):
+    """The capstone end-to-end training-data pipeline a reference user
+    would run nightly, as ONE streaming composition: exact dedup →
+    quality filter → language gate → token counts (q_corpus_prep's
+    fused pass) → md5 shard routing → per-shard doc/token manifest.
+    Everything between the scan and the 16-row manifest is map-only on
+    survivors; the only gathers are dedup's bounded min-id partials and
+    the 16-key manifest combine."""
+    from ..functions.urls import md5_hash64_many
+
+    prep = q_corpus_prep(sf_dir)
+
+    def assign(t: pa.Table) -> pd.DataFrame:
+        ids = t.column("doc_id").to_pylist()
+        shard = (md5_hash64_many([f"shard:{i}" for i in ids])
+                 % np.uint64(16)).astype(np.int64)
+        df = pd.DataFrame({
+            "shard": shard,
+            "n_docs": np.int64(1),
+            "n_tokens": t.column("ws_tokens").to_numpy(),
+        })
+        return df.groupby("shard", as_index=False).sum()
+
+    out = _combine_partials(
+        prep.map_batches(assign, batch_format="pyarrow"),
+        ["shard"], ["n_docs", "n_tokens"],
+    )
+    for c in ("shard", "n_docs", "n_tokens"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("shard").reset_index(drop=True)
