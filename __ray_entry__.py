@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_moving_sum": q.q_range_moving_sum,
         "missing_days": q.q_missing_days,
         "training_manifest": q.q_training_manifest,
+        "customer_revenue_pctile": q.q_customer_revenue_pctile,
     }
 
 
@@ -1840,4 +1841,19 @@ SELECT CAST(CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
        CAST(sum(ws_tokens) AS BIGINT) AS n_tokens
 FROM prep GROUP BY 1 ORDER BY 1"""
     )
+    out["customer_revenue_pctile"] = """
+WITH r AS (
+  SELECT o_custkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS x
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY 1
+),
+s AS (SELECT o_custkey, x, rank() OVER (ORDER BY x) AS rk,
+             count(*) OVER () AS n FROM r)
+SELECT o_custkey, round(x / 10000.0, 2) AS revenue,
+       CAST(CAST(rk - 1 AS HUGEINT) * 1000000
+            // greatest(n - 1, 1) AS BIGINT) AS pct6
+FROM s ORDER BY o_custkey
+"""
     return out

@@ -243,6 +243,7 @@ def run_bench() -> dict:
     timed("range_moving_sum", q.q_range_moving_sum)
     timed("missing_days", q.q_missing_days)
     timed("training_manifest", q.q_training_manifest)
+    timed("customer_revenue_pctile", q.q_customer_revenue_pctile)
 
     value = round(
         sum(v for k, v in timings.items() if not k.startswith("crawl_")), 3

@@ -4937,3 +4937,105 @@ def q_training_manifest(sf_dir: str):
     for c in ("shard", "n_docs", "n_tokens"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values("shard").reset_index(drop=True)
+
+
+def q_customer_revenue_pctile(sf_dir: str):
+    """Distributed GLOBAL percent-rank per customer (the companion op to
+    q_revenue_gini's global-order aggregate, but materializing the rank
+    itself): per-customer exact revenue → ordered value-range buckets →
+    in-bucket min-rank + cumulative bucket offsets. Ties are safe by
+    construction — equal revenues map to the SAME range bucket, so
+    rank() min-tie semantics close in-bucket. No driver sort; the
+    output is the per-customer table itself. pct6 =
+    ⌊(rank−1)·10⁶/(n−1)⌋ exact-integer both sides."""
+    from ..stages.temporal import _with_bucket
+
+    parts = _shuffle_partitions(
+        _row_count(sf_dir, "lineitem"), _row_count(sf_dir, "orders")
+    )
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_extendedprice", "l_discount"],
+             num_blocks=parts)
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+                 num_blocks=parts)
+    joined = li.join(orders, join_type="inner", num_partitions=parts,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        rev4 = np.rint(g["l_extendedprice"].to_numpy() * 100).astype(
+            np.int64
+        ) * (100 - np.rint(g["l_discount"].to_numpy() * 100).astype(np.int64))
+        s = pd.DataFrame({"o_custkey": g["o_custkey"].to_numpy(np.int64),
+                          "x": rev4}).groupby(
+            "o_custkey", as_index=False)["x"].sum()
+        return s
+
+    revs = (
+        _with_bucket(joined, "o_custkey", 32)
+        .groupby("__bucket")
+        .map_groups(per_cust, batch_format="pandas")
+    ).materialize()  # consumed twice: bounds pass + range shuffle
+
+    def mm(t: pa.Table) -> pd.DataFrame:
+        x = t.column("x").to_numpy()
+        if not len(x):
+            return pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                                 "mn": pd.Series([], dtype=np.int64),
+                                 "mx": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"k": [0], "mn": [int(x.min())],
+                             "mx": [int(x.max())], "n": [len(x)]})
+
+    bframes = pd.concat(
+        list(revs.map_batches(mm, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pandas")),
+        ignore_index=True,
+    )
+    lo, hi = int(bframes["mn"].min()), int(bframes["mx"].max())
+    n = int(bframes["n"].sum())
+    n_rb = 16
+    width = max(1, (hi - lo) // n_rb + 1)
+
+    def to_rb(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy()
+        rb = ((x - lo) // width).astype(np.int64)
+        return pa.table({"o_custkey": t.column("o_custkey"),
+                         "x": t.column("x"), "__rb": pa.array(rb)})
+
+    # per-bucket counts → cumulative offsets (16 rows on the driver)
+    rb_ds = revs.map_batches(to_rb, batch_format="pyarrow").materialize()
+
+    def rb_count(t: pa.Table) -> pd.DataFrame:
+        rb = t.column("__rb").to_numpy()
+        u, c = np.unique(rb, return_counts=True)
+        return pd.DataFrame({"rb": u.astype(np.int64),
+                             "cnt": c.astype(np.int64)})
+
+    cnts = _combine_partials(
+        rb_ds.map_batches(rb_count, batch_format="pyarrow"), ["rb"], ["cnt"]
+    ).sort_values("rb")
+    offsets = dict(zip(
+        cnts["rb"].tolist(),
+        np.concatenate([[0], np.cumsum(cnts["cnt"].to_numpy())[:-1]]).tolist(),
+    ))
+    off_ref = ray.put(offsets)
+    n_ref = ray.put(n)
+
+    def bucket_rank(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)[int(g["__rb"].iloc[0])]
+        nn = ray.get(n_ref)
+        g = g.sort_values(["x", "o_custkey"])
+        x = g["x"].to_numpy(np.int64)
+        # rank() min-tie: first index of each distinct value run
+        first = np.searchsorted(x, x, side="left")
+        rank = first + off + 1
+        pct6 = (rank - 1).astype(object) * 1_000_000 // max(nn - 1, 1)
+        return pd.DataFrame({
+            "o_custkey": g["o_custkey"].to_numpy(np.int64),
+            "revenue": round_half_away(x / 10000.0, 2),
+            "pct6": pct6.astype(np.int64),
+        })
+
+    out = rb_ds.groupby("__rb").map_groups(bucket_rank,
+                                           batch_format="pandas")
+    return out.sort("o_custkey")
