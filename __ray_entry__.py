@@ -178,6 +178,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "missing_days": q.q_missing_days,
         "training_manifest": q.q_training_manifest,
         "customer_revenue_pctile": q.q_customer_revenue_pctile,
+        "user_ema": q.q_user_ema,
+        "value_outliers": q.q_value_outliers,
+        "peak_in_transit": q.q_peak_in_transit,
     }
 
 
@@ -1855,5 +1858,63 @@ SELECT o_custkey, round(x / 10000.0, 2) AS revenue,
        CAST(CAST(rk - 1 AS HUGEINT) * 1000000
             // greatest(n - 1, 1) AS BIGINT) AS pct6
 FROM s ORDER BY o_custkey
+"""
+    # integer EMA recurrence replayed step-by-step as a recursive CTE —
+    # the floor divide makes it a true recurrence (not window-expressible);
+    # both sides run e_t = (e_{t-1} + v_t) // 2 over exact milliunit ints
+    out["user_ema"] = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, CAST(round(value * 1000) AS BIGINT) AS m,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+rec AS (
+  SELECT user_id, rn, m AS e FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn, (r.e + s.m) // 2
+  FROM rec r JOIN seq s
+    ON s.user_id = r.user_id AND s.rn = r.rn + 1),
+last AS (SELECT user_id, max(rn) AS n_events FROM seq GROUP BY 1)
+SELECT l.user_id, CAST(l.n_events AS BIGINT) AS n_events,
+       round(r.e / 1000.0, 6) AS ema
+FROM last l JOIN rec r
+  ON r.user_id = l.user_id AND r.rn = l.n_events
+ORDER BY l.user_id
+"""
+    out["value_outliers"] = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS v3
+  FROM events),
+m AS (SELECT event_type, quantile_disc(v3, 0.5) AS med3
+      FROM v GROUP BY 1),
+d AS (SELECT v.event_type, v3, med3, abs(v3 - med3) AS dv
+      FROM v JOIN m USING (event_type)),
+md AS (SELECT event_type, quantile_disc(dv, 0.5) AS mad3
+       FROM d GROUP BY 1)
+SELECT d.event_type,
+       round(any_value(d.med3) / 1000.0, 6) AS med,
+       round(any_value(md.mad3) / 1000.0, 6) AS mad,
+       CAST(count(*) FILTER (WHERE dv > 3 * mad3) AS BIGINT)
+         AS n_outliers,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM d JOIN md USING (event_type)
+GROUP BY 1 ORDER BY 1
+"""
+    out["peak_in_transit"] = """
+WITH iv AS (
+  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS dd0,
+         CAST(l_shipdate AS DATE)
+           + CAST(round(l_quantity) AS INT) AS dd1
+  FROM lineitem),
+ev AS (
+  SELECT l_suppkey, dd0 AS d, CAST(1 AS BIGINT) AS delta FROM iv
+  UNION ALL
+  SELECT l_suppkey, dd1, CAST(-1 AS BIGINT) FROM iv),
+net AS (SELECT l_suppkey, d, sum(delta) AS nd FROM ev GROUP BY 1, 2),
+run AS (SELECT l_suppkey,
+               sum(nd) OVER (PARTITION BY l_suppkey ORDER BY d) AS r
+        FROM net)
+SELECT l_suppkey, CAST(max(r) AS BIGINT) AS peak
+FROM run GROUP BY 1 ORDER BY 1
 """
     return out

@@ -254,6 +254,9 @@ def run_bench() -> dict:
     timed("missing_days", q.q_missing_days)
     timed("training_manifest", q.q_training_manifest)
     timed("customer_revenue_pctile", q.q_customer_revenue_pctile)
+    timed("user_ema", q.q_user_ema)
+    timed("value_outliers", q.q_value_outliers)
+    timed("peak_in_transit", q.q_peak_in_transit)
 
     value = round(
         sum(v for k, v in timings.items() if not k.startswith("crawl_")), 3

@@ -5039,3 +5039,153 @@ def q_customer_revenue_pctile(sf_dir: str):
     out = rb_ds.groupby("__rb").map_groups(bucket_rank,
                                            batch_format="pandas")
     return out.sort("o_custkey")
+
+
+def q_user_ema(sf_dir: str):
+    """Per-user integer EMA (alpha = 1/2): e_t = (e_{t-1} + v_t) // 2 —
+    a TRUE per-key recurrence that no SQL window/prefix-scan form
+    expresses (the floor divide breaks linearity, unlike cumsum/cummax).
+    ONE hash-bucket shuffle on user_id, then an in-bucket WAVEFRONT
+    kernel: rows are laid out by (step, user) so recurrence step j is a
+    single vectorized numpy op across every user's j-th event at once —
+    O(rows) total work, O(max chain length) kernel launches, zero
+    per-row Python. Exact milliunit ints end-to-end; the oracle replays
+    the identical integer recurrence as a recursive CTE."""
+    from ..stages.temporal import _with_bucket
+
+    ev = _pq(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "value"],
+             num_blocks=_n_cpus())
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy(np.int64)
+        m = np.rint(g["value"].to_numpy() * 1000).astype(np.int64)
+        rn = g.groupby("user_id").cumcount().to_numpy(np.int64)
+        order = np.lexsort((u, rn))  # wavefront layout: step-major
+        u2, m2, rn2 = u[order], m[order], rn[order]
+        e = np.empty_like(m2)
+        nsteps = int(rn2[-1]) + 1
+        starts = np.searchsorted(rn2, np.arange(nsteps + 1))
+        e[starts[0]:starts[1]] = m2[starts[0]:starts[1]]
+        for j in range(1, nsteps):
+            cur = slice(starts[j], starts[j + 1])
+            prev = slice(starts[j - 1], starts[j])
+            # users at step j are a prefix-closed subset of step j-1,
+            # both slices sorted by user -> align by searchsorted
+            pos = np.searchsorted(u2[prev], u2[cur])
+            e[cur] = (e[prev][pos] + m2[cur]) // 2  # values >= 0
+        df = pd.DataFrame({"user_id": u2, "rn": rn2, "e": e})
+        last = df.loc[df.groupby("user_id")["rn"].idxmax()]
+        return pd.DataFrame({
+            "user_id": last["user_id"].to_numpy(np.int64),
+            "n_events": last["rn"].to_numpy(np.int64) + 1,
+            "ema": round_half_away(last["e"].to_numpy(np.int64) / 1000.0, 6),
+        })
+
+    out = (
+        _with_bucket(ev, "user_id", 32)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )
+    return out.sort("user_id")
+
+
+def q_value_outliers(sf_dir: str):
+    """Robust per-type outlier counts: events farther than 3 MAD from
+    the DISCRETE median (quantile_disc semantics — always a real data
+    point, index floor((n-1)/2)). Reuses the bounded-domain milliunit
+    histogram of q_value_mad: ONE pass builds per-(type, v3) count
+    partials capped by the VALUE DOMAIN, and the driver closes median,
+    MAD and the outlier count from the same histogram — no second scan
+    over the corpus at any scale. All decisions are exact-integer."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "value"],
+             num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas(),
+            "v3": np.rint(t.column("value").to_numpy() * 1000).astype(
+                np.int64
+            ),
+            "n": np.int64(1),
+        })
+        return df.groupby(["event_type", "v3"], as_index=False)["n"].sum()
+
+    hist = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "v3"], ["n"],
+    )
+
+    def disc_median(vals: np.ndarray, cnts: np.ndarray) -> int:
+        """quantile_disc(0.5) over a weighted int histogram sorted by
+        value: the element at 0-based index floor((n-1)/2)."""
+        cum = np.cumsum(cnts)
+        idx = (int(cum[-1]) - 1) // 2
+        return int(vals[np.searchsorted(cum, idx + 1)])
+
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("v3")
+        vals = g["v3"].to_numpy(np.int64)
+        cnts = g["n"].to_numpy(np.int64)
+        med3 = disc_median(vals, cnts)
+        dv = np.abs(vals - med3)
+        dh = pd.DataFrame({"dv": dv, "n": cnts}).groupby(
+            "dv", as_index=False)["n"].sum().sort_values("dv")
+        mad3 = disc_median(dh["dv"].to_numpy(np.int64),
+                           dh["n"].to_numpy(np.int64))
+        rows.append({
+            "event_type": et,
+            "med": round_half_away(np.array([med3 / 1000.0]), 6)[0],
+            "mad": round_half_away(np.array([mad3 / 1000.0]), 6)[0],
+            "n_outliers": int(cnts[dv > 3 * mad3].sum()),
+            "n_events": int(cnts.sum()),
+        })
+    return pd.DataFrame(rows).sort_values("event_type").reset_index(
+        drop=True)
+
+
+def q_peak_in_transit(sf_dir: str):
+    """Sweep-line MAX-CONCURRENCY: each lineitem occupies its supplier
+    for a delivery window [shipdate, shipdate + quantity days); the
+    query returns each supplier's PEAK number of simultaneously open
+    windows — the interval-stabbing aggregate that needs an ordered
+    prefix scan, not a groupby. Endpoint deltas are netted per
+    (supplier, day) BEFORE the scan, so tie ordering is immaterial and
+    in-bucket state is bounded by suppliers × active days, not rows.
+    ONE hash-bucket shuffle on l_suppkey; exact integer throughout."""
+    from ..stages.temporal import _with_bucket
+
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_suppkey", "l_shipdate", "l_quantity"],
+             num_blocks=_n_cpus())
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        s = g["l_suppkey"].to_numpy(np.int64)
+        d0 = g["l_shipdate"].to_numpy().astype("datetime64[D]").astype(
+            np.int64)
+        d1 = d0 + np.rint(g["l_quantity"].to_numpy()).astype(np.int64)
+        ev = pd.DataFrame({
+            "s": np.concatenate([s, s]),
+            "d": np.concatenate([d0, d1]),
+            "delta": np.concatenate([
+                np.ones(len(s), np.int64), -np.ones(len(s), np.int64)]),
+        })
+        net = ev.groupby(["s", "d"], as_index=False)["delta"].sum()
+        net = net.sort_values(["s", "d"])
+        run = net.groupby("s")["delta"].cumsum().to_numpy(np.int64)
+        peaks = pd.DataFrame({
+            "s": net["s"].to_numpy(np.int64), "r": run,
+        }).groupby("s", as_index=False)["r"].max()
+        return pd.DataFrame({
+            "l_suppkey": peaks["s"].to_numpy(np.int64),
+            "peak": peaks["r"].to_numpy(np.int64),
+        })
+
+    out = (
+        _with_bucket(li, "l_suppkey", 32)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )
+    return out.sort("l_suppkey")
