@@ -214,3 +214,109 @@ def test_bucketed_gini_equals_flat_gini(seed):
         six += offset * int(xb.sum())
         offset += len(xb)
     assert six == six_flat
+
+
+def _write_events(tmp_path, rng, n, n_users, ts_tie_mod=7):
+    """Random events table with heavy ts ties (stress the (ts, event_id)
+    order pin) and milliunit-clean values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, n_users, n).astype(np.int64),
+        "ts": pd.to_datetime(
+            rng.integers(0, ts_tie_mod, n) * 3600, unit="s"),
+        "event_type": "click",
+        "value": rng.integers(0, 5000, n).astype(np.float64) / 10.0,
+        "props": "{}",
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    return df
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_user_ema_wavefront_matches_sequential(seed, tmp_path, ray_session):
+    """The step-major wavefront recurrence must equal the obvious
+    per-user sequential loop e_t = (e_{t-1} + v_t) // 2, including
+    single-event users and ts-tied rows broken by event_id."""
+    from gocrawler_ray.pipelines.queries import q_user_ema
+
+    rng = _rng(seed)
+    df = _write_events(tmp_path, rng, n=600, n_users=40)
+
+    expect = {}
+    srt = df.sort_values(["user_id", "ts", "event_id"])
+    for uid, g in srt.groupby("user_id"):
+        m = np.rint(g["value"].to_numpy() * 1000).astype(np.int64)
+        e = int(m[0])
+        for v in m[1:]:
+            e = (e + int(v)) // 2
+        expect[int(uid)] = (len(g), e / 1000.0)
+
+    out = q_user_ema(str(tmp_path)).to_pandas()
+    assert len(out) == len(expect)
+    for row in out.itertuples():
+        n, ema = expect[int(row.user_id)]
+        assert row.n_events == n
+        assert abs(row.ema - round(ema, 6)) < 1e-9
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_peak_in_transit_matches_day_scan(seed, tmp_path, ray_session):
+    """Sweep-line peak equals the brute-force 'count open windows on
+    every day' scan over half-open [ship, ship+qty) windows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gocrawler_ray.pipelines.queries import q_peak_in_transit
+
+    rng = _rng(seed)
+    n = 500
+    df = pd.DataFrame({
+        "l_suppkey": rng.integers(0, 12, n).astype(np.int64),
+        "l_shipdate": pd.to_datetime(
+            rng.integers(0, 30, n) * 86400, unit="s"),
+        "l_quantity": rng.integers(1, 9, n).astype(np.float64),
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "lineitem.parquet"))
+
+    expect = {}
+    d0 = (df["l_shipdate"].astype("int64") // 86_400_000_000_000).to_numpy()
+    qty = df["l_quantity"].to_numpy(np.int64)
+    for s in np.unique(df["l_suppkey"]):
+        msk = (df["l_suppkey"] == s).to_numpy()
+        peak = max(
+            int(((d0[msk] <= day) & (day < d0[msk] + qty[msk])).sum())
+            for day in range(int(d0.min()), int((d0 + qty).max()) + 1)
+        )
+        expect[int(s)] = peak
+
+    out = q_peak_in_transit(str(tmp_path)).to_pandas()
+    got = dict(zip(out["l_suppkey"].astype(int), out["peak"].astype(int)))
+    assert got == expect
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_value_outliers_matches_numpy_disc(seed, tmp_path, ray_session):
+    """Histogram-closed disc median / MAD / outlier count equals the
+    sort-based definition (index floor((n-1)/2) of the sorted values)."""
+    from gocrawler_ray.pipelines.queries import q_value_outliers
+
+    rng = _rng(seed)
+    df = _write_events(tmp_path, rng, n=800, n_users=10)
+
+    v3 = np.sort(np.rint(df["value"].to_numpy() * 1000).astype(np.int64))
+    med3 = int(v3[(len(v3) - 1) // 2])
+    dv = np.sort(np.abs(v3 - med3))
+    mad3 = int(dv[(len(dv) - 1) // 2])
+
+    out = q_value_outliers(str(tmp_path))
+    assert len(out) == 1  # single event_type in the fixture
+    row = out.iloc[0]
+    assert row["med"] == round(med3 / 1000.0, 6)
+    assert row["mad"] == round(mad3 / 1000.0, 6)
+    assert row["n_outliers"] == int((dv > 3 * mad3).sum())
+    assert row["n_events"] == len(v3)
