@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_ema": q.q_user_ema,
         "value_outliers": q.q_value_outliers,
         "peak_in_transit": q.q_peak_in_transit,
+        "mutual_best_match": q.q_mutual_best_match,
     }
 
 
@@ -1916,5 +1917,23 @@ run AS (SELECT l_suppkey,
         FROM net)
 SELECT l_suppkey, CAST(max(r) AS BIGINT) AS peak
 FROM run GROUP BY 1 ORDER BY 1
+"""
+    out["mutual_best_match"] = """
+WITH li AS (
+  SELECT l_partkey p, l_suppkey s,
+         CAST(round(l_extendedprice * 100) AS BIGINT) c
+  FROM lineitem),
+pb AS (SELECT p, s, c,
+              row_number() OVER (PARTITION BY p ORDER BY c, s) rn
+       FROM li),
+sb AS (SELECT p, s, c,
+              row_number() OVER (PARTITION BY s ORDER BY c, p) rn
+       FROM li)
+SELECT a.p AS p_partkey, a.s AS s_suppkey,
+       round(a.c / 100.0, 2) AS price
+FROM (SELECT p, s, c FROM pb WHERE rn = 1) a
+JOIN (SELECT p, s FROM sb WHERE rn = 1) b
+  ON a.p = b.p AND a.s = b.s
+ORDER BY 1
 """
     return out

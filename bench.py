@@ -257,6 +257,7 @@ def run_bench() -> dict:
     timed("user_ema", q.q_user_ema)
     timed("value_outliers", q.q_value_outliers)
     timed("peak_in_transit", q.q_peak_in_transit)
+    timed("mutual_best_match", q.q_mutual_best_match)
 
     value = round(
         sum(v for k, v in timings.items() if not k.startswith("crawl_")), 3

@@ -5189,3 +5189,71 @@ def q_peak_in_transit(sf_dir: str):
         .map_groups(kernel, batch_format="pandas")
     )
     return out.sort("l_suppkey")
+
+
+def q_mutual_best_match(sf_dir: str):
+    """MUTUAL-ARGMIN join (stable best-bidirectional-match): the
+    (part, supplier) pairs where the supplier is that part's cheapest
+    offer AND the part is that supplier's cheapest offer — both argmins
+    lexicographic on exact cents with key tiebreak. Each direction is a
+    MERGEABLE per-batch compaction (one row per key survives a batch);
+    the supplier side is dimension-bounded, so it broadcasts as the
+    mutual filter over the part-side argmin stream — no pairwise join.
+    Past the cap the part side falls back to a hash-bucket shuffle,
+    the same contract as q_cheapest_supplier."""
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+             num_blocks=_n_cpus())
+
+    def partials(by: str, other: str):
+        def partial(t: pa.Table) -> pd.DataFrame:
+            df = pd.DataFrame({
+                "p_partkey": t.column("l_partkey").to_numpy(),
+                "s_suppkey": t.column("l_suppkey").to_numpy(),
+                "c": np.rint(
+                    t.column("l_extendedprice").to_numpy() * 100
+                ).astype(np.int64),
+            })
+            return df.sort_values([by, "c", other]).drop_duplicates(by)
+        return li.map_batches(partial, batch_format="pyarrow")
+
+    def close(ds: rd.Dataset, by: str, other: str,
+              cap: int = 2_000_000) -> pd.DataFrame:
+        frames, total = [], 0
+        for b in ds.iter_batches(batch_size=65536, batch_format="pandas"):
+            frames.append(b)
+            total += len(b)
+            if total > cap:
+                break
+        else:
+            return (pd.concat(frames, ignore_index=True)
+                    .sort_values([by, "c", other]).drop_duplicates(by))
+        from ..stages.temporal import _with_bucket  # pragma: no cover
+
+        def bucket_min(g: pd.DataFrame) -> pd.DataFrame:  # pragma: no cover
+            return g.sort_values([by, "c", other]).drop_duplicates(by)
+
+        return (_with_bucket(ds, by, 64)  # pragma: no cover
+                .groupby("__bucket")
+                .map_groups(bucket_min, batch_format="pandas")
+                .to_pandas()[["p_partkey", "s_suppkey", "c"]])
+
+    part_best = close(partials("p_partkey", "s_suppkey"),
+                      "p_partkey", "s_suppkey")
+    supp_best = close(partials("s_suppkey", "p_partkey"),
+                      "s_suppkey", "p_partkey")
+
+    # mutual filter: supplier side is dim-bounded → dict lookup
+    want = dict(zip(supp_best["s_suppkey"].astype(np.int64),
+                    supp_best["p_partkey"].astype(np.int64)))
+    pk = part_best["p_partkey"].to_numpy(np.int64)
+    sk = part_best["s_suppkey"].to_numpy(np.int64)
+    keep = np.fromiter((want.get(s) == p for p, s in zip(pk, sk)),
+                       bool, len(pk))
+    out = pd.DataFrame({
+        "p_partkey": pk[keep],
+        "s_suppkey": sk[keep],
+        "price": round_half_away(
+            part_best["c"].to_numpy(np.int64)[keep] / 100.0, 2),
+    })
+    return out.sort_values("p_partkey").reset_index(drop=True)
