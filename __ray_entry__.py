@@ -1081,25 +1081,33 @@ FROM o a JOIN o b ON a.user_id = b.user_id
 WHERE a.rn = 1 AND b.rn = b.n
 """,
         "local_supplier_revenue": """
-SELECT n_name,
-       count(*) AS n_lines,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_rev
-FROM customer, orders, lineitem, supplier, nation, region
-WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
-  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-  AND r_name = 'ASIA'
+WITH r AS (
+  SELECT n_name,
+         CAST(round(l_extendedprice * 100) AS HUGEINT)
+           * (100 - CAST(round(l_discount * 100) AS HUGEINT)) AS rev4
+  FROM customer, orders, lineitem, supplier, nation, region
+  WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+    AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+    AND r_name = 'ASIA')
+SELECT n_name, count(*) AS n_lines,
+       round(CAST(sum(rev4) AS DOUBLE) / 10000.0, 2) AS sum_rev
+FROM r
 GROUP BY n_name
 ORDER BY n_name
 """,
         "promo_revenue": """
-SELECT strftime(l_shipdate, '%Y-%m') AS month,
-       count(*) AS n_lines,
-       round(sum(CASE WHEN p_type = 'PROMO'
-                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
-         AS promo_rev,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
-FROM lineitem JOIN part ON l_partkey = p_partkey
+WITH r AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+         CAST(round(l_extendedprice * 100) AS HUGEINT)
+           * (100 - CAST(round(l_discount * 100) AS HUGEINT)) AS rev4,
+         CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey)
+SELECT month, count(*) AS n_lines,
+       round(CAST(sum(CASE WHEN promo = 1 THEN rev4 ELSE 0 END)
+                  AS DOUBLE) / 10000.0, 2) AS promo_rev,
+       round(CAST(sum(rev4) AS DOUBLE) / 10000.0, 2) AS total_rev
+FROM r
 GROUP BY 1
 ORDER BY 1
 """,
@@ -1167,11 +1175,19 @@ FROM orders JOIN (
 ORDER BY o_orderkey
 """,
         # scalar-subquery broadcast + NOT EXISTS anti-join (Q22 shape)
+        # 'above average' closes over exact cents ints: bal > S/N ⟺
+        # bal2 ≥ S//N + 1 — no float average at the set boundary
         "rich_dormant_customers": """
+WITH b AS (SELECT c_custkey, c_nationkey,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS bal2
+           FROM customer),
+t AS (SELECT CAST(sum(CAST(bal2 AS HUGEINT)) // count(*) AS BIGINT) + 1
+        AS min_rich2 FROM b)
 SELECT c_nationkey, count(*) AS n_custs,
-       round(sum(c_acctbal), 2) AS total_bal
-FROM customer
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+       round(CAST(sum(CAST(bal2 AS HUGEINT)) AS DOUBLE) / 100.0, 2)
+         AS total_bal
+FROM b, t
+WHERE bal2 >= min_rich2
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey
                     AND o_orderpriority = '1-URGENT')
@@ -1248,7 +1264,11 @@ WITH q AS (SELECT event_type,
         FROM events GROUP BY event_type)
 SELECT e.event_type, count(*) AS n,
        any_value(q.p05) AS p05, any_value(q.p95) AS p95,
-       round(avg(least(greatest(e.value, q.p05), q.p95)), 6)
+       round(CAST(sum(least(greatest(
+                    CAST(round(e.value * 1000000) AS BIGINT),
+                    CAST(round(q.p05 * 1000000) AS BIGINT)),
+                    CAST(round(q.p95 * 1000000) AS BIGINT)))
+                  AS DOUBLE) / count(*) / 1000000.0, 6)
          AS clipped_mean
 FROM events e JOIN q USING (event_type)
 GROUP BY e.event_type ORDER BY e.event_type
@@ -1342,7 +1362,10 @@ SELECT doc_id, count(*) AS n_grams,
 FROM grams JOIN gd USING (g) GROUP BY doc_id ORDER BY doc_id
 """
     out["shipping_priority"] = """
-SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT l_orderkey,
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                      * (100 - CAST(round(l_discount * 100) AS HUGEINT)))
+                  AS DOUBLE) / 10000.0, 2) AS revenue,
        o_orderdate
 FROM customer
 JOIN orders   ON c_custkey = o_custkey

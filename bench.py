@@ -114,8 +114,6 @@ def run_bench() -> dict:
     _init_ray(NUM_CPUS)
     import pyarrow.parquet as pq
 
-    from gocrawler_ray.pipelines import queries as q
-
     timings: dict[str, float] = {}
 
     # warm the page cache so we measure compute+shuffle, not first-read IO
@@ -145,119 +143,27 @@ def run_bench() -> dict:
         timings[name] = round(time.time() - t0, 3)
         return out
 
-    timed("q1_agg", q.q_q1_agg)
-    timed("top_orders", q.q_top_orders)
-    timed("cust_nation_orders", q.q_cust_nation_orders)
-    timed("events_hourly", q.q_events_hourly)
-    timed("text_quality", q.q_text_quality)
-    timed("token_counts", q.q_token_counts)
-    timed("exact_dedup", q.q_exact_dedup)
-    timed("corpus_prep", q.q_corpus_prep)
-    timed("minhash_pairs", q.q_minhash_pairs)
-    timed("embedding_topk", q.q_embedding_topk)
-    timed("sessionize", q.q_sessionize)
-    timed("asof_join", q.q_asof_join)
-    timed("hopping_window", q.q_hopping_window)
-    timed("interval_join", q.q_interval_join)
-    timed("group_topk", q.q_group_topk)
-    timed("distinct_users", q.q_distinct_users)
-    timed("doc_frequency", q.q_doc_frequency)
-    timed("hll_distinct", q.q_hll_distinct)
-    timed("tfidf_topk", q.q_tfidf_topk)
-    timed("group_quantiles", q.q_group_quantiles)
-    timed("items_parse", q.q_items_parse)
-    timed("order_lineitem_join", q.q_order_lineitem_join)
-    timed("customer_no_orders", q.q_customer_no_orders)
-    timed("events_rollup", q.q_events_rollup)
-    timed("pagerank_paths", q.q_pagerank_paths)
-    timed("link_degrees", q.q_link_degrees)
-    timed("url_normalize", q.q_url_normalize)
-    timed("audio_chunks", q.q_audio_chunks)
-    timed("user_running_total", q.q_user_running_total)
-    timed("event_deltas", q.q_event_deltas)
-    timed("stratified_sample", q.q_stratified_sample)
-    timed("sample_k", q.q_sample_k)
-    timed("urgent_lineitems", q.q_urgent_lineitems)
-    timed("heavy_hitters", q.q_heavy_hitters)
-    timed("user_top_event", q.q_user_top_event)
-    timed("pack_sequences", q.q_pack_sequences)
-    timed("event_pivot", q.q_event_pivot)
-    timed("value_scaled", q.q_value_scaled)
-    timed("events_cube", q.q_events_cube)
-    timed("value_share", q.q_value_share)
-    timed("incremental_ingest", q.q_incremental_ingest)
-    timed("hourly_distinct_hll", q.q_hourly_distinct_hll)
-    timed("importance_sample", q.q_importance_sample)
-    timed("value_ranks", q.q_value_ranks)
-    timed("user_paths", q.q_user_paths)
-    timed("value_hist", q.q_value_hist)
-    timed("props_k_stats", q.q_props_k_stats)
-    timed("clickers_buyers", q.q_clickers_buyers)
-    timed("viewers_no_purchase", q.q_viewers_no_purchase)
-    timed("moving_avg", q.q_moving_avg)
-    timed("first_last_events", q.q_first_last_events)
-    timed("local_supplier_revenue", q.q_local_supplier_revenue)
-    timed("promo_revenue", q.q_promo_revenue)
-    timed("events_profile", q.q_events_profile)
-    timed("class_balanced_sample", q.q_class_balanced_sample)
-    timed("ngram_jaccard_pairs", q.q_ngram_jaccard_pairs)
-    timed("order_priority_counts", q.q_order_priority_counts)
-    timed("customer_distribution", q.q_customer_distribution)
-    timed("large_orders", q.q_large_orders)
-    timed("rich_dormant_customers", q.q_rich_dormant_customers)
-    timed("events_unpivot", q.q_events_unpivot)
-    timed("dup_cluster_sizes", q.q_dup_cluster_sizes)
-    timed("top_bigrams", q.q_top_bigrams)
-    timed("daily_new_users", q.q_daily_new_users)
-    timed("grouped_corr", q.q_grouped_corr)
-    timed("retention_cohorts", q.q_retention_cohorts)
-    timed("winsorized_stats", q.q_winsorized_stats)
-    timed("rolling_active_users", q.q_rolling_active_users)
-    timed("lsh_topk", q.q_lsh_topk)
-    timed("decontaminate", q.q_decontaminate)
-    timed("unigram_logprob", q.q_unigram_logprob)
-    timed("forecast_revenue", q.q_forecast_revenue)
-    timed("small_qty_parts", q.q_small_qty_parts)
-    timed("shipping_priority", q.q_shipping_priority)
-    timed("label_centroids", q.q_label_centroids)
-    timed("repeated_ngrams", q.q_repeated_ngrams)
-    timed("nation_trade_flows", q.q_nation_trade_flows)
-    timed("returned_top_customers", q.q_returned_top_customers)
-    timed("top_supplier_revenue", q.q_top_supplier_revenue)
-    timed("disjunctive_revenue", q.q_disjunctive_revenue)
-    timed("supplier_part_variety", q.q_supplier_part_variety)
-    timed("kmeans_assign", q.q_kmeans_assign)
-    timed("source_vocab", q.q_source_vocab)
-    timed("triangle_count", q.q_triangle_count)
-    timed("corpus_mix", q.q_corpus_mix)
-    timed("market_share", q.q_market_share)
-    timed("product_profit", q.q_product_profit)
-    timed("important_parts", q.q_important_parts)
-    timed("waiting_orders", q.q_waiting_orders)
-    timed("cheapest_supplier", q.q_cheapest_supplier)
-    timed("priority_linecounts", q.q_priority_linecounts)
-    timed("dominant_supplier_counts", q.q_dominant_supplier_counts)
-    timed("value_zscore", q.q_value_zscore)
-    timed("bigram_lift", q.q_bigram_lift)
-    timed("value_mad", q.q_value_mad)
-    timed("event_type_pairs", q.q_event_type_pairs)
-    timed("daily_value_change", q.q_daily_value_change)
-    timed("kmeans_1d", q.q_kmeans_1d)
-    timed("corpus_shards", q.q_corpus_shards)
-    timed("user_drawdown", q.q_user_drawdown)
-    timed("key_skew", q.q_key_skew)
-    timed("latest_events", q.q_latest_events)
-    timed("source_diversity", q.q_source_diversity)
-    timed("click_to_purchase", q.q_click_to_purchase)
-    timed("revenue_gini", q.q_revenue_gini)
-    timed("range_moving_sum", q.q_range_moving_sum)
-    timed("missing_days", q.q_missing_days)
-    timed("training_manifest", q.q_training_manifest)
-    timed("customer_revenue_pctile", q.q_customer_revenue_pctile)
-    timed("user_ema", q.q_user_ema)
-    timed("value_outliers", q.q_value_outliers)
-    timed("peak_in_transit", q.q_peak_in_transit)
-    timed("mutual_best_match", q.q_mutual_best_match)
+    # Time every catalog query in registry order — __ray_entry__.queries()
+    # is the single source of truth, so a new query cannot silently go
+    # unbenched. SKIP lists deliberate exclusions with their reason.
+    import __ray_entry__ as entry
+
+    SKIP = {
+        # each of these re-runs a full crawl; the crawl job above is the
+        # timed measurement of that engine path
+        "crawl_bfs": "crawl job",
+        "crawl_depth_counts": "crawl job",
+        "crawl_flagship": "crawl job",
+        "captcha_quarantine": "crawl job",
+        "amazon_flagship": "crawl job",
+        "url_classify": "crawl job",
+        "req_md5": "crawl job",
+        "price_cents": "crawl job",
+    }
+    for name, fn in entry.queries().items():
+        if name in SKIP:
+            continue
+        timed(name, fn)
 
     value = round(
         sum(v for k, v in timings.items() if not k.startswith("crawl_")), 3

@@ -11,7 +11,27 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["round_half_away"]
+__all__ = ["round_half_away", "to_fixed"]
+
+
+def to_fixed(x: np.ndarray, scale: int) -> np.ndarray:
+    """Quantize doubles to int64 fixed-point with DuckDB ``round()``
+    (half-away) tie semantics: the oracle-side twin of
+    ``CAST(round(x * scale) AS BIGINT)``.
+
+    Kernels across this repo quantize with ``np.rint(x * scale)``
+    (half-to-even), which agrees with this function on every input the
+    generated tables can produce: the value/price/balance columns are
+    2-decimal decimals and quantile bounds are pre-rounded to 6
+    decimals, so ``x * scale`` is always within one ulp of an integer
+    and never lands on an exact .5 tie
+    (``tests/test_query_props.py::test_rint_equals_half_away_on_decimal_domains``
+    pins this). New kernels quantizing inputs NOT known to be
+    tie-free should call this helper instead of ``np.rint``.
+    """
+    return round_half_away(
+        np.asarray(x, dtype=np.float64) * np.float64(scale), 0
+    ).astype(np.int64)
 
 
 def round_half_away(x: np.ndarray, ndigits: int = 0) -> np.ndarray:

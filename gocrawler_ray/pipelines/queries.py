@@ -1965,18 +1965,30 @@ def q_local_supplier_revenue(sf_dir: str):
         keep = sn.notna() & cn.notna() & (sn == cn)
         df = df[keep]
         if not len(df):
-            return pd.DataFrame({"n_name": [], "n_lines": [], "sum_rev": []})
-        rev = df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
-        out = pd.DataFrame({"n_name": sn[keep].map(nat_name_), "rev": rev})
+            return pd.DataFrame({"n_name": [], "n_lines": [], "rev4": []})
+        # exact fixed-point revenue (cents × discount%): partials sum
+        # Python ints (object dtype) so no row count can overflow them
+        rev4 = (
+            np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+            * (100 - np.rint(df["l_discount"].to_numpy() * 100).astype(
+                np.int64))
+        ).astype(object)
+        out = pd.DataFrame({"n_name": sn[keep].map(nat_name_),
+                            "rev4": rev4})
         return out.groupby("n_name", as_index=False).agg(
-            n_lines=("rev", "size"), sum_rev=("rev", "sum")
+            n_lines=("rev4", "size"), rev4=("rev4", "sum")
         )
 
     partials = joined.map_batches(partial, batch_format="pyarrow")
-    out = _combine_partials(partials, ["n_name"], ["n_lines", "sum_rev"])
+    out = _combine_partials(partials, ["n_name"], ["n_lines", "rev4"])
     out["n_lines"] = out["n_lines"].astype(np.int64)
-    out["sum_rev"] = out["sum_rev"].round(2)
-    return out.sort_values("n_name").reset_index(drop=True)
+    # the single int→double conversion + one IEEE divide is shared
+    # bit-for-bit with the oracle's CAST(sum AS DOUBLE) / 10000.0
+    out["sum_rev"] = round_half_away(
+        np.array([int(x) for x in out["rev4"]], dtype=np.float64) / 10000.0,
+        2)
+    return out[["n_name", "n_lines", "sum_rev"]].sort_values(
+        "n_name").reset_index(drop=True)
 
 
 def q_promo_revenue(sf_dir: str):
@@ -2002,27 +2014,37 @@ def q_promo_revenue(sf_dir: str):
         month = (
             df["l_shipdate"].to_numpy().astype("datetime64[M]").astype(str)
         )
-        rev = df["l_extendedprice"].to_numpy() * (
-            1.0 - df["l_discount"].to_numpy()
+        # exact fixed-point revenue; object-int partials can't overflow
+        rev4 = (
+            np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+            * (100 - np.rint(df["l_discount"].to_numpy() * 100).astype(
+                np.int64))
         )
         is_promo = df["l_partkey"].map(pm).fillna(False).to_numpy(dtype=bool)
-        out = pd.DataFrame(
-            {"month": month, "rev": rev, "promo_rev": np.where(is_promo, rev, 0.0)}
-        )
+        out = pd.DataFrame({
+            "month": month,
+            "rev4": rev4.astype(object),
+            "promo4": np.where(is_promo, rev4, 0).astype(object),
+        })
         return out.groupby("month", as_index=False).agg(
-            n_lines=("rev", "size"),
-            promo_rev=("promo_rev", "sum"),
-            total_rev=("rev", "sum"),
+            n_lines=("rev4", "size"),
+            promo4=("promo4", "sum"),
+            rev4=("rev4", "sum"),
         )
 
     partials = li.map_batches(partial, batch_format="pyarrow")
     out = _combine_partials(
-        partials, ["month"], ["n_lines", "promo_rev", "total_rev"]
+        partials, ["month"], ["n_lines", "promo4", "rev4"]
     )
     out["n_lines"] = out["n_lines"].astype(np.int64)
-    out["promo_rev"] = out["promo_rev"].round(2)
-    out["total_rev"] = out["total_rev"].round(2)
-    return out.sort_values("month").reset_index(drop=True)
+    out["promo_rev"] = round_half_away(
+        np.array([int(x) for x in out["promo4"]], dtype=np.float64)
+        / 10000.0, 2)
+    out["total_rev"] = round_half_away(
+        np.array([int(x) for x in out["rev4"]], dtype=np.float64)
+        / 10000.0, 2)
+    return out[["month", "n_lines", "promo_rev", "total_rev"]].sort_values(
+        "month").reset_index(drop=True)
 
 
 def q_events_profile(sf_dir: str):
@@ -2263,18 +2285,25 @@ def q_rich_dormant_customers(sf_dir: str):
                num_blocks=parts)
 
     def avg_partial(t: pa.Table) -> pd.DataFrame:
-        bal = t.column("c_acctbal").to_numpy()
-        return pd.DataFrame({"g": [0], "s": [bal.sum()], "n": [len(bal)]})
+        bal2 = np.rint(t.column("c_acctbal").to_numpy() * 100).astype(
+            np.int64)
+        return pd.DataFrame({"g": [0], "s": [int(bal2.sum())],
+                             "n": [len(bal2)]})
 
     tot = _combine_partials(
         cust.map_batches(avg_partial, batch_format="pyarrow"), ["g"], ["s", "n"]
     )
-    avg_bal = float(tot["s"][0] / tot["n"][0])
+    # exact-integer 'above average' threshold: bal > S/N  ⟺
+    # bal2 ≥ S//N + 1 (holds whether or not N divides S) — no float
+    # average can flip a boundary customer between the engines
+    min_rich2 = int(tot["s"][0]) // int(tot["n"][0]) + 1
 
-    rich = cust.map_batches(
-        lambda t, _a=avg_bal: t.filter(pc.greater(t.column("c_acctbal"), _a)),
-        batch_format="pyarrow",
-    )
+    def rich_filter(t: pa.Table, _m=min_rich2) -> pa.Table:
+        bal2 = np.rint(t.column("c_acctbal").to_numpy() * 100).astype(
+            np.int64)
+        return t.filter(pa.array(bal2 >= _m))
+
+    rich = cust.map_batches(rich_filter, batch_format="pyarrow")
     urgent = (
         _pq(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"],
             num_blocks=parts)
@@ -2293,19 +2322,23 @@ def q_rich_dormant_customers(sf_dir: str):
         df = pd.DataFrame(
             {
                 "c_nationkey": t.column("c_nationkey").to_pandas(),
-                "total_bal": t.column("c_acctbal").to_numpy(),
+                "bal2": np.rint(
+                    t.column("c_acctbal").to_numpy() * 100
+                ).astype(np.int64).astype(object),
             }
         )
         g = df.groupby("c_nationkey", as_index=False).agg(
-            n_custs=("total_bal", "size"), total_bal=("total_bal", "sum")
+            n_custs=("bal2", "size"), bal2=("bal2", "sum")
         )
         return g
 
     partials = anti.map_batches(partial, batch_format="pyarrow")
-    out = _combine_partials(partials, ["c_nationkey"], ["n_custs", "total_bal"])
+    out = _combine_partials(partials, ["c_nationkey"], ["n_custs", "bal2"])
     out["n_custs"] = out["n_custs"].astype(np.int64)
-    out["total_bal"] = round_half_away(out["total_bal"].to_numpy(), 2)
-    return out.sort_values("c_nationkey").reset_index(drop=True)
+    out["total_bal"] = round_half_away(
+        np.array([int(x) for x in out["bal2"]], dtype=np.float64) / 100.0, 2)
+    return out[["c_nationkey", "n_custs", "total_bal"]].sort_values(
+        "c_nationkey").reset_index(drop=True)
 
 
 def q_events_unpivot(sf_dir: str):
@@ -2606,20 +2639,28 @@ def q_winsorized_stats(sf_dir: str):
     def partial(t: pa.Table) -> pd.DataFrame:
         lo_m, hi_m = ray.get(bref)
         et = t.column("event_type").to_pandas()
-        v = t.column("value").to_numpy()
-        lo = et.map(lo_m).to_numpy(np.float64)
-        hi = et.map(hi_m).to_numpy(np.float64)
-        clip = np.clip(v, lo, hi)
-        return pd.DataFrame({"event_type": et, "n": np.int64(1), "s": clip}) \
+        # clip + sum over exact micro-units: the 6-decimal bounds and
+        # milliunit values are both exact on the 1e-6 grid, so partial
+        # sums are order-independent Python ints
+        v6 = np.rint(t.column("value").to_numpy() * 1e6).astype(np.int64)
+        lo6 = np.rint(et.map(lo_m).to_numpy(np.float64) * 1e6).astype(
+            np.int64)
+        hi6 = np.rint(et.map(hi_m).to_numpy(np.float64) * 1e6).astype(
+            np.int64)
+        clip6 = np.clip(v6, lo6, hi6).astype(object)
+        return pd.DataFrame({"event_type": et, "n": np.int64(1),
+                             "s6": clip6}) \
             .groupby("event_type", as_index=False).sum()
 
     out = _combine_partials(
-        ev.map_batches(partial, batch_format="pyarrow"), ["event_type"], ["n", "s"]
+        ev.map_batches(partial, batch_format="pyarrow"), ["event_type"],
+        ["n", "s6"]
     )
     out["p05"] = out["event_type"].map(lo_map)
     out["p95"] = out["event_type"].map(hi_map)
     out["clipped_mean"] = round_half_away(
-        out["s"].to_numpy() / out["n"].to_numpy(), 6
+        np.array([int(x) for x in out["s6"]], dtype=np.float64)
+        / out["n"].to_numpy(np.int64) / 1e6, 6
     )
     out["n"] = out["n"].astype(np.int64)
     return out[["event_type", "n", "p05", "p95", "clipped_mean"]].sort_values(
@@ -2988,10 +3029,19 @@ def q_shipping_priority(sf_dir: str):
                      on=("l_orderkey",), right_on=("o_orderkey",))
 
     def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.assign(rev=g["l_extendedprice"].to_numpy()
-                     * (1.0 - g["l_discount"].to_numpy()))
-        s = g.groupby(["l_orderkey", "o_orderdate"], as_index=False)["rev"].sum()
-        s["revenue"] = round_half_away(s["rev"].to_numpy(), 2)
+        # exact fixed-point per-order revenue: row order inside the
+        # bucket (shuffle arrival) can no longer move a float sum
+        rev4 = (
+            np.rint(g["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+            * (100 - np.rint(g["l_discount"].to_numpy() * 100).astype(
+                np.int64))
+        )
+        g = g.assign(rev4=rev4.astype(object))
+        s = g.groupby(["l_orderkey", "o_orderdate"], as_index=False)[
+            "rev4"].sum()
+        s["revenue"] = round_half_away(
+            np.array([int(x) for x in s["rev4"]], dtype=np.float64)
+            / 10000.0, 2)
         return s.sort_values(
             ["revenue", "l_orderkey"], ascending=[False, True]
         ).head(10)[["l_orderkey", "revenue", "o_orderdate"]]
@@ -5205,43 +5255,63 @@ def q_mutual_best_match(sf_dir: str):
              columns=["l_partkey", "l_suppkey", "l_extendedprice"],
              num_blocks=_n_cpus())
 
-    def partials(by: str, other: str):
-        def partial(t: pa.Table) -> pd.DataFrame:
-            df = pd.DataFrame({
-                "p_partkey": t.column("l_partkey").to_numpy(),
-                "s_suppkey": t.column("l_suppkey").to_numpy(),
-                "c": np.rint(
-                    t.column("l_extendedprice").to_numpy() * 100
-                ).astype(np.int64),
-            })
-            return df.sort_values([by, "c", other]).drop_duplicates(by)
-        return li.map_batches(partial, batch_format="pyarrow")
+    # ONE scan emits BOTH per-batch argmin compactions, tagged by
+    # direction (0 = per-part, 1 = per-supplier) — the fact table is
+    # read and decoded once, not once per direction
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "p_partkey": t.column("l_partkey").to_numpy(),
+            "s_suppkey": t.column("l_suppkey").to_numpy(),
+            "c": np.rint(
+                t.column("l_extendedprice").to_numpy() * 100
+            ).astype(np.int64),
+        })
+        pb = df.sort_values(["p_partkey", "c", "s_suppkey"]
+                            ).drop_duplicates("p_partkey")
+        sb = df.sort_values(["s_suppkey", "c", "p_partkey"]
+                            ).drop_duplicates("s_suppkey")
+        return pd.concat([pb.assign(dir=np.int64(0)),
+                          sb.assign(dir=np.int64(1))], ignore_index=True)
 
-    def close(ds: rd.Dataset, by: str, other: str,
-              cap: int = 2_000_000) -> pd.DataFrame:
-        frames, total = [], 0
-        for b in ds.iter_batches(batch_size=65536, batch_format="pandas"):
-            frames.append(b)
-            total += len(b)
-            if total > cap:
-                break
-        else:
-            return (pd.concat(frames, ignore_index=True)
-                    .sort_values([by, "c", other]).drop_duplicates(by))
-        from ..stages.temporal import _with_bucket  # pragma: no cover
+    empty = pd.DataFrame({"p_partkey": pd.Series([], dtype=np.int64),
+                          "s_suppkey": pd.Series([], dtype=np.int64),
+                          "c": pd.Series([], dtype=np.int64)})
 
-        def bucket_min(g: pd.DataFrame) -> pd.DataFrame:  # pragma: no cover
-            return g.sort_values([by, "c", other]).drop_duplicates(by)
+    def close(df: pd.DataFrame, by: str, other: str) -> pd.DataFrame:
+        return (df.sort_values([by, "c", other]).drop_duplicates(by)
+                if len(df) else empty)
 
-        return (_with_bucket(ds, by, 64)  # pragma: no cover
-                .groupby("__bucket")
-                .map_groups(bucket_min, batch_format="pandas")
-                .to_pandas()[["p_partkey", "s_suppkey", "c"]])
+    partials = li.map_batches(partial, batch_format="pyarrow")
+    cap = 2_000_000
+    frames, total = [], 0
+    for b in partials.iter_batches(batch_size=65536,
+                                   batch_format="pandas"):
+        frames.append(b)
+        total += len(b)
+        if total > cap:
+            break
+    else:
+        both = (pd.concat(frames, ignore_index=True) if frames
+                else empty.assign(dir=np.int64(0)))
+        part_best = close(both[both["dir"] == 0], "p_partkey", "s_suppkey")
+        supp_best = close(both[both["dir"] == 1], "s_suppkey", "p_partkey")
+        frames = None
+    if frames is not None:  # pragma: no cover - >2M distinct keys regime
+        from ..stages.temporal import _with_bucket
 
-    part_best = close(partials("p_partkey", "s_suppkey"),
-                      "p_partkey", "s_suppkey")
-    supp_best = close(partials("s_suppkey", "p_partkey"),
-                      "s_suppkey", "p_partkey")
+        def closer(by, other):
+            def bucket_min(g: pd.DataFrame) -> pd.DataFrame:
+                return g.sort_values([by, "c", other]).drop_duplicates(by)
+
+            side = partials.filter(
+                expr=f"dir == {0 if by == 'p_partkey' else 1}")
+            return (_with_bucket(side, by, 64)
+                    .groupby("__bucket")
+                    .map_groups(bucket_min, batch_format="pandas")
+                    .to_pandas()[["p_partkey", "s_suppkey", "c"]])
+
+        part_best = closer("p_partkey", "s_suppkey")
+        supp_best = closer("s_suppkey", "p_partkey")
 
     # mutual filter: supplier side is dim-bounded → dict lookup
     want = dict(zip(supp_best["s_suppkey"].astype(np.int64),

@@ -325,8 +325,13 @@ def lsh_topk(
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, n_planes))
     q = queries["matrix"].astype(np.float64)
-    q_code = int(_lsh_code(q, planes)[0])
-    probe = _probe_codes(q_code, n_planes, probe_radius)
+    # probe set = union of every query row's hamming ball (a row that
+    # collides with ANY query survives the filter; each query's top-k is
+    # still scored independently by the inner brute-force kernel)
+    probe = np.unique(np.concatenate([
+        _probe_codes(int(c), n_planes, probe_radius)
+        for c in _lsh_code(q, planes)
+    ]))
 
     planes_ref = ray.put(planes)
     probe_ref = ray.put(probe)

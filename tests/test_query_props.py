@@ -320,3 +320,24 @@ def test_value_outliers_matches_numpy_disc(seed, tmp_path, ray_session):
     assert row["mad"] == round(mad3 / 1000.0, 6)
     assert row["n_outliers"] == int((dv > 3 * mad3).sum())
     assert row["n_events"] == len(v3)
+
+
+def test_rint_equals_half_away_on_decimal_domains():
+    """The repo-wide quantization invariant: np.rint(x * scale) (used
+    by ~40 kernels) equals half-away to_fixed on every value the
+    generators can produce — 2-decimal decimals × scale ∈ {100, 1000,
+    1e6} and 6-decimal pre-rounded bounds × 1e6 never land on a .5 tie."""
+    from gocrawler_ray.functions.numeric import to_fixed
+
+    # strided sweep (coprime stride hits all residues mod 100/1000)
+    cents = np.arange(0, 60_000_000, 101, dtype=np.int64)
+    # dense low range where float error is smallest (ties most likely)
+    cents = np.concatenate([cents, np.arange(0, 200_000, dtype=np.int64)])
+    for scale in (100, 1000):
+        x = cents / 100.0
+        assert (np.rint(x * scale).astype(np.int64)
+                == to_fixed(x, scale)).all()
+    # 6-decimal micro-domain (quantile bounds): strided full-range sweep
+    micro = np.arange(0, 600_000_000, 997, dtype=np.int64)
+    x = micro / 1e6
+    assert (np.rint(x * 1e6).astype(np.int64) == to_fixed(x, 1e6)).all()

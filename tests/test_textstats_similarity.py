@@ -240,3 +240,32 @@ def test_lsh_topk_probe_prunes_but_keeps_duplicate_cluster():
     got = set(out["vec_id"])
     assert {0, *range(50, 60)} <= got  # every exact copy found
     assert (out["cos"][: 11][out["vec_id"].isin({0, *range(50, 60)})] == 1.0).all()
+
+
+def test_lsh_topk_multi_query_probes_every_querys_ball():
+    """Two queries in OPPOSITE buckets at radius 0: each query must
+    still recover its own exact-duplicate cluster (the probe set is the
+    union of both hamming balls, scored per query) — guards the
+    first-row-only probe bug."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gocrawler_ray.stages.similarity import lsh_topk
+
+    rng = np.random.default_rng(6)
+    emb = rng.standard_normal((120, 16))
+    emb[40:45] = emb[0]    # cluster of query A
+    emb[80:85] = -emb[0]   # cluster of query B, antipodal bucket
+    tbl = pa.table({"vec_id": pa.array(np.arange(120, dtype=np.int64)),
+                    "embedding": pa.array([list(r) for r in emb],
+                                          pa.list_(pa.float64()))})
+    ds = rd.from_arrow(tbl).repartition(4)
+    queries = {"ids": np.array([0, 80], dtype=np.int64),
+               "matrix": np.vstack([emb[0], emb[80]])}
+    out = lsh_topk(ds, queries, k=6, n_planes=8, probe_radius=0,
+                   seed=5, dim=16)
+    got_a = set(out.loc[out["query_id"] == 0, "vec_id"])
+    got_b = set(out.loc[out["query_id"] == 80, "vec_id"])
+    assert {0, *range(40, 45)} <= got_a
+    assert {80, *range(80, 85)} <= got_b
