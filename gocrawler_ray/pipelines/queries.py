@@ -51,6 +51,60 @@ def _n_cpus() -> int:
     return max(4, int(ray.cluster_resources().get("CPU", 8)))
 
 
+def _rev4(price: np.ndarray, disc: np.ndarray) -> np.ndarray:
+    """TPC-H revenue as EXACT fixed-point int64: cents × discount% —
+    price*(1−disc) scaled by 10⁴. Both engines close sums over these
+    ints and convert to double exactly once, so summation order can
+    never flip a rounded cent (the repo-wide ratio/sum exactness
+    recipe)."""
+    return (
+        np.rint(np.asarray(price) * 100).astype(np.int64)
+        * (100 - np.rint(np.asarray(disc) * 100).astype(np.int64))
+    )
+
+
+def _merge_count(k_uid, k_ts, q_uid, q_ts, q_first: bool = False):
+    """#{j : (k_uid_j, k_ts_j) ≤ (q_uid_i, q_ts_i)} for every query
+    row i — the two-level merge rank, vectorized as ONE lexsort (a
+    composite uid·ts int packing would overflow int64). ``q_first``
+    sorts queries BEFORE tied keys, turning the predicate into strict
+    '<'. Shared by the windowed-join kernels (click_to_purchase,
+    range_moving_sum) and pinned by the brute-force property test."""
+    n_k = len(k_uid)
+    uid_all = np.concatenate([k_uid, q_uid])
+    ts_all = np.concatenate([k_ts, q_ts])
+    flag = np.concatenate([
+        np.zeros(n_k, np.int8),
+        np.full(len(q_uid), -1 if q_first else 1, np.int8),
+    ])
+    order = np.lexsort((flag, ts_all, uid_all))
+    pos = np.empty(len(order), np.int64)
+    pos[order] = np.arange(len(order))
+    is_q = (flag[order] != 0).astype(np.int64)
+    q_before = np.cumsum(is_q) - is_q
+    return pos[n_k:] - q_before[pos[n_k:]]
+
+
+def _md5_shard(ids, n_shards: int = 16) -> np.ndarray:
+    """Deterministic md5-routed shard id per doc id (the manifest /
+    sharded-sink routing key; mirrors the oracle's md5-uint64 trick)."""
+    from ..functions.urls import md5_hash64_many
+
+    return (md5_hash64_many([f"shard:{i}" for i in ids])
+            % np.uint64(n_shards)).astype(np.int64)
+
+
+def _per_customer_rev4(g: pd.DataFrame) -> pd.DataFrame:
+    """In-bucket exact per-customer revenue (o_custkey, x) — the shared
+    first stage of the global-order aggregates (gini, percent-rank)."""
+    s = pd.DataFrame({
+        "o_custkey": g["o_custkey"].to_numpy(np.int64),
+        "x": _rev4(g["l_extendedprice"].to_numpy(),
+                   g["l_discount"].to_numpy()),
+    }).groupby("o_custkey", as_index=False)["x"].sum()
+    return s
+
+
 def _combine_partials(
     partials: rd.Dataset,
     keys: list[str],
@@ -1969,9 +2023,7 @@ def q_local_supplier_revenue(sf_dir: str):
         # exact fixed-point revenue (cents × discount%): partials sum
         # Python ints (object dtype) so no row count can overflow them
         rev4 = (
-            np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
-            * (100 - np.rint(df["l_discount"].to_numpy() * 100).astype(
-                np.int64))
+            _rev4(df["l_extendedprice"].to_numpy(), df["l_discount"].to_numpy())
         ).astype(object)
         out = pd.DataFrame({"n_name": sn[keep].map(nat_name_),
                             "rev4": rev4})
@@ -2016,9 +2068,7 @@ def q_promo_revenue(sf_dir: str):
         )
         # exact fixed-point revenue; object-int partials can't overflow
         rev4 = (
-            np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
-            * (100 - np.rint(df["l_discount"].to_numpy() * 100).astype(
-                np.int64))
+            _rev4(df["l_extendedprice"].to_numpy(), df["l_discount"].to_numpy())
         )
         is_promo = df["l_partkey"].map(pm).fillna(False).to_numpy(dtype=bool)
         out = pd.DataFrame({
@@ -3032,9 +3082,7 @@ def q_shipping_priority(sf_dir: str):
         # exact fixed-point per-order revenue: row order inside the
         # bucket (shuffle arrival) can no longer move a float sum
         rev4 = (
-            np.rint(g["l_extendedprice"].to_numpy() * 100).astype(np.int64)
-            * (100 - np.rint(g["l_discount"].to_numpy() * 100).astype(
-                np.int64))
+            _rev4(g["l_extendedprice"].to_numpy(), g["l_discount"].to_numpy())
         )
         g = g.assign(rev4=rev4.astype(object))
         s = g.groupby(["l_orderkey", "o_orderdate"], as_index=False)[
@@ -3257,9 +3305,7 @@ def q_nation_trade_flows(sf_dir: str):
         # float sums of ~1e6 over hundreds of lines carry ~1e-4 absolute
         # noise -- enough to flip a cent at the .005 rounding boundary
         # between summation orders, so the oracle gate demands int64 sums
-        rev4 = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(
-            np.int64
-        ) * (100 - np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64))
+        rev4 = _rev4(df["l_extendedprice"].to_numpy(), df["l_discount"].to_numpy())
         out = pd.DataFrame({
             "supp_nation": sn[keep].map(nat_name_),
             "cust_nation": cn[keep].map(nat_name_),
@@ -3322,11 +3368,7 @@ def q_returned_top_customers(sf_dir: str):
     def partial(t: pa.Table) -> pd.DataFrame:
         df = t.to_pandas()
         # same exact fixed-point trick as nation_trade_flows
-        df["rev"] = np.rint(
-            df["l_extendedprice"].to_numpy() * 100
-        ).astype(np.int64) * (
-            100 - np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64)
-        )
+        df["rev"] = _rev4(df["l_extendedprice"].to_numpy(), df["l_discount"].to_numpy())
         return df.groupby("o_custkey", as_index=False).agg(
             revenue=("rev", "sum")
         )
@@ -3390,11 +3432,7 @@ def q_top_supplier_revenue(sf_dir: str):
         t = t.filter(pc.and_(pc.greater_equal(t.column("l_shipdate"), lo),
                              pc.less(t.column("l_shipdate"), hi)))
         df = t.to_pandas()
-        df["rev"] = np.rint(
-            df["l_extendedprice"].to_numpy() * 100
-        ).astype(np.int64) * (
-            100 - np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64)
-        )
+        df["rev"] = _rev4(df["l_extendedprice"].to_numpy(), df["l_discount"].to_numpy())
         return df.groupby("l_suppkey", as_index=False).agg(
             total_rev=("rev", "sum")
         )
@@ -3454,11 +3492,7 @@ def q_disjunctive_revenue(sf_dir: str):
             | ((brand == "Brand#34") & size.between(1, 15)
                & (qty >= 20) & (qty <= 30))
         ).to_numpy()
-        rev4 = np.rint(df["l_extendedprice"].to_numpy()[m] * 100).astype(
-            np.int64
-        ) * (100 - np.rint(df["l_discount"].to_numpy()[m] * 100).astype(
-            np.int64
-        ))
+        rev4 = _rev4(df["l_extendedprice"].to_numpy()[m], df["l_discount"].to_numpy()[m])
         return pd.DataFrame({"k": [0], "revenue": [rev4.sum()],
                              "n_lines": [int(m.sum())]})
 
@@ -3762,9 +3796,7 @@ def q_market_share(sf_dir: str):
     def partial(t: pa.Table) -> pd.DataFrame:
         _, _, n3s = ray.get(dims_ref)
         df = t.to_pandas()
-        rev4 = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(
-            np.int64
-        ) * (100 - np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64))
+        rev4 = _rev4(df["l_extendedprice"].to_numpy(), df["l_discount"].to_numpy())
         isn3 = df["l_suppkey"].isin(n3s).to_numpy()
         out = pd.DataFrame({"o_year": df["o_year"].to_numpy(np.int64),
                             "num": np.where(isn3, rev4, 0), "den": rev4})
@@ -3830,9 +3862,7 @@ def q_product_profit(sf_dir: str):
     def partial(t: pa.Table) -> pd.DataFrame:
         _, supp_nat_, nat_name_ = ray.get(dims_ref)
         df = t.to_pandas()
-        rev4 = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(
-            np.int64
-        ) * (100 - np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64))
+        rev4 = _rev4(df["l_extendedprice"].to_numpy(), df["l_discount"].to_numpy())
         out = pd.DataFrame({
             "nation": df["l_suppkey"].map(supp_nat_).map(nat_name_),
             "o_year": df["o_year"].to_numpy(np.int64),
@@ -3869,9 +3899,7 @@ def q_important_parts(sf_dir: str):
 
     def partial(t: pa.Table) -> pd.DataFrame:
         df = t.to_pandas()
-        rev4 = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(
-            np.int64
-        ) * (100 - np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64))
+        rev4 = _rev4(df["l_extendedprice"].to_numpy(), df["l_discount"].to_numpy())
         out = pd.DataFrame({"p_partkey": df["l_partkey"].to_numpy(np.int64),
                             "rev4": rev4})
         return out.groupby("p_partkey", as_index=False)["rev4"].sum()
@@ -4502,16 +4530,13 @@ def q_corpus_shards(sf_dir: str):
     the oracle also gates the writer round-trip."""
     import tempfile as _tf
 
-    from ..functions.urls import md5_hash64_many
     from ..sources.tables import write_partitioned
 
     docs = _pq(sf_dir, "documents", columns=["doc_id", "text"],
                num_blocks=_n_cpus())
 
     def assign(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        shard = (md5_hash64_many([f"shard:{i}" for i in ids])
-                 % np.uint64(16)).astype(np.int64)
+        shard = _md5_shard(t.column("doc_id").to_pylist())
         texts = t.column("text").to_pandas().fillna("")
         toks = texts.str.count(r"\S+").to_numpy(np.int64)
         return pa.table({
@@ -4730,24 +4755,6 @@ def q_click_to_purchase(sf_dir: str):
 
     win = np.int64(7 * 86_400_000_000)
 
-    def merge_count(p_uid, p_ts, q_uid, q_ts):
-        """#{j : (p_uid_j, p_ts_j) <= (q_uid_i, q_ts_i)} per query i —
-        the two-level searchsorted, vectorized as ONE lexsort merge
-        (no per-row slice search; composite-int packing would overflow
-        int64 at uid·ts scale)."""
-        n_p = len(p_uid)
-        uid_all = np.concatenate([p_uid, q_uid])
-        ts_all = np.concatenate([p_ts, q_ts])
-        flag = np.concatenate([
-            np.zeros(n_p, np.int8), np.ones(len(q_uid), np.int8)
-        ])  # queries sort AFTER tied purchases → '<=' semantics
-        order = np.lexsort((flag, ts_all, uid_all))
-        pos = np.empty(len(order), np.int64)
-        pos[order] = np.arange(len(order))
-        is_q = flag[order].astype(np.int64)
-        q_before = np.cumsum(is_q) - is_q  # queries ahead of each slot
-        return pos[n_p:] - q_before[pos[n_p:]]
-
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         ts = g["ts"].astype("int64").to_numpy()
         uid = g["user_id"].to_numpy(np.int64)
@@ -4755,8 +4762,9 @@ def q_click_to_purchase(sf_dir: str):
         is_c = (g["event_type"] == "click").to_numpy()
         p_uid, p_ts = uid[is_p], ts[is_p]
         c_uid, c_ts = uid[is_c], ts[is_c]
-        lo = merge_count(p_uid, p_ts, c_uid, c_ts)
-        hi = merge_count(p_uid, p_ts, c_uid, c_ts + win)
+        # ≤-semantics both edges (shared lexsort merge-count helper)
+        lo = _merge_count(p_uid, p_ts, c_uid, c_ts)
+        hi = _merge_count(p_uid, p_ts, c_uid, c_ts + win)
         return pd.DataFrame({
             "event_id": g["event_id"].to_numpy(np.int64)[is_c],
             "n_purchases_7d": (hi - lo).astype(np.int64),
@@ -4802,12 +4810,7 @@ def q_revenue_gini(sf_dir: str):
                      on=("l_orderkey",), right_on=("o_orderkey",))
 
     def per_cust(g: pd.DataFrame) -> pd.DataFrame:
-        rev4 = np.rint(g["l_extendedprice"].to_numpy() * 100).astype(
-            np.int64
-        ) * (100 - np.rint(g["l_discount"].to_numpy() * 100).astype(np.int64))
-        s = pd.DataFrame({"c": g["o_custkey"].to_numpy(np.int64),
-                          "x": rev4}).groupby("c", as_index=False)["x"].sum()
-        return pd.DataFrame({"x": s["x"].to_numpy(np.int64)})
+        return _per_customer_rev4(g)[["x"]]
 
     revs = (
         _with_bucket(joined, "o_custkey", 32)
@@ -4898,26 +4901,11 @@ def q_range_moving_sum(sf_dir: str):
         v3 = np.rint(g["value"].to_numpy() * 1000).astype(np.int64)
         cs = np.concatenate([[0], np.cumsum(v3)])  # prefix sums
 
-        # RANGE frame bounds via the lexsort merge-count (same trick as
-        # click_to_purchase): rows of OTHER users appear in both edge
-        # counts and cancel in cs[hi] − cs[lo], so no segment clamping
-        def merge_count(k_uid, k_ts, q_uid, q_ts, q_first):
-            n_k = len(k_uid)
-            uid_all = np.concatenate([k_uid, q_uid])
-            ts_all = np.concatenate([k_ts, q_ts])
-            flag = np.concatenate([
-                np.zeros(n_k, np.int8),
-                np.full(len(q_uid), -1 if q_first else 1, np.int8),
-            ])  # q_first → queries sort BEFORE tied keys ('<' semantics)
-            o = np.lexsort((flag, ts_all, uid_all))
-            pos = np.empty(len(o), np.int64)
-            pos[o] = np.arange(len(o))
-            is_q = (flag[o] != 0).astype(np.int64)
-            q_before = np.cumsum(is_q) - is_q
-            return pos[n_k:] - q_before[pos[n_k:]]
-
-        lo = merge_count(uid, ts, uid, ts - win, q_first=True)
-        hi = merge_count(uid, ts, uid, ts, q_first=False)
+        # RANGE frame bounds via the shared lexsort merge-count: rows of
+        # OTHER users appear in both edge counts and cancel in
+        # cs[hi] − cs[lo], so no segment clamping is needed
+        lo = _merge_count(uid, ts, uid, ts - win, q_first=True)
+        hi = _merge_count(uid, ts, uid, ts, q_first=False)
         s3 = cs[hi] - cs[lo]
         return pd.DataFrame({
             "event_id": g["event_id"].to_numpy(np.int64),
@@ -4965,14 +4953,10 @@ def q_training_manifest(sf_dir: str):
     Everything between the scan and the 16-row manifest is map-only on
     survivors; the only gathers are dedup's bounded min-id partials and
     the 16-key manifest combine."""
-    from ..functions.urls import md5_hash64_many
-
     prep = q_corpus_prep(sf_dir)
 
     def assign(t: pa.Table) -> pd.DataFrame:
-        ids = t.column("doc_id").to_pylist()
-        shard = (md5_hash64_many([f"shard:{i}" for i in ids])
-                 % np.uint64(16)).astype(np.int64)
+        shard = _md5_shard(t.column("doc_id").to_pylist())
         df = pd.DataFrame({
             "shard": shard,
             "n_docs": np.int64(1),
@@ -5012,13 +4996,7 @@ def q_customer_revenue_pctile(sf_dir: str):
                      on=("l_orderkey",), right_on=("o_orderkey",))
 
     def per_cust(g: pd.DataFrame) -> pd.DataFrame:
-        rev4 = np.rint(g["l_extendedprice"].to_numpy() * 100).astype(
-            np.int64
-        ) * (100 - np.rint(g["l_discount"].to_numpy() * 100).astype(np.int64))
-        s = pd.DataFrame({"o_custkey": g["o_custkey"].to_numpy(np.int64),
-                          "x": rev4}).groupby(
-            "o_custkey", as_index=False)["x"].sum()
-        return s
+        return _per_customer_rev4(g)
 
     revs = (
         _with_bucket(joined, "o_custkey", 32)

@@ -170,25 +170,21 @@ def test_merge_count_matches_brute_force(seed):
     q_uid = rng.integers(0, 6, n_c).astype(np.int64)
     q_ts = rng.integers(0, 10, n_c).astype(np.int64)
 
-    def merge_count(p_uid, p_ts, q_uid, q_ts):
-        n_pp = len(p_uid)
-        uid_all = np.concatenate([p_uid, q_uid])
-        ts_all = np.concatenate([p_ts, q_ts])
-        flag = np.concatenate([np.zeros(n_pp, np.int8),
-                               np.ones(len(q_uid), np.int8)])
-        o = np.lexsort((flag, ts_all, uid_all))
-        pos = np.empty(len(o), np.int64)
-        pos[o] = np.arange(len(o))
-        is_q = flag[o].astype(np.int64)
-        q_before = np.cumsum(is_q) - is_q
-        return pos[n_pp:] - q_before[pos[n_pp:]]
+    from gocrawler_ray.pipelines.queries import _merge_count
 
-    got = merge_count(p_uid, p_ts, q_uid, q_ts)
+    got = _merge_count(p_uid, p_ts, q_uid, q_ts)
     want = np.array([
         int(((p_uid < u) | ((p_uid == u) & (p_ts <= t))).sum())
         for u, t in zip(q_uid, q_ts)
     ])
     np.testing.assert_array_equal(got, want)
+
+    got_lt = _merge_count(p_uid, p_ts, q_uid, q_ts, q_first=True)
+    want_lt = np.array([
+        int(((p_uid < u) | ((p_uid == u) & (p_ts < t))).sum())
+        for u, t in zip(q_uid, q_ts)
+    ])
+    np.testing.assert_array_equal(got_lt, want_lt)
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
