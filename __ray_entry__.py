@@ -182,6 +182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_outliers": q.q_value_outliers,
         "peak_in_transit": q.q_peak_in_transit,
         "mutual_best_match": q.q_mutual_best_match,
+        "hits_scores": q.q_hits_scores,
+        "kcore": q.q_kcore,
     }
 
 
@@ -1958,5 +1960,39 @@ FROM (SELECT p, s, c FROM pb WHERE rn = 1) a
 JOIN (SELECT p, s FROM sb WHERE rn = 1) b
   ON a.p = b.p AND a.s = b.s
 ORDER BY 1
+"""
+    # unnormalized integer HITS, 2 alternating rounds unrolled
+    out["hits_scores"] = _EDGES_CTE + """,
+a1 AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS w
+       FROM edges GROUP BY dst),
+h1 AS (SELECT e.src AS node, CAST(SUM(a1.w) AS BIGINT) AS w
+       FROM edges e JOIN a1 ON a1.node = e.dst GROUP BY e.src),
+a2 AS (SELECT e.dst AS node, CAST(SUM(h1.w) AS BIGINT) AS w
+       FROM edges e JOIN h1 ON h1.node = e.src GROUP BY e.dst)
+SELECT d.doc_id, CAST(COALESCE(h1.w, 0) AS BIGINT) AS hub,
+       CAST(COALESCE(a2.w, 0) AS BIGINT) AS auth
+FROM documents d
+LEFT JOIN h1 ON h1.node = d.doc_id
+LEFT JOIN a2 ON a2.node = d.doc_id
+ORDER BY d.doc_id
+"""
+    # 3 unrolled peels of the k=5 core over the undirected multigraph,
+    # then the survivors' induced degree
+    out["kcore"] = _EDGES_CTE + """,
+und AS (SELECT src AS u, dst AS v FROM edges
+        UNION ALL SELECT dst, src FROM edges),
+d0 AS (SELECT u, count(*) AS c FROM und GROUP BY u),
+a1 AS (SELECT u FROM d0 WHERE c >= 5),
+d1 AS (SELECT e.u, count(*) AS c FROM und e
+       JOIN a1 x ON x.u = e.u JOIN a1 y ON y.u = e.v GROUP BY e.u),
+a2 AS (SELECT u FROM d1 WHERE c >= 5),
+d2 AS (SELECT e.u, count(*) AS c FROM und e
+       JOIN a2 x ON x.u = e.u JOIN a2 y ON y.u = e.v GROUP BY e.u),
+a3 AS (SELECT u FROM d2 WHERE c >= 5),
+d3 AS (SELECT e.u, count(*) AS c FROM und e
+       JOIN a3 x ON x.u = e.u JOIN a3 y ON y.u = e.v GROUP BY e.u)
+SELECT a3.u AS doc_id, CAST(COALESCE(d3.c, 0) AS BIGINT) AS core_degree
+FROM a3 LEFT JOIN d3 ON d3.u = a3.u
+ORDER BY a3.u
 """
     return out

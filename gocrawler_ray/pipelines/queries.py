@@ -5305,3 +5305,30 @@ def q_mutual_best_match(sf_dir: str):
             part_best["c"].to_numpy(np.int64)[keep] / 100.0, 2),
     })
     return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def q_hits_scores(sf_dir: str):
+    """Unnormalized 2-round integer HITS over the derived link graph
+    (stages/graph.py::hits_scores): hub = Σ in-degrees of out-neighbors,
+    auth = Σ hubs of in-neighbors — the alternating power iteration,
+    exact-int so the unrolled-CTE oracle gates the iterative dataflow."""
+    from ..stages.graph import hits_scores
+
+    n = _doc_count(sf_dir)
+    docs = _pq(sf_dir, "documents", columns=["doc_id"],
+               num_blocks=_shuffle_partitions(4 * n))
+    return hits_scores(docs, n=n).sort("doc_id")
+
+
+def q_kcore(sf_dir: str):
+    """3-round k-core peel (k = 5) of the undirected link multigraph
+    (stages/graph.py::kcore_members): iterative induced-subgraph degree
+    recompute + threshold peel — the fixpoint-style graph op where each
+    round depends on the previous round's SET, not just its values.
+    Survivors with their final induced degree."""
+    from ..stages.graph import kcore_members
+
+    n = _doc_count(sf_dir)
+    docs = _pq(sf_dir, "documents", columns=["doc_id"],
+               num_blocks=_shuffle_partitions(4 * n))
+    return kcore_members(docs, n=n, k=5, rounds=3).sort("doc_id")

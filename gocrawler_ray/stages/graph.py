@@ -314,3 +314,114 @@ def triangle_stats(documents: rd.Dataset, n: int, num_partitions: int):
     )
     n_triangles = total(closed)
     return n_edges, n_wedges, n_triangles
+
+
+def _edge_bincount_rounds(
+    edges: rd.Dataset, n: int, rounds: list
+) -> list[np.ndarray]:
+    """Run a sequence of broadcast-bincount rounds over pinned edge
+    partitions (the dense plan of :func:`path_weights`): each round is
+    ``(weight_vector, direction)`` → the gathered integer vector
+    ``out[j] = Σ_{edges} w[other end]``. One map job per round, zero
+    shuffles; partials are 8n-byte vectors summed on the driver. All
+    weights stay integers < 2^53 (asserted), so every round is
+    hash-exact. Sparse fallback for n beyond broadcast size is the
+    path_weights join+groupby plan, identical semantics."""
+    import ray
+
+    outs = []
+    w = rounds[0][0]
+    for wv, forward in rounds:
+        ref = ray.put(wv)
+
+        def partial(t: pa.Table, _ref=ref, _fwd=forward) -> pa.Table:
+            w_ = ray.get(_ref)
+            src = t.column("src").to_numpy()
+            dst = t.column("dst").to_numpy()
+            if _fwd:  # accumulate at dst from src weights
+                acc = np.bincount(
+                    dst, weights=w_[src].astype(np.float64), minlength=n)
+            else:     # accumulate at src from dst weights
+                acc = np.bincount(
+                    src, weights=w_[dst].astype(np.float64), minlength=n)
+            assert acc.max(initial=0.0) < 2**53
+            return pa.table({"acc": pa.array(
+                [acc.astype(np.int64).tobytes()], pa.binary())})
+
+        out = np.zeros(n, dtype=np.int64)
+        for b in edges.map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow"):
+            for buf in b.column("acc").to_pylist():
+                out += np.frombuffer(buf, dtype=np.int64)
+        outs.append(out)
+    return outs
+
+
+def hits_scores(documents: rd.Dataset, n: int) -> rd.Dataset:
+    """Unnormalized integer HITS, two alternating rounds: ``a1 =
+    in-degree``, ``h1[u] = Σ_{u→v} a1[v]`` (hub), ``a2[v] = Σ_{u→v}
+    h1[u]`` (authority). No normalization → every score is an exact
+    int bounded by degree powers (not by n), so the unrolled-CTE oracle
+    hash-gates the whole iterative dataflow; damped/normalized HITS is
+    the identical rounds with a scalar fold. Three broadcast-bincount
+    map jobs over pinned edges, zero shuffles (dense plan; sparse plan
+    = path_weights' join+groupby per round)."""
+    edges = edges_dataset(documents, n).materialize()
+    ones = np.ones(n, dtype=np.int64)
+    a1 = _edge_bincount_rounds(edges, n, [(ones, True)])[0]
+    h1 = _edge_bincount_rounds(edges, n, [(a1, False)])[0]
+    a2 = _edge_bincount_rounds(edges, n, [(h1, True)])[0]
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "hub": pa.array(h1, pa.int64()),
+        "auth": pa.array(a2, pa.int64()),
+    }))
+
+
+def kcore_members(
+    documents: rd.Dataset, n: int, k: int = 5, rounds: int = 3
+) -> rd.Dataset:
+    """K-round k-core peel of the UNDIRECTED link multigraph: each
+    round recomputes every active node's degree within the active-node
+    induced subgraph and peels nodes below ``k`` (isolated nodes peel in
+    round one). The round count is part of the operator contract (the
+    oracle unrolls exactly ``rounds`` CTE stages); convergence detection
+    is the same loop with an early-exit on an unchanged active count.
+    Returns survivors with their final induced degree. Per round: ONE
+    broadcast-bitmap bincount job over pinned edges — no shuffle."""
+    import ray
+
+    edges = edges_dataset(documents, n).materialize()
+    active = np.ones(n, dtype=bool)
+    deg = np.zeros(n, dtype=np.int64)
+    for r in range(rounds + 1):  # final pass reports survivor degrees
+        ref = ray.put(active)
+
+        def partial(t: pa.Table, _ref=ref) -> pa.Table:
+            act = ray.get(_ref)
+            src = t.column("src").to_numpy()
+            dst = t.column("dst").to_numpy()
+            m = act[src] & act[dst]
+            acc = (np.bincount(src[m], minlength=n)
+                   + np.bincount(dst[m], minlength=n))
+            return pa.table({"acc": pa.array(
+                [acc.astype(np.int64).tobytes()], pa.binary())})
+
+        deg = np.zeros(n, dtype=np.int64)
+        for b in edges.map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow"):
+            for buf in b.column("acc").to_pylist():
+                deg += np.frombuffer(buf, dtype=np.int64)
+        if r == rounds:
+            break  # degrees of the post-peel survivor set computed
+        new_active = active & (deg >= k)
+        if new_active.sum() == active.sum():
+            break  # converged early; reported degrees already final
+        active = new_active
+    ids = np.flatnonzero(active).astype(np.int64)
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids),
+        "core_degree": pa.array(deg[ids], pa.int64()),
+    }))
