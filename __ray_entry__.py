@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_best_match": q.q_mutual_best_match,
         "hits_scores": q.q_hits_scores,
         "kcore": q.q_kcore,
+        "late_events": q.q_late_events,
     }
 
 
@@ -1994,5 +1995,24 @@ d3 AS (SELECT e.u, count(*) AS c FROM und e
 SELECT a3.u AS doc_id, CAST(COALESCE(d3.c, 0) AS BIGINT) AS core_degree
 FROM a3 LEFT JOIN d3 ON d3.u = a3.u
 ORDER BY a3.u
+"""
+    # watermark = running max event-time over md5-permuted arrival
+    # order; late ⟺ watermark leads the event by > 15 days
+    out["late_events"] = """
+WITH a AS (
+  SELECT event_id, ts,
+         CAST(('0x' || substr(md5('arr:' || event_id), 1, 16))
+              AS UBIGINT) AS arr
+  FROM events),
+w AS (
+  SELECT event_id, ts,
+         max(ts) OVER (ORDER BY arr, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS wm
+  FROM a)
+SELECT event_id,
+       CAST(coalesce(wm - INTERVAL 15 DAY > ts, FALSE) AS BIGINT)
+         AS is_late
+FROM w ORDER BY event_id
 """
     return out

@@ -264,8 +264,31 @@ def run_pregen() -> dict:
     return {"metric": "pregen", "value": n_docs, "unit": "docs"}
 
 
+def run_stats(name: str) -> dict:
+    """Run ONE catalog query and print its per-stage ``ds.stats()`` —
+    the feedback loop for sizing batch/concurrency per stage."""
+    _init_ray(NUM_CPUS)
+    import ray.data as rd
+
+    import __ray_entry__ as entry
+
+    t0 = time.time()
+    out = entry.queries()[name](SF_DIR)
+    if isinstance(out, rd.Dataset):
+        out = out.materialize()
+        print(out.stats(), file=sys.stderr)
+    else:
+        print(f"(driver-closed result: {type(out).__name__} — "
+              "no Dataset stats)", file=sys.stderr)
+    return {"metric": f"stats:{name}", "value": round(time.time() - t0, 3),
+            "unit": "sec", "queries": {}, "sf": SF_DIR,
+            "num_cpus": NUM_CPUS}
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--stats" in sys.argv:
+        result = run_stats(sys.argv[sys.argv.index("--stats") + 1])
+    elif "--scaling" in sys.argv:
         result = run_scaling()
     elif "--pregen" in sys.argv:
         result = run_pregen()

@@ -5332,3 +5332,78 @@ def q_kcore(sf_dir: str):
     docs = _pq(sf_dir, "documents", columns=["doc_id"],
                num_blocks=_shuffle_partitions(4 * n))
     return kcore_members(docs, n=n, k=5, rounds=3).sort("doc_id")
+
+
+def q_late_events(sf_dir: str):
+    """Streaming-watermark late-event flagging: events 'arrive' in a
+    deterministic md5-permuted order (simulating out-of-order delivery);
+    an event is LATE if the watermark — the max event-time seen over
+    ALL earlier arrivals, globally — is more than 15 days ahead of it.
+    The global ordered scan distributes as ORDERED HASH-RANGE BUCKETS
+    (the customer_revenue_pctile move): the uniform arrival hash is cut
+    into 16 value ranges, pass 1 ships one (bucket, max ts) partial per
+    block, the driver closes per-bucket CARRY-IN watermarks from the
+    prefix maxima, and pass 2 flags in-bucket with a shifted prefix-max
+    kernel seeded by the carry-in. No global sort, no driver scan;
+    exact epoch-µs integers end-to-end."""
+    from ..functions.urls import md5_hash64_many
+
+    L_US = np.int64(15 * 86_400_000_000)
+    N_RB = 16
+    ev = _pq(sf_dir, "events", columns=["event_id", "ts"],
+             num_blocks=_n_cpus())
+
+    def add_arr(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_pylist()
+        arr = md5_hash64_many([f"arr:{i}" for i in ids])
+        rb = (arr >> np.uint64(60)).astype(np.int64)  # 16 value ranges
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "ts": pc.cast(t.column("ts"), pa.int64()),  # epoch-µs
+            "arr": pa.array(arr, pa.uint64()),
+            "__rb": pa.array(rb, pa.int64()),
+        })
+
+    keyed = ev.map_batches(add_arr, batch_format="pyarrow").materialize()
+
+    def rb_max(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"rb": t.column("__rb").to_numpy(),
+                           "mx": t.column("ts").to_numpy()})
+        return df.groupby("rb", as_index=False)["mx"].max()
+
+    # max-combine by hand (the shared _combine_partials sums)
+    part = pd.concat(
+        list(keyed.map_batches(rb_max, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pandas")),
+        ignore_index=True,
+    ).groupby("rb", as_index=False)["mx"].max().sort_values("rb")
+
+    # carry-in watermark per bucket = max ts over all LOWER buckets
+    carry: dict[int, int | None] = {}
+    run = None
+    for rb in range(N_RB):
+        carry[rb] = run
+        row = part[part["rb"] == rb]
+        if len(row):
+            m = int(row["mx"].iloc[0])
+            run = m if run is None else max(run, m)
+    carry_ref = ray.put(carry)
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        cin = ray.get(carry_ref)[int(g["__rb"].iloc[0])]
+        g = g.sort_values(["arr", "event_id"])
+        ts = g["ts"].to_numpy(np.int64)
+        prev = np.empty_like(ts)
+        prev[1:] = np.maximum.accumulate(ts[:-1])
+        if cin is None:
+            prev[0] = ts[0]  # global first arrival: never late
+        else:
+            prev[0] = cin
+            prev = np.maximum(prev, np.int64(cin))
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "is_late": (prev - L_US > ts).astype(np.int64),
+        })
+
+    out = keyed.groupby("__rb").map_groups(flag, batch_format="pandas")
+    return out.sort("event_id")
