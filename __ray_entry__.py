@@ -358,7 +358,9 @@ WHERE doc_id % 37 != 3
         "q1_agg": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_rev,
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                      * (100 - CAST(round(l_discount * 100) AS HUGEINT)))
+                  AS DOUBLE) / 10000.0, 2) AS sum_rev,
        count(*) AS n
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """,
@@ -377,7 +379,9 @@ FROM events WHERE event_type = 'purchase' GROUP BY user_id
 """,
         "events_hourly": """
 SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour, event_type,
-       count(*) AS n, round(sum(value), 6) AS sum_value
+       count(*) AS n,
+       round(CAST(sum(CAST(round(value * 1000) AS HUGEINT)) AS DOUBLE)
+             / 1000.0, 6) AS sum_value
 FROM events GROUP BY 1, 2
 """,
         "text_quality": """
@@ -1323,7 +1327,9 @@ FROM words JOIN counts USING (w), tot
 GROUP BY doc_id ORDER BY doc_id
 """
     out["forecast_revenue"] = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                       * CAST(round(l_discount * 100) AS HUGEINT))
+                  AS DOUBLE) / 10000.0, 2) AS revenue,
        count(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'

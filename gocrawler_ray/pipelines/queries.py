@@ -498,20 +498,26 @@ def q_q1_agg(sf_dir: str):
 
     def partial(t: pa.Table) -> pd.DataFrame:
         df = t.to_pandas()
-        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        # exact fixed-point revenue; quantities are integral so their
+        # float sums are already exact
+        df["rev4"] = _rev4(df["l_extendedprice"].to_numpy(),
+                           df["l_discount"].to_numpy()).astype(object)
         g = (
             df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
-            .agg(sum_qty=("l_quantity", "sum"), sum_rev=("revenue", "sum"), n=("l_quantity", "size"))
+            .agg(sum_qty=("l_quantity", "sum"), rev4=("rev4", "sum"),
+                 n=("l_quantity", "size"))
         )
         return g
 
     partials = li.map_batches(partial, batch_format="pyarrow")
     out = _combine_partials(
-        partials, ["l_returnflag", "l_linestatus"], ["sum_qty", "sum_rev", "n"]
+        partials, ["l_returnflag", "l_linestatus"], ["sum_qty", "rev4", "n"]
     )
     out["sum_qty"] = out["sum_qty"].round(2)
-    out["sum_rev"] = out["sum_rev"].round(2)
-    return out
+    out["sum_rev"] = round_half_away(
+        np.array([int(x) for x in out["rev4"]], dtype=np.float64)
+        / 10000.0, 2)
+    return out[["l_returnflag", "l_linestatus", "sum_qty", "sum_rev", "n"]]
 
 
 def q_top_orders(sf_dir: str):
@@ -586,17 +592,22 @@ def q_events_hourly(sf_dir: str):
             {
                 "hour": hour,
                 "event_type": t.column("event_type").to_pandas(),
-                "value": t.column("value").to_pandas(),
+                # exact milliunit ints: partial sums are order-free
+                "v3": np.rint(
+                    t.column("value").to_numpy() * 1000
+                ).astype(np.int64).astype(object),
             }
         )
         return df.groupby(["hour", "event_type"], as_index=False).agg(
-            n=("value", "size"), sum_value=("value", "sum")
+            n=("v3", "size"), v3=("v3", "sum")
         )
 
     partials = ev.map_batches(partial, batch_format="pyarrow")
-    out = _combine_partials(partials, ["hour", "event_type"], ["n", "sum_value"])
-    out["sum_value"] = out["sum_value"].round(6)
-    return out
+    out = _combine_partials(partials, ["hour", "event_type"], ["n", "v3"])
+    out["sum_value"] = round_half_away(
+        np.array([int(x) for x in out["v3"]], dtype=np.float64)
+        / 1000.0, 6)
+    return out[["hour", "event_type", "n", "sum_value"]]
 
 
 # ---------------------------------------------------------------------------
@@ -2955,16 +2966,21 @@ def q_forecast_revenue(sf_dir: str):
         qty = t.column("l_quantity").to_numpy()
         price = t.column("l_extendedprice").to_numpy()
         m = (ship >= lo) & (ship < hi) & (disc >= 0.04) & (disc <= 0.08) & (qty < 24.0)
-        return pd.DataFrame({"k": [0], "revenue": [float((price[m] * disc[m]).sum())],
+        # exact fixed-point cents × discount% (the repo-wide sum recipe)
+        rev4 = int((np.rint(price[m] * 100).astype(np.int64)
+                    * np.rint(disc[m] * 100).astype(np.int64)).sum())
+        return pd.DataFrame({"k": [0], "rev4": [rev4],
                              "n_lines": [int(m.sum())]})
 
     out = _combine_partials(
         li.map_batches(partial, batch_format="pyarrow"), ["k"],
-        ["revenue", "n_lines"],
+        ["rev4", "n_lines"],
     )
     return pd.DataFrame(
         {
-            "revenue": round_half_away(out["revenue"].to_numpy(), 2),
+            "revenue": round_half_away(
+                np.array([int(x) for x in out["rev4"]],
+                         dtype=np.float64) / 10000.0, 2),
             "n_lines": out["n_lines"].astype(np.int64),
         }
     )
