@@ -5375,7 +5375,9 @@ def q_late_events(sf_dir: str):
         rb = (arr >> np.uint64(60)).astype(np.int64)  # 16 value ranges
         return pa.table({
             "event_id": t.column("event_id"),
-            "ts": pc.cast(t.column("ts"), pa.int64()),  # epoch-µs
+            # epoch-µs regardless of the source timestamp resolution
+            "ts": pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                          pa.int64()),
             "arr": pa.array(arr, pa.uint64()),
             "__rb": pa.array(rb, pa.int64()),
         })

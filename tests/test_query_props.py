@@ -337,3 +337,64 @@ def test_rint_equals_half_away_on_decimal_domains():
     micro = np.arange(0, 600_000_000, 997, dtype=np.int64)
     x = micro / 1e6
     assert (np.rint(x * 1e6).astype(np.int64) == to_fixed(x, 1e6)).all()
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_late_events_matches_sequential_watermark(seed, tmp_path,
+                                                  ray_session):
+    """The range-bucket + carry-in plan must equal the obvious
+    sequential scan over the md5 arrival order."""
+    from gocrawler_ray.functions.urls import md5_hash64_many
+    from gocrawler_ray.pipelines.queries import q_late_events
+
+    rng = _rng(seed)
+    df = _write_events(tmp_path, rng, n=700, n_users=20, ts_tie_mod=5000)
+
+    arr = md5_hash64_many([f"arr:{i}" for i in df["event_id"]])
+    order = np.lexsort((df["event_id"].to_numpy(), arr))
+    ts = df["ts"].astype("int64").to_numpy() // 1000  # ns → µs
+    L = 15 * 86_400_000_000
+    expect = {}
+    wm = None
+    for idx in order:
+        eid, t = int(df["event_id"].iloc[idx]), int(ts[idx])
+        expect[eid] = int(wm is not None and wm - L > t)
+        wm = t if wm is None else max(wm, t)
+
+    out = q_late_events(str(tmp_path)).to_pandas()
+    got = dict(zip(out["event_id"].astype(int), out["is_late"].astype(int)))
+    assert got == expect
+
+
+def test_kcore_matches_numpy_peel(ray_session):
+    """kcore_members on the sf0.001 derived web equals the brute-force
+    induced-degree peel."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from gocrawler_ray.stages.graph import kcore_members
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+    n = tbl.num_rows
+    ids = np.arange(n)
+    src_ids = ids[ids % 37 != 3]
+    src = np.repeat(src_ids, 3)
+    dst = np.stack([(7 * src_ids + 1) % n, (13 * src_ids + 2) % n,
+                    (29 * src_ids + 5) % n], axis=1).ravel()
+    k, rounds = 5, 3
+    active = np.ones(n, bool)
+    for _ in range(rounds):
+        m = active[src] & active[dst]
+        deg = (np.bincount(src[m], minlength=n)
+               + np.bincount(dst[m], minlength=n))
+        active &= deg >= k
+    m = active[src] & active[dst]
+    deg = (np.bincount(src[m], minlength=n)
+           + np.bincount(dst[m], minlength=n))
+
+    out = kcore_members(rd.from_arrow(tbl), n=n, k=k, rounds=rounds
+                        ).to_pandas().sort_values("doc_id")
+    np.testing.assert_array_equal(out["doc_id"].to_numpy(),
+                                  np.flatnonzero(active))
+    np.testing.assert_array_equal(out["core_degree"].to_numpy(),
+                                  deg[active])
