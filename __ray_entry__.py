@@ -1327,8 +1327,9 @@ FROM words JOIN counts USING (w), tot
 GROUP BY doc_id ORDER BY doc_id
 """
     out["forecast_revenue"] = """
-SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
-                       * CAST(round(l_discount * 100) AS HUGEINT))
+SELECT round(CAST(COALESCE(sum(CAST(round(l_extendedprice * 100)
+                                    AS HUGEINT)
+                       * CAST(round(l_discount * 100) AS HUGEINT)), 0)
                   AS DOUBLE) / 10000.0, 2) AS revenue,
        count(*) AS n_lines
 FROM lineitem
@@ -1436,8 +1437,9 @@ WHERE total_rev = (SELECT max(total_rev) FROM rev)
 ORDER BY s_suppkey
 """
     out["disjunctive_revenue"] = """
-SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2)
+SELECT round(COALESCE(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))), 0)
+           / 10000.0, 2)
          AS revenue,
        count(*) AS n_lines
 FROM lineitem JOIN part ON p_partkey = l_partkey

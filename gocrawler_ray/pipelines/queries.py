@@ -1488,7 +1488,13 @@ def q_funnel_users(sf_dir: str):
         )
         return t.filter(hit).select(["user_id", "path"])
 
-    return paths.map_batches(funnel, batch_format="pyarrow")
+    out = paths.map_batches(funnel, batch_format="pyarrow").materialize()
+    if out.count() == 0:
+        # a zero-block Dataset loses its schema on to_pandas — pin the
+        # driver-contract columns explicitly for the empty-funnel case
+        return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                             "path": pd.Series([], dtype=str)})
+    return out
 
 
 def q_value_ranks(sf_dir: str):

@@ -12,7 +12,9 @@ import pytest
 sys.path.insert(0, "/root/repo")
 import __ray_entry__ as entrymod
 
-SF_DIR = "/root/testdata/sf0.01"
+# default sf0.01 (the driver's gate scale); override to cross-check
+# another scale: GRAFT_ORACLE_SF=/root/testdata/sf0.001 pytest ...
+SF_DIR = os.environ.get("GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
