@@ -588,19 +588,70 @@ def _jaccard_keep(
     a_ids: list, b_ids: list, sets: dict, threshold: float
 ) -> np.ndarray:
     """Per-pair exact Jaccard over pre-hashed sorted-unique shingle
-    arrays: an O(|A|+|B|) sorted intersection per pair (C-speed
-    ``intersect1d``), no Python set ops in the loop body. Pairs whose
-    set sizes already violate J ≤ min(|A|,|B|)/max(|A|,|B|) < threshold
-    short-circuit before paying the intersection (lossless)."""
-    keep = np.zeros(len(a_ids), dtype=bool)
-    for i in range(len(a_ids)):
-        sa, sb = sets[a_ids[i]], sets[b_ids[i]]
-        na, nb = sa.size, sb.size
-        if min(na, nb) < threshold * max(na, nb):
+    arrays, batch-vectorized: the doc sets are laid out once as a CSR
+    (one flat uint64 array + offsets), pairs are size-prefiltered
+    (J ≤ min/max — lossless), grouped by their ``a`` side, and each
+    group's concatenated b-elements hit ONE ``searchsorted`` against
+    the shared sorted a-set; intersection sizes fall out of a single
+    global hit cumsum (``O(Σ|B|·log|A|)`` total, no per-pair Python).
+    The accept predicate is exactly ``inter/union >= threshold`` —
+    identical float semantics to a scalar division."""
+    m = len(a_ids)
+    keep = np.zeros(m, dtype=bool)
+    if not m:
+        return keep
+    # CSR over the candidate docs (bounded by the LSH candidate set,
+    # not the corpus)
+    row_of = {d: i for i, d in enumerate(sets)}
+    lens = np.fromiter((v.size for v in sets.values()), np.int64, len(sets))
+    offs = np.zeros(len(sets) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    flat = (
+        np.concatenate(list(sets.values()))
+        if offs[-1]
+        else np.empty(0, np.uint64)
+    )
+    ra = np.fromiter((row_of[x] for x in a_ids), np.int64, m)
+    rb = np.fromiter((row_of[x] for x in b_ids), np.int64, m)
+    na, nb = lens[ra], lens[rb]
+    # lossless size prefilter: J ≤ min/max < threshold ⇒ reject
+    cand = np.minimum(na, nb) >= threshold * np.maximum(na, nb)
+    both_empty = (na == 0) & (nb == 0)
+    keep[both_empty] = True  # union == 0 convention (empty == empty)
+    idx = np.flatnonzero(cand & ~both_empty)
+    if not idx.size:
+        return keep
+    order = idx[np.argsort(ra[idx], kind="stable")]
+    ga = ra[order]
+    # one flat gather of every pair's b-elements
+    lb = lens[rb[order]]
+    out_starts = np.zeros(order.size, dtype=np.int64)
+    np.cumsum(lb[:-1], out=out_starts[1:])
+    tot = int(out_starts[-1] + lb[-1]) if order.size else 0
+    gi = (
+        np.repeat(offs[rb[order]], lb)
+        + np.arange(tot, dtype=np.int64)
+        - np.repeat(out_starts, lb)
+    )
+    flat_b = flat[gi]
+    hits = np.zeros(tot, dtype=np.int64)
+    bounds = np.flatnonzero(np.concatenate(([True], ga[1:] != ga[:-1])))
+    bounds = np.append(bounds, order.size)
+    for g in range(bounds.size - 1):
+        s, e = bounds[g], bounds[g + 1]
+        sa = flat[offs[ga[s]] : offs[ga[s]] + lens[ga[s]]]
+        fs = out_starts[s]
+        fe = out_starts[e - 1] + lb[e - 1]
+        if not sa.size:
             continue
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        union = na + nb - inter
-        keep[i] = True if union == 0 else (inter / union) >= threshold
+        seg = flat_b[fs:fe]
+        pos = np.searchsorted(sa, seg)
+        np.minimum(pos, sa.size - 1, out=pos)
+        hits[fs:fe] = sa[pos] == seg
+    cs = np.concatenate(([0], np.cumsum(hits)))
+    inter = cs[out_starts + lb] - cs[out_starts]
+    union = na[order] + nb[order] - inter
+    keep[order] = (inter / union) >= threshold
     return keep
 
 
