@@ -551,35 +551,61 @@ def components_minlabel(edges_ds: rd.Dataset, num_partitions: int = 16) -> rd.Da
         .aggregate(agg.Min("label", alias_name="label"))
         .materialize()
     )
+    def _msg(node_col: str):
+        # message rows carry old=null so the per-node Min("old") below
+        # recovers exactly the previous label (unique per node)
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": t.column(node_col),
+                    "label": t.column("label"),
+                    "old": pa.nulls(len(t), t.column("label").type),
+                }
+            )
+
+        return fn
+
+    def _mark_old(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "label": t.column("label"),
+                "old": t.column("label"),
+            }
+        )
+
+    def _changed_partial(t: pa.Table) -> pa.Table:
+        ne = pc.sum(
+            pc.cast(pc.not_equal(t.column("label"), t.column("old")), pa.int64())
+        ).as_py()
+        return pa.table({"c": pa.array([ne or 0], pa.int64())})
+
     while True:
         # messages: each endpoint offers its label to the other endpoint
         m1 = edges_ds.join(
             labels, "inner", num_partitions, on=("a",), right_on=("node",)
-        ).map_batches(
-            lambda t: pa.table({"node": t.column("b"), "label": t.column("label")}),
-            batch_format="pyarrow",
-        )
+        ).map_batches(_msg("b"), batch_format="pyarrow")
         m2 = edges_ds.join(
             labels, "inner", num_partitions, on=("b",), right_on=("node",)
-        ).map_batches(
-            lambda t: pa.table({"node": t.column("a"), "label": t.column("label")}),
-            batch_format="pyarrow",
-        )
-        new_labels = (
-            labels.union(m1, m2)
+        ).map_batches(_msg("a"), batch_format="pyarrow")
+        # ONE groupby yields both the new label (Min over all rows) and
+        # the previous one (Min over the non-null "old" carried by the
+        # labels rows) — the convergence test is then a map-side count,
+        # not a second edge-scale join per round
+        agg_ds = (
+            labels.map_batches(_mark_old, batch_format="pyarrow")
+            .union(m1, m2)
             .groupby("node")
-            .aggregate(agg.Min("label", alias_name="label"))
+            .aggregate(
+                agg.Min("label", alias_name="label"),
+                agg.Min("old", alias_name="old"),
+            )
             .materialize()
         )
-        changed = (
-            new_labels.join(
-                labels, "inner", num_partitions, on=("node",),
-                right_on=("node",), right_suffix="_old",
-            )
-            .filter(lambda r: r["label"] != r["label_old"])
-            .count()
-        )
-        labels = new_labels
+        changed = agg_ds.map_batches(
+            _changed_partial, batch_format="pyarrow"
+        ).sum("c")
+        labels = agg_ds.select_columns(["node", "label"]).materialize()
         if changed == 0:
             return labels
 
