@@ -2831,6 +2831,42 @@ def _word_ngrams(flat: np.ndarray, doc_idx: np.ndarray, n: int) -> tuple[np.ndar
     return g.to_numpy(dtype=object)[valid], doc_idx[: len(flat) - n + 1][valid]
 
 
+def _word_ngram_hashes(
+    flat: np.ndarray, doc_idx: np.ndarray, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Word n-grams as 64-bit rolling hashes — for kernels where the
+    gram is only an identity (membership probe, distinct count), never
+    an output value. One ``hash_array`` pass over the tokens, then a
+    position-sensitive polynomial combine over shifted views: no gram
+    string is ever materialized, the broadcast set ships as a primitive
+    uint64 array (zero-copy from the object store), and membership is a
+    C-speed ``searchsorted``. Identity-by-hash follows the shingle-hash
+    contract (stages/dedup.py::_candidate_shingle_sets): a collision
+    altering a count needs ~2^32 distinct grams in one comparison.
+    Returned viewed as int64 (bit-identical) so the hashes survive
+    Arrow/pandas/shuffle boundaries that coerce to signed."""
+    if len(flat) < n:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    th = pd.util.hash_array(flat)  # deterministic siphash, fixed key
+    m = len(flat) - n + 1
+    p = np.uint64(1099511628211)  # FNV prime; uint64 mul/add wrap
+    h = th[:m].copy()
+    for j in range(1, n):
+        h = h * p + th[j : m + j]
+    valid = doc_idx[:m] == doc_idx[n - 1 :]
+    return h[valid].view(np.int64), doc_idx[:m][valid]
+
+
+def _in_sorted(values: np.ndarray, table: np.ndarray) -> np.ndarray:
+    """Membership of ``values`` in a SORTED array — searchsorted probe
+    (np.isin without the per-call re-sort)."""
+    if not table.size:
+        return np.zeros(len(values), dtype=bool)
+    pos = np.searchsorted(table, values)
+    np.minimum(pos, table.size - 1, out=pos)
+    return table[pos] == values
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark n-gram decontamination — the training-data hygiene pass
     (flag corpus docs sharing any word n-gram with an eval benchmark;
@@ -2839,10 +2875,11 @@ def q_decontaminate(sf_dir: str):
 
     Scale shape: the benchmark side is TINY by definition (eval sets,
     not corpora), so its distinct-gram set broadcasts once via ray.put
-    and the 100 TB corpus is scanned exactly ONCE, map-only — gram
-    construction is vectorized shifted-concat, membership is np.isin
-    against the sorted broadcast array, and the per-source flag counts
-    are bounded partials combined on the driver."""
+    and the 100 TB corpus is scanned exactly ONCE, map-only — grams
+    travel as 64-bit rolling hashes (:func:`_word_ngram_hashes`, identity
+    only), the broadcast set is a zero-copy sorted uint64 array, the
+    probe is one ``searchsorted``, and the per-source flag counts are
+    bounded partials combined on the driver."""
     n = 3
     docs = _pq(sf_dir, "documents", columns=["doc_id", "source", "text"],
                num_blocks=_n_cpus())
@@ -2851,32 +2888,32 @@ def q_decontaminate(sf_dir: str):
         ids = t.column("doc_id").to_numpy()
         mask = ids % 97 == 0
         if not mask.any():
-            return pa.table({"g": pa.array([], type=pa.string())})
+            return pa.table({"g": pa.array([], type=pa.int64())})
         texts = t.column("text").to_pandas()[mask].reset_index(drop=True)
         flat, di = _flat_tokens(texts)
-        grams, _ = _word_ngrams(flat, di, n)
-        return pa.table({"g": pa.array(pd.unique(grams), type=pa.string())})
+        grams, _ = _word_ngram_hashes(flat, di, n)
+        return pa.table({"g": pa.array(np.unique(grams), type=pa.int64())})
 
     bench = np.unique(
         np.concatenate(
-            [b["g"].to_numpy(dtype=object) for b in
+            [b["g"].to_numpy(np.int64) for b in
              docs.map_batches(bench_grams, batch_format="pyarrow")
              .iter_batches(batch_size=65536, batch_format="pandas")]
-            or [np.empty(0, dtype=object)]
+            or [np.empty(0, dtype=np.int64)]
         )
     )
     bench_ref = ray.put(bench)
 
     def flag_partial(t: pa.Table) -> pd.DataFrame:
-        bg = ray.get(bench_ref)
+        bg = ray.get(bench_ref)  # primitive uint64 → zero-copy view
         ids = t.column("doc_id").to_numpy()
         keep = ids % 97 != 0  # benchmark docs are not corpus candidates
         texts = t.column("text").to_pandas()[keep].reset_index(drop=True)
         src = t.column("source").to_pandas()[keep].reset_index(drop=True)
         flat, di = _flat_tokens(texts)
-        grams, gdi = _word_ngrams(flat, di, n)
+        grams, gdi = _word_ngram_hashes(flat, di, n)
         hit = np.zeros(len(texts), dtype=bool)
-        hit[np.unique(gdi[np.isin(grams, bg)])] = True
+        hit[np.unique(gdi[_in_sorted(grams, bg)])] = True
         out = pd.DataFrame({"source": src, "hit": hit.astype(np.int64)})
         agg = out.groupby("source", as_index=False).agg(
             n_docs=("hit", "size"), n_contaminated=("hit", "sum")
@@ -3188,16 +3225,19 @@ def q_repeated_ngrams(sf_dir: str, cap: int = 5_000_000):
     broadcasts and pass 2 is a map-only probe (np.isin + reduceat),
     emitting one row per doc with no driver materialization. Past the
     cap the gram counts fall back to a distributed groupby + inner join
-    against the gram stream."""
+    against the gram stream. Grams travel as 64-bit rolling hashes
+    (:func:`_word_ngram_hashes`) — identity only, never output — so the
+    broadcast dup set is a zero-copy uint64 array and the probe is one
+    ``searchsorted``, not an object-dtype ``np.isin`` re-sort per task."""
     n = 5
     docs = _pq(sf_dir, "documents", columns=["doc_id", "text"],
                num_blocks=_n_cpus())
 
     def gram_doc_partial(t: pa.Table) -> pd.DataFrame:
         flat, di = _flat_tokens(t.column("text").to_pandas())
-        grams, gdi = _word_ngrams(flat, di, n)
+        grams, gdi = _word_ngram_hashes(flat, di, n)
         if len(grams) == 0:
-            return pd.DataFrame({"g": pd.Series([], dtype=object),
+            return pd.DataFrame({"g": pd.Series([], dtype=np.int64),
                                  "nd": pd.Series([], dtype=np.int64)})
         pairs = pd.DataFrame({"g": grams, "d": gdi})
         nd = pairs.drop_duplicates().groupby("g", as_index=False).size()
@@ -3215,11 +3255,11 @@ def q_repeated_ngrams(sf_dir: str, cap: int = 5_000_000):
 
         def gram_rows(t: pa.Table) -> pa.Table:
             flat, di = _flat_tokens(t.column("text").to_pandas())
-            grams, gdi = _word_ngrams(flat, di, n)
+            grams, gdi = _word_ngram_hashes(flat, di, n)
             return pa.table(
                 {
                     "doc_id": pa.array(t.column("doc_id").to_numpy()[gdi]),
-                    "g": pa.array(grams, type=pa.string()),
+                    "g": pa.array(grams, type=pa.int64()),
                 }
             )
 
@@ -3242,18 +3282,16 @@ def q_repeated_ngrams(sf_dir: str, cap: int = 5_000_000):
         merged["n_grams"] = merged["n_grams"].astype(np.int64)
         return merged.sort_values("doc_id").reset_index(drop=True)
 
-    dup_set = np.sort(
-        counts.loc[counts["nd"] > 1, "g"].to_numpy(dtype=object)
-    )
+    dup_set = np.sort(counts.loc[counts["nd"] > 1, "g"].to_numpy(np.int64))
     dup_ref = ray.put(dup_set)
 
     def probe(t: pa.Table) -> pd.DataFrame:
-        dg = ray.get(dup_ref)
+        dg = ray.get(dup_ref)  # primitive uint64 → zero-copy view
         flat, di = _flat_tokens(t.column("text").to_pandas())
-        grams, gdi = _word_ngrams(flat, di, n)
+        grams, gdi = _word_ngram_hashes(flat, di, n)
         n_rows = t.num_rows
         n_grams = np.bincount(gdi, minlength=n_rows).astype(np.int64)
-        hit = np.isin(grams, dg)
+        hit = _in_sorted(grams, dg)
         n_dup = np.bincount(gdi[hit], minlength=n_rows).astype(np.int64)
         keep = n_grams > 0  # docs shorter than n emit no gram rows in SQL
         return pd.DataFrame(

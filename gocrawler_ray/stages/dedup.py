@@ -622,12 +622,12 @@ def _jaccard_keep(
     global hit cumsum (``O(Σ|B|·log|A|)`` total, no per-pair Python).
     The accept predicate is exactly ``inter/union >= threshold`` —
     identical float semantics to a scalar division."""
-    m = len(a_ids)
-    keep = np.zeros(m, dtype=bool)
-    if not m:
-        return keep
-    # CSR over the candidate docs (bounded by the LSH candidate set,
-    # not the corpus)
+    return _jaccard_keep_csr(a_ids, b_ids, _sets_csr(sets), threshold)
+
+
+def _sets_csr(sets: dict) -> tuple:
+    """CSR layout over a shingle-set dict (bounded by the LSH candidate
+    set, not the corpus): (id→row dict, lens, offsets, flat values)."""
     row_of = {d: i for i, d in enumerate(sets)}
     lens = np.fromiter((v.size for v in sets.values()), np.int64, len(sets))
     offs = np.zeros(len(sets) + 1, dtype=np.int64)
@@ -637,6 +637,36 @@ def _jaccard_keep(
         if offs[-1]
         else np.empty(0, np.uint64)
     )
+    return row_of, lens, offs, flat
+
+
+_CSR_CACHE: dict = {}
+
+
+def _csr_cached(sets_ref) -> tuple:
+    """Per-worker-process cache of the verify CSR, keyed by the
+    broadcast ObjectRef: each worker deserializes the shingle-set dict
+    and builds the CSR ONCE, not once per 16k-pair batch — the
+    per-task fixed cost is what dominates a short verify stage."""
+    import ray
+
+    key = sets_ref.hex()
+    csr = _CSR_CACHE.get(key)
+    if csr is None:
+        csr = _sets_csr(ray.get(sets_ref))
+        _CSR_CACHE.clear()  # hold at most one broadcast per worker
+        _CSR_CACHE[key] = csr
+    return csr
+
+
+def _jaccard_keep_csr(
+    a_ids: list, b_ids: list, csr: tuple, threshold: float
+) -> np.ndarray:
+    row_of, lens, offs, flat = csr
+    m = len(a_ids)
+    keep = np.zeros(m, dtype=bool)
+    if not m:
+        return keep
     ra = np.fromiter((row_of[x] for x in a_ids), np.int64, m)
     rb = np.fromiter((row_of[x] for x in b_ids), np.int64, m)
     na, nb = lens[ra], lens[rb]
@@ -740,9 +770,9 @@ def _verify_candidates(
     blocks = [tbl.slice(o, step) for o in range(0, len(tbl), step)]
 
     def verify_batch(t: pa.Table) -> pa.Table:
-        sm = ray.get(sets_ref)
+        csr = _csr_cached(sets_ref)
         a, b = t.column("a").to_pylist(), t.column("b").to_pylist()
-        return t.filter(pa.array(_jaccard_keep(a, b, sm, threshold)))
+        return t.filter(pa.array(_jaccard_keep_csr(a, b, csr, threshold)))
 
     kept = (
         rd.from_arrow(blocks)
@@ -975,7 +1005,25 @@ def simhash_near_dup(
     ).materialize()
     if not cand_ds.count():
         return []
-    if cand_ds.max("capped"):
+
+    # ONE pass over the pair set yields the cap flag AND the candidate
+    # id universe (per-batch uniques, bounded by the doc-id domain) —
+    # not three separate all-block passes (max + unique×2)
+    def id_partial(t: pa.Table) -> pa.Table:
+        u = pc.unique(
+            pa.concat_arrays(
+                [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
+            )
+        )
+        cm = pc.max(t.column("capped")).as_py() or 0
+        return pa.table(
+            {"id": u, "capped": pa.array(np.full(len(u), cm, np.int8))}
+        )
+
+    idp = (
+        cand_ds.map_batches(id_partial, batch_format="pyarrow").to_pandas()
+    )
+    if len(idp) and int(idp["capped"].max()):
         # capped star pairs may duplicate first-band pairs — rare
         # (degenerate buckets only); dedupe on the driver
         cand = (
@@ -985,16 +1033,16 @@ def simhash_near_dup(
         )
         return sorted(_verify_candidates(ds, cand, col, k, threshold))
 
-    cand_ids = sorted(set(cand_ds.unique("a")) | set(cand_ds.unique("b")))
+    cand_ids = sorted(idp["id"].unique())
     sets_ref = ray.put(_candidate_shingle_sets(ds, cand_ids, col, k))
 
     def verify_batch(t: pa.Table) -> pa.Table:
-        sm = ray.get(sets_ref)
+        csr = _csr_cached(sets_ref)
         a, b = t.column("a").to_pylist(), t.column("b").to_pylist()
-        return t.filter(pa.array(_jaccard_keep(a, b, sm, threshold)))
+        return t.filter(pa.array(_jaccard_keep_csr(a, b, csr, threshold)))
 
     kept = cand_ds.map_batches(
-        verify_batch, batch_format="pyarrow", batch_size=16384
+        verify_batch, batch_format="pyarrow", batch_size=65536
     ).to_pandas()
     return sorted(zip(kept["a"], kept["b"]))
 
