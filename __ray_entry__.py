@@ -185,6 +185,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_scores": q.q_hits_scores,
         "kcore": q.q_kcore,
         "late_events": q.q_late_events,
+        "pii_scrub": q.q_pii_scrub,
+        "chunk_windows": q.q_chunk_windows,
+        "jsonl_roundtrip": q.q_jsonl_roundtrip,
     }
 
 
@@ -2022,5 +2025,43 @@ SELECT event_id,
        CAST(coalesce(wm - INTERVAL 15 DAY > ts, FALSE) AS BIGINT)
          AS is_late
 FROM w ORDER BY event_id
+"""
+    # deterministic synthetic PII (same derivation as queries._pii_docs),
+    # then regex detection + redaction; audit aggregate per source
+    out["pii_scrub"] = r"""
+WITH aug AS (
+  SELECT doc_id, source,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' user' || doc_id || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' call 555-' || (doc_id % 10000) ELSE '' END AS text
+  FROM documents)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '[a-z0-9]+@[a-z]+\.[a-z]+')))
+            AS BIGINT) AS n_emails,
+       CAST(sum(len(regexp_extract_all(text, '555-[0-9]+')))
+            AS BIGINT) AS n_phones,
+       CAST(sum(length(regexp_replace(
+                regexp_replace(text, '[a-z0-9]+@[a-z]+\.[a-z]+', '[PII]', 'g'),
+                '555-[0-9]+', '[PII]', 'g'))) AS BIGINT) AS redacted_chars
+FROM aug GROUP BY source ORDER BY source
+"""
+    # fixed-token-window chunk manifest: window 64, stride 48
+    out["chunk_windows"] = """
+WITH words AS (
+  SELECT doc_id, len(string_split(trim(text), ' ')) AS n FROM documents
+)
+SELECT doc_id, CAST(i / 48 AS BIGINT) AS chunk_id,
+       CAST(least(64, n - i) AS BIGINT) AS chunk_tokens
+FROM words, UNNEST(range(0, n, 48)) AS t(i)
+ORDER BY doc_id, chunk_id
+"""
+    # the Ray side round-trips through JSONL; values must survive exactly
+    out["jsonl_roundtrip"] = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents GROUP BY source ORDER BY source
 """
     return out

@@ -5469,3 +5469,157 @@ def q_late_events(sf_dir: str):
 
     out = keyed.groupby("__rb").map_groups(flag, batch_format="pandas")
     return out.sort("event_id")
+
+
+# ---------------------------------------------------------------------------
+# round-3 widening III: PII redaction, training-chunk manifest, JSONL parity
+# ---------------------------------------------------------------------------
+
+def _pii_docs(sf_dir: str) -> rd.Dataset:
+    """documents with deterministic synthetic PII appended (the corpus
+    itself is PII-free synthetic text; both the Ray side and the SQL
+    oracle derive the SAME augmentation, so the scrub is gated on real
+    matches): every doc_id % 7 == 0 gains an email, every
+    doc_id % 11 == 0 a phone number."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "source", "text"],
+               num_blocks=_n_cpus())
+
+    def aug(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pandas()
+        text = t.column("text").to_pandas().fillna("")
+        email = np.where(
+            ids % 7 == 0, " user" + ids.astype(str) + "@example.com", ""
+        )
+        phone = np.where(
+            ids % 11 == 0, " call 555-" + (ids % 10000).astype(str), ""
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "source": t.column("source"),
+                "text": pa.array(text + email + phone, pa.string()),
+            }
+        )
+
+    return docs.map_batches(aug, batch_format="pyarrow")
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII redaction sweep — the compliance pass every training corpus
+    needs before release: vectorized regex detection + redaction of
+    emails and phone numbers, reported as per-source counts and the
+    exact post-redaction character volume.
+
+    Scale shape: map-only over the streaming corpus (compiled patterns,
+    pandas C string kernels — no per-row Python), per-batch per-source
+    partials combined on the driver (bounded by source cardinality).
+    The redacted TEXT itself would stream straight to a partitioned
+    sink at production scale; the query returns the audit aggregate."""
+    email_re = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+    phone_re = r"555-[0-9]+"
+    docs = _pii_docs(sf_dir)
+
+    def scrub_partial(t: pa.Table) -> pd.DataFrame:
+        text = t.column("text").to_pandas()
+        src = t.column("source").to_pandas()
+        n_emails = text.str.count(email_re)
+        n_phones = text.str.count(phone_re)
+        red = text.str.replace(email_re, "[PII]", regex=True).str.replace(
+            phone_re, "[PII]", regex=True
+        )
+        out = pd.DataFrame(
+            {
+                "source": src,
+                "n_docs": 1,
+                "n_emails": n_emails.to_numpy(np.int64),
+                "n_phones": n_phones.to_numpy(np.int64),
+                "redacted_chars": red.str.len().to_numpy(np.int64),
+            }
+        )
+        return out.groupby("source", as_index=False).sum()
+
+    out = _combine_partials(
+        docs.map_batches(scrub_partial, batch_format="pyarrow"),
+        ["source"], ["n_docs", "n_emails", "n_phones", "redacted_chars"],
+    )
+    for c in ["n_docs", "n_emails", "n_phones", "redacted_chars"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def q_chunk_windows(sf_dir: str, window: int = 64, stride: int = 48):
+    """Training-chunk manifest: split every document into fixed-size
+    token windows (size 64, stride 48 — the overlap-chunking step in
+    front of tokenize-and-pack). Emits one row per chunk with its exact
+    token count — map-only flat emission, fully vectorized (one
+    whitespace split per batch, chunk ids via segmented arange), no
+    shuffle: at 100 TB this runs at read throughput and streams straight
+    into a sharded sink."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"],
+               num_blocks=_n_cpus())
+
+    def chunks(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pandas()
+        n = texts.fillna("").str.split().str.len().to_numpy(np.int64)
+        n_chunks = -(-n // stride)  # ceil(n / stride); 0 for empty docs
+        total = int(n_chunks.sum())
+        doc_ids = np.repeat(t.column("doc_id").to_numpy(), n_chunks)
+        starts = np.zeros(len(n), dtype=np.int64)
+        np.cumsum(n_chunks[:-1], out=starts[1:])
+        chunk_id = np.arange(total, dtype=np.int64) - np.repeat(starts, n_chunks)
+        tokens_left = np.repeat(n, n_chunks) - chunk_id * stride
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "chunk_id": pa.array(chunk_id, pa.int64()),
+                "chunk_tokens": pa.array(
+                    np.minimum(tokens_left, window), pa.int64()
+                ),
+            }
+        )
+
+    return docs.map_batches(chunks, batch_format="pyarrow").sort(
+        ["doc_id", "chunk_id"]
+    )
+
+
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL sink + source parity: write the documents manifest as
+    sharded JSON-lines via ``Dataset.write_json`` (one file per block —
+    the resumable layout), read it back with ``ray.data.read_json``,
+    and aggregate — proving the engine round-trips the interchange
+    format every external corpus pipeline speaks. The aggregate (per
+    source: docs + exact char volume) is gated against the oracle over
+    the ORIGINAL parquet, so the round-trip must preserve every row and
+    value exactly."""
+    import shutil
+
+    out_dir = os.path.join(
+        "/tmp/gocrawler_jsonl", sf_dir.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    docs = _pq(sf_dir, "documents",
+               columns=["doc_id", "source", "n_chars"],
+               num_blocks=_n_cpus())
+    docs.write_json(out_dir)
+
+    back = rd.read_json(out_dir)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "source": t.column("source").to_pandas(),
+                "n_docs": 1,
+                "chars": t.column("n_chars").to_numpy(),
+            }
+        )
+        return df.groupby("source", as_index=False).sum()
+
+    out = _combine_partials(
+        back.map_batches(partial, batch_format="pyarrow"),
+        ["source"], ["n_docs", "chars"],
+    )
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["chars"] = out["chars"].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
