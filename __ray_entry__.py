@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": q.q_pii_scrub,
         "chunk_windows": q.q_chunk_windows,
         "jsonl_roundtrip": q.q_jsonl_roundtrip,
+        "csv_roundtrip": q.q_csv_roundtrip,
     }
 
 
@@ -2064,4 +2065,5 @@ SELECT source, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS chars
 FROM documents GROUP BY source ORDER BY source
 """
+    out["csv_roundtrip"] = out["jsonl_roundtrip"]
     return out

@@ -5583,6 +5583,49 @@ def q_chunk_windows(sf_dir: str, window: int = 64, stride: int = 48):
     )
 
 
+def q_csv_roundtrip(sf_dir: str):
+    """CSV sink + source parity — same contract as
+    :func:`q_jsonl_roundtrip` through ``Dataset.write_csv`` /
+    ``ray.data.read_csv`` (Arrow CSV: typed round-trip of ints and
+    strings); gated against the oracle over the ORIGINAL parquet."""
+    import shutil
+
+    out_dir = os.path.join(
+        "/tmp/gocrawler_csv", sf_dir.strip("/").replace("/", "_")
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    docs = _pq(sf_dir, "documents",
+               columns=["doc_id", "source", "n_chars"],
+               num_blocks=_n_cpus())
+    docs.write_csv(out_dir)
+    back = rd.read_csv(out_dir)
+    return _format_roundtrip_agg(back)
+
+
+def _format_roundtrip_agg(back: rd.Dataset) -> pd.DataFrame:
+    """Per-source (n_docs, exact char volume) over a re-read manifest —
+    the shared audit aggregate for the format round-trip queries."""
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "source": t.column("source").to_pandas(),
+                "n_docs": 1,
+                "chars": t.column("n_chars").to_numpy(),
+            }
+        )
+        return df.groupby("source", as_index=False).sum()
+
+    out = _combine_partials(
+        back.map_batches(partial, batch_format="pyarrow"),
+        ["source"], ["n_docs", "chars"],
+    )
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["chars"] = out["chars"].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def q_jsonl_roundtrip(sf_dir: str):
     """JSONL sink + source parity: write the documents manifest as
     sharded JSON-lines via ``Dataset.write_json`` (one file per block —
@@ -5603,23 +5646,5 @@ def q_jsonl_roundtrip(sf_dir: str):
                columns=["doc_id", "source", "n_chars"],
                num_blocks=_n_cpus())
     docs.write_json(out_dir)
-
     back = rd.read_json(out_dir)
-
-    def partial(t: pa.Table) -> pd.DataFrame:
-        df = pd.DataFrame(
-            {
-                "source": t.column("source").to_pandas(),
-                "n_docs": 1,
-                "chars": t.column("n_chars").to_numpy(),
-            }
-        )
-        return df.groupby("source", as_index=False).sum()
-
-    out = _combine_partials(
-        back.map_batches(partial, batch_format="pyarrow"),
-        ["source"], ["n_docs", "chars"],
-    )
-    out["n_docs"] = out["n_docs"].astype(np.int64)
-    out["chars"] = out["chars"].astype(np.int64)
-    return out.sort_values("source").reset_index(drop=True)
+    return _format_roundtrip_agg(back)
