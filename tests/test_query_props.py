@@ -398,3 +398,114 @@ def test_kcore_matches_numpy_peel(ray_session):
                                   np.flatnonzero(active))
     np.testing.assert_array_equal(out["core_degree"].to_numpy(),
                                   deg[active])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_jaccard_keep_csr_matches_brute_force(seed):
+    """The CSR + grouped-searchsorted exact-Jaccard kernel on random
+    shingle sets (empty sets, identical sets, disjoint sets, size-ratio
+    rejections) against a per-pair set-arithmetic reference."""
+    from gocrawler_ray.stages.dedup import _jaccard_keep
+
+    rng = _rng(seed)
+    n_docs = 40
+    sets = {}
+    for d in range(n_docs):
+        k = int(rng.integers(0, 30))
+        sets[f"d{d}"] = np.unique(
+            rng.integers(0, 50, k).astype(np.uint64)
+        )
+    sets["dup_a"] = sets["d0"].copy()
+    sets["empty_a"] = np.array([], dtype=np.uint64)
+    sets["empty_b"] = np.array([], dtype=np.uint64)
+    ids = list(sets)
+    m = 300
+    a = [ids[i] for i in rng.integers(0, len(ids), m)]
+    b = [ids[i] for i in rng.integers(0, len(ids), m)]
+    for threshold in [0.0, 0.3, 0.6, 1.0]:
+        got = _jaccard_keep(a, b, sets, threshold)
+        for i in range(m):
+            sa, sb = set(sets[a[i]].tolist()), set(sets[b[i]].tolist())
+            union = len(sa | sb)
+            expect = (
+                True if union == 0
+                else (len(sa & sb) / union) >= threshold
+            )
+            assert got[i] == expect, (threshold, a[i], b[i])
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_word_ngram_hashes_matches_string_grams(seed):
+    """Hashed n-gram identity agrees with string n-grams: equal counts
+    per doc, and two positions share a hash iff they share the gram
+    string (on a small vocab where repeats are guaranteed)."""
+    from gocrawler_ray.pipelines.queries import (
+        _flat_tokens, _word_ngram_hashes, _word_ngrams,
+    )
+
+    rng = _rng(seed)
+    vocab = np.array(["a", "bb", "ccc", "dd", "e"], dtype=object)
+    texts = pd.Series(
+        [" ".join(vocab[rng.integers(0, 5, rng.integers(0, 12))])
+         for _ in range(30)]
+    )
+    flat, di = _flat_tokens(texts)
+    for n in [1, 2, 3, 5]:
+        gs, gdi_s = _word_ngrams(flat, di, n)
+        gh, gdi_h = _word_ngram_hashes(flat, di, n)
+        assert np.array_equal(gdi_s, gdi_h)
+        assert len(gs) == len(gh)
+        # identity equivalence: same string ⟺ same hash
+        df = pd.DataFrame({"s": gs, "h": gh})
+        assert (df.groupby("s")["h"].nunique() <= 1).all()
+        assert (df.groupby("h")["s"].nunique() <= 1).all()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_chunk_windows_kernel_matches_per_doc_loop(seed):
+    """The segmented-arange chunk emission against a per-doc Python
+    loop (empty docs, docs shorter than one window, exact multiples)."""
+    import pyarrow as pa
+
+    from gocrawler_ray.pipelines import queries as q
+
+    rng = _rng(seed)
+    window, stride = 64, 48
+    lens = [0, 1, 47, 48, 49, 63, 64, 65, 96, 100, 200]
+    texts = []
+    ids = []
+    for i, ln in enumerate(lens + list(rng.integers(0, 300, 20))):
+        texts.append(" ".join(["w"] * int(ln)))
+        ids.append(i)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+
+    # reuse the batch kernel via the query's inner function shape
+    texts_s = pd.Series(texts)
+    n = texts_s.str.split().str.len().to_numpy(np.int64)
+    expect = []
+    for i, nn in zip(ids, n):
+        s = 0
+        cid = 0
+        while s < nn:
+            expect.append((i, cid, min(window, nn - s)))
+            s += stride
+            cid += 1
+
+    # drive the real batch kernel through the query on a temp table dir
+    import pyarrow.parquet as pq
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(
+            pa.table({
+                "doc_id": t.column("doc_id"),
+                "text": t.column("text"),
+                "lang": pa.array(["en"] * len(ids)),
+                "source": pa.array(["s"] * len(ids)),
+                "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+            }),
+            os.path.join(td, "documents.parquet"),
+        )
+        out = q.q_chunk_windows(td).to_pandas()
+    got = list(zip(out["doc_id"], out["chunk_id"], out["chunk_tokens"]))
+    assert sorted(got) == sorted(expect)
