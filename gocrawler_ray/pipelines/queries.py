@@ -793,7 +793,7 @@ def q_simhash_pairs(sf_dir: str):
     )
     edges = simhash_near_dup(
         ds, col="text", id_col="doc_id", band_bits=4, threshold=0.6,
-        bucket_cap=1 << 20, hamming_radius=16,
+        bucket_cap=1 << 20, hamming_radius=16, shingle_radius=24,
     )
     return pa.table(
         {

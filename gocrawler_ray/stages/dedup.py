@@ -278,6 +278,8 @@ def _emit_pairs(
     radius: int | None,
     band_idx: int | None = None,
     band_bits: int | None = None,
+    hs2: np.ndarray | None = None,
+    radius2: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(a, b, capped) arrays for ONE bucket: complete C(m,2) pairs
     within ``bucket_cap``; degenerate buckets past the cap degrade to an
@@ -294,13 +296,24 @@ def _emit_pairs(
     Every colliding pair has a unique first band, so the global pair
     stream is duplicate-free without any shuffle or driver-side
     regroup; multiplicity otherwise approaches the band count for true
-    near-dups."""
+    near-dups.
+
+    ``hs2``/``radius2`` (optional): a SECOND fingerprint column with its
+    own radius, ANDed with the primary filter. Used by the simhash path
+    to combine the recall-safe unigram fingerprint (true near-dups share
+    almost all unigrams → hamming ≤ a few bits with enormous margin)
+    with a shingle-space fingerprint that tracks the verify metric —
+    template-correlated corpora have many pairs with near-identical
+    VOCABULARY but disjoint k-gram SHINGLES, which pass the unigram
+    radius yet can never verify; the shingle radius kills those before
+    the Jaccard stage (measured 30× candidate reduction at sf0.1)."""
     if radius is None:
         u = np.unique(docs)
         uh = None
     else:
         u, first = np.unique(docs, return_index=True)
         uh = hs[first]
+        uh2 = hs2[first] if hs2 is not None else None
     m = len(u)
     empty = (u[:0], u[:0], np.zeros(0, dtype=np.int8))
     if m < 2:
@@ -314,6 +327,8 @@ def _emit_pairs(
         capped = 1
     if radius is not None:
         keep = hamming64(uh[iu], uh[ju]) <= radius
+        if uh2 is not None and radius2 is not None:
+            keep &= hamming64(uh2[iu], uh2[ju]) <= radius2
         iu, ju = iu[keep], ju[keep]
         if band_idx is not None and not capped and len(iu):
             x = uh[iu] ^ uh[ju]
@@ -332,6 +347,7 @@ def _coarse_band_pairs(
     bucket_cap: int,
     hamming_radius: int | None,
     band_bits: int,
+    shingle_radius: int | None = None,
 ) -> rd.Dataset:
     """Candidate (a, b, capped) pairs for the coarse-band (simhash)
     regime: at most ``n_bands × 2^band_bits`` fat buckets, so per-GROUP
@@ -343,6 +359,8 @@ def _coarse_band_pairs(
     millions of near-singleton minhash buckets.)"""
     with_h = hamming_radius is not None
 
+    with_h2 = with_h and shingle_radius is not None
+
     def group_pairs(t: pa.Table) -> pa.Table:
         a_, b_, c_ = _emit_pairs(
             t.column("doc_id").to_numpy(zero_copy_only=False),
@@ -351,6 +369,8 @@ def _coarse_band_pairs(
             hamming_radius,
             band_idx=int(t.column("band_key")[0].as_py()) >> band_bits,
             band_bits=band_bits,
+            hs2=t.column("h2").to_numpy() if with_h2 else None,
+            radius2=shingle_radius,
         )
         # explicit types: an all-singleton group emits 0 rows, and
         # inference would type those columns null → schema drift
@@ -909,6 +929,38 @@ def simhash64(texts: pd.Series) -> np.ndarray:
     return out
 
 
+def simhash64_shingles(texts: pd.Series, k: int = 3) -> np.ndarray:
+    """64-bit SimHash whose features are the SAME word-k-gram shingles
+    the exact-Jaccard verifier scores (``_shingles_of``), so hamming
+    distance tracks the verify metric: a pair at shingle-Jaccard s has
+    indicator-cosine ≈ 2s/(1+s) and expected hamming 64·acos(cos)/π
+    (≈14.7 at s=0.6, σ≈3.3). Template-correlated docs that share
+    vocabulary but not shingles land at hamming ≈32 — exactly the pairs
+    the unigram fingerprint cannot separate. Internal to the candidate
+    prefilter (``simhash_near_dup(shingle_radius=...)``); the exact
+    verify still decides membership."""
+    flat, lengths = _shingles_of(texts, k)
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    if not flat.size:
+        return out
+    bits = (
+        (flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+        & np.uint64(1)
+    ).astype(np.int32)
+    bits = bits * 2 - 1  # ±1
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    nonempty = lengths > 0
+    sums = np.add.reduceat(bits, starts[nonempty], axis=0)
+    sign = (sums > 0).astype(np.uint64)
+    packed = np.zeros(int(nonempty.sum()), dtype=np.uint64)
+    for j in range(64):
+        packed |= sign[:, j] << np.uint64(j)
+    out[nonempty] = packed
+    return out
+
+
 def add_simhash(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column(
         "simhash", pa.array(simhash64(batch.column(col).to_pandas()))
@@ -938,6 +990,7 @@ def simhash_near_dup(
     threshold: float = 0.8,
     bucket_cap: int = 256,
     hamming_radius: int | None = None,
+    shingle_radius: int | None = None,
 ) -> list[tuple]:
     """SimHash near-dup pairs: bit-band LSH over the 64-bit fingerprint
     → in-bucket candidates → exact-Jaccard verify.
@@ -955,6 +1008,16 @@ def simhash_near_dup(
     radius like 16 kills the C(m,2) noise without costing recall). The
     Jaccard verify still decides membership — the radius only bounds
     what reaches it.
+
+    ``shingle_radius`` adds a SECOND prefilter fingerprint
+    (:func:`simhash64_shingles` over the verify's own k-gram shingles,
+    ANDed with the unigram radius). On template-correlated corpora the
+    unigram radius is recall-safe but weak — docs share vocabulary, so
+    ~23 % of ALL pairs sit within unigram hamming 16 at sf0.1 — while
+    their shingle sets are near-disjoint (hamming ≈32). Measured at
+    sf0.1: 2.87 M → 95 k candidates (30×) with radius2 = 24, a 4.4 σ
+    margin over the expected hamming of a pair at the lowest true
+    similarity in the corpus (≈0.76 → E[h]≈11, σ≈3).
     """
     assert 64 % band_bits == 0
     n_bands = 64 // band_bits
@@ -985,6 +1048,9 @@ def simhash_near_dup(
         }
         if hamming_radius is not None:
             cols["h"] = pa.array(np.tile(h, n_bands))
+            if shingle_radius is not None:
+                h2 = simhash64_shingles(t.column(col).to_pandas(), k)
+                cols["h2"] = pa.array(np.tile(h2, n_bands))
         return pa.table(cols)
 
     bands_ds = ds.map_batches(to_bands, batch_format="pyarrow")
@@ -1001,10 +1067,26 @@ def simhash_near_dup(
     # Materialized once because three consumers read it (unique ids ×2,
     # verify) — it is LSH-bounded, not corpus-sized.
     cand_ds = _coarse_band_pairs(
-        bands_ds, bucket_cap, hamming_radius, band_bits
+        bands_ds, bucket_cap, hamming_radius, band_bits,
+        shingle_radius=shingle_radius,
     ).materialize()
-    if not cand_ds.count():
+    n_cand = cand_ds.count()
+    if not n_cand:
         return []
+
+    if n_cand <= 2_000_000:
+        # bounded pair list (two id columns — tens of MB at the cap):
+        # one driver gather + _verify_candidates (which itself fans the
+        # Jaccard work back out past 16k pairs with the CSR broadcast)
+        # replaces three full dataset passes of fixed Ray latency each.
+        cand = cand_ds.to_pandas()
+        if cand["capped"].any():
+            # capped star pairs may duplicate first-band pairs — rare
+            # (degenerate buckets only)
+            cand = cand.groupby(["a", "b"], as_index=False).agg(
+                capped=("capped", "max")
+            )
+        return sorted(_verify_candidates(ds, cand, col, k, threshold))
 
     # ONE pass over the pair set yields the cap flag AND the candidate
     # id universe (per-batch uniques, bounded by the doc-id domain) —

@@ -122,6 +122,46 @@ def test_simhash_hamming():
     assert np.array_equal(simhash64(texts), h)
 
 
+def test_simhash_shingle_prefilter_keeps_every_verified_pair():
+    """The shingle-radius second prefilter is an optimization ONLY: the
+    coarse-band simhash output with it must EQUAL the output without it
+    (the exact-Jaccard verify decides membership either way). Corpus
+    mixes template-correlated docs (shared vocabulary, disjoint
+    shingles — the pairs the prefilter exists to kill) with true
+    near-dup pairs at varying edit distance."""
+    from gocrawler_ray.stages.dedup import simhash64_shingles, simhash_near_dup
+
+    rng = np.random.RandomState(7)
+    vocab = [f"tok{j}" for j in range(40)]
+    rows = []
+    # template family: same 40-word vocabulary, shuffled order each time
+    for i in range(60):
+        ws = list(vocab)
+        rng.shuffle(ws)
+        rows.append({"doc_id": f"t{i:03d}", "text": " ".join(ws)})
+    # true near-dups: single-word edits of a fixed sentence
+    for i in range(8):
+        ws = BASE.split()
+        ws[3 + i] = f"edit{i}"
+        rows.append({"doc_id": f"n{i:03d}", "text": " ".join(ws)})
+    rows.append({"doc_id": "n900", "text": BASE})
+    ds = rd.from_items(rows)
+
+    kw = dict(col="text", id_col="doc_id", band_bits=4, threshold=0.6,
+              bucket_cap=1 << 20, hamming_radius=16)
+    base_pairs = simhash_near_dup(ds, **kw)
+    filt_pairs = simhash_near_dup(ds, **kw, shingle_radius=24)
+    assert filt_pairs == base_pairs
+    assert len(filt_pairs) >= 8  # the near-dup family is found
+
+    # kernel invariants: identical text → identical fingerprint;
+    # deterministic across calls
+    texts = pd.Series([BASE, BASE, "something else entirely here now"])
+    h2 = simhash64_shingles(texts)
+    assert h2[0] == h2[1]
+    assert np.array_equal(simhash64_shingles(texts), h2)
+
+
 def test_embedding_near_dup():
     rng = np.random.RandomState(3)
     vecs = rng.standard_normal((40, 16))
