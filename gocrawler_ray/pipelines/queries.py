@@ -3095,15 +3095,139 @@ def q_small_qty_parts(sf_dir: str):
 
 
 def q_shipping_priority(sf_dir: str):
-    """Unshipped-order revenue top-10 (TPC-H Q3 shape): 3-table join
-    through Ray's native hash joins (customer semi -> orders -> lineitem)
-    with date pushdown at every read, then ONE hash-bucket shuffle for
-    complete per-order revenue (an order's lines never straddle buckets)
-    and per-bucket top-10 partials merged on the driver — never a global
-    sort."""
-    from ..stages.temporal import _with_bucket
+    """Unshipped-order revenue top-10 (TPC-H Q3 shape).
+
+    Fast plan (the large_orders lesson): the two filtered build sides —
+    BUILDING custkeys, then (orderkey, orderdate) of their pre-cut
+    orders — are CAPPED driver gathers broadcast into the lineitem
+    scan, whose per-batch int64 fixed-point revenue partials combine
+    under the same cap; zero shuffles end to end (measured 7.9 s → ~1 s
+    at sf0.1 vs the native-join plan, whose two hash joins each carry
+    2–4 s of fixed latency). Integer partials commute, so no bucket
+    shuffle is needed for sum exactness. Past any cap the query falls
+    back to the join plan below — at 100 TB the filtered build sides
+    are customer-table-scale and the shuffle joins are the right
+    answer; the caps pick the plan, not the semantics."""
+    import ray
 
     cut = pd.Timestamp("1998-06-01")
+    cut_us = pa.scalar(cut, type=pa.timestamp("us"))
+    cap = 2_000_000
+
+    def gather_capped(ds: rd.Dataset) -> pd.DataFrame | None:
+        frames: list[pd.DataFrame] = []
+        total = 0
+        for b in ds.iter_batches(batch_size=65536, batch_format="pandas"):
+            frames.append(b)
+            total += len(b)
+            if total > cap:
+                return None
+        return (
+            pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+        )
+
+    bldg_df = gather_capped(
+        _pq(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"],
+            num_blocks=_n_cpus())
+        .filter(expr="c_mktsegment == 'BUILDING'")
+        .select_columns(["c_custkey"])
+    )
+    if bldg_df is not None:
+        ckeys = np.sort(bldg_df["c_custkey"].to_numpy(np.int64))
+        ckeys_ref = ray.put(ckeys)
+
+        def order_filter(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.less(t.column("o_orderdate"), cut_us))
+            oc = t.column("o_custkey").to_numpy(zero_copy_only=False)
+            ck = ray.get(ckeys_ref)
+            if not len(ck) or not len(oc):
+                return t.slice(0, 0).select(["o_orderkey", "o_orderdate"])
+            i = np.searchsorted(ck, oc)
+            i[i == len(ck)] = 0
+            return t.filter(pa.array(ck[i] == oc)).select(
+                ["o_orderkey", "o_orderdate"]
+            )
+
+        ord_df = gather_capped(
+            _pq(sf_dir, "orders",
+                columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                num_blocks=_n_cpus())
+            .map_batches(order_filter, batch_format="pyarrow")
+        )
+        if ord_df is not None:
+            okeys = np.sort(ord_df["o_orderkey"].to_numpy(np.int64))
+            okeys_ref = ray.put(okeys)
+
+            def li_partial(t: pa.Table) -> pd.DataFrame:
+                t = t.filter(pc.greater(t.column("l_shipdate"), cut_us))
+                lk = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+                ok = ray.get(okeys_ref)
+                if len(ok) and len(lk):
+                    i = np.searchsorted(ok, lk)
+                    i[i == len(ok)] = 0
+                    m = ok[i] == lk
+                else:
+                    m = np.zeros(len(lk), dtype=bool)
+                if not m.any():
+                    return pd.DataFrame(
+                        {"l_orderkey": np.zeros(0, np.int64),
+                         "rev4": np.zeros(0, np.int64)}
+                    )
+                rev4 = _rev4(
+                    t.column("l_extendedprice").to_numpy(
+                        zero_copy_only=False)[m],
+                    t.column("l_discount").to_numpy(zero_copy_only=False)[m],
+                )
+                return (
+                    pd.DataFrame({"l_orderkey": lk[m], "rev4": rev4})
+                    .groupby("l_orderkey", as_index=False)["rev4"].sum()
+                )
+
+            partials = _pq(
+                sf_dir, "lineitem",
+                columns=["l_orderkey", "l_extendedprice", "l_discount",
+                         "l_shipdate"],
+                num_blocks=_n_cpus(),
+            ).map_batches(li_partial, batch_format="pyarrow")
+            rev = _combine_partials(
+                partials, ["l_orderkey"], ["rev4"], cap=cap
+            )
+            if rev is not None:
+                if not len(rev):
+                    return pd.DataFrame(
+                        {"l_orderkey": pd.Series([], dtype=np.int64),
+                         "revenue": pd.Series([], dtype=np.float64),
+                         "o_orderdate": pd.Series(
+                             [], dtype="datetime64[us]")}
+                    )
+                srt = ord_df.sort_values("o_orderkey")
+                pos = np.searchsorted(
+                    srt["o_orderkey"].to_numpy(np.int64),
+                    rev["l_orderkey"].to_numpy(np.int64),
+                )
+                rev["o_orderdate"] = srt["o_orderdate"].to_numpy()[pos]
+                rev["revenue"] = round_half_away(
+                    rev["rev4"].to_numpy(np.int64) / 10000.0, 2
+                )
+                return (
+                    rev.sort_values(["revenue", "l_orderkey"],
+                                    ascending=[False, True])
+                    .head(10)
+                    .reset_index(drop=True)
+                    [["l_orderkey", "revenue", "o_orderdate"]]
+                )
+
+    return _shipping_priority_join_plan(sf_dir, cut)
+
+
+def _shipping_priority_join_plan(sf_dir: str, cut: pd.Timestamp):
+    """Q3 at unbounded scale: 3-table native hash joins (customer semi
+    -> orders -> lineitem) with date pushdown at every read, then ONE
+    hash-bucket shuffle for complete per-order revenue (an order's
+    lines never straddle buckets) and per-bucket top-10 partials merged
+    on the driver — never a global sort."""
+    from ..stages.temporal import _with_bucket
+
     parts = _shuffle_partitions(
         _row_count(sf_dir, "orders"), _row_count(sf_dir, "lineitem")
     )

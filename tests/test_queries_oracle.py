@@ -78,6 +78,19 @@ def test_entry_smoke():
     assert len(df) >= 0 and "name" in df.columns
 
 
+def test_shipping_priority_join_fallback_matches_broadcast_path():
+    """Past the build-side gather caps, Q3 falls back to the native
+    hash-join plan — it must produce exactly the broadcast path's
+    top-10 (same keys, same exact fixed-point revenue)."""
+    from gocrawler_ray.pipelines import queries as q
+
+    a = q.q_shipping_priority(SF_DIR)
+    b = q._shipping_priority_join_plan(SF_DIR, pd.Timestamp("1998-06-01"))
+    a = a.reset_index(drop=True)[sorted(a.columns)]
+    b = b.reset_index(drop=True)[sorted(b.columns)]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_repeated_ngrams_fallback_matches_broadcast_path():
     """Past the gram-broadcast cap, the distributed groupby+semi-join
     fallback must produce exactly the broadcast path's answer."""
