@@ -240,13 +240,22 @@ def ordered_paths(
     label_col: str,
     sep: str = ">",
     num_buckets: int = 32,
+    driver_cap: int | None = 2_000_000,
 ) -> rd.Dataset:
     """Per-key ordered event path — ``string_agg(label, sep ORDER BY
     ts, id)`` (the product-analytics "user journey" string): one
     hash-bucket shuffle, one lexsort; the join itself runs per KEY (the
     output is one row per key, so per-key cost is proportional to the
     result, not the input). Order is pinned by the unique id after ts,
-    making the concatenation deterministic."""
+    making the concatenation deterministic.
+
+    ``driver_cap``: path inputs are usually a FILTERED slice (funnel
+    candidates, a sparse event family); when the slice fits under the
+    cap the kernel runs once on a single driver gather — a Ray
+    sort-groupby costs ~2 s of fixed latency regardless of how few rows
+    it moves. Past the cap the bucket shuffle takes over; the kernel
+    sorts globally by key either way, so both plans emit the identical
+    row set."""
 
     def kernel(g: pd.DataFrame) -> pa.Table:
         ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
@@ -259,6 +268,32 @@ def ordered_paths(
         n = s.groupby(key_col, sort=True).size().reset_index(name="n_steps")
         out["n_steps"] = n["n_steps"].astype(np.int64)
         return pa.Table.from_pandas(out, preserve_index=False)
+
+    if driver_cap is not None:
+        cols = [key_col, ts_col, id_col, label_col]
+        frames: list[pd.DataFrame] = []
+        total = 0
+        for b in ds.select_columns(cols).iter_batches(
+            batch_size=65536, batch_format="pandas"
+        ):
+            frames.append(b)
+            total += len(b)
+            if total > driver_cap:
+                frames = None
+                break
+        if frames is not None:
+            g = (
+                pd.concat(frames, ignore_index=True)
+                if frames
+                else pd.DataFrame(columns=cols)
+            )
+            if not len(g):
+                return rd.from_arrow(
+                    pa.table({key_col: pa.array([], pa.int64()),
+                              "path": pa.array([], pa.string()),
+                              "n_steps": pa.array([], pa.int64())})
+                )
+            return rd.from_arrow(kernel(g))
 
     return (
         _with_bucket(ds, key_col, num_buckets)
@@ -462,6 +497,8 @@ def hopping_window_agg(
     ts_col: str = "ts",
     value_col: str = "value",
     num_buckets: int = 32,
+    scale: int = 1_000_000,
+    driver_cap: int | None = 2_000_000,
 ) -> rd.Dataset:
     """Hopping (sliding) window aggregate: windows ``[w, w+width)`` for
     every ``w ≡ 0 (mod hop)``; each event lands in exactly
@@ -472,11 +509,20 @@ def hopping_window_agg(
     Combiner pattern end to end: the per-batch kernel EXPLODES each
     event into its covering windows with one ``np.repeat``/``arange``
     broadcast (no Python loop) and immediately partial-aggregates
-    within the batch — so what shuffles is the pre-aggregated
+    within the batch — so what combines is the pre-aggregated
     (key, window) partial stream, not width/hop copies of the raw
-    events. The final combine co-locates partials by
-    ``hash(key, window) % P`` and sums per bucket — one shuffle of the
-    small side, vectorized everywhere.
+    events. Values are fixed-pointed to integer ``1/scale`` units
+    inside the partial (the repo-wide quantization invariant, same as
+    :func:`running_total`), so partial sums commute exactly — which is
+    what makes the combine-path choice a pure cost decision:
+
+    * partial stream ≤ ``driver_cap`` rows → ONE driver gather +
+      pandas groupby (the (key, window) domain at gate scale is far
+      under the cap; a Ray sort-groupby pays ~2 s fixed latency for
+      the same answer);
+    * past the cap → the partials re-execute through the hash-bucket
+      co-location shuffle (``hash(key, window) % P``) and sum per
+      bucket — one shuffle of the small side, vectorized everywhere.
     """
     assert width_us % hop_us == 0, "width must be a multiple of hop"
     k = width_us // hop_us
@@ -487,7 +533,7 @@ def hopping_window_agg(
                 {key_col: pd.Series([], dtype=np.int64),
                  "window_start": pd.Series([], dtype=np.int64),
                  "n_events": pd.Series([], dtype=np.int64),
-                 "sum_value": pd.Series([], dtype=np.float64)}
+                 "sum_v": pd.Series([], dtype=np.int64)}
             )
         ts = (
             t.column(ts_col)
@@ -496,7 +542,10 @@ def hopping_window_agg(
             .astype(np.int64)
         )
         key = t.column(key_col).to_numpy(zero_copy_only=False)
-        val = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v6 = round_half_away(
+            t.column(value_col).to_numpy(zero_copy_only=False).astype(
+                np.float64) * scale
+        ).astype(np.int64)
         # floor-div that is correct for negative ts too
         w_max = (ts // hop_us) * hop_us
         starts = (
@@ -507,14 +556,58 @@ def hopping_window_agg(
                 key_col: np.repeat(key, k),
                 "window_start": starts,
                 "n_events": 1,
-                "sum_value": np.repeat(val, k),
+                "sum_v": np.repeat(v6, k),
             }
         )
         return df.groupby([key_col, "window_start"], as_index=False).agg(
-            n_events=("n_events", "sum"), sum_value=("sum_value", "sum")
+            n_events=("n_events", "sum"), sum_v=("sum_v", "sum")
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def finish(out: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                key_col: pa.array(out[key_col]),
+                "window_start": pa.array(out["window_start"], pa.int64()),
+                "n_events": pa.array(out["n_events"], pa.int64()),
+                "sum_value": pa.array(
+                    out["sum_v"].to_numpy(np.int64) / float(scale),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    if driver_cap is not None:
+        frames: list[pd.DataFrame] = []
+        total = 0
+        for b in partials.iter_batches(
+            batch_size=65536, batch_format="pandas"
+        ):
+            frames.append(b)
+            total += len(b)
+            if total > 4 * driver_cap:
+                merged = pd.concat(frames, ignore_index=True).groupby(
+                    [key_col, "window_start"], as_index=False
+                )[["n_events", "sum_v"]].sum()
+                frames, total = [merged], len(merged)
+                if total > driver_cap:
+                    frames = None
+                    break
+        if frames is not None:
+            out = (
+                pd.concat(frames, ignore_index=True)
+                if frames
+                else pd.DataFrame(
+                    {key_col: pd.Series([], dtype=np.int64),
+                     "window_start": pd.Series([], dtype=np.int64),
+                     "n_events": pd.Series([], dtype=np.int64),
+                     "sum_v": pd.Series([], dtype=np.int64)}
+                )
+            ).groupby([key_col, "window_start"], as_index=False)[
+                ["n_events", "sum_v"]
+            ].sum()
+            return rd.from_arrow(finish(out))
 
     def add_bucket(t: pa.Table) -> pa.Table:
         hk = pd.util.hash_array(t.column(key_col).to_numpy(zero_copy_only=False))
@@ -526,16 +619,9 @@ def hopping_window_agg(
 
     def combine(g: pd.DataFrame) -> pa.Table:
         out = g.groupby([key_col, "window_start"], as_index=False).agg(
-            n_events=("n_events", "sum"), sum_value=("sum_value", "sum")
+            n_events=("n_events", "sum"), sum_v=("sum_v", "sum")
         )
-        return pa.table(
-            {
-                key_col: pa.array(out[key_col]),
-                "window_start": pa.array(out["window_start"], pa.int64()),
-                "n_events": pa.array(out["n_events"], pa.int64()),
-                "sum_value": pa.array(out["sum_value"], pa.float64()),
-            }
-        )
+        return finish(out)
 
     return (
         partials.map_batches(add_bucket, batch_format="pyarrow")
