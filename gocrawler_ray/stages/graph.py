@@ -232,7 +232,13 @@ def path_weights(
     )
 
 
-def triangle_stats(documents: rd.Dataset, n: int, num_partitions: int):
+def triangle_stats(
+    documents: rd.Dataset,
+    n: int,
+    num_partitions: int,
+    driver_edge_cap: int | None = 2_000_000,
+    driver_wedge_cap: int = 50_000_000,
+):
     """Undirected triangle census of the derived web: (n_edges,
     n_wedges, n_triangles) over the dedup'd low→high-oriented edge set.
 
@@ -247,7 +253,18 @@ def triangle_stats(documents: rd.Dataset, n: int, num_partitions: int):
     Both joins hash on node ids; orientation bounds each wedge list by
     the SQUARE of the max oriented out-degree (the standard skew guard —
     high-degree hubs orient most incident edges inward). Counts come
-    back as 1-row-per-block partials, never a row gather."""
+    back as 1-row-per-block partials, never a row gather.
+
+    ``driver_edge_cap``/``driver_wedge_cap``: under the caps the
+    per-batch-deduped oriented edge stream gathers ONCE and the census
+    closes driver-side with vectorized numpy (packed-key unique,
+    bincount wedge counts, CSR wedge expansion + sorted-key
+    searchsorted for the closing edge) — the two hash joins each pay
+    1.5–2 s of fixed latency at any scale for the same three integers.
+    The wedge cap is checked BEFORE expansion from exact per-node
+    degree products, so a skewed graph can never blow up the driver;
+    past either cap the distributed two-join plan below runs
+    unchanged."""
     edges = edges_dataset(documents, n)
 
     def orient(t: pa.Table) -> pa.Table:
@@ -259,6 +276,59 @@ def triangle_stats(documents: rd.Dataset, n: int, num_partitions: int):
         ab = np.unique(np.stack([lo, hi], axis=1), axis=0)
         return pa.table({"a": pa.array(ab[:, 0], pa.int64()),
                          "b": pa.array(ab[:, 1], pa.int64())})
+
+    # the packed key a*n + b needs n² < 2^63
+    if driver_edge_cap is not None and n < 3_000_000_000:
+        oriented = edges.map_batches(orient, batch_format="pyarrow")
+        chunks: list[np.ndarray] = []
+        total_rows = 0
+        for b in oriented.iter_batches(batch_size=65536,
+                                       batch_format="pyarrow"):
+            chunks.append(
+                b.column("a").to_numpy() * np.int64(n)
+                + b.column("b").to_numpy()
+            )
+            total_rows += b.num_rows
+            if total_rows > driver_edge_cap:
+                chunks = None
+                break
+        if chunks is not None:
+            packed = (
+                np.unique(np.concatenate(chunks))
+                if chunks
+                else np.zeros(0, np.int64)
+            )
+            a = packed // n
+            b_ = packed % n
+            n_edges = len(packed)
+            out_cnt = np.bincount(a, minlength=n)
+            in_cnt = np.bincount(b_, minlength=n)
+            n_wedges = int((in_cnt.astype(object) * out_cnt).sum())
+            if n_wedges <= driver_wedge_cap:
+                # wedge (x < b < c): edge (x, b) × out-list of b. packed
+                # is sorted, so edges are already grouped by a — the
+                # out-list CSR is just (offsets from out_cnt, b_).
+                offs = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(out_cnt, out=offs[1:])
+                reps = out_cnt[b_]  # per-edge wedge fan-out
+                wx = np.repeat(a, reps)
+                # c values: for each edge, the slice b_[offs[b]:offs[b+1]]
+                # — concatenated ranges built with one repeat/arange
+                # broadcast (no Python loop over edges)
+                starts = offs[b_]
+                csum = np.cumsum(reps) - reps
+                idx = (
+                    np.repeat(starts - csum, reps)
+                    + np.arange(int(n_wedges), dtype=np.int64)
+                )
+                wc = b_[idx]
+                closing = wx * np.int64(n) + wc
+                pos = np.searchsorted(packed, closing)
+                pos[pos == len(packed)] = 0
+                n_triangles = int(
+                    (packed[pos] == closing).sum()
+                ) if len(packed) else 0
+                return n_edges, n_wedges, n_triangles
 
     def bucket_of(t: pa.Table) -> pa.Table:
         a = t.column("a").to_numpy()
