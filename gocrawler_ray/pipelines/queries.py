@@ -51,6 +51,74 @@ def _n_cpus() -> int:
     return max(4, int(ray.cluster_resources().get("CPU", 8)))
 
 
+def _gather_capped(
+    ds: rd.Dataset, cap: int = 2_000_000
+) -> pd.DataFrame | None:
+    """Stream a (filtered, projected) Dataset to ONE driver frame,
+    bailing to None the moment it exceeds ``cap`` rows — the plan-choice
+    primitive behind the broadcast fast paths: a bounded build side
+    gathers once and broadcasts into the fact scan (zero shuffles),
+    while past the cap the caller's distributed join/shuffle plan runs
+    instead. The caps pick the plan, never the semantics."""
+    frames: list[pd.DataFrame] = []
+    total = 0
+    for b in ds.iter_batches(batch_size=65536, batch_format="pandas"):
+        frames.append(b)
+        total += len(b)
+        if total > cap:
+            return None
+    return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+
+
+def _sorted_lookup(keys_sorted: np.ndarray, probe: np.ndarray):
+    """(mask, idx) of probe hits against a sorted key array — the
+    vectorized broadcast-join kernel used inside map_batches."""
+    if not len(keys_sorted) or not len(probe):
+        return np.zeros(len(probe), dtype=bool), np.zeros(len(probe), np.int64)
+    i = np.searchsorted(keys_sorted, probe)
+    i[i == len(keys_sorted)] = 0
+    return keys_sorted[i] == probe, i
+
+
+def _broadcast_fact_attach(
+    fact: rd.Dataset,
+    build_ds: rd.Dataset,
+    fact_key: str,
+    build_key: str,
+    attach_cols: list[str],
+    pre=None,
+) -> rd.Dataset | None:
+    """Inner-join a bounded build side into a fact scan WITHOUT a
+    shuffle: gather the (filtered, projected) build side under the cap,
+    broadcast its sorted key + int64 attach columns via ``ray.put``, and
+    attach per batch with a searchsorted lookup (rows with no build
+    match drop, matching inner-join semantics). Returns None past the
+    cap — the caller then runs its distributed hash-join plan; the cap
+    picks the plan, never the semantics. ``pre`` is an optional
+    per-batch fact transform (filter/projection) applied first."""
+    bdf = _gather_capped(build_ds)
+    if bdf is None:
+        return None
+    srt = bdf.sort_values(build_key)
+    keys_ref = ray.put(srt[build_key].to_numpy(np.int64))
+    vals_ref = ray.put(
+        {c: srt[c].to_numpy(np.int64) for c in attach_cols}
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        if pre is not None:
+            t = pre(t)
+        k = t.column(fact_key).to_numpy(zero_copy_only=False)
+        m, i = _sorted_lookup(ray.get(keys_ref), k)
+        t = t.filter(pa.array(m))
+        vals = ray.get(vals_ref)
+        for c in attach_cols:
+            t = t.append_column(c, pa.array(vals[c][i[m]], pa.int64()))
+        return t
+
+    return fact.map_batches(attach, batch_format="pyarrow")
+
+
 def _rev4(price: np.ndarray, disc: np.ndarray) -> np.ndarray:
     """TPC-H revenue as EXACT fixed-point int64: cents × discount% —
     price*(1−disc) scaled by 10⁴. Both engines close sums over these
@@ -2020,13 +2088,17 @@ def q_local_supplier_revenue(sf_dir: str):
              num_blocks=parts)
     orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
                  num_blocks=parts)
-    joined = li.join(
-        orders,
-        join_type="inner",
-        num_partitions=parts,
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
+    joined = _broadcast_fact_attach(
+        li, orders, "l_orderkey", "o_orderkey", ["o_custkey"]
     )
+    if joined is None:  # pragma: no cover - orders beyond broadcast cap
+        joined = li.join(
+            orders,
+            join_type="inner",
+            num_partitions=parts,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
 
     def partial(t: pa.Table) -> pd.DataFrame:
         nat_name_, supp_nat_, cust_nat_ = ray.get(dims_ref)
@@ -3113,18 +3185,7 @@ def q_shipping_priority(sf_dir: str):
     cut = pd.Timestamp("1998-06-01")
     cut_us = pa.scalar(cut, type=pa.timestamp("us"))
     cap = 2_000_000
-
-    def gather_capped(ds: rd.Dataset) -> pd.DataFrame | None:
-        frames: list[pd.DataFrame] = []
-        total = 0
-        for b in ds.iter_batches(batch_size=65536, batch_format="pandas"):
-            frames.append(b)
-            total += len(b)
-            if total > cap:
-                return None
-        return (
-            pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
-        )
+    gather_capped = _gather_capped
 
     bldg_df = gather_capped(
         _pq(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"],
@@ -3466,10 +3527,19 @@ def q_nation_trade_flows(sf_dir: str):
 
     orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
                  num_blocks=parts)
-    joined = li.map_batches(in_window, batch_format="pyarrow").join(
-        orders, join_type="inner", num_partitions=parts,
-        on=("l_orderkey",), right_on=("o_orderkey",),
+
+    # fast path: broadcast the (orderkey → custkey) map into the
+    # lineitem scan (orders is the bounded side at gate scale); past the
+    # cap the hash join below runs instead.
+    joined = _broadcast_fact_attach(
+        li, orders, "l_orderkey", "o_orderkey", ["o_custkey"],
+        pre=in_window,
     )
+    if joined is None:  # pragma: no cover - orders beyond broadcast cap
+        joined = li.map_batches(in_window, batch_format="pyarrow").join(
+            orders, join_type="inner", num_partitions=parts,
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        )
 
     def partial(t: pa.Table) -> pd.DataFrame:
         nat_name_, supp_nat_, cust_nat_ = ray.get(dims_ref)
@@ -3543,21 +3613,50 @@ def q_returned_top_customers(sf_dir: str):
                     pc.less(t.column("o_orderdate"), hi))
         return t.filter(m).select(["o_orderkey", "o_custkey"])
 
-    joined = li.map_batches(returned, batch_format="pyarrow").join(
-        orders.map_batches(in_q, batch_format="pyarrow"),
-        join_type="inner", num_partitions=parts,
-        on=("l_orderkey",), right_on=("o_orderkey",),
-    )
+    # fast path: the Q4-1996 order slice is a bounded build side —
+    # broadcast (orderkey → custkey) into the lineitem scan and skip the
+    # hash join; past the cap the join plan below runs instead.
+    ord_df = _gather_capped(orders.map_batches(in_q, batch_format="pyarrow"))
+    if ord_df is not None:
+        srt = ord_df.sort_values("o_orderkey")
+        okeys_ref = ray.put(srt["o_orderkey"].to_numpy(np.int64))
+        ocust_ref = ray.put(srt["o_custkey"].to_numpy(np.int64))
 
-    def partial(t: pa.Table) -> pd.DataFrame:
-        df = t.to_pandas()
-        # same exact fixed-point trick as nation_trade_flows
-        df["rev"] = _rev4(df["l_extendedprice"].to_numpy(), df["l_discount"].to_numpy())
-        return df.groupby("o_custkey", as_index=False).agg(
-            revenue=("rev", "sum")
+        def bcast_partial(t: pa.Table) -> pd.DataFrame:
+            t = returned(t)
+            lk = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+            m, i = _sorted_lookup(ray.get(okeys_ref), lk)
+            if not m.any():
+                return pd.DataFrame(
+                    {"o_custkey": np.zeros(0, np.int64),
+                     "revenue": np.zeros(0, np.int64)}
+                )
+            rev = _rev4(
+                t.column("l_extendedprice").to_numpy(zero_copy_only=False)[m],
+                t.column("l_discount").to_numpy(zero_copy_only=False)[m],
+            )
+            return pd.DataFrame(
+                {"o_custkey": ray.get(ocust_ref)[i[m]], "revenue": rev}
+            ).groupby("o_custkey", as_index=False)["revenue"].sum()
+
+        partials = li.map_batches(bcast_partial, batch_format="pyarrow")
+    else:  # pragma: no cover - order slice beyond broadcast cap
+        joined = li.map_batches(returned, batch_format="pyarrow").join(
+            orders.map_batches(in_q, batch_format="pyarrow"),
+            join_type="inner", num_partitions=parts,
+            on=("l_orderkey",), right_on=("o_orderkey",),
         )
 
-    partials = joined.map_batches(partial, batch_format="pyarrow")
+        def partial(t: pa.Table) -> pd.DataFrame:
+            df = t.to_pandas()
+            # same exact fixed-point trick as nation_trade_flows
+            df["rev"] = _rev4(df["l_extendedprice"].to_numpy(),
+                              df["l_discount"].to_numpy())
+            return df.groupby("o_custkey", as_index=False).agg(
+                revenue=("rev", "sum")
+            )
+
+        partials = joined.map_batches(partial, batch_format="pyarrow")
     per_cust = _combine_partials(partials, ["o_custkey"], ["revenue"],
                                  cap=2_000_000)
     if per_cust is None:  # pragma: no cover - >2M active-customer regime
@@ -3971,11 +4070,16 @@ def q_market_share(sf_dir: str):
         return pa.table({"o_orderkey": t.column("o_orderkey"),
                          "o_year": pc.cast(year, pa.int64())})
 
-    joined = li.map_batches(promo_only, batch_format="pyarrow").join(
-        orders.map_batches(euro_window, batch_format="pyarrow"),
-        join_type="inner", num_partitions=parts,
-        on=("l_orderkey",), right_on=("o_orderkey",),
+    joined = _broadcast_fact_attach(
+        li, orders.map_batches(euro_window, batch_format="pyarrow"),
+        "l_orderkey", "o_orderkey", ["o_year"], pre=promo_only,
     )
+    if joined is None:  # pragma: no cover - euro orders beyond cap
+        joined = li.map_batches(promo_only, batch_format="pyarrow").join(
+            orders.map_batches(euro_window, batch_format="pyarrow"),
+            join_type="inner", num_partitions=parts,
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        )
 
     def partial(t: pa.Table) -> pd.DataFrame:
         _, _, n3s = ray.get(dims_ref)
@@ -4037,11 +4141,16 @@ def q_product_profit(sf_dir: str):
             "o_year": pc.cast(pc.year(t.column("o_orderdate")), pa.int64()),
         })
 
-    joined = li.map_batches(red_only, batch_format="pyarrow").join(
-        orders.map_batches(year_of, batch_format="pyarrow"),
-        join_type="inner", num_partitions=parts,
-        on=("l_orderkey",), right_on=("o_orderkey",),
+    joined = _broadcast_fact_attach(
+        li, orders.map_batches(year_of, batch_format="pyarrow"),
+        "l_orderkey", "o_orderkey", ["o_year"], pre=red_only,
     )
+    if joined is None:  # pragma: no cover - orders beyond broadcast cap
+        joined = li.map_batches(red_only, batch_format="pyarrow").join(
+            orders.map_batches(year_of, batch_format="pyarrow"),
+            join_type="inner", num_partitions=parts,
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        )
 
     def partial(t: pa.Table) -> pd.DataFrame:
         _, supp_nat_, nat_name_ = ray.get(dims_ref)

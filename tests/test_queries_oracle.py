@@ -91,6 +91,26 @@ def test_shipping_priority_join_fallback_matches_broadcast_path():
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+def test_star_join_fallbacks_match_broadcast_path(monkeypatch):
+    """Past the build-side cap the Q5/Q7/Q8/Q9/Q10 star queries fall
+    back to native hash joins — forcing _broadcast_fact_attach to
+    decline must leave every output identical."""
+    from gocrawler_ray.pipelines import queries as q
+
+    names = ["local_supplier_revenue", "nation_trade_flows",
+             "market_share", "product_profit", "returned_top_customers"]
+    base = {n: _to_df(getattr(q, f"q_{n}")(SF_DIR)) for n in names}
+    monkeypatch.setattr(q, "_broadcast_fact_attach", lambda *a, **k: None)
+    for n in names:
+        b = _to_df(getattr(q, f"q_{n}")(SF_DIR))
+        cols = sorted(base[n].columns)
+        pd.testing.assert_frame_equal(
+            base[n][cols].sort_values(cols).reset_index(drop=True),
+            b[cols].sort_values(cols).reset_index(drop=True),
+            check_dtype=False,
+        )
+
+
 def test_repeated_ngrams_fallback_matches_broadcast_path():
     """Past the gram-broadcast cap, the distributed groupby+semi-join
     fallback must produce exactly the broadcast path's answer."""
