@@ -546,10 +546,13 @@ def components_minlabel(edges_ds: rd.Dataset, num_partitions: int = 16) -> rd.Da
 
     Input: dataset of (a, b) edges. Output: dataset of (node, label) with
     label = component minimum. Each round sends every node's current
-    label across its edges (two hash joins + a groupby-min over the
-    EDGE-scale dataset — never the corpus), converging in O(component
-    diameter) rounds; dup clusters are star-like so 2-4 rounds typical.
-    Convergence test is the (cheap) count of label-changing nodes.
+    label across its edges, converging in O(component diameter) rounds;
+    dup clusters are star-like so 2-4 rounds typical. The edge list is
+    DOUBLED once up front (both directions), so a round is ONE hash join
+    (labels onto the source endpoint; offers flow to the destination)
+    plus one groupby-min over the EDGE-scale dataset — never the corpus,
+    and never two joins per round. Convergence test is the (cheap)
+    count of label-changing nodes, fused into the same groupby.
     """
     import ray.data.aggregate as agg
 
@@ -564,7 +567,24 @@ def components_minlabel(edges_ds: rd.Dataset, num_partitions: int = 16) -> rd.Da
     # materialize per round: labels are EDGE-scale (small next to the
     # corpus), and an unmaterialized iterative lineage would re-execute
     # every prior round's joins each time it is consumed
+    def double(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": pa.concat_arrays(
+                    [t.column("a").combine_chunks(),
+                     t.column("b").combine_chunks()]
+                ),
+                "v": pa.concat_arrays(
+                    [t.column("b").combine_chunks(),
+                     t.column("a").combine_chunks()]
+                ),
+            }
+        )
+
     edges_ds = edges_ds.materialize()
+    doubled = edges_ds.map_batches(
+        double, batch_format="pyarrow"
+    ).materialize()
     labels = (
         edges_ds.map_batches(seed_labels, batch_format="pyarrow")
         .groupby("node")
@@ -601,20 +621,18 @@ def components_minlabel(edges_ds: rd.Dataset, num_partitions: int = 16) -> rd.Da
         return pa.table({"c": pa.array([ne or 0], pa.int64())})
 
     while True:
-        # messages: each endpoint offers its label to the other endpoint
-        m1 = edges_ds.join(
-            labels, "inner", num_partitions, on=("a",), right_on=("node",)
-        ).map_batches(_msg("b"), batch_format="pyarrow")
-        m2 = edges_ds.join(
-            labels, "inner", num_partitions, on=("b",), right_on=("node",)
-        ).map_batches(_msg("a"), batch_format="pyarrow")
+        # messages: every directed copy (u, v) offers label(u) to v —
+        # one join covers both endpoints because the edge list is doubled
+        m = doubled.join(
+            labels, "inner", num_partitions, on=("u",), right_on=("node",)
+        ).map_batches(_msg("v"), batch_format="pyarrow")
         # ONE groupby yields both the new label (Min over all rows) and
         # the previous one (Min over the non-null "old" carried by the
         # labels rows) — the convergence test is then a map-side count,
         # not a second edge-scale join per round
         agg_ds = (
             labels.map_batches(_mark_old, batch_format="pyarrow")
-            .union(m1, m2)
+            .union(m)
             .groupby("node")
             .aggregate(
                 agg.Min("label", alias_name="label"),
