@@ -189,6 +189,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_windows": q.q_chunk_windows,
         "jsonl_roundtrip": q.q_jsonl_roundtrip,
         "csv_roundtrip": q.q_csv_roundtrip,
+        "quantized_topk": q.q_quantized_topk,
+        "rp_buckets": q.q_rp_buckets,
+        "bm25_topk": q.q_bm25_topk,
     }
 
 
@@ -2066,4 +2069,81 @@ SELECT source, count(*) AS n_docs,
 FROM documents GROUP BY source ORDER BY source
 """
     out["csv_roundtrip"] = out["jsonl_roundtrip"]
+    # int8 scalar-quantization ANN: affine per-dim codes
+    # floor((v-mn)/(mx-mn)*255 + 0.5), exact integer dot-product scores
+    out["quantized_topk"] = """
+WITH v AS (
+  SELECT vec_id, i AS dim, CAST(embedding[i + 1] AS DOUBLE) AS val
+  FROM embeddings, UNNEST(range(len(embedding))) AS t(i)),
+stats AS (SELECT dim, MIN(val) AS mn, MAX(val) AS mx FROM v GROUP BY dim),
+codes AS (
+  SELECT v.vec_id, v.dim,
+         CASE WHEN s.mx > s.mn
+              THEN CAST(floor((v.val - s.mn) / (s.mx - s.mn) * 255 + 0.5)
+                        AS BIGINT)
+              ELSE 0 END AS c
+  FROM v JOIN stats s USING (dim)),
+qc AS (SELECT dim, c FROM codes WHERE vec_id = 1),
+scored AS (
+  SELECT codes.vec_id, CAST(SUM(codes.c * qc.c) AS BIGINT) AS score
+  FROM codes JOIN qc USING (dim) GROUP BY codes.vec_id)
+SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 10
+"""
+    # sign-LSH bucket histogram over md5-derived ±1 hyperplanes; values
+    # fixed-pointed to 1e-6 ints before projecting so buckets are exact
+    out["rp_buckets"] = """
+WITH v AS (
+  SELECT vec_id, i AS dim,
+         CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
+           AS v6
+  FROM embeddings, UNNEST(range(len(embedding))) AS t(i)),
+signs AS (
+  SELECT i AS dim,
+         CAST(('0x' || substr(md5('rp' || CAST(i AS VARCHAR)), 1, 16))
+              AS UBIGINT) AS hv
+  FROM (SELECT unnest(range((SELECT len(embedding) FROM embeddings
+                             LIMIT 1))) AS i)),
+proj AS (
+  SELECT v.vec_id, j.j,
+         SUM(v.v6 * (CASE WHEN (s.hv >> CAST(j.j AS INT)) & 1 = 1
+                          THEN 1 ELSE -1 END)) AS p
+  FROM v JOIN signs s USING (dim)
+  CROSS JOIN (SELECT unnest(range(8)) AS j) j
+  GROUP BY v.vec_id, j.j),
+bkt AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN p > 0 THEN 1 << CAST(j AS INT) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id)
+SELECT bucket, COUNT(*) AS n FROM bkt GROUP BY bucket ORDER BY bucket
+"""
+    # BM25 (k1=1.2, b=0.75, log-free monotone idf); per-term score
+    # rounded half-away to 6 decimals then summed in 1e-6 integer units
+    out["bm25_topk"] = """
+WITH docs AS (
+  SELECT doc_id, lower(text) AS txt,
+         CAST(len(regexp_extract_all(text, '\\w+')) AS DOUBLE) AS dl
+  FROM documents),
+consts AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         SUM(dl) / COUNT(*) AS avgdl FROM docs),
+terms AS (SELECT unnest(['vector', 'join', 'stream']) AS term),
+tf AS (
+  SELECT d.doc_id, t.term, d.dl,
+         CAST(len(regexp_extract_all(d.txt, '\\b' || t.term || '\\b'))
+              AS DOUBLE) AS tf
+  FROM docs d CROSS JOIN terms t),
+df AS (SELECT term, CAST(SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS df FROM tf GROUP BY term),
+per_term AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(round(((c.n_docs - df.df + 0.5) / (df.df + 0.5))
+                    * (tf.tf * 2.2)
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / c.avgdl))
+                    * 1000000) AS BIGINT) AS s6
+  FROM tf JOIN df USING (term) CROSS JOIN consts c WHERE tf.tf > 0)
+SELECT doc_id, CAST(SUM(s6) AS BIGINT) AS score6
+FROM per_term GROUP BY doc_id
+ORDER BY score6 DESC, doc_id LIMIT 20
+"""
     return out

@@ -5881,3 +5881,201 @@ def q_jsonl_roundtrip(sf_dir: str):
     docs.write_json(out_dir)
     back = rd.read_json(out_dir)
     return _format_roundtrip_agg(back)
+
+
+def q_quantized_topk(sf_dir: str):
+    """Int8 scalar-quantization ANN (the memory-bound corpus path: 64
+    uint8 codes per vector instead of 64 floats — 8× less object-store
+    traffic per probe, and integer dot products instead of float ones).
+
+    Plan: per-dim min/max partials (dims × blocks rows, bounded at any
+    corpus size) combine on the driver; the affine code table never
+    materializes — each batch quantizes itself against the broadcast
+    (min, range) and scores the broadcast query codes with one int64
+    matmul; per-block top-10 partials merge on the driver (k × blocks).
+    Scores are EXACT integers, so the oracle gate has no float hazard
+    anywhere past quantization, and the quantizer itself mirrors
+    DuckDB's expression tree operand for operand."""
+    from ..stages.similarity import _emb_matrix
+
+    emb = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+              num_blocks=_n_cpus())
+
+    def mm_partial(t: pa.Table) -> pd.DataFrame:
+        m = _emb_matrix(t, "embedding")
+        if not len(m):
+            return pd.DataFrame({"dim": pd.Series([], dtype=np.int64),
+                                 "mn": pd.Series([], dtype=np.float64),
+                                 "mx": pd.Series([], dtype=np.float64)})
+        return pd.DataFrame({"dim": np.arange(m.shape[1], dtype=np.int64),
+                             "mn": m.min(axis=0), "mx": m.max(axis=0)})
+
+    stats = pd.concat(
+        list(emb.map_batches(mm_partial, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pandas")),
+        ignore_index=True,
+    ).groupby("dim", as_index=False).agg(mn=("mn", "min"), mx=("mx", "max"))
+    mn = stats.sort_values("dim")["mn"].to_numpy(np.float64)
+    mx = stats.sort_values("dim")["mx"].to_numpy(np.float64)
+    rng = mx - mn
+    safe = np.where(rng > 0, rng, 1.0)
+
+    def quantize(m: np.ndarray) -> np.ndarray:
+        # identical operand order to the oracle:
+        # floor((v - mn) / (mx - mn) * 255 + 0.5); degenerate dims → 0
+        c = np.floor((m - mn) / safe * 255 + 0.5).astype(np.int64)
+        c[:, rng <= 0] = 0
+        return c
+
+    q_row = emb.filter(expr="vec_id == 1").take(1)[0]
+    cq = quantize(
+        np.asarray(q_row["embedding"], dtype=np.float64)[None, :]
+    )[0]
+    bref = ray.put((mn, safe, rng, cq))
+
+    def topk_partial(t: pa.Table) -> pd.DataFrame:
+        mn_, safe_, rng_, cq_ = ray.get(bref)
+        m = _emb_matrix(t, "embedding")
+        if not len(m):
+            return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                                 "score": pd.Series([], dtype=np.int64)})
+        c = np.floor((m - mn_) / safe_ * 255 + 0.5).astype(np.int64)
+        c[:, rng_ <= 0] = 0
+        score = c @ cq_
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -score))[:10]
+        return pd.DataFrame({"vec_id": ids[order], "score": score[order]})
+
+    parts = pd.concat(
+        list(emb.map_batches(topk_partial, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pandas")),
+        ignore_index=True,
+    )
+    out = parts.sort_values(["score", "vec_id"],
+                            ascending=[False, True]).head(10)
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    out["score"] = out["score"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def q_rp_buckets(sf_dir: str):
+    """Random-projection (Johnson–Lindenstrauss / sign-LSH) bucket
+    histogram: project every embedding onto 8 deterministic ±1
+    hyperplanes (sign = bit j of the md5-derived 64-bit hash of the
+    DIMENSION, the repo's SQL-mirrorable hash) and count vectors per
+    8-bit sign bucket — the partitioning step of a sharded ANN build,
+    gated exactly. Values are fixed-pointed to 1e-6 integer units
+    BEFORE projecting, so the signed sums (and therefore every bucket
+    id) are exact integers on both sides. Map-only partials; the
+    combine is bounded by 2^8 buckets at any corpus size."""
+    from ..functions.urls import md5_hash64_many
+    from ..stages.similarity import _emb_matrix
+
+    emb = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+              num_blocks=_n_cpus())
+    first = emb.take(1)[0]
+    dim = len(first["embedding"])
+    h = md5_hash64_many([f"rp{d}" for d in range(dim)])
+    signs = (
+        ((h[:, None] >> np.arange(8, dtype=np.uint64)[None, :])
+         & np.uint64(1)).astype(np.int64) * 2 - 1
+    )  # (dim, 8)
+    sref = ray.put(signs)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        s = ray.get(sref)
+        m = _emb_matrix(t, "embedding")
+        if not len(m):
+            return pd.DataFrame({"bucket": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        v6 = round_half_away(m * 1_000_000).astype(np.int64)
+        proj = v6 @ s  # exact int64: |v6| ≲ 3e6 × 64 dims ≪ 2^63
+        bucket = ((proj > 0).astype(np.int64)
+                  << np.arange(8, dtype=np.int64)).sum(axis=1)
+        u, c = np.unique(bucket, return_counts=True)
+        return pd.DataFrame({"bucket": u, "n": c})
+
+    out = _combine_partials(
+        emb.map_batches(partial, batch_format="pyarrow"), ["bucket"], ["n"]
+    )
+    out["bucket"] = out["bucket"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+BM25_TERMS = ("vector", "join", "stream")
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 retrieval top-20 for a fixed 3-term query (k1=1.2, b=0.75,
+    log-free monotone idf (N−df+0.5)/(df+0.5) so no libm ulp can cross
+    the hash gate — same reasoning as the integer PMI in bigram_lift).
+
+    Two streaming passes: (1) corpus stats — N, Σdl, per-term df — as
+    ONE per-batch scalar partial row (bounded combine at any corpus
+    size); (2) scoring — stats broadcast via ray.put, each batch scores
+    its matching docs and emits a local top-20 (k × blocks to the
+    driver). The per-term float expression mirrors the oracle operand
+    for operand and is rounded half-away to 6 decimals INDEPENDENTLY
+    per term, then summed in exact 1e-6 integer units — summation
+    order can never flip the gate."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"],
+               num_blocks=_n_cpus())
+    pats = [rf"\b{t}\b" for t in BM25_TERMS]
+
+    def stats_partial(t: pa.Table) -> pd.DataFrame:
+        s = t.column("text").to_pandas().fillna("").str.lower()
+        dl = s.str.count(r"\w+").to_numpy(np.int64)
+        row = {"n_docs": np.int64(len(s)), "sum_dl": dl.sum()}
+        for term, pat in zip(BM25_TERMS, pats):
+            row[f"df_{term}"] = np.int64(
+                (s.str.count(pat).to_numpy(np.int64) > 0).sum()
+            )
+        return pd.DataFrame([row])
+
+    cols = ["n_docs", "sum_dl"] + [f"df_{t}" for t in BM25_TERMS]
+    st = pd.concat(
+        list(docs.map_batches(stats_partial, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pandas")),
+        ignore_index=True,
+    )[cols].sum()
+    n_docs = int(st["n_docs"])
+    avgdl = float(st["sum_dl"]) / n_docs  # identical to the oracle's
+    idf = {
+        t: (n_docs - int(st[f"df_{t}"]) + 0.5) / (int(st[f"df_{t}"]) + 0.5)
+        for t in BM25_TERMS
+    }
+    bref = ray.put((avgdl, idf))
+
+    def score_partial(t: pa.Table) -> pd.DataFrame:
+        avgdl_, idf_ = ray.get(bref)
+        s = t.column("text").to_pandas().fillna("").str.lower()
+        dl = s.str.count(r"\w+").to_numpy(np.float64)
+        score6 = np.zeros(len(s), dtype=np.int64)
+        hit = np.zeros(len(s), dtype=bool)
+        for term, pat in zip(BM25_TERMS, pats):
+            tf = s.str.count(pat).to_numpy(np.float64)
+            m = tf > 0
+            hit |= m
+            # operand order mirrors the oracle expression exactly
+            term_score = idf_[term] * (tf * 2.2) / (
+                tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl_)
+            )
+            score6[m] += round_half_away(
+                term_score[m] * 1_000_000
+            ).astype(np.int64)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)[hit]
+        sc = score6[hit]
+        order = np.lexsort((ids, -sc))[:20]
+        return pd.DataFrame({"doc_id": ids[order], "score6": sc[order]})
+
+    parts = pd.concat(
+        list(docs.map_batches(score_partial, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pandas")),
+        ignore_index=True,
+    )
+    out = parts.sort_values(["score6", "doc_id"],
+                            ascending=[False, True]).head(20)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["score6"] = out["score6"].astype(np.int64)
+    return out.reset_index(drop=True)
