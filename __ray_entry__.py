@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantized_topk": q.q_quantized_topk,
         "rp_buckets": q.q_rp_buckets,
         "bm25_topk": q.q_bm25_topk,
+        "span_kind_stats": q.q_span_kind_stats,
     }
 
 
@@ -2145,5 +2146,52 @@ per_term AS (
 SELECT doc_id, CAST(SUM(s6) AS BIGINT) AS score6
 FROM per_term GROUP BY doc_id
 ORDER BY score6 DESC, doc_id LIMIT 20
+"""
+    # interleaved-span analytics over the crawled corpus: every span
+    # text is a deterministic synthesis formula of the source row
+    # (pipelines/derived.py), so lengths reconstruct exactly in SQL
+    # over the BFS-reachable set
+    out["span_kind_stats"] = _BFS_CTE + """,
+reach AS (SELECT node AS doc_id FROM r GROUP BY node),
+d AS (SELECT doc.* FROM documents doc JOIN reach USING (doc_id)),
+nn2 AS (SELECT count(*) AS n FROM documents),
+norm AS (SELECT * FROM d WHERE doc_id % 37 != 3),
+cap AS (SELECT * FROM d WHERE doc_id % 37 = 3),
+link_chars AS (
+  SELECT d0.doc_id,
+         SUM(1 + length(CAST((m.a * d0.doc_id + m.b) % nn2.n AS VARCHAR)))
+           AS chars
+  FROM norm d0, nn2, (VALUES (7, 1), (13, 2), (29, 5)) m(a, b)
+  GROUP BY d0.doc_id),
+spans AS (
+  SELECT 'text' AS kind, 3 AS n_spans,
+         (10 + length(CAST(doc_id AS VARCHAR)))
+           + (6 + length(source)) + length(text) AS sum_chars,
+         0 AS n_media FROM norm
+  UNION ALL SELECT 'detail', 1, 6 + length(lang), 0 FROM norm
+  UNION ALL SELECT 'price', 1,
+         12 + length(CAST(n_chars AS VARCHAR)), 0 FROM norm
+  UNION ALL SELECT 'review', 1,
+         (4 + length(CAST(doc_id AS VARCHAR)))
+       + 7
+       + (8 + length(CAST(doc_id AS VARCHAR)))
+       + (CASE WHEN doc_id % 3 = 0
+               THEN 10 + length(CAST(doc_id AS VARCHAR))
+               ELSE length(source) + 8 + length(CAST(doc_id AS VARCHAR))
+          END)
+       + (29 + length(CAST(doc_id % 28 + 1 AS VARCHAR)))
+       + 4, 0 FROM norm
+  UNION ALL SELECT 'meta', 2,
+         (13 + length(CAST(doc_id AS VARCHAR)) + length(lang))
+       + (33 + length(CAST(doc_id AS VARCHAR))), 0 FROM norm
+  UNION ALL SELECT 'media', 1, 8, 1 FROM norm
+  UNION ALL SELECT 'link', 3, lc.chars, 3
+    FROM norm JOIN link_chars lc USING (doc_id)
+  UNION ALL SELECT 'captcha', 1,
+         20 + length(CAST(doc_id AS VARCHAR)), 0 FROM cap)
+SELECT kind, CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+       CAST(SUM(sum_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(n_media) AS BIGINT) AS n_media
+FROM spans GROUP BY kind ORDER BY kind
 """
     return out

@@ -159,6 +159,7 @@ def run_bench() -> dict:
         "url_classify": "crawl job",
         "req_md5": "crawl job",
         "price_cents": "crawl job",
+        "span_kind_stats": "crawl job",
     }
     for name, fn in entry.queries().items():
         if name in SKIP:

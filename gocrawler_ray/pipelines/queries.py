@@ -6079,3 +6079,48 @@ def q_bm25_topk(sf_dir: str):
     out["doc_id"] = out["doc_id"].astype(np.int64)
     out["score6"] = out["score6"].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+def q_span_kind_stats(sf_dir: str):
+    """Interleaved-span analytics over the CRAWLED corpus (the north
+    rule's payload: ``spans: list<struct<kind,text,media_ref,offset>>``):
+    per span kind, how many spans the crawl fetched, their total text
+    codepoints, and how many carry a media reference. Exercises the
+    nested-struct explode path end to end — ``pc.list_flatten`` over
+    zero-copy Arrow batches of the checkpoint, no Python per row; the
+    combine is bounded by the kind vocabulary (≤ 9). The oracle derives
+    every span length from the deterministic synthesis formulas in
+    pipelines/derived.py over the BFS-reachable set."""
+    ckpt = _derived_crawl_ckpt(sf_dir)
+    from ..sources.tables import read_dataset
+
+    docs = read_dataset(os.path.join(ckpt, "docs"),
+                        columns=["status", "spans"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.equal(t.column("status"), "ok"))
+        spans = t.column("spans").combine_chunks()
+        flat = pc.list_flatten(spans)
+        if not len(flat):
+            return pd.DataFrame({"kind": pd.Series([], dtype=str),
+                                 "n_spans": pd.Series([], dtype=np.int64),
+                                 "sum_chars": pd.Series([], dtype=np.int64),
+                                 "n_media": pd.Series([], dtype=np.int64)})
+        chars = pc.utf8_length(flat.field("text")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        media = (
+            pc.utf8_length(flat.field("media_ref")).to_numpy(
+                zero_copy_only=False) > 0
+        ).astype(np.int64)
+        df = pd.DataFrame({"kind": flat.field("kind").to_pandas(),
+                           "n_spans": np.int64(1),
+                           "sum_chars": chars, "n_media": media})
+        return df.groupby("kind", as_index=False).sum()
+
+    out = _combine_partials(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["kind"], ["n_spans", "sum_chars", "n_media"],
+    )
+    for c in ("n_spans", "sum_chars", "n_media"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("kind").reset_index(drop=True)
