@@ -59,7 +59,10 @@ def _gather_capped(
     primitive behind the broadcast fast paths: a bounded build side
     gathers once and broadcasts into the fact scan (zero shuffles),
     while past the cap the caller's distributed join/shuffle plan runs
-    instead. The caps pick the plan, never the semantics."""
+    instead. The caps pick the plan, never the semantics — including on
+    an EMPTY build side, where the returned frame carries the dataset's
+    column names so callers' sort/select still work and produce the
+    correct empty answer."""
     frames: list[pd.DataFrame] = []
     total = 0
     for b in ds.iter_batches(batch_size=65536, batch_format="pandas"):
@@ -67,7 +70,9 @@ def _gather_capped(
         total += len(b)
         if total > cap:
             return None
-    return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+    if frames:
+        return pd.concat(frames, ignore_index=True)
+    return pd.DataFrame(columns=ds.schema().names)
 
 
 def _sorted_lookup(keys_sorted: np.ndarray, probe: np.ndarray):
@@ -100,6 +105,10 @@ def _broadcast_fact_attach(
     if bdf is None:
         return None
     srt = bdf.sort_values(build_key)
+    # one searchsorted index per probe ⇒ the build key MUST be unique,
+    # or fact rows would silently attach only the first duplicate where
+    # the hash-join fallback would emit one row per match
+    assert srt[build_key].is_unique, f"duplicate build keys in {build_key}"
     keys_ref = ray.put(srt[build_key].to_numpy(np.int64))
     vals_ref = ray.put(
         {c: srt[c].to_numpy(np.int64) for c in attach_cols}
@@ -861,7 +870,7 @@ def q_simhash_pairs(sf_dir: str):
     )
     edges = simhash_near_dup(
         ds, col="text", id_col="doc_id", band_bits=4, threshold=0.6,
-        bucket_cap=1 << 20, hamming_radius=16, shingle_radius=24,
+        bucket_cap=1 << 20, hamming_radius=16, shingle_radius=26,
     )
     return pa.table(
         {
@@ -3200,12 +3209,8 @@ def q_shipping_priority(sf_dir: str):
         def order_filter(t: pa.Table) -> pa.Table:
             t = t.filter(pc.less(t.column("o_orderdate"), cut_us))
             oc = t.column("o_custkey").to_numpy(zero_copy_only=False)
-            ck = ray.get(ckeys_ref)
-            if not len(ck) or not len(oc):
-                return t.slice(0, 0).select(["o_orderkey", "o_orderdate"])
-            i = np.searchsorted(ck, oc)
-            i[i == len(ck)] = 0
-            return t.filter(pa.array(ck[i] == oc)).select(
+            m, _ = _sorted_lookup(ray.get(ckeys_ref), oc)
+            return t.filter(pa.array(m)).select(
                 ["o_orderkey", "o_orderdate"]
             )
 
@@ -3222,13 +3227,7 @@ def q_shipping_priority(sf_dir: str):
             def li_partial(t: pa.Table) -> pd.DataFrame:
                 t = t.filter(pc.greater(t.column("l_shipdate"), cut_us))
                 lk = t.column("l_orderkey").to_numpy(zero_copy_only=False)
-                ok = ray.get(okeys_ref)
-                if len(ok) and len(lk):
-                    i = np.searchsorted(ok, lk)
-                    i[i == len(ok)] = 0
-                    m = ok[i] == lk
-                else:
-                    m = np.zeros(len(lk), dtype=bool)
+                m, _ = _sorted_lookup(ray.get(okeys_ref), lk)
                 if not m.any():
                     return pd.DataFrame(
                         {"l_orderkey": np.zeros(0, np.int64),

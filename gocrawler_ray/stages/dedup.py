@@ -306,7 +306,8 @@ def _emit_pairs(
     template-correlated corpora have many pairs with near-identical
     VOCABULARY but disjoint k-gram SHINGLES, which pass the unigram
     radius yet can never verify; the shingle radius kills those before
-    the Jaccard stage (measured 30× candidate reduction at sf0.1)."""
+    the Jaccard stage (measured 15× candidate reduction at sf0.1
+    with the production radius)."""
     if radius is None:
         u = np.unique(docs)
         uh = None
@@ -1033,9 +1034,17 @@ def simhash_near_dup(
     unigram radius is recall-safe but weak — docs share vocabulary, so
     ~23 % of ALL pairs sit within unigram hamming 16 at sf0.1 — while
     their shingle sets are near-disjoint (hamming ≈32). Measured at
-    sf0.1: 2.87 M → 95 k candidates (30×) with radius2 = 24, a 4.4 σ
-    margin over the expected hamming of a pair at the lowest true
-    similarity in the corpus (≈0.76 → E[h]≈11, σ≈3).
+    sf0.1: 2.87 M → ~190 k candidates (15×) with radius2 = 26. Margin
+    analysis (the second filter is PROBABILISTIC, unlike the unigram
+    one, so size it against the verify threshold, not just this
+    corpus): a pair at exactly shingle-Jaccard 0.6 has indicator-cosine
+    ≈ 0.75 → expected hamming 64·acos(.75)/π ≈ 14.7, σ ≈ 3.3 → radius
+    26 is +3.4 σ (per-pair miss ≈ 3e-4 at the exact threshold, and
+    only for pairs AT the threshold); at this corpus' minimum true
+    similarity (≈0.76 → E[h] ≈ 11, σ ≈ 3) it is +5 σ (run-level miss
+    ≈ 1e-4 across all 266 pairs). Raise the radius or drop the filter
+    for corpora whose minimum accepted similarity sits at the
+    threshold itself.
     """
     assert 64 % band_bits == 0
     n_bands = 64 // band_bits

@@ -301,25 +301,25 @@ def triangle_stats(
             a = packed // n
             b_ = packed % n
             n_edges = len(packed)
-            out_cnt = np.bincount(a, minlength=n)
-            in_cnt = np.bincount(b_, minlength=n)
-            n_wedges = int((in_cnt.astype(object) * out_cnt).sum())
+            # everything below is O(edges + wedges) — no O(n) node-domain
+            # allocation on the driver (a huge corpus with a tiny edge
+            # set must stay cheap). packed is sorted, so edges are
+            # grouped by source `a`; each edge's wedge fan-out is the
+            # size of its DESTINATION's source range, found with two
+            # searchsorteds per edge instead of a length-n bincount.
+            starts = np.searchsorted(a, b_, side="left")
+            ends = np.searchsorted(a, b_, side="right")
+            reps = ends - starts  # per-edge wedge fan-out = outdeg(b)
+            n_wedges = int(reps.sum())  # ≤ edge_cap² < 2^63
             if n_wedges <= driver_wedge_cap:
-                # wedge (x < b < c): edge (x, b) × out-list of b. packed
-                # is sorted, so edges are already grouped by a — the
-                # out-list CSR is just (offsets from out_cnt, b_).
-                offs = np.zeros(n + 1, dtype=np.int64)
-                np.cumsum(out_cnt, out=offs[1:])
-                reps = out_cnt[b_]  # per-edge wedge fan-out
-                wx = np.repeat(a, reps)
-                # c values: for each edge, the slice b_[offs[b]:offs[b+1]]
-                # — concatenated ranges built with one repeat/arange
+                # wedge (x < b < c): edge (x, b) × out-list of b —
+                # concatenated ranges built with one repeat/arange
                 # broadcast (no Python loop over edges)
-                starts = offs[b_]
+                wx = np.repeat(a, reps)
                 csum = np.cumsum(reps) - reps
                 idx = (
                     np.repeat(starts - csum, reps)
-                    + np.arange(int(n_wedges), dtype=np.int64)
+                    + np.arange(n_wedges, dtype=np.int64)
                 )
                 wc = b_[idx]
                 closing = wx * np.int64(n) + wc

@@ -121,7 +121,10 @@ def test_audio_chunk_plan_boundaries():
 
 
 @pytest.mark.parametrize("n", [20, 53, 100])
-def test_triangle_stats_match_brute_force(ray_session, n):
+@pytest.mark.parametrize("edge_cap", [2_000_000, None])
+def test_triangle_stats_match_brute_force(ray_session, n, edge_cap):
+    """edge_cap=None forces the distributed two-join census — both
+    plans must match brute force exactly."""
     from gocrawler_ray.stages.graph import triangle_stats
 
     und = {tuple(sorted(e)) for e in _brute_edges(n) if e[0] != e[1]}
@@ -138,7 +141,9 @@ def test_triangle_stats_match_brute_force(ray_session, n):
     wedges = sum(
         1 for a, b in und for c in adj[b] if b < c
     )
-    n_e, n_w, n_t = triangle_stats(_docs(n), n, num_partitions=4)
+    n_e, n_w, n_t = triangle_stats(
+        _docs(n), n, num_partitions=4, driver_edge_cap=edge_cap
+    )
     assert n_e == len(und)
     assert n_w == wedges
     assert n_t == tri

@@ -100,7 +100,10 @@ def test_star_join_fallbacks_match_broadcast_path(monkeypatch):
     names = ["local_supplier_revenue", "nation_trade_flows",
              "market_share", "product_profit", "returned_top_customers"]
     base = {n: _to_df(getattr(q, f"q_{n}")(SF_DIR)) for n in names}
-    monkeypatch.setattr(q, "_broadcast_fact_attach", lambda *a, **k: None)
+    # declining _gather_capped forces BOTH fallback shapes: the helper
+    # path (_broadcast_fact_attach returns None) and Q10's direct
+    # capped-gather gate
+    monkeypatch.setattr(q, "_gather_capped", lambda *a, **k: None)
     for n in names:
         b = _to_df(getattr(q, f"q_{n}")(SF_DIR))
         cols = sorted(base[n].columns)

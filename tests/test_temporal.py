@@ -148,7 +148,10 @@ def test_asof_join_broadcast_equals_shuffle():
     pd.testing.assert_frame_equal(run(2_000_000), run(0))
 
 
-def test_hopping_window_agg():
+@pytest.mark.parametrize("driver_cap", [2_000_000, None])
+def test_hopping_window_agg(driver_cap):
+    """driver_cap=None forces the hash-bucket combine shuffle — both
+    plans must emit the identical window rows."""
     from gocrawler_ray.stages.temporal import hopping_window_agg
 
     H = 3_600_000_000  # 1h in µs
@@ -161,7 +164,8 @@ def test_hopping_window_agg():
     )
     out = (
         hopping_window_agg(
-            rd.from_pandas(df), width_us=2 * H, hop_us=H, num_buckets=4
+            rd.from_pandas(df), width_us=2 * H, hop_us=H, num_buckets=4,
+            driver_cap=driver_cap,
         )
         .to_pandas()
         .sort_values(["user_id", "window_start"])
@@ -297,7 +301,10 @@ def test_lag_deltas(buckets):
 
 
 @pytest.mark.parametrize("buckets", [1, 4])
-def test_ordered_paths_pinned_order(buckets):
+@pytest.mark.parametrize("driver_cap", [2_000_000, None])
+def test_ordered_paths_pinned_order(buckets, driver_cap):
+    """driver_cap=None forces the bucket-shuffle plan — both plans must
+    emit the identical paths."""
     from gocrawler_ray.stages.temporal import ordered_paths
 
     df = pd.DataFrame({
@@ -309,7 +316,8 @@ def test_ordered_paths_pinned_order(buckets):
     })
     out = (
         ordered_paths(rd.from_pandas(df), "user_id", "ts", "event_id",
-                      "event_type", num_buckets=buckets)
+                      "event_type", num_buckets=buckets,
+                      driver_cap=driver_cap)
         .to_pandas().sort_values("user_id").reset_index(drop=True)
     )
     assert out["path"].tolist() == ["view>click>purchase", "signup"]
