@@ -1,6 +1,7 @@
 """Dedup suite: exact, MinHash+LSH, SimHash, Jaccard, embedding near-dup."""
 
 import numpy as np
+import pytest
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
@@ -122,13 +123,15 @@ def test_simhash_hamming():
     assert np.array_equal(simhash64(texts), h)
 
 
-def test_simhash_shingle_prefilter_keeps_every_verified_pair():
+@pytest.mark.parametrize("radius2", [24, 26])
+def test_simhash_shingle_prefilter_keeps_every_verified_pair(radius2):
     """The shingle-radius second prefilter is an optimization ONLY: the
     coarse-band simhash output with it must EQUAL the output without it
     (the exact-Jaccard verify decides membership either way). Corpus
     mixes template-correlated docs (shared vocabulary, disjoint
     shingles — the pairs the prefilter exists to kill) with true
-    near-dup pairs at varying edit distance."""
+    near-dup pairs at varying edit distance. 26 is the production
+    radius (q_simhash_pairs); 24 exercises the tighter setting."""
     from gocrawler_ray.stages.dedup import simhash64_shingles, simhash_near_dup
 
     rng = np.random.RandomState(7)
@@ -150,7 +153,7 @@ def test_simhash_shingle_prefilter_keeps_every_verified_pair():
     kw = dict(col="text", id_col="doc_id", band_bits=4, threshold=0.6,
               bucket_cap=1 << 20, hamming_radius=16)
     base_pairs = simhash_near_dup(ds, **kw)
-    filt_pairs = simhash_near_dup(ds, **kw, shingle_radius=24)
+    filt_pairs = simhash_near_dup(ds, **kw, shingle_radius=radius2)
     assert filt_pairs == base_pairs
     assert len(filt_pairs) >= 8  # the near-dup family is found
 

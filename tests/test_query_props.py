@@ -509,3 +509,56 @@ def test_chunk_windows_kernel_matches_per_doc_loop(seed):
         out = q.q_chunk_windows(td).to_pandas()
     got = list(zip(out["doc_id"], out["chunk_id"], out["chunk_tokens"]))
     assert sorted(got) == sorted(expect)
+
+
+def test_quantized_topk_brackets_exact_dot(ray_session):
+    """Int8 quantization invariants at gate scale: the integer scores
+    are sorted and exact, and the top-10 by quantized score shares most
+    members with the top-10 by the metric it approximates — the
+    quantized-domain dot product of the AFFINE codes' float ideals
+    (quantization approximates the metric, never the arithmetic)."""
+    import pyarrow.parquet as pq
+
+    from gocrawler_ray.pipelines.queries import q_quantized_topk
+
+    out = q_quantized_topk(SF)
+    assert out["score"].dtype == np.int64 and len(out) == 10
+    assert (out["score"].to_numpy()[:-1] >= out["score"].to_numpy()[1:]).all()
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t.column("vec_id").to_numpy()
+    m = np.vstack(t.column("embedding").to_pylist()).astype(np.float64)
+    mn, mx = m.min(axis=0), m.max(axis=0)
+    rng = np.where(mx > mn, mx - mn, 1.0)
+    ideal = (m - mn) / rng * 255  # un-rounded affine image
+    qvec = ideal[ids == 1][0]
+    exact = ids[np.argsort(-(ideal @ qvec), kind="stable")][:10]
+    overlap = len(set(out["vec_id"]) & set(exact))
+    assert overlap >= 8  # rounding moves scores by ≤ d/2 code units
+
+
+def test_rp_buckets_partition_is_total(ray_session):
+    """Sign-LSH bucket histogram: bucket ids stay within [0, 2^8) and
+    the histogram is a PARTITION — counts sum to the corpus size."""
+    import pyarrow.parquet as pq
+
+    from gocrawler_ray.pipelines.queries import q_rp_buckets
+
+    out = q_rp_buckets(SF)
+    n = pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
+    assert out["n"].sum() == n
+    assert out["bucket"].between(0, 255).all()
+    assert out["bucket"].is_unique
+
+
+def test_bm25_scores_monotone_in_tf(ray_session):
+    """BM25 sanity at gate scale: every returned score is positive, the
+    list is sorted, and scoring is deterministic across runs (the gate
+    demands run-to-run hash equality, not just rank equality)."""
+    from gocrawler_ray.pipelines.queries import q_bm25_topk
+
+    a = q_bm25_topk(SF)
+    b = q_bm25_topk(SF)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["score6"] > 0).all()
+    assert (a["score6"].to_numpy()[:-1] >= a["score6"].to_numpy()[1:]).all()
