@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rp_buckets": q.q_rp_buckets,
         "bm25_topk": q.q_bm25_topk,
         "span_kind_stats": q.q_span_kind_stats,
+        "value_percentiles": q.q_value_percentiles,
     }
 
 
@@ -2193,5 +2194,16 @@ SELECT kind, CAST(SUM(n_spans) AS BIGINT) AS n_spans,
        CAST(SUM(sum_chars) AS BIGINT) AS sum_chars,
        CAST(SUM(n_media) AS BIGINT) AS n_media
 FROM spans GROUP BY kind ORDER BY kind
+"""
+    # interpolated percentile report; engine closes the interpolation in
+    # exact x20 fixed-point over the milliunit histogram — results are
+    # multiples of 5e-5, so round(.,6) is ulp-safe on both sides
+    out["value_percentiles"] = """
+SELECT event_type,
+       round(percentile_cont(0.25) WITHIN GROUP (ORDER BY value), 6) AS p25,
+       round(percentile_cont(0.50) WITHIN GROUP (ORDER BY value), 6) AS p50,
+       round(percentile_cont(0.75) WITHIN GROUP (ORDER BY value), 6) AS p75,
+       round(percentile_cont(0.90) WITHIN GROUP (ORDER BY value), 6) AS p90
+FROM events GROUP BY event_type ORDER BY event_type
 """
     return out

@@ -6123,3 +6123,55 @@ def q_span_kind_stats(sf_dir: str):
     for c in ("n_spans", "sum_chars", "n_media"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values("kind").reset_index(drop=True)
+
+
+def q_value_percentiles(sf_dir: str):
+    """Interpolated percentiles (PERCENTILE_CONT p25/p50/p75/p90) per
+    event type — the distribution-report companion to value_mad's exact
+    median: ONE bounded-domain milliunit histogram pass (per-(type, v3)
+    count partials, capped by the value domain at any corpus size),
+    then the driver closes every percentile in EXACT ×20 fixed-point
+    integer arithmetic (20 = lcm of the quartile/decile denominators),
+    so interpolation carries no float error at all; results are
+    multiples of 5e-5, putting the 6-decimal gate ulp-safe against the
+    oracle's float interpolation."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "value"],
+             num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas(),
+            "v3": np.rint(t.column("value").to_numpy() * 1000).astype(
+                np.int64
+            ),
+            "n": np.int64(1),
+        })
+        return df.groupby(["event_type", "v3"], as_index=False)["n"].sum()
+
+    hist = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "v3"], ["n"],
+    )
+
+    Q20 = {"p25": 5, "p50": 10, "p75": 15, "p90": 18}
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("v3")
+        vals = g["v3"].to_numpy(np.int64)
+        cum = np.cumsum(g["n"].to_numpy(np.int64))
+        n = int(cum[-1])
+        row = {"event_type": et}
+        for name, q20 in Q20.items():
+            pos20 = (n - 1) * q20  # exact ×20 rank
+            lo_i = int(np.searchsorted(cum, pos20 // 20 + 1))
+            frac20 = pos20 % 20
+            lo = int(vals[lo_i])
+            if frac20:
+                hi_i = int(np.searchsorted(cum, pos20 // 20 + 2))
+                r20 = 20 * lo + (int(vals[hi_i]) - lo) * frac20
+            else:
+                r20 = 20 * lo
+            row[name] = round_half_away(np.array([r20 / 20000.0]), 6)[0]
+        rows.append(row)
+    out = pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+    return out
