@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q.q_bm25_topk,
         "span_kind_stats": q.q_span_kind_stats,
         "value_percentiles": q.q_value_percentiles,
+        "epoch_order": q.q_epoch_order,
     }
 
 
@@ -2205,5 +2206,22 @@ SELECT event_type,
        round(percentile_cont(0.75) WITHIN GROUP (ORDER BY value), 6) AS p75,
        round(percentile_cont(0.90) WITHIN GROUP (ORDER BY value), 6) AS p90
 FROM events GROUP BY event_type ORDER BY event_type
+"""
+    # deterministic dataloader epoch shuffle: first 64 slots of the
+    # md5-salted per-epoch permutation, positions via row_number
+    out["epoch_order"] = """
+WITH ranked AS (
+  SELECT e.epoch, d.doc_id,
+         row_number() OVER (
+           PARTITION BY e.epoch
+           ORDER BY CAST(('0x' || substr(md5('epoch:' || CAST(e.epoch AS VARCHAR)
+                                             || ':' || CAST(d.doc_id AS VARCHAR)),
+                                         1, 16)) AS UBIGINT),
+                    d.doc_id
+         ) - 1 AS position
+  FROM documents d CROSS JOIN (SELECT unnest([1, 2]) AS epoch) e)
+SELECT CAST(epoch AS BIGINT) AS epoch, doc_id, position
+FROM ranked WHERE position < 64
+ORDER BY epoch, position
 """
     return out

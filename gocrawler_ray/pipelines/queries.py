@@ -6175,3 +6175,40 @@ def q_value_percentiles(sf_dir: str):
         rows.append(row)
     out = pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
     return out
+
+
+def q_epoch_order(sf_dir: str):
+    """Deterministic training-dataloader epoch shuffle: each epoch's
+    global order is ``sort by md5-hash('epoch:{e}:'||doc_id)`` — a
+    reproducible, coordination-free permutation (any worker can compute
+    any row's epoch position locally; epochs decorrelate because the
+    salt changes). Emits the first 64 (doc_id, position) slots of
+    epochs 1 and 2: per epoch, each block contributes its local 64
+    smallest hashes (partial top-k — blocks × 64 rows ever leave the
+    mappers) and the driver closes the global prefix; ties pinned by
+    doc_id, exact uint64 comparisons throughout."""
+    from ..stages.sampling import _unit_hash
+
+    K = 64
+    frames = []
+    for epoch in (1, 2):
+        docs = _pq(sf_dir, "documents", columns=["doc_id"],
+                   num_blocks=_n_cpus())
+
+        def partial(t: pa.Table, _e=epoch) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            u = _unit_hash(ids, f"epoch:{_e}:")
+            order = np.lexsort((ids, u))[:K]
+            return pa.table({"doc_id": pa.array(ids[order]),
+                             "__hv": pa.array(u[order], pa.uint64())})
+
+        parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+        ids = parts["doc_id"].to_numpy(np.int64)
+        hv = parts["__hv"].to_numpy(np.uint64)
+        order = np.lexsort((ids, hv))[:K]
+        frames.append(pd.DataFrame({
+            "epoch": np.int64(epoch),
+            "doc_id": ids[order],
+            "position": np.arange(len(order), dtype=np.int64),
+        }))
+    return pd.concat(frames, ignore_index=True)
