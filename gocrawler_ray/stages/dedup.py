@@ -410,8 +410,17 @@ def _bucket_pairs(
     fingerprint in column ``h`` and emitted pairs are prefiltered by
     vectorized hamming distance, so coarse bands (few huge buckets)
     yield only genuinely-close candidates instead of C(m,2) noise.
+
+    Band-row streams under ``driver_cap`` skip the Ray sort entirely:
+    one capped gather + a numpy argsort + the SAME per-bucket emission
+    kernel, with no block-edge spill machinery because there is one
+    "block" (a Ray sort pays ~2 s of fixed latency at any scale; the
+    minhash/ngram gate corpora produce a few hundred thousand band
+    rows). Past the cap the distributed sorted-block scan below runs
+    unchanged — the cap picks the plan, never the candidate set.
     """
     with_h = hamming_radius is not None
+    driver_cap = 2_000_000
 
     if band_bits is not None:
         # coarse-band path (simhash): at most n_bands × 2^band_bits fat
@@ -429,6 +438,57 @@ def _bucket_pairs(
             # first-band emission already made pairs globally unique
             return raw.reset_index(drop=True)
         return raw.groupby(["a", "b"], as_index=False).agg(capped=("capped", "max"))
+
+    # capped driver path: gather, argsort, same per-bucket emission —
+    # no Ray sort, no spill (one "block")
+    frames: list[pd.DataFrame] = []
+    total = 0
+    for b in bands_ds.iter_batches(batch_size=65536, batch_format="pandas"):
+        frames.append(b)
+        total += len(b)
+        if total > driver_cap:
+            frames = None
+            break
+    if frames is not None:
+        if not total:
+            return pd.DataFrame({"a": [], "b": [], "capped": []})
+        df = pd.concat(frames, ignore_index=True)
+        bh = df["band_key"].to_numpy()
+        order = np.argsort(bh, kind="stable")
+        bh = bh[order]
+        docs = df["doc_id"].to_numpy()[order]
+        hs = df["h"].to_numpy()[order] if with_h else None
+        change = np.empty(len(bh), dtype=bool)
+        change[0] = True
+        change[1:] = bh[1:] != bh[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(bh))
+        sizes = ends - starts
+        a_parts: list[np.ndarray] = []
+        b_parts: list[np.ndarray] = []
+        c_parts: list[np.ndarray] = []
+        for gi in np.flatnonzero(sizes >= 2):
+            rows = np.arange(starts[gi], ends[gi])
+            a_, b_, c_ = _emit_pairs(
+                docs[rows], hs[rows] if with_h else None, bucket_cap,
+                hamming_radius,
+            )
+            if len(a_):
+                a_parts.append(a_)
+                b_parts.append(b_)
+                c_parts.append(c_)
+        if not a_parts:
+            return pd.DataFrame({"a": [], "b": [], "capped": []})
+        out = pd.DataFrame(
+            {
+                "a": np.concatenate(a_parts),
+                "b": np.concatenate(b_parts),
+                "capped": np.concatenate(c_parts),
+            }
+        )
+        return out.groupby(["a", "b"], as_index=False).agg(
+            capped=("capped", "max")
+        )
 
     srt = bands_ds.sort("band_key")
 
