@@ -394,6 +394,7 @@ def _bucket_pairs(
     bucket_cap: int,
     hamming_radius: int | None = None,
     band_bits: int | None = None,
+    driver_cap: int | None = 2_000_000,
 ) -> pd.DataFrame:
     """Candidate pairs from (band_key, doc_id[, h]) rows WITHOUT a
     per-group ``map_groups`` pass.
@@ -420,7 +421,6 @@ def _bucket_pairs(
     unchanged — the cap picks the plan, never the candidate set.
     """
     with_h = hamming_radius is not None
-    driver_cap = 2_000_000
 
     if band_bits is not None:
         # coarse-band path (simhash): at most n_bands × 2^band_bits fat
@@ -441,14 +441,17 @@ def _bucket_pairs(
 
     # capped driver path: gather, argsort, same per-bucket emission —
     # no Ray sort, no spill (one "block")
-    frames: list[pd.DataFrame] = []
+    frames: list[pd.DataFrame] | None = [] if driver_cap is not None else None
     total = 0
-    for b in bands_ds.iter_batches(batch_size=65536, batch_format="pandas"):
-        frames.append(b)
-        total += len(b)
-        if total > driver_cap:
-            frames = None
-            break
+    if frames is not None:
+        for b in bands_ds.iter_batches(
+            batch_size=65536, batch_format="pandas"
+        ):
+            frames.append(b)
+            total += len(b)
+            if total > driver_cap:
+                frames = None
+                break
     if frames is not None:
         if not total:
             return pd.DataFrame({"a": [], "b": [], "capped": []})

@@ -287,3 +287,32 @@ def test_ngram_jaccard_join_freq_order_exact_on_skewed_corpus():
             if jaccard(texts[a], texts[b], 3) >= 0.5
         }
         assert got_pairs == want, f"freq_order={fo}"
+
+
+@pytest.mark.parametrize("with_h", [False, True])
+def test_bucket_pairs_driver_path_matches_distributed_scan(with_h):
+    """The capped driver gather in _bucket_pairs must emit exactly the
+    sorted-block distributed scan's candidate set (driver_cap=None
+    forces the Ray sort + spill machinery), with and without the
+    hamming prefilter column."""
+    from gocrawler_ray.stages.dedup import _bucket_pairs
+
+    rng = np.random.RandomState(11)
+    n = 4000
+    keys = rng.randint(0, 1500, n).astype(np.uint64)  # many multi-member
+    docs = np.array([f"d{i % 700:04d}" for i in rng.randint(0, 10**6, n)])
+    cols = {"band_key": keys, "doc_id": docs}
+    if with_h:
+        cols["h"] = rng.randint(0, 2**63, n).astype(np.uint64)
+    ds = rd.from_pandas(pd.DataFrame(cols))
+    kw = dict(bucket_cap=64, hamming_radius=40 if with_h else None)
+    fast = _bucket_pairs(ds, **kw)
+    slow = _bucket_pairs(ds, **kw, driver_cap=None)
+
+    def canon(df):
+        return (df.groupby(["a", "b"], as_index=False)
+                .agg(capped=("capped", "max"))
+                .sort_values(["a", "b"]).reset_index(drop=True)
+                .astype({"capped": np.int64}))
+
+    pd.testing.assert_frame_equal(canon(fast), canon(slow))
