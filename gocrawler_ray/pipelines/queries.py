@@ -288,7 +288,13 @@ def q_crawl_flagship(sf_dir: str):
 
     ckpt = CheckpointStore(_derived_crawl_ckpt(sf_dir))
     docs = ckpt.read_all_docs_table()
-    items = build_items(rd.from_arrow(docs), analyzer_concurrency=2)
+    # slice the driver-side table into ≥ 2×concurrency blocks so the
+    # analyzer actor pool (min 2) actually receives parallel input at
+    # gate scale (one monolithic block starves all but one actor)
+    n_slices = 4
+    step = max(1, -(-docs.num_rows // n_slices))
+    slices = [docs.slice(o, step) for o in range(0, max(docs.num_rows, 1), step)]
+    items = build_items(rd.from_arrow(slices), analyzer_concurrency=2)
 
     def project(t: pa.Table) -> pa.Table:
         skus = pc.cast(
@@ -6173,6 +6179,10 @@ def q_value_percentiles(sf_dir: str):
                 r20 = 20 * lo
             row[name] = round_half_away(np.array([r20 / 20000.0]), 6)[0]
         rows.append(row)
+    if not rows:  # empty events table: typed empty frame, no KeyError
+        return pd.DataFrame(
+            columns=["event_type", "p25", "p50", "p75", "p90"]
+        )
     out = pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
     return out
 

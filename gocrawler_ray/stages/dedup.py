@@ -164,22 +164,18 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 def _shingles_of(texts: pd.Series, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """word-k-gram shingles → (flat stable hashes, docs lengths)."""
-    shingle_lists = (
-        texts.str.lower()
-        .str.findall(r"\w+")
-        .map(lambda ws: [" ".join(ws[i : i + k]) for i in range(max(1, len(ws) - k + 1))])
-    )
-    lengths = shingle_lists.str.len().to_numpy(dtype=np.int64)
-    flat = pd.Series(
-        [s for lst in shingle_lists for s in lst], dtype=object
-    )
-    return (
-        pd.util.hash_array(flat.to_numpy(dtype=object)).astype(np.uint64)
-        if len(flat)
-        else np.zeros(0, dtype=np.uint64),
-        lengths,
-    )
+    """word-k-gram shingles → (flat stable hashes, docs lengths).
+
+    Tokenization is Arrow RE2 (:func:`words_arrow` — the oracle's own
+    regex dialect, no pandas lists) and gram hashes are FNV-chain mixes
+    of per-token stable hashes (:func:`word_kgram_hashes` — no gram
+    strings are ever constructed; only hash identity matters to every
+    consumer: minhash, prefix filter, hashed-set Jaccard verify).
+    Measured ~8× over the per-row join+hash loop this replaced."""
+    from ..functions.text import word_kgram_hashes, words_arrow
+
+    flat, wlen = words_arrow(pa.Array.from_pandas(texts, type=pa.string()))
+    return word_kgram_hashes(flat, wlen, k, empty_gram=True)
 
 
 def minhash_signatures(
@@ -987,26 +983,45 @@ def simhash64(texts: pd.Series) -> np.ndarray:
     recompute the exact fingerprints — the driver's correctness gate
     verifies this column value-for-value against DuckDB.
     """
+    from ..functions.text import words_arrow
     from ..functions.urls import md5_hash64_many
 
-    token_lists = texts.str.lower().str.findall(r"\w+")
-    lengths = token_lists.str.len().to_numpy(dtype=np.int64)
-    flat = [t for lst in token_lists for t in lst]
-    n = len(texts)
+    flat_arr, lengths = words_arrow(
+        pa.Array.from_pandas(texts, type=pa.string())
+    )
+    if not len(flat_arr):
+        return np.zeros(len(texts), dtype=np.uint64)
+    # dictionary-encode in Arrow (C hash table) so the md5 loop runs
+    # once per DISTINCT token — np.unique over millions of object
+    # strings was ~10× the rest of this kernel combined
+    de = flat_arr.dictionary_encode()
+    uh = md5_hash64_many(de.dictionary.to_numpy(zero_copy_only=False))
+    h = uh[de.indices.to_numpy()]
+    return _signsum_pack(h, lengths)
+
+
+def _signsum_pack(h: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Per-doc SimHash sign-sum over 64 bit planes → packed uint64
+    (docs with zero features pack to 0). Bit planes materialize 16 at a
+    time as 0/1 int32 — the full ±1 matrix this replaced peaked at
+    n_tokens × 64 × 4 B × 2 (~1.3 GB per 2.6M tokens); ``sign(Σ(2b−1))
+    > 0 ⇔ 2·Σb > count``, bit-exact."""
+    n = len(lengths)
     out = np.zeros(n, dtype=np.uint64)
-    if not len(flat):
+    if not h.size:
         return out
-    h = md5_hash64_many(flat)
-    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
-    bits = bits * 2 - 1  # ±1
     starts = np.zeros(n, dtype=np.int64)
     np.cumsum(lengths[:-1], out=starts[1:])
     nonempty = lengths > 0
-    sums = np.add.reduceat(bits, starts[nonempty], axis=0)
-    sign = (sums > 0).astype(np.uint64)
-    packed = np.zeros(nonempty.sum(), dtype=np.uint64)
-    for j in range(64):
-        packed |= sign[:, j] << np.uint64(j)
+    cnt = lengths[nonempty]
+    packed = np.zeros(int(nonempty.sum()), dtype=np.uint64)
+    for b0 in range(0, 64, 16):
+        bb = np.arange(b0, b0 + 16, dtype=np.uint64)
+        bits = ((h[:, None] >> bb[None, :]) & np.uint64(1)).astype(np.int32)
+        red = np.add.reduceat(bits, starts[nonempty], axis=0)
+        sign = (2 * red > cnt[:, None]).astype(np.uint64)
+        for j in range(16):
+            packed |= sign[:, j] << np.uint64(b0 + j)
     out[nonempty] = packed
     return out
 
@@ -1022,25 +1037,7 @@ def simhash64_shingles(texts: pd.Series, k: int = 3) -> np.ndarray:
     prefilter (``simhash_near_dup(shingle_radius=...)``); the exact
     verify still decides membership."""
     flat, lengths = _shingles_of(texts, k)
-    n = len(texts)
-    out = np.zeros(n, dtype=np.uint64)
-    if not flat.size:
-        return out
-    bits = (
-        (flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-        & np.uint64(1)
-    ).astype(np.int32)
-    bits = bits * 2 - 1  # ±1
-    starts = np.zeros(n, dtype=np.int64)
-    np.cumsum(lengths[:-1], out=starts[1:])
-    nonempty = lengths > 0
-    sums = np.add.reduceat(bits, starts[nonempty], axis=0)
-    sign = (sums > 0).astype(np.uint64)
-    packed = np.zeros(int(nonempty.sum()), dtype=np.uint64)
-    for j in range(64):
-        packed |= sign[:, j] << np.uint64(j)
-    out[nonempty] = packed
-    return out
+    return _signsum_pack(flat, lengths)
 
 
 def add_simhash(batch: pa.Table, col: str = "text") -> pa.Table:
@@ -1110,6 +1107,14 @@ def simhash_near_dup(
     threshold itself.
     """
     assert 64 % band_bits == 0
+    # the shingle prefilter is ANDed under the unigram one inside
+    # _emit_pairs, which only runs it when band rows carry ``h`` — i.e.
+    # when hamming_radius is set; fail loudly rather than silently
+    # ignoring the parameter
+    assert shingle_radius is None or hamming_radius is not None, (
+        "shingle_radius requires hamming_radius (the shingle prefilter "
+        "piggybacks on the fingerprint-carrying band rows)"
+    )
     n_bands = 64 // band_bits
     mask = np.uint64((1 << band_bits) - 1)
 

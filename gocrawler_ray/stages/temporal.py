@@ -514,7 +514,12 @@ def hopping_window_agg(
     events. Values are fixed-pointed to integer ``1/scale`` units
     inside the partial (the repo-wide quantization invariant, same as
     :func:`running_total`), so partial sums commute exactly — which is
-    what makes the combine-path choice a pure cost decision:
+    what makes the combine-path choice a pure cost decision. NOTE:
+    ``sum_value`` is therefore the sum of per-event values ROUNDED to
+    ``1/scale`` units, not the rounded sum — values carrying more than
+    ``log10(scale)`` decimal places lose the sub-``1/scale`` tail per
+    event (lossless for the 3-decimal gate data at the default
+    ``scale=1e6``); raise ``scale`` for finer-grained inputs:
 
     * partial stream ≤ ``driver_cap`` rows → ONE driver gather +
       pandas groupby (the (key, window) domain at gate scale is far
