@@ -391,9 +391,13 @@ def _bucket_pairs(
     hamming_radius: int | None = None,
     band_bits: int | None = None,
     driver_cap: int | None = 2_000_000,
-) -> pd.DataFrame:
+) -> "pd.DataFrame | rd.Dataset":
     """Candidate pairs from (band_key, doc_id[, h]) rows WITHOUT a
-    per-group ``map_groups`` pass.
+    per-group ``map_groups`` pass. Returns a driver DataFrame while the
+    band-row stream fits ``driver_cap``; past it (or with
+    ``driver_cap=None``) returns a **Dataset** of already-deduplicated
+    (a, b, capped) pairs that never lands on the driver — the caller
+    verifies with :func:`_verify_pairs_ds`.
 
     ``groupby().map_groups`` pays ~1ms of Python per GROUP; LSH band
     buckets are mostly singletons, so a 10M-doc corpus would spend
@@ -401,7 +405,8 @@ def _bucket_pairs(
     key, then ONE vectorized pandas pass per sorted block emits pairs
     for every bucket fully inside the block; buckets touching a block
     edge spill their raw rows (first/last key group per block — O(blocks
-    × bucket) rows) and are paired on the driver after regrouping.
+    × bucket) rows) and are regrouped by a distributed groupby over the
+    spill stream.
 
     ``hamming_radius`` (simhash path): band rows carry the full
     fingerprint in column ``h`` and emitted pairs are prefiltered by
@@ -491,14 +496,23 @@ def _bucket_pairs(
 
     srt = bands_ds.sort("band_key")
 
-    def block_pairs(t: pa.Table) -> pd.DataFrame:
+    def block_pairs(t: pa.Table):
         df = t.to_pandas()
         n = len(df)
         if not n:
-            cols = {"a": [], "b": [], "capped": [], "band_key": []}
+            # explicitly-typed empty (inference would type the columns
+            # null → schema drift in the Dataset plane downstream)
+            id_t = t.column("doc_id").type
+            cols = {
+                "a": pa.array([], id_t),
+                "b": pa.array([], id_t),
+                "capped": pa.array([], pa.int8()),
+                "band_key": pa.array([], pa.uint64()),
+                "is_spill": pa.array([], pa.bool_()),
+            }
             if with_h:
-                cols["h"] = []
-            return pd.DataFrame(cols)
+                cols["h"] = pa.array([], pa.uint64())
+            return pa.table(cols)
         bh = df["band_key"].to_numpy()
         docs = df["doc_id"].to_numpy()
         hs = df["h"].to_numpy() if with_h else None
@@ -537,9 +551,19 @@ def _bucket_pairs(
                 }
             )
         else:
-            out = pd.DataFrame({"a": [], "b": [], "capped": []})
+            # typed empty — an inferred float64 "capped" here would
+            # drift the block schema in the Dataset plane downstream
+            out = pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype=docs.dtype),
+                    "b": pd.Series([], dtype=docs.dtype),
+                    "capped": pd.Series([], dtype=np.int8),
+                }
+            )
         # interior pair rows carry a placeholder key; the is_spill flag
-        # (not the key) partitions the driver-side regroup
+        # (not the key) partitions the boundary regroup. Spill rows put
+        # the doc id in BOTH a and b (b is never read for spill rows)
+        # so the column types stay stable across blocks.
         out["band_key"] = np.uint64(0)
         out["is_spill"] = False
         if with_h:
@@ -548,7 +572,7 @@ def _bucket_pairs(
             rows = np.concatenate(spill_idx)
             sp = {
                 "a": docs[rows],
-                "b": None,
+                "b": docs[rows],
                 "capped": np.int8(0),
                 "band_key": bh[rows],
                 "is_spill": True,
@@ -558,26 +582,103 @@ def _bucket_pairs(
             out = pd.concat([out, pd.DataFrame(sp)], ignore_index=True)
         return out
 
-    raw = srt.map_batches(block_pairs, batch_format="pyarrow", batch_size=None).to_pandas()
-    if not len(raw):
-        return pd.DataFrame({"a": [], "b": [], "capped": []})
-    interior = raw[~raw["is_spill"]][["a", "b", "capped"]]
-    boundary = raw[raw["is_spill"]]
-    extra: list[pd.DataFrame] = []
-    for _, g in boundary.groupby("band_key", sort=False):
+    # DISTRIBUTED pair plane (past driver_cap): the candidate pairs stay
+    # a Dataset end to end — interior pairs from the sorted-block scan,
+    # block-edge buckets regrouped by a groupby over the (O(blocks ×
+    # bucket)-row) spill stream, cross-band duplicates removed by ONE
+    # hash-shuffled groupby-max over the EDGE-scale pair set. Nothing
+    # pair-shaped ever lands on the driver; callers verify with
+    # :func:`_verify_pairs_ds`. The scan output is materialized once
+    # because two consumers (interior filter, spill regroup) read it.
+    import ray.data.aggregate as agg
+
+    raw = srt.map_batches(
+        block_pairs, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    def interior_rows(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(t.column("is_spill"))).select(
+            ["a", "b", "capped"]
+        )
+
+    spill_cols = ["a", "band_key"] + (["h"] if with_h else [])
+
+    def spill_rows(t: pa.Table) -> pa.Table:
+        return t.filter(t.column("is_spill")).select(spill_cols)
+
+    def spill_group_pairs(t: pa.Table) -> pa.Table:
         a_, b_, c_ = _emit_pairs(
-            g["a"].to_numpy(),
-            g["h"].to_numpy() if with_h else None,
+            t.column("a").to_numpy(zero_copy_only=False),
+            t.column("h").to_numpy() if with_h else None,
             bucket_cap,
             hamming_radius,
         )
-        if len(a_):
-            extra.append(pd.DataFrame({"a": a_, "b": b_, "capped": c_}))
-    if extra:
-        interior = pd.concat([interior] + extra, ignore_index=True)
-    if not len(interior):
-        return pd.DataFrame({"a": [], "b": [], "capped": []})
-    return interior.groupby(["a", "b"], as_index=False).agg(capped=("capped", "max"))
+        id_type = t.column("a").type
+        return pa.table(
+            {
+                "a": pa.array(a_, type=id_type),
+                "b": pa.array(b_, type=id_type),
+                "capped": pa.array(c_, type=pa.int8()),
+            }
+        )
+
+    interior = raw.map_batches(interior_rows, batch_format="pyarrow")
+    spill_pairs = (
+        raw.map_batches(spill_rows, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(spill_group_pairs, batch_format="pyarrow")
+        .select_columns(["a", "b", "capped"])
+    )
+    deduped = (
+        interior.union(spill_pairs)
+        .groupby(["a", "b"])
+        .aggregate(agg.Max("capped", alias_name="capped"))
+        .materialize()
+    )
+    # raw's first block is always typed (block_pairs emits explicit
+    # schemas), so the id type is metadata here
+    raw_sch = raw.schema()
+    id_ty = _pa_id_type(raw_sch.types[raw_sch.names.index("a")])
+    return _fix_empty_blocks(
+        deduped, [("a", id_ty), ("b", id_ty), ("capped", pa.int64())]
+    )
+
+
+def _fix_empty_blocks(
+    ds0: rd.Dataset, fields: list[tuple[str, pa.DataType]]
+) -> rd.Dataset:
+    """Drop the ZERO-COLUMN empty blocks Ray's sort-shuffle
+    groupby/aggregate (and hash joins) emit for empty output
+    partitions; a downstream Acero join that assembles a partition only
+    from such blocks fails with "No match for FieldRef". A map-based
+    rewrite cannot fix this — Ray SKIPS empty blocks in map stages — so
+    the dataset is rebuilt from its non-empty Arrow block refs, which
+    is metadata-only (no block is read, copied, or moved; O(blocks) at
+    any scale). Input must be materialized. ``fields`` gives the (name,
+    Arrow type) schema for the all-empty case, threaded EXPLICITLY
+    because ``Dataset.schema()`` just reads the first block, which may
+    itself be one of the schema-less empties."""
+    refs = [
+        r
+        for bundle in ds0.iter_internal_ref_bundles()
+        for (r, m) in bundle.blocks
+        if m.num_rows
+    ]
+    if not refs:
+        return rd.from_arrow(
+            pa.table({n: pa.array([], ty) for n, ty in fields})
+        )
+    return rd.from_arrow_refs(refs)
+
+
+def _pa_id_type(ty) -> pa.DataType:
+    """Arrow type for a doc-id column, tolerating pandas block schemas
+    (numpy ``object`` dtype means string ids in this suite)."""
+    if isinstance(ty, pa.DataType):
+        return ty
+    if np.dtype(ty) == np.dtype("O"):
+        return pa.string()
+    return pa.from_numpy_dtype(np.dtype(ty))
 
 
 def _components_driver(edges: list[tuple]) -> set:
@@ -880,6 +981,251 @@ def _verify_candidates(
     return list(zip(kept["a"], kept["b"]))
 
 
+def _doc_shingle_blobs(t: pa.Table, col: str, k: int) -> pa.Array:
+    """Per-row SORTED-UNIQUE shingle-hash arrays packed as one Arrow
+    ``binary`` column (little-endian uint64 concatenation — Acero's
+    hash join ships binary payloads but rejects ``list<uint64>``): one
+    ``_shingles_of`` pass, one lexsort segments (doc, hash),
+    adjacent-dup removal uniquifies per doc; the binary array is built
+    zero-copy from the flat hash buffer + 8×offsets."""
+    texts = t.column(col).to_pandas().fillna("")
+    flat, lengths = _shingles_of(texts, k)
+    n = len(texts)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    order = np.lexsort((flat, doc_idx))
+    d, h = doc_idx[order], flat[order]
+    keep = np.ones(len(h), dtype=bool)
+    if len(h):
+        keep[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+    d, h = d[keep], h[keep]
+    uniq = np.bincount(d, minlength=n)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(uniq, out=offs[1:])
+    byte_offs = (offs * 8).astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [
+            None,
+            pa.py_buffer(byte_offs.tobytes()),
+            pa.py_buffer(np.ascontiguousarray(h, dtype="<u8").tobytes()),
+        ],
+    )
+
+
+def _blob_sets(colarr) -> tuple[np.ndarray, np.ndarray]:
+    """(element offsets, flat uint64 values) view of a shingle-blob
+    binary column. Blob byte lengths are multiples of 8 by
+    construction, so offset deltas divide exactly; the value segment is
+    copied once (``tobytes``) to guarantee 8-byte alignment regardless
+    of how the shuffle laid the buffer out."""
+    ba = (
+        colarr.combine_chunks()
+        if isinstance(colarr, pa.ChunkedArray)
+        else colarr
+    )
+    n = len(ba)
+    if n == 0:
+        return np.zeros(1, dtype=np.int64), np.zeros(0, dtype=np.uint64)
+    byte_offs = np.frombuffer(ba.buffers()[1], np.int32)[
+        ba.offset : ba.offset + n + 1
+    ].astype(np.int64)
+    raw = np.frombuffer(ba.buffers()[2], np.uint8)
+    seg = raw[byte_offs[0] : byte_offs[-1]]
+    flat = np.frombuffer(seg.tobytes(), dtype="<u8")
+    return (byte_offs - byte_offs[0]) // 8, flat
+
+
+def _jaccard_pairwise_blobs(
+    t: pa.Table, threshold: float, with_value: bool
+) -> pa.Table:
+    """Exact Jaccard per row from two sorted-unique shingle-blob
+    columns (``sh_a``, ``sh_b``) — the distributed verify's per-batch
+    kernel, with NO per-pair Python: size-prefiltered rows concatenate
+    both sides into one flat array tagged by pair index, ONE lexsort
+    groups equal values within a pair adjacently (each side is unique,
+    so an adjacent duplicate is exactly one cross-side match), and
+    intersection sizes fall out of a segment cumsum. Empty-vs-empty
+    keeps with J=1 (union-0 convention, same as :func:`_jaccard_keep`).
+    """
+    a_off, av = _blob_sets(t.column("sh_a"))
+    b_off, bv = _blob_sets(t.column("sh_b"))
+    na = np.diff(a_off)
+    nb = np.diff(b_off)
+    m = len(t)
+    keep = np.zeros(m, dtype=bool)
+    jv = np.zeros(m, dtype=np.float64)
+    both_empty = (na == 0) & (nb == 0)
+    keep[both_empty] = True
+    jv[both_empty] = 1.0
+    # lossless size prefilter: J ≤ min/max < threshold ⇒ reject
+    cand = (np.minimum(na, nb) >= threshold * np.maximum(na, nb)) & ~both_empty
+    idx = np.flatnonzero(cand)
+    if idx.size:
+        la, lb = na[idx], nb[idx]
+        seg = la + lb
+        seg_end = np.cumsum(seg)
+        seg_start = seg_end - seg
+        tot = int(seg_end[-1])
+        pos = np.arange(tot, dtype=np.int64) - np.repeat(seg_start, seg)
+        la_rep = np.repeat(la, seg)
+        is_a = pos < la_rep
+        comb = np.empty(tot, dtype=np.uint64)
+        src_a = np.repeat(a_off[idx], seg) + pos
+        src_b = np.repeat(b_off[idx], seg) + pos - la_rep
+        comb[is_a] = av[src_a[is_a]]
+        comb[~is_a] = bv[src_b[~is_a]]
+        pair_idx = np.repeat(np.arange(idx.size, dtype=np.int64), seg)
+        order = np.lexsort((comb, pair_idx))
+        cv, pv = comb[order], pair_idx[order]
+        eq = (cv[1:] == cv[:-1]) & (pv[1:] == pv[:-1])
+        cs = np.concatenate(([0], np.cumsum(eq)))
+        inter = cs[seg_end - 1] - cs[seg_start]
+        union = la + lb - inter
+        jvals = inter / union
+        keep[idx] = jvals >= threshold
+        jv[idx] = jvals
+    out = t.select(["a", "b"])
+    if with_value:
+        out = out.append_column("j", pa.array(jv))
+    return out.filter(pa.array(keep))
+
+
+def _verify_pairs_ds(
+    ds: rd.Dataset,
+    pairs: rd.Dataset,
+    col: str,
+    k: int,
+    threshold: float,
+    with_value: bool = False,
+    num_partitions: int | None = None,
+    id_broadcast_cap: int = 4_000_000,
+) -> rd.Dataset:
+    """DISTRIBUTED exact-Jaccard verify of a candidate-pair Dataset —
+    neither the pairs nor the shingle sets ever land on the driver
+    (closing the one 100 TB centralization the round-3 verdict flagged
+    in :func:`_verify_candidates`' global ``ray.put`` shingle dict).
+
+    Plan: per-doc sorted-unique shingle blobs (``binary`` column,
+    candidate docs only) are co-partitioned with the pairs by TWO hash
+    joins — sets onto ``a``, then onto ``b`` — and Jaccard closes
+    per-batch with the vectorized merge kernel
+    (:func:`_jaccard_pairwise_blobs`).
+
+    The candidate-id universe steers which docs compute sets:
+
+    * per-batch-unique gather ≤ ``id_broadcast_cap``: the sorted id
+      array broadcasts once (``ray.put``), docs filter map-side — the
+      corpus never shuffles;
+    * past the cap: distinct ids by groupby, docs restricted by a
+      distributed ``left_semi`` join — one corpus-scale shuffle, the
+      unavoidable last resort.
+
+    Input ``pairs`` must carry (a, b); duplicates are verified
+    repeatedly (callers dedupe first — :func:`_bucket_pairs` already
+    returns a deduplicated Dataset). Returns (a, b[, j]) rows with
+    J ≥ threshold.
+    """
+    import ray
+
+    if num_partitions is None:
+        num_partitions = max(
+            2, int(ray.cluster_resources().get("CPU", 8)) // 2
+        )
+    join_kw = dict(aggregator_ray_remote_args={"num_cpus": 0.25})
+
+    # candidate-id universe: capped driver merge of per-batch uniques
+    def id_partial(t: pa.Table) -> pa.Table:
+        u = pc.unique(
+            pa.concat_arrays(
+                [t.column("a").combine_chunks(),
+                 t.column("b").combine_chunks()]
+            )
+        )
+        return pa.table({"doc_id": u})
+
+    idp = pairs.map_batches(id_partial, batch_format="pyarrow")
+    parts: list | None = []
+    total = 0
+    id_ty: pa.DataType | None = None
+    for b in idp.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        id_ty = b.column("doc_id").type
+        parts.append(b.column("doc_id").combine_chunks())
+        total += len(parts[-1])
+        if total > id_broadcast_cap:
+            parts = None
+            break
+
+    if parts is not None:
+        if not total:
+            return pairs.limit(0)
+        ids = pc.unique(pa.concat_arrays(parts))
+        ids_ref = ray.put(ids)
+
+        def sets_batch(t: pa.Table) -> pa.Table:
+            vals = ray.get(ids_ref)
+            sub = t.filter(
+                pc.is_in(
+                    t.column("doc_id"),
+                    vals.cast(t.column("doc_id").type),
+                )
+            )
+            return pa.table(
+                {
+                    "doc_id": sub.column("doc_id"),
+                    "sh": _doc_shingle_blobs(sub, col, k),
+                }
+            )
+
+        sets_ds = ds.map_batches(sets_batch, batch_format="pyarrow")
+    else:
+        ids_ds = _fix_empty_blocks(
+            idp.groupby("doc_id").count().materialize(),
+            [("doc_id", id_ty), ("count()", pa.int64())],
+        ).select_columns(["doc_id"])
+        cand_docs = ds.select_columns(["doc_id", col]).join(
+            ids_ds, "left_semi", num_partitions, on=("doc_id",), **join_kw
+        )
+        sets_ds = cand_docs.map_batches(
+            lambda t: pa.table(
+                {"doc_id": t.column("doc_id"),
+                 "sh": _doc_shingle_blobs(t, col, k)}
+            ),
+            batch_format="pyarrow",
+        )
+
+    # sets are consumed by BOTH attach joins — candidate-bounded, so
+    # pinning them once beats recomputing the shingle pass twice
+    sets_ds = sets_ds.materialize()
+    sets_a = sets_ds.map_batches(
+        lambda t: pa.table({"a": t.column("doc_id"), "sh_a": t.column("sh")}),
+        batch_format="pyarrow",
+    )
+    sets_b = sets_ds.map_batches(
+        lambda t: pa.table({"b": t.column("doc_id"), "sh_b": t.column("sh")}),
+        batch_format="pyarrow",
+    )
+    # each join's empty partitions can come back as ZERO-COLUMN blocks
+    # that would poison the next Acero stage — normalize between stages
+    # (metadata-only; the materialize is candidate-scale)
+    j1 = _fix_empty_blocks(
+        pairs.select_columns(["a", "b"])
+        .join(sets_a, "inner", num_partitions, on=("a",), **join_kw)
+        .materialize(),
+        [("a", id_ty), ("b", id_ty), ("sh_a", pa.binary())],
+    )
+    j2 = _fix_empty_blocks(
+        j1.join(sets_b, "inner", num_partitions, on=("b",), **join_kw)
+        .materialize(),
+        [("a", id_ty), ("b", id_ty), ("sh_a", pa.binary()),
+         ("sh_b", pa.binary())],
+    )
+    return j2.map_batches(
+        lambda t: _jaccard_pairwise_blobs(t, threshold, with_value),
+        batch_format="pyarrow",
+    )
+
+
 def minhash_lsh_dedup(
     ds: rd.Dataset,
     col: str = "text",
@@ -891,7 +1237,8 @@ def minhash_lsh_dedup(
     seed: int = 13,
     bucket_cap: int = 256,
     driver_limit: int = 2_000_000,
-) -> tuple[rd.Dataset, list[tuple]]:
+    pair_driver_cap: int | None = 2_000_000,
+) -> tuple[rd.Dataset, "list[tuple] | rd.Dataset"]:
     """Near-dup removal. Returns (deduped dataset, verified dup pairs).
 
     Pipeline: MinHasher → band explosion → groupby(band) candidates
@@ -903,9 +1250,14 @@ def minhash_lsh_dedup(
     vectorized kernel; pinning corpus+signatures in the object store is
     the thing that kills a 100 TB run). Candidate pairs are bounded by
     ``bucket_cap`` per bucket (degenerate buckets degrade to O(m) star
-    edges). Components + the drop-set resolve driver-side while the
-    verified-edge count stays under ``driver_limit``; beyond it,
-    components run as distributed min-label propagation
+    edges). While the band-row stream fits ``pair_driver_cap`` the pair
+    plane closes on the driver (no Ray sort/shuffle fixed costs); past
+    it the ENTIRE plane is distributed — Dataset pairs
+    (:func:`_bucket_pairs`), co-partitioned exact-Jaccard verify
+    (:func:`_verify_pairs_ds`) — and only the verified edges (if ≤
+    ``driver_limit``) ever reach the driver. Beyond ``driver_limit``
+    the returned ``edges`` is the verified-pair **Dataset**, components
+    run as distributed min-label propagation
     (:func:`components_minlabel`) and the drop is a distributed
     ``left_anti`` join instead of a broadcast filter.
     """
@@ -922,25 +1274,58 @@ def minhash_lsh_dedup(
         batch_format="pyarrow",
     ).map_batches(lambda t: band_rows(t, num_perm, bands), batch_format="pyarrow")
 
-    # candidate volume is bounded by construction (≤ cap²/2 per bucket,
-    # star-reduced past the cap), so cross-band dedup runs driver-side in
-    # one vectorized aggregate — a distributed groupby here costs a full
-    # extra shuffle of a set that is small BY DESIGN. (Past driver_limit
-    # the verify itself would need to distribute too; the components
-    # stage already switches at that threshold.)
-    cand = _bucket_pairs(bands_ds, bucket_cap)
-    n_capped = int(cand["capped"].sum()) if len(cand) else 0
-    if n_capped:
-        import logging
+    # while the band stream fits the cap, cross-band dedup runs
+    # driver-side in one vectorized aggregate (candidate volume is
+    # bounded by construction: ≤ cap²/2 per bucket, star-reduced past
+    # the cap) — a distributed groupby here costs a full extra shuffle
+    # of a set that is small BY DESIGN. Past the cap the plane is a
+    # Dataset end to end and the verify co-partitions by hash join.
+    cand = _bucket_pairs(bands_ds, bucket_cap, driver_cap=pair_driver_cap)
 
-        logging.getLogger(__name__).warning(
-            "minhash_lsh_dedup: %d candidate edges came from oversized "
-            "LSH buckets (> %d members) and were star-reduced — the "
-            "verified pair list is complete only for in-cap buckets",
-            n_capped, bucket_cap,
+    def _warn_capped(n_capped: int) -> None:
+        if n_capped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash_lsh_dedup: %d candidate edges came from oversized "
+                "LSH buckets (> %d members) and were star-reduced — the "
+                "verified pair list is complete only for in-cap buckets",
+                n_capped, bucket_cap,
+            )
+
+    if isinstance(cand, rd.Dataset):
+        cand = cand.materialize()
+        _warn_capped(int(cand.sum("capped") or 0))
+        ver = _verify_pairs_ds(ds, cand, col, k, threshold).materialize()
+        if ver.count() <= driver_limit:
+            vp = ver.to_pandas()
+            edges = sorted(zip(vp["a"], vp["b"]))
+        else:
+            edges = ver  # stays distributed: components + anti-join below
+    else:
+        _warn_capped(int(cand["capped"].sum()) if len(cand) else 0)
+        edges = _verify_candidates(ds, cand, col, k, threshold)
+
+    if isinstance(edges, rd.Dataset):
+        # giant-edge regime: nothing edge- or drop-shaped lands on the
+        # driver — min-label components over the edge Dataset, non-min
+        # members removed by a distributed left_anti join
+        num_partitions = max(
+            2, int(ray.cluster_resources().get("CPU", 8)) // 2
         )
-
-    edges = _verify_candidates(ds, cand, col, k, threshold)
+        labels = components_minlabel(edges)
+        drop_ds = labels.map_batches(
+            lambda t: t.filter(
+                pc.not_equal(t.column("node"), t.column("label"))
+            ).select(["node"]),
+            batch_format="pyarrow",
+        )
+        deduped = ds.join(
+            drop_ds, "left_anti", num_partitions,
+            on=("doc_id",), right_on=("node",),
+            aggregator_ray_remote_args={"num_cpus": 0.25},
+        )
+        return deduped, edges
 
     if len(edges) <= driver_limit:
         drop = _components_driver(edges)
@@ -1070,6 +1455,7 @@ def simhash_near_dup(
     bucket_cap: int = 256,
     hamming_radius: int | None = None,
     shingle_radius: int | None = None,
+    pair_driver_cap: int | None = 2_000_000,
 ) -> list[tuple]:
     """SimHash near-dup pairs: bit-band LSH over the 64-bit fingerprint
     → in-bucket candidates → exact-Jaccard verify.
@@ -1151,7 +1537,10 @@ def simhash_near_dup(
     bands_ds = ds.map_batches(to_bands, batch_format="pyarrow")
     if hamming_radius is None:
         # fine-band regime: near-singleton buckets, sorted-block scan
-        cand = _bucket_pairs(bands_ds, bucket_cap)
+        cand = _bucket_pairs(bands_ds, bucket_cap, driver_cap=pair_driver_cap)
+        if isinstance(cand, rd.Dataset):
+            vp = _verify_pairs_ds(ds, cand, col, k, threshold).to_pandas()
+            return sorted(zip(vp["a"], vp["b"]))
         return sorted(_verify_candidates(ds, cand, col, k, threshold))
 
     import ray
@@ -1183,45 +1572,29 @@ def simhash_near_dup(
             )
         return sorted(_verify_candidates(ds, cand, col, k, threshold))
 
-    # ONE pass over the pair set yields the cap flag AND the candidate
-    # id universe (per-batch uniques, bounded by the doc-id domain) —
-    # not three separate all-block passes (max + unique×2)
-    def id_partial(t: pa.Table) -> pa.Table:
-        u = pc.unique(
-            pa.concat_arrays(
-                [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
-            )
-        )
-        cm = pc.max(t.column("capped")).as_py() or 0
-        return pa.table(
-            {"id": u, "capped": pa.array(np.full(len(u), cm, np.int8))}
-        )
+    # past the driver cap: fully distributed plane. Capped star pairs
+    # may duplicate first-band pairs (degenerate buckets only) — dedupe
+    # with ONE hash-shuffled groupby-max, never on the driver; then the
+    # co-partitioned verify (:func:`_verify_pairs_ds`) replaces the
+    # global ``ray.put`` shingle dict this tail used to broadcast (the
+    # one remaining driver-side materialization of the r3 verdict).
+    import ray.data.aggregate as agg
 
-    idp = (
-        cand_ds.map_batches(id_partial, batch_format="pyarrow").to_pandas()
-    )
-    if len(idp) and int(idp["capped"].max()):
-        # capped star pairs may duplicate first-band pairs — rare
-        # (degenerate buckets only); dedupe on the driver
-        cand = (
-            cand_ds.to_pandas()
-            .groupby(["a", "b"], as_index=False)
-            .agg(capped=("capped", "max"))
-        )
-        return sorted(_verify_candidates(ds, cand, col, k, threshold))
-
-    cand_ids = sorted(idp["id"].unique())
-    sets_ref = ray.put(_candidate_shingle_sets(ds, cand_ids, col, k))
-
-    def verify_batch(t: pa.Table) -> pa.Table:
-        csr = _csr_cached(sets_ref)
-        a, b = t.column("a").to_pylist(), t.column("b").to_pylist()
-        return t.filter(pa.array(_jaccard_keep_csr(a, b, csr, threshold)))
-
-    kept = cand_ds.map_batches(
-        verify_batch, batch_format="pyarrow", batch_size=65536
+    if (cand_ds.sum("capped") or 0) > 0:
+        cand_ds = cand_ds.groupby(["a", "b"]).aggregate(
+            agg.Max("capped", alias_name="capped")
+        ).materialize()
+    sch = ds.schema()
+    id_ty = _pa_id_type(sch.types[sch.names.index("doc_id")])
+    vp = _verify_pairs_ds(
+        ds,
+        _fix_empty_blocks(
+            cand_ds,
+            [("a", id_ty), ("b", id_ty), ("capped", pa.int64())],
+        ),
+        col, k, threshold,
     ).to_pandas()
-    return sorted(zip(kept["a"], kept["b"]))
+    return sorted(zip(vp["a"], vp["b"]))
 
 
 # ---------------------------------------------------------------------------
@@ -1471,6 +1844,7 @@ def ngram_jaccard_join(
     threshold: float = 0.6,
     bucket_cap: int = 8192,
     freq_order: bool = True,
+    pair_driver_cap: int | None = 2_000_000,
 ) -> pd.DataFrame:
     """EXACT word-k-gram Jaccard similarity self-join — the dedup
     flavor with a deterministic (non-probabilistic) recall guarantee,
@@ -1518,7 +1892,32 @@ def ngram_jaccard_join(
             return _prefix_rows(t, col, k, threshold)
 
     prefix = ds.map_batches(prefix_batch, batch_format="pyarrow")
-    cand = _bucket_pairs(prefix, bucket_cap)
+    cand = _bucket_pairs(prefix, bucket_cap, driver_cap=pair_driver_cap)
+    if isinstance(cand, rd.Dataset):
+        # distributed plane: Dataset pairs + co-partitioned verify
+        # emitting the exact J value; only the accepted pairs (the
+        # join's actual OUTPUT) gather at the end
+        cand = cand.materialize()
+        n_capped = int(cand.sum("capped") or 0)
+        if n_capped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard_join: %d candidate edges star-reduced from "
+                "oversized shingle buckets (> %d docs share a prefix "
+                "shingle) — pair list complete only for in-cap buckets",
+                n_capped, bucket_cap,
+            )
+        vp = _verify_pairs_ds(
+            ds, cand, col, k, threshold, with_value=True
+        ).to_pandas()
+        if not len(vp):
+            return pd.DataFrame({"a": [], "b": [], "j": np.zeros(0)})
+        lo = np.minimum(vp["a"], vp["b"])
+        hi = np.maximum(vp["a"], vp["b"])
+        return pd.DataFrame({"a": lo, "b": hi, "j": vp["j"]}).sort_values(
+            ["a", "b"]
+        ).reset_index(drop=True)
     if len(cand):
         n_capped = int(cand["capped"].sum())
         if n_capped:

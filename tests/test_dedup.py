@@ -292,9 +292,9 @@ def test_ngram_jaccard_join_freq_order_exact_on_skewed_corpus():
 @pytest.mark.parametrize("with_h", [False, True])
 def test_bucket_pairs_driver_path_matches_distributed_scan(with_h):
     """The capped driver gather in _bucket_pairs must emit exactly the
-    sorted-block distributed scan's candidate set (driver_cap=None
-    forces the Ray sort + spill machinery), with and without the
-    hamming prefilter column."""
+    fully-distributed Dataset plane's candidate set (driver_cap=None
+    forces the Ray sort + spill groupby + pair-dedup shuffle), with and
+    without the hamming prefilter column."""
     from gocrawler_ray.stages.dedup import _bucket_pairs
 
     rng = np.random.RandomState(11)
@@ -308,11 +308,94 @@ def test_bucket_pairs_driver_path_matches_distributed_scan(with_h):
     kw = dict(bucket_cap=64, hamming_radius=40 if with_h else None)
     fast = _bucket_pairs(ds, **kw)
     slow = _bucket_pairs(ds, **kw, driver_cap=None)
+    assert isinstance(fast, pd.DataFrame)
+    assert isinstance(slow, rd.Dataset)  # past the cap: Dataset plane
 
     def canon(df):
+        if isinstance(df, rd.Dataset):
+            df = df.to_pandas()
         return (df.groupby(["a", "b"], as_index=False)
                 .agg(capped=("capped", "max"))
                 .sort_values(["a", "b"]).reset_index(drop=True)
                 .astype({"capped": np.int64}))
 
     pd.testing.assert_frame_equal(canon(fast), canon(slow))
+
+
+def test_minhash_distributed_pair_plane_matches_driver_path():
+    """pair_driver_cap=None forces the Dataset pair plane + the
+    co-partitioned distributed verify; edges AND survivors must equal
+    the driver fast path exactly (same pattern as
+    test_star_join_fallbacks_match_broadcast_path)."""
+    ds = rd.from_items(_docs())
+    kw = dict(threshold=0.5, num_perm=64, bands=16)
+    deduped_f, edges_f = minhash_lsh_dedup(ds, **kw)
+    deduped_s, edges_s = minhash_lsh_dedup(ds, **kw, pair_driver_cap=None)
+    assert sorted(edges_f) == sorted(edges_s)
+    assert sorted(deduped_f.to_pandas()["doc_id"]) == sorted(
+        deduped_s.to_pandas()["doc_id"]
+    )
+
+
+def test_ngram_jaccard_distributed_plane_matches_driver_path():
+    from gocrawler_ray.stages.dedup import ngram_jaccard_join
+
+    texts = {}
+    for i in range(25):
+        texts[f"d{i:03d}"] = f"unique document {i} about topic {i*7} " * 3
+    texts["d900"] = BASE
+    texts["d901"] = BASE.replace("lazy", "sleepy")
+    texts["d902"] = BASE.replace("quick", "swift").replace("dog", "hound")
+    ds = rd.from_items(
+        [{"doc_id": d, "text": t} for d, t in sorted(texts.items())]
+    )
+    fast = ngram_jaccard_join(ds, threshold=0.5, k=3)
+    slow = ngram_jaccard_join(ds, threshold=0.5, k=3, pair_driver_cap=None)
+    pd.testing.assert_frame_equal(
+        fast.reset_index(drop=True), slow.reset_index(drop=True)
+    )
+    assert len(fast) >= 3  # the BASE cluster verifies
+
+
+def test_simhash_fine_band_distributed_plane_matches_driver_path():
+    from gocrawler_ray.stages.dedup import simhash_near_dup
+
+    rows = _docs()
+    ds = rd.from_items(rows)
+    kw = dict(threshold=0.5, band_bits=8, bucket_cap=256)
+    fast = simhash_near_dup(ds, **kw)
+    slow = simhash_near_dup(ds, **kw, pair_driver_cap=None)
+    assert fast == slow
+    assert ("d901", "d902") in slow
+
+
+def test_verify_pairs_ds_semi_join_path_matches_broadcast():
+    """id_broadcast_cap=0 forces the corpus left_semi restriction (the
+    last-resort plan when even the candidate-id set outgrows a
+    broadcast); the verified pair set must be identical."""
+    from gocrawler_ray.stages.dedup import _verify_pairs_ds
+
+    docs = _docs()
+    ds = rd.from_items(docs)
+    pairs = []
+    ids = sorted(d["doc_id"] for d in docs)
+    for i in range(0, len(ids) - 1, 2):
+        pairs.append({"a": ids[i], "b": ids[i + 1]})
+    pairs.append({"a": "d901", "b": "d902"})
+    pairs.append({"a": "d000", "b": "d900"})
+    pds = rd.from_items(pairs)
+    fast = _verify_pairs_ds(ds, pds, "text", 3, 0.5).to_pandas()
+    slow = _verify_pairs_ds(
+        ds, pds, "text", 3, 0.5, id_broadcast_cap=0
+    ).to_pandas()
+    assert sorted(zip(fast["a"], fast["b"])) == sorted(
+        zip(slow["a"], slow["b"])
+    )
+    assert ("d901", "d902") in set(zip(fast["a"], fast["b"]))
+    # j values equal the scalar verifier
+    withj = _verify_pairs_ds(
+        ds, pds, "text", 3, 0.5, with_value=True
+    ).to_pandas()
+    texts = {d["doc_id"]: d["text"] for d in docs}
+    for _, r in withj.iterrows():
+        assert abs(r["j"] - jaccard(texts[r["a"]], texts[r["b"]], 3)) < 1e-12
