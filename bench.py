@@ -265,6 +265,79 @@ def run_pregen() -> dict:
     return {"metric": "pregen", "value": n_docs, "unit": "docs"}
 
 
+def run_dedup_distributed() -> dict:
+    """Run the near-dup pair family through BOTH planes at $GRAFT_SF_DIR:
+    the driver fast path (default caps) and the forced fully-distributed
+    plane (GRAFT_PAIR_DRIVER_CAP= → Dataset pairs + co-partitioned
+    verify). At 100 TB the distributed plane IS the design; this mode
+    measures what the fallback costs at bench scale and asserts both
+    planes agree on row counts."""
+    _init_ray(NUM_CPUS)
+    import ray.data as rd
+
+    import __ray_entry__ as entry
+
+    names = ["minhash_pairs", "simhash_pairs", "ngram_jaccard_pairs",
+             "dup_cluster_sizes", "connected_components"]
+    q = entry.queries()
+    timings: dict[str, float] = {}
+    rows: dict[str, dict[str, int]] = {}
+
+    def one(name: str, tag: str):
+        t0 = time.time()
+        out = q[name](SF_DIR)
+        if isinstance(out, rd.Dataset):
+            out = out.to_pandas()
+        timings[f"{name}_{tag}"] = round(time.time() - t0, 3)
+        rows.setdefault(name, {})[tag] = len(out)
+
+    for name in names:
+        one(name, "fast")
+    os.environ["GRAFT_PAIR_DRIVER_CAP"] = ""  # force the Dataset plane
+    try:
+        for name in names:
+            one(name, "dist")
+    finally:
+        del os.environ["GRAFT_PAIR_DRIVER_CAP"]
+    mismatched = {n: c for n, c in rows.items() if c["fast"] != c["dist"]}
+    assert not mismatched, f"plane row-count mismatch: {mismatched}"
+    return {
+        "metric": "dedup_distributed_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "rows": {n: c["fast"] for n, c in rows.items()},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+
+
+def run_probe_pruned_read() -> dict:
+    """A/B the wave read projection (crawl.py _links_of_wave): full-width
+    vs columns-pruned, same corpus, same session. Re-run on every Ray
+    upgrade; flip the default in crawl.py when pruned wins."""
+    _init_ray(NUM_CPUS)
+    sf_name = os.path.basename(SF_DIR.rstrip("/"))
+    n_docs = _SF_DOCS.get(sf_name, 200_000)
+    _crawl_once(n_docs, NUM_CPUS)  # warm: corpus gen, index + page cache
+    full = _crawl_once(n_docs, NUM_CPUS)
+    os.environ["GRAFT_PRUNED_WAVE_READ"] = "1"
+    try:
+        pruned = _crawl_once(n_docs, NUM_CPUS)
+    finally:
+        del os.environ["GRAFT_PRUNED_WAVE_READ"]
+    return {
+        "metric": "pruned_read_ratio",
+        "value": round(pruned["crawl"] / full["crawl"], 3),
+        "unit": "ratio (pruned/full; <1 means pruned wins)",
+        "queries": {"crawl_full": full["crawl"], "crawl_pruned": pruned["crawl"],
+                    "urls_per_sec_full": full["crawl_urls_per_sec"],
+                    "urls_per_sec_pruned": pruned["crawl_urls_per_sec"]},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+
+
 def run_stats(name: str) -> dict:
     """Run ONE catalog query and print its per-stage ``ds.stats()`` —
     the feedback loop for sizing batch/concurrency per stage."""
@@ -289,6 +362,10 @@ def run_stats(name: str) -> dict:
 if __name__ == "__main__":
     if "--stats" in sys.argv:
         result = run_stats(sys.argv[sys.argv.index("--stats") + 1])
+    elif "--dedup-distributed" in sys.argv:
+        result = run_dedup_distributed()
+    elif "--probe-pruned-read" in sys.argv:
+        result = run_probe_pruned_read()
     elif "--scaling" in sys.argv:
         result = run_scaling()
     elif "--pregen" in sys.argv:

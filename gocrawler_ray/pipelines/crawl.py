@@ -42,6 +42,7 @@ which is also the resume point, so it is not an extra cost.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -261,8 +262,13 @@ def _links_of_wave(ckpt: CheckpointStore, wave: int, next_depth: int) -> rd.Data
     # 2.49's projected parquet read (columns=...) measured 34 % SLOWER
     # end-to-end on the 20M-page crawl (8 cpus: 194.7 s pruned vs
     # 145.1 s full-width) — the projection path loses more than the
-    # dead columns cost. Re-evaluate on a Ray with projection pushdown.
-    docs = ckpt.read_docs(wave, override_num_blocks=max(4, n_cpus))
+    # dead columns cost. Re-probe on every Ray upgrade with
+    # ``python bench.py --probe-pruned-read`` (sets the env knob below
+    # for one in-process A/B of the same crawl).
+    kw: dict = {"override_num_blocks": max(4, n_cpus)}
+    if os.environ.get("GRAFT_PRUNED_WAVE_READ"):
+        kw["columns"] = ["url", "status", "spans"]
+    docs = ckpt.read_docs(wave, **kw)
 
     def to_links(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t.column("status"), "ok"))

@@ -45,6 +45,23 @@ import ray.data as rd
 
 _P = np.uint64((1 << 61) - 1)  # Mersenne prime for universal hashing
 
+_UNSET = object()
+
+
+def _pair_cap(given):
+    """Resolve a pair_driver_cap argument: explicit wins; otherwise the
+    ``GRAFT_PAIR_DRIVER_CAP`` env knob (empty/none → no cap, i.e. the
+    fully distributed plane — the bench's forced-fallback mode); default
+    2M band rows."""
+    import os
+
+    if given is not _UNSET:
+        return given
+    env = os.environ.get("GRAFT_PAIR_DRIVER_CAP")
+    if env is not None:
+        return None if env.lower() in ("", "none") else int(env)
+    return 2_000_000
+
 
 def _stable_token_hashes(tokens: pd.Series) -> np.ndarray:
     """Stable (cross-process) 64-bit hashes of string tokens."""
@@ -1237,7 +1254,7 @@ def minhash_lsh_dedup(
     seed: int = 13,
     bucket_cap: int = 256,
     driver_limit: int = 2_000_000,
-    pair_driver_cap: int | None = 2_000_000,
+    pair_driver_cap=_UNSET,
 ) -> tuple[rd.Dataset, "list[tuple] | rd.Dataset"]:
     """Near-dup removal. Returns (deduped dataset, verified dup pairs).
 
@@ -1280,7 +1297,7 @@ def minhash_lsh_dedup(
     # the cap) — a distributed groupby here costs a full extra shuffle
     # of a set that is small BY DESIGN. Past the cap the plane is a
     # Dataset end to end and the verify co-partitions by hash join.
-    cand = _bucket_pairs(bands_ds, bucket_cap, driver_cap=pair_driver_cap)
+    cand = _bucket_pairs(bands_ds, bucket_cap, driver_cap=_pair_cap(pair_driver_cap))
 
     def _warn_capped(n_capped: int) -> None:
         if n_capped:
@@ -1455,7 +1472,7 @@ def simhash_near_dup(
     bucket_cap: int = 256,
     hamming_radius: int | None = None,
     shingle_radius: int | None = None,
-    pair_driver_cap: int | None = 2_000_000,
+    pair_driver_cap=_UNSET,
 ) -> list[tuple]:
     """SimHash near-dup pairs: bit-band LSH over the 64-bit fingerprint
     → in-bucket candidates → exact-Jaccard verify.
@@ -1537,7 +1554,7 @@ def simhash_near_dup(
     bands_ds = ds.map_batches(to_bands, batch_format="pyarrow")
     if hamming_radius is None:
         # fine-band regime: near-singleton buckets, sorted-block scan
-        cand = _bucket_pairs(bands_ds, bucket_cap, driver_cap=pair_driver_cap)
+        cand = _bucket_pairs(bands_ds, bucket_cap, driver_cap=_pair_cap(pair_driver_cap))
         if isinstance(cand, rd.Dataset):
             vp = _verify_pairs_ds(ds, cand, col, k, threshold).to_pandas()
             return sorted(zip(vp["a"], vp["b"]))
@@ -1558,7 +1575,8 @@ def simhash_near_dup(
     if not n_cand:
         return []
 
-    if n_cand <= 2_000_000:
+    cap = _pair_cap(pair_driver_cap)
+    if cap is not None and n_cand <= cap:
         # bounded pair list (two id columns — tens of MB at the cap):
         # one driver gather + _verify_candidates (which itself fans the
         # Jaccard work back out past 16k pairs with the CSR broadcast)
@@ -1844,7 +1862,7 @@ def ngram_jaccard_join(
     threshold: float = 0.6,
     bucket_cap: int = 8192,
     freq_order: bool = True,
-    pair_driver_cap: int | None = 2_000_000,
+    pair_driver_cap=_UNSET,
 ) -> pd.DataFrame:
     """EXACT word-k-gram Jaccard similarity self-join — the dedup
     flavor with a deterministic (non-probabilistic) recall guarantee,
@@ -1892,7 +1910,7 @@ def ngram_jaccard_join(
             return _prefix_rows(t, col, k, threshold)
 
     prefix = ds.map_batches(prefix_batch, batch_format="pyarrow")
-    cand = _bucket_pairs(prefix, bucket_cap, driver_cap=pair_driver_cap)
+    cand = _bucket_pairs(prefix, bucket_cap, driver_cap=_pair_cap(pair_driver_cap))
     if isinstance(cand, rd.Dataset):
         # distributed plane: Dataset pairs + co-partitioned verify
         # emitting the exact J value; only the accepted pairs (the

@@ -369,6 +369,21 @@ def test_simhash_fine_band_distributed_plane_matches_driver_path():
     assert ("d901", "d902") in slow
 
 
+def test_simhash_coarse_band_distributed_verify_matches_driver_path():
+    """pair_driver_cap=None in the coarse-band (hamming-radius) regime
+    forces the Dataset-plane verify (_verify_pairs_ds) instead of the
+    driver gather + CSR broadcast; the pair set must be identical."""
+    from gocrawler_ray.stages.dedup import simhash_near_dup
+
+    ds = rd.from_items(_docs())
+    kw = dict(threshold=0.5, band_bits=4, bucket_cap=1 << 20,
+              hamming_radius=16)
+    fast = simhash_near_dup(ds, **kw)
+    slow = simhash_near_dup(ds, **kw, pair_driver_cap=None)
+    assert fast == slow
+    assert ("d901", "d902") in slow
+
+
 def test_verify_pairs_ds_semi_join_path_matches_broadcast():
     """id_broadcast_cap=0 forces the corpus left_semi restriction (the
     last-resort plan when even the candidate-id set outgrows a
