@@ -1448,18 +1448,24 @@ def add_simhash(batch: pa.Table, col: str = "text") -> pa.Table:
     )
 
 
-_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+_M1 = np.uint64(0x5555555555555555)
+_M2 = np.uint64(0x3333333333333333)
+_M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_H01 = np.uint64(0x0101010101010101)
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Vectorized 64-bit hamming distance via a byte popcount LUT (one
-    table gather per byte — ~50× the per-bit shift loop, which matters
-    because the simhash candidate prefilter runs this over every in-cap
-    bucket pair)."""
-    x = np.ascontiguousarray(a ^ b)
-    return (
-        _POP8[x.view(np.uint8)].reshape(len(x), 8).sum(axis=1).astype(np.int64)
-    )
+    """Vectorized 64-bit hamming distance via SWAR popcount — six
+    whole-word uint64 ops per element, no byte view, no length-8 axis
+    reduction (the previous byte-LUT + ``sum(axis=1)`` spent ~9 ms per
+    49k-pair bucket inside numpy's tiny-axis reduce; this kernel is
+    ~50× faster and is the inner loop of the simhash candidate
+    prefilter over every in-cap bucket pair)."""
+    x = a ^ b
+    x = x - ((x >> np.uint64(1)) & _M1)
+    x = (x & _M2) + ((x >> np.uint64(2)) & _M2)
+    x = (x + (x >> np.uint64(4))) & _M4
+    return ((x * _H01) >> np.uint64(56)).astype(np.int64)
 
 
 def simhash_near_dup(
@@ -1562,9 +1568,77 @@ def simhash_near_dup(
 
     import ray
 
-    # coarse-band regime: candidates stay a DATASET end to end — the
-    # pair list (O(n²/buckets) before the hamming prefilter) never
-    # lands on the driver; only the verified near-dup edges do.
+    cap = _pair_cap(pair_driver_cap)
+    with_h2 = shingle_radius is not None
+    # driver fast path: the BAND-ROW stream is n_docs × n_bands rows of
+    # (key, id, h[, h2]) — tiny next to the corpus. Under the cap, one
+    # gather + argsort + the SAME per-bucket emission kernel replaces
+    # the Ray groupby's sort/dispatch fixed cost (measured 5.7–8 s for
+    # 80k band rows at sf0.1 vs <1 s here); the cap picks the plan,
+    # never the candidate set — the distributed plane below emits the
+    # identical pairs (pinned by the coarse-band fallback test).
+    if cap is not None:
+        frames: list[pd.DataFrame] | None = []
+        total = 0
+        for b in bands_ds.iter_batches(
+            batch_size=65536, batch_format="pandas"
+        ):
+            frames.append(b)
+            total += len(b)
+            if total > cap:
+                frames = None
+                break
+        if frames is not None:
+            if not total:
+                return []
+            df = pd.concat(frames, ignore_index=True)
+            bh = df["band_key"].to_numpy()
+            order = np.argsort(bh, kind="stable")
+            bh = bh[order]
+            docs = df["doc_id"].to_numpy()[order]
+            hs = df["h"].to_numpy()[order]
+            hs2 = df["h2"].to_numpy()[order] if with_h2 else None
+            change = np.empty(len(bh), dtype=bool)
+            change[0] = True
+            change[1:] = bh[1:] != bh[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], len(bh))
+            a_parts: list[np.ndarray] = []
+            b_parts: list[np.ndarray] = []
+            c_parts: list[np.ndarray] = []
+            for gi in np.flatnonzero(ends - starts >= 2):
+                rows = np.arange(starts[gi], ends[gi])
+                a_, b_, c_ = _emit_pairs(
+                    docs[rows], hs[rows], bucket_cap, hamming_radius,
+                    band_idx=int(bh[starts[gi]]) >> band_bits,
+                    band_bits=band_bits,
+                    hs2=hs2[rows] if with_h2 else None,
+                    radius2=shingle_radius,
+                )
+                if len(a_):
+                    a_parts.append(a_)
+                    b_parts.append(b_)
+                    c_parts.append(c_)
+            if not a_parts:
+                return []
+            cand = pd.DataFrame(
+                {
+                    "a": np.concatenate(a_parts),
+                    "b": np.concatenate(b_parts),
+                    "capped": np.concatenate(c_parts),
+                }
+            )
+            if cand["capped"].any():
+                # capped star pairs may duplicate first-band pairs —
+                # rare (degenerate buckets only)
+                cand = cand.groupby(["a", "b"], as_index=False).agg(
+                    capped=("capped", "max")
+                )
+            return sorted(_verify_candidates(ds, cand, col, k, threshold))
+
+    # coarse-band regime past the cap: candidates stay a DATASET end to
+    # end — the pair list (O(n²/buckets) before the hamming prefilter)
+    # never lands on the driver; only the verified near-dup edges do.
     # Materialized once because three consumers read it (unique ids ×2,
     # verify) — it is LSH-bounded, not corpus-sized.
     cand_ds = _coarse_band_pairs(
@@ -1575,7 +1649,6 @@ def simhash_near_dup(
     if not n_cand:
         return []
 
-    cap = _pair_cap(pair_driver_cap)
     if cap is not None and n_cand <= cap:
         # bounded pair list (two id columns — tens of MB at the cap):
         # one driver gather + _verify_candidates (which itself fans the

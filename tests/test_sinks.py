@@ -169,3 +169,32 @@ def test_lance_branch_stub_backed(monkeypatch, tmp_path):
     )
     assert tm.read_dataset(uri2, columns=["a"]) == "DS"
     assert calls["uri"] == uri2
+
+
+def test_lance_real_round_trip_when_wheel_present(tmp_path):
+    """REAL Lance IO round-trip (round-3 verdict #8): skipped while no
+    ``lance`` wheel exists in the environment; the moment one lands this
+    graduates the HAVE_LANCE arms from stub-exercised to executed with
+    zero other changes. Covers write_table → read_table (full + pruned)
+    and write_dataset → read_dataset → to_pandas."""
+    pytest.importorskip("lance")
+    import ray.data as rd
+
+    from gocrawler_ray.sources import tables as tm
+
+    assert tm.HAVE_LANCE  # the import-try must have taken the real wheel
+
+    t = pa.table({
+        "a": pa.array(range(100), pa.int64()),
+        "b": pa.array([f"s{i}" for i in range(100)]),
+    })
+    uri = str(tmp_path / "real_lance_tbl")
+    tm.write_table(t, uri)
+    assert not glob.glob(f"{uri}.tmp-*")  # atomic rename contract
+    assert tm.read_table(uri).sort_by("a").equals(t)
+    assert tm.read_table(uri, columns=["a"]).column_names == ["a"]
+
+    uri2 = str(tmp_path / "real_lance_ds")
+    tm.write_dataset(rd.from_arrow(t), uri2)
+    got = tm.read_dataset(uri2).to_pandas().sort_values("a")
+    assert list(got["a"]) == list(range(100))
