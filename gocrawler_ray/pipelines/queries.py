@@ -51,6 +51,16 @@ def _n_cpus() -> int:
     return max(4, int(ray.cluster_resources().get("CPU", 8)))
 
 
+def _from_arrow_sliced(table: pa.Table, n_slices: int = 4) -> rd.Dataset:
+    """Driver-side Arrow table → Dataset of ≥ ``n_slices`` zero-copy
+    blocks, so a downstream actor pool (min concurrency 2) actually
+    receives parallel input at gate scale — `rd.from_arrow(table)` makes
+    ONE monolithic block that starves all but one actor."""
+    step = max(1, -(-table.num_rows // n_slices))
+    slices = [table.slice(o, step) for o in range(0, max(table.num_rows, 1), step)]
+    return rd.from_arrow(slices)
+
+
 def _gather_capped(
     ds: rd.Dataset, cap: int = 2_000_000
 ) -> pd.DataFrame | None:
@@ -288,13 +298,7 @@ def q_crawl_flagship(sf_dir: str):
 
     ckpt = CheckpointStore(_derived_crawl_ckpt(sf_dir))
     docs = ckpt.read_all_docs_table()
-    # slice the driver-side table into ≥ 2×concurrency blocks so the
-    # analyzer actor pool (min 2) actually receives parallel input at
-    # gate scale (one monolithic block starves all but one actor)
-    n_slices = 4
-    step = max(1, -(-docs.num_rows // n_slices))
-    slices = [docs.slice(o, step) for o in range(0, max(docs.num_rows, 1), step)]
-    items = build_items(rd.from_arrow(slices), analyzer_concurrency=2)
+    items = build_items(_from_arrow_sliced(docs), analyzer_concurrency=2)
 
     def project(t: pa.Table) -> pa.Table:
         skus = pc.cast(
@@ -375,7 +379,7 @@ def q_amazon_flagship(sf_dir: str):
         return items.filter(pc.invert(items.column("is_captcha")))
 
     items = (
-        rd.from_arrow(docs)
+        _from_arrow_sliced(docs)
         .map_batches(to_items, batch_format="pyarrow")
         .map_batches(ReviewAnalyzer, batch_format="pyarrow", concurrency=2)
     )

@@ -48,7 +48,9 @@ def _oracle_item(doc_id, spans):
 
 def test_items_pipeline_matches_oracle():
     t = generate(CorpusSpec(n_docs=200, n_hosts=2))
-    docs = rd.from_arrow(t["corpus"])
+    c = t["corpus"]
+    # ≥2 blocks so the analyzer actor pool (min 2) gets parallel input
+    docs = rd.from_arrow([c.slice(0, 100), c.slice(100)])
     items = build_items(docs, analyzer_concurrency=2).to_pandas()
     by_doc = {r["doc_id"]: r for _, r in items.iterrows()}
 
