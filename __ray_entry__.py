@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": q.q_minhash_pairs,
         "simhash": q.q_simhash,
         "simhash_pairs": q.q_simhash_pairs,
+        "edit_distance_pairs": q.q_edit_distance_pairs,
         "fingerprint": q.q_fingerprint,
         "ivf_topk": q.q_ivf_topk,
         "embedding_near_dup": q.q_embedding_near_dup,
@@ -520,6 +521,23 @@ ORDER BY cos DESC, vec_id LIMIT 10
         # identical ground truth gates it (see _PAIRS_SQL below).
         "minhash_pairs": _PAIRS_SQL,
         "simhash_pairs": _PAIRS_SQL,
+        # full quadratic levenshtein join over title prefixes — the
+        # engine's PassJoin candidate generation is exact-recall, so its
+        # verified pair set equals this ground truth (stages/strings.py)
+        "edit_distance_pairs": """
+WITH titles AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, substr(text, 1, 32) AS title
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id + 30000 AS VARCHAR),
+         substr(text, 1, 4) || '#' || substr(text, 6, 27)
+  FROM documents WHERE doc_id < 15)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+FROM titles a JOIN titles b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.title, b.title) <= 2
+ORDER BY a, b
+""",
         # simhash: md5-derived uint64 token hash, per-bit ±1 sign sum
         "simhash": """
 WITH words AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS w

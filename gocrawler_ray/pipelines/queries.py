@@ -897,6 +897,50 @@ def q_simhash(sf_dir: str):
     )
 
 
+def q_edit_distance_pairs(sf_dir: str):
+    """Levenshtein≤2 string-similarity self-join over 32-char document
+    title prefixes (``stages/strings.py``: PassJoin segment candidates →
+    banded-DP verify), with 15 single-substitution variants injected so
+    true typo-dups exist at every scale. Candidate generation is
+    exact-recall (pigeonhole over k+1 segments), so the verified output
+    EQUALS the oracle's full quadratic ``levenshtein`` join — the
+    character-edit dedup modality the shingle-based planes are blind
+    to (one substitution moves k adjacent shingles but one edit)."""
+    from ..stages.strings import edit_distance_join
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"],
+               num_blocks=_n_cpus())
+
+    def titles(t: pa.Table) -> pa.Table:
+        base = pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.string()),
+                "title": pc.utf8_slice_codeunits(t.column("text"), 0, 32),
+            }
+        )
+        sub = t.filter(pc.less(t.column("doc_id"), 15))
+        texts = sub.column("text").to_pylist()
+        var = pa.table(
+            {
+                "doc_id": pc.cast(
+                    pc.add(sub.column("doc_id"), 30000), pa.string()
+                ),
+                # one substitution inside the title window (titles are
+                # [a-z ]+, so '#' always changes the char): SQL mirror
+                # substr(text,1,4) || '#' || substr(text,6,27)
+                "title": pa.array(
+                    [x[:4] + "#" + x[5:32] for x in texts], pa.string()
+                ),
+            }
+        )
+        return pa.concat_tables([base, var])
+
+    ds = docs.map_batches(titles, batch_format="pyarrow")
+    out = edit_distance_join(ds, col="title", id_col="doc_id", k=2)
+    out["dist"] = out["dist"].astype(np.int64)
+    return out
+
+
 def q_fingerprint(sf_dir: str):
     docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
     return docs.map_batches(fingerprint, batch_format="pyarrow").map_batches(
