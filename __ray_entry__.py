@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q.q_simhash,
         "simhash_pairs": q.q_simhash_pairs,
         "edit_distance_pairs": q.q_edit_distance_pairs,
+        "pareto_parts": q.q_pareto_parts,
+        "interval_coverage": q.q_interval_coverage,
         "fingerprint": q.q_fingerprint,
         "ivf_topk": q.q_ivf_topk,
         "embedding_near_dup": q.q_embedding_near_dup,
@@ -537,6 +539,43 @@ SELECT a.doc_id AS a, b.doc_id AS b,
 FROM titles a JOIN titles b ON a.doc_id < b.doc_id
 WHERE levenshtein(a.title, b.title) <= 2
 ORDER BY a, b
+""",
+        # skyline dominance: keep a part iff NO part is >= on size,
+        # <= on price, and strictly better on one of them
+        "pareto_parts": """
+WITH p AS (SELECT p_partkey, p_size,
+                  CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+           FROM part)
+SELECT p_partkey, p_size, price_cents FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.p_size >= a.p_size AND b.price_cents <= a.price_cents
+    AND (b.p_size > a.p_size OR b.price_cents < a.price_cents))
+ORDER BY p_partkey
+""",
+        # gaps-and-islands interval union per user (each event opens an
+        # interval of round(value*1000) * 0.1s; touching intervals merge)
+        "interval_coverage": """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(round(value * 1000) AS BIGINT) * 100000 AS e
+  FROM events),
+m AS (
+  SELECT user_id, s, e,
+         CASE WHEN s <= max(e) OVER (PARTITION BY user_id ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 0 ELSE 1 END AS first_of_island
+  FROM iv),
+g AS (
+  SELECT user_id, s, e,
+         sum(first_of_island) OVER (PARTITION BY user_id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM m),
+isl AS (SELECT user_id, grp, min(s) AS ss, max(e) AS ee
+        FROM g GROUP BY user_id, grp)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(ee - ss) AS BIGINT) AS covered_us
+FROM isl GROUP BY user_id ORDER BY user_id
 """,
         # simhash: md5-derived uint64 token hash, per-bit ±1 sign sum
         "simhash": """

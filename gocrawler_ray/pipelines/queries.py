@@ -6179,6 +6179,127 @@ def q_span_kind_stats(sf_dir: str):
     return out.sort_values("kind").reset_index(drop=True)
 
 
+def q_pareto_parts(sf_dir: str):
+    """Skyline (Pareto frontier) of parts — maximize p_size, minimize
+    price — the dominance operator behind "best tradeoff" curation
+    passes. Plan: ONE map-only pass emits per-block (size, min_cents)
+    partials (O(blocks × |size domain|) rows — p_size is a bounded
+    small-int domain, so the driver combine is a few thousand rows at
+    ANY corpus scale); the global frontier closes on the driver with an
+    exclusive running min over sizes descending; keepers broadcast back
+    into a map-side filter. Zero shuffles. A point survives iff its
+    price equals its size's min AND beats every strictly-larger size's
+    min (duplicates of a frontier point all survive — they are not
+    STRICTLY dominated), which is exactly the oracle's NOT EXISTS."""
+    parts = _pq(sf_dir, "part",
+                columns=["p_partkey", "p_size", "p_retailprice"],
+                num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cents = round_half_away(
+            t.column("p_retailprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {"p_size": t.column("p_size").to_numpy(zero_copy_only=False),
+             "cents": cents}
+        )
+        return df.groupby("p_size", as_index=False)["cents"].min()
+
+    mins = (
+        parts.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("p_size", as_index=False)["cents"]
+        .min()
+        .sort_values("p_size", ascending=False)
+    )
+    c = mins["cents"].to_numpy(np.int64)
+    # exclusive running min over strictly larger sizes
+    best_larger = np.concatenate(
+        ([np.iinfo(np.int64).max], np.minimum.accumulate(c)[:-1])
+    )
+    frontier = mins[c < best_larger]
+    keeper = dict(zip(frontier["p_size"], frontier["cents"]))
+
+    def pick(t: pa.Table) -> pd.DataFrame:
+        cents = round_half_away(
+            t.column("p_retailprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        sizes = t.column("p_size").to_numpy(zero_copy_only=False)
+        want = pd.Series(sizes).map(keeper).to_numpy()
+        keep = ~pd.isna(want)
+        keep[keep] &= cents[keep] == want[keep].astype(np.int64)
+        return pd.DataFrame(
+            {
+                "p_partkey": t.column("p_partkey").to_numpy(
+                    zero_copy_only=False
+                )[keep],
+                "p_size": sizes[keep],
+                "price_cents": cents[keep],
+            }
+        )
+
+    out = parts.map_batches(pick, batch_format="pyarrow").to_pandas()
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def q_interval_coverage(sf_dir: str):
+    """Merged-interval (gaps-and-islands) coverage per user: each event
+    opens an interval of ``round(value*1000) × 0.1 s``; overlapping or
+    touching intervals coalesce, and the report is (n_islands, total
+    covered µs) per user — the interval-union operator behind session
+    coverage / airtime / utilization analytics. ONE hash-bucket shuffle
+    on user_id co-locates a user's events; the in-bucket kernel is all
+    vectorized pandas (sort → per-user cummax-shift → island cumsum →
+    two groupbys); per-user results are tiny and gather at the end.
+    All arithmetic is integer µs so partials are exactly mergeable."""
+    from ..stages.temporal import _with_bucket
+
+    ev = _pq(sf_dir, "events", columns=["user_id", "ts", "value"],
+             num_blocks=_n_cpus())
+
+    def bucket_cover(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype=np.int64),
+                 "n_islands": pd.Series([], dtype=np.int64),
+                 "covered_us": pd.Series([], dtype=np.int64)}
+            )
+        s = (
+            g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        dur = (
+            round_half_away(g["value"].to_numpy(np.float64) * 1000.0)
+            * 100000.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {"u": g["user_id"].to_numpy(), "s": s, "e": s + dur}
+        ).sort_values(["u", "s", "e"], kind="stable")
+        cm = df.groupby("u", sort=False)["e"].cummax()
+        prev = cm.groupby(df["u"], sort=False).shift(1)
+        new_island = (
+            df["s"].to_numpy() > prev.to_numpy()
+        ) | prev.isna().to_numpy()
+        df["gid"] = np.cumsum(new_island)
+        isl = df.groupby(["u", "gid"], as_index=False).agg(
+            s=("s", "min"), e=("e", "max")
+        )
+        isl["span"] = isl["e"] - isl["s"]
+        return isl.groupby("u", as_index=False).agg(
+            n_islands=("gid", "count"), covered_us=("span", "sum")
+        ).rename(columns={"u": "user_id"})
+
+    out = (
+        _with_bucket(ev, "user_id", 32)
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: bucket_cover(g.drop(columns="__bucket")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_value_percentiles(sf_dir: str):
     """Interpolated percentiles (PERCENTILE_CONT p25/p50/p75/p90) per
     event type — the distribution-report companion to value_mad's exact
