@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q.q_simhash_pairs,
         "edit_distance_pairs": q.q_edit_distance_pairs,
         "pareto_parts": q.q_pareto_parts,
+        "canonical_docs": q.q_canonical_docs,
         "interval_coverage": q.q_interval_coverage,
         "fingerprint": q.q_fingerprint,
         "ivf_topk": q.q_ivf_topk,
@@ -1283,6 +1284,27 @@ SELECT event_id, 'epoch_us', CAST(epoch_us(ts) AS DOUBLE) FROM events
         "SELECT label, count(*) AS size FROM ("
         + out["connected_components"]
         + ") GROUP BY label) GROUP BY size ORDER BY size"
+    )
+    # canonical keeper per dup cluster: most characters, tie -> min id
+    out["canonical_docs"] = (
+        """
+SELECT label, min(doc_id) FILTER (WHERE n = mx) AS keeper,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(max(n) AS BIGINT) AS max_chars
+FROM (
+  SELECT c.label, c.node AS doc_id, l.n,
+         max(l.n) OVER (PARTITION BY c.label) AS mx
+  FROM ("""
+        + out["connected_components"]
+        + """) c
+  JOIN (SELECT CAST(doc_id AS VARCHAR) AS doc_id, length(text) AS n
+        FROM (SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 20000, text || ' extra tail token appended'
+              FROM documents WHERE doc_id < 10)) l
+    ON l.doc_id = c.node)
+GROUP BY label ORDER BY label
+"""
     )
     out["top_bigrams"] = r"""
 WITH words AS (

@@ -2571,6 +2571,107 @@ def q_events_unpivot(sf_dir: str):
     return ev.map_batches(melt, batch_format="pyarrow")
 
 
+def q_canonical_docs(sf_dir: str):
+    """Canonical-keeper selection per near-dup cluster — the dedup KEEP
+    policy as a first-class operator (which member of each dup cluster
+    survives): keeper = the member with the most characters (richest
+    version), tie-broken by min doc_id. Components close over the
+    bounded verified edge list with driver union-find (same
+    shortcut-vs-distributed contract as dup_cluster_sizes); member
+    char-lengths come back in ONE broadcast-filtered map pass — the
+    corpus itself never shuffles. Past the edge cap the labels stay a
+    Dataset and the argmax runs as a label-keyed map_groups."""
+    import ray
+
+    from ..stages.dedup import components_minlabel, minhash_lsh_dedup
+
+    ds = _near_dup_docs(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.string()),
+                "text": t.column("text"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    _, edges = minhash_lsh_dedup(
+        ds, col="text", id_col="doc_id", threshold=0.6, num_perm=128, bands=64
+    )
+
+    def lengths_of(member_ref):
+        def pick(t: pa.Table) -> pa.Table:
+            sub = t.filter(
+                pc.is_in(t.column("doc_id"), ray.get(member_ref))
+            )
+            return pa.table(
+                {
+                    "doc_id": sub.column("doc_id"),
+                    "n": pc.cast(
+                        pc.utf8_length(sub.column("text")), pa.int64()
+                    ),
+                }
+            )
+
+        return ds.map_batches(pick, batch_format="pyarrow")
+
+    if len(edges) <= 500_000:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = sorted({x for e in edges for x in e})
+        lab = {x: find(x) for x in nodes}
+        member_ref = ray.put(pa.array(nodes, pa.string()))
+        lens = lengths_of(member_ref).to_pandas()
+        lens["label"] = lens["doc_id"].map(lab)
+    else:  # pragma: no cover - edge set past the driver cap
+        labels = components_minlabel(
+            rd.from_arrow(
+                pa.table(
+                    {
+                        "a": pa.array([a for a, _ in edges], pa.string()),
+                        "b": pa.array([b for _, b in edges], pa.string()),
+                    }
+                )
+            ),
+            num_partitions=4,
+        )
+        ldf = labels.to_pandas()  # bounded: dup nodes << corpus
+        member_ref = ray.put(pa.array(ldf["node"], pa.string()))
+        lens = lengths_of(member_ref).to_pandas()
+        lens["label"] = lens["doc_id"].map(
+            dict(zip(ldf["node"], ldf["label"]))
+        )
+
+    mx = lens.groupby("label")["n"].transform("max")
+    at_max = lens[lens["n"] == mx]
+    out = (
+        lens.groupby("label", as_index=False)
+        .agg(n_members=("doc_id", "count"), max_chars=("n", "max"))
+        .merge(
+            at_max.groupby("label", as_index=False)["doc_id"]
+            .min()
+            .rename(columns={"doc_id": "keeper"}),
+            on="label",
+        )
+    )
+    out["n_members"] = out["n_members"].astype(np.int64)
+    out["max_chars"] = out["max_chars"].astype(np.int64)
+    return out[["label", "keeper", "n_members", "max_chars"]].sort_values(
+        "label"
+    ).reset_index(drop=True)
+
+
 def q_dup_cluster_sizes(sf_dir: str):
     """Dup-cluster size histogram — the dedup QA aggregate (how much of
     the corpus is duplicated, at what multiplicity): distributed
