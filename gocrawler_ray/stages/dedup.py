@@ -1634,7 +1634,34 @@ def simhash_near_dup(
                 cand = cand.groupby(["a", "b"], as_index=False).agg(
                     capped=("capped", "max")
                 )
-            return sorted(_verify_candidates(ds, cand, col, k, threshold))
+            kept = sorted(_verify_candidates(ds, cand, col, k, threshold))
+            if with_h2 and kept:
+                # per-corpus radius-safety margin (ADVICE r3): the
+                # shingle prefilter is probabilistic — measure how close
+                # the TRUE pairs come to the radius and warn when the
+                # margin thins (a verified pair at hamming == radius
+                # means a differently-seeded corpus could lose a pair)
+                import logging
+
+                log = logging.getLogger(__name__)
+                h2m = dict(zip(docs, hs2))
+                obs = hamming64(
+                    np.array([h2m[a] for a, _ in kept], np.uint64),
+                    np.array([h2m[b] for _, b in kept], np.uint64),
+                )
+                max_h2 = int(obs.max())
+                log.debug(
+                    "simhash shingle prefilter: max true-pair hamming "
+                    "%d of radius %d", max_h2, shingle_radius,
+                )
+                if max_h2 > shingle_radius - 6:
+                    log.warning(
+                        "simhash shingle_radius margin is thin: a "
+                        "verified pair sits at hamming %d of radius %d "
+                        "— raise shingle_radius for this corpus",
+                        max_h2, shingle_radius,
+                    )
+            return kept
 
     # coarse-band regime past the cap: candidates stay a DATASET end to
     # end — the pair list (O(n²/buckets) before the hamming prefilter)
