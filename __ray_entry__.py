@@ -199,6 +199,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_kind_stats": q.q_span_kind_stats,
         "value_percentiles": q.q_value_percentiles,
         "epoch_order": q.q_epoch_order,
+        "posting_lists": q.q_posting_lists,
+        "rerank_topk": q.q_rerank_topk,
+        "event_throttle": q.q_event_throttle,
+        "user_twap": q.q_user_twap,
+        "type_affinity": q.q_type_affinity,
+        "regr_by_type": q.q_regr_by_type,
     }
 
 
@@ -2302,5 +2308,120 @@ WITH ranked AS (
 SELECT CAST(epoch AS BIGINT) AS epoch, doc_id, position
 FROM ranked WHERE position < 64
 ORDER BY epoch, position
+"""
+    # inverted-index build: df + first-15 postings per term (engine:
+    # within-batch dedup is globally exact — one doc per row — then a
+    # vocab-bounded driver merge of per-block sorted prefixes)
+    out["posting_lists"] = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents),
+ranked AS (
+  SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM toks)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       string_agg(CASE WHEN rn <= 15 THEN CAST(doc_id AS VARCHAR) END,
+                  ',' ORDER BY doc_id) AS postings
+FROM ranked GROUP BY term ORDER BY term
+"""
+    # two-stage retrieval: BM25 top-50 candidates (identical expression
+    # to bm25_topk, LIMIT 50), then exact-cosine rerank of only those
+    # candidates against query vector 0, top 10 by (cos desc, doc_id)
+    out["rerank_topk"] = """
+WITH docs AS (
+  SELECT doc_id, lower(text) AS txt,
+         CAST(len(regexp_extract_all(text, '\\w+')) AS DOUBLE) AS dl
+  FROM documents),
+consts AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         SUM(dl) / COUNT(*) AS avgdl FROM docs),
+terms AS (SELECT unnest(['vector', 'join', 'stream']) AS term),
+tf AS (
+  SELECT d.doc_id, t.term, d.dl,
+         CAST(len(regexp_extract_all(d.txt, '\\b' || t.term || '\\b'))
+              AS DOUBLE) AS tf
+  FROM docs d CROSS JOIN terms t),
+df AS (SELECT term, CAST(SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS df FROM tf GROUP BY term),
+per_term AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(round(((c.n_docs - df.df + 0.5) / (df.df + 0.5))
+                    * (tf.tf * 2.2)
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / c.avgdl))
+                    * 1000000) AS BIGINT) AS s6
+  FROM tf JOIN df USING (term) CROSS JOIN consts c WHERE tf.tf > 0),
+cand AS (
+  SELECT doc_id, CAST(SUM(s6) AS BIGINT) AS score6
+  FROM per_term GROUP BY doc_id
+  ORDER BY score6 DESC, doc_id LIMIT 50),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = 0)
+SELECT c.doc_id, c.score6,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv),
+             6) AS cos
+FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id, q
+ORDER BY cos DESC, c.doc_id LIMIT 10
+"""
+    # lag-based stream throttle: keep an event iff it is the first of
+    # its (user, type) key or >= 60 s after the key's previous event
+    out["event_throttle"] = """
+WITH l AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT event_type,
+  CAST(SUM(CASE WHEN gap IS NULL OR gap >= 60000000 THEN 1 ELSE 0 END)
+       AS BIGINT) AS kept,
+  CAST(SUM(CASE WHEN gap IS NOT NULL AND gap < 60000000 THEN 1 ELSE 0 END)
+       AS BIGINT) AS dropped
+FROM l GROUP BY event_type ORDER BY event_type
+"""
+    # per-user time-weighted average (weight = µs to the user's next
+    # event); users with zero total weight are excluded
+    out["user_twap"] = """
+WITH w AS (
+  SELECT user_id, value,
+         lead(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch_us(ts) AS dt
+  FROM events)
+SELECT user_id,
+       round(SUM(value * dt) / SUM(dt), 6) AS twap,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals
+FROM w WHERE dt IS NOT NULL
+GROUP BY user_id HAVING SUM(dt) > 0
+ORDER BY user_id
+"""
+    # audience-overlap Jaccard between every two event types'
+    # distinct-user sets (types are clock/vocabulary-bounded)
+    out["type_affinity"] = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+p AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         CAST(COUNT(*) AS BIGINT) AS co
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2),
+s AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1)
+SELECT p.ta, p.tb, p.co,
+       round(CAST(p.co AS DOUBLE) / (sa.n + sb.n - p.co), 6) AS jaccard
+FROM p JOIN s sa ON sa.event_type = p.ta
+       JOIN s sb ON sb.event_type = p.tb
+ORDER BY ta, tb
+"""
+    # per-type linear regression of value vs days since 2024-01-01
+    # (fixed anchor keeps |x| small so the closed form and DuckDB's
+    # stable regr_* agree far below the 1e-6 rounding grid)
+    out["regr_by_type"] = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       round(regr_slope(value,
+             (epoch_us(ts) - 1704067200000000) / 86400000000.0), 6)
+         AS slope,
+       round(regr_intercept(value,
+             (epoch_us(ts) - 1704067200000000) / 86400000000.0), 6)
+         AS icept
+FROM events GROUP BY event_type ORDER BY event_type
 """
     return out

@@ -6160,19 +6160,20 @@ def q_rp_buckets(sf_dir: str):
 BM25_TERMS = ("vector", "join", "stream")
 
 
-def q_bm25_topk(sf_dir: str):
-    """BM25 retrieval top-20 for a fixed 3-term query (k1=1.2, b=0.75,
+def _bm25_top(sf_dir: str, k: int) -> pd.DataFrame:
+    """BM25 top-``k`` for the fixed 3-term query (k1=1.2, b=0.75,
     log-free monotone idf (N−df+0.5)/(df+0.5) so no libm ulp can cross
     the hash gate — same reasoning as the integer PMI in bigram_lift).
 
     Two streaming passes: (1) corpus stats — N, Σdl, per-term df — as
     ONE per-batch scalar partial row (bounded combine at any corpus
     size); (2) scoring — stats broadcast via ray.put, each batch scores
-    its matching docs and emits a local top-20 (k × blocks to the
+    its matching docs and emits a local top-k (k × blocks to the
     driver). The per-term float expression mirrors the oracle operand
     for operand and is rounded half-away to 6 decimals INDEPENDENTLY
     per term, then summed in exact 1e-6 integer units — summation
-    order can never flip the gate."""
+    order can never flip the gate. Shared candidate generator for
+    q_bm25_topk (k=20) and the q_rerank_topk first stage (k=50)."""
     docs = _pq(sf_dir, "documents", columns=["doc_id", "text"],
                num_blocks=_n_cpus())
     pats = [rf"\b{t}\b" for t in BM25_TERMS]
@@ -6220,7 +6221,7 @@ def q_bm25_topk(sf_dir: str):
             ).astype(np.int64)
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)[hit]
         sc = score6[hit]
-        order = np.lexsort((ids, -sc))[:20]
+        order = np.lexsort((ids, -sc))[:k]
         return pd.DataFrame({"doc_id": ids[order], "score6": sc[order]})
 
     parts = pd.concat(
@@ -6229,10 +6230,15 @@ def q_bm25_topk(sf_dir: str):
         ignore_index=True,
     )
     out = parts.sort_values(["score6", "doc_id"],
-                            ascending=[False, True]).head(20)
+                            ascending=[False, True]).head(k)
     out["doc_id"] = out["doc_id"].astype(np.int64)
     out["score6"] = out["score6"].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 retrieval top-20 for a fixed 3-term query; see _bm25_top."""
+    return _bm25_top(sf_dir, 20)
 
 
 def q_span_kind_stats(sf_dir: str):
@@ -6492,3 +6498,293 @@ def q_epoch_order(sf_dir: str):
             "position": np.arange(len(order), dtype=np.int64),
         }))
     return pd.concat(frames, ignore_index=True)
+
+
+def q_posting_lists(sf_dir: str):
+    """Inverted-index build (the indexing half of retrieval): per term,
+    document frequency plus the first 15 postings (ascending doc_ids,
+    comma-joined). Each document is exactly ONE input row, so
+    within-batch (doc, term) dedup is globally exact — no shuffle ever;
+    the per-batch partial is (term, df, first-15-ids), O(vocab × blocks)
+    rows to the driver, and the driver closes a k-bounded merge (the
+    global first-15 is contained in the union of per-block first-15s).
+    At 100 TB the partial stream stays vocabulary-bounded; a
+    corpus-sized vocabulary would instead shuffle (term, doc_id) by
+    term hash — this corpus' vocab is 31 terms, so the driver close is
+    the right plan at any row count."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"],
+               num_blocks=_n_cpus())
+    K = 15
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = t.column("text").to_pandas().fillna("").str.split(" ")
+        lens = toks.str.len().to_numpy(np.int64)
+        if not lens.sum():
+            return pd.DataFrame({"term": pd.Series([], dtype=str),
+                                 "df": pd.Series([], dtype=np.int64),
+                                 "post": pd.Series([], dtype=str)})
+        flat = pd.DataFrame({
+            "term": np.concatenate(toks.to_numpy()),
+            "doc_id": np.repeat(ids, lens),
+        }).drop_duplicates().sort_values(["term", "doc_id"])
+        g = flat.groupby("term", as_index=False).agg(
+            df=("doc_id", "size"),
+            post=("doc_id", lambda s: ",".join(map(str, s.head(K)))),
+        )
+        return g
+
+    parts = pd.concat(
+        list(docs.map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pandas")),
+        ignore_index=True,
+    )
+    rows = []
+    for term, g in parts.groupby("term"):
+        ids = np.sort(np.concatenate([
+            np.fromstring(p, dtype=np.int64, sep=",") if p else
+            np.array([], np.int64) for p in g["post"]
+        ]))[:K]
+        rows.append({
+            "term": term,
+            "df": np.int64(g["df"].sum()),
+            "postings": ",".join(map(str, ids)),
+        })
+    return (pd.DataFrame(rows).sort_values("term").reset_index(drop=True)
+            if rows else
+            pd.DataFrame(columns=["term", "df", "postings"]))
+
+
+def q_rerank_topk(sf_dir: str):
+    """Two-stage retrieval (candidate generation → rerank), the shape
+    every RAG/training-data retrieval pipeline runs: BM25 selects 50
+    lexical candidates over the streamed corpus (exact integer scores,
+    _bm25_top), then ONLY those 50 are reranked by exact embedding
+    cosine against the query vector (vec_id 0) and the top 10 returned
+    with both scores. The rerank side reads the embeddings table with a
+    pushed-down ``is_in`` filter — candidate-set-sized, never
+    corpus-sized, which is what makes the two-stage plan the 100 TB
+    answer (a full-corpus cosine would be embedding_topk; here the
+    expensive scorer touches 50 rows regardless of corpus size)."""
+    cand = _bm25_top(sf_dir, 50)
+    cand_ids = cand["doc_id"].to_numpy(np.int64)
+    import pyarrow.parquet as pq
+
+    q0 = (
+        pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+        .filter(pc.equal(pc.field("vec_id"), 0))
+    )
+    queries = {
+        "ids": np.array([0], dtype=np.int64),
+        "matrix": np.array(q0.column("embedding").to_pylist(),
+                           dtype=np.float64),
+    }
+    emb = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    id_set = pa.array(cand_ids, pa.int64())
+    emb = emb.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("vec_id"), value_set=id_set)),
+        batch_format="pyarrow",
+    )
+    rer = brute_force_topk(emb, queries, k=10).copy()
+    rer["cos"] = rer["cos"].round(6)
+    out = rer.merge(cand, left_on="vec_id", right_on="doc_id")[
+        ["doc_id", "score6", "cos"]
+    ]
+    out = out.sort_values(["cos", "doc_id"], ascending=[False, True]).head(10)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["score6"] = out["score6"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def q_event_throttle(sf_dir: str):
+    """Streaming event throttling (rate-limit dedup): an event is KEPT
+    iff it is the first of its (user, event_type) key or arrives ≥ 60 s
+    after the key's previous event (lag-based throttle — the stateless
+    window form every stream engine ships, not the kept-chain
+    recurrence). ONE hash-bucket shuffle on user_id co-locates each
+    key's full history; the in-bucket kernel is a vectorized
+    lexsort + diff (no per-row Python), and what leaves each bucket is
+    a (event_type × {kept,dropped}) count partial — clock-bounded at
+    any corpus size."""
+    from ..stages.temporal import _with_bucket
+
+    ev = _pq(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "event_type"],
+             num_blocks=_n_cpus())
+    GAP = 60_000_000  # 60 s in µs
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((
+            g["event_id"].to_numpy(np.int64),
+            g["ts"].astype("int64").to_numpy(),
+            g["event_type"].to_numpy(),
+            g["user_id"].to_numpy(np.int64),
+        ))
+        u = g["user_id"].to_numpy(np.int64)[order]
+        et = g["event_type"].to_numpy()[order]
+        ts = g["ts"].astype("int64").to_numpy()[order]
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = (u[1:] != u[:-1]) | (et[1:] != et[:-1])
+        gap_ok = np.empty(len(u), dtype=bool)
+        gap_ok[0] = True
+        gap_ok[1:] = (ts[1:] - ts[:-1]) >= GAP
+        kept = first | gap_ok
+        df = pd.DataFrame({"event_type": et, "kept": kept})
+        out = df.groupby("event_type", as_index=False).agg(
+            kept=("kept", "sum"), n=("kept", "size"))
+        out["dropped"] = out["n"] - out["kept"]
+        return out[["event_type", "kept", "dropped"]]
+
+    partials = (
+        _with_bucket(ev, "user_id", 32)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )
+    out = _combine_partials(partials, ["event_type"], ["kept", "dropped"])
+    out["kept"] = out["kept"].astype(np.int64)
+    out["dropped"] = out["dropped"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_user_twap(sf_dir: str):
+    """Per-user time-weighted average value (TWAP): each event's value
+    is weighted by the µs interval to the user's NEXT event (the
+    held-until-replaced semantics of market/metric rollups); users whose
+    events all share one timestamp are excluded (zero total weight).
+    ONE hash-bucket shuffle on user_id, then a fully vectorized
+    in-bucket kernel (lexsort + shifted diff + groupby sums) — each
+    user's row count and output row are bucket-local, so nothing beyond
+    the per-user result rows ever moves. Weighted sums run in float64
+    with exact-integer µs weights; both sides round half-away to 6 (the
+    ~1e-15 relative summation-order noise is 9 orders below the grid)."""
+    from ..stages.temporal import _with_bucket
+
+    ev = _pq(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "value"],
+             num_blocks=_n_cpus())
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((
+            g["event_id"].to_numpy(np.int64),
+            g["ts"].astype("int64").to_numpy(),
+            g["user_id"].to_numpy(np.int64),
+        ))
+        u = g["user_id"].to_numpy(np.int64)[order]
+        ts = g["ts"].astype("int64").to_numpy()[order]
+        v = g["value"].to_numpy(np.float64)[order]
+        last = np.empty(len(u), dtype=bool)
+        last[:-1] = u[1:] != u[:-1]
+        last[-1] = True
+        dt = np.empty(len(u), dtype=np.float64)
+        dt[:-1] = (ts[1:] - ts[:-1]).astype(np.float64)
+        dt[last] = 0.0
+        df = pd.DataFrame({"user_id": u, "num": v * dt, "den": dt,
+                           "n_intervals": (~last).astype(np.int64)})
+        agg = df.groupby("user_id", as_index=False).sum()
+        agg = agg[agg["den"] > 0]
+        return pd.DataFrame({
+            "user_id": agg["user_id"].to_numpy(np.int64),
+            "twap": round_half_away(
+                agg["num"].to_numpy() / agg["den"].to_numpy(), 6),
+            "n_intervals": agg["n_intervals"].to_numpy(np.int64),
+        })
+
+    out = (
+        _with_bucket(ev, "user_id", 32)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )
+    return out.sort("user_id")
+
+
+def q_type_affinity(sf_dir: str):
+    """Set-similarity matrix over the (bounded) event-type vocabulary:
+    Jaccard between every two types' distinct-user sets — the audience
+    overlap report. ONE hash-bucket shuffle on user_id makes the
+    per-bucket (user, type) dedup globally exact; the kernel emits
+    diagonal rows (ta = tb → per-type distinct-user partials) and
+    upper-triangle rows (co-occurrence partials) in one frame — the
+    combine stream is types² × buckets. Counts stay exact integers; the
+    single closing division is the only float, identical on both sides."""
+    from ..stages.temporal import _with_bucket
+
+    ev = _pq(sf_dir, "events", columns=["user_id", "event_type"],
+             num_blocks=_n_cpus())
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["user_id", "event_type"]].drop_duplicates()
+        singles = d.groupby("event_type", as_index=False).size()
+        singles = pd.DataFrame({"ta": singles["event_type"],
+                                "tb": singles["event_type"],
+                                "n": singles["size"]})
+        m = d.merge(d, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        pairs = m.groupby(["event_type_x", "event_type_y"],
+                          as_index=False).size()
+        pairs = pd.DataFrame({"ta": pairs["event_type_x"],
+                              "tb": pairs["event_type_y"],
+                              "n": pairs["size"]})
+        return pd.concat([singles, pairs], ignore_index=True)
+
+    parts = _combine_partials(
+        _with_bucket(ev, "user_id", 32)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas"),
+        ["ta", "tb"], ["n"],
+    )
+    diag = {r.ta: int(r.n) for r in parts[parts["ta"] == parts["tb"]]
+            .itertuples()}
+    up = parts[parts["ta"] != parts["tb"]].copy()
+    co = up["n"].to_numpy(np.int64)
+    na = up["ta"].map(diag).to_numpy(np.int64)
+    nb = up["tb"].map(diag).to_numpy(np.int64)
+    return pd.DataFrame({
+        "ta": up["ta"].to_numpy(),
+        "tb": up["tb"].to_numpy(),
+        "co": co,
+        "jaccard": round_half_away(co / (na + nb - co), 6),
+    }).sort_values(["ta", "tb"]).reset_index(drop=True)
+
+
+def q_regr_by_type(sf_dir: str):
+    """Per-group simple linear regression (value vs days since
+    2024-01-01) via the same mergeable sufficient statistics as
+    q_grouped_corr: one (n, Σx, Σy, Σxy, Σx²) row per (block, type),
+    driver closes slope/intercept over the bounded type set. The time
+    axis is anchored at a FIXED epoch so x ∈ [0, ~30] — slope is
+    mathematically shift-invariant, and the small-|x| frame keeps the
+    cancellation error of the closed form ~7 orders below the 1e-6
+    rounding grid on both slope and intercept (an unanchored x ≈ 2e4
+    days would put the intercept's error at the grid)."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "ts", "value"],
+             num_blocks=_n_cpus())
+    T0 = 1_704_067_200_000_000  # 2024-01-01 in µs
+    DAY = 86_400_000_000.0
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        x = (pc.cast(t.column("ts"), pa.int64()).to_numpy()
+             - T0).astype(np.float64) / DAY
+        y = t.column("value").to_numpy()
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas(),
+            "n": np.int64(1),
+            "sx": x, "sy": y, "sxy": x * y, "sxx": x * x,
+        })
+        return df.groupby("event_type", as_index=False).sum()
+
+    out = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], ["n", "sx", "sy", "sxy", "sxx"],
+    )
+    n = out["n"].to_numpy(np.float64)
+    sx, sy = out["sx"].to_numpy(), out["sy"].to_numpy()
+    sxy, sxx = out["sxy"].to_numpy(), out["sxx"].to_numpy()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    icept = sy / n - slope * (sx / n)
+    return pd.DataFrame({
+        "event_type": out["event_type"],
+        "n": out["n"].astype(np.int64),
+        "slope": round_half_away(slope, 6),
+        "icept": round_half_away(icept, 6),
+    }).sort_values("event_type").reset_index(drop=True)
