@@ -205,6 +205,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_twap": q.q_user_twap,
         "type_affinity": q.q_type_affinity,
         "regr_by_type": q.q_regr_by_type,
+        "basket_pairs": q.q_basket_pairs,
+        "user_streaks": q.q_user_streaks,
+        "benford_cents": q.q_benford_cents,
+        "ship_lag": q.q_ship_lag,
     }
 
 
@@ -2423,5 +2427,61 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
              (epoch_us(ts) - 1704067200000000) / 86400000000.0), 6)
          AS icept
 FROM events GROUP BY event_type ORDER BY event_type
+"""
+    # market-basket support: top-100 part pairs co-shipped in ≥ 2 orders
+    out["basket_pairs"] = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2)
+SELECT pa, pb, n FROM p WHERE n >= 2
+ORDER BY n DESC, pa, pb LIMIT 100
+"""
+    # gap-and-islands: longest consecutive-active-day streak per user
+    out["user_streaks"] = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+g AS (
+  SELECT user_id, day,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+           AS grp
+  FROM d),
+runs AS (
+  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+  FROM g GROUP BY user_id, grp)
+SELECT user_id, MAX(len) AS max_streak,
+       CAST(SUM(len) AS BIGINT) AS n_active_days
+FROM runs GROUP BY user_id ORDER BY user_id
+"""
+    # Benford first-significant-digit audit over exact integer cents
+    out["benford_cents"] = """
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+d AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM c),
+g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit)
+SELECT digit, n,
+       round(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM g), 6) AS share,
+       round(ln(1 + 1.0 / digit) / ln(10), 6) AS expected
+FROM g ORDER BY digit
+"""
+    # fulfillment lag (orderdate → last shipdate) stats by priority
+    out["ship_lag"] = """
+WITH m AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS ms FROM lineitem
+  GROUP BY l_orderkey)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       round(CAST(SUM((epoch_us(ms) - epoch_us(o_orderdate))
+                      // 86400000000) AS DOUBLE) / COUNT(*), 6)
+         AS avg_lag_days,
+       CAST(MAX((epoch_us(ms) - epoch_us(o_orderdate)) // 86400000000)
+         AS BIGINT) AS max_lag_days
+FROM orders JOIN m ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
     return out

@@ -6788,3 +6788,216 @@ def q_regr_by_type(sf_dir: str):
         "slope": round_half_away(slope, 6),
         "icept": round_half_away(icept, 6),
     }).sort_values("event_type").reset_index(drop=True)
+
+
+def q_basket_pairs(sf_dir: str):
+    """Market-basket co-occurrence: the top-100 part pairs that ship in
+    the same order at least twice (support ≥ 2), ordered by support —
+    the frequent-itemset primitive behind association-rule mining. ONE
+    hash-bucket shuffle on l_orderkey co-locates each basket; the
+    in-bucket kernel dedups (order, part), self-merges the tiny baskets
+    (TPC-H baskets are ≤ 7 lines, so ≤ 21 pairs per order) and
+    partial-counts pairs — what leaves each bucket is the bucket's
+    (pa, pb, n) partial, never the raw pair stream. The close is
+    plan-capped: under the cap ONE driver combine; past it the partials
+    re-shuffle by hash(pa) — a pair's rows always share pa, so the
+    per-bucket (pa, pb) sum and per-bucket top-100 partial are exact,
+    and the driver closes over buckets × 100 rows at any corpus size."""
+    from ..stages.temporal import _with_bucket
+
+    lt = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"],
+             num_blocks=_n_cpus())
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        out = m.groupby(["l_partkey_x", "l_partkey_y"],
+                        as_index=False).size()
+        return pd.DataFrame({"pa": out["l_partkey_x"].to_numpy(np.int64),
+                             "pb": out["l_partkey_y"].to_numpy(np.int64),
+                             "n": out["size"].to_numpy(np.int64)})
+
+    partials = (
+        _with_bucket(lt, "l_orderkey", 32)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+    def close(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n"] >= 2].sort_values(
+            ["n", "pa", "pb"], ascending=[False, True, True])
+        return df.head(100).reset_index(drop=True)
+
+    merged = _combine_partials(partials, ["pa", "pb"], ["n"],
+                               cap=2_000_000)
+    if merged is not None:
+        return close(merged)
+    # distributed close: re-shuffle the pair partials by hash(pa) — both
+    # rows of any (pa, pb) land together, so the per-bucket sum + local
+    # top-100 are exact and the driver sees buckets × 100 rows
+    def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["pa", "pb"], as_index=False)["n"].sum()
+        return close(s)
+
+    tops = (
+        _with_bucket(partials, "pa", 64)
+        .groupby("__bucket")
+        .map_groups(bucket_top, batch_format="pandas")
+    )
+    return close(tops.to_pandas())
+
+
+def q_user_streaks(sf_dir: str):
+    """Gap-and-islands: each user's LONGEST run of consecutive active
+    days plus their total distinct active days — the retention-quality
+    report. ONE hash-bucket shuffle on user_id co-locates each user's
+    history; the kernel is fully vectorized (µs → day ordinal, distinct
+    (user, day) sort, island break vector where user changes or the day
+    gap ≠ 1, `np.add.reduceat`-free run lengths via break indices) and
+    emits one row per user — output is user-bounded, never
+    event-bounded."""
+    from ..stages.temporal import _with_bucket
+
+    DAY = 86_400_000_000
+    ev = _pq(sf_dir, "events", columns=["user_id", "ts"],
+             num_blocks=_n_cpus())
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        day = g["ts"].astype("int64").to_numpy() // DAY
+        d = pd.DataFrame({"u": u, "d": day}).drop_duplicates()
+        order = np.lexsort((d["d"].to_numpy(), d["u"].to_numpy()))
+        u = d["u"].to_numpy()[order]
+        day = d["d"].to_numpy()[order]
+        brk = np.ones(len(u), dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | (day[1:] - day[:-1] != 1)
+        isl = np.cumsum(brk) - 1
+        run = np.bincount(isl)  # length of each island
+        isl_user = u[brk]       # owner of each island
+        out = pd.DataFrame({"user_id": isl_user, "run": run})
+        agg = out.groupby("user_id", as_index=False).agg(
+            max_streak=("run", "max"), n_active_days=("run", "sum"))
+        agg["max_streak"] = agg["max_streak"].astype(np.int64)
+        agg["n_active_days"] = agg["n_active_days"].astype(np.int64)
+        return agg
+
+    out = (
+        _with_bucket(ev, "user_id", 32)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+        .select_columns(["user_id", "max_streak", "n_active_days"])
+    )
+    return out.sort("user_id")
+
+
+def q_benford_cents(sf_dir: str):
+    """Benford first-significant-digit audit over order totals (exact
+    integer cents): observed count + share per digit 1–9 next to the
+    Benford expectation log10(1 + 1/d) — the classic synthetic-data /
+    fraud smoke test. Map-only: per-batch bincount over the first digit
+    (extracted with a 13-step vectorized divide-down, exact for any
+    int64 — no float log in the data path) → 9-key driver combine."""
+    od = _pq(sf_dir, "orders", columns=["o_totalprice"],
+             num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cents = round_half_away(
+            t.column("o_totalprice").to_numpy() * 100.0).astype(np.int64)
+        d = cents.copy()
+        for _ in range(13):  # int64 cents < 1e19: ≤ 13 divide-downs
+            big = d >= 10
+            if not big.any():
+                break
+            d[big] //= 10
+        n = np.bincount(d, minlength=10)[1:10]
+        return pd.DataFrame({"digit": np.arange(1, 10, dtype=np.int64),
+                             "n": n.astype(np.int64)})
+
+    out = _combine_partials(
+        od.map_batches(partial, batch_format="pyarrow"), ["digit"], ["n"])
+    out = out[out["n"] > 0].reset_index(drop=True)
+    total = float(out["n"].sum())
+    dig = out["digit"].to_numpy(np.float64)
+    return pd.DataFrame({
+        "digit": out["digit"].astype(np.int64),
+        "n": out["n"].astype(np.int64),
+        "share": round_half_away(out["n"].to_numpy() / total, 6),
+        "expected": round_half_away(np.log10(1.0 + 1.0 / dig), 6),
+    }).sort_values("digit").reset_index(drop=True)
+
+
+def q_ship_lag(sf_dir: str):
+    """Fulfillment lag by order priority: days from o_orderdate to the
+    order's LAST l_shipdate (count, mean, max) — the big–big
+    order⋈lineitem join done the scalable way: BOTH tables hash-bucket
+    on the shared orderkey (one shuffle each, no broadcast of an
+    unbounded side), the in-bucket kernel reduces lineitem to one max
+    per order, merges, and emits per-priority (n, Σlag, max lag)
+    partials — the combine stream is priorities × buckets (≤ 5 × 32
+    rows) at any corpus size."""
+    from ..stages.temporal import _with_bucket
+
+    DAY = 86_400_000_000
+    lt = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"],
+             num_blocks=_n_cpus())
+    od = _pq(sf_dir, "orders",
+             columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+             num_blocks=_n_cpus())
+
+    def lt_side(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(t.column("l_orderkey"), pa.int64()),
+            "us": pc.cast(t.column("l_shipdate"), pa.int64()),
+            "prio": pa.array([""] * t.num_rows, pa.string()),
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+        })
+
+    def od_side(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "us": pc.cast(t.column("o_orderdate"), pa.int64()),
+            "prio": pc.cast(t.column("o_orderpriority"), pa.string()),
+            "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+        })
+
+    both = lt.map_batches(lt_side, batch_format="pyarrow").union(
+        od.map_batches(od_side, batch_format="pyarrow"))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["side"] == 0]
+        o = g[g["side"] == 1]
+        ms = l.groupby("key", as_index=False)["us"].max()
+        m = o.merge(ms, on="key", suffixes=("_o", "_l"))
+        if m.empty:
+            return pd.DataFrame({
+                "o_orderpriority": pd.Series([], dtype=str),
+                "n_orders": pd.Series([], dtype=np.int64),
+                "sum_lag": pd.Series([], dtype=np.int64),
+                "max_lag": pd.Series([], dtype=np.int64)})
+        lag = (m["us_l"].to_numpy(np.int64)
+               - m["us_o"].to_numpy(np.int64)) // DAY
+        df = pd.DataFrame({"o_orderpriority": m["prio"].to_numpy(),
+                           "lag": lag})
+        agg = df.groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("lag", "size"), sum_lag=("lag", "sum"),
+            max_lag=("lag", "max"))
+        return agg
+
+    partials = (
+        _with_bucket(both, "key", 32)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+    )
+    df = _gather_capped(partials)  # ≤ priorities × buckets rows
+    agg = df.groupby("o_orderpriority", as_index=False).agg(
+        n_orders=("n_orders", "sum"), sum_lag=("sum_lag", "sum"),
+        max_lag=("max_lag", "max"))
+    return pd.DataFrame({
+        "o_orderpriority": agg["o_orderpriority"],
+        "n_orders": agg["n_orders"].astype(np.int64),
+        "avg_lag_days": round_half_away(
+            agg["sum_lag"].to_numpy(np.float64)
+            / agg["n_orders"].to_numpy(np.float64), 6),
+        "max_lag_days": agg["max_lag"].astype(np.int64),
+    }).sort_values("o_orderpriority").reset_index(drop=True)

@@ -124,3 +124,15 @@ def test_repeated_ngrams_fallback_matches_broadcast_path():
     a = a.sort_values("doc_id").reset_index(drop=True)[sorted(a.columns)]
     b = b.sort_values("doc_id").reset_index(drop=True)[sorted(b.columns)]
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_basket_pairs_distributed_close_matches_driver_combine(monkeypatch):
+    """Past the pair-partial cap, q_basket_pairs re-shuffles the
+    partials by hash(pa) and closes per bucket — forcing the driver
+    combine to decline must leave the top-100 identical."""
+    from gocrawler_ray.pipelines import queries as q
+
+    a = q.q_basket_pairs(SF_DIR)
+    monkeypatch.setattr(q, "_combine_partials", lambda *x, **k: None)
+    b = q.q_basket_pairs(SF_DIR)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
