@@ -209,6 +209,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_streaks": q.q_user_streaks,
         "benford_cents": q.q_benford_cents,
         "ship_lag": q.q_ship_lag,
+        "event_transitions": q.q_event_transitions,
+        "order_intervals": q.q_order_intervals,
+        "revenue_rollup": q.q_revenue_rollup,
+        "fk_orphans": q.q_fk_orphans,
+        "zipf_slope": q.q_zipf_slope,
     }
 
 
@@ -2483,5 +2488,88 @@ SELECT o_orderpriority,
          AS BIGINT) AS max_lag_days
 FROM orders JOIN m ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+    # first-order Markov transition matrix over the event-type alphabet
+    out["event_transitions"] = """
+WITH s AS (
+  SELECT event_type AS prev_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events)
+SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n,
+       round(COUNT(*) * 1.0
+             / SUM(COUNT(*)) OVER (PARTITION BY prev_type), 6) AS p
+FROM s WHERE next_type IS NOT NULL
+GROUP BY prev_type, next_type ORDER BY prev_type, next_type
+"""
+    # repeat-purchase gap histogram (days between consecutive orders)
+    out["order_intervals"] = """
+WITH g AS (
+  SELECT (epoch_us(o_orderdate) - lag(epoch_us(o_orderdate)) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+           // 86400000000 AS gap
+  FROM orders)
+SELECT CASE WHEN gap <= 7 THEN '0-7' WHEN gap <= 30 THEN '8-30'
+            WHEN gap <= 90 THEN '31-90' WHEN gap <= 365 THEN '91-365'
+            ELSE '366+' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(gap) AS BIGINT) AS sum_gap_days
+FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1
+"""
+    # region → nation ROLLUP (exact integer cents; NULL levels → 'ALL')
+    out["revenue_rollup"] = """
+SELECT COALESCE(r_name, 'ALL') AS r_name,
+       COALESCE(n_name, 'ALL') AS n_name,
+       round(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS DOUBLE) / 100, 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name) ORDER BY r_name, n_name
+"""
+    # referential-integrity audit over every FK edge of the star schema
+    out["fk_orphans"] = """
+WITH probes AS (
+  SELECT 'lineitem.l_orderkey->orders' AS fk, COUNT(*) AS n_rows,
+         SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_orphans
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part', COUNT(*),
+         SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+  UNION ALL
+  SELECT 'lineitem.l_suppkey->supplier', COUNT(*),
+         SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+  FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  UNION ALL
+  SELECT 'orders.o_custkey->customer', COUNT(*),
+         SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT 'customer.c_nationkey->nation', COUNT(*),
+         SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+  FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+  UNION ALL
+  SELECT 'nation.n_regionkey->region', COUNT(*),
+         SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END)
+  FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey)
+SELECT fk, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_orphans AS BIGINT) AS n_orphans
+FROM probes ORDER BY fk
+"""
+    # Zipf rank-frequency fit over the top-100 tokens
+    out["zipf_slope"] = """
+WITH w AS (
+  SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY tok),
+r AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rnk FROM f
+  QUALIFY rnk <= 100)
+SELECT CAST(COUNT(*) AS BIGINT) AS k,
+       round(regr_slope(ln(n), ln(rnk)), 6) AS zipf_slope,
+       round(regr_intercept(ln(n), ln(rnk)), 6) AS zipf_icept
+FROM r
 """
     return out

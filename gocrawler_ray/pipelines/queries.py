@@ -7001,3 +7001,296 @@ def q_ship_lag(sf_dir: str):
             / agg["n_orders"].to_numpy(np.float64), 6),
         "max_lag_days": agg["max_lag"].astype(np.int64),
     }).sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q_event_transitions(sf_dir: str):
+    """First-order Markov transition matrix over the event-type
+    alphabet: for every (prev, next) pair of a user's consecutive
+    events, the transition count and row-normalized probability — the
+    behavioral-model fit every clickstream stack runs. ONE hash-bucket
+    shuffle on user_id co-locates each user's ordered history; the
+    kernel is a lexsort + shifted compare (no Python per row) and emits
+    type²-bounded count partials, so the combine stream is types² ×
+    buckets at any corpus size."""
+    from ..stages.temporal import _with_bucket
+
+    ev = _pq(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "event_type"],
+             num_blocks=_n_cpus())
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((
+            g["event_id"].to_numpy(np.int64),
+            g["ts"].astype("int64").to_numpy(),
+            g["user_id"].to_numpy(np.int64),
+        ))
+        u = g["user_id"].to_numpy(np.int64)[order]
+        et = g["event_type"].to_numpy()[order]
+        same = u[1:] == u[:-1]
+        df = pd.DataFrame({"prev_type": et[:-1][same],
+                           "next_type": et[1:][same]})
+        out = df.groupby(["prev_type", "next_type"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    out = _combine_partials(
+        _with_bucket(ev, "user_id", 32)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas"),
+        ["prev_type", "next_type"], ["n"],
+    )
+    row_tot = out.groupby("prev_type")["n"].transform("sum").to_numpy(
+        np.float64)
+    return pd.DataFrame({
+        "prev_type": out["prev_type"],
+        "next_type": out["next_type"],
+        "n": out["n"].astype(np.int64),
+        "p": round_half_away(out["n"].to_numpy(np.float64) / row_tot, 6),
+    }).sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+
+
+def q_order_intervals(sf_dir: str):
+    """Repeat-purchase cadence: the gap in days between each customer's
+    consecutive orders, reported as a bounded histogram (0-7 / 8-30 /
+    31-90 / 91-365 / 366+ days) with per-bucket count and total gap —
+    the lifecycle-marketing report. ONE hash-bucket shuffle on
+    o_custkey; the kernel is lexsort + masked diff; what leaves each
+    bucket is the 5-row histogram partial."""
+    from ..stages.temporal import _with_bucket
+
+    DAY = 86_400_000_000
+    od = _pq(sf_dir, "orders",
+             columns=["o_orderkey", "o_custkey", "o_orderdate"],
+             num_blocks=_n_cpus())
+    EDGES = np.array([7, 30, 90, 365], dtype=np.int64)
+    LABELS = np.array(["0-7", "8-30", "31-90", "91-365", "366+"],
+                      dtype=object)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((
+            g["o_orderkey"].to_numpy(np.int64),
+            g["o_orderdate"].astype("int64").to_numpy(),
+            g["o_custkey"].to_numpy(np.int64),
+        ))
+        c = g["o_custkey"].to_numpy(np.int64)[order]
+        d = g["o_orderdate"].astype("int64").to_numpy()[order]
+        same = c[1:] == c[:-1]
+        gap = (d[1:] - d[:-1])[same] // DAY
+        b = np.searchsorted(EDGES, gap, side="left")
+        df = pd.DataFrame({"bucket": LABELS[b], "n": np.int64(1),
+                           "sum_gap_days": gap})
+        return df.groupby("bucket", as_index=False).sum()
+
+    out = _combine_partials(
+        _with_bucket(od, "o_custkey", 32)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas"),
+        ["bucket"], ["n", "sum_gap_days"],
+    )
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_gap_days"] = out["sum_gap_days"].astype(np.int64)
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def q_revenue_rollup(sf_dir: str):
+    """Region → nation revenue ROLLUP (grand total, per-region
+    subtotals, per-nation detail in one result; NULL levels coalesced
+    to 'ALL' on both sides). Customer geography is attached by
+    broadcast (customer→nation is bounded relative to the fact scan at
+    gate scale; past the cap the star fallback joins distribute), the
+    fact partial is exact integer cents per (region, nation) — a
+    25-key stream — and the driver emits all three rollup levels from
+    that one partial. Revenue stays integer cents until the final /100."""
+    od = _pq(sf_dir, "orders", columns=["o_custkey", "o_totalprice"],
+             num_blocks=_n_cpus())
+    cu = _pq(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    na = _pq(sf_dir, "nation",
+             columns=["n_nationkey", "n_name", "n_regionkey"])
+    re = _pq(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    ndf = _gather_capped(na)
+    rdf = _gather_capped(re)
+    nat = ndf.merge(rdf, left_on="n_regionkey", right_on="r_regionkey")
+    nat_key = {int(r.n_nationkey): (str(r.r_name), str(r.n_name))
+               for r in nat.itertuples()}
+
+    attached = _broadcast_fact_attach(
+        od, cu, "o_custkey", "c_custkey", ["c_nationkey"])
+    if attached is None:  # past the customer cap: distributed hash join
+        attached = od.join(cu, join_type="inner", num_partitions=_n_cpus(),
+                           on=("o_custkey",), right_on=("c_custkey",))
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cents = round_half_away(
+            t.column("o_totalprice").to_numpy() * 100.0).astype(np.int64)
+        nk = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"nk": nk.astype(np.int64), "cents": cents,
+                           "n_orders": np.int64(1)})
+        return df.groupby("nk", as_index=False).sum()
+
+    out = _combine_partials(
+        attached.map_batches(partial, batch_format="pyarrow"),
+        ["nk"], ["cents", "n_orders"],
+    )
+    out["r_name"] = out["nk"].map(lambda k: nat_key[int(k)][0])
+    out["n_name"] = out["nk"].map(lambda k: nat_key[int(k)][1])
+    detail = out[["r_name", "n_name", "cents", "n_orders"]]
+    reg = detail.groupby("r_name", as_index=False)[
+        ["cents", "n_orders"]].sum()
+    reg["n_name"] = "ALL"
+    tot = pd.DataFrame({"r_name": ["ALL"], "n_name": ["ALL"],
+                        "cents": [detail["cents"].sum()],
+                        "n_orders": [detail["n_orders"].sum()]})
+    allr = pd.concat([detail, reg, tot], ignore_index=True)
+    return pd.DataFrame({
+        "r_name": allr["r_name"],
+        "n_name": allr["n_name"],
+        "revenue": round_half_away(
+            allr["cents"].to_numpy(np.float64) / 100.0, 2),
+        "n_orders": allr["n_orders"].astype(np.int64),
+    }).sort_values(["r_name", "n_name"]).reset_index(drop=True)
+
+
+def _fk_orphan_count(
+    probe: rd.Dataset, probe_key: str, build: rd.Dataset, build_key: str,
+) -> tuple[int, int]:
+    """(n_probe_rows, n_orphans) for one FK relationship. Plan-capped:
+    a bounded build side broadcasts its sorted distinct keys into the
+    probe scan (map-only); past the cap BOTH sides hash-bucket on the
+    key and the in-bucket kernel anti-counts — exact at any size, one
+    shuffle each, nothing but (hits, misses) partials leave a bucket."""
+    from ..stages.temporal import _with_bucket
+
+    bdf = _gather_capped(build.select_columns([build_key]))
+    if bdf is not None:
+        keys = np.sort(bdf[build_key].to_numpy(np.int64))
+        keys_ref = ray.put(keys)
+
+        def partial(t: pa.Table) -> pd.DataFrame:
+            k = t.column(probe_key).to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            ks = ray.get(keys_ref)
+            hit, _ = _sorted_lookup(ks, k)
+            return pd.DataFrame({"g": np.zeros(1, dtype=np.int64),
+                                 "n_rows": [len(k)],
+                                 "n_orphans": [int((~hit).sum())]})
+
+        out = _combine_partials(
+            probe.map_batches(partial, batch_format="pyarrow"),
+            ["g"], ["n_rows", "n_orphans"],
+        )
+        return int(out["n_rows"].iloc[0]), int(out["n_orphans"].iloc[0])
+
+    # co-partition anti-count past the cap
+    def p_side(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(t.column(probe_key), pa.int64()),
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+        })
+
+    def b_side(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(t.column(build_key), pa.int64()),
+            "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+        })
+
+    both = probe.map_batches(p_side, batch_format="pyarrow").union(
+        build.map_batches(b_side, batch_format="pyarrow"))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        pk = g.loc[g["side"] == 0, "key"].to_numpy(np.int64)
+        bk = np.sort(g.loc[g["side"] == 1, "key"].to_numpy(np.int64))
+        hit, _ = _sorted_lookup(bk, pk)
+        return pd.DataFrame({"g": np.zeros(1, dtype=np.int64),
+                             "n_rows": [len(pk)],
+                             "n_orphans": [int((~hit).sum())]})
+
+    out = _combine_partials(
+        _with_bucket(both, "key", 32)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas"),
+        ["g"], ["n_rows", "n_orphans"],
+    )
+    return int(out["n_rows"].iloc[0]), int(out["n_orphans"].iloc[0])
+
+
+def q_fk_orphans(sf_dir: str):
+    """Referential-integrity audit across every FK edge of the star
+    schema: per relationship, total probe rows and rows whose key has
+    no match in the referenced table — the ingest-quality gate run
+    before any join-dependent pipeline. Each edge picks its plan by
+    build size (broadcast distinct-key probe vs co-partitioned
+    anti-count); output is one row per edge."""
+    fks = [
+        ("lineitem.l_orderkey->orders",
+         ("lineitem", "l_orderkey"), ("orders", "o_orderkey")),
+        ("lineitem.l_partkey->part",
+         ("lineitem", "l_partkey"), ("part", "p_partkey")),
+        ("lineitem.l_suppkey->supplier",
+         ("lineitem", "l_suppkey"), ("supplier", "s_suppkey")),
+        ("orders.o_custkey->customer",
+         ("orders", "o_custkey"), ("customer", "c_custkey")),
+        ("customer.c_nationkey->nation",
+         ("customer", "c_nationkey"), ("nation", "n_nationkey")),
+        ("nation.n_regionkey->region",
+         ("nation", "n_regionkey"), ("region", "r_regionkey")),
+    ]
+    rows = []
+    for name, (pt, pk), (bt, bk) in fks:
+        n_rows, n_orph = _fk_orphan_count(
+            _pq(sf_dir, pt, columns=[pk], num_blocks=_n_cpus()),
+            pk, _pq(sf_dir, bt, columns=[bk]), bk)
+        rows.append({"fk": name, "n_rows": n_rows, "n_orphans": n_orph})
+    out = pd.DataFrame(rows)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["n_orphans"] = out["n_orphans"].astype(np.int64)
+    return out.sort_values("fk").reset_index(drop=True)
+
+
+def q_zipf_slope(sf_dir: str):
+    """Zipf rank-frequency fit over the corpus vocabulary: ln(freq) vs
+    ln(rank) least-squares slope/intercept across the top-100 tokens —
+    the one-number lexical-naturalness screen for synthetic or scraped
+    text. Token-count partials combine under a vocabulary cap (past it
+    the counts re-shuffle by hash(token) with per-bucket top-100
+    partials — a pair of (freq, token) orders is global because each
+    token lives in ONE bucket); the ln/regression close runs on ≤ 100
+    driver rows."""
+    from ..stages.temporal import _with_bucket
+
+    docs = _pq(sf_dir, "documents", columns=["text"],
+               num_blocks=_n_cpus())
+
+    def counts(t: pa.Table) -> pd.DataFrame:
+        flat, _ = _flat_tokens(t.column("text").to_pandas())
+        df = pd.DataFrame({"tok": flat})
+        out = df.groupby("tok", as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    partials = docs.map_batches(counts, batch_format="pyarrow")
+
+    def top100(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n", "tok"], ascending=[False, True])
+        return df.head(100).reset_index(drop=True)
+
+    comb = _combine_partials(partials, ["tok"], ["n"], cap=5_000_000)
+    if comb is None:  # vocabulary past the cap: per-bucket exact top-100
+        def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+            return top100(g.groupby("tok", as_index=False)["n"].sum())
+
+        comb = (
+            _with_bucket(partials, "tok", 64)
+            .groupby("__bucket")
+            .map_groups(bucket_top, batch_format="pandas")
+        ).to_pandas()
+    top = top100(comb)
+    n = top["n"].to_numpy(np.float64)
+    rnk = np.arange(1, len(top) + 1, dtype=np.float64)
+    y, x = np.log(n), np.log(rnk)
+    k = float(len(top))
+    sx, sy, sxy, sxx = x.sum(), y.sum(), (x * y).sum(), (x * x).sum()
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    icept = sy / k - slope * sx / k
+    return pd.DataFrame({
+        "k": np.array([len(top)], dtype=np.int64),
+        "zipf_slope": round_half_away(np.array([slope]), 6),
+        "zipf_icept": round_half_away(np.array([icept]), 6),
+    })

@@ -136,3 +136,37 @@ def test_basket_pairs_distributed_close_matches_driver_combine(monkeypatch):
     monkeypatch.setattr(q, "_combine_partials", lambda *x, **k: None)
     b = q.q_basket_pairs(SF_DIR)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_fk_orphans_copartition_plan_matches_broadcast(monkeypatch):
+    """Past the build-side cap every FK edge anti-counts via the
+    co-partitioned kernel — declining the gather must leave the audit
+    identical."""
+    from gocrawler_ray.pipelines import queries as q
+
+    a = q.q_fk_orphans(SF_DIR)
+    monkeypatch.setattr(q, "_gather_capped", lambda *x, **k: None)
+    b = q.q_fk_orphans(SF_DIR)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_zipf_slope_bucket_topk_matches_driver_combine(monkeypatch):
+    """Past the vocabulary cap the token counts re-shuffle by
+    hash(token) with per-bucket top-100 partials — same fit."""
+    from gocrawler_ray.pipelines import queries as q
+
+    a = q.q_zipf_slope(SF_DIR)
+    monkeypatch.setattr(q, "_combine_partials", lambda *x, **k: None)
+    b = q.q_zipf_slope(SF_DIR)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_revenue_rollup_join_plan_matches_broadcast(monkeypatch):
+    """Past the customer cap the rollup's geography attach falls back
+    to the distributed hash join — identical rollup."""
+    from gocrawler_ray.pipelines import queries as q
+
+    a = q.q_revenue_rollup(SF_DIR)
+    monkeypatch.setattr(q, "_broadcast_fact_attach", lambda *x, **k: None)
+    b = q.q_revenue_rollup(SF_DIR)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
