@@ -356,6 +356,107 @@ def _emit_pairs(
     return u[iu], u[ju], np.full(len(iu), capped, dtype=np.int8)
 
 
+def _emit_pairs_grouped(
+    docs: np.ndarray,
+    hs: np.ndarray,
+    hs2: np.ndarray | None,
+    bh: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    bucket_cap: int,
+    hamming_radius: int | None,
+    band_bits: int,
+    shingle_radius: int | None,
+) -> pd.DataFrame | None:
+    """Run :func:`_emit_pairs` over every band-sorted group and return
+    the (a, b, capped) candidate frame (None if no group emits). The
+    per-bucket hamming prefilter is O(Σ m²) — the dominant cost of the
+    coarse-band driver fast path — so past a work threshold the groups
+    fan out as Ray tasks (arrays shipped ONCE via ``ray.put``, groups
+    greedy-packed by m² so chunks finish together); small workloads
+    (tests, sf0.01) stay serial and skip the dispatch latency."""
+    sizes = ends - starts
+    gis = np.flatnonzero(sizes >= 2)
+    if not len(gis):
+        return None
+    cost = sizes[gis].astype(np.float64) ** 2
+
+    def run(gsel: np.ndarray) -> tuple[np.ndarray, ...]:
+        a_p, b_p, c_p = [], [], []
+        for gi in gsel:
+            rows = np.arange(starts[gi], ends[gi])
+            a_, b_, c_ = _emit_pairs(
+                docs[rows], hs[rows], bucket_cap, hamming_radius,
+                band_idx=int(bh[starts[gi]]) >> band_bits,
+                band_bits=band_bits,
+                hs2=hs2[rows] if hs2 is not None else None,
+                radius2=shingle_radius,
+            )
+            if len(a_):
+                a_p.append(a_)
+                b_p.append(b_)
+                c_p.append(c_)
+        if not a_p:
+            e = docs[:0]
+            return e, e, np.zeros(0, dtype=np.int8)
+        return (np.concatenate(a_p), np.concatenate(b_p),
+                np.concatenate(c_p))
+
+    import ray
+
+    n_chunks = int(ray.cluster_resources().get("CPU", 8)) if (
+        ray.is_initialized()
+    ) else 8
+    n_chunks = min(n_chunks, len(gis))
+    if cost.sum() < 4e6 or n_chunks < 2:
+        parts = [run(gis)]
+    else:
+        # greedy pack: heaviest groups first into the lightest chunk
+        order = np.argsort(-cost)
+        loads = np.zeros(n_chunks)
+        chunks: list[list[int]] = [[] for _ in range(n_chunks)]
+        for j in order:
+            k = int(np.argmin(loads))
+            chunks[k].append(int(gis[j]))
+            loads[k] += cost[j]
+
+        @ray.remote(num_cpus=1)
+        def emit_chunk(arrays, gsel):
+            r_docs, r_hs, r_hs2, r_bh = arrays
+            a_p, b_p, c_p = [], [], []
+            for gi in gsel:
+                rows = np.arange(starts[gi], ends[gi])
+                a_, b_, c_ = _emit_pairs(
+                    r_docs[rows], r_hs[rows], bucket_cap, hamming_radius,
+                    band_idx=int(r_bh[starts[gi]]) >> band_bits,
+                    band_bits=band_bits,
+                    hs2=r_hs2[rows] if r_hs2 is not None else None,
+                    radius2=shingle_radius,
+                )
+                if len(a_):
+                    a_p.append(a_)
+                    b_p.append(b_)
+                    c_p.append(c_)
+            if not a_p:
+                e = r_docs[:0]
+                return e, e, np.zeros(0, dtype=np.int8)
+            return (np.concatenate(a_p), np.concatenate(b_p),
+                    np.concatenate(c_p))
+
+        arrays_ref = ray.put((docs, hs, hs2, bh))
+        futs = [emit_chunk.remote(arrays_ref, c) for c in chunks if c]
+        parts = ray.get(futs)
+
+    parts = [p for p in parts if len(p[0])]
+    if not parts:
+        return None
+    return pd.DataFrame({
+        "a": np.concatenate([p[0] for p in parts]),
+        "b": np.concatenate([p[1] for p in parts]),
+        "capped": np.concatenate([p[2] for p in parts]),
+    })
+
+
 def _coarse_band_pairs(
     bands_ds: rd.Dataset,
     bucket_cap: int,
@@ -1603,31 +1704,12 @@ def simhash_near_dup(
             change[1:] = bh[1:] != bh[:-1]
             starts = np.flatnonzero(change)
             ends = np.append(starts[1:], len(bh))
-            a_parts: list[np.ndarray] = []
-            b_parts: list[np.ndarray] = []
-            c_parts: list[np.ndarray] = []
-            for gi in np.flatnonzero(ends - starts >= 2):
-                rows = np.arange(starts[gi], ends[gi])
-                a_, b_, c_ = _emit_pairs(
-                    docs[rows], hs[rows], bucket_cap, hamming_radius,
-                    band_idx=int(bh[starts[gi]]) >> band_bits,
-                    band_bits=band_bits,
-                    hs2=hs2[rows] if with_h2 else None,
-                    radius2=shingle_radius,
-                )
-                if len(a_):
-                    a_parts.append(a_)
-                    b_parts.append(b_)
-                    c_parts.append(c_)
-            if not a_parts:
-                return []
-            cand = pd.DataFrame(
-                {
-                    "a": np.concatenate(a_parts),
-                    "b": np.concatenate(b_parts),
-                    "capped": np.concatenate(c_parts),
-                }
+            cand = _emit_pairs_grouped(
+                docs, hs, hs2, bh, starts, ends, bucket_cap,
+                hamming_radius, band_bits, shingle_radius,
             )
+            if cand is None:
+                return []
             if cand["capped"].any():
                 # capped star pairs may duplicate first-band pairs —
                 # rare (degenerate buckets only)
