@@ -214,6 +214,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_rollup": q.q_revenue_rollup,
         "fk_orphans": q.q_fk_orphans,
         "zipf_slope": q.q_zipf_slope,
+        "value_anova": q.q_value_anova,
+        "supplier_ontime": q.q_supplier_ontime,
+        "stickiness": q.q_stickiness,
     }
 
 
@@ -2571,5 +2574,51 @@ SELECT CAST(COUNT(*) AS BIGINT) AS k,
        round(regr_slope(ln(n), ln(rnk)), 6) AS zipf_slope,
        round(regr_intercept(ln(n), ln(rnk)), 6) AS zipf_icept
 FROM r
+"""
+    # one-way ANOVA of value across event types (exact 1e-3 integer
+    # sufficient statistics; the float close is identical on both sides)
+    out["value_anova"] = """
+WITH q AS (
+  SELECT event_type, CAST(round(value * 1000) AS HUGEINT) AS v
+  FROM events),
+g AS (
+  SELECT event_type, COUNT(*) AS n, SUM(v) AS s1i, SUM(v * v) AS s2i
+  FROM q GROUP BY event_type),
+p AS (
+  SELECT n, CAST(s1i AS DOUBLE) / 1000 AS s1,
+         CAST(s2i AS DOUBLE) / 1e6 AS s2
+  FROM g),
+t AS (
+  SELECT SUM(n) AS N, SUM(s1) AS S1, COUNT(*) AS k,
+         SUM(s1 * s1 / n) AS a, SUM(s2 - s1 * s1 / n) AS ssw
+  FROM p)
+SELECT CAST(k AS BIGINT) AS k, CAST(N AS BIGINT) AS n,
+       round(((a - S1 * S1 / N) / (k - 1)) / (ssw / (N - k)), 6)
+         AS f_stat,
+       round((a - S1 * S1 / N) / ((a - S1 * S1 / N) + ssw), 6)
+         AS eta_sq
+FROM t
+"""
+    # supplier on-time scorecard (shipped within 90 days of order date)
+    out["supplier_ontime"] = """
+SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       round(SUM(CASE WHEN epoch_us(l_shipdate) - epoch_us(o_orderdate)
+                        <= 90 * 86400000000 THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS ontime_rate
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_suppkey ORDER BY l_suppkey
+"""
+    # weekly DAU/WAU stickiness (Monday-truncated weeks)
+    out["stickiness"] = """
+WITH d AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk,
+         date_trunc('day', ts) AS day
+  FROM events)
+SELECT wk, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau,
+       CAST(COUNT(*) AS BIGINT) AS user_days,
+       CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+       round(COUNT(*) * 1.0 / COUNT(DISTINCT day)
+             / COUNT(DISTINCT user_id), 6) AS stickiness
+FROM d GROUP BY wk ORDER BY wk
 """
     return out

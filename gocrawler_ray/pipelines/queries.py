@@ -7294,3 +7294,158 @@ def q_zipf_slope(sf_dir: str):
         "zipf_slope": round_half_away(np.array([slope]), 6),
         "zipf_icept": round_half_away(np.array([icept]), 6),
     })
+
+
+def q_value_anova(sf_dir: str):
+    """One-way ANOVA of event value across the event-type alphabet
+    (F statistic + effect size η²) — the does-this-feature-matter
+    screen. Map-only sufficient statistics per (block, type) in EXACT
+    integer 1e-3 units (Σx and Σx² partials sum Python ints, so no
+    corpus size can overflow or reorder them); the driver closes over
+    one row per type with identical float ops on both sides."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "value"],
+             num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        v = round_half_away(
+            t.column("value").to_numpy() * 1000.0).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas(),
+            "n": np.int64(1),
+            # object dtype: partials sum arbitrary-precision Python ints
+            "s1": v.astype(object),
+            "s2": (v.astype(object) * v.astype(object)),
+        })
+        return df.groupby("event_type", as_index=False).sum()
+
+    g = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], ["n", "s1", "s2"],
+    ).sort_values("event_type")
+    n = g["n"].to_numpy(np.float64)
+    s1 = g["s1"].astype(np.float64).to_numpy() / 1000.0
+    s2 = g["s2"].astype(np.float64).to_numpy() / 1e6
+    N, S1 = n.sum(), s1.sum()
+    k = len(g)
+    ssb = float((s1 * s1 / n).sum() - S1 * S1 / N)
+    ssw = float((s2 - s1 * s1 / n).sum())
+    f = (ssb / (k - 1)) / (ssw / (N - k))
+    return pd.DataFrame({
+        "k": np.array([k], dtype=np.int64),
+        "n": np.array([int(N)], dtype=np.int64),
+        "f_stat": round_half_away(np.array([f]), 6),
+        "eta_sq": round_half_away(np.array([ssb / (ssb + ssw)]), 6),
+    })
+
+
+def q_supplier_ontime(sf_dir: str):
+    """Supplier on-time scorecard: per supplier, lineitem count and the
+    share shipped within 90 days of the order date. The order date
+    attaches to the fact scan by broadcast under the cap (distributed
+    hash join past it — the cap picks the plan); per-supplier (n,
+    on-time) partials combine under a supplier-count cap with a
+    hash-bucket groupby fallback."""
+    from ..stages.temporal import _with_bucket
+
+    DAY = 86_400_000_000
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+             num_blocks=_n_cpus())
+    od = _pq(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    od64 = od.map_batches(
+        lambda t: pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "ord_us": pc.cast(t.column("o_orderdate"), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    joined = _broadcast_fact_attach(
+        li, od64, "l_orderkey", "o_orderkey", ["ord_us"])
+    if joined is None:  # orders beyond the broadcast cap
+        joined = li.join(od64, join_type="inner",
+                         num_partitions=_n_cpus(),
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ship = pc.cast(t.column("l_shipdate"), pa.int64()).to_numpy()
+        ontime = (ship - t.column("ord_us").to_numpy()) <= 90 * DAY
+        df = pd.DataFrame({
+            "l_suppkey": t.column("l_suppkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "n_lines": np.int64(1),
+            "n_ontime": ontime.astype(np.int64),
+        })
+        return df.groupby("l_suppkey", as_index=False).sum()
+
+    partials = joined.map_batches(partial, batch_format="pyarrow")
+    out = _combine_partials(partials, ["l_suppkey"],
+                            ["n_lines", "n_ontime"], cap=2_000_000)
+    if out is None:  # supplier universe past the cap: bucket groupby
+        out = (
+            _with_bucket(partials, "l_suppkey", 64)
+            .groupby("__bucket")
+            .map_groups(
+                lambda g: g.groupby("l_suppkey", as_index=False)[
+                    ["n_lines", "n_ontime"]].sum(),
+                batch_format="pandas")
+        ).to_pandas()
+    return pd.DataFrame({
+        "l_suppkey": out["l_suppkey"].astype(np.int64),
+        "n_lines": out["n_lines"].astype(np.int64),
+        "ontime_rate": round_half_away(
+            out["n_ontime"].to_numpy(np.float64)
+            / out["n_lines"].to_numpy(np.float64), 6),
+    }).sort_values("l_suppkey").reset_index(drop=True)
+
+
+def q_stickiness(sf_dir: str):
+    """Weekly DAU/WAU stickiness: per ISO week (Monday-truncated), the
+    distinct weekly actives, total user-days, active calendar days, and
+    the avg-DAU/WAU ratio — the engagement-quality metric. ONE
+    hash-bucket shuffle on user_id makes the (user, week, day) dedup
+    bucket-local and the WAU/user-day partials exactly summable
+    (buckets partition users); the week's active-day set is
+    calendar-bounded and closes on the driver."""
+    from ..stages.temporal import _with_bucket
+
+    DAY = 86_400_000_000
+    ev = _pq(sf_dir, "events", columns=["user_id", "ts"],
+             num_blocks=_n_cpus())
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        d = g["ts"].astype("int64").to_numpy() // DAY
+        wk = d - (d + 3) % 7  # 1970-01-01 is a Thursday; Monday start
+        dd = pd.DataFrame({"u": u, "wk": wk, "d": d}).drop_duplicates()
+        ud = dd.groupby("wk", as_index=False).size().rename(
+            columns={"size": "user_days"})
+        wau = dd[["u", "wk"]].drop_duplicates().groupby(
+            "wk", as_index=False).size().rename(columns={"size": "wau"})
+        days = dd[["wk", "d"]].drop_duplicates()
+        days["day_bit"] = np.int64(1) << (
+            (days["d"] - days["wk"]).to_numpy(np.int64))
+        db = days.groupby("wk", as_index=False)["day_bit"].sum()
+        out = ud.merge(wau, on="wk").merge(db, on="wk")
+        return out
+
+    parts = _gather_capped(
+        _with_bucket(ev, "user_id", 32)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas"),
+    )  # ≤ weeks × buckets rows (calendar-bounded)
+    agg = parts.groupby("wk", as_index=False).agg(
+        wau=("wau", "sum"), user_days=("user_days", "sum"),
+        day_bits=("day_bit", lambda s: np.bitwise_or.reduce(
+            s.to_numpy(np.int64))))
+    n_days = np.array([bin(int(b)).count("1") for b in agg["day_bits"]],
+                      dtype=np.int64)
+    wk_ts = pd.to_datetime(agg["wk"].to_numpy(np.int64) * DAY, unit="us")
+    return pd.DataFrame({
+        "wk": wk_ts,
+        "wau": agg["wau"].astype(np.int64),
+        "user_days": agg["user_days"].astype(np.int64),
+        "n_days": n_days,
+        "stickiness": round_half_away(
+            agg["user_days"].to_numpy(np.float64) / n_days
+            / agg["wau"].to_numpy(np.float64), 6),
+    }).sort_values("wk").reset_index(drop=True)

@@ -170,3 +170,18 @@ def test_revenue_rollup_join_plan_matches_broadcast(monkeypatch):
     monkeypatch.setattr(q, "_broadcast_fact_attach", lambda *x, **k: None)
     b = q.q_revenue_rollup(SF_DIR)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_supplier_ontime_fallbacks_match_broadcast(monkeypatch):
+    """Both plan caps (order-date broadcast; supplier combine) must
+    leave the scorecard identical when declined."""
+    from gocrawler_ray.pipelines import queries as q
+
+    a = q.q_supplier_ontime(SF_DIR)
+    monkeypatch.setattr(q, "_broadcast_fact_attach", lambda *x, **k: None)
+    b = q.q_supplier_ontime(SF_DIR)
+    monkeypatch.undo()
+    monkeypatch.setattr(q, "_combine_partials", lambda *x, **k: None)
+    c = q.q_supplier_ontime(SF_DIR)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    pd.testing.assert_frame_equal(a, c, check_dtype=False)
