@@ -217,6 +217,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_anova": q.q_value_anova,
         "supplier_ontime": q.q_supplier_ontime,
         "stickiness": q.q_stickiness,
+        "graph_reciprocity": q.q_graph_reciprocity,
+        "basket_sizes": q.q_basket_sizes,
+        "rfm_segments": q.q_rfm_segments,
     }
 
 
@@ -2620,5 +2623,59 @@ SELECT wk, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau,
        round(COUNT(*) * 1.0 / COUNT(DISTINCT day)
              / COUNT(DISTINCT user_id), 6) AS stickiness
 FROM d GROUP BY wk ORDER BY wk
+"""
+    # reciprocity of the derived-web expander (edge formulas + captcha
+    # pruning match pipelines/derived.py; self-loops excluded)
+    out["graph_reciprocity"] = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (7*doc_id+1) % nn.n AS dst
+  FROM documents, nn WHERE doc_id % 37 != 3
+  UNION
+  SELECT doc_id, (13*doc_id+2) % nn.n FROM documents, nn
+  WHERE doc_id % 37 != 3
+  UNION
+  SELECT doc_id, (29*doc_id+5) % nn.n FROM documents, nn
+  WHERE doc_id % 37 != 3),
+e AS (SELECT src, dst FROM e0 WHERE src != dst),
+c AS (
+  SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+         (SELECT COUNT(*) FROM e a JOIN e b
+            ON a.src = b.dst AND a.dst = b.src) AS n_recip)
+SELECT CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_recip AS BIGINT) AS n_recip,
+       round(n_recip * 1.0 / n_edges, 6) AS reciprocity
+FROM c
+"""
+    # order-size (lines per order) distribution
+    out["basket_sizes"] = """
+WITH per AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY l_orderkey)
+SELECT n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM per GROUP BY n_lines ORDER BY n_lines
+"""
+    # RFM segmentation census (recency anchor 1998-08-01; exact cents)
+    out["rfm_segments"] = """
+WITH per AS (
+  SELECT o_custkey,
+         (epoch_us(TIMESTAMP '2002-01-01')
+          - epoch_us(MAX(o_orderdate))) // 86400000000 AS rec,
+         COUNT(*) AS freq,
+         SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS cents
+  FROM orders GROUP BY o_custkey),
+seg AS (
+  SELECT CASE WHEN rec <= 365 AND freq >= 8 THEN 'champion'
+              WHEN rec <= 545 AND freq >= 6 THEN 'loyal'
+              WHEN rec > 1095 AND freq >= 6 THEN 'at_risk'
+              WHEN rec > 1095 THEN 'hibernating'
+              ELSE 'regular' END AS segment,
+         freq, cents
+  FROM per)
+SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       round(SUM(freq) * 1.0 / COUNT(*), 6) AS avg_freq,
+       round(CAST(SUM(cents) AS DOUBLE) / 100.0 / COUNT(*), 2)
+         AS avg_ltv
+FROM seg GROUP BY segment ORDER BY segment
 """
     return out

@@ -7449,3 +7449,150 @@ def q_stickiness(sf_dir: str):
             agg["user_days"].to_numpy(np.float64) / n_days
             / agg["wau"].to_numpy(np.float64), 6),
     }).sort_values("wk").reset_index(drop=True)
+
+
+def q_graph_reciprocity(sf_dir: str):
+    """Reciprocity of the derived-web expander graph (directed edges by
+    the synthesis formulas of pipelines/derived.py, captcha hosts
+    pruned, self-loops excluded): the share of edges whose reverse edge
+    also exists — the link-farm / mutual-citation signal. Edge emission
+    is map-only (all three formula dsts of a doc live in its batch, so
+    batch-local dedup is globally exact); the reverse-edge check
+    hash-buckets on the UNORDERED pair key, so both directions of any
+    pair land together and the kernel's sorted adjacent-compare emits
+    count partials only."""
+    from ..stages.temporal import _with_bucket
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id"],
+               num_blocks=_n_cpus())
+    n = docs.count()
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        d = d[d % 37 != 3]
+        src = np.concatenate([d, d, d])
+        dst = np.concatenate([(7 * d + 1) % n, (13 * d + 2) % n,
+                              (29 * d + 5) % n])
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        e = np.unique(np.stack([src, dst], axis=1), axis=0)
+        lo = np.minimum(e[:, 0], e[:, 1])
+        hi = np.maximum(e[:, 0], e[:, 1])
+        return pa.table({
+            "lo": pa.array(lo),
+            "hi": pa.array(hi),
+            "fwd": pa.array((e[:, 0] == lo).astype(np.int8)),
+        })
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        lo = g["lo"].to_numpy(np.int64)
+        hi = g["hi"].to_numpy(np.int64)
+        f = g["fwd"].to_numpy(np.int8)
+        order = np.lexsort((f, hi, lo))
+        lo, hi, f = lo[order], hi[order], f[order]
+        both = ((lo[1:] == lo[:-1]) & (hi[1:] == hi[:-1])
+                & (f[1:] != f[:-1]))
+        return pd.DataFrame({"g": np.zeros(1, dtype=np.int64),
+                             "n_edges": [len(lo)],
+                             "n_recip": [int(both.sum()) * 2]})
+
+    out = _combine_partials(
+        _with_bucket(docs.map_batches(edges, batch_format="pyarrow"),
+                     "lo", 32)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas"),
+        ["g"], ["n_edges", "n_recip"],
+    )
+    ne = int(out["n_edges"].iloc[0])
+    nr = int(out["n_recip"].iloc[0])
+    return pd.DataFrame({
+        "n_edges": np.array([ne], dtype=np.int64),
+        "n_recip": np.array([nr], dtype=np.int64),
+        "reciprocity": round_half_away(np.array([nr / ne]), 6),
+    })
+
+
+def q_basket_sizes(sf_dir: str):
+    """Order-size distribution: how many orders have k lineitems, for
+    every observed k — the basket-shape profile driving join and
+    pair-emission cost models. ONE hash-bucket shuffle on l_orderkey;
+    the kernel counts lines per order and emits the bucket's bounded
+    (k → n_orders) histogram partial (TPC-H baskets are ≤ 7 lines)."""
+    from ..stages.temporal import _with_bucket
+
+    lt = _pq(sf_dir, "lineitem", columns=["l_orderkey"],
+             num_blocks=_n_cpus())
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("l_orderkey", as_index=False).size().rename(
+            columns={"size": "k"})
+        h = per.groupby("k", as_index=False).size()
+        return pd.DataFrame({"n_lines": h["k"].to_numpy(np.int64),
+                             "n_orders": h["size"].to_numpy(np.int64)})
+
+    out = _combine_partials(
+        _with_bucket(lt, "l_orderkey", 32)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas"),
+        ["n_lines"], ["n_orders"],
+    )
+    out["n_lines"] = out["n_lines"].astype(np.int64)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out.sort_values("n_lines").reset_index(drop=True)
+
+
+def q_rfm_segments(sf_dir: str):
+    """RFM segmentation: each customer's recency (days from last order
+    to the 1998-08-01 anchor), frequency, and monetary total (exact
+    cents) classified into five fixed segments; output is the bounded
+    per-segment census (count, avg order frequency, avg lifetime value).
+    ONE hash-bucket shuffle on o_custkey; per-customer reduce and
+    segment assignment happen in-bucket, and only the 5-row partials
+    leave."""
+    from ..stages.temporal import _with_bucket
+
+    DAY = 86_400_000_000
+    # anchor past the corpus' last order date: recency is non-negative,
+    # so numpy floor-div and DuckDB's truncating // agree
+    ANCHOR = int(pd.Timestamp("2002-01-01").value // 1000)
+    od = _pq(sf_dir, "orders",
+             columns=["o_custkey", "o_orderdate", "o_totalprice"],
+             num_blocks=_n_cpus())
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        cents = round_half_away(
+            g["o_totalprice"].to_numpy(np.float64) * 100.0).astype(
+            np.int64)
+        df = pd.DataFrame({
+            "c": g["o_custkey"].to_numpy(np.int64),
+            "d": g["o_orderdate"].astype("int64").to_numpy(),
+            "cents": cents, "n": np.int64(1)})
+        per = df.groupby("c", as_index=False).agg(
+            last=("d", "max"), freq=("n", "sum"), cents=("cents", "sum"))
+        rec = (ANCHOR - per["last"].to_numpy(np.int64)) // DAY
+        freq = per["freq"].to_numpy(np.int64)
+        seg = np.select(
+            [(rec <= 365) & (freq >= 8), (rec <= 545) & (freq >= 6),
+             (rec > 1095) & (freq >= 6), rec > 1095],
+            ["champion", "loyal", "at_risk", "hibernating"],
+            default="regular")
+        out = pd.DataFrame({"segment": seg, "n_customers": np.int64(1),
+                            "freq": freq, "cents": per["cents"]})
+        return out.groupby("segment", as_index=False).sum()
+
+    out = _combine_partials(
+        _with_bucket(od, "o_custkey", 32)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas"),
+        ["segment"], ["n_customers", "freq", "cents"],
+    )
+    nc = out["n_customers"].to_numpy(np.float64)
+    return pd.DataFrame({
+        "segment": out["segment"],
+        "n_customers": out["n_customers"].astype(np.int64),
+        "avg_freq": round_half_away(
+            out["freq"].to_numpy(np.float64) / nc, 6),
+        "avg_ltv": round_half_away(
+            out["cents"].to_numpy(np.float64) / 100.0 / nc, 2),
+    }).sort_values("segment").reset_index(drop=True)
