@@ -220,6 +220,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_reciprocity": q.q_graph_reciprocity,
         "basket_sizes": q.q_basket_sizes,
         "rfm_segments": q.q_rfm_segments,
+        "knn_accuracy": q.q_knn_accuracy,
+        "customer_360": q.q_customer_360,
     }
 
 
@@ -2677,5 +2679,42 @@ SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
        round(CAST(SUM(cents) AS DOUBLE) / 100.0 / COUNT(*), 2)
          AS avg_ltv
 FROM seg GROUP BY segment ORDER BY segment
+"""
+    # leave-one-out 1-NN label accuracy (rounded-6 cosine, vec_id
+    # tie-break — the repo-wide ANN ranking convention)
+    out["knn_accuracy"] = """
+WITH s AS (
+  SELECT a.vec_id AS qa, a.label AS la, b.vec_id AS vb, b.label AS lb,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6)
+           AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+r AS (
+  SELECT qa, la, lb,
+         ROW_NUMBER() OVER (PARTITION BY qa ORDER BY cos DESC, vb)
+           AS rn
+  FROM s)
+SELECT la AS label, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS acc
+FROM r WHERE rn = 1 GROUP BY la ORDER BY la
+"""
+    # behavioral × purchase customer-360 (exact integer units)
+    out["customer_360"] = """
+WITH ev AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         SUM(CAST(round(value * 1000) AS HUGEINT)) AS v3
+  FROM events GROUP BY user_id),
+od AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS cents
+  FROM orders GROUP BY o_custkey)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       round(CAST(v3 AS DOUBLE) / 1000.0, 6) AS sum_value,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       round(CAST(cents AS DOUBLE) / 100.0, 2) AS total_spend
+FROM ev JOIN od ON user_id = o_custkey ORDER BY user_id
 """
     return out

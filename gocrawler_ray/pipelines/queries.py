@@ -7212,7 +7212,7 @@ def _fk_orphan_count(
     return int(out["n_rows"].iloc[0]), int(out["n_orphans"].iloc[0])
 
 
-def q_fk_orphans(sf_dir: str):
+def q_fk_orphans(sf_dir: str, cap: int = 2_000_000):
     """Referential-integrity audit across every FK edge of the star
     schema: per relationship, total probe rows and rows whose key has
     no match in the referenced table — the ingest-quality gate run
@@ -7233,8 +7233,71 @@ def q_fk_orphans(sf_dir: str):
         ("nation.n_regionkey->region",
          ("nation", "n_regionkey"), ("region", "r_regionkey")),
     ]
+    import pyarrow.parquet as pq
+
+    def _keys_under_cap(bt: str, bk: str, cap: int = cap):
+        """Sorted build keys, or None past the cap. The gate is the
+        parquet METADATA row count (exact for a bare key column — no
+        filter narrows it), so a bounded build costs one driver column
+        read with zero Ray fixed latency, and an unbounded one is
+        rejected without reading a byte."""
+        path = os.path.join(sf_dir, f"{bt}.parquet")
+        if pq.ParquetFile(path).metadata.num_rows > cap:
+            return None
+        return np.sort(
+            pq.read_table(path, columns=[bk]).column(bk)
+            .to_numpy(zero_copy_only=False).astype(np.int64))
+
+    keysets = {name: _keys_under_cap(bt, bk)
+               for name, (_pt, _pk), (bt, bk) in fks}
+    fused = [(name, pt, pk) for name, (pt, pk), _b in fks
+             if keysets[name] is not None]
     rows = []
+    if fused:
+        # ONE Ray execution for every broadcast-checkable edge: each
+        # probe table maps to the same fixed-width partial row (zeros
+        # for the other tables' edges), the sides union, and a single
+        # driver combine closes all counts
+        refs = ray.put({n: keysets[n] for n, _pt, _pk in fused})
+        idx_of = {name: j for j, (name, _pt, _pk) in enumerate(fused)}
+        n_edges_f = len(fused)
+        vcols = [c for j in range(n_edges_f)
+                 for c in (f"e{j}_n", f"e{j}_o")]
+
+        def make_partial(my_edges):
+            def partial(t: pa.Table) -> pd.DataFrame:
+                ks = ray.get(refs)
+                rec = {"g": np.zeros(1, dtype=np.int64)}
+                rec.update({c: [0] for c in vcols})
+                for name, _pt, pk in my_edges:
+                    j = idx_of[name]
+                    k = t.column(pk).to_numpy(
+                        zero_copy_only=False).astype(np.int64)
+                    hit, _i = _sorted_lookup(ks[name], k)
+                    rec[f"e{j}_n"] = [len(k)]
+                    rec[f"e{j}_o"] = [int((~hit).sum())]
+                return pd.DataFrame(rec)
+            return partial
+
+        sides = []
+        for pt in sorted({pt for _n, pt, _pk in fused}):
+            mine = [e for e in fused if e[1] == pt]
+            cols = sorted({pk for _n, _pt, pk in mine})
+            sides.append(
+                _pq(sf_dir, pt, columns=cols, num_blocks=_n_cpus())
+                .map_batches(make_partial(mine), batch_format="pyarrow"))
+        ds = sides[0]
+        for s in sides[1:]:
+            ds = ds.union(s)
+        out1 = _combine_partials(ds, ["g"], vcols)
+        for name, _pt, _pk in fused:
+            j = idx_of[name]
+            rows.append({"fk": name,
+                         "n_rows": int(out1[f"e{j}_n"].iloc[0]),
+                         "n_orphans": int(out1[f"e{j}_o"].iloc[0])})
     for name, (pt, pk), (bt, bk) in fks:
+        if keysets[name] is not None:
+            continue
         n_rows, n_orph = _fk_orphan_count(
             _pq(sf_dir, pt, columns=[pk], num_blocks=_n_cpus()),
             pk, _pq(sf_dir, bt, columns=[bk]), bk)
@@ -7596,3 +7659,127 @@ def q_rfm_segments(sf_dir: str):
         "avg_ltv": round_half_away(
             out["cents"].to_numpy(np.float64) / 100.0 / nc, 2),
     }).sort_values("segment").reset_index(drop=True)
+
+
+def q_knn_accuracy(sf_dir: str):
+    """Leave-one-out 1-NN label accuracy over the embedding table — the
+    label-quality / split-leakage probe run before training a classifier
+    head. Brute-force scoring: the (bounded) reference matrix broadcasts
+    ONCE via ``ray.put`` and each batch scores against it with one
+    numpy matmul (the IVF/LSH stages are the documented scale path for
+    an unbounded reference set); ranking uses the repo-wide rounded-6
+    cosine with vec_id tie-break, so both engines pick the same
+    neighbor. Per-label (n, n_correct) partials combine on the driver."""
+    emb = _pq(sf_dir, "embeddings",
+              columns=["vec_id", "embedding", "label"])
+    ref = _gather_capped(emb)
+    ids = ref["vec_id"].to_numpy(np.int64)
+    labels = ref["label"].to_numpy(np.int64)
+    m = np.stack(ref["embedding"].to_numpy()).astype(np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ref_ref = ray.put((ids, labels, mn))
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        r_ids, r_labels, r_mn = ray.get(ref_ref)
+        q_ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        q_lab = t.column("label").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        qm = np.stack(t.column("embedding").to_pandas().to_numpy()).astype(
+            np.float64)
+        qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        cos = qn @ r_mn.T
+        c6 = round_half_away(cos * 1e6).astype(np.int64)
+        # composite argmax key: rounded-6 cosine desc, then vec_id asc
+        key = c6 * np.int64(10_000_000) - r_ids[None, :]
+        # mask self-matches
+        key[q_ids[:, None] == r_ids[None, :]] = np.iinfo(np.int64).min
+        nn = np.argmax(key, axis=1)
+        df = pd.DataFrame({
+            "label": q_lab, "n": np.int64(1),
+            "n_correct": (r_labels[nn] == q_lab).astype(np.int64)})
+        return df.groupby("label", as_index=False).sum()
+
+    out = _combine_partials(
+        emb.map_batches(partial, batch_format="pyarrow"),
+        ["label"], ["n", "n_correct"],
+    )
+    return pd.DataFrame({
+        "label": out["label"].astype(np.int64),
+        "n": out["n"].astype(np.int64),
+        "n_correct": out["n_correct"].astype(np.int64),
+        "acc": round_half_away(
+            out["n_correct"].to_numpy(np.float64)
+            / out["n"].to_numpy(np.float64), 6),
+    }).sort_values("label").reset_index(drop=True)
+
+
+def q_customer_360(sf_dir: str):
+    """Customer-360: per shared key, behavioral totals (events) joined
+    with purchase totals (orders) — the canonical big–big cross-dataset
+    join. BOTH sides pre-aggregate inside their batch scan (exact
+    integer units), so what shuffles is one bounded partial row per
+    (batch, key), not the raw streams; ONE hash-bucket co-location then
+    sums per key and keeps keys present on both sides (inner join)."""
+    from ..stages.temporal import _with_bucket
+
+    ev = _pq(sf_dir, "events", columns=["user_id", "value"],
+             num_blocks=_n_cpus())
+    od = _pq(sf_dir, "orders", columns=["o_custkey", "o_totalprice"],
+             num_blocks=_n_cpus())
+
+    def ev_side(t: pa.Table) -> pd.DataFrame:
+        v3 = round_half_away(
+            t.column("value").to_numpy() * 1000.0).astype(np.int64)
+        df = pd.DataFrame({
+            "key": t.column("user_id").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "n_events": np.int64(1), "v3": v3,
+            "n_orders": np.int64(0), "cents": np.int64(0),
+            "has_ev": np.int8(1), "has_od": np.int8(0)})
+        return df.groupby("key", as_index=False).agg(
+            n_events=("n_events", "sum"), v3=("v3", "sum"),
+            n_orders=("n_orders", "sum"), cents=("cents", "sum"),
+            has_ev=("has_ev", "max"), has_od=("has_od", "max"))
+
+    def od_side(t: pa.Table) -> pd.DataFrame:
+        cents = round_half_away(
+            t.column("o_totalprice").to_numpy() * 100.0).astype(np.int64)
+        df = pd.DataFrame({
+            "key": t.column("o_custkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "n_events": np.int64(0), "v3": np.int64(0),
+            "n_orders": np.int64(1), "cents": cents,
+            "has_ev": np.int8(0), "has_od": np.int8(1)})
+        return df.groupby("key", as_index=False).agg(
+            n_events=("n_events", "sum"), v3=("v3", "sum"),
+            n_orders=("n_orders", "sum"), cents=("cents", "sum"),
+            has_ev=("has_ev", "max"), has_od=("has_od", "max"))
+
+    both = ev.map_batches(ev_side, batch_format="pyarrow").union(
+        od.map_batches(od_side, batch_format="pyarrow"))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("key", as_index=False).agg(
+            n_events=("n_events", "sum"), v3=("v3", "sum"),
+            n_orders=("n_orders", "sum"), cents=("cents", "sum"),
+            has_ev=("has_ev", "max"), has_od=("has_od", "max"))
+        agg = agg[(agg["has_ev"] == 1) & (agg["has_od"] == 1)]
+        return pd.DataFrame({
+            "user_id": agg["key"].to_numpy(np.int64),
+            "n_events": agg["n_events"].to_numpy(np.int64),
+            "sum_value": round_half_away(
+                agg["v3"].to_numpy(np.float64) / 1000.0, 6),
+            "n_orders": agg["n_orders"].to_numpy(np.int64),
+            "total_spend": round_half_away(
+                agg["cents"].to_numpy(np.float64) / 100.0, 2),
+        })
+
+    out = (
+        _with_bucket(both, "key", 32)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+        .select_columns(["user_id", "n_events", "sum_value",
+                         "n_orders", "total_spend"])
+    )
+    return out.sort("user_id")

@@ -138,15 +138,14 @@ def test_basket_pairs_distributed_close_matches_driver_combine(monkeypatch):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
-def test_fk_orphans_copartition_plan_matches_broadcast(monkeypatch):
+def test_fk_orphans_copartition_plan_matches_broadcast():
     """Past the build-side cap every FK edge anti-counts via the
     co-partitioned kernel — declining the gather must leave the audit
     identical."""
     from gocrawler_ray.pipelines import queries as q
 
     a = q.q_fk_orphans(SF_DIR)
-    monkeypatch.setattr(q, "_gather_capped", lambda *x, **k: None)
-    b = q.q_fk_orphans(SF_DIR)
+    b = q.q_fk_orphans(SF_DIR, cap=10)  # every build past the cap
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
