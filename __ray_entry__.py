@@ -222,6 +222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": q.q_rfm_segments,
         "knn_accuracy": q.q_knn_accuracy,
         "customer_360": q.q_customer_360,
+        "host_depth_profile": q.q_host_depth_profile,
+        "captcha_rate_by_host": q.q_captcha_rate_by_host,
     }
 
 
@@ -2716,5 +2718,30 @@ SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
        CAST(n_orders AS BIGINT) AS n_orders,
        round(CAST(cents AS DOUBLE) / 100.0, 2) AS total_spend
 FROM ev JOIN od ON user_id = o_custkey ORDER BY user_id
+"""
+    # per-host crawl shape (host formula matches derived.py url_of)
+    out["host_depth_profile"] = _BFS_CTE + """,
+mindepth AS (SELECT node, MIN(depth) AS depth FROM r GROUP BY node),
+h AS (
+  SELECT 'www.synthd' || CAST(node % 3 AS VARCHAR) || '.mx' AS host,
+         depth
+  FROM mindepth)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(MIN(depth) AS INTEGER) AS min_depth,
+       CAST(MAX(depth) AS INTEGER) AS max_depth,
+       round(SUM(depth) * 1.0 / COUNT(*), 6) AS avg_depth
+FROM h GROUP BY host ORDER BY host
+"""
+    # captcha-wall incidence per host (captcha formula: doc_id % 37 = 3)
+    out["captcha_rate_by_host"] = _BFS_CTE + """,
+mindepth AS (SELECT node, MIN(depth) AS depth FROM r GROUP BY node),
+h AS (
+  SELECT 'www.synthd' || CAST(node % 3 AS VARCHAR) || '.mx' AS host,
+         CASE WHEN node % 37 = 3 THEN 1 ELSE 0 END AS cap
+  FROM mindepth)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(cap) AS BIGINT) AS n_captcha,
+       round(SUM(cap) * 1.0 / COUNT(*), 6) AS captcha_rate
+FROM h GROUP BY host ORDER BY host
 """
     return out

@@ -7783,3 +7783,77 @@ def q_customer_360(sf_dir: str):
                          "n_orders", "total_spend"])
     )
     return out.sort("user_id")
+
+
+def q_host_depth_profile(sf_dir: str):
+    """Per-host crawl shape over the checkpointed frontier: pages
+    fetched, min/max BFS depth and mean depth — the skew report a
+    crawl operator reads before re-salting hot hosts. Streams the
+    checkpoint pruned to (host, depth); partials are (host × depth)
+    counts (wave-bounded), and min/max/mean close on the driver from
+    that bounded table — frontier size never lands anywhere."""
+    ckpt = _derived_crawl_ckpt(sf_dir)
+    from ..sources.tables import read_dataset
+
+    docs = read_dataset(os.path.join(ckpt, "docs"),
+                        columns=["host", "depth"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "host": t.column("host").to_pandas(),
+            "depth": t.column("depth").to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "n": np.int64(1)})
+        return df.groupby(["host", "depth"], as_index=False).sum()
+
+    hd = _combine_partials(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["host", "depth"], ["n"],
+    )
+    hd["sum_depth"] = hd["depth"] * hd["n"]
+    g = hd.groupby("host", as_index=False).agg(
+        n_pages=("n", "sum"), min_depth=("depth", "min"),
+        max_depth=("depth", "max"), sum_depth=("sum_depth", "sum"))
+    return pd.DataFrame({
+        "host": g["host"],
+        "n_pages": g["n_pages"].astype(np.int64),
+        "min_depth": g["min_depth"].astype(np.int32),
+        "max_depth": g["max_depth"].astype(np.int32),
+        "avg_depth": round_half_away(
+            g["sum_depth"].to_numpy(np.float64)
+            / g["n_pages"].to_numpy(np.float64), 6),
+    }).sort_values("host").reset_index(drop=True)
+
+
+def q_captcha_rate_by_host(sf_dir: str):
+    """Captcha-wall incidence per host over the crawled corpus (S8
+    analytics): fetched pages, captcha hits, rate — the
+    block-detection dashboard behind proxy/header rotation decisions.
+    Map-only count partials over (host, captcha flag), host-bounded
+    combine."""
+    ckpt = _derived_crawl_ckpt(sf_dir)
+    from ..sources.tables import read_dataset
+
+    docs = read_dataset(os.path.join(ckpt, "docs"),
+                        columns=["host", "captcha_text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cap = (pc.utf8_length(t.column("captcha_text")).to_numpy(
+            zero_copy_only=False) > 0).astype(np.int64)
+        df = pd.DataFrame({
+            "host": t.column("host").to_pandas(),
+            "n_pages": np.int64(1), "n_captcha": cap})
+        return df.groupby("host", as_index=False).sum()
+
+    out = _combine_partials(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["host"], ["n_pages", "n_captcha"],
+    )
+    return pd.DataFrame({
+        "host": out["host"],
+        "n_pages": out["n_pages"].astype(np.int64),
+        "n_captcha": out["n_captcha"].astype(np.int64),
+        "captcha_rate": round_half_away(
+            out["n_captcha"].to_numpy(np.float64)
+            / out["n_pages"].to_numpy(np.float64), 6),
+    }).sort_values("host").reset_index(drop=True)
