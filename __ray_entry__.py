@@ -224,6 +224,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_360": q.q_customer_360,
         "host_depth_profile": q.q_host_depth_profile,
         "captcha_rate_by_host": q.q_captcha_rate_by_host,
+        "lang_source_matrix": q.q_lang_source_matrix,
+        "brand_share": q.q_brand_share,
+        "split_leakage": q.q_split_leakage,
     }
 
 
@@ -2743,5 +2746,52 @@ SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages,
        CAST(SUM(cap) AS BIGINT) AS n_captcha,
        round(SUM(cap) * 1.0 / COUNT(*), 6) AS captcha_rate
 FROM h GROUP BY host ORDER BY host
+"""
+    # corpus composition cross-tab
+    out["lang_source_matrix"] = """
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(SUM(n_chars) * 1.0 / COUNT(*), 6) AS avg_chars
+FROM documents GROUP BY lang, source ORDER BY lang, source
+"""
+    # brand share-of-voice within part type
+    out["brand_share"] = """
+SELECT p_type, p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       round(COUNT(*) * 1.0
+             / SUM(COUNT(*)) OVER (PARTITION BY p_type), 6) AS share
+FROM part GROUP BY p_type, p_brand ORDER BY p_type, p_brand
+"""
+    # split-leakage audit: user-keyed vs event-keyed 80/20 hash split
+    _tr80 = int(0.8 * 2**64)
+    out["split_leakage"] = f"""
+WITH uu AS (SELECT DISTINCT user_id FROM events),
+us AS (
+  SELECT CAST(('0x' || substr(md5('split:7:'
+           || CAST(user_id AS VARCHAR)), 1, 16)) AS UBIGINT)
+         < {_tr80} AS tr
+  FROM uu),
+ee AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5('split:7:'
+           || CAST(event_id AS VARCHAR)), 1, 16)) AS UBIGINT)
+         < {_tr80} AS tr
+  FROM events),
+pu AS (
+  SELECT user_id, MAX(CASE WHEN tr THEN 1 ELSE 0 END) AS tr,
+         MAX(CASE WHEN tr THEN 0 ELSE 1 END) AS te
+  FROM ee GROUP BY user_id)
+SELECT * FROM (
+  SELECT 'by_event' AS scheme,
+         CAST(SUM(tr) AS BIGINT) AS n_train_users,
+         CAST(SUM(te) AS BIGINT) AS n_test_users,
+         CAST(SUM(CASE WHEN tr = 1 AND te = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_leaked
+  FROM pu
+  UNION ALL
+  SELECT 'by_user',
+         CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CASE WHEN tr THEN 0 ELSE 1 END) AS BIGINT),
+         CAST(0 AS BIGINT)
+  FROM us)
+ORDER BY scheme
 """
     return out

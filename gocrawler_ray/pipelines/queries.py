@@ -7857,3 +7857,114 @@ def q_captcha_rate_by_host(sf_dir: str):
             out["n_captcha"].to_numpy(np.float64)
             / out["n_pages"].to_numpy(np.float64), 6),
     }).sort_values("host").reset_index(drop=True)
+
+
+def q_lang_source_matrix(sf_dir: str):
+    """Corpus composition cross-tab: document count and mean length per
+    (lang, source) cell — the coverage matrix a data curator reads
+    before setting corpus-mix weights. Map-only (lang × source)-bounded
+    count/Σchars partials; single driver close."""
+    docs = _pq(sf_dir, "documents",
+               columns=["lang", "source", "n_chars"],
+               num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "lang": t.column("lang").to_pandas(),
+            "source": t.column("source").to_pandas(),
+            "n_docs": np.int64(1),
+            "sum_chars": t.column("n_chars").to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+        return df.groupby(["lang", "source"], as_index=False).sum()
+
+    out = _combine_partials(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "source"], ["n_docs", "sum_chars"],
+    )
+    return pd.DataFrame({
+        "lang": out["lang"], "source": out["source"],
+        "n_docs": out["n_docs"].astype(np.int64),
+        "avg_chars": round_half_away(
+            out["sum_chars"].to_numpy(np.float64)
+            / out["n_docs"].to_numpy(np.float64), 6),
+    }).sort_values(["lang", "source"]).reset_index(drop=True)
+
+
+def q_brand_share(sf_dir: str):
+    """Share-of-voice: each brand's part count and share WITHIN its
+    part type — the window-share pattern (count / sum-over-partition)
+    on a vocabulary-bounded pair domain. Map-only partials; the window
+    normalization closes on the driver over (type × brand) rows."""
+    parts = _pq(sf_dir, "part", columns=["p_type", "p_brand"],
+                num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "p_type": t.column("p_type").to_pandas(),
+            "p_brand": t.column("p_brand").to_pandas(),
+            "n_parts": np.int64(1)})
+        return df.groupby(["p_type", "p_brand"], as_index=False).sum()
+
+    out = _combine_partials(
+        parts.map_batches(partial, batch_format="pyarrow"),
+        ["p_type", "p_brand"], ["n_parts"],
+    )
+    tot = out.groupby("p_type")["n_parts"].transform("sum").to_numpy(
+        np.float64)
+    return pd.DataFrame({
+        "p_type": out["p_type"], "p_brand": out["p_brand"],
+        "n_parts": out["n_parts"].astype(np.int64),
+        "share": round_half_away(
+            out["n_parts"].to_numpy(np.float64) / tot, 6),
+    }).sort_values(["p_type", "p_brand"]).reset_index(drop=True)
+
+
+def q_split_leakage(sf_dir: str):
+    """Split-leakage audit over the event stream: a USER-keyed 80/20
+    hash split must put no user on both sides, while the naive
+    EVENT-keyed split leaks almost every active user — the
+    contamination check run before training on behavioral data. ONE
+    hash-bucket shuffle on user_id; per-user membership for both
+    schemes reduces in-bucket (users partition across buckets, so the
+    three counters sum exactly)."""
+    from ..functions.urls import md5_hex_many
+    from ..stages.temporal import _with_bucket
+
+    TR = int(0.8 * 2**64)  # 80/20 boundary on the md5-uint64 line
+    ev = _pq(sf_dir, "events", columns=["event_id", "user_id"],
+             num_blocks=_n_cpus())
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        e = g["event_id"].to_numpy(np.int64)
+        uu = np.unique(u)
+        hu = np.array([int(h[:16], 16) for h in md5_hex_many(
+            np.char.add("split:7:", uu.astype(str)))], dtype=np.uint64)
+        u_train = hu < np.uint64(TR)
+        he = np.array([int(h[:16], 16) for h in md5_hex_many(
+            np.char.add("split:7:", e.astype(str)))], dtype=np.uint64)
+        e_train = he < np.uint64(TR)
+        df = pd.DataFrame({"u": u, "tr": e_train, "te": ~e_train})
+        per = df.groupby("u", as_index=False).agg(
+            tr=("tr", "max"), te=("te", "max"))
+        rows = [
+            {"scheme": "by_event",
+             "n_train_users": int(per["tr"].sum()),
+             "n_test_users": int(per["te"].sum()),
+             "n_leaked": int((per["tr"] & per["te"]).sum())},
+            {"scheme": "by_user",
+             "n_train_users": int(u_train.sum()),
+             "n_test_users": int((~u_train).sum()),
+             "n_leaked": 0},
+        ]
+        return pd.DataFrame(rows)
+
+    out = _combine_partials(
+        _with_bucket(ev, "user_id", 32)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas"),
+        ["scheme"], ["n_train_users", "n_test_users", "n_leaked"],
+    )
+    for c in ["n_train_users", "n_test_users", "n_leaked"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("scheme").reset_index(drop=True)

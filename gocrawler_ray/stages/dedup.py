@@ -367,6 +367,7 @@ def _emit_pairs_grouped(
     hamming_radius: int | None,
     band_bits: int,
     shingle_radius: int | None,
+    parallel_threshold: float = 4e6,
 ) -> pd.DataFrame | None:
     """Run :func:`_emit_pairs` over every band-sorted group and return
     the (a, b, capped) candidate frame (None if no group emits). The
@@ -408,7 +409,7 @@ def _emit_pairs_grouped(
         ray.is_initialized()
     ) else 8
     n_chunks = min(n_chunks, len(gis))
-    if cost.sum() < 4e6 or n_chunks < 2:
+    if cost.sum() < parallel_threshold or n_chunks < 2:
         parts = [run(gis)]
     else:
         # greedy pack: heaviest groups first into the lightest chunk

@@ -414,3 +414,46 @@ def test_verify_pairs_ds_semi_join_path_matches_broadcast():
     texts = {d["doc_id"]: d["text"] for d in docs}
     for _, r in withj.iterrows():
         assert abs(r["j"] - jaccard(texts[r["a"]], texts[r["b"]], 3)) < 1e-12
+
+
+def test_emit_pairs_grouped_parallel_plane_matches_serial(ray_session):
+    """The fanned-out coarse-band pair emission must produce exactly the
+    serial loop's candidate set (forced by dropping the work threshold
+    to zero)."""
+    import numpy as np
+    import pandas as pd
+
+    from gocrawler_ray.stages.dedup import _emit_pairs_grouped, simhash64
+
+    rng = np.random.default_rng(11)
+    texts = pd.Series(
+        [" ".join(rng.choice(["a", "b", "c", "d", "e", "f"], size=20))
+         for _ in range(400)]
+    )
+    h = simhash64(texts)
+    band_bits, n_bands = 4, 16
+    mask = np.uint64(15)
+    m = len(h)
+    bh = np.concatenate(
+        [((h >> np.uint64(b * band_bits)) & mask)
+         | (np.uint64(b) << np.uint64(band_bits)) for b in range(n_bands)]
+    )
+    docs = np.tile(np.array([f"d{i}" for i in range(m)], dtype=object),
+                   n_bands)
+    hs = np.tile(h, n_bands)
+    order = np.argsort(bh, kind="stable")
+    bh, docs, hs = bh[order], docs[order], hs[order]
+    change = np.empty(len(bh), dtype=bool)
+    change[0] = True
+    change[1:] = bh[1:] != bh[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], len(bh))
+    args = (docs, hs, None, bh, starts, ends, 1 << 20, 16, band_bits,
+            None)
+    ser = _emit_pairs_grouped(*args, parallel_threshold=float("inf"))
+    par = _emit_pairs_grouped(*args, parallel_threshold=0.0)
+    key = ["a", "b", "capped"]
+    pd.testing.assert_frame_equal(
+        ser.sort_values(key).reset_index(drop=True)[key],
+        par.sort_values(key).reset_index(drop=True)[key],
+    )
