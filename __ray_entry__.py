@@ -227,6 +227,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_matrix": q.q_lang_source_matrix,
         "brand_share": q.q_brand_share,
         "split_leakage": q.q_split_leakage,
+        "time_to_purchase": q.q_time_to_purchase,
+        "monthly_churn": q.q_monthly_churn,
+        "repurchase_rate": q.q_repurchase_rate,
     }
 
 
@@ -2793,5 +2796,53 @@ SELECT * FROM (
          CAST(0 AS BIGINT)
   FROM us)
 ORDER BY scheme
+"""
+    # activation latency: first event → first purchase, bucketed days
+    out["time_to_purchase"] = """
+WITH f AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS tp
+  FROM events GROUP BY user_id),
+b AS (
+  SELECT CASE
+           WHEN tp IS NULL THEN 'never'
+           WHEN (tp - t0) // 86400000000 <= 0 THEN '0_same_day'
+           WHEN (tp - t0) // 86400000000 <= 7 THEN '1-7'
+           WHEN (tp - t0) // 86400000000 <= 30 THEN '8-30'
+           ELSE '31+' END AS bucket
+  FROM f)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+    # month-over-month churn (last observed month right-censored)
+    out["monthly_churn"] = """
+WITH d AS (
+  SELECT DISTINCT user_id, date_trunc('month', ts) AS mo FROM events),
+j AS (
+  SELECT d.mo, n.user_id IS NULL AS churned
+  FROM d LEFT JOIN d n
+    ON n.user_id = d.user_id AND n.mo = d.mo + INTERVAL 1 MONTH)
+SELECT mo AS month, CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_churned,
+       round(SUM(CASE WHEN churned THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS churn_rate
+FROM j WHERE mo < (SELECT MAX(mo) FROM d)
+GROUP BY mo ORDER BY mo
+"""
+    # share of (customer, part) pairs bought in more than one order
+    out["repurchase_rate"] = """
+WITH p AS (
+  SELECT DISTINCT o_custkey AS cust, l_partkey AS part,
+         l_orderkey AS ok
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+per AS (SELECT cust, part, COUNT(*) AS n FROM p GROUP BY cust, part)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repurchased,
+       round(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS repurchase_rate
+FROM per
 """
     return out

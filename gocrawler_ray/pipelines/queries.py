@@ -7968,3 +7968,148 @@ def q_split_leakage(sf_dir: str):
     for c in ["n_train_users", "n_test_users", "n_leaked"]:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("scheme").reset_index(drop=True)
+
+
+def q_time_to_purchase(sf_dir: str):
+    """Activation funnel timing: per user, days from their FIRST event
+    to their FIRST purchase, reported as a bounded histogram (same-day /
+    1-7 / 8-30 / 31+ days) plus the never-purchased cohort — the
+    activation-latency report. ONE hash-bucket shuffle on user_id; the
+    kernel reduces each user to two firsts and emits the 5-row
+    partial."""
+    from ..stages.temporal import _with_bucket
+
+    DAY = 86_400_000_000
+    ev = _pq(sf_dir, "events", columns=["user_id", "ts", "event_type"],
+             num_blocks=_n_cpus())
+    EDGES = np.array([0, 7, 30], dtype=np.int64)
+    LABELS = np.array(["0_same_day", "1-7", "8-30", "31+"], dtype=object)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].astype("int64").to_numpy()
+        first = pd.DataFrame({"u": u, "ts": ts}).groupby(
+            "u", as_index=False)["ts"].min()
+        isp = g["event_type"].to_numpy() == "purchase"
+        fp = pd.DataFrame({"u": u[isp], "ts": ts[isp]}).groupby(
+            "u", as_index=False)["ts"].min()
+        m = first.merge(fp, on="u", how="left", suffixes=("_f", "_p"))
+        never = int(m["ts_p"].isna().sum())
+        got = m.dropna(subset=["ts_p"])
+        gap = (got["ts_p"].to_numpy(np.int64)
+               - got["ts_f"].to_numpy(np.int64)) // DAY
+        b = np.searchsorted(EDGES, gap, side="left")  # count edges < gap
+        h = pd.DataFrame({"bucket": LABELS[b], "n_users": np.int64(1)})
+        out = h.groupby("bucket", as_index=False).sum()
+        return pd.concat(
+            [out, pd.DataFrame({"bucket": ["never"],
+                                "n_users": [never]})],
+            ignore_index=True)
+
+    out = _combine_partials(
+        _with_bucket(ev, "user_id", 32)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas"),
+        ["bucket"], ["n_users"],
+    )
+    out = out[out["n_users"] > 0]
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def q_monthly_churn(sf_dir: str):
+    """Month-over-month churn: per calendar month, active users and the
+    share of them inactive the NEXT month (the last observed month is
+    excluded — churn there is right-censored). ONE hash-bucket shuffle
+    on user_id; each user's distinct-month set reduces in-bucket to
+    (month, active, churned) partials; the observed-month maximum is
+    data-bounded and closes on the driver."""
+    from ..stages.temporal import _with_bucket
+
+    ev = _pq(sf_dir, "events", columns=["user_id", "ts"],
+             num_blocks=_n_cpus())
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy().astype("datetime64[M]")
+        mo = ts.astype(np.int64)  # months since 1970-01
+        d = pd.DataFrame({"u": g["user_id"].to_numpy(np.int64),
+                          "m": mo}).drop_duplicates()
+        order = np.lexsort((d["m"].to_numpy(), d["u"].to_numpy()))
+        u = d["u"].to_numpy()[order]
+        m = d["m"].to_numpy()[order]
+        nxt_same = np.zeros(len(u), dtype=bool)
+        nxt_same[:-1] = (u[1:] == u[:-1]) & (m[1:] == m[:-1] + 1)
+        df = pd.DataFrame({"month": m, "n_active": np.int64(1),
+                           "n_churned": (~nxt_same).astype(np.int64)})
+        return df.groupby("month", as_index=False).sum()
+
+    out = _combine_partials(
+        _with_bucket(ev, "user_id", 32)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas"),
+        ["month"], ["n_active", "n_churned"],
+    )
+    out = out[out["month"] < out["month"].max()]  # censor last month
+    mo_ts = pd.to_datetime(
+        out["month"].to_numpy(np.int64).astype("datetime64[M]"))
+    return pd.DataFrame({
+        "month": mo_ts,
+        "n_active": out["n_active"].astype(np.int64),
+        "n_churned": out["n_churned"].astype(np.int64),
+        "churn_rate": round_half_away(
+            out["n_churned"].to_numpy(np.float64)
+            / out["n_active"].to_numpy(np.float64), 6),
+    }).sort_values("month").reset_index(drop=True)
+
+
+def q_repurchase_rate(sf_dir: str):
+    """Repurchase signal over the basket stream: of every distinct
+    (customer, part) pair, the share bought in MORE than one order —
+    the loyalty/consumable-vs-durable split. The customer key attaches
+    to the fact scan by broadcast under the cap (hash join past it);
+    ONE hash-bucket shuffle on the composite pair then reduces each
+    pair to its distinct-order count, and only (n_pairs, n_repurchased)
+    counters leave a bucket."""
+    from ..stages.temporal import _with_bucket
+
+    li = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"],
+             num_blocks=_n_cpus())
+    od = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    joined = _broadcast_fact_attach(
+        li, od, "l_orderkey", "o_orderkey", ["o_custkey"])
+    if joined is None:  # orders beyond the broadcast cap
+        joined = li.join(od, join_type="inner",
+                         num_partitions=_n_cpus(),
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def pre(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "cust": t.column("o_custkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "part": t.column("l_partkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "ok": t.column("l_orderkey").to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+        return df.drop_duplicates()  # batch-local (cust,part,order) dedup
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["cust", "part", "ok"]].drop_duplicates()
+        per = d.groupby(["cust", "part"], as_index=False).size()
+        return pd.DataFrame({
+            "g": np.zeros(1, dtype=np.int64),
+            "n_pairs": [len(per)],
+            "n_repurchased": [int((per["size"] > 1).sum())]})
+
+    out = _combine_partials(
+        _with_bucket(joined.map_batches(pre, batch_format="pyarrow"),
+                     "cust", 32)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas"),
+        ["g"], ["n_pairs", "n_repurchased"],
+    )
+    np_, nr = int(out["n_pairs"].iloc[0]), int(out["n_repurchased"].iloc[0])
+    return pd.DataFrame({
+        "n_pairs": np.array([np_], dtype=np.int64),
+        "n_repurchased": np.array([nr], dtype=np.int64),
+        "repurchase_rate": round_half_away(np.array([nr / np_]), 6),
+    })
