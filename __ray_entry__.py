@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_to_purchase": q.q_time_to_purchase,
         "monthly_churn": q.q_monthly_churn,
         "repurchase_rate": q.q_repurchase_rate,
+        "pareto_revenue": q.q_pareto_revenue,
     }
 
 
@@ -2844,5 +2845,29 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
        round(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) * 1.0
              / COUNT(*), 6) AS repurchase_rate
 FROM per
+"""
+    # exact revenue share of the top-20 % customers (fixed-point rev4;
+    # ties at the boundary value are share-invariant)
+    out["pareto_revenue"] = """
+WITH r AS (
+  SELECT o_custkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS x
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY 1),
+s AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x DESC, o_custkey) AS rn,
+         COUNT(*) OVER () AS n, SUM(CAST(x AS HUGEINT)) OVER () AS tot
+  FROM r),
+k AS (SELECT CAST(ceil(n / 5.0) AS BIGINT) AS k, n, tot FROM s LIMIT 1)
+SELECT CAST(k.n AS BIGINT) AS n_customers, k.k AS k,
+       round(CAST(SUM(CASE WHEN s.rn <= k.k THEN CAST(s.x AS HUGEINT)
+                           ELSE 0 END) AS DOUBLE) / 10000.0, 2)
+         AS top_revenue,
+       round(CAST(k.tot AS DOUBLE) / 10000.0, 2) AS total_revenue,
+       round(CAST(SUM(CASE WHEN s.rn <= k.k THEN CAST(s.x AS HUGEINT)
+                           ELSE 0 END) AS DOUBLE)
+             / CAST(k.tot AS DOUBLE), 6) AS share
+FROM s, k GROUP BY k.n, k.k, k.tot
 """
     return out

@@ -8113,3 +8113,104 @@ def q_repurchase_rate(sf_dir: str):
         "n_repurchased": np.array([nr], dtype=np.int64),
         "repurchase_rate": round_half_away(np.array([nr / np_]), 6),
     })
+
+
+def q_pareto_revenue(sf_dir: str):
+    """Revenue concentration: the exact share of total revenue held by
+    the top-20 % of customers — the 80/20 report as a GLOBAL-ORDER
+    aggregate done without any global sort. Per-customer exact
+    fixed-point revenue (one co-partition join + bucket reduce), then
+    ITERATIVE range refinement: each pass histograms the candidate
+    value range into 16 (count, Σ) buckets (driver sees 16 rows), whole
+    buckets above the boundary fold into the running top-k sum, and
+    only the boundary bucket re-scans — the candidate set shrinks
+    ~16× per pass, integer widths guarantee termination (width 1 =
+    one distinct value, closed in O(1)), and no pass lands more than a
+    capped gather on the driver. Ties at the boundary value are
+    share-exact by construction (sum = value × needed)."""
+    from ..stages.temporal import _with_bucket
+
+    parts = _shuffle_partitions(
+        _row_count(sf_dir, "lineitem"), _row_count(sf_dir, "orders"))
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_extendedprice", "l_discount"],
+             num_blocks=parts)
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+                 num_blocks=parts)
+    joined = li.join(orders, join_type="inner", num_partitions=parts,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    revs = (
+        _with_bucket(joined, "o_custkey", 32)
+        .groupby("__bucket")
+        .map_groups(_per_customer_rev4, batch_format="pandas")
+    ).materialize()  # consumed once per refinement pass
+
+    def totals(t: pa.Table) -> pd.DataFrame:
+        x = t.column("x").to_numpy()
+        return pd.DataFrame({"g": [0], "n": [len(x)],
+                             # object: Python-int partial, overflow-proof
+                             "s": pd.Series([int(x.sum())], dtype=object),
+                             "mn": [int(x.min()) if len(x) else 2**63 - 1],
+                             "mx": [int(x.max()) if len(x) else -2**63]})
+
+    tt = _combine_partials(
+        revs.map_batches(totals, batch_format="pyarrow"),
+        ["g"], ["n", "s"],
+    )
+    # min/max fold by hand (they don't sum)
+    mms = pd.concat(list(
+        revs.map_batches(totals, batch_format="pyarrow")
+        .select_columns(["mn", "mx"])
+        .iter_batches(batch_size=65536, batch_format="pandas")),
+        ignore_index=True)
+    n, tot = int(tt["n"].iloc[0]), int(tt["s"].iloc[0])
+    blo, bhi = int(mms["mn"].min()), int(mms["mx"].max())
+    k = (n + 4) // 5  # ceil(0.2 n), 0.2 = 1/5 exactly
+    need, acc = k, 0
+
+    while need > 0:
+        width = max(1, (bhi - blo) // 16 + 1)
+        lo_c, w_c = blo, width
+
+        def hist(t: pa.Table) -> pd.DataFrame:
+            x = t.column("x").to_numpy()
+            x = x[(x >= lo_c) & (x <= bhi)]
+            if not len(x):
+                return pd.DataFrame({"rb": pd.Series([], dtype=np.int64),
+                                     "cnt": pd.Series([], dtype=np.int64),
+                                     "s": pd.Series([], dtype=object)})
+            rb = (x - lo_c) // w_c
+            df = pd.DataFrame({"rb": rb, "cnt": np.int64(1),
+                               "s": x.astype(object)})
+            return df.groupby("rb", as_index=False).sum()
+
+        h = _combine_partials(
+            revs.map_batches(hist, batch_format="pyarrow"),
+            ["rb"], ["cnt", "s"],
+        ).sort_values("rb", ascending=False)
+        nxt = None
+        for r in h.itertuples():
+            if int(r.cnt) <= need:
+                acc += int(r.s)
+                need -= int(r.cnt)
+            else:
+                b_lo = lo_c + int(r.rb) * w_c
+                b_hi = min(bhi, b_lo + w_c - 1)
+                if b_lo == b_hi:  # one distinct value: ties close exact
+                    acc += b_lo * need
+                    need = 0
+                else:
+                    nxt = (b_lo, b_hi)
+                break
+        if need == 0:
+            break
+        assert nxt is not None
+        blo, bhi = nxt
+
+    return pd.DataFrame({
+        "n_customers": np.array([n], dtype=np.int64),
+        "k": np.array([k], dtype=np.int64),
+        "top_revenue": round_half_away(np.array([acc / 10000.0]), 2),
+        "total_revenue": round_half_away(np.array([tot / 10000.0]), 2),
+        "share": round_half_away(np.array([acc / tot]), 6),
+    })
