@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_churn": q.q_monthly_churn,
         "repurchase_rate": q.q_repurchase_rate,
         "pareto_revenue": q.q_pareto_revenue,
+        "weighted_sample": q.q_weighted_sample,
     }
 
 
@@ -2869,5 +2870,16 @@ SELECT CAST(k.n AS BIGINT) AS n_customers, k.k AS k,
                            ELSE 0 END) AS DOUBLE)
              / CAST(k.tot AS DOUBLE), 6) AS share
 FROM s, k GROUP BY k.n, k.k, k.tot
+"""
+    # Efraimidis–Spirakis weighted top-k reservoir (weight = n_chars)
+    out["weighted_sample"] = """
+WITH h AS (
+  SELECT doc_id, n_chars,
+         (CAST(CAST(('0x' || substr(md5('wsample:7:'
+            || CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) AS DOUBLE)
+          + 0.5) / 18446744073709551616.0 AS u
+  FROM documents)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM h ORDER BY ln(u) / n_chars DESC, doc_id LIMIT 100
 """
     return out

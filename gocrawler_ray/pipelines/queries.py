@@ -8214,3 +8214,44 @@ def q_pareto_revenue(sf_dir: str):
         "total_revenue": round_half_away(np.array([tot / 10000.0]), 2),
         "share": round_half_away(np.array([acc / tot]), 6),
     })
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted top-k reservoir (Efraimidis–Spirakis
+    A-ES): each doc draws a hash-derived uniform u and the k=100 docs
+    with the largest ln(u)/weight win — inclusion probability
+    proportional to weight (n_chars), reproducible under any
+    partitioning because u is a pure function of doc_id. Map-only
+    per-block local top-k (k × blocks rows reach the driver), driver
+    merges — no shuffle at any scale. The A-ES key is continuous, so
+    cross-engine float noise (~1 ulp of ln) cannot reorder ranks whose
+    gaps are ~1/n of the key range."""
+    from ..functions.urls import md5_hex_many
+
+    K = 100
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "n_chars"],
+               num_blocks=_n_cpus())
+
+    def topk(t: pa.Table) -> pd.DataFrame:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        w = t.column("n_chars").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        h = np.array([int(x[:16], 16) for x in md5_hex_many(
+            np.char.add("wsample:7:", ids.astype(str)))],
+            dtype=np.uint64)
+        # (h + 0.5) / 2^64 ∈ (0, 1): identical double arithmetic to the
+        # oracle, and never 0 (ln is finite)
+        u = (h.astype(np.float64) + 0.5) / 18446744073709551616.0
+        key = np.log(u) / w
+        order = np.lexsort((ids, -key))[:K]
+        return pd.DataFrame({"doc_id": ids[order],
+                             "n_chars": w[order].astype(np.int64),
+                             "key": key[order]})
+
+    parts = _gather_capped(
+        docs.map_batches(topk, batch_format="pyarrow"))  # ≤ blocks × k
+    order = np.lexsort((parts["doc_id"].to_numpy(),
+                        -parts["key"].to_numpy()))[:K]
+    out = parts.iloc[order][["doc_id", "n_chars"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
