@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repurchase_rate": q.q_repurchase_rate,
         "pareto_revenue": q.q_pareto_revenue,
         "weighted_sample": q.q_weighted_sample,
+        "decayed_counts": q.q_decayed_counts,
     }
 
 
@@ -2881,5 +2882,20 @@ WITH h AS (
   FROM documents)
 SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
 FROM h ORDER BY ln(u) / n_chars DESC, doc_id LIMIT 100
+"""
+    # exponentially decayed counts (half-life 7 d, exact dyadic weights)
+    out["decayed_counts"] = """
+WITH a AS (
+  SELECT event_type,
+         least((greatest(0, epoch_us(TIMESTAMP '2024-03-01')
+                            - epoch_us(ts)) // 86400000000) // 7, 41)
+           AS j
+  FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       round(CAST(SUM(CASE WHEN j <= 40
+                           THEN (CAST(1 AS HUGEINT) << (40 - j))
+                           ELSE 0 END) AS DOUBLE)
+             / 1099511627776.0, 6) AS decayed
+FROM a GROUP BY event_type ORDER BY event_type
 """
     return out

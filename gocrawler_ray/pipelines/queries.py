@@ -8255,3 +8255,41 @@ def q_weighted_sample(sf_dir: str):
                         -parts["key"].to_numpy()))[:K]
     out = parts.iloc[order][["doc_id", "n_chars"]]
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_decayed_counts(sf_dir: str):
+    """Recency-weighted activity: per event type, the exponentially
+    decayed event count (half-life = 7 days against the fixed
+    2024-03-01 anchor) next to the raw count — the freshness-weighted
+    popularity signal. The decay weight is EXACT by construction:
+    age is floored to whole half-lives j, weight = 2^(40−j) integer
+    units (zero past 40 half-lives), so partials sum as integers and
+    the single /2^40 float happens once, identically, on both sides."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "ts"],
+             num_blocks=_n_cpus())
+    DAY = 86_400_000_000
+    ANCHOR = int(pd.Timestamp("2024-03-01").value // 1000)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        age_days = np.maximum(0, (ANCHOR - ts) // DAY)
+        j = np.minimum(age_days // 7, 40).astype(np.int64)
+        w = (np.int64(1) << (np.int64(40) - j))
+        w[age_days // 7 > 40] = 0
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas(),
+            "n": np.int64(1),
+            # object: Python-int partials, exact at any corpus size
+            "w40": w.astype(object)})
+        return df.groupby("event_type", as_index=False).sum()
+
+    out = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], ["n", "w40"],
+    )
+    return pd.DataFrame({
+        "event_type": out["event_type"],
+        "n": out["n"].astype(np.int64),
+        "decayed": round_half_away(
+            np.array([int(x) / float(1 << 40) for x in out["w40"]]), 6),
+    }).sort_values("event_type").reset_index(drop=True)
