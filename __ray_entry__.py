@@ -2668,7 +2668,7 @@ WITH per AS (
 SELECT n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM per GROUP BY n_lines ORDER BY n_lines
 """
-    # RFM segmentation census (recency anchor 1998-08-01; exact cents)
+    # RFM segmentation census (recency anchor 2002-01-01; exact cents)
     out["rfm_segments"] = """
 WITH per AS (
   SELECT o_custkey,

@@ -6905,7 +6905,7 @@ def q_benford_cents(sf_dir: str):
         cents = round_half_away(
             t.column("o_totalprice").to_numpy() * 100.0).astype(np.int64)
         d = cents.copy()
-        for _ in range(13):  # int64 cents < 1e19: ≤ 13 divide-downs
+        for _ in range(18):  # int64 < 1e19 has ≤ 19 digits: 18 divides
             big = d >= 10
             if not big.any():
                 break
@@ -6949,7 +6949,7 @@ def q_ship_lag(sf_dir: str):
         return pa.table({
             "key": pc.cast(t.column("l_orderkey"), pa.int64()),
             "us": pc.cast(t.column("l_shipdate"), pa.int64()),
-            "prio": pa.array([""] * t.num_rows, pa.string()),
+            "prio": pa.nulls(t.num_rows, pa.string()),
             "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
         })
 
@@ -7151,6 +7151,7 @@ def q_revenue_rollup(sf_dir: str):
 
 def _fk_orphan_count(
     probe: rd.Dataset, probe_key: str, build: rd.Dataset, build_key: str,
+    cap: int = 2_000_000,
 ) -> tuple[int, int]:
     """(n_probe_rows, n_orphans) for one FK relationship. Plan-capped:
     a bounded build side broadcasts its sorted distinct keys into the
@@ -7159,7 +7160,7 @@ def _fk_orphan_count(
     shuffle each, nothing but (hits, misses) partials leave a bucket."""
     from ..stages.temporal import _with_bucket
 
-    bdf = _gather_capped(build.select_columns([build_key]))
+    bdf = _gather_capped(build.select_columns([build_key]), cap=cap)
     if bdf is not None:
         keys = np.sort(bdf[build_key].to_numpy(np.int64))
         keys_ref = ray.put(keys)
@@ -7300,7 +7301,7 @@ def q_fk_orphans(sf_dir: str, cap: int = 2_000_000):
             continue
         n_rows, n_orph = _fk_orphan_count(
             _pq(sf_dir, pt, columns=[pk], num_blocks=_n_cpus()),
-            pk, _pq(sf_dir, bt, columns=[bk]), bk)
+            pk, _pq(sf_dir, bt, columns=[bk]), bk, cap=cap)
         rows.append({"fk": name, "n_rows": n_rows, "n_orphans": n_orph})
     out = pd.DataFrame(rows)
     out["n_rows"] = out["n_rows"].astype(np.int64)
@@ -7607,7 +7608,7 @@ def q_basket_sizes(sf_dir: str):
 
 def q_rfm_segments(sf_dir: str):
     """RFM segmentation: each customer's recency (days from last order
-    to the 1998-08-01 anchor), frequency, and monetary total (exact
+    to the fixed 2002-01-01 anchor), frequency, and monetary total (exact
     cents) classified into five fixed segments; output is the bounded
     per-segment census (count, avg order frequency, avg lifetime value).
     ONE hash-bucket shuffle on o_custkey; per-customer reduce and
@@ -7673,6 +7674,10 @@ def q_knn_accuracy(sf_dir: str):
     emb = _pq(sf_dir, "embeddings",
               columns=["vec_id", "embedding", "label"])
     ref = _gather_capped(emb)
+    assert ref is not None, (
+        "knn_accuracy: reference set past the broadcast cap — use the "
+        "IVF/LSH stages (stages/similarity.py) for an unbounded corpus"
+    )
     ids = ref["vec_id"].to_numpy(np.int64)
     labels = ref["label"].to_numpy(np.int64)
     m = np.stack(ref["embedding"].to_numpy()).astype(np.float64)
@@ -7690,8 +7695,13 @@ def q_knn_accuracy(sf_dir: str):
         qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
         cos = qn @ r_mn.T
         c6 = round_half_away(cos * 1e6).astype(np.int64)
-        # composite argmax key: rounded-6 cosine desc, then vec_id asc
-        key = c6 * np.int64(10_000_000) - r_ids[None, :]
+        # composite argmax key: rounded-6 cosine desc, then vec_id asc.
+        # The tie-break term is the DENSE RANK of vec_id (0..n-1), not
+        # the raw id — raw ids past the multiplier would outweigh a
+        # whole cosine step and flip the order
+        id_rank = np.argsort(np.argsort(r_ids)).astype(np.int64)
+        n_ref = np.int64(len(r_ids) + 1)
+        key = c6 * n_ref - id_rank[None, :]
         # mask self-matches
         key[q_ids[:, None] == r_ids[None, :]] = np.iinfo(np.int64).min
         nn = np.argmax(key, axis=1)
@@ -7927,7 +7937,7 @@ def q_split_leakage(sf_dir: str):
     hash-bucket shuffle on user_id; per-user membership for both
     schemes reduces in-bucket (users partition across buckets, so the
     three counters sum exactly)."""
-    from ..functions.urls import md5_hex_many
+    from ..functions.urls import md5_hash64_many
     from ..stages.temporal import _with_bucket
 
     TR = int(0.8 * 2**64)  # 80/20 boundary on the md5-uint64 line
@@ -7938,11 +7948,9 @@ def q_split_leakage(sf_dir: str):
         u = g["user_id"].to_numpy(np.int64)
         e = g["event_id"].to_numpy(np.int64)
         uu = np.unique(u)
-        hu = np.array([int(h[:16], 16) for h in md5_hex_many(
-            np.char.add("split:7:", uu.astype(str)))], dtype=np.uint64)
+        hu = md5_hash64_many(np.char.add("split:7:", uu.astype(str)))
         u_train = hu < np.uint64(TR)
-        he = np.array([int(h[:16], 16) for h in md5_hex_many(
-            np.char.add("split:7:", e.astype(str)))], dtype=np.uint64)
+        he = md5_hash64_many(np.char.add("split:7:", e.astype(str)))
         e_train = he < np.uint64(TR)
         df = pd.DataFrame({"u": u, "tr": e_train, "te": ~e_train})
         per = df.groupby("u", as_index=False).agg(
@@ -8147,24 +8155,20 @@ def q_pareto_revenue(sf_dir: str):
 
     def totals(t: pa.Table) -> pd.DataFrame:
         x = t.column("x").to_numpy()
+        # object: Python-int partial, overflow-proof at any block size
+        s = sum(int(v) for v in x) if len(x) else 0
         return pd.DataFrame({"g": [0], "n": [len(x)],
-                             # object: Python-int partial, overflow-proof
-                             "s": pd.Series([int(x.sum())], dtype=object),
+                             "s": pd.Series([s], dtype=object),
                              "mn": [int(x.min()) if len(x) else 2**63 - 1],
                              "mx": [int(x.max()) if len(x) else -2**63]})
 
-    tt = _combine_partials(
-        revs.map_batches(totals, batch_format="pyarrow"),
-        ["g"], ["n", "s"],
-    )
-    # min/max fold by hand (they don't sum)
-    mms = pd.concat(list(
+    # ONE pass folds all four partials (n/s sum; mn/mx fold by hand)
+    tf = pd.concat(list(
         revs.map_batches(totals, batch_format="pyarrow")
-        .select_columns(["mn", "mx"])
         .iter_batches(batch_size=65536, batch_format="pandas")),
         ignore_index=True)
-    n, tot = int(tt["n"].iloc[0]), int(tt["s"].iloc[0])
-    blo, bhi = int(mms["mn"].min()), int(mms["mx"].max())
+    n, tot = int(tf["n"].sum()), int(tf["s"].sum())
+    blo, bhi = int(tf["mn"].min()), int(tf["mx"].max())
     k = (n + 4) // 5  # ceil(0.2 n), 0.2 = 1/5 exactly
     need, acc = k, 0
 
@@ -8226,7 +8230,7 @@ def q_weighted_sample(sf_dir: str):
     merges — no shuffle at any scale. The A-ES key is continuous, so
     cross-engine float noise (~1 ulp of ln) cannot reorder ranks whose
     gaps are ~1/n of the key range."""
-    from ..functions.urls import md5_hex_many
+    from ..functions.urls import md5_hash64_many
 
     K = 100
     docs = _pq(sf_dir, "documents", columns=["doc_id", "n_chars"],
@@ -8237,9 +8241,7 @@ def q_weighted_sample(sf_dir: str):
             np.int64)
         w = t.column("n_chars").to_numpy(zero_copy_only=False).astype(
             np.float64)
-        h = np.array([int(x[:16], 16) for x in md5_hex_many(
-            np.char.add("wsample:7:", ids.astype(str)))],
-            dtype=np.uint64)
+        h = md5_hash64_many(np.char.add("wsample:7:", ids.astype(str)))
         # (h + 0.5) / 2^64 ∈ (0, 1): identical double arithmetic to the
         # oracle, and never 0 (ln is finite)
         u = (h.astype(np.float64) + 0.5) / 18446744073709551616.0
