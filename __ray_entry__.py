@@ -233,6 +233,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_revenue": q.q_pareto_revenue,
         "weighted_sample": q.q_weighted_sample,
         "decayed_counts": q.q_decayed_counts,
+        "value_moments": q.q_value_moments,
+        "hour_entropy": q.q_hour_entropy,
+        "chi2_type_dow": q.q_chi2_type_dow,
+        "theil_sen_trend": q.q_theil_sen_trend,
     }
 
 
@@ -2897,5 +2901,87 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
                            ELSE 0 END) AS DOUBLE)
              / 1099511627776.0, 6) AS decayed
 FROM a GROUP BY event_type ORDER BY event_type
+"""
+    # integer-exact raw moments -> scale-free skew / excess kurtosis
+    out["value_moments"] = """
+WITH c AS (
+  SELECT event_type, CAST(round(value*100) AS HUGEINT) AS x FROM events),
+m AS (
+  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS s1, SUM(x*x) AS s2, SUM(x*x*x) AS s3,
+         SUM(x*x*x*x) AS s4
+  FROM c GROUP BY event_type),
+cm AS (
+  SELECT event_type, n,
+         CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE)/100.0 AS mean,
+         n*s2 - s1*s1 AS m2,
+         n*n*s3 - 3*n*s2*s1 + 2*s1*s1*s1 AS m3,
+         n*n*n*s4 - 4*n*n*s3*s1 + 6*n*s2*s1*s1 - 3*s1*s1*s1*s1 AS m4
+  FROM m)
+SELECT event_type, CAST(n AS BIGINT) AS n, round(mean, 6) AS mean,
+       round(CAST(m3 AS DOUBLE)
+             / (CAST(m2 AS DOUBLE) * sqrt(CAST(m2 AS DOUBLE))), 6) AS skew,
+       round(CAST(m4 AS DOUBLE)
+             / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) - 3.0, 6) AS kurt
+FROM cm ORDER BY event_type
+"""
+    # Shannon entropy of the hour-of-day histogram, 1e-6-quantized terms
+    out["hour_entropy"] = """
+WITH c AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hour,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+t AS (
+  SELECT event_type, SUM(c) AS n, COUNT(*) AS hours_seen,
+         SUM(CAST(round(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))
+                        * 1000000) AS BIGINT)) AS q
+  FROM c GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(hours_seen AS BIGINT) AS hours_seen,
+       round(log2(CAST(n AS DOUBLE))
+             - (CAST(q AS DOUBLE)/1000000.0)/CAST(n AS DOUBLE), 6)
+         AS entropy
+FROM t ORDER BY event_type
+"""
+    # chi-square independence over the FULL type x dow grid (zero cells
+    # included), 1e-6-quantized per-cell terms; dow = (epoch_day+4)%7
+    out["chi2_type_dow"] = """
+WITH c AS (
+  SELECT event_type, (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+rt AS (SELECT event_type, SUM(c) AS r FROM c GROUP BY 1),
+ct AS (SELECT dow, SUM(c) AS col FROM c GROUP BY 1),
+nt AS (SELECT SUM(c) AS n FROM c),
+grid AS (
+  SELECT rt.event_type, ct.dow, COALESCE(c.c, 0) AS o,
+         CAST(rt.r AS DOUBLE) * CAST(ct.col AS DOUBLE)
+           / CAST(nt.n AS DOUBLE) AS e
+  FROM rt CROSS JOIN ct CROSS JOIN nt
+  LEFT JOIN c ON c.event_type = rt.event_type AND c.dow = ct.dow),
+q AS (
+  SELECT CAST(round((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
+                    / e * 1000000) AS BIGINT) AS qq
+  FROM grid)
+SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM c) AS n,
+       (SELECT CAST((COUNT(DISTINCT event_type) - 1) AS BIGINT)
+               * (SELECT COUNT(DISTINCT dow) - 1 FROM c) FROM c) AS dof,
+       round(CAST(SUM(qq) AS DOUBLE) / 1000000.0, 6) AS chi2
+FROM q
+"""
+    # Theil-Sen: median pairwise slope of daily revenue (cents/day)
+    out["theil_sen_trend"] = """
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1),
+p AS (
+  SELECT CAST(b.rev - a.rev AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+           AS slope
+  FROM d a JOIN d b ON b.day > a.day)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_days,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(median(slope), 6) AS slope_cents_per_day
+FROM p
 """
     return out

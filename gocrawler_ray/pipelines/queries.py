@@ -8295,3 +8295,188 @@ def q_decayed_counts(sf_dir: str):
         "decayed": round_half_away(
             np.array([int(x) / float(1 << 40) for x in out["w40"]]), 6),
     }).sort_values("event_type").reset_index(drop=True)
+
+
+def q_value_moments(sf_dir: str):
+    """Per-event-type skewness and excess kurtosis via INTEGER-EXACT
+    raw moments: values are exact cents by construction, so each batch
+    emits Python-int partials S1..S4 = Σx..Σx⁴ (object dtype — S1⁴
+    reaches ~1e32 at sf0.1, far past int64) that sum exactly under any
+    partitioning. The scaled central moments
+
+        M2 = n·S2 − S1²
+        M3 = n²·S3 − 3n·S2·S1 + 2·S1³
+        M4 = n³·S4 − 4n²·S3·S1 + 6n·S2·S1² − 3·S1⁴
+
+    are exact integers, and the cents scale cancels in both ratios, so
+
+        skew = M3 / M2^1.5      kurt = M4 / M2² − 3
+
+    need exactly three float conversions + one sqrt each — the oracle
+    evaluates the identical HUGEINT expression tree, so the only float
+    noise is the final correctly-rounded divisions (round 6 absorbs the
+    ≤1-ulp int→double cast difference on >2⁵³ magnitudes)."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "value"],
+             num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        c = np.rint(t.column("value").to_numpy() * 100).astype(np.int64)
+        co = c.astype(object)  # Python-int arithmetic: exact powers
+        c2 = co * co
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas(),
+            "n": np.int64(1), "s1": co, "s2": c2, "s3": c2 * co,
+            "s4": c2 * c2,
+        })
+        return df.groupby("event_type", as_index=False).sum()
+
+    out = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], ["n", "s1", "s2", "s3", "s4"],
+    )
+    rows = []
+    for r in out.itertuples():
+        n, s1, s2, s3, s4 = (int(r.n), int(r.s1), int(r.s2), int(r.s3),
+                             int(r.s4))
+        m2 = n * s2 - s1 * s1
+        m3 = n * n * s3 - 3 * n * s2 * s1 + 2 * s1 ** 3
+        m4 = (n ** 3 * s4 - 4 * n * n * s3 * s1
+              + 6 * n * s2 * s1 * s1 - 3 * s1 ** 4)
+        d2 = float(m2)
+        rows.append({
+            "event_type": r.event_type, "n": np.int64(n),
+            "mean": float(s1) / float(n) / 100.0,
+            "skew": float(m3) / (d2 * np.sqrt(d2)),
+            "kurt": float(m4) / (d2 * d2) - 3.0,
+        })
+    df = pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+    for c in ("mean", "skew", "kurt"):
+        df[c] = round_half_away(df[c].to_numpy(), 6)
+    return df
+
+
+def q_hour_entropy(sf_dir: str):
+    """Temporal-concentration entropy: per event type, the Shannon
+    entropy (bits) of its hour-of-day histogram — 0 when all events
+    land in one hour, log2(24)≈4.585 when uniform. The burstiness
+    signal a scheduler uses to provision crawl/ingest capacity.
+
+    Distributed as bounded (event_type × 24)-cell count partials;
+    the driver closes H = log2(n) − (Σ_h c_h·log2 c_h)/n. Cross-engine
+    determinism: each c·log2(c) term is QUANTIZED to 1e-6 units and the
+    sum runs over the exact integers (the hopping-window move — float
+    summation order can never flip the hash; the residual risk is a
+    libm log2 1-ulp difference landing exactly on a .5e-6 boundary)."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "ts"],
+             num_blocks=_n_cpus())
+    HOUR = 3_600_000_000
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas(),
+            "hour": (ts // HOUR) % 24, "c": np.int64(1)})
+        return df.groupby(["event_type", "hour"], as_index=False).sum()
+
+    out = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "hour"], ["c"],
+    )
+    rows = []
+    for et, g in out.groupby("event_type"):
+        c = g["c"].to_numpy(np.int64)
+        n = int(c.sum())
+        q = round_half_away(
+            c.astype(np.float64) * np.log2(c.astype(np.float64)) * 1e6
+        ).astype(np.int64)
+        h = float(np.log2(float(n))) - (float(int(q.sum())) / 1e6) / n
+        rows.append({"event_type": et, "n": np.int64(n),
+                     "hours_seen": np.int64(len(c)),
+                     "entropy": h})
+    df = pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+    df["entropy"] = round_half_away(df["entropy"].to_numpy(), 6)
+    return df
+
+
+def q_chi2_type_dow(sf_dir: str):
+    """Chi-square independence test of event_type × day-of-week — "is
+    traffic mix stable across the week?" (the drift alarm a pipeline
+    health monitor runs). Day-of-week is computed from epoch days as
+    (day+4) % 7 (0=Sunday) on BOTH sides, dodging engine-specific
+    calendar functions.
+
+    Distributed as bounded (type × 7) count partials; the driver forms
+    the FULL cross grid (absent cells count 0 but still carry expected
+    mass) and closes χ² = Σ (O−E)²/E. Each cell term is deterministic
+    (integer counts → two correctly-rounded float ops), and the
+    cross-cell sum is QUANTIZED to 1e-6 units so summation order can
+    never flip the hash (the hopping-window move)."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "ts"],
+             num_blocks=_n_cpus())
+    DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas(),
+            "dow": (ts // DAY + 4) % 7, "c": np.int64(1)})
+        return df.groupby(["event_type", "dow"], as_index=False).sum()
+
+    out = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "dow"], ["c"],
+    )
+    piv = out.pivot_table(index="event_type", columns="dow", values="c",
+                          aggfunc="sum", fill_value=0)
+    obs = piv.to_numpy(np.int64)
+    n = int(obs.sum())
+    row_t = obs.sum(axis=1).astype(np.float64)
+    col_t = obs.sum(axis=0).astype(np.float64)
+    exp = row_t[:, None] * col_t[None, :] / float(n)
+    dif = obs.astype(np.float64) - exp
+    term = dif * dif / exp
+    chi2 = float(int(round_half_away(term * 1e6).astype(np.int64).sum())
+                 ) / 1e6
+    dof = (obs.shape[0] - 1) * (obs.shape[1] - 1)
+    return pd.DataFrame({
+        "n": [np.int64(n)], "dof": [np.int64(dof)],
+        "chi2": round_half_away(np.array([chi2]), 6),
+    })
+
+
+def q_theil_sen_trend(sf_dir: str):
+    """Theil–Sen robust trend of daily order revenue: the MEDIAN of all
+    pairwise day-to-day slopes — immune to the outlier days that wreck
+    a least-squares fit (the seasonal-revenue drift estimator). Daily
+    revenue sums are exact cents (bounded by the CALENDAR, not the data
+    scale: ~2.4k days → ~2.9M pairs close on the driver in one numpy
+    broadcast even at 100 TB, because more data only fattens days, it
+    doesn't add them). Each pairwise slope is one exact-int subtraction
+    pair + one correctly-rounded double division, so the median (mean
+    of the two middle elements when even) is bit-identical to the
+    oracle's self-join."""
+    o = _pq(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"],
+            num_blocks=_n_cpus())
+    DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ts = pc.cast(t.column("o_orderdate"), pa.int64()).to_numpy()
+        cents = np.rint(t.column("o_totalprice").to_numpy() * 100
+                        ).astype(np.int64)
+        df = pd.DataFrame({"day": ts // DAY, "rev": cents})
+        return df.groupby("day", as_index=False).sum()
+
+    daily = _combine_partials(
+        o.map_batches(partial, batch_format="pyarrow"), ["day"], ["rev"],
+    ).sort_values("day")
+    d = daily["day"].to_numpy(np.int64)
+    r = daily["rev"].to_numpy(np.int64)
+    iu, ju = np.triu_indices(len(d), k=1)
+    slopes = (r[ju] - r[iu]).astype(np.float64) / (
+        d[ju] - d[iu]).astype(np.float64)
+    med = float(np.median(slopes))
+    return pd.DataFrame({
+        "n_days": [np.int64(len(d))],
+        "n_pairs": [np.int64(len(slopes))],
+        "slope_cents_per_day": round_half_away(np.array([med]), 6),
+    })
