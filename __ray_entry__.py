@@ -237,6 +237,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hour_entropy": q.q_hour_entropy,
         "chi2_type_dow": q.q_chi2_type_dow,
         "theil_sen_trend": q.q_theil_sen_trend,
+        "gini_by_nation": q.q_gini_by_nation,
+        "degree_assortativity": q.q_degree_assortativity,
     }
 
 
@@ -2983,5 +2985,50 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_days,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
        round(median(slope), 6) AS slope_cents_per_day
 FROM p
+"""
+    # per-nation exact Gini over per-customer revenue (grouped close of
+    # the revenue_gini HUGEINT formula; row_number tie splits harmless)
+    out["gini_by_nation"] = """
+WITH r AS (
+  SELECT o_custkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS x
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY 1),
+j AS (SELECT c_nationkey AS nk, CAST(x AS HUGEINT) AS x,
+             CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY x)
+                  AS HUGEINT) AS i
+      FROM r JOIN customer ON c_custkey = o_custkey),
+t AS (SELECT nk, CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+             sum(i * x) AS six
+      FROM j GROUP BY nk)
+SELECT n_name, CAST(n AS BIGINT) AS n_customers,
+       round(CAST(sx AS DOUBLE) / 10000.0, 2) AS total_rev,
+       CAST((2 * six - (n + 1) * sx) * 1000000 // (n * sx) AS BIGINT)
+         AS gini6
+FROM t JOIN nation ON n_nationkey = nk ORDER BY n_name
+"""
+    # Pearson correlation of (deg(src), deg(dst)) over directed edges,
+    # integer-exact sums closed with the identical expression tree
+    out["degree_assortativity"] = _EDGES_CTE + """,
+ind AS (SELECT dst, count(*) AS c FROM edges GROUP BY dst),
+deg AS (
+  SELECT d.doc_id,
+         CAST(CASE WHEN d.doc_id % 37 = 3 THEN 0 ELSE 3 END
+              + COALESCE(ind.c, 0) AS HUGEINT) AS dd
+  FROM documents d LEFT JOIN ind ON ind.dst = d.doc_id),
+ed AS (
+  SELECT a.dd AS x, b.dd AS y
+  FROM edges e JOIN deg a ON a.doc_id = e.src
+               JOIN deg b ON b.doc_id = e.dst),
+t AS (SELECT CAST(count(*) AS HUGEINT) AS m, sum(x) AS sx, sum(y) AS sy,
+             sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+      FROM ed)
+SELECT CAST(m AS BIGINT) AS n_edges,
+       round(CAST(m*sxy - sx*sy AS DOUBLE)
+             / (sqrt(CAST(m*sxx - sx*sx AS DOUBLE))
+                * sqrt(CAST(m*syy - sy*sy AS DOUBLE))), 6)
+         AS assortativity
+FROM t
 """
     return out

@@ -8480,3 +8480,195 @@ def q_theil_sen_trend(sf_dir: str):
         "n_pairs": [np.int64(len(slopes))],
         "slope_cents_per_day": round_half_away(np.array([med]), 6),
     })
+
+
+def q_gini_by_nation(sf_dir: str):
+    """Per-nation revenue inequality: exact Gini of per-customer revenue
+    WITHIN each nation — q_revenue_gini's value-range bucket plan
+    generalized to a GROUPED close. Plan: (1) the one-shuffle
+    lineitem ⋈ orders → per-customer exact int revenue; (2) nationkey
+    attached broadcast-side (searchsorted over the bounded customer map;
+    hash-join fallback past the cap); (3) per-nation [lo,hi] bounds as a
+    25-row bounded partial; (4) ONE range shuffle keyed
+    nationkey·16 + rb — bucket-local sorts emit (cnt, Σx, Σi₀·x);
+    (5) the driver closes 25 ginis over ≤400 rows with unbounded ints —
+    ties split across bucket boundaries are harmless because equal x
+    contribute the same Σi·x under any rank permutation."""
+    from ..stages.temporal import _with_bucket
+    import pyarrow.parquet as pq
+
+    parts = _shuffle_partitions(
+        _row_count(sf_dir, "lineitem"), _row_count(sf_dir, "orders")
+    )
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_extendedprice", "l_discount"],
+             num_blocks=parts)
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+                 num_blocks=parts)
+    joined = li.join(orders, join_type="inner", num_partitions=parts,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        return _per_customer_rev4(g)
+
+    revs = (
+        _with_bucket(joined, "o_custkey", 32)
+        .groupby("__bucket")
+        .map_groups(per_cust, batch_format="pandas")
+    )
+    cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    withnat = _broadcast_fact_attach(
+        revs, cust, "o_custkey", "c_custkey", ["c_nationkey"])
+    if withnat is None:
+        withnat = revs.join(cust, join_type="inner", num_partitions=parts,
+                            on=("o_custkey",), right_on=("c_custkey",))
+    withnat = withnat.materialize()  # consumed twice: bounds + shuffle
+
+    def mm(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "nk": t.column("c_nationkey").to_numpy(zero_copy_only=False
+                                                   ).astype(np.int64),
+            "mn": t.column("x").to_numpy(zero_copy_only=False),
+            "mx": t.column("x").to_numpy(zero_copy_only=False)})
+        return df.groupby("nk", as_index=False).agg(
+            mn=("mn", "min"), mx=("mx", "max"))
+
+    bounds = pd.concat(
+        list(withnat.map_batches(mm, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pandas")),
+        ignore_index=True,
+    ).groupby("nk", as_index=False).agg(mn=("mn", "min"), mx=("mx", "max"))
+    NB = 16
+    n_nat = int(bounds["nk"].max()) + 1
+    lo_a = np.zeros(n_nat, dtype=np.int64)
+    w_a = np.ones(n_nat, dtype=np.int64)
+    for r in bounds.itertuples():
+        lo_a[r.nk] = int(r.mn)
+        w_a[r.nk] = max(1, (int(r.mx) - int(r.mn)) // NB + 1)
+
+    def to_rb(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        nk = t.column("c_nationkey").to_numpy(zero_copy_only=False
+                                              ).astype(np.int64)
+        key = nk * NB + (x - lo_a[nk]) // w_a[nk]
+        return pa.table({"x": pa.array(x), "nk": pa.array(nk),
+                         "__rb": pa.array(key.astype(np.int64))})
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        x = np.sort(g["x"].to_numpy(np.int64))
+        xo = x.astype(object)
+        i0 = np.arange(1, len(x) + 1, dtype=np.int64).astype(object)
+        return pd.DataFrame({
+            "key": [np.int64(g["__rb"].iloc[0])],
+            "nk": [np.int64(g["nk"].iloc[0])],
+            "cnt": [np.int64(len(x))],
+            "sx": [str(int(xo.sum()))],        # strings: exceed int64
+            "six": [str(int((i0 * xo).sum()))],
+        })
+
+    stats = pd.concat(
+        list(withnat.map_batches(to_rb, batch_format="pyarrow")
+             .groupby("__rb")
+             .map_groups(bucket_stats, batch_format="pandas")
+             .iter_batches(batch_size=1024, batch_format="pandas")),
+        ignore_index=True,
+    ).sort_values("key")
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    rows = []
+    for nk, g in stats.groupby("nk", sort=True):
+        n = int(g["cnt"].sum())
+        sx = sum(int(s) for s in g["sx"])
+        six, offset = 0, 0
+        for r in g.itertuples():  # already key-ordered within nk
+            six += int(r.six) + offset * int(r.sx)
+            offset += int(r.cnt)
+        gini6 = (2 * six - (n + 1) * sx) * 1_000_000 // (n * sx)
+        rows.append({
+            "n_name": names[int(nk)], "n_customers": np.int64(n),
+            "total_rev": float(round_half_away(
+                np.array([sx / 10000.0]), 2)[0]),
+            "gini6": np.int64(gini6)})
+    return pd.DataFrame(rows).sort_values("n_name").reset_index(drop=True)
+
+
+def q_degree_assortativity(sf_dir: str):
+    """Degree assortativity of the derived link graph: the Pearson
+    correlation of (total-degree(src), total-degree(dst)) over directed
+    edges — positive when hubs link to hubs (the crawl-frontier shape
+    diagnostic: assortative webs concentrate politeness pressure).
+
+    Plan: the one-shuffle degree table (stages/graph.py::degree_table),
+    total degree attached to the streaming edge set broadcast-side
+    (hash-join fallback past the cap), then INTEGER-EXACT correlation
+    partials m, Σx, Σy, Σxy, Σx², Σy² (object ints — Σx² reaches ~1e19
+    past int64 on fat graphs) closed on the driver:
+
+        r = (m·Σxy − Σx·Σy) / (√(m·Σx²−(Σx)²) · √(m·Σy²−(Σy)²))
+
+    three int→double casts + two sqrts, the identical HUGEINT expression
+    tree the oracle evaluates — round 6 absorbs the ≤1-ulp cast noise."""
+    from ..stages.graph import degree_table, edges_dataset
+
+    n = _doc_count(sf_dir)
+    parts = _shuffle_partitions(4 * n)
+    docs = _pq(sf_dir, "documents", columns=["doc_id"], num_blocks=parts)
+    deg = degree_table(docs, n=n, num_partitions=parts).map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "d": pc.add(t.column("out_degree"), t.column("in_degree"))}),
+        batch_format="pyarrow",
+    ).materialize()  # consumed twice: src attach + dst attach
+    edges = edges_dataset(docs, n)
+
+    e1 = _broadcast_fact_attach(edges, deg, "src", "doc_id", ["d"])
+    if e1 is not None:
+        e1 = e1.map_batches(
+            lambda t: t.rename_columns(
+                ["dx" if c == "d" else c for c in t.column_names]),
+            batch_format="pyarrow")
+        e2 = _broadcast_fact_attach(e1, deg, "dst", "doc_id", ["d"])
+    else:
+        e2 = None
+    if e2 is None:  # distributed plan: two hash joins
+        dx = deg.map_batches(
+            lambda t: pa.table({"sk": t.column("doc_id"),
+                                "dx": t.column("d")}),
+            batch_format="pyarrow")
+        dy = deg.map_batches(
+            lambda t: pa.table({"dk": t.column("doc_id"),
+                                "d": t.column("d")}),
+            batch_format="pyarrow")
+        e2 = edges.join(dx, join_type="inner", num_partitions=parts,
+                        on=("src",), right_on=("sk",)
+                        ).join(dy, join_type="inner",
+                               num_partitions=parts,
+                               on=("dst",), right_on=("dk",))
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        x = t.column("dx").to_numpy(zero_copy_only=False
+                                    ).astype(np.int64).astype(object)
+        y = t.column("d").to_numpy(zero_copy_only=False
+                                   ).astype(np.int64).astype(object)
+        return pd.DataFrame({
+            "k": [np.int64(0)], "m": [np.int64(len(x))],
+            "sx": [int(x.sum())], "sy": [int(y.sum())],
+            "sxy": [int((x * y).sum())], "sxx": [int((x * x).sum())],
+            "syy": [int((y * y).sum())]})
+
+    out = _combine_partials(
+        e2.map_batches(partial, batch_format="pyarrow"),
+        ["k"], ["m", "sx", "sy", "sxy", "sxx", "syy"],
+    )
+    m, sx, sy = int(out["m"][0]), int(out["sx"][0]), int(out["sy"][0])
+    sxy, sxx, syy = (int(out["sxy"][0]), int(out["sxx"][0]),
+                     int(out["syy"][0]))
+    num = m * sxy - sx * sy
+    vx, vy = m * sxx - sx * sx, m * syy - sy * sy
+    r = float(num) / (np.sqrt(float(vx)) * np.sqrt(float(vy)))
+    return pd.DataFrame({
+        "n_edges": [np.int64(m)],
+        "assortativity": round_half_away(np.array([r]), 6),
+    })

@@ -184,3 +184,18 @@ def test_supplier_ontime_fallbacks_match_broadcast(monkeypatch):
     c = q.q_supplier_ontime(SF_DIR)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     pd.testing.assert_frame_equal(a, c, check_dtype=False)
+
+
+def test_gini_assortativity_fallbacks_match_broadcast(monkeypatch):
+    """Past the broadcast caps, gini_by_nation's nation attach and
+    degree_assortativity's two degree attaches fall back to distributed
+    hash joins — identical outputs."""
+    from gocrawler_ray.pipelines import queries as q
+
+    a1 = q.q_gini_by_nation(SF_DIR)
+    a2 = q.q_degree_assortativity(SF_DIR)
+    monkeypatch.setattr(q, "_broadcast_fact_attach", lambda *x, **k: None)
+    b1 = q.q_gini_by_nation(SF_DIR)
+    b2 = q.q_degree_assortativity(SF_DIR)
+    pd.testing.assert_frame_equal(a1, b1, check_dtype=False)
+    pd.testing.assert_frame_equal(a2, b2, check_dtype=False)
