@@ -239,6 +239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theil_sen_trend": q.q_theil_sen_trend,
         "gini_by_nation": q.q_gini_by_nation,
         "degree_assortativity": q.q_degree_assortativity,
+        "cusum_drift": q.q_cusum_drift,
+        "daily_autocorr": q.q_daily_autocorr,
     }
 
 
@@ -3029,6 +3031,41 @@ SELECT CAST(m AS BIGINT) AS n_edges,
              / (sqrt(CAST(m*sxx - sx*sx AS DOUBLE))
                 * sqrt(CAST(m*syy - sy*sy AS DOUBLE))), 6)
          AS assortativity
+FROM t
+"""
+    # CUSUM change-point: argmax_k |n*S_k - k*T| over daily cents
+    out["cusum_drift"] = """
+WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                  SUM(CAST(round(value*100) AS BIGINT)) AS x
+           FROM events GROUP BY 1),
+t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS tot FROM d),
+w AS (SELECT day,
+             CAST(SUM(x) OVER (ORDER BY day) AS HUGEINT) AS sk,
+             CAST(row_number() OVER (ORDER BY day) AS HUGEINT) AS k
+      FROM d),
+c AS (SELECT day, abs(t.n * w.sk - w.k * t.tot) AS ad FROM w, t)
+SELECT (SELECT CAST(n AS BIGINT) FROM t) AS n_days,
+       CAST(day AS BIGINT) AS peak_day,
+       round(CAST(ad AS DOUBLE)
+             / CAST((SELECT n FROM t) AS DOUBLE) / 100.0, 6) AS peak_dev
+FROM c ORDER BY ad DESC, day LIMIT 1
+"""
+    # lag-1 Pearson autocorrelation of the day-ordered daily series
+    out["daily_autocorr"] = """
+WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                  SUM(CAST(round(value*100) AS BIGINT)) AS x
+           FROM events GROUP BY 1),
+p AS (SELECT CAST(x AS HUGEINT) AS x,
+             CAST(lead(x) OVER (ORDER BY day) AS HUGEINT) AS y
+      FROM d QUALIFY y IS NOT NULL),
+t AS (SELECT CAST(count(*) AS HUGEINT) AS m, sum(x) AS sx, sum(y) AS sy,
+             sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+      FROM p)
+SELECT CAST(m AS BIGINT) AS n_pairs,
+       round(CAST(m*sxy - sx*sy AS DOUBLE)
+             / (sqrt(CAST(m*sxx - sx*sx AS DOUBLE))
+                * sqrt(CAST(m*syy - sy*sy AS DOUBLE))), 6) AS autocorr
 FROM t
 """
     return out

@@ -8672,3 +8672,73 @@ def q_degree_assortativity(sf_dir: str):
         "n_edges": [np.int64(m)],
         "assortativity": round_half_away(np.array([r]), 6),
     })
+
+
+def _daily_value_cents(sf_dir: str) -> pd.DataFrame:
+    """Daily event-value sums as exact cents — the shared bounded input
+    of the sequential time-series statistics (CUSUM, autocorrelation):
+    one map-side partial per block, driver combine over
+    calendar-bounded rows (more data fattens days, it doesn't add
+    them)."""
+    ev = _pq(sf_dir, "events", columns=["ts", "value"],
+             num_blocks=_n_cpus())
+    DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        cents = np.rint(t.column("value").to_numpy() * 100
+                        ).astype(np.int64)
+        df = pd.DataFrame({"day": ts // DAY, "x": cents})
+        return df.groupby("day", as_index=False).sum()
+
+    return _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"), ["day"], ["x"],
+    ).sort_values("day").reset_index(drop=True)
+
+
+def q_cusum_drift(sf_dir: str):
+    """CUSUM change-point scan over daily event value: the day k where
+    the cumulative deviation from the global mean peaks — the classic
+    sequential drift detector (did the traffic mix shift, and when?).
+    INTEGER-EXACT: with S_k the cents prefix sum and T the total,
+    D_k = n·S_k − k·T is an exact integer whose max/argmax need no
+    floats; the reported deviation converts once, identically, on both
+    sides (D_k/n/100 dollars). Ties break to the earliest day."""
+    daily = _daily_value_cents(sf_dir)
+    x = daily["x"].to_numpy(np.int64).astype(object)
+    n = len(x)
+    sk = np.cumsum(x)
+    tot = int(sk[-1])
+    k = np.arange(1, n + 1, dtype=np.int64).astype(object)
+    dev = n * sk - k * tot
+    ad = np.array([abs(int(v)) for v in dev], dtype=object)
+    best = int(np.argmax(ad))  # first max = earliest day (day-sorted)
+    return pd.DataFrame({
+        "n_days": [np.int64(n)],
+        "peak_day": [np.int64(daily["day"].iloc[best])],
+        "peak_dev": round_half_away(
+            np.array([float(int(ad[best])) / float(n) / 100.0]), 6),
+    })
+
+
+def q_daily_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of daily event value (adjacent rows of the
+    day-ordered daily series): the momentum/mean-reversion diagnostic a
+    capacity planner reads before trusting tomorrow ≈ today. Pearson r
+    over (x_t, x_{t+1}) pairs from INTEGER-EXACT sums m, Σx, Σy, Σxy,
+    Σx², Σy² — the oracle's lead() self-pairing closes the identical
+    HUGEINT expression tree, so only the final casts/sqrt are float."""
+    daily = _daily_value_cents(sf_dir)
+    v = daily["x"].to_numpy(np.int64).astype(object)
+    x, y = v[:-1], v[1:]
+    m = len(x)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy = int((x * y).sum())
+    sxx, syy = int((x * x).sum()), int((y * y).sum())
+    num = m * sxy - sx * sy
+    vx, vy = m * sxx - sx * sx, m * syy - sy * sy
+    r = float(num) / (np.sqrt(float(vx)) * np.sqrt(float(vy)))
+    return pd.DataFrame({
+        "n_pairs": [np.int64(m)],
+        "autocorr": round_half_away(np.array([r]), 6),
+    })
