@@ -241,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_assortativity": q.q_degree_assortativity,
         "cusum_drift": q.q_cusum_drift,
         "daily_autocorr": q.q_daily_autocorr,
+        "local_clustering": q.q_local_clustering,
     }
 
 
@@ -3067,5 +3068,28 @@ SELECT CAST(m AS BIGINT) AS n_pairs,
              / (sqrt(CAST(m*sxx - sx*sx AS DOUBLE))
                 * sqrt(CAST(m*syy - sy*sy AS DOUBLE))), 6) AS autocorr
 FROM t
+"""
+    # per-node local clustering coefficient, exact integer floor cc6
+    out["local_clustering"] = _EDGES_CTE + """,
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+nbr AS (SELECT a AS v, b AS w FROM und
+        UNION ALL SELECT b, a FROM und),
+deg AS (SELECT v, count(*) AS d FROM nbr GROUP BY v),
+wed AS (SELECT n1.v, n1.w AS x, n2.w AS y
+        FROM nbr n1 JOIN nbr n2 ON n1.v = n2.v AND n1.w < n2.w),
+tri AS (SELECT wed.v, count(*) AS t
+        FROM wed JOIN und ON und.a = wed.x AND und.b = wed.y
+        GROUP BY wed.v)
+SELECT dd.doc_id, CAST(COALESCE(deg.d, 0) AS BIGINT) AS deg,
+       CAST(COALESCE(tri.t, 0) AS BIGINT) AS tri,
+       CAST(CASE WHEN COALESCE(deg.d, 0) >= 2
+                 THEN 2 * COALESCE(tri.t, 0) * 1000000
+                      // (deg.d * (deg.d - 1))
+                 ELSE 0 END AS BIGINT) AS cc6
+FROM documents dd
+LEFT JOIN deg ON deg.v = dd.doc_id
+LEFT JOIN tri ON tri.v = dd.doc_id
+ORDER BY dd.doc_id
 """
     return out

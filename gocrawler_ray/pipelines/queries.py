@@ -8742,3 +8742,116 @@ def q_daily_autocorr(sf_dir: str):
         "n_pairs": [np.int64(m)],
         "autocorr": round_half_away(np.array([r]), 6),
     })
+
+
+def q_local_clustering(sf_dir: str):
+    """Per-node local clustering coefficient of the (undirected) link
+    graph: cc(v) = 2·t(v) / (d(v)·(d(v)−1)) with d the distinct-neighbor
+    count and t the closed-wedge count — the triads-vs-stars shape
+    signal (a crawler's link-farm detector: farms cluster, feeds don't).
+
+    Fully distributed wedge plan: (1) undirected edge dedup = ONE
+    (a,b)-hash groupby; (2) degree = one count shuffle over the doubled
+    edge list; (3) wedge emission per neighbor group (O(d²) rows per
+    node — bounded here by the 3-out-regular construction; a hub-skewed
+    graph would salt/cap this stage); (4) wedge closure probed against
+    the BROADCAST packed edge-key set under the cap (sorted-array
+    searchsorted, zero shuffle) or a distributed (x,y)⋈(a,b) hash join
+    past it; (5) assembly by two left_outer joins so nodes with no
+    edges / no closed wedges keep exact-zero rows. cc is reported as
+    the exact integer floor cc6 = ⌊2t·10⁶/(d(d−1))⌋ — no float ever."""
+    from ..stages.graph import edges_dataset
+
+    n = _doc_count(sf_dir)
+    parts = _shuffle_partitions(4 * n)
+    docs = _pq(sf_dir, "documents", columns=["doc_id"], num_blocks=parts)
+    edges = edges_dataset(docs, n)
+
+    def undirect(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        m = s != d
+        return pa.table({
+            "a": pa.array(np.minimum(s[m], d[m]), pa.int64()),
+            "b": pa.array(np.maximum(s[m], d[m]), pa.int64())})
+
+    und = (edges.map_batches(undirect, batch_format="pyarrow")
+           .groupby(["a", "b"]).count()
+           .map_batches(lambda t: t.select(["a", "b"]),
+                        batch_format="pyarrow")
+           ).materialize()  # consumed thrice: degree, wedges, closure
+
+    def both(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "v": pa.array(np.concatenate([a, b]), pa.int64()),
+            "w": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    nbr = und.map_batches(both, batch_format="pyarrow")
+    deg = nbr.groupby("v").count()  # (v, count()) — neighbors distinct
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        w = np.sort(g["w"].to_numpy(np.int64))
+        if len(w) < 2:
+            return pd.DataFrame({"v": pd.Series([], dtype=np.int64),
+                                 "x": pd.Series([], dtype=np.int64),
+                                 "y": pd.Series([], dtype=np.int64)})
+        iu, ju = np.triu_indices(len(w), k=1)
+        return pd.DataFrame({"v": np.int64(g["v"].iloc[0]),
+                             "x": w[iu], "y": w[ju]})
+
+    wed = nbr.groupby("v").map_groups(wedges, batch_format="pandas")
+
+    bdf = _gather_capped(und)
+    if bdf is not None:  # broadcast closure probe: zero extra shuffles
+        keys = np.sort(bdf["a"].to_numpy(np.int64) * n
+                       + bdf["b"].to_numpy(np.int64))
+        kref = ray.put(keys)
+
+        def probe(t: pa.Table) -> pa.Table:
+            ks = ray.get(kref)
+            x = t.column("x").to_numpy(zero_copy_only=False)
+            y = t.column("y").to_numpy(zero_copy_only=False)
+            hit, _ = _sorted_lookup(ks, x * n + y)
+            return pa.table({"v": pc.array_filter(t.column("v"),
+                                                  pa.array(hit))})
+
+        closed = wed.map_batches(probe, batch_format="pyarrow")
+    else:  # distributed closure: (x,y) ⋈ (a,b) hash join
+        closed = wed.join(und, join_type="inner", num_partitions=parts,
+                          on=("x", "y"), right_on=("a", "b"))
+    tri = closed.groupby("v").count()
+
+    out = (docs.join(
+        deg.map_batches(lambda t: pa.table(
+            {"dv": t.column("v"), "d": pc.cast(t.column("count()"),
+                                               pa.int64())}),
+            batch_format="pyarrow"),
+        join_type="left_outer", num_partitions=parts,
+        on=("doc_id",), right_on=("dv",),
+    ).join(
+        tri.map_batches(lambda t: pa.table(
+            {"tv": t.column("v"), "t": pc.cast(t.column("count()"),
+                                               pa.int64())}),
+            batch_format="pyarrow"),
+        join_type="left_outer", num_partitions=parts,
+        on=("doc_id",), right_on=("tv",),
+    ))
+
+    def close(t: pa.Table) -> pa.Table:
+        d = np.nan_to_num(t.column("d").to_numpy(zero_copy_only=False
+                                                 ).astype(np.float64),
+                          nan=0).astype(np.int64)
+        tr = np.nan_to_num(t.column("t").to_numpy(zero_copy_only=False
+                                                  ).astype(np.float64),
+                           nan=0).astype(np.int64)
+        denom = np.maximum(d * (d - 1), 1)
+        cc6 = np.where(d >= 2, (2 * tr * 1_000_000) // denom, 0)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "deg": pa.array(d, pa.int64()),
+            "tri": pa.array(tr, pa.int64()),
+            "cc6": pa.array(cc6.astype(np.int64), pa.int64())})
+
+    return out.map_batches(close, batch_format="pyarrow")

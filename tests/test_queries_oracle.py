@@ -199,3 +199,16 @@ def test_gini_assortativity_fallbacks_match_broadcast(monkeypatch):
     b2 = q.q_degree_assortativity(SF_DIR)
     pd.testing.assert_frame_equal(a1, b1, check_dtype=False)
     pd.testing.assert_frame_equal(a2, b2, check_dtype=False)
+
+
+def test_local_clustering_join_fallback_matches_broadcast(monkeypatch):
+    """Past the edge-set broadcast cap, the wedge closure runs as a
+    distributed (x,y)⋈(a,b) hash join — identical cc table."""
+    from gocrawler_ray.pipelines import queries as q
+
+    a = _to_df(q.q_local_clustering(SF_DIR))
+    monkeypatch.setattr(q, "_gather_capped", lambda *x, **k: None)
+    b = _to_df(q.q_local_clustering(SF_DIR))
+    a = a.sort_values("doc_id").reset_index(drop=True)[sorted(a.columns)]
+    b = b.sort_values("doc_id").reset_index(drop=True)[sorted(b.columns)]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
