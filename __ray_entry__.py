@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_drift": q.q_cusum_drift,
         "daily_autocorr": q.q_daily_autocorr,
         "local_clustering": q.q_local_clustering,
+        "poisson_bootstrap": q.q_poisson_bootstrap,
     }
 
 
@@ -3091,5 +3092,43 @@ FROM documents dd
 LEFT JOIN deg ON deg.v = dd.doc_id
 LEFT JOIN tri ON tri.v = dd.doc_id
 ORDER BY dd.doc_id
+"""
+    # one-pass Poisson(1) bootstrap: md5-uniform vs hardcoded inverse-
+    # CDF thresholds (floor(CDF_k*2^64), truncated), replicate means
+    # quantized to 1e-6 before the exact integer variance close
+    out["poisson_bootstrap"] = """
+WITH ev AS (SELECT event_id, event_type,
+                   CAST(round(value*100) AS BIGINT) AS x FROM events),
+r AS (SELECT ev.*, bs.b
+      FROM ev CROSS JOIN (SELECT unnest(range(32)) AS b) bs),
+h AS (SELECT event_type, b, x,
+        CAST(('0x' || substr(md5('boot:' || CAST(b AS VARCHAR) || ':'
+             || CAST(event_id AS VARCHAR)), 1, 16)) AS UBIGINT) AS u
+      FROM r),
+w AS (SELECT event_type, b, x,
+        (CASE WHEN u >= 6786177901268885274 THEN 1 ELSE 0 END)
+      + (CASE WHEN u >= 13572355802537770549 THEN 1 ELSE 0 END)
+      + (CASE WHEN u >= 16965444753172213186 THEN 1 ELSE 0 END)
+      + (CASE WHEN u >= 18096474403383694065 THEN 1 ELSE 0 END)
+      + (CASE WHEN u >= 18379231815936564285 THEN 1 ELSE 0 END)
+      + (CASE WHEN u >= 18435783298447138329 THEN 1 ELSE 0 END)
+      + (CASE WHEN u >= 18445208545532234003 THEN 1 ELSE 0 END)
+      + (CASE WHEN u >= 18446555009401533385 THEN 1 ELSE 0 END)
+      + (CASE WHEN u >= 18446723317385195808 THEN 1 ELSE 0 END) AS w
+      FROM h),
+agg AS (SELECT event_type, b, SUM(w) AS sw, SUM(w*x) AS swx,
+               COUNT(*) AS n
+        FROM w GROUP BY 1, 2),
+q AS (SELECT event_type, n,
+             CAST(round(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE)
+                        / 100.0 * 1000000.0) AS HUGEINT) AS q
+      FROM agg),
+t AS (SELECT event_type, MAX(n) AS n, SUM(q) AS sq, SUM(q*q) AS sqq
+      FROM q GROUP BY 1)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(CAST(sq AS DOUBLE) / 32.0 / 1000000.0, 6) AS boot_mean,
+       round(sqrt(CAST(32*sqq - sq*sq AS DOUBLE) / 992.0)
+             / 1000000.0, 6) AS boot_se
+FROM t ORDER BY event_type
 """
     return out

@@ -8855,3 +8855,74 @@ def q_local_clustering(sf_dir: str):
             "cc6": pa.array(cc6.astype(np.int64), pa.int64())})
 
     return out.map_batches(close, batch_format="pyarrow")
+
+
+# Poisson(1) inverse-CDF thresholds as exact uint64 constants
+# (floor(CDF_k · 2^64), k = 0..7; draws past T_7 truncate to w = 8).
+# Hardcoded identically in the oracle SQL so the weight of every
+# (event, replicate) pair is an exact integer comparison on both sides.
+_POIS1_T = np.array([
+    6786177901268885274, 13572355802537770549, 16965444753172213186,
+    18096474403383694065, 18379231815936564285, 18435783298447138329,
+    18445208545532234003, 18446555009401533385, 18446723317385195808,
+], dtype=np.uint64)
+
+
+def q_poisson_bootstrap(sf_dir: str):
+    """One-pass Poisson bootstrap of the per-event-type mean value —
+    the 100 TB way to put an error bar on a streaming aggregate: no
+    resampling shuffle, no data copy. Each of B=32 replicates weights
+    every event by a DETERMINISTIC Poisson(1) draw (md5-derived uniform
+    against hardcoded inverse-CDF thresholds, truncated at 8), so one
+    scan emits bounded (type × B) partials Σw, Σw·x — exact integers —
+    and the driver closes replicate means. The bootstrap s.e. is the
+    sample std of the B means, each QUANTIZED to 1e-6 before the exact
+    integer variance close (B·Σq² − (Σq)²) / (B·(B−1)) — summation
+    order can never flip the hash."""
+    from ..functions.urls import md5_hash64_many
+
+    B = 32
+    ev = _pq(sf_dir, "events",
+             columns=["event_id", "event_type", "value"],
+             num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ids = t.column("event_id").to_numpy(zero_copy_only=False
+                                            ).astype(np.int64)
+        cents = np.rint(t.column("value").to_numpy() * 100
+                        ).astype(np.int64)
+        et = t.column("event_type").to_pandas().to_numpy()
+        frames = []
+        for b in range(B):
+            u = md5_hash64_many(
+                np.char.add(f"boot:{b}:", ids.astype(str)))
+            w = np.searchsorted(_POIS1_T, u, side="right").astype(
+                np.int64)  # w = #{k : T_k <= u} = truncated Poisson(1)
+            frames.append(pd.DataFrame({
+                "event_type": et, "b": np.int64(b), "sw": w,
+                "swx": w * cents, "n": np.int64(1)}))
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby(["event_type", "b"], as_index=False).sum()
+
+    out = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "b"], ["sw", "swx", "n"],
+    )
+    rows = []
+    for et, g in out.groupby("event_type"):
+        n = int(g["n"].sum()) // B
+        q = np.array([
+            int(round_half_away(np.array(
+                [float(int(r.swx)) / float(int(r.sw)) / 100.0 * 1e6]
+            ))[0]) for r in g.itertuples()], dtype=object)
+        sq, sqq = int(q.sum()), int((q * q).sum())
+        var_micro2 = float(B * sqq - sq * sq) / float(B * (B - 1))
+        rows.append({
+            "event_type": et, "n": np.int64(n),
+            "boot_mean": float(int(sq)) / float(B) / 1e6,
+            "boot_se": np.sqrt(var_micro2) / 1e6,
+        })
+    df = pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+    for c in ("boot_mean", "boot_se"):
+        df[c] = round_half_away(df[c].to_numpy(), 6)
+    return df
