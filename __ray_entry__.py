@@ -243,6 +243,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_autocorr": q.q_daily_autocorr,
         "local_clustering": q.q_local_clustering,
         "poisson_bootstrap": q.q_poisson_bootstrap,
+        "ks_test": q.q_ks_test,
+        "source_kl": q.q_source_kl,
     }
 
 
@@ -3130,5 +3132,43 @@ SELECT event_type, CAST(n AS BIGINT) AS n,
        round(sqrt(CAST(32*sqq - sq*sq AS DOUBLE) / 992.0)
              / 1000000.0, 6) AS boot_se
 FROM t ORDER BY event_type
+"""
+    # exact two-sample KS: max_v |n2*C1(v) - n1*C2(v)|, floor d6
+    out["ks_test"] = """
+WITH v AS (
+  SELECT CAST(round(value*100) AS BIGINT) AS v,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+t AS (SELECT CAST(SUM(c1) AS HUGEINT) AS n1,
+             CAST(SUM(c2) AS HUGEINT) AS n2 FROM v),
+w AS (SELECT v, CAST(SUM(c1) OVER (ORDER BY v) AS HUGEINT) AS a,
+             CAST(SUM(c2) OVER (ORDER BY v) AS HUGEINT) AS b FROM v),
+d AS (SELECT v, abs(t.n2 * w.a - t.n1 * w.b) AS dev FROM w, t)
+SELECT (SELECT CAST(n1 AS BIGINT) FROM t) AS n1,
+       (SELECT CAST(n2 AS BIGINT) FROM t) AS n2,
+       CAST(v AS BIGINT) AS at_cents,
+       CAST(dev * 1000000
+            // ((SELECT n1 FROM t) * (SELECT n2 FROM t)) AS BIGINT) AS d6
+FROM d ORDER BY dev DESC, v LIMIT 1
+"""
+    # per-source KL(source ‖ corpus) over unigram counts, 1e-6-quantized
+    out["source_kl"] = """
+WITH w AS (SELECT source, unnest(string_split(trim(text), ' ')) AS tok
+           FROM documents),
+st AS (SELECT source, tok, COUNT(*) AS c FROM w GROUP BY 1, 2),
+g AS (SELECT tok, SUM(c) AS ct FROM st GROUP BY 1),
+ns AS (SELECT source, SUM(c) AS n FROM st GROUP BY 1),
+tot AS (SELECT SUM(c) AS nn FROM st),
+q AS (SELECT st.source, ns.n,
+        CAST(round(CAST(st.c AS DOUBLE)
+             * log2(CAST(st.c AS DOUBLE) * CAST(tot.nn AS DOUBLE)
+                    / (CAST(ns.n AS DOUBLE) * CAST(g.ct AS DOUBLE)))
+             * 1000000) AS BIGINT) AS qq
+      FROM st JOIN g USING (tok) JOIN ns USING (source) CROSS JOIN tot)
+SELECT source, CAST(MAX(n) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(qq) AS DOUBLE) / 1000000.0
+             / CAST(MAX(n) AS DOUBLE), 6) AS kl_bits
+FROM q GROUP BY source ORDER BY source
 """
     return out

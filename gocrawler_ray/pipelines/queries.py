@@ -8926,3 +8926,81 @@ def q_poisson_bootstrap(sf_dir: str):
     for c in ("boot_mean", "boot_se"):
         df[c] = round_half_away(df[c].to_numpy(), 6)
     return df
+
+
+def q_ks_test(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov distance between the click and
+    purchase value distributions — the drift test for "do conversions
+    spend like clicks browse?". INTEGER-EXACT at any scale: the partial
+    is a per-cents-value count pair (bounded by the VALUE RANGE, ≤49k
+    distinct cents, not by data size), and the statistic closes as
+    max_v |n₂·C₁(v) − n₁·C₂(v)| over the sorted value axis — all ints;
+    D is reported as the exact floor d6 = ⌊maxdev·10⁶/(n₁·n₂)⌋ with the
+    tie broken to the smallest attaining value."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "value"],
+             num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        et = t.column("event_type").to_pandas().to_numpy()
+        m = (et == "click") | (et == "purchase")
+        cents = np.rint(t.column("value").to_numpy()[m] * 100
+                        ).astype(np.int64)
+        one = (et[m] == "click").astype(np.int64)
+        df = pd.DataFrame({"v": cents, "c1": one, "c2": 1 - one})
+        return df.groupby("v", as_index=False).sum()
+
+    out = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["v"], ["c1", "c2"],
+    ).sort_values("v")
+    a = np.cumsum(out["c1"].to_numpy(np.int64))
+    b = np.cumsum(out["c2"].to_numpy(np.int64))
+    n1, n2 = int(a[-1]), int(b[-1])
+    dev = np.abs(n2 * a - n1 * b)  # ≤ n1·n2 ≈ 1e10 at sf0.1: int64-safe
+    best = int(np.argmax(dev))  # first max = smallest v (v-sorted)
+    d6 = int(dev[best]) * 1_000_000 // (n1 * n2)
+    return pd.DataFrame({
+        "n1": [np.int64(n1)], "n2": [np.int64(n2)],
+        "at_cents": [np.int64(out["v"].iloc[best])],
+        "d6": [np.int64(d6)],
+    })
+
+
+def q_source_kl(sf_dir: str):
+    """Per-source lexical drift: KL(source unigram dist ‖ corpus
+    unigram dist) in bits — the distribution-shift score a corpus-mix
+    designer reads before upweighting a source. Per-batch
+    (source, token) count partials combine into a vocabulary-bounded
+    table (the corpus vocabulary is fixed by construction; a growing
+    vocab would reuse q_source_vocab's hash-bucket fallback), then the
+    driver closes KL_s = (1/n_s)·Σ_t c_st·log2(c_st·N / (n_s·c_t)) with
+    each term QUANTIZED to 1e-6 before the exact integer sum — the
+    identical expression tree the oracle evaluates."""
+    docs = _pq(sf_dir, "documents", columns=["source", "text"],
+               num_blocks=_n_cpus())
+
+    def pair_counts(t: pa.Table) -> pd.DataFrame:
+        flat, di = _flat_tokens(t.column("text").to_pandas())
+        src = t.column("source").to_numpy(zero_copy_only=False)[di]
+        df = pd.DataFrame({"source": src, "tok": flat, "c": np.int64(1)})
+        return df.groupby(["source", "tok"], as_index=False).sum()
+
+    st = _combine_partials(
+        docs.map_batches(pair_counts, batch_format="pyarrow"),
+        ["source", "tok"], ["c"],
+    )
+    ct = st.groupby("tok")["c"].sum()
+    nn = float(int(st["c"].sum()))
+    rows = []
+    for src, g in st.groupby("source"):
+        n = int(g["c"].sum())
+        c = g["c"].to_numpy(np.int64).astype(np.float64)
+        gt = ct.loc[g["tok"]].to_numpy(np.int64).astype(np.float64)
+        ratio = c * nn / (float(n) * gt)
+        q = round_half_away(c * np.log2(ratio) * 1e6).astype(np.int64)
+        rows.append({
+            "source": src, "n_tokens": np.int64(n),
+            "kl_bits": float(int(q.sum())) / 1e6 / float(n)})
+    df = pd.DataFrame(rows).sort_values("source").reset_index(drop=True)
+    df["kl_bits"] = round_half_away(df["kl_bits"].to_numpy(), 6)
+    return df
