@@ -245,6 +245,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "poisson_bootstrap": q.q_poisson_bootstrap,
         "ks_test": q.q_ks_test,
         "source_kl": q.q_source_kl,
+        "vocab_coverage": q.q_vocab_coverage,
+        "km_reorder": q.q_km_reorder,
     }
 
 
@@ -3170,5 +3172,52 @@ SELECT source, CAST(MAX(n) AS BIGINT) AS n_tokens,
        round(CAST(SUM(qq) AS DOUBLE) / 1000000.0
              / CAST(MAX(n) AS DOUBLE), 6) AS kl_bits
 FROM q GROUP BY source ORDER BY source
+"""
+    # top-16 corpus vocabulary coverage per source (ties -> token asc)
+    out["vocab_coverage"] = """
+WITH w AS (SELECT source, unnest(string_split(trim(text), ' ')) AS tok
+           FROM documents),
+st AS (SELECT source, tok, COUNT(*) AS c FROM w GROUP BY 1, 2),
+v AS (SELECT tok FROM (SELECT tok, SUM(c) AS ct FROM st GROUP BY 1)
+      ORDER BY ct DESC, tok LIMIT 16),
+agg AS (
+  SELECT source, SUM(c) AS n,
+         SUM(CASE WHEN tok IN (SELECT tok FROM v) THEN c ELSE 0 END)
+           AS inv
+  FROM st GROUP BY source)
+SELECT source, CAST(n AS BIGINT) AS n_tokens,
+       CAST(inv AS BIGINT) AS in_vocab,
+       round(CAST(inv AS DOUBLE) / CAST(n AS DOUBLE), 6) AS coverage
+FROM agg ORDER BY source
+"""
+    # Kaplan-Meier over reorder gaps; censored tails to global max day;
+    # survival product closed in 1e-9-quantized log space
+    out["km_reorder"] = """
+WITH o AS (SELECT o_custkey,
+                  epoch_us(o_orderdate) // 86400000000 AS d FROM orders),
+mx AS (SELECT MAX(d) AS dmax FROM o),
+g AS (SELECT d - lag(d) OVER (PARTITION BY o_custkey ORDER BY d) AS t
+      FROM o),
+ev AS (SELECT t FROM g WHERE t IS NOT NULL),
+cen AS (SELECT mx.dmax - MAX(o.d) AS t
+        FROM o, mx GROUP BY o.o_custkey, mx.dmax),
+obs AS (SELECT t, 1 AS e FROM ev UNION ALL SELECT t, 0 FROM cen),
+cnt AS (SELECT t, SUM(e) AS died, COUNT(*) - SUM(e) AS cens
+        FROM obs GROUP BY t),
+w AS (SELECT t, died,
+             (SELECT COUNT(*) FROM obs)
+             - COALESCE(SUM(died + cens) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n
+      FROM cnt),
+k AS (SELECT t, died, n,
+             CAST(round(ln(CAST(n - died AS DOUBLE) / CAST(n AS DOUBLE))
+                        * 1000000000) AS BIGINT) AS q
+      FROM w WHERE died > 0 AND n > died)
+SELECT CAST(t AS BIGINT) AS gap_days, CAST(died AS BIGINT) AS died,
+       CAST(n AS BIGINT) AS at_risk,
+       round(exp(CAST(SUM(q) OVER (ORDER BY t) AS DOUBLE)
+                 / 1000000000.0), 6) AS km
+FROM k ORDER BY gap_days
 """
     return out

@@ -9004,3 +9004,122 @@ def q_source_kl(sf_dir: str):
     df = pd.DataFrame(rows).sort_values("source").reset_index(drop=True)
     df["kl_bits"] = round_half_away(df["kl_bits"].to_numpy(), 6)
     return df
+
+
+def q_vocab_coverage(sf_dir: str):
+    """Tokenizer-budget coverage: with a vocabulary of the top-16
+    corpus tokens (ties → token asc), what fraction of each source's
+    token stream is in-vocab? The coverage table a tokenizer trainer
+    reads before sizing a vocab. One vocabulary-bounded
+    (source, token) partial combine feeds BOTH the global top-k cut
+    and the per-source split — integer counts end-to-end, one rounded
+    division per source."""
+    K = 16
+    docs = _pq(sf_dir, "documents", columns=["source", "text"],
+               num_blocks=_n_cpus())
+
+    def pair_counts(t: pa.Table) -> pd.DataFrame:
+        flat, di = _flat_tokens(t.column("text").to_pandas())
+        src = t.column("source").to_numpy(zero_copy_only=False)[di]
+        df = pd.DataFrame({"source": src, "tok": flat, "c": np.int64(1)})
+        return df.groupby(["source", "tok"], as_index=False).sum()
+
+    st = _combine_partials(
+        docs.map_batches(pair_counts, batch_format="pyarrow"),
+        ["source", "tok"], ["c"],
+    )
+    glob = st.groupby("tok", as_index=False)["c"].sum().sort_values(
+        ["c", "tok"], ascending=[False, True])
+    vocab = set(glob["tok"].head(K))
+    rows = []
+    for src, g in st.groupby("source"):
+        n = int(g["c"].sum())
+        inv = int(g.loc[g["tok"].isin(vocab), "c"].sum())
+        rows.append({
+            "source": src, "n_tokens": np.int64(n),
+            "in_vocab": np.int64(inv),
+            "coverage": float(inv) / float(n)})
+    df = pd.DataFrame(rows).sort_values("source").reset_index(drop=True)
+    df["coverage"] = round_half_away(df["coverage"].to_numpy(), 6)
+    return df
+
+
+def q_km_reorder(sf_dir: str):
+    """Kaplan–Meier survival curve of the customer reorder gap: for
+    each gap length t (days), the estimated probability a customer
+    "survives" t days without reordering — consecutive-order gaps are
+    events, the tail from each customer's LAST order to the global max
+    order date is a censored observation (the retention curve with the
+    open intervals handled honestly, not dropped).
+
+    Two bounded passes over orders: (1) scalar max-day partials;
+    (2) custkey-bucketed per-customer sorts emitting CALENDAR-BOUNDED
+    (gap, events, censored) count partials. The driver closes at-risk
+    counts n_t by exact integer window sums and the product
+    S(t) = Π(1 − d_u/n_u) in QUANTIZED log space (round(ln·10⁹) per
+    event day, exact integer prefix sums, one exp per row) — float
+    multiplication order can never flip the hash. Terminal event days
+    with no survivors (n = d) are dropped on both sides."""
+    from ..stages.temporal import _with_bucket
+
+    o = _pq(sf_dir, "orders", columns=["o_custkey", "o_orderdate"],
+            num_blocks=_n_cpus())
+    DAY = 86_400_000_000
+
+    def days(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("o_orderdate"), pa.int64()).to_numpy()
+        return pa.table({
+            "ck": t.column("o_custkey"),
+            "d": pa.array(ts // DAY, pa.int64())})
+
+    od = o.map_batches(days, batch_format="pyarrow").materialize()
+
+    def mx(t: pa.Table) -> pd.DataFrame:
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"k": [np.int64(0)],
+                             "mx": [np.int64(d.max()) if len(d)
+                                    else np.int64(-1)]})
+
+    dmax = int(pd.concat(
+        list(od.map_batches(mx, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pandas")),
+        ignore_index=True)["mx"].max())
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        ck = g["ck"].to_numpy(np.int64)
+        d = g["d"].to_numpy(np.int64)
+        order = np.lexsort((d, ck))
+        ck, d = ck[order], d[order]
+        same = ck[1:] == ck[:-1]
+        ev = (d[1:] - d[:-1])[same]                    # reorder gaps
+        last = np.concatenate([~same, [True]])
+        cen = dmax - d[last]                           # censored tails
+        df = pd.DataFrame({
+            "t": np.concatenate([ev, cen]),
+            "died": np.concatenate([np.ones(len(ev), np.int64),
+                                    np.zeros(len(cen), np.int64)]),
+            "cens": np.concatenate([np.zeros(len(ev), np.int64),
+                                    np.ones(len(cen), np.int64)])})
+        return df.groupby("t", as_index=False).sum()
+
+    cnt = _combine_partials(
+        _with_bucket(od, "ck", 32).groupby("__bucket")
+        .map_groups(gaps, batch_format="pandas"),
+        ["t"], ["died", "cens"],
+    ).sort_values("t").reset_index(drop=True)
+
+    died = cnt["died"].to_numpy(np.int64)
+    tot = int((died + cnt["cens"].to_numpy(np.int64)).sum())
+    before = np.concatenate([[0], np.cumsum(
+        died + cnt["cens"].to_numpy(np.int64))[:-1]])
+    n_t = tot - before
+    keep = (died > 0) & (n_t > died)
+    t_k, d_k, n_k = (cnt["t"].to_numpy(np.int64)[keep], died[keep],
+                     n_t[keep])
+    q = round_half_away(np.log(
+        (n_k - d_k).astype(np.float64) / n_k.astype(np.float64)) * 1e9
+    ).astype(np.int64)
+    km = np.exp(np.cumsum(q).astype(np.float64) / 1e9)
+    return pd.DataFrame({
+        "gap_days": t_k, "died": d_k, "at_risk": n_k,
+        "km": round_half_away(km, 6)})
