@@ -8508,18 +8508,37 @@ def q_gini_by_nation(sf_dir: str):
     joined = li.join(orders, join_type="inner", num_partitions=parts,
                      on=("l_orderkey",), right_on=("o_orderkey",))
 
-    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
-        return _per_customer_rev4(g)
-
-    revs = (
-        _with_bucket(joined, "o_custkey", 32)
-        .groupby("__bucket")
-        .map_groups(per_cust, batch_format="pandas")
-    )
     cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    withnat = _broadcast_fact_attach(
-        revs, cust, "o_custkey", "c_custkey", ["c_nationkey"])
-    if withnat is None:
+    bdf = _gather_capped(cust)
+    if bdf is not None:
+        # fused plan: nationkey attached INSIDE the per-customer group
+        # kernel (one searchsorted against the broadcast customer map) —
+        # saves a full pass + materialize over the two-stage fallback
+        srt = bdf.sort_values("c_custkey")
+        keys_ref = ray.put(srt["c_custkey"].to_numpy(np.int64))
+        nk_ref = ray.put(srt["c_nationkey"].to_numpy(np.int64))
+
+        def per_cust_nk(g: pd.DataFrame) -> pd.DataFrame:
+            s = _per_customer_rev4(g)
+            keys, nk = ray.get(keys_ref), ray.get(nk_ref)
+            hit, idx = _sorted_lookup(keys,
+                                      s["o_custkey"].to_numpy(np.int64))
+            s = s.loc[hit].copy()  # inner-join semantics
+            s["c_nationkey"] = nk[idx[hit]]
+            return s
+
+        withnat = (
+            _with_bucket(joined, "o_custkey", 32)
+            .groupby("__bucket")
+            .map_groups(per_cust_nk, batch_format="pandas")
+        )
+    else:  # past the customer cap: distributed hash join
+        revs = (
+            _with_bucket(joined, "o_custkey", 32)
+            .groupby("__bucket")
+            .map_groups(lambda g: _per_customer_rev4(g),
+                        batch_format="pandas")
+        )
         withnat = revs.join(cust, join_type="inner", num_partitions=parts,
                             on=("o_custkey",), right_on=("c_custkey",))
     withnat = withnat.materialize()  # consumed twice: bounds + shuffle

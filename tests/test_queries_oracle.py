@@ -194,7 +194,9 @@ def test_gini_assortativity_fallbacks_match_broadcast(monkeypatch):
 
     a1 = q.q_gini_by_nation(SF_DIR)
     a2 = q.q_degree_assortativity(SF_DIR)
-    monkeypatch.setattr(q, "_broadcast_fact_attach", lambda *x, **k: None)
+    # declining _gather_capped forces gini's customer hash join AND
+    # assortativity's two degree joins (via _broadcast_fact_attach)
+    monkeypatch.setattr(q, "_gather_capped", lambda *x, **k: None)
     b1 = q.q_gini_by_nation(SF_DIR)
     b2 = q.q_degree_assortativity(SF_DIR)
     pd.testing.assert_frame_equal(a1, b1, check_dtype=False)
