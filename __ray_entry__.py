@@ -247,6 +247,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_kl": q.q_source_kl,
         "vocab_coverage": q.q_vocab_coverage,
         "km_reorder": q.q_km_reorder,
+        "scd2_user_tier": q.q_scd2_user_tier,
+        "pagerank_damped": q.q_pagerank_damped,
     }
 
 
@@ -3219,5 +3221,54 @@ SELECT CAST(t AS BIGINT) AS gap_days, CAST(died AS BIGINT) AS died,
        round(exp(CAST(SUM(q) OVER (ORDER BY t) AS DOUBLE)
                  / 1000000000.0), 6) AS km
 FROM k ORDER BY gap_days
+"""
+    # SCD-2 tier intervals via gaps-and-islands (open tail -> -1)
+    out["scd2_user_tier"] = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+                  CASE WHEN value < 10 THEN 'low'
+                       WHEN value < 100 THEN 'mid'
+                       ELSE 'high' END AS tier
+           FROM events),
+o AS (SELECT *, CASE WHEN lag(tier) OVER
+                  (PARTITION BY user_id ORDER BY t, event_id)
+                  IS DISTINCT FROM tier THEN 1 ELSE 0 END AS chg
+      FROM e),
+g AS (SELECT *, SUM(chg) OVER
+        (PARTITION BY user_id ORDER BY t, event_id) AS grp FROM o),
+r AS (SELECT user_id, tier, grp, MIN(t) AS valid_from_us,
+             COUNT(*) AS n_events
+      FROM g GROUP BY user_id, tier, grp)
+SELECT user_id, tier, valid_from_us,
+       COALESCE(lead(valid_from_us) OVER
+                (PARTITION BY user_id ORDER BY valid_from_us), -1)
+         AS valid_to_us,
+       CAST(n_events AS BIGINT) AS n_events
+FROM r ORDER BY user_id, valid_from_us
+"""
+    # 3 rounds of integer-floor damped PageRank (w' = 150000 +
+    # sum((85*w)//300) over in-edges; dangling mass drains)
+    out["pagerank_damped"] = _EDGES_CTE + """,
+w0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS w
+       FROM documents),
+w1 AS (SELECT d.doc_id AS node,
+              150000 + COALESCE(SUM((85 * w0.w) // 300), 0) AS w
+       FROM documents d
+       LEFT JOIN edges e ON e.dst = d.doc_id
+       LEFT JOIN w0 ON w0.node = e.src
+       GROUP BY d.doc_id),
+w2 AS (SELECT d.doc_id AS node,
+              150000 + COALESCE(SUM((85 * w1.w) // 300), 0) AS w
+       FROM documents d
+       LEFT JOIN edges e ON e.dst = d.doc_id
+       LEFT JOIN w1 ON w1.node = e.src
+       GROUP BY d.doc_id),
+w3 AS (SELECT d.doc_id AS node,
+              150000 + COALESCE(SUM((85 * w2.w) // 300), 0) AS w
+       FROM documents d
+       LEFT JOIN edges e ON e.dst = d.doc_id
+       LEFT JOIN w2 ON w2.node = e.src
+       GROUP BY d.doc_id)
+SELECT node AS doc_id, CAST(w AS BIGINT) AS pr
+FROM w3 ORDER BY doc_id
 """
     return out

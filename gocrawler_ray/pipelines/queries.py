@@ -9142,3 +9142,60 @@ def q_km_reorder(sf_dir: str):
     return pd.DataFrame({
         "gap_days": t_k, "died": d_k, "at_risk": n_k,
         "km": round_half_away(km, 6)})
+
+
+def q_scd2_user_tier(sf_dir: str):
+    """SCD-2 interval build (the warehouse "slowly changing dimension"
+    move): collapse each user's event stream into validity intervals of
+    their spend tier (value < 10 → low, < 100 → mid, else high), one
+    row per consecutive same-tier run with [valid_from, valid_to) in
+    epoch-µs (open tail = −1). Gaps-and-islands, fully distributed: ONE
+    hash-bucket shuffle on user_id, then a vectorized kernel (lexsort
+    by (user, ts, event_id), tier-change break vector, island bincount,
+    next-island valid_from by array shift). Output is run-bounded —
+    every column integer/categorical, so the gate is hash-exact."""
+    from ..stages.temporal import _with_bucket
+
+    ev = _pq(sf_dir, "events",
+             columns=["user_id", "ts", "event_id", "value"],
+             num_blocks=_n_cpus())
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["ts"].astype("int64").to_numpy()
+        eid = g["event_id"].to_numpy(np.int64)
+        v = g["value"].to_numpy(np.float64)
+        order = np.lexsort((eid, t, u))
+        u, t, v = u[order], t[order], v[order]
+        tier = np.where(v < 10, 0, np.where(v < 100, 1, 2)).astype(
+            np.int8)
+        brk = np.ones(len(u), dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | (tier[1:] != tier[:-1])
+        isl = np.cumsum(brk) - 1
+        n_ev = np.bincount(isl)
+        iu, it, ifrom = u[brk], tier[brk], t[brk]
+        ito = np.concatenate([ifrom[1:], [-1]])
+        ito[np.concatenate([iu[1:] != iu[:-1], [True]])] = -1
+        names = np.array(["low", "mid", "high"])
+        return pd.DataFrame({
+            "user_id": iu, "tier": names[it],
+            "valid_from_us": ifrom, "valid_to_us": ito,
+            "n_events": n_ev.astype(np.int64)})
+
+    return (_with_bucket(ev, "user_id", 32)
+            .groupby("__bucket")
+            .map_groups(kernel, batch_format="pandas"))
+
+
+def q_pagerank_damped(sf_dir: str):
+    """Damped (d = 0.85) PageRank over the derived link graph, 3 rounds
+    of integer-floor power iteration (stages/graph.py::damped_pagerank)
+    — the authority score a crawl scheduler feeds back into frontier
+    priority. Exact integer weights end-to-end; the oracle unrolls the
+    identical three rounds as CTEs."""
+    from ..stages.graph import damped_pagerank
+
+    n = _doc_count(sf_dir)
+    parts = _shuffle_partitions(4 * n)
+    docs = _pq(sf_dir, "documents", columns=["doc_id"], num_blocks=parts)
+    return damped_pagerank(docs, n=n, iters=3, num_partitions=parts)

@@ -495,3 +495,96 @@ def kcore_members(
         "doc_id": pa.array(ids),
         "core_degree": pa.array(deg[ids], pa.int64()),
     }))
+
+
+def damped_pagerank(
+    documents: rd.Dataset,
+    n: int,
+    iters: int,
+    num_partitions: int,
+    dense_threshold: int = 1 << 20,
+) -> rd.Dataset:
+    """Damped PageRank with INTEGER-FLOOR semantics: w₀ ≡ 10⁶ and each
+    round w'(v) = 150000 + Σ_{u→v} ⌊85·w(u)/300⌋ — the d=0.85 damped
+    walk over the 3-out-regular derived web (the per-edge floor divides
+    the emitter's mass across its out-degree 3; captcha walls emit
+    nothing, so their mass drains — the dangling-mass drop is the
+    documented semantics, exact on both engines). Every weight stays an
+    integer, so the unrolled-CTE oracle hash-gates all ``iters`` rounds.
+
+    Same two physical plans as :func:`path_weights`: dense broadcast
+    bincount partials under ``dense_threshold`` (zero shuffles/round),
+    else the edges ⋈ w → groupby(dst) hash-shuffle plan with per-round
+    materialized O(nodes) state."""
+    import ray
+
+    edges = edges_dataset(documents, n).materialize()
+    if n <= dense_threshold:
+        w = np.full(n, 1_000_000, dtype=np.int64)
+        for _ in range(iters):
+            ref = ray.put(w)
+
+            def partial(t: pa.Table, _ref=ref) -> pa.Table:
+                wv = ray.get(_ref)
+                src = t.column("src").to_numpy()
+                dst = t.column("dst").to_numpy()
+                contrib = (85 * wv[src]) // 300
+                acc = np.bincount(
+                    dst, weights=contrib.astype(np.float64), minlength=n)
+                assert acc.max(initial=0.0) < 2**53
+                return pa.table({"acc": pa.array(
+                    [acc.astype(np.int64).tobytes()], pa.binary())})
+
+            w_new = np.full(n, 150_000, dtype=np.int64)
+            for b in edges.map_batches(
+                partial, batch_format="pyarrow", batch_size=None
+            ).iter_batches(batch_format="pyarrow"):
+                for buf in b.column("acc").to_pylist():
+                    w_new += np.frombuffer(buf, dtype=np.int64)
+            w = w_new
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "pr": pa.array(w, pa.int64())}))
+
+    ids_ds = documents.map_batches(
+        lambda t: pa.table({"node": pc.cast(t.column("doc_id"),
+                                            pa.int64())}),
+        batch_format="pyarrow",
+    )
+    w = ids_ds.map_batches(
+        lambda t: t.append_column("w", pa.array(
+            np.full(t.num_rows, 1_000_000, dtype=np.int64))),
+        batch_format="pyarrow",
+    )
+    for _ in range(iters):
+        joined = edges.join(w, join_type="inner",
+                            num_partitions=num_partitions,
+                            on=("src",), right_on=("node",))
+        contrib = joined.map_batches(
+            lambda t: pa.table({
+                "dst": t.column("dst"),
+                "c": pa.array((85 * t.column("w").to_numpy(
+                    zero_copy_only=False)) // 300, pa.int64())}),
+            batch_format="pyarrow",
+        )
+        agg = contrib.groupby("dst").sum("c")
+        w = ids_ds.join(
+            agg.map_batches(lambda t: pa.table(
+                {"anode": t.column("dst"), "s": t.column("sum(c)")}),
+                batch_format="pyarrow"),
+            join_type="left_outer", num_partitions=num_partitions,
+            on=("node",), right_on=("anode",),
+        ).map_batches(
+            lambda t: pa.table({
+                "node": t.column("node"),
+                "w": pa.array(150_000 + np.nan_to_num(
+                    t.column("s").to_numpy(zero_copy_only=False
+                                           ).astype(np.float64),
+                    nan=0).astype(np.int64), pa.int64())}),
+            batch_format="pyarrow",
+        ).materialize()  # O(nodes) state between rounds
+    return w.map_batches(
+        lambda t: pa.table({"doc_id": t.column("node"),
+                            "pr": t.column("w")}),
+        batch_format="pyarrow",
+    )

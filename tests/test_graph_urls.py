@@ -147,3 +147,22 @@ def test_triangle_stats_match_brute_force(ray_session, n, edge_cap):
     assert n_e == len(und)
     assert n_w == wedges
     assert n_t == tri
+
+
+@pytest.mark.parametrize("dense_threshold", [1 << 20, 0])  # dense and sparse
+def test_damped_pagerank_matches_numpy_floor_iteration(ray_session, dense_threshold):
+    from gocrawler_ray.stages.graph import damped_pagerank
+
+    n, iters = 60, 3
+    df = damped_pagerank(
+        _docs(n), n, iters=iters, num_partitions=4,
+        dense_threshold=dense_threshold,
+    ).to_pandas()
+    w = np.full(n, 1_000_000, dtype=np.int64)
+    for _ in range(iters):
+        nxt = np.full(n, 150_000, dtype=np.int64)
+        for s, d in _brute_edges(n):
+            nxt[d] += (85 * w[s]) // 300
+        w = nxt
+    got = df.set_index("doc_id")["pr"].sort_index().to_numpy()
+    assert (got == w).all()
