@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "km_reorder": q.q_km_reorder,
         "scd2_user_tier": q.q_scd2_user_tier,
         "pagerank_damped": q.q_pagerank_damped,
+        "item_cf": q.q_item_cf,
     }
 
 
@@ -3270,5 +3271,27 @@ w3 AS (SELECT d.doc_id AS node,
        GROUP BY d.doc_id)
 SELECT node AS doc_id, CAST(w AS BIGINT) AS pr
 FROM w3 ORDER BY doc_id
+"""
+    # item-item CF over the top-50 parts: best cosine co-purchase match
+    out["item_cf"] = """
+WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+cnt AS (SELECT p, COUNT(*) AS n FROM cp GROUP BY p),
+v AS (SELECT p, n FROM cnt ORDER BY n DESC, p LIMIT 50),
+pr AS (SELECT a.p AS pa, b.p AS pb, COUNT(*) AS cab
+       FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p
+       WHERE a.p IN (SELECT p FROM v) AND b.p IN (SELECT p FROM v)
+       GROUP BY 1, 2),
+sym AS (SELECT pa, pb, cab FROM pr
+        UNION ALL SELECT pb, pa, cab FROM pr),
+sc AS (SELECT s.pa, s.pb, va.n,
+              CAST(s.cab AS DOUBLE)
+              / sqrt(CAST(va.n AS DOUBLE) * CAST(vb.n AS DOUBLE)) AS cos
+       FROM sym s JOIN v va ON va.p = s.pa JOIN v vb ON vb.p = s.pb)
+SELECT pa AS part, CAST(n AS BIGINT) AS n_cust, pb AS best_match,
+       round(cos, 6) AS cos6
+FROM sc
+QUALIFY row_number() OVER (PARTITION BY pa ORDER BY cos DESC, pb) = 1
+ORDER BY part
 """
     return out

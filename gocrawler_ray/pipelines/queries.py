@@ -9199,3 +9199,97 @@ def q_pagerank_damped(sf_dir: str):
     parts = _shuffle_partitions(4 * n)
     docs = _pq(sf_dir, "documents", columns=["doc_id"], num_blocks=parts)
     return damped_pagerank(docs, n=n, iters=3, num_partitions=parts)
+
+
+def q_item_cf(sf_dir: str):
+    """Item-item collaborative filtering over the top-50 parts (by
+    distinct buyers; ties → partkey): for each vocabulary part, its
+    best co-purchase match by customer-set cosine — the "customers who
+    bought X also bought Y" recommender built the 100 TB way: the pair
+    plane is VOCABULARY-bounded (≤50×50 count partials), never
+    part-catalog- or customer-bounded.
+
+    Plan: (1) one lineitem ⋈ orders shuffle, custkey-bucketed distinct
+    (customer, part); (2) part-popularity counts (capped combine,
+    distributed sort+limit fallback) pick the vocabulary, broadcast
+    sorted; (3) the SAME bucketed distinct stream re-emits per-customer
+    vocab pairs via a pandas self-merge — bounded (i, j) count
+    partials; (4) the driver closes cosines c/√(n_a·n_b) — exact ints
+    into one deterministic float tree, ties → smaller partkey."""
+    from ..stages.temporal import _with_bucket
+
+    V = 50
+    parts = _shuffle_partitions(
+        _row_count(sf_dir, "lineitem"), _row_count(sf_dir, "orders")
+    )
+    li = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"],
+             num_blocks=parts)
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+                 num_blocks=parts)
+    joined = li.join(orders, join_type="inner", num_partitions=parts,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def distinct_cp(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["o_custkey", "l_partkey"]].drop_duplicates()
+
+    cp = (_with_bucket(joined, "o_custkey", 32)
+          .groupby("__bucket")
+          .map_groups(distinct_cp, batch_format="pandas")
+          ).materialize()  # consumed twice: popularity + pair emission
+
+    def pcount(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "p": t.column("l_partkey").to_numpy(zero_copy_only=False),
+            "n": np.int64(1)})
+        return df.groupby("p", as_index=False).sum()
+
+    pcounts = _combine_partials(
+        cp.map_batches(pcount, batch_format="pyarrow"),
+        ["p"], ["n"], cap=2_000_000,
+    )
+    if pcounts is not None:
+        top = pcounts.sort_values(["n", "p"],
+                                  ascending=[False, True]).head(V)
+    else:  # part catalog past the cap: distributed count + sort
+        top = (cp.map_batches(pcount, batch_format="pyarrow")
+               .groupby("p").sum("n")
+               .sort([("sum(n)", "descending"), ("p", "ascending")])
+               .limit(V).to_pandas()
+               .rename(columns={"sum(n)": "n"}))
+    vocab = top.sort_values("p")
+    vkeys = vocab["p"].to_numpy(np.int64)
+    vn = vocab["n"].to_numpy(np.int64)
+    kref = ray.put(vkeys)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(kref)
+        p = g["l_partkey"].to_numpy(np.int64)
+        hit, idx = _sorted_lookup(ks, p)
+        df = pd.DataFrame({"c": g["o_custkey"].to_numpy(np.int64)[hit],
+                           "i": idx[hit]})
+        m = df.merge(df, on="c")
+        m = m[m["i_x"] < m["i_y"]]
+        out = pd.DataFrame({"i": m["i_x"], "j": m["i_y"],
+                            "cab": np.int64(1)})
+        return out.groupby(["i", "j"], as_index=False).sum()
+
+    co = _combine_partials(
+        _with_bucket(cp, "o_custkey", 32)
+        .groupby("__bucket").map_groups(pairs, batch_format="pandas"),
+        ["i", "j"], ["cab"],
+    )
+    best: dict[int, tuple[float, int]] = {}
+    for r in co.itertuples():
+        i, j, c = int(r.i), int(r.j), int(r.cab)
+        cos = float(c) / np.sqrt(float(vn[i]) * float(vn[j]))
+        for a, b in ((i, j), (j, i)):
+            cur = best.get(a)
+            cand = (-cos, int(vkeys[b]))
+            if cur is None or cand < cur:
+                best[a] = cand
+    rows = [{"part": np.int64(vkeys[a]),
+             "n_cust": np.int64(vn[a]),
+             "best_match": np.int64(pb),
+             "cos6": float(round_half_away(np.array([-negc]), 6)[0])}
+            for a, (negc, pb) in best.items()]
+    return pd.DataFrame(rows).sort_values("part").reset_index(drop=True)
