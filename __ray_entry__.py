@@ -250,6 +250,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_user_tier": q.q_scd2_user_tier,
         "pagerank_damped": q.q_pagerank_damped,
         "item_cf": q.q_item_cf,
+        "ltv_cohorts": q.q_ltv_cohorts,
+        "embedding_dim_stats": q.q_embedding_dim_stats,
     }
 
 
@@ -3293,5 +3295,38 @@ SELECT pa AS part, CAST(n AS BIGINT) AS n_cust, pb AS best_match,
 FROM sc
 QUALIFY row_number() OVER (PARTITION BY pa ORDER BY cos DESC, pb) = 1
 ORDER BY part
+"""
+    # cohort LTV: first-order-month cohorts x account age, exact cents
+    out["ltv_cohorts"] = """
+WITH o AS (SELECT o_custkey,
+                  (year(o_orderdate) - 1992) * 12 + month(o_orderdate)
+                    - 1 AS m,
+                  CAST(round(o_totalprice*100) AS BIGINT) AS c
+           FROM orders),
+coh AS (SELECT o_custkey, MIN(m) AS cohort FROM o GROUP BY 1),
+rv AS (SELECT coh.cohort, o.m - coh.cohort AS age, SUM(o.c) AS cents
+       FROM o JOIN coh USING (o_custkey) GROUP BY 1, 2)
+SELECT CAST(cohort AS BIGINT) AS cohort, CAST(age AS BIGINT) AS age,
+       round(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+       round(CAST(SUM(cents) OVER (PARTITION BY cohort ORDER BY age)
+                  AS DOUBLE) / 100.0, 2) AS cum_revenue
+FROM rv ORDER BY cohort, age
+"""
+    # per-dimension embedding mean/std via 1e-6-quantized moments
+    out["embedding_dim_stats"] = """
+WITH u AS (
+  SELECT generate_subscripts(embedding, 1) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS HUGEINT) AS q
+  FROM embeddings),
+t AS (SELECT dim, CAST(COUNT(*) AS HUGEINT) AS n, SUM(q) AS sq,
+             SUM(q*q) AS sqq
+      FROM u GROUP BY dim)
+SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+       round(CAST(sq AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE), 6)
+         AS mean,
+       round(sqrt(CAST(n*sqq - sq*sq AS DOUBLE)
+                  / CAST(n*(n-1) AS DOUBLE)) / 1000000.0, 6) AS std
+FROM t ORDER BY dim
 """
     return out

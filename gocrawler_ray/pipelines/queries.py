@@ -9293,3 +9293,86 @@ def q_item_cf(sf_dir: str):
              "cos6": float(round_half_away(np.array([-negc]), 6)[0])}
             for a, (negc, pb) in best.items()]
     return pd.DataFrame(rows).sort_values("part").reset_index(drop=True)
+
+
+def q_ltv_cohorts(sf_dir: str):
+    """Cohort lifetime-value curve: customers grouped by first-order
+    month, each cohort's revenue laid out by account age (months since
+    cohort) with the running cumulative — the LTV table a growth team
+    reads off a warehouse. ONE custkey-bucket shuffle computes each
+    customer's cohort and emits CALENDAR-BOUNDED (cohort, age) cent
+    partials (months² rows at any data scale); the driver closes exact
+    integer cumsums per cohort. Month ids are pure integer arithmetic
+    on (year, month) so no engine calendar function can drift."""
+    from ..stages.temporal import _with_bucket
+
+    o = _pq(sf_dir, "orders",
+            columns=["o_custkey", "o_orderdate", "o_totalprice"],
+            num_blocks=_n_cpus())
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        dt = pd.to_datetime(g["o_orderdate"])
+        m = ((dt.dt.year - 1992) * 12 + dt.dt.month - 1).to_numpy(
+            np.int64)
+        ck = g["o_custkey"].to_numpy(np.int64)
+        cents = np.rint(g["o_totalprice"].to_numpy() * 100
+                        ).astype(np.int64)
+        cohort = pd.Series(m).groupby(ck).transform("min").to_numpy()
+        df = pd.DataFrame({"cohort": cohort, "age": m - cohort,
+                           "cents": cents})
+        return df.groupby(["cohort", "age"], as_index=False).sum()
+
+    rv = _combine_partials(
+        _with_bucket(o, "o_custkey", 32).groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas"),
+        ["cohort", "age"], ["cents"],
+    ).sort_values(["cohort", "age"]).reset_index(drop=True)
+    cum = rv.groupby("cohort")["cents"].cumsum().to_numpy(np.int64)
+    return pd.DataFrame({
+        "cohort": rv["cohort"].astype(np.int64),
+        "age": rv["age"].astype(np.int64),
+        "revenue": round_half_away(
+            rv["cents"].to_numpy(np.int64) / 100.0, 2),
+        "cum_revenue": round_half_away(cum / 100.0, 2)})
+
+
+def q_embedding_dim_stats(sf_dir: str):
+    """Per-dimension mean/std profile of the embedding column — the
+    feature-drift monitor of a vector pipeline (a collapsed dimension
+    or a scale blowout shows up here first). Exercises the
+    list<float> path end-to-end: zero-copy flatten of the fixed-width
+    list, per-batch QUANTIZED moment partials (round(x·10⁶) → exact
+    Python-int Σq, Σq² — dimension-bounded, 64 rows at any scale), and
+    a driver close whose only floats are the final casts — the oracle
+    unnests with generate_subscripts and runs the identical tree."""
+    emb = _pq(sf_dir, "embeddings", columns=["embedding"],
+              num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        col = t.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        n, dim = t.num_rows, len(flat) // max(t.num_rows, 1)
+        q = round_half_away(flat * 1e6).astype(np.int64).astype(object)
+        df = pd.DataFrame({
+            "dim": np.tile(np.arange(1, dim + 1, dtype=np.int64), n),
+            "n": np.int64(1), "sq": q, "sqq": q * q})
+        return df.groupby("dim", as_index=False).sum()
+
+    out = _combine_partials(
+        emb.map_batches(partial, batch_format="pyarrow"),
+        ["dim"], ["n", "sq", "sqq"],
+    )
+    rows = []
+    for r in out.itertuples():
+        n, sq, sqq = int(r.n), int(r.sq), int(r.sqq)
+        mean = float(sq) / 1e6 / float(n)
+        var = float(n * sqq - sq * sq) / float(n * (n - 1))
+        rows.append({"dim": np.int64(r.dim), "n": np.int64(n),
+                     "mean": mean, "std": np.sqrt(var) / 1e6})
+    df = pd.DataFrame(rows).sort_values("dim").reset_index(drop=True)
+    for c in ("mean", "std"):
+        df[c] = round_half_away(df[c].to_numpy(), 6)
+    return df
