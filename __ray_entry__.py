@@ -252,6 +252,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "item_cf": q.q_item_cf,
         "ltv_cohorts": q.q_ltv_cohorts,
         "embedding_dim_stats": q.q_embedding_dim_stats,
+        "gopher_filter": q.q_gopher_filter,
+        "token_fertility": q.q_token_fertility,
     }
 
 
@@ -3328,5 +3330,54 @@ SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
        round(sqrt(CAST(n*sqq - sq*sq AS DOUBLE)
                   / CAST(n*(n-1) AS DOUBLE)) / 1000000.0, 6) AS std
 FROM t ORDER BY dim
+"""
+    # Gopher-style composite quality gate; ratio rules as integer
+    # cross-multiplications, per-rule fail flags
+    en_alt = "|".join(_MARKERS["en"])
+    out["gopher_filter"] = f"""
+WITH c AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '\\w+')) AS n_words,
+         length(text) - len(regexp_extract_all(text, '\\W'))
+           AS word_chars,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+         len(regexp_extract_all(lower(text), '\\b({en_alt})\\b'))
+           AS n_stop
+  FROM documents),
+f AS (
+  SELECT doc_id, n_words,
+    CASE WHEN n_words < 10 OR n_words > 10000 THEN 1 ELSE 0 END
+      AS fail_words,
+    CASE WHEN word_chars < 3*n_words OR word_chars > 10*n_words
+         THEN 1 ELSE 0 END AS fail_wordlen,
+    CASE WHEN 10*n_punct >= n_chars THEN 1 ELSE 0 END AS fail_symbol,
+    CASE WHEN n_stop < 2 THEN 1 ELSE 0 END AS fail_stop,
+    CASE WHEN 5*n_digit >= n_chars THEN 1 ELSE 0 END AS fail_digit
+  FROM c)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(fail_words AS BIGINT) AS fail_words,
+       CAST(fail_wordlen AS BIGINT) AS fail_wordlen,
+       CAST(fail_symbol AS BIGINT) AS fail_symbol,
+       CAST(fail_stop AS BIGINT) AS fail_stop,
+       CAST(fail_digit AS BIGINT) AS fail_digit,
+       CAST(CASE WHEN fail_words + fail_wordlen + fail_symbol
+                      + fail_stop + fail_digit = 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM f ORDER BY doc_id
+"""
+    # BPE-ish tokens per whitespace word, per language
+    out["token_fertility"] = f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+         AS ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '{_BPE_ISH}'))) AS BIGINT)
+         AS bpe_tokens,
+       round(CAST(SUM(len(regexp_extract_all(text, '{_BPE_ISH}')))
+                  AS DOUBLE)
+             / CAST(SUM(len(regexp_extract_all(text, '\\S+')))
+                    AS DOUBLE), 6) AS fertility
+FROM documents GROUP BY lang ORDER BY lang
 """
     return out

@@ -9376,3 +9376,76 @@ def q_embedding_dim_stats(sf_dir: str):
     for c in ("mean", "std"):
         df[c] = round_half_away(df[c].to_numpy(), 6)
     return df
+
+
+def q_gopher_filter(sf_dir: str):
+    """Gopher-style composite quality gate (the canonical LLM pretrain
+    filter, Rae et al. 2021 §A1.1 adapted to this corpus): word count
+    in [10, 10k], mean word length in [3, 10], symbol ratio < 0.1,
+    ≥ 2 English stopwords, digit ratio < 0.2 — one map-only pass over
+    the Arrow RE2 kernels (stages/textstats.py), with every ratio rule
+    evaluated as an INTEGER cross-multiplication (word_chars ≥ 3·words,
+    10·punct < chars, 5·digits < chars) so the verdict is exact on both
+    engines. Emits per-rule fail flags + the keep bit — the audit
+    breakdown a curation run reports, not just the survivor list."""
+    from ..stages.textstats import _EN_STOP_RE, _count
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"],
+               num_blocks=_n_cpus())
+
+    def flags(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t.column("text"), "")
+        n_chars = pc.utf8_length(txt).to_numpy().astype(np.int64)
+        n_words = _count(txt, r"\w+")
+        word_chars = n_chars - _count(txt, r"\W")
+        n_punct = _count(txt, r"[^\w\s]")
+        n_digit = _count(txt, r"[0-9]")
+        n_stop = _count(pc.utf8_lower(txt), _EN_STOP_RE)
+        f_words = (n_words < 10) | (n_words > 10_000)
+        f_wlen = (word_chars < 3 * n_words) | (word_chars > 10 * n_words)
+        f_sym = 10 * n_punct >= n_chars
+        f_stop = n_stop < 2
+        f_dig = 5 * n_digit >= n_chars
+        keep = ~(f_words | f_wlen | f_sym | f_stop | f_dig)
+        ints = lambda a: pa.array(a.astype(np.int64), pa.int64())
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_words": pa.array(n_words, pa.int64()),
+            "fail_words": ints(f_words), "fail_wordlen": ints(f_wlen),
+            "fail_symbol": ints(f_sym), "fail_stop": ints(f_stop),
+            "fail_digit": ints(f_dig), "keep": ints(keep)})
+
+    return docs.map_batches(flags, batch_format="pyarrow")
+
+
+def q_token_fertility(sf_dir: str):
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word — the "how many subwords does this language cost" table that
+    prices a multilingual vocab. Language-bounded count partials
+    (exact integer Σbpe, Σws per lang), one rounded division each."""
+    from ..stages.textstats import BPE_ISH, _count
+
+    docs = _pq(sf_dir, "documents", columns=["lang", "text"],
+               num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        txt = pc.fill_null(t.column("text"), "")
+        df = pd.DataFrame({
+            "lang": t.column("lang").to_pandas(),
+            "ws": _count(txt, r"\S+"),
+            "bpe": _count(txt, BPE_ISH),
+            "n": np.int64(1)})
+        return df.groupby("lang", as_index=False).sum()
+
+    out = _combine_partials(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["lang"], ["ws", "bpe", "n"],
+    ).sort_values("lang").reset_index(drop=True)
+    return pd.DataFrame({
+        "lang": out["lang"],
+        "n_docs": out["n"].astype(np.int64),
+        "ws_tokens": out["ws"].astype(np.int64),
+        "bpe_tokens": out["bpe"].astype(np.int64),
+        "fertility": round_half_away(
+            out["bpe"].to_numpy(np.int64)
+            / out["ws"].to_numpy(np.int64), 6)})
