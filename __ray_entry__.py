@@ -254,6 +254,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": q.q_embedding_dim_stats,
         "gopher_filter": q.q_gopher_filter,
         "token_fertility": q.q_token_fertility,
+        "rolling_median_revenue": q.q_rolling_median_revenue,
+        "host_link_locality": q.q_host_link_locality,
     }
 
 
@@ -3379,5 +3381,27 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
              / CAST(SUM(len(regexp_extract_all(text, '\\S+')))
                     AS DOUBLE), 6) AS fertility
 FROM documents GROUP BY lang ORDER BY lang
+"""
+    # trailing 7-day windowed MEDIAN of daily revenue (exact cents)
+    out["rolling_median_revenue"] = """
+WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                  SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS rev
+           FROM orders GROUP BY 1)
+SELECT CAST(day AS BIGINT) AS day,
+       round(CAST(rev AS DOUBLE) / 100.0, 2) AS revenue,
+       round(CAST(median(rev) OVER (ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / 100.0, 2) AS med7
+FROM d ORDER BY day
+"""
+    # per-host out-link locality (host = doc_id % 3 by construction)
+    out["host_link_locality"] = _EDGES_CTE + """
+SELECT CAST(src % 3 AS BIGINT) AS host,
+       CAST(SUM(CASE WHEN src % 3 = dst % 3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS internal,
+       CAST(COUNT(*) AS BIGINT) AS total,
+       round(CAST(SUM(CASE WHEN src % 3 = dst % 3 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS locality
+FROM edges GROUP BY 1 ORDER BY 1
 """
     return out

@@ -9449,3 +9449,72 @@ def q_token_fertility(sf_dir: str):
         "fertility": round_half_away(
             out["bpe"].to_numpy(np.int64)
             / out["ws"].to_numpy(np.int64), 6)})
+
+
+def q_rolling_median_revenue(sf_dir: str):
+    """Trailing 7-day MEDIAN of daily order revenue — the robust
+    smoother next to q_moving_avg's mean frame (a single spike day
+    can't move it). Daily cents are the calendar-bounded exact-int
+    combine; each window median is an order statistic of ≤7 exact ints
+    (mean of the two middles on even partial frames — identical
+    interpolation in numpy and the oracle's windowed median())."""
+    o = _pq(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"],
+            num_blocks=_n_cpus())
+    DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ts = pc.cast(t.column("o_orderdate"), pa.int64()).to_numpy()
+        cents = np.rint(t.column("o_totalprice").to_numpy() * 100
+                        ).astype(np.int64)
+        df = pd.DataFrame({"day": ts // DAY, "rev": cents})
+        return df.groupby("day", as_index=False).sum()
+
+    daily = _combine_partials(
+        o.map_batches(partial, batch_format="pyarrow"), ["day"], ["rev"],
+    ).sort_values("day").reset_index(drop=True)
+    r = daily["rev"].to_numpy(np.int64)
+    med = np.array([float(np.median(r[max(0, i - 6):i + 1]))
+                    for i in range(len(r))])
+    return pd.DataFrame({
+        "day": daily["day"].astype(np.int64),
+        "revenue": round_half_away(r / 100.0, 2),
+        "med7": round_half_away(med / 100.0, 2)})
+
+
+def q_host_link_locality(sf_dir: str):
+    """Per-host link locality of the derived web: what share of each
+    host's out-links stay on the host (host = doc_id mod 3 by
+    construction) — the crawl-frontier dispersion signal (high locality
+    = per-host politeness dominates; low = the frontier fans out).
+    Pure map-side arithmetic over the edge stream into a 3-row bounded
+    combine; the ratio is one rounded division from exact ints."""
+    from ..stages.graph import edges_dataset
+
+    n = _doc_count(sf_dir)
+    docs = _pq(sf_dir, "documents", columns=["doc_id"],
+               num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        from ..stages.graph import CAPTCHA_MOD, CAPTCHA_RES, EDGE_MULS
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False
+                                          ).astype(np.int64)
+        ids = ids[ids % CAPTCHA_MOD != CAPTCHA_RES]
+        src = np.repeat(ids % 3, len(EDGE_MULS))
+        dst = np.stack([((a * ids + b) % n) % 3 for a, b in EDGE_MULS],
+                       axis=1).ravel()
+        df = pd.DataFrame({"host": src,
+                           "internal": (src == dst).astype(np.int64),
+                           "total": np.int64(1)})
+        return df.groupby("host", as_index=False).sum()
+
+    out = _combine_partials(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["host"], ["internal", "total"],
+    ).sort_values("host").reset_index(drop=True)
+    return pd.DataFrame({
+        "host": out["host"].astype(np.int64),
+        "internal": out["internal"].astype(np.int64),
+        "total": out["total"].astype(np.int64),
+        "locality": round_half_away(
+            out["internal"].to_numpy(np.int64)
+            / out["total"].to_numpy(np.int64), 6)})
