@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_fertility": q.q_token_fertility,
         "rolling_median_revenue": q.q_rolling_median_revenue,
         "host_link_locality": q.q_host_link_locality,
+        "cdc_dedup": q.q_cdc_dedup,
     }
 
 
@@ -3403,5 +3404,34 @@ SELECT CAST(src % 3 AS BIGINT) AS host,
        round(CAST(SUM(CASE WHEN src % 3 = dst % 3 THEN 1 ELSE 0 END)
                   AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS locality
 FROM edges GROUP BY 1 ORDER BY 1
+"""
+    # content-defined chunking dedup: boundary where md5(trailing
+    # 8-gram) % 32 == 0; distinct chunks keyed by md5 on both sides
+    out["cdc_dedup"] = """
+WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents
+           WHERE length(text) > 0),
+pos AS (SELECT doc_id, text, L, unnest(range(8, L + 1)) AS i FROM d),
+b AS (SELECT doc_id, i FROM pos
+      WHERE CAST(('0x' || substr(md5(substr(text, i - 7, 8)), 1, 16))
+                 AS UBIGINT) % 32 = 0),
+bb AS (SELECT doc_id, CAST(i AS BIGINT) AS i FROM b
+       UNION SELECT doc_id, L FROM d),
+seg AS (SELECT doc_id,
+               COALESCE(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0)
+                 AS s, i AS e
+        FROM bb),
+chunks AS (SELECT substr(text, CAST(s + 1 AS BIGINT),
+                         CAST(e - s AS BIGINT)) AS ch
+           FROM seg JOIN d USING (doc_id) WHERE e > s),
+dis AS (SELECT md5(ch) AS h, MAX(length(ch)) AS len
+        FROM chunks GROUP BY 1)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM chunks) AS total_chunks,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM dis) AS distinct_chunks,
+       (SELECT CAST(SUM(length(ch)) AS BIGINT) FROM chunks)
+         AS total_bytes,
+       (SELECT CAST(SUM(len) AS BIGINT) FROM dis) AS distinct_bytes,
+       round(1.0 - CAST((SELECT SUM(len) FROM dis) AS DOUBLE)
+                   / CAST((SELECT SUM(length(ch)) FROM chunks)
+                          AS DOUBLE), 6) AS dedup_ratio
 """
     return out

@@ -9518,3 +9518,85 @@ def q_host_link_locality(sf_dir: str):
         "locality": round_half_away(
             out["internal"].to_numpy(np.int64)
             / out["total"].to_numpy(np.int64), 6)})
+
+
+def q_cdc_dedup(sf_dir: str):
+    """Content-defined-chunking storage dedup (the restic/borg/LBFS
+    move, Muthitacharoen et al. SOSP'01): chunk every document at
+    positions where the md5 of the trailing 8-gram ≡ 0 (mod 32)
+    (~32-byte expected chunks), then measure the corpus-wide dedup
+    ratio 1 − distinct_bytes/total_bytes — how much a content-addressed
+    store would save. Boundaries are a pure function of local content,
+    so chunking is map-only and INSERTIONS only reshuffle chunk
+    boundaries locally (the property that makes CDC beat fixed-size
+    blocks). Window hashes dedupe through np.unique before the md5 loop
+    (the fixed vocab repeats 8-grams heavily); the distinct-chunk plane
+    gathers (md5, bytes) under a cap with a distributed
+    groupby-max fallback past it. All outputs exact ints + one rounded
+    division."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"],
+               num_blocks=_n_cpus())
+
+    def chunk_rows(t: pa.Table) -> pd.DataFrame:
+        import hashlib
+        from numpy.lib.stride_tricks import sliding_window_view
+        from ..functions.urls import md5_hash64_many
+
+        hs_out: list[str] = []
+        b_out: list[int] = []
+        for s in t.column("text").to_pylist():
+            s = s or ""
+            L = len(s)
+            if L == 0:
+                continue
+            bounds: list[int] = []
+            if L >= 8:
+                a = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+                win = sliding_window_view(a, 8)
+                toks = [w.tobytes().decode("utf-8") for w in win]
+                hv = md5_hash64_many(np.array(toks, dtype=object))
+                bounds = list((np.nonzero(hv % 32 == 0)[0] + 8
+                               ).astype(int))
+            if not bounds or bounds[-1] != L:
+                bounds.append(L)
+            prev = 0
+            for e in bounds:
+                if e > prev:
+                    ch = s[prev:e]
+                    hs_out.append(hashlib.md5(
+                        ch.encode("utf-8")).hexdigest())
+                    b_out.append(e - prev)
+                    prev = e
+        return pd.DataFrame({"h": hs_out, "b": np.array(b_out,
+                                                        np.int64)})
+
+    rows = docs.map_batches(chunk_rows, batch_format="pyarrow"
+                            ).materialize()  # totals + distinct planes
+    tot = pd.concat(
+        list(rows.map_batches(
+            lambda t: pd.DataFrame({
+                "k": [np.int64(0)], "n": [np.int64(t.num_rows)],
+                "b": [np.int64(pc.sum(t.column("b")).as_py() or 0)]}),
+            batch_format="pyarrow")
+            .iter_batches(batch_size=65536, batch_format="pandas")),
+        ignore_index=True)
+    total_chunks, total_bytes = int(tot["n"].sum()), int(tot["b"].sum())
+
+    gathered = _gather_capped(rows)
+    if gathered is not None:
+        dis = gathered.drop_duplicates("h")
+    else:  # chunk space past the cap: distributed dedup by hash
+        dis = (rows.groupby("h").max("b")
+               .map_batches(lambda t: pa.table(
+                   {"h": t.column("h"), "b": t.column("max(b)")}),
+                   batch_format="pyarrow")
+               .to_pandas())
+    distinct_chunks = len(dis)
+    distinct_bytes = int(dis["b"].sum())
+    return pd.DataFrame({
+        "total_chunks": [np.int64(total_chunks)],
+        "distinct_chunks": [np.int64(distinct_chunks)],
+        "total_bytes": [np.int64(total_bytes)],
+        "distinct_bytes": [np.int64(distinct_bytes)],
+        "dedup_ratio": round_half_away(np.array(
+            [1.0 - float(distinct_bytes) / float(total_bytes)]), 6)})

@@ -214,3 +214,14 @@ def test_local_clustering_join_fallback_matches_broadcast(monkeypatch):
     a = a.sort_values("doc_id").reset_index(drop=True)[sorted(a.columns)]
     b = b.sort_values("doc_id").reset_index(drop=True)[sorted(b.columns)]
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_cdc_dedup_distributed_plane_matches_driver(monkeypatch):
+    """Past the chunk gather cap, the distinct plane runs as a
+    distributed groupby on the chunk hash — identical totals."""
+    from gocrawler_ray.pipelines import queries as q
+
+    a = q.q_cdc_dedup(SF_DIR)
+    monkeypatch.setattr(q, "_gather_capped", lambda *x, **k: None)
+    b = q.q_cdc_dedup(SF_DIR)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
