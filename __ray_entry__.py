@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_median_revenue": q.q_rolling_median_revenue,
         "host_link_locality": q.q_host_link_locality,
         "cdc_dedup": q.q_cdc_dedup,
+        "day_jaccard": q.q_day_jaccard,
     }
 
 
@@ -3433,5 +3434,25 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM chunks) AS total_chunks,
        round(1.0 - CAST((SELECT SUM(len) FROM dis) AS DOUBLE)
                    / CAST((SELECT SUM(length(ch)) FROM chunks)
                           AS DOUBLE), 6) AS dedup_ratio
+"""
+    # day-over-day active-user Jaccard (consecutive calendar days only)
+    out["day_jaccard"] = """
+WITH ud AS (SELECT DISTINCT user_id,
+                   epoch_us(ts) // 86400000000 AS d FROM events),
+act AS (SELECT d, COUNT(*) AS a FROM ud GROUP BY d),
+itr AS (SELECT a.d, COUNT(*) AS i
+        FROM ud a JOIN ud b ON b.user_id = a.user_id
+                          AND b.d = a.d + 1
+        GROUP BY a.d)
+SELECT CAST(x.d AS BIGINT) AS day,
+       CAST(x.a AS BIGINT) AS active,
+       CAST(y.a AS BIGINT) AS next_active,
+       CAST(COALESCE(itr.i, 0) AS BIGINT) AS intersect,
+       round(CAST(COALESCE(itr.i, 0) AS DOUBLE)
+             / CAST(x.a + y.a - COALESCE(itr.i, 0) AS DOUBLE), 6)
+         AS jaccard
+FROM act x JOIN act y ON y.d = x.d + 1
+LEFT JOIN itr ON itr.d = x.d
+ORDER BY day
 """
     return out

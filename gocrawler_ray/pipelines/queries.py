@@ -9600,3 +9600,54 @@ def q_cdc_dedup(sf_dir: str):
         "distinct_bytes": [np.int64(distinct_bytes)],
         "dedup_ratio": round_half_away(np.array(
             [1.0 - float(distinct_bytes) / float(total_bytes)]), 6)})
+
+
+def q_day_jaccard(sf_dir: str):
+    """Day-over-day audience overlap: Jaccard similarity of consecutive
+    days' active-user sets — the churn-velocity dial (1.0 = the same
+    users every day, →0 = a fully new audience daily). ONE user-bucket
+    shuffle co-locates each user's distinct active days; the kernel
+    emits CALENDAR-BOUNDED per-day partials (active count + next-day
+    intersection count via one sorted diff), and the driver closes
+    |A∩B| / (|A|+|B|−|A∩B|) from exact ints."""
+    from ..stages.temporal import _with_bucket
+
+    DAY = 86_400_000_000
+    ev = _pq(sf_dir, "events", columns=["user_id", "ts"],
+             num_blocks=_n_cpus())
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        d = g["ts"].astype("int64").to_numpy() // DAY
+        dd = pd.DataFrame({"u": u, "d": d}).drop_duplicates()
+        u = dd["u"].to_numpy()
+        d = dd["d"].to_numpy()
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        nxt = (u[1:] == u[:-1]) & (d[1:] - d[:-1] == 1)
+        act = pd.DataFrame({"d": d, "act": np.int64(1),
+                            "inter": np.int64(0)})
+        itr = pd.DataFrame({"d": d[:-1][nxt], "act": np.int64(0),
+                            "inter": np.int64(1)})
+        df = pd.concat([act, itr], ignore_index=True)
+        return df.groupby("d", as_index=False).sum()
+
+    out = _combine_partials(
+        _with_bucket(ev, "user_id", 32).groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas"),
+        ["d"], ["act", "inter"],
+    ).sort_values("d").reset_index(drop=True)
+    a = out["act"].to_numpy(np.int64)
+    inter = out["inter"].to_numpy(np.int64)
+    # row i pairs day_i with day_i+1 ONLY when they are consecutive
+    consec = np.zeros(len(a), dtype=bool)
+    consec[:-1] = np.diff(out["d"].to_numpy(np.int64)) == 1
+    b = np.roll(a, -1)
+    ix = inter[consec]
+    un = a[consec] + b[consec] - ix
+    return pd.DataFrame({
+        "day": out["d"].to_numpy(np.int64)[consec],
+        "active": a[consec],
+        "next_active": b[consec],
+        "intersect": ix,
+        "jaccard": round_half_away(ix / un, 6)})
