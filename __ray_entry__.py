@@ -258,6 +258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_link_locality": q.q_host_link_locality,
         "cdc_dedup": q.q_cdc_dedup,
         "day_jaccard": q.q_day_jaccard,
+        "slot_apportionment": q.q_slot_apportionment,
     }
 
 
@@ -3454,5 +3455,20 @@ SELECT CAST(x.d AS BIGINT) AS day,
 FROM act x JOIN act y ON y.d = x.d + 1
 LEFT JOIN itr ON itr.d = x.d
 ORDER BY day
+"""
+    # Hamilton largest-remainder apportionment of 1000 crawl slots
+    out["slot_apportionment"] = """
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+t AS (SELECT SUM(n) AS tot FROM c),
+b AS (SELECT source, n, (1000 * n) // t.tot AS base,
+             (1000 * n) % t.tot AS rem
+      FROM c, t),
+lo AS (SELECT 1000 - SUM(base) AS k FROM b),
+r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+      FROM b)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+       CAST(base + CASE WHEN rk <= (SELECT k FROM lo)
+                        THEN 1 ELSE 0 END AS BIGINT) AS slots
+FROM r ORDER BY source
 """
     return out

@@ -9651,3 +9651,38 @@ def q_day_jaccard(sf_dir: str):
         "next_active": b[consec],
         "intersect": ix,
         "jaccard": round_half_away(ix / un, 6)})
+
+
+def q_slot_apportionment(sf_dir: str):
+    """Largest-remainder (Hamilton) apportionment of a fixed budget of
+    1000 crawl slots across sources, proportional to document count —
+    how a fixed-size fetcher fleet gets divided. INTEGER-EXACT end to
+    end: base = ⌊1000·n_s/N⌋, the leftover slots go to the largest
+    remainders 1000·n_s mod N (ties → source asc) — no floats anywhere,
+    and the result provably sums to exactly 1000. Source-bounded count
+    partials; the close is a 20-row driver sort."""
+    docs = _pq(sf_dir, "documents", columns=["source"],
+               num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"source": t.column("source").to_pandas(),
+                           "n": np.int64(1)})
+        return df.groupby("source", as_index=False).sum()
+
+    out = _combine_partials(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["source"], ["n"],
+    ).sort_values("source").reset_index(drop=True)
+    B = 1000
+    n = out["n"].to_numpy(np.int64)
+    tot = int(n.sum())
+    base = (B * n) // tot
+    rem = (B * n) % tot
+    leftover = B - int(base.sum())
+    order = np.lexsort((np.arange(len(n)), -rem))  # rem desc, source asc
+    extra = np.zeros(len(n), dtype=np.int64)
+    extra[order[:leftover]] = 1
+    return pd.DataFrame({
+        "source": out["source"],
+        "n_docs": n,
+        "slots": base + extra})
