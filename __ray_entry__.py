@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dedup": q.q_cdc_dedup,
         "day_jaccard": q.q_day_jaccard,
         "slot_apportionment": q.q_slot_apportionment,
+        "ivm_daily_counts": q.q_ivm_daily_counts,
     }
 
 
@@ -3470,5 +3471,13 @@ SELECT source, CAST(n AS BIGINT) AS n_docs,
        CAST(base + CASE WHEN rk <= (SELECT k FROM lo)
                         THEN 1 ELSE 0 END AS BIGINT) AS slots
 FROM r ORDER BY source
+"""
+    # IVM: base+delta additive merge equals the full recompute
+    out["ivm_daily_counts"] = """
+SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)
+             / 100.0, 2) AS total
+FROM events GROUP BY 1, 2 ORDER BY day, event_type
 """
     return out

@@ -9686,3 +9686,53 @@ def q_slot_apportionment(sf_dir: str):
         "source": out["source"],
         "n_docs": n,
         "slots": base + extra})
+
+
+def q_ivm_daily_counts(sf_dir: str):
+    """Incremental view maintenance: the daily (day, event_type) count/
+    value view is built from a BASE partition (event_id % 10 < 9) and
+    then patched with the delta partition's partial aggregates — the
+    merge is a pure additive combine (counts and exact cents both sum),
+    so the maintained view equals the full recompute by construction,
+    and the oracle computes the full view directly. The pattern that
+    turns a nightly 100 TB rebuild into an append-only delta apply;
+    both legs are bounded (day × type) combines."""
+    ev = _pq(sf_dir, "events",
+             columns=["event_id", "event_type", "ts", "value"],
+             num_blocks=_n_cpus())
+    DAY = 86_400_000_000
+
+    def partial_of(pred):
+        def partial(t: pa.Table) -> pd.DataFrame:
+            eid = t.column("event_id").to_numpy(zero_copy_only=False)
+            m = pred(eid)
+            ts = pc.cast(t.column("ts"), pa.int64()).to_numpy()[m]
+            cents = np.rint(t.column("value").to_numpy()[m] * 100
+                            ).astype(np.int64)
+            df = pd.DataFrame({
+                "day": ts // DAY,
+                "event_type": t.column("event_type").to_pandas(
+                ).to_numpy()[m],
+                "n": np.int64(1), "cents": cents})
+            return df.groupby(["day", "event_type"],
+                              as_index=False).sum()
+        return partial
+
+    base = _combine_partials(
+        ev.map_batches(partial_of(lambda e: e % 10 < 9),
+                       batch_format="pyarrow"),
+        ["day", "event_type"], ["n", "cents"])
+    delta = _combine_partials(
+        ev.map_batches(partial_of(lambda e: e % 10 >= 9),
+                       batch_format="pyarrow"),
+        ["day", "event_type"], ["n", "cents"])
+    merged = pd.concat([base, delta], ignore_index=True).groupby(
+        ["day", "event_type"], as_index=False).sum()
+    merged = merged.sort_values(["day", "event_type"]).reset_index(
+        drop=True)
+    return pd.DataFrame({
+        "day": merged["day"].astype(np.int64),
+        "event_type": merged["event_type"],
+        "n": merged["n"].astype(np.int64),
+        "total": round_half_away(
+            merged["cents"].to_numpy(np.int64) / 100.0, 2)})
