@@ -8769,22 +8769,65 @@ def q_local_clustering(sf_dir: str):
     count and t the closed-wedge count — the triads-vs-stars shape
     signal (a crawler's link-farm detector: farms cluster, feeds don't).
 
-    Fully distributed wedge plan: (1) undirected edge dedup = ONE
-    (a,b)-hash groupby; (2) degree = one count shuffle over the doubled
-    edge list; (3) wedge emission per neighbor group (O(d²) rows per
-    node — bounded here by the 3-out-regular construction; a hub-skewed
-    graph would salt/cap this stage); (4) wedge closure probed against
-    the BROADCAST packed edge-key set under the cap (sorted-array
-    searchsorted, zero shuffle) or a distributed (x,y)⋈(a,b) hash join
-    past it; (5) assembly by two left_outer joins so nodes with no
+    Two plans behind the usual cap. UNDER it (edge list gathers), the
+    whole computation is one vectorized driver kernel — unique packed
+    keys, doubled-list lexsort, segmented triu wedges, searchsorted
+    closure — because four hash shuffles of a small graph are pure
+    fixed cost. PAST it, the distributed wedge plan: (1) undirected
+    edge dedup = ONE (a,b)-hash groupby; (2) wedge emission per
+    neighbor group with the degree riding along as a sentinel row
+    (O(d²) rows per node — bounded here by the 3-out-regular
+    construction; a hub-skewed graph would salt/cap this stage);
+    (3) wedge closure probed against the BROADCAST packed edge-key set
+    (sorted-array searchsorted, zero shuffle) or a distributed
+    (x,y)⋈(a,b) hash join when even that exceeds the cap; (4) ONE
+    count/max groupby + ONE left_outer assembly join so nodes with no
     edges / no closed wedges keep exact-zero rows. cc is reported as
-    the exact integer floor cc6 = ⌊2t·10⁶/(d(d−1))⌋ — no float ever."""
+    the exact integer floor cc6 = ⌊2t·10⁶/(d(d−1))⌋ — no float ever;
+    the fallback-equality test pins both plans equal."""
     from ..stages.graph import edges_dataset
 
     n = _doc_count(sf_dir)
     parts = _shuffle_partitions(4 * n)
     docs = _pq(sf_dir, "documents", columns=["doc_id"], num_blocks=parts)
     edges = edges_dataset(docs, n)
+
+    edf = _gather_capped(edges)
+    if edf is not None:  # driver kernel: the whole graph is small
+        s = edf["src"].to_numpy(np.int64)
+        d = edf["dst"].to_numpy(np.int64)
+        m = s != d
+        a = np.minimum(s[m], d[m])
+        b = np.maximum(s[m], d[m])
+        keys = np.unique(a * n + b)            # deduped undirected edges
+        ua, ub = keys // n, keys % n
+        v = np.concatenate([ua, ub])           # doubled neighbor list
+        w = np.concatenate([ub, ua])
+        order = np.lexsort((w, v))
+        v, w = v[order], w[order]
+        brk = np.ones(len(v), dtype=bool)
+        brk[1:] = v[1:] != v[:-1]
+        starts = np.nonzero(brk)[0]
+        ends = np.append(starts[1:], len(v))
+        deg_full = np.zeros(n, dtype=np.int64)
+        deg_full[v[starts]] = ends - starts
+        tri_full = np.zeros(n, dtype=np.int64)
+        for st, en in zip(starts, ends):        # tiny segments (d ≤ ~12)
+            dd = en - st
+            if dd < 2:
+                continue
+            iu, ju = np.triu_indices(dd, k=1)
+            pk = w[st + iu] * n + w[st + ju]
+            i = np.searchsorted(keys, pk)
+            i[i == len(keys)] = 0
+            tri_full[v[st]] = int((keys[i] == pk).sum())
+        denom = np.maximum(deg_full * (deg_full - 1), 1)
+        cc6 = np.where(deg_full >= 2,
+                       (2 * tri_full * 1_000_000) // denom, 0)
+        return pd.DataFrame({
+            "doc_id": np.arange(n, dtype=np.int64),
+            "deg": deg_full, "tri": tri_full,
+            "cc6": cc6.astype(np.int64)})
 
     def undirect(t: pa.Table) -> pa.Table:
         s = t.column("src").to_numpy(zero_copy_only=False)
@@ -8808,17 +8851,25 @@ def q_local_clustering(sf_dir: str):
             "w": pa.array(np.concatenate([b, a]), pa.int64())})
 
     nbr = und.map_batches(both, batch_format="pyarrow")
-    deg = nbr.groupby("v").count()  # (v, count()) — neighbors distinct
 
+    # degree rides ALONG the wedge stream (one sentinel row per node,
+    # x = y = −1, always surviving the closure filter) so ONE
+    # count/max groupby recovers (deg, tri) together — saves the
+    # separate degree shuffle + second assembly join of the naive plan
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
         w = np.sort(g["w"].to_numpy(np.int64))
-        if len(w) < 2:
-            return pd.DataFrame({"v": pd.Series([], dtype=np.int64),
-                                 "x": pd.Series([], dtype=np.int64),
-                                 "y": pd.Series([], dtype=np.int64)})
-        iu, ju = np.triu_indices(len(w), k=1)
-        return pd.DataFrame({"v": np.int64(g["v"].iloc[0]),
-                             "x": w[iu], "y": w[ju]})
+        v = np.int64(g["v"].iloc[0])
+        d = len(w)
+        if d < 2:
+            return pd.DataFrame({"v": [v], "deg": [np.int64(d)],
+                                 "x": [np.int64(-1)],
+                                 "y": [np.int64(-1)]})
+        iu, ju = np.triu_indices(d, k=1)
+        return pd.DataFrame({
+            "v": np.concatenate([[v], np.full(len(iu), v)]),
+            "deg": np.int64(d),
+            "x": np.concatenate([[-1], w[iu]]).astype(np.int64),
+            "y": np.concatenate([[-1], w[ju]]).astype(np.int64)})
 
     wed = nbr.groupby("v").map_groups(wedges, batch_format="pandas")
 
@@ -8833,30 +8884,40 @@ def q_local_clustering(sf_dir: str):
             x = t.column("x").to_numpy(zero_copy_only=False)
             y = t.column("y").to_numpy(zero_copy_only=False)
             hit, _ = _sorted_lookup(ks, x * n + y)
-            return pa.table({"v": pc.array_filter(t.column("v"),
-                                                  pa.array(hit))})
+            keep = pa.array(hit | (x == -1))
+            return pa.table({
+                "v": pc.array_filter(t.column("v"), keep),
+                "deg": pc.array_filter(t.column("deg"), keep)})
 
         closed = wed.map_batches(probe, batch_format="pyarrow")
-    else:  # distributed closure: (x,y) ⋈ (a,b) hash join
-        closed = wed.join(und, join_type="inner", num_partitions=parts,
-                          on=("x", "y"), right_on=("a", "b"))
-    tri = closed.groupby("v").count()
+    else:  # distributed closure: (x,y) ⋈ (a,b) hash join + sentinels
+        sentinels = wed.map_batches(
+            lambda t: t.filter(pc.equal(t.column("x"), -1)).select(
+                ["v", "deg"]),
+            batch_format="pyarrow")
+        closed = wed.map_batches(
+            lambda t: t.filter(pc.not_equal(t.column("x"), -1)),
+            batch_format="pyarrow",
+        ).join(und, join_type="inner", num_partitions=parts,
+               on=("x", "y"), right_on=("a", "b")
+               ).map_batches(lambda t: t.select(["v", "deg"]),
+                             batch_format="pyarrow").union(sentinels)
+    from ray.data import aggregate as _agg
+    tri = closed.groupby("v").aggregate(
+        _agg.Count(alias_name="rows"),
+        _agg.Max("deg", alias_name="deg"))
 
-    out = (docs.join(
-        deg.map_batches(lambda t: pa.table(
-            {"dv": t.column("v"), "d": pc.cast(t.column("count()"),
-                                               pa.int64())}),
-            batch_format="pyarrow"),
-        join_type="left_outer", num_partitions=parts,
-        on=("doc_id",), right_on=("dv",),
-    ).join(
+    out = docs.join(
         tri.map_batches(lambda t: pa.table(
-            {"tv": t.column("v"), "t": pc.cast(t.column("count()"),
-                                               pa.int64())}),
+            {"tv": t.column("v"),
+             "d": pc.cast(t.column("deg"), pa.int64()),
+             # sentinel row contributes 1 to the count: tri = rows − 1
+             "t": pc.subtract(pc.cast(t.column("rows"), pa.int64()),
+                              pa.scalar(1, pa.int64()))}),
             batch_format="pyarrow"),
         join_type="left_outer", num_partitions=parts,
         on=("doc_id",), right_on=("tv",),
-    ))
+    )
 
     def close(t: pa.Table) -> pa.Table:
         d = np.nan_to_num(t.column("d").to_numpy(zero_copy_only=False
