@@ -9287,8 +9287,14 @@ def q_item_cf(sf_dir: str):
              num_blocks=parts)
     orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
                  num_blocks=parts)
-    joined = li.join(orders, join_type="inner", num_partitions=parts,
-                     on=("l_orderkey",), right_on=("o_orderkey",))
+    # custkey attaches into the streaming lineitem scan from the
+    # broadcast orders map (no join shuffle); hash join past the cap
+    joined = _broadcast_fact_attach(
+        li, orders, "l_orderkey", "o_orderkey", ["o_custkey"])
+    if joined is None:
+        joined = li.join(orders, join_type="inner",
+                         num_partitions=parts,
+                         on=("l_orderkey",), right_on=("o_orderkey",))
 
     def distinct_cp(g: pd.DataFrame) -> pd.DataFrame:
         return g[["o_custkey", "l_partkey"]].drop_duplicates()

@@ -225,3 +225,15 @@ def test_cdc_dedup_distributed_plane_matches_driver(monkeypatch):
     monkeypatch.setattr(q, "_gather_capped", lambda *x, **k: None)
     b = q.q_cdc_dedup(SF_DIR)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_item_cf_fallbacks_match_broadcast(monkeypatch):
+    """Past the caps, item_cf's orders attach runs as a hash join and
+    the part-popularity cut as a distributed sort+limit — identical
+    best-match table."""
+    from gocrawler_ray.pipelines import queries as q
+
+    a = q.q_item_cf(SF_DIR)
+    monkeypatch.setattr(q, "_broadcast_fact_attach", lambda *x, **k: None)
+    b = q.q_item_cf(SF_DIR)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
