@@ -5248,13 +5248,7 @@ def q_revenue_gini(sf_dir: str):
     parts = _shuffle_partitions(
         _row_count(sf_dir, "lineitem"), _row_count(sf_dir, "orders")
     )
-    li = _pq(sf_dir, "lineitem",
-             columns=["l_orderkey", "l_extendedprice", "l_discount"],
-             num_blocks=parts)
-    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
-                 num_blocks=parts)
-    joined = li.join(orders, join_type="inner", num_partitions=parts,
-                     on=("l_orderkey",), right_on=("o_orderkey",))
+    joined = _li_orders_custkey(sf_dir, parts)
 
     def per_cust(g: pd.DataFrame) -> pd.DataFrame:
         return _per_customer_rev4(g)[["x"]]
@@ -5420,6 +5414,29 @@ def q_training_manifest(sf_dir: str):
     return out.sort_values("shard").reset_index(drop=True)
 
 
+
+def _li_orders_custkey(sf_dir: str, parts: int) -> rd.Dataset:
+    """lineitem rows with o_custkey attached — the shared first stage
+    of the per-customer revenue aggregates (gini, percent-rank, CF).
+    The orders (orderkey → custkey) map broadcasts into the streaming
+    lineitem scan under the cap (no join shuffle — the map is ~1/4 the
+    fact bytes and unique-keyed); past it, the distributed hash join.
+    Either way the ONLY remaining shuffle is the caller's custkey
+    bucket groupby."""
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_extendedprice", "l_discount"],
+             num_blocks=parts)
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+                 num_blocks=parts)
+    joined = _broadcast_fact_attach(
+        li, orders, "l_orderkey", "o_orderkey", ["o_custkey"])
+    if joined is None:
+        joined = li.join(orders, join_type="inner",
+                         num_partitions=parts,
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+    return joined
+
+
 def q_customer_revenue_pctile(sf_dir: str):
     """Distributed GLOBAL percent-rank per customer (the companion op to
     q_revenue_gini's global-order aggregate, but materializing the rank
@@ -5434,13 +5451,7 @@ def q_customer_revenue_pctile(sf_dir: str):
     parts = _shuffle_partitions(
         _row_count(sf_dir, "lineitem"), _row_count(sf_dir, "orders")
     )
-    li = _pq(sf_dir, "lineitem",
-             columns=["l_orderkey", "l_extendedprice", "l_discount"],
-             num_blocks=parts)
-    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
-                 num_blocks=parts)
-    joined = li.join(orders, join_type="inner", num_partitions=parts,
-                     on=("l_orderkey",), right_on=("o_orderkey",))
+    joined = _li_orders_custkey(sf_dir, parts)
 
     def per_cust(g: pd.DataFrame) -> pd.DataFrame:
         return _per_customer_rev4(g)
@@ -8140,13 +8151,7 @@ def q_pareto_revenue(sf_dir: str):
 
     parts = _shuffle_partitions(
         _row_count(sf_dir, "lineitem"), _row_count(sf_dir, "orders"))
-    li = _pq(sf_dir, "lineitem",
-             columns=["l_orderkey", "l_extendedprice", "l_discount"],
-             num_blocks=parts)
-    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
-                 num_blocks=parts)
-    joined = li.join(orders, join_type="inner", num_partitions=parts,
-                     on=("l_orderkey",), right_on=("o_orderkey",))
+    joined = _li_orders_custkey(sf_dir, parts)
     revs = (
         _with_bucket(joined, "o_custkey", 32)
         .groupby("__bucket")
@@ -8500,13 +8505,7 @@ def q_gini_by_nation(sf_dir: str):
     parts = _shuffle_partitions(
         _row_count(sf_dir, "lineitem"), _row_count(sf_dir, "orders")
     )
-    li = _pq(sf_dir, "lineitem",
-             columns=["l_orderkey", "l_extendedprice", "l_discount"],
-             num_blocks=parts)
-    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
-                 num_blocks=parts)
-    joined = li.join(orders, join_type="inner", num_partitions=parts,
-                     on=("l_orderkey",), right_on=("o_orderkey",))
+    joined = _li_orders_custkey(sf_dir, parts)
 
     cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     bdf = _gather_capped(cust)
