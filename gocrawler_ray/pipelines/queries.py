@@ -8185,9 +8185,13 @@ def q_pareto_revenue(sf_dir: str):
             x = t.column("x").to_numpy()
             x = x[(x >= lo_c) & (x <= bhi)]
             if not len(x):
+                # int64 dtype for the EMPTY frame: Ray's block-size
+                # estimator chokes on size-0 object Series (benign but
+                # noisy); concat with non-empty object partials still
+                # promotes to object, so exactness is unchanged
                 return pd.DataFrame({"rb": pd.Series([], dtype=np.int64),
                                      "cnt": pd.Series([], dtype=np.int64),
-                                     "s": pd.Series([], dtype=object)})
+                                     "s": pd.Series([], dtype=np.int64)})
             rb = (x - lo_c) // w_c
             df = pd.DataFrame({"rb": rb, "cnt": np.int64(1),
                                "s": x.astype(object)})
