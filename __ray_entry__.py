@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "day_jaccard": q.q_day_jaccard,
         "slot_apportionment": q.q_slot_apportionment,
         "ivm_daily_counts": q.q_ivm_daily_counts,
+        "qn_scale": q.q_qn_scale,
     }
 
 
@@ -3479,5 +3480,21 @@ SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, event_type,
        round(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)
              / 100.0, 2) AS total
 FROM events GROUP BY 1, 2 ORDER BY day, event_type
+"""
+    # Qn-style scale: ceil(m/4)-th smallest pairwise |diff| of daily
+    # revenue cents — an exact integer order statistic
+    out["qn_scale"] = """
+WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                  SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS rev
+           FROM orders GROUP BY 1),
+p AS (SELECT abs(b.rev - a.rev) AS ad
+      FROM d a JOIN d b ON b.day > a.day),
+t AS (SELECT (SELECT COUNT(*) FROM d) AS nd, COUNT(*) AS m FROM p)
+SELECT CAST(t.nd AS BIGINT) AS n_days, CAST(t.m AS BIGINT) AS n_pairs,
+       CAST((t.m + 3) // 4 AS BIGINT) AS k,
+       round(CAST((SELECT ad FROM p ORDER BY ad
+                   LIMIT 1 OFFSET ((SELECT (m + 3) // 4 FROM t) - 1))
+                  AS DOUBLE) / 100.0, 2) AS qn
+FROM t
 """
     return out

@@ -9806,3 +9806,39 @@ def q_ivm_daily_counts(sf_dir: str):
         "n": merged["n"].astype(np.int64),
         "total": round_half_away(
             merged["cents"].to_numpy(np.int64) / 100.0, 2)})
+
+
+def q_qn_scale(sf_dir: str):
+    """Qn-style robust scale of daily order revenue: the first-quartile
+    order statistic of all pairwise |x_i − x_j| (Rousseeuw & Croux's
+    outlier-immune spread — a 50%-breakdown alternative to stddev).
+    Daily cents are the CALENDAR-BOUNDED exact-int combine (the
+    Theil–Sen argument: more data fattens days, it doesn't add them);
+    the ~3M pairwise differences close on the driver as one numpy
+    partition — the k-th smallest of exact integers, no floats until
+    the final cents→dollars cast."""
+    o = _pq(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"],
+            num_blocks=_n_cpus())
+    DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ts = pc.cast(t.column("o_orderdate"), pa.int64()).to_numpy()
+        cents = np.rint(t.column("o_totalprice").to_numpy() * 100
+                        ).astype(np.int64)
+        df = pd.DataFrame({"day": ts // DAY, "rev": cents})
+        return df.groupby("day", as_index=False).sum()
+
+    daily = _combine_partials(
+        o.map_batches(partial, batch_format="pyarrow"), ["day"], ["rev"],
+    )
+    r = daily["rev"].to_numpy(np.int64)
+    iu, ju = np.triu_indices(len(r), k=1)
+    d = np.abs(r[ju] - r[iu])
+    m = len(d)
+    k = (m + 3) // 4  # ceil(m/4): the lower-quartile order statistic
+    qn = int(np.partition(d, k - 1)[k - 1])
+    return pd.DataFrame({
+        "n_days": [np.int64(len(r))],
+        "n_pairs": [np.int64(m)],
+        "k": [np.int64(k)],
+        "qn": round_half_away(np.array([qn / 100.0]), 2)})
