@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "slot_apportionment": q.q_slot_apportionment,
         "ivm_daily_counts": q.q_ivm_daily_counts,
         "qn_scale": q.q_qn_scale,
+        "markov2_transitions": q.q_markov2_transitions,
     }
 
 
@@ -3496,5 +3497,22 @@ SELECT CAST(t.nd AS BIGINT) AS n_days, CAST(t.m AS BIGINT) AS n_pairs,
                    LIMIT 1 OFFSET ((SELECT (m + 3) // 4 FROM t) - 1))
                   AS DOUBLE) / 100.0, 2) AS qn
 FROM t
+"""
+    # 2nd-order Markov: (prev2, prev1) -> next counts + conditionals
+    out["markov2_transitions"] = """
+WITH o AS (SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+tri AS (SELECT a.event_type AS prev2, b.event_type AS prev1,
+               c.event_type AS next_type, COUNT(*) AS n
+        FROM o a JOIN o b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+                 JOIN o c ON c.user_id = a.user_id AND c.rn = a.rn + 2
+        GROUP BY 1, 2, 3)
+SELECT prev2, prev1, next_type, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY prev2, prev1) AS DOUBLE),
+             6) AS p
+FROM tri ORDER BY prev2, prev1, next_type
 """
     return out

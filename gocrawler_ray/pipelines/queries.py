@@ -9842,3 +9842,51 @@ def q_qn_scale(sf_dir: str):
         "n_pairs": [np.int64(m)],
         "k": [np.int64(k)],
         "qn": round_half_away(np.array([qn / 100.0]), 2)})
+
+
+def q_markov2_transitions(sf_dir: str):
+    """SECOND-order Markov transitions: for every (prev2, prev1, next)
+    trigram of a user's ordered event stream, the count and the
+    probability conditioned on the (prev2, prev1) context — the model
+    that catches "view→click means purchase, error→click means retry"
+    where the first-order matrix (q_event_transitions) can't. Same ONE
+    user-bucket shuffle, doubly-shifted compare kernel, and a
+    types³-bounded combine (125 cells at any corpus size); the
+    conditional is one rounded division from exact ints."""
+    from ..stages.temporal import _with_bucket
+
+    ev = _pq(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "event_type"],
+             num_blocks=_n_cpus())
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((
+            g["event_id"].to_numpy(np.int64),
+            g["ts"].astype("int64").to_numpy(),
+            g["user_id"].to_numpy(np.int64),
+        ))
+        u = g["user_id"].to_numpy(np.int64)[order]
+        et = g["event_type"].to_numpy()[order]
+        same = (u[2:] == u[1:-1]) & (u[1:-1] == u[:-2])
+        df = pd.DataFrame({"prev2": et[:-2][same],
+                           "prev1": et[1:-1][same],
+                           "next_type": et[2:][same]})
+        out = df.groupby(["prev2", "prev1", "next_type"],
+                         as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    out = _combine_partials(
+        _with_bucket(ev, "user_id", 32)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas"),
+        ["prev2", "prev1", "next_type"], ["n"],
+    )
+    ctx = out.groupby(["prev2", "prev1"])["n"].transform("sum").to_numpy(
+        np.float64)
+    df = pd.DataFrame({
+        "prev2": out["prev2"], "prev1": out["prev1"],
+        "next_type": out["next_type"],
+        "n": out["n"].astype(np.int64),
+        "p": round_half_away(out["n"].to_numpy(np.float64) / ctx, 6)})
+    return df.sort_values(["prev2", "prev1", "next_type"]).reset_index(
+        drop=True)
