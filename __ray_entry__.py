@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivm_daily_counts": q.q_ivm_daily_counts,
         "qn_scale": q.q_qn_scale,
         "markov2_transitions": q.q_markov2_transitions,
+        "spearman_value_k": q.q_spearman_value_k,
     }
 
 
@@ -3514,5 +3515,29 @@ SELECT prev2, prev1, next_type, CAST(n AS BIGINT) AS n,
              / CAST(SUM(n) OVER (PARTITION BY prev2, prev1) AS DOUBLE),
              6) AS p
 FROM tri ORDER BY prev2, prev1, next_type
+"""
+    # exact Spearman via DOUBLED average ranks (integers even w/ ties)
+    out["spearman_value_k"] = """
+WITH e AS (SELECT CAST(round(value*100) AS BIGINT) AS v,
+                  COALESCE(CAST(json_extract(props, '$.k') AS BIGINT),
+                           -1) AS k
+           FROM events),
+hv AS (SELECT v, COUNT(*) AS c FROM e GROUP BY v),
+rv AS (SELECT v, CAST(2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1
+                      AS HUGEINT) AS r2 FROM hv),
+hk AS (SELECT k, COUNT(*) AS c FROM e GROUP BY k),
+rk AS (SELECT k, CAST(2 * (SUM(c) OVER (ORDER BY k) - c) + c + 1
+                      AS HUGEINT) AS r2 FROM hk),
+j AS (SELECT v, k, CAST(COUNT(*) AS HUGEINT) AS c FROM e GROUP BY 1, 2),
+t AS (SELECT SUM(c) AS n, SUM(c * rv.r2) AS sx, SUM(c * rk.r2) AS sy,
+             SUM(c * rv.r2 * rk.r2) AS sxy,
+             SUM(c * rv.r2 * rv.r2) AS sxx,
+             SUM(c * rk.r2 * rk.r2) AS syy
+      FROM j JOIN rv USING (v) JOIN rk USING (k))
+SELECT CAST(n AS BIGINT) AS n,
+       round(CAST(n*sxy - sx*sy AS DOUBLE)
+             / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS spearman
+FROM t
 """
     return out

@@ -9890,3 +9890,65 @@ def q_markov2_transitions(sf_dir: str):
         "p": round_half_away(out["n"].to_numpy(np.float64) / ctx, 6)})
     return df.sort_values(["prev2", "prev1", "next_type"]).reset_index(
         drop=True)
+
+
+def q_spearman_value_k(sf_dir: str):
+    """EXACT distributed Spearman rank correlation between event value
+    and the props 'k' field — "does spend co-move with the campaign
+    knob?" asked rank-wise, immune to either column's distribution.
+    The trick that makes it exact at any scale: average ranks with
+    ties are half-integers, so DOUBLED ranks r2 = 2·(#below) + (#eq) + 1
+    are INTEGERS computable from the two marginal histograms — and both
+    marginals are VALUE-RANGE-bounded (≤49k distinct cents, ≤bounded
+    k), as is the joint (v, k) table the cross-moment needs. Every sum
+    (Σr2x, Σr2x², Σr2x·r2y via joint counts) is an exact Python int; ρ
+    closes with the assortativity expression tree, so the only floats
+    are the final casts/sqrts. The joint combine carries a cap with a
+    distributed groupby fallback for unbounded-cardinality schemas."""
+    from ..functions.text import json_int_field
+
+    ev = _pq(sf_dir, "events", columns=["value", "props"],
+             num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        v = np.rint(t.column("value").to_numpy() * 100).astype(np.int64)
+        k = json_int_field(t.column("props"), "k").to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({"v": v, "k": k, "c": np.int64(1)})
+        return df.groupby(["v", "k"], as_index=False).sum()
+
+    joint = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["v", "k"], ["c"], cap=4_000_000,
+    )
+    if joint is None:  # pragma: no cover - unbounded joint cardinality
+        joint = (ev.map_batches(partial, batch_format="pyarrow")
+                 .groupby(["v", "k"]).sum("c")
+                 .to_pandas().rename(columns={"sum(c)": "c"}))
+
+    def rank2_map(keys: np.ndarray, cnt: np.ndarray):
+        order = np.argsort(keys)
+        ks, cs = keys[order], cnt[order]
+        below = np.concatenate([[0], np.cumsum(cs)[:-1]])
+        return dict(zip(ks.tolist(),
+                        (2 * below + cs + 1).astype(object).tolist()))
+
+    hv = joint.groupby("v", as_index=False)["c"].sum()
+    hk = joint.groupby("k", as_index=False)["c"].sum()
+    rx = rank2_map(hv["v"].to_numpy(np.int64), hv["c"].to_numpy(np.int64))
+    ry = rank2_map(hk["k"].to_numpy(np.int64), hk["c"].to_numpy(np.int64))
+    n = sx = sy = sxy = sxx = syy = 0
+    for r in joint.itertuples():
+        c, x, y = int(r.c), rx[int(r.v)], ry[int(r.k)]
+        n += c
+        sx += c * x
+        sy += c * y
+        sxy += c * x * y
+        sxx += c * x * x
+        syy += c * y * y
+    num = n * sxy - sx * sy
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    rho = float(num) / (np.sqrt(float(vx)) * np.sqrt(float(vy)))
+    return pd.DataFrame({
+        "n": [np.int64(n)],
+        "spearman": round_half_away(np.array([rho]), 6)})
