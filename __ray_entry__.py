@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qn_scale": q.q_qn_scale,
         "markov2_transitions": q.q_markov2_transitions,
         "spearman_value_k": q.q_spearman_value_k,
+        "lag_xcorr": q.q_lag_xcorr,
     }
 
 
@@ -3539,5 +3540,32 @@ SELECT CAST(n AS BIGINT) AS n,
              / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
                 * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS spearman
 FROM t
+"""
+    # clicks->purchases cross-correlation at day lags 0..7 over the
+    # DENSE day grid (absent days count 0)
+    out["lag_xcorr"] = """
+WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                    AS p
+           FROM events WHERE event_type IN ('click', 'purchase')),
+d AS (SELECT day, SUM(c) AS c, SUM(p) AS p FROM e GROUP BY day),
+span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+grid AS (SELECT unnest(range(lo, hi + 1)) AS day FROM span),
+g AS (SELECT grid.day, CAST(COALESCE(d.c, 0) AS HUGEINT) AS c,
+             CAST(COALESCE(d.p, 0) AS HUGEINT) AS p
+      FROM grid LEFT JOIN d USING (day)),
+l AS (SELECT unnest(range(8)) AS lag),
+pairs AS (SELECT l.lag, a.c AS x, b.p AS y
+          FROM l JOIN g a ON TRUE JOIN g b ON b.day = a.day + l.lag),
+t AS (SELECT lag, CAST(COUNT(*) AS HUGEINT) AS m, SUM(x) AS sx,
+             SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx,
+             SUM(y*y) AS syy
+      FROM pairs GROUP BY lag)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(m AS BIGINT) AS n_days,
+       round(CAST(m*sxy - sx*sy AS DOUBLE)
+             / (sqrt(CAST(m*sxx - sx*sx AS DOUBLE))
+                * sqrt(CAST(m*syy - sy*sy AS DOUBLE))), 6) AS xcorr
+FROM t ORDER BY lag
 """
     return out

@@ -9952,3 +9952,54 @@ def q_spearman_value_k(sf_dir: str):
     return pd.DataFrame({
         "n": [np.int64(n)],
         "spearman": round_half_away(np.array([rho]), 6)})
+
+
+def q_lag_xcorr(sf_dir: str):
+    """Lead–lag cross-correlation: Pearson(clicks_t, purchases_{t+L})
+    for lags L = 0..7 days — "how many days does a click take to turn
+    into a purchase at the aggregate level?". One calendar-bounded
+    combine of per-day (click, purchase) counts serves all eight lags;
+    each lag's correlation closes from exact integer sums over the
+    overlapping day range with the shared deterministic float tree."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "ts"],
+             num_blocks=_n_cpus())
+    DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        et = t.column("event_type").to_pandas().to_numpy()
+        m = (et == "click") | (et == "purchase")
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy()[m]
+        one = (et[m] == "click").astype(np.int64)
+        df = pd.DataFrame({"day": ts // DAY, "clicks": one,
+                           "purchases": 1 - one})
+        return df.groupby("day", as_index=False).sum()
+
+    daily = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["day"], ["clicks", "purchases"],
+    ).sort_values("day").reset_index(drop=True)
+    days = daily["day"].to_numpy(np.int64)
+    # reindex onto the dense [min, max] day grid (absent days = 0) so a
+    # lag join is a plain array shift on both sides
+    lo, hi = int(days.min()), int(days.max())
+    c = np.zeros(hi - lo + 1, dtype=np.int64)
+    p = np.zeros(hi - lo + 1, dtype=np.int64)
+    c[days - lo] = daily["clicks"].to_numpy(np.int64)
+    p[days - lo] = daily["purchases"].to_numpy(np.int64)
+    rows = []
+    for lag in range(8):
+        x = c[:len(c) - lag] if lag else c
+        y = p[lag:]
+        m = len(x)
+        xo, yo = x.astype(object), y.astype(object)
+        sx, sy = int(xo.sum()), int(yo.sum())
+        sxy = int((xo * yo).sum())
+        sxx, syy = int((xo * xo).sum()), int((yo * yo).sum())
+        num = m * sxy - sx * sy
+        vx, vy = m * sxx - sx * sx, m * syy - sy * sy
+        r = float(num) / (np.sqrt(float(vx)) * np.sqrt(float(vy)))
+        rows.append({"lag": np.int64(lag), "n_days": np.int64(m),
+                     "xcorr": r})
+    df = pd.DataFrame(rows)
+    df["xcorr"] = round_half_away(df["xcorr"].to_numpy(), 6)
+    return df
