@@ -264,6 +264,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov2_transitions": q.q_markov2_transitions,
         "spearman_value_k": q.q_spearman_value_k,
         "lag_xcorr": q.q_lag_xcorr,
+        "common_neighbors": q.q_common_neighbors,
+        "mann_whitney": q.q_mann_whitney,
+        "mutual_info": q.q_mutual_info,
+        "weighted_median": q.q_weighted_median,
+        "cross_dedup": q.q_cross_dedup,
     }
 
 
@@ -3567,5 +3572,102 @@ SELECT CAST(lag AS BIGINT) AS lag, CAST(m AS BIGINT) AS n_days,
              / (sqrt(CAST(m*sxx - sx*sx AS DOUBLE))
                 * sqrt(CAST(m*syy - sy*sy AS DOUBLE))), 6) AS xcorr
 FROM t ORDER BY lag
+"""
+    # link prediction: top-20 non-adjacent pairs by common neighbors
+    out["common_neighbors"] = _EDGES_CTE + """,
+e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst),
+adj AS (SELECT a AS v, b AS w FROM e UNION ALL SELECT b, a FROM e),
+wed AS (SELECT a1.w AS x, a2.w AS y, CAST(count(*) AS BIGINT) AS cn
+        FROM adj a1 JOIN adj a2 ON a1.v = a2.v AND a1.w < a2.w
+        GROUP BY 1, 2),
+nonadj AS (SELECT x AS a, y AS b, cn FROM wed
+           WHERE NOT EXISTS (SELECT 1 FROM e
+                             WHERE e.a = wed.x AND e.b = wed.y))
+SELECT a, b, cn FROM nonadj ORDER BY cn DESC, a, b LIMIT 20
+"""
+    # doubled average ranks (2·avg = 2·min_rank + ties − 1) keep the
+    # tie-corrected rank-sum integer-exact on both sides
+    out["mann_whitney"] = """
+WITH e AS (SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS v3
+           FROM events WHERE event_type IN ('click', 'purchase')),
+r AS (SELECT event_type,
+             2 * rank() OVER (ORDER BY v3)
+               + CAST(count(*) OVER (PARTITION BY v3) AS BIGINT) - 1 AS r2
+      FROM e),
+s AS (SELECT CAST(sum(CASE WHEN event_type = 'click' THEN r2 END)
+                  AS BIGINT) AS r1x2,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(count(*) AS BIGINT) AS nt
+      FROM r)
+SELECT n1, nt - n1 AS n2,
+       r1x2 - n1 * (n1 + 1) AS u1_x2,
+       2 * n1 * (nt - n1) - (r1x2 - n1 * (n1 + 1)) AS u2_x2,
+       round((2 * (r1x2 - n1 * (n1 + 1)) - 2 * n1 * (nt - n1))
+             / (2.0 * n1 * (nt - n1)), 6) AS rb
+FROM s
+"""
+    # per-term 1e-6 quantization before the sum (the source_kl move)
+    out["mutual_info"] = """
+WITH c AS (SELECT event_type AS et,
+                  (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+                  count(*) AS c
+           FROM events GROUP BY 1, 2),
+m1 AS (SELECT et, SUM(c) AS ni FROM c GROUP BY 1),
+m2 AS (SELECT dow, SUM(c) AS nj FROM c GROUP BY 1),
+nt AS (SELECT SUM(c) AS n FROM c),
+t AS (SELECT CAST(round(CAST(c.c AS DOUBLE)
+               * log2(CAST(c.c AS DOUBLE) * CAST(nt.n AS DOUBLE)
+                      / (CAST(m1.ni AS DOUBLE) * CAST(m2.nj AS DOUBLE)))
+               * 1000000) AS BIGINT) AS q
+      FROM c JOIN m1 USING (et) JOIN m2 USING (dow) CROSS JOIN nt)
+SELECT (SELECT CAST(n AS BIGINT) FROM nt) AS n,
+       round(CAST(SUM(q) AS DOUBLE) / 1000000.0
+             / (SELECT CAST(n AS DOUBLE) FROM nt), 6) AS mi_bits
+FROM t
+"""
+    # lower weighted median: smallest price with 2·cumweight ≥ total
+    out["weighted_median"] = """
+WITH h AS (SELECT l_returnflag,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS pc_,
+                  CAST(l_quantity AS BIGINT) AS w
+           FROM lineitem),
+g AS (SELECT l_returnflag, pc_, SUM(w) AS w FROM h GROUP BY 1, 2),
+c AS (SELECT l_returnflag, pc_,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY pc_) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM g)
+SELECT l_returnflag, CAST(min(tw) AS BIGINT) AS total_weight,
+       CAST(min(pc_) AS BIGINT) AS wmedian_cents
+FROM c WHERE 2 * cw >= tw GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+    # cross-parity contamination: incoming (odd id) vs reference (even
+    # id) exact 3-gram Jaccard; planted tails at +20001 flip parity
+    out["cross_dedup"] = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20001, text || ' extra tail token appended'
+  FROM documents WHERE doc_id < 10),
+words AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws
+          FROM aug),
+grams AS (SELECT doc_id,
+  CASE WHEN len(ws) <= 3 THEN [array_to_string(ws, ' ')]
+       ELSE list_transform(range(1, len(ws)-1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+  END AS gs FROM words),
+gsets AS (SELECT doc_id, list_distinct(gs) AS gs FROM grams),
+pairs AS (SELECT n.doc_id AS new_id, r.doc_id AS ref_id,
+  len(list_intersect(n.gs, r.gs)) * 1.0
+    / len(list_distinct(n.gs || r.gs)) AS j
+  FROM gsets n JOIN gsets r
+    ON n.doc_id % 2 = 1 AND r.doc_id % 2 = 0),
+hits AS (SELECT new_id, ref_id, j,
+         row_number() OVER (PARTITION BY new_id
+                            ORDER BY j DESC, ref_id) AS rn
+         FROM pairs WHERE j >= 0.6)
+SELECT new_id AS doc_id, ref_id, round(j, 6) AS j
+FROM hits WHERE rn = 1 ORDER BY doc_id
 """
     return out

@@ -10003,3 +10003,335 @@ def q_lag_xcorr(sf_dir: str):
     df = pd.DataFrame(rows)
     df["xcorr"] = round_half_away(df["xcorr"].to_numpy(), 6)
     return df
+
+
+def q_common_neighbors(sf_dir: str):
+    """Link prediction over the derived link graph: the top-20
+    NON-adjacent page pairs ranked by common-neighbor count — the
+    classic "should these two pages link?" candidate list (and, for a
+    crawler, the seed list for discovering missing hub→hub edges).
+
+    Two plans behind the usual cap (the q_local_clustering pattern).
+    UNDER it the whole graph gathers once and a vectorized driver
+    kernel closes it (doubled-list lexsort → segmented triu wedge
+    pairs → one np.unique count → searchsorted anti-probe against the
+    packed edge keys): four hash shuffles of a small graph are pure
+    fixed cost. PAST it the distributed plan runs: undirected edge
+    dedup (ONE (a,b) groupby), per-apex wedge-pair emission
+    (O(d²)/node, bounded by the 3-out-regular construction; a
+    hub-skewed graph would salt/cap the stage), ONE (x,y) count
+    groupby, then the anti-join against the edge set — broadcast
+    searchsorted probe under the cap, distributed left_outer+is_null
+    past it — and a per-block partial top-k so only blocks×20 rows
+    ever reach the driver. The fallback-equality test pins both plans
+    equal."""
+    from ..stages.graph import edges_dataset
+    from ray.data import aggregate as _agg
+
+    n = _doc_count(sf_dir)
+    parts = _shuffle_partitions(4 * n)
+    docs = _pq(sf_dir, "documents", columns=["doc_id"], num_blocks=parts)
+    edges = edges_dataset(docs, n)
+    K = 20
+    empty = pd.DataFrame({"a": np.zeros(0, np.int64),
+                          "b": np.zeros(0, np.int64),
+                          "cn": np.zeros(0, np.int64)})
+
+    edf = _gather_capped(edges)
+    if edf is not None:  # driver kernel: the whole graph is small
+        s = edf["src"].to_numpy(np.int64)
+        d = edf["dst"].to_numpy(np.int64)
+        m = s != d
+        a = np.minimum(s[m], d[m])
+        b = np.maximum(s[m], d[m])
+        keys = np.unique(a * n + b)            # deduped undirected edges
+        ua, ub = keys // n, keys % n
+        v = np.concatenate([ua, ub])           # doubled neighbor list
+        w = np.concatenate([ub, ua])
+        order = np.lexsort((w, v))
+        v, w = v[order], w[order]
+        brk = np.ones(len(v), dtype=bool)
+        brk[1:] = v[1:] != v[:-1]
+        starts = np.nonzero(brk)[0]
+        ends = np.append(starts[1:], len(v))
+        chunks = []
+        for st, en in zip(starts, ends):        # tiny segments (d ≤ ~12)
+            dd = en - st
+            if dd < 2:
+                continue
+            iu, ju = np.triu_indices(dd, k=1)
+            chunks.append(w[st + iu] * n + w[st + ju])
+        if not chunks:
+            return empty
+        uniq, cnt = np.unique(np.concatenate(chunks), return_counts=True)
+        hit, _ = _sorted_lookup(keys, uniq)     # drop already-adjacent
+        uniq, cnt = uniq[~hit], cnt[~hit]
+        if not len(uniq):
+            return empty
+        top = np.lexsort((uniq, -cnt))[:K]
+        return pd.DataFrame({
+            "a": (uniq[top] // n).astype(np.int64),
+            "b": (uniq[top] % n).astype(np.int64),
+            "cn": cnt[top].astype(np.int64)}).reset_index(drop=True)
+
+    def undirect(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        m = s != d
+        return pa.table({
+            "a": pa.array(np.minimum(s[m], d[m]), pa.int64()),
+            "b": pa.array(np.maximum(s[m], d[m]), pa.int64())})
+
+    und = (edges.map_batches(undirect, batch_format="pyarrow")
+           .groupby(["a", "b"]).count()
+           .map_batches(lambda t: t.select(["a", "b"]),
+                        batch_format="pyarrow")
+           ).materialize()  # consumed twice: wedge emission + anti-join
+
+    def both(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "v": pa.array(np.concatenate([a, b]), pa.int64()),
+            "w": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    def wedge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        w = np.sort(g["w"].to_numpy(np.int64))
+        if len(w) < 2:
+            return pd.DataFrame({"x": np.zeros(0, np.int64),
+                                 "y": np.zeros(0, np.int64)})
+        iu, ju = np.triu_indices(len(w), k=1)
+        return pd.DataFrame({"x": w[iu], "y": w[ju]})
+
+    cn = (und.map_batches(both, batch_format="pyarrow")
+          .groupby("v").map_groups(wedge_pairs, batch_format="pandas")
+          .groupby(["x", "y"]).aggregate(_agg.Count(alias_name="cn")))
+
+    bdf = _gather_capped(und)
+    if bdf is not None:  # broadcast anti-probe: zero extra shuffles
+        keys = np.sort(bdf["a"].to_numpy(np.int64) * n
+                       + bdf["b"].to_numpy(np.int64))
+        kref = ray.put(keys)
+
+        def anti(t: pa.Table) -> pa.Table:
+            ks = ray.get(kref)
+            x = t.column("x").to_numpy(zero_copy_only=False)
+            y = t.column("y").to_numpy(zero_copy_only=False)
+            hit, _ = _sorted_lookup(ks, x * n + y)
+            return t.filter(pa.array(~hit))
+
+        non = cn.map_batches(anti, batch_format="pyarrow")
+    else:  # distributed anti: left_outer ⋈ edges, keep the misses
+        marked = und.map_batches(
+            lambda t: t.append_column(
+                "hit", pa.array(np.ones(len(t), np.int64))),
+            batch_format="pyarrow")
+        non = cn.join(
+            marked, join_type="left_outer", num_partitions=parts,
+            on=("x", "y"), right_on=("a", "b"),
+        ).map_batches(
+            lambda t: t.filter(pc.is_null(t.column("hit")))
+                       .select(["x", "y", "cn"]),
+            batch_format="pyarrow")
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "a": t.column("x").to_numpy(zero_copy_only=False),
+            "b": t.column("y").to_numpy(zero_copy_only=False),
+            "cn": pc.cast(t.column("cn"), pa.int64()).to_numpy(
+                zero_copy_only=False)})
+        df = df.sort_values(["cn", "a", "b"],
+                            ascending=[False, True, True]).head(K)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = non.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    if not len(out):
+        return empty
+    out = out.sort_values(["cn", "a", "b"],
+                          ascending=[False, True, True]).head(K)
+    return out.astype(np.int64).reset_index(drop=True)
+
+
+def q_mann_whitney(sf_dir: str):
+    """Exact Mann–Whitney U (Wilcoxon rank-sum) test between the click
+    and purchase value distributions — "do conversions spend from the
+    same distribution clicks browse?", the nonparametric companion to
+    ks_test. INTEGER-EXACT at any scale: the partial is a per-milliunit
+    (value, c_click, c_purchase) count pair bounded by the VALUE DOMAIN
+    (not data size), and tie-corrected average ranks are kept as
+    DOUBLED integers (2·avg_rank = 2·cum_before + ties + 1, the
+    spearman_value_k move) so U₁/U₂ close in unbounded-int arithmetic.
+    The rank-biserial effect size is the single float division
+    (u1_x2−u2_x2)/(2·n1·n2), the identical expression the oracle
+    evaluates."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "value"],
+             num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        et = t.column("event_type").to_pandas().to_numpy()
+        m = (et == "click") | (et == "purchase")
+        v3 = np.rint(t.column("value").to_numpy()[m] * 1000
+                     ).astype(np.int64)
+        one = (et[m] == "click").astype(np.int64)
+        df = pd.DataFrame({"v": v3, "c1": one, "c2": 1 - one})
+        return df.groupby("v", as_index=False).sum()
+
+    out = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["v"], ["c1", "c2"],
+    ).sort_values("v")
+    c1 = out["c1"].to_numpy(np.int64)
+    c2 = out["c2"].to_numpy(np.int64)
+    t_ = c1 + c2
+    cum_before = np.concatenate([[0], np.cumsum(t_)[:-1]])
+    r2 = 2 * cum_before + t_ + 1  # doubled average rank per distinct v
+    n1, n2 = int(c1.sum()), int(c2.sum())
+    r1x2 = int((c1.astype(object) * r2.astype(object)).sum())
+    u1x2 = r1x2 - n1 * (n1 + 1)
+    u2x2 = 2 * n1 * n2 - u1x2
+    rb = round_half_away(
+        np.array([(u1x2 - u2x2) / (2.0 * n1 * n2)]), 6)[0]
+    return pd.DataFrame({
+        "n1": [np.int64(n1)], "n2": [np.int64(n2)],
+        "u1_x2": [np.int64(u1x2)], "u2_x2": [np.int64(u2x2)],
+        "rb": [rb]})
+
+
+def q_mutual_info(sf_dir: str):
+    """Mutual information I(event_type; day-of-week) in bits — the
+    association strength behind chi2_type_dow's significance test (the
+    number a feature-selection pass actually ranks by). Day-of-week is
+    (epoch_day+4) % 7 on BOTH sides (no calendar functions). The
+    partial is the bounded (type × 7) count grid; the driver closes
+    I = (1/N)·Σ n_ij·log2(n_ij·N / (n_i·n_j)) with each term QUANTIZED
+    to 1e-6 before the exact integer sum — the identical expression
+    tree the oracle evaluates (the source_kl move)."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "ts"],
+             num_blocks=_n_cpus())
+    DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "et": t.column("event_type").to_pandas(),
+            "dow": (ts // DAY + 4) % 7, "c": np.int64(1)})
+        return df.groupby(["et", "dow"], as_index=False).sum()
+
+    out = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["et", "dow"], ["c"],
+    )
+    nij = out["c"].to_numpy(np.int64).astype(np.float64)
+    ni = out.groupby("et")["c"].transform("sum").to_numpy(np.int64
+                                                          ).astype(np.float64)
+    nj = out.groupby("dow")["c"].transform("sum").to_numpy(np.int64
+                                                           ).astype(np.float64)
+    n = float(int(out["c"].sum()))
+    q = round_half_away(
+        nij * np.log2(nij * n / (ni * nj)) * 1e6).astype(np.int64)
+    mi = float(int(q.sum())) / 1e6 / n
+    return pd.DataFrame({
+        "n": [np.int64(n)],
+        "mi_bits": [round_half_away(np.array([mi]), 6)[0]]})
+
+
+def q_weighted_median(sf_dir: str):
+    """Quantity-weighted median extended price (cents) per return flag
+    — "what price point does the MIDDLE UNIT ship at?" (each line
+    weighted by its quantity, so a 50-unit line counts 50×; the
+    inventory-value analogue of value_mad's exact median). One bounded
+    histogram pass: per-(flag, cents) weight-sum partials are capped by
+    the PRICE DOMAIN at any corpus size, and the driver closes the
+    lower weighted median (smallest price with 2·cumweight ≥ total) in
+    pure integer arithmetic."""
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+             num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "rf": t.column("l_returnflag").to_pandas(),
+            "pc_": np.rint(t.column("l_extendedprice").to_numpy() * 100
+                           ).astype(np.int64),
+            "w": np.rint(t.column("l_quantity").to_numpy()
+                         ).astype(np.int64)})
+        return df.groupby(["rf", "pc_"], as_index=False)["w"].sum()
+
+    hist = _combine_partials(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["rf", "pc_"], ["w"],
+    )
+    rows = []
+    for rf, g in hist.groupby("rf"):
+        g = g.sort_values("pc_")
+        cw = np.cumsum(g["w"].to_numpy(np.int64))
+        tw = int(cw[-1])
+        i = int(np.searchsorted(2 * cw, tw))  # first 2·cw ≥ tw
+        rows.append({"l_returnflag": rf, "total_weight": np.int64(tw),
+                     "wmedian_cents": np.int64(g["pc_"].iloc[i])})
+    if not rows:
+        return pd.DataFrame(columns=["l_returnflag", "total_weight",
+                                     "wmedian_cents"])
+    return pd.DataFrame(rows).sort_values("l_returnflag"
+                                          ).reset_index(drop=True)
+
+
+def q_cross_dedup(sf_dir: str):
+    """Cross-corpus contamination near-dup join: incoming docs (ODD
+    doc_id) checked against the frozen reference corpus (EVEN doc_id)
+    — the decontamination shape a training-data pipeline runs before
+    ADDING a crawl batch to an existing training set (doc-level
+    near-dup, complementing q_decontaminate's n-gram-level overlap).
+    Ten opposite-parity near-dup tails are planted (doc_id+20001) so
+    the gate always has cross matches.
+
+    Reuses the exact AllPairs prefix-filter join (deterministic
+    recall, stages/dedup.py::ngram_jaccard_join — driver fast path +
+    distributed pair plane both inherited); the cross-parity filter
+    and per-incoming-doc argmax (max j, smallest ref on ties) run on
+    the join's bounded OUTPUT. Emits (doc_id, ref_id, j)."""
+    from ..stages.dedup import ngram_jaccard_join
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"],
+               num_blocks=_n_cpus())
+
+    def tails(t: pa.Table) -> pa.Table:
+        t2 = t.filter(pc.less(t.column("doc_id"), 10))
+        texts = [x + " extra tail token appended"
+                 for x in t2.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": pc.add(t2.column("doc_id"), 20001),
+            "text": pa.array(texts, pa.string())})
+
+    aug = docs.union(docs.map_batches(tails, batch_format="pyarrow"))
+    ds = aug.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.string()),
+            "text": t.column("text")}),
+        batch_format="pyarrow")
+    # freq_order off: flat shingle-df synthetic corpus (see
+    # q_ngram_jaccard_pairs); stays on for Zipfian web text
+    pairs = ngram_jaccard_join(
+        ds, col="text", id_col="doc_id", k=3, threshold=0.6,
+        freq_order=False)
+    empty = pd.DataFrame({"doc_id": np.zeros(0, np.int64),
+                          "ref_id": np.zeros(0, np.int64),
+                          "j": np.zeros(0)})
+    if not len(pairs):
+        return empty
+    a = pairs["a"].to_numpy().astype(np.int64)
+    b = pairs["b"].to_numpy().astype(np.int64)
+    j = pairs["j"].to_numpy()
+    cross = (a % 2) != (b % 2)
+    if not cross.any():
+        return empty
+    a, b, j = a[cross], b[cross], j[cross]
+    new = np.where(a % 2 == 1, a, b)
+    ref = np.where(a % 2 == 1, b, a)
+    df = pd.DataFrame({"doc_id": new, "ref_id": ref, "j": j})
+    df = (df.sort_values(["doc_id", "j", "ref_id"],
+                         ascending=[True, False, True])
+            .drop_duplicates("doc_id", keep="first")
+            .reset_index(drop=True))
+    df["j"] = round_half_away(df["j"].to_numpy(), 6)
+    return df

@@ -216,6 +216,18 @@ def test_local_clustering_join_fallback_matches_broadcast(monkeypatch):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+def test_common_neighbors_distributed_plan_matches_driver(monkeypatch):
+    """Past the edge gather cap, common_neighbors runs the distributed
+    wedge plan (apex map_groups → (x,y) count groupby → left_outer
+    anti-join → per-block partial top-k) — identical top-20."""
+    from gocrawler_ray.pipelines import queries as q
+
+    a = q.q_common_neighbors(SF_DIR)
+    monkeypatch.setattr(q, "_gather_capped", lambda *x, **k: None)
+    b = q.q_common_neighbors(SF_DIR)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_cdc_dedup_distributed_plane_matches_driver(monkeypatch):
     """Past the chunk gather cap, the distinct plane runs as a
     distributed groupby on the chunk hash — identical totals."""
