@@ -269,6 +269,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_info": q.q_mutual_info,
         "weighted_median": q.q_weighted_median,
         "cross_dedup": q.q_cross_dedup,
+        "bfs_distances": q.q_bfs_distances,
+        "adamic_adar": q.q_adamic_adar,
+        "burstiness": q.q_burstiness,
+        "welch_ttest": q.q_welch_ttest,
     }
 
 
@@ -3669,5 +3673,90 @@ hits AS (SELECT new_id, ref_id, j,
          FROM pairs WHERE j >= 0.6)
 SELECT new_id AS doc_id, ref_id, round(j, 6) AS j
 FROM hits WHERE rn = 1 ORDER BY doc_id
+"""
+    # directed BFS from doc 0; UNION-dedup recursion capped at 64
+    # rounds on both sides (≫ the ~log₃(n) diameter)
+    out["bfs_distances"] = """
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (7*doc_id+1) % nn.n AS dst
+  FROM documents, nn WHERE doc_id % 37 != 3
+  UNION ALL SELECT doc_id, (13*doc_id+2) % nn.n
+  FROM documents, nn WHERE doc_id % 37 != 3
+  UNION ALL SELECT doc_id, (29*doc_id+5) % nn.n
+  FROM documents, nn WHERE doc_id % 37 != 3),
+bfs(node, dist) AS (
+  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  UNION
+  SELECT e.dst, bfs.dist + 1
+  FROM bfs JOIN edges e ON e.src = bfs.node
+  WHERE bfs.dist < 64),
+d AS (SELECT node, min(dist) AS dist FROM bfs GROUP BY node)
+SELECT doc_id, CAST(COALESCE(d.dist, -1) AS BIGINT) AS dist
+FROM documents LEFT JOIN d ON d.node = doc_id ORDER BY doc_id
+"""
+    # Adamic-Adar: wedge terms quantized to round(1e6/log2(deg)) so
+    # per-pair scores close in exact integer sums
+    out["adamic_adar"] = _EDGES_CTE + """,
+e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst),
+adj AS (SELECT a AS v, b AS w FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+wed AS (SELECT a1.w AS x, a2.w AS y,
+               SUM(CAST(round(1000000.0 / log2(CAST(deg.d AS DOUBLE)))
+                        AS BIGINT)) AS aa6
+        FROM adj a1 JOIN adj a2 ON a1.v = a2.v AND a1.w < a2.w
+        JOIN deg ON deg.v = a1.v
+        GROUP BY 1, 2),
+nonadj AS (SELECT x AS a, y AS b, aa6 FROM wed
+           WHERE NOT EXISTS (SELECT 1 FROM e
+                             WHERE e.a = wed.x AND e.b = wed.y))
+SELECT a, b, CAST(aa6 AS BIGINT) AS aa6
+FROM nonadj ORDER BY aa6 DESC, a, b LIMIT 20
+"""
+    # whole-second same-user same-type gaps; population sigma;
+    # B = (sigma-mu)/(sigma+mu) is one float expression on both sides
+    out["burstiness"] = """
+WITH g AS (
+  SELECT event_type,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY user_id, event_type ORDER BY ts)) // 1000000
+           AS gap_s
+  FROM events),
+h AS (SELECT event_type, gap_s FROM g WHERE gap_s IS NOT NULL),
+s AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+             SUM(CAST(gap_s AS HUGEINT)) AS sg,
+             SUM(CAST(gap_s AS HUGEINT) * CAST(gap_s AS HUGEINT)) AS sg2
+      FROM h GROUP BY 1)
+SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+       round((sqrt(CAST(n*sg2 - sg*sg AS DOUBLE)) / CAST(n AS DOUBLE)
+              - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+             / (sqrt(CAST(n*sg2 - sg*sg AS DOUBLE)) / CAST(n AS DOUBLE)
+                + CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+         AS burstiness
+FROM s ORDER BY event_type
+"""
+    # Welch t from exact HUGEINT moments; identical float tree
+    out["welch_ttest"] = """
+WITH e AS (SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS v3
+           FROM events WHERE event_type IN ('click', 'purchase')),
+s AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+             SUM(CAST(v3 AS HUGEINT)) AS sv,
+             SUM(CAST(v3 AS HUGEINT) * CAST(v3 AS HUGEINT)) AS sv2
+      FROM e GROUP BY 1),
+c AS (SELECT * FROM s WHERE event_type = 'click'),
+p AS (SELECT * FROM s WHERE event_type = 'purchase')
+SELECT CAST(c.n AS BIGINT) AS n1, CAST(p.n AS BIGINT) AS n2,
+  round(CAST(c.sv AS DOUBLE) / CAST(c.n AS DOUBLE) / 1000.0, 6) AS mean1,
+  round(CAST(p.sv AS DOUBLE) / CAST(p.n AS DOUBLE) / 1000.0, 6) AS mean2,
+  round((CAST(c.sv AS DOUBLE) / CAST(c.n AS DOUBLE)
+         - CAST(p.sv AS DOUBLE) / CAST(p.n AS DOUBLE))
+        / sqrt(CAST(c.n*c.sv2 - c.sv*c.sv AS DOUBLE)
+                 / (CAST(c.n AS DOUBLE) * CAST(c.n - 1 AS DOUBLE))
+                 / CAST(c.n AS DOUBLE)
+               + CAST(p.n*p.sv2 - p.sv*p.sv AS DOUBLE)
+                 / (CAST(p.n AS DOUBLE) * CAST(p.n - 1 AS DOUBLE))
+                 / CAST(p.n AS DOUBLE)), 6) AS t
+FROM c, p
 """
     return out

@@ -10335,3 +10335,331 @@ def q_cross_dedup(sf_dir: str):
             .reset_index(drop=True))
     df["j"] = round_half_away(df["j"].to_numpy(), 6)
     return df
+
+
+def q_bfs_distances(sf_dir: str):
+    """Directed BFS hop distance from the seed page (doc 0) over the
+    derived link graph — the reachability/depth structure the crawl's
+    wave scheduler computes implicitly, exposed as a query (its oracle
+    is a RECURSIVE CTE, a shape no other graph query exercises).
+    Unreachable docs report dist −1; rounds cap at 64 on BOTH sides
+    (≫ the ~log₃(n) diameter of the 3-out construction).
+
+    Driver fast path under the cap: one CSR (lexsort + searchsorted)
+    frontier sweep. Past it the edge list stays a Dataset and each BFS
+    round is ONE map_batches scan emitting the next frontier's dsts
+    (the frontier broadcasts via ray.put; the dist array is bounded by
+    the NODE count, the same budget the pagerank/kcore family already
+    carries — at 1e10 nodes this family would move to the
+    components_minlabel join-propagation plan)."""
+    from ..stages.graph import edges_dataset
+
+    n = _doc_count(sf_dir)
+    parts = _shuffle_partitions(4 * n)
+    docs = _pq(sf_dir, "documents", columns=["doc_id"], num_blocks=parts)
+    edges = edges_dataset(docs, n)
+    MAX_ROUNDS = 64
+
+    dist = np.full(n, -1, dtype=np.int64)
+    dist[0] = 0
+
+    edf = _gather_capped(edges)
+    if edf is not None:  # CSR frontier sweep on the driver
+        s = edf["src"].to_numpy(np.int64)
+        d = edf["dst"].to_numpy(np.int64)
+        order = np.argsort(s, kind="stable")
+        s, d = s[order], d[order]
+        starts = np.searchsorted(s, np.arange(n))
+        ends = np.searchsorted(s, np.arange(n) + 1)
+        frontier = np.array([0], dtype=np.int64)
+        for r in range(1, MAX_ROUNDS + 1):
+            nxt = []
+            for v in frontier:
+                nxt.append(d[starts[v]:ends[v]])
+            if not nxt:
+                break
+            cand = np.unique(np.concatenate(nxt)) if nxt else np.zeros(
+                0, np.int64)
+            cand = cand[dist[cand] == -1]
+            if not len(cand):
+                break
+            dist[cand] = r
+            frontier = cand
+        return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                             "dist": dist})
+
+    frontier = np.array([0], dtype=np.int64)
+    for r in range(1, MAX_ROUNDS + 1):
+        fref = ray.put(frontier)  # sorted node ids
+
+        def nexts(t: pa.Table) -> pd.DataFrame:
+            fr = ray.get(fref)
+            s = t.column("src").to_numpy(zero_copy_only=False)
+            d = t.column("dst").to_numpy(zero_copy_only=False)
+            hit, _ = _sorted_lookup(fr, s)
+            return pd.DataFrame({"dst": np.unique(d[hit]),
+                                 "c": np.int64(1)})
+
+        cand = _combine_partials(
+            edges.map_batches(nexts, batch_format="pyarrow"),
+            ["dst"], ["c"],
+        )["dst"].to_numpy(np.int64)
+        cand = cand[dist[cand] == -1]
+        if not len(cand):
+            break
+        dist[cand] = r
+        frontier = np.sort(cand)
+    return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                         "dist": dist})
+
+
+def q_adamic_adar(sf_dir: str):
+    """Adamic–Adar link prediction over the derived link graph: the
+    top-20 non-adjacent pairs by Σ_z 1/log2(deg(z)) over shared
+    neighbors z — common_neighbors' degree-weighted sibling (rare hubs
+    count more than popular ones). Each wedge term is QUANTIZED to an
+    integer (round(10⁶/log2(d))), so per-pair scores close in exact
+    integer sums on both sides and the top-20 order (aa6 DESC, a, b)
+    can never float-flip.
+
+    Same two plans as q_common_neighbors: vectorized driver kernel
+    under the edge-gather cap (weighted np.bincount over packed wedge
+    keys); past it the distributed wedge plan with the apex term
+    riding the wedge stream into ONE (x,y) Sum groupby, the
+    broadcast/join anti-probe, and per-block partial top-k."""
+    from ..stages.graph import edges_dataset
+    from ray.data import aggregate as _agg
+
+    n = _doc_count(sf_dir)
+    parts = _shuffle_partitions(4 * n)
+    docs = _pq(sf_dir, "documents", columns=["doc_id"], num_blocks=parts)
+    edges = edges_dataset(docs, n)
+    K = 20
+    empty = pd.DataFrame({"a": np.zeros(0, np.int64),
+                          "b": np.zeros(0, np.int64),
+                          "aa6": np.zeros(0, np.int64)})
+
+    edf = _gather_capped(edges)
+    if edf is not None:  # driver kernel
+        s = edf["src"].to_numpy(np.int64)
+        d = edf["dst"].to_numpy(np.int64)
+        m = s != d
+        a = np.minimum(s[m], d[m])
+        b = np.maximum(s[m], d[m])
+        keys = np.unique(a * n + b)
+        ua, ub = keys // n, keys % n
+        v = np.concatenate([ua, ub])
+        w = np.concatenate([ub, ua])
+        order = np.lexsort((w, v))
+        v, w = v[order], w[order]
+        brk = np.ones(len(v), dtype=bool)
+        brk[1:] = v[1:] != v[:-1]
+        starts = np.nonzero(brk)[0]
+        ends = np.append(starts[1:], len(v))
+        pk_chunks, t_chunks = [], []
+        for st, en in zip(starts, ends):
+            dd = en - st
+            if dd < 2:
+                continue
+            term = int(round_half_away(
+                np.array([1_000_000.0 / np.log2(float(dd))]))[0])
+            iu, ju = np.triu_indices(dd, k=1)
+            pk_chunks.append(w[st + iu] * n + w[st + ju])
+            t_chunks.append(np.full(len(iu), term, dtype=np.int64))
+        if not pk_chunks:
+            return empty
+        pk = np.concatenate(pk_chunks)
+        tv = np.concatenate(t_chunks)
+        uniq, inv = np.unique(pk, return_inverse=True)
+        # integer-valued float64 adds are exact below 2^53
+        aa6 = np.bincount(inv, weights=tv).astype(np.int64)
+        hit, _ = _sorted_lookup(keys, uniq)
+        uniq, aa6 = uniq[~hit], aa6[~hit]
+        if not len(uniq):
+            return empty
+        top = np.lexsort((uniq, -aa6))[:K]
+        return pd.DataFrame({
+            "a": (uniq[top] // n).astype(np.int64),
+            "b": (uniq[top] % n).astype(np.int64),
+            "aa6": aa6[top]}).reset_index(drop=True)
+
+    def undirect(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        m = s != d
+        return pa.table({
+            "a": pa.array(np.minimum(s[m], d[m]), pa.int64()),
+            "b": pa.array(np.maximum(s[m], d[m]), pa.int64())})
+
+    und = (edges.map_batches(undirect, batch_format="pyarrow")
+           .groupby(["a", "b"]).count()
+           .map_batches(lambda t: t.select(["a", "b"]),
+                        batch_format="pyarrow")
+           ).materialize()
+
+    def both(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "v": pa.array(np.concatenate([a, b]), pa.int64()),
+            "w": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    def wedge_terms(g: pd.DataFrame) -> pd.DataFrame:
+        w = np.sort(g["w"].to_numpy(np.int64))
+        if len(w) < 2:
+            return pd.DataFrame({"x": np.zeros(0, np.int64),
+                                 "y": np.zeros(0, np.int64),
+                                 "t": np.zeros(0, np.int64)})
+        term = int(round_half_away(
+            np.array([1_000_000.0 / np.log2(float(len(w)))]))[0])
+        iu, ju = np.triu_indices(len(w), k=1)
+        return pd.DataFrame({"x": w[iu], "y": w[ju],
+                             "t": np.full(len(iu), term, np.int64)})
+
+    aa = (und.map_batches(both, batch_format="pyarrow")
+          .groupby("v").map_groups(wedge_terms, batch_format="pandas")
+          .groupby(["x", "y"]).aggregate(_agg.Sum("t", alias_name="aa6")))
+
+    bdf = _gather_capped(und)
+    if bdf is not None:
+        keys = np.sort(bdf["a"].to_numpy(np.int64) * n
+                       + bdf["b"].to_numpy(np.int64))
+        kref = ray.put(keys)
+
+        def anti(t: pa.Table) -> pa.Table:
+            ks = ray.get(kref)
+            x = t.column("x").to_numpy(zero_copy_only=False)
+            y = t.column("y").to_numpy(zero_copy_only=False)
+            hit, _ = _sorted_lookup(ks, x * n + y)
+            return t.filter(pa.array(~hit))
+
+        non = aa.map_batches(anti, batch_format="pyarrow")
+    else:
+        marked = und.map_batches(
+            lambda t: t.append_column(
+                "hit", pa.array(np.ones(len(t), np.int64))),
+            batch_format="pyarrow")
+        non = aa.join(
+            marked, join_type="left_outer", num_partitions=parts,
+            on=("x", "y"), right_on=("a", "b"),
+        ).map_batches(
+            lambda t: t.filter(pc.is_null(t.column("hit")))
+                       .select(["x", "y", "aa6"]),
+            batch_format="pyarrow")
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "a": t.column("x").to_numpy(zero_copy_only=False),
+            "b": t.column("y").to_numpy(zero_copy_only=False),
+            "aa6": pc.cast(t.column("aa6"), pa.int64()).to_numpy(
+                zero_copy_only=False)})
+        df = df.sort_values(["aa6", "a", "b"],
+                            ascending=[False, True, True]).head(K)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = non.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    if not len(out):
+        return empty
+    out = out.sort_values(["aa6", "a", "b"],
+                          ascending=[False, True, True]).head(K)
+    return out.astype(np.int64).reset_index(drop=True)
+
+
+def q_burstiness(sf_dir: str):
+    """Per-event-type burstiness B = (σ−μ)/(σ+μ) of same-user
+    inter-event gaps (whole seconds) — the Goh–Barabási measure that
+    separates periodic traffic (B→−1) from Poisson (B≈0) from bursty
+    human behavior (B→+1). One hash-bucket shuffle puts every user's
+    stream in one group (the lag_deltas layout); the kernel lexsorts
+    (user, type, ts) once and diffs; gaps then reduce to a
+    DOMAIN-BOUNDED (type, gap_s) histogram (distinct whole-second gaps
+    ≤ the corpus time span, not data size), so the driver closes exact
+    HUGEINT-equivalent Σg/Σg² from unbounded Python ints and B is the
+    single float expression both sides evaluate."""
+    from ..stages.temporal import _with_bucket
+
+    ev = _pq(sf_dir, "events", columns=["user_id", "event_type", "ts"],
+             num_blocks=_n_cpus())
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, et, u))
+        u, et, ts = u[order], et[order], ts[order]
+        same = (u[1:] == u[:-1]) & (et[1:] == et[:-1])
+        gap_s = (ts[1:] - ts[:-1])[same] // 1_000_000
+        df = pd.DataFrame({"event_type": et[1:][same], "gap_s": gap_s,
+                           "c": np.int64(1)})
+        return df.groupby(["event_type", "gap_s"], as_index=False).sum()
+
+    hist = _combine_partials(
+        _with_bucket(ev, "user_id", 32)
+        .groupby("__bucket").map_groups(gaps, batch_format="pandas"),
+        ["event_type", "gap_s"], ["c"],
+    )
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        gs = [int(x) for x in g["gap_s"]]
+        cs = [int(x) for x in g["c"]]
+        nn = sum(cs)
+        sg = sum(c * x for c, x in zip(cs, gs))
+        sg2 = sum(c * x * x for c, x in zip(cs, gs))
+        sigma = np.sqrt(float(nn * sg2 - sg * sg)) / float(nn)
+        mu = float(sg) / float(nn)
+        rows.append({"event_type": et, "n_gaps": np.int64(nn),
+                     "burstiness": round_half_away(
+                         np.array([(sigma - mu) / (sigma + mu)]), 6)[0]})
+    if not rows:
+        return pd.DataFrame(columns=["event_type", "n_gaps",
+                                     "burstiness"])
+    return pd.DataFrame(rows).sort_values("event_type"
+                                          ).reset_index(drop=True)
+
+
+def q_welch_ttest(sf_dir: str):
+    """Welch's unequal-variance t statistic between click and purchase
+    values — the parametric sibling of mann_whitney/ks_test, closing
+    the two-sample testing family. Reuses the domain-bounded milliunit
+    histogram partial; the driver recovers exact Σv/Σv² per side as
+    unbounded Python ints and evaluates the identical float expression
+    tree the oracle does: t = (m₁−m₂)/√(s₁²/n₁ + s₂²/n₂) with sample
+    (n−1) variances."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "value"],
+             num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        et = t.column("event_type").to_pandas().to_numpy()
+        m = (et == "click") | (et == "purchase")
+        v3 = np.rint(t.column("value").to_numpy()[m] * 1000
+                     ).astype(np.int64)
+        one = (et[m] == "click").astype(np.int64)
+        df = pd.DataFrame({"v": v3, "c1": one, "c2": 1 - one})
+        return df.groupby("v", as_index=False).sum()
+
+    out = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["v"], ["c1", "c2"],
+    )
+    vs = [int(x) for x in out["v"]]
+
+    def moments(counts) -> tuple[int, int, int]:
+        cs = [int(x) for x in counts]
+        return (sum(cs), sum(c * v for c, v in zip(cs, vs)),
+                sum(c * v * v for c, v in zip(cs, vs)))
+
+    n1, sv1, sq1 = moments(out["c1"])
+    n2, sv2, sq2 = moments(out["c2"])
+    a = float(n1 * sq1 - sv1 * sv1) / (float(n1) * float(n1 - 1)
+                                       ) / float(n1)
+    b = float(n2 * sq2 - sv2 * sv2) / (float(n2) * float(n2 - 1)
+                                       ) / float(n2)
+    t_stat = (float(sv1) / float(n1) - float(sv2) / float(n2)
+              ) / np.sqrt(a + b)
+    return pd.DataFrame({
+        "n1": [np.int64(n1)], "n2": [np.int64(n2)],
+        "mean1": [round_half_away(
+            np.array([float(sv1) / float(n1) / 1000.0]), 6)[0]],
+        "mean2": [round_half_away(
+            np.array([float(sv2) / float(n2) / 1000.0]), 6)[0]],
+        "t": [round_half_away(np.array([t_stat]), 6)[0]]})

@@ -228,6 +228,29 @@ def test_common_neighbors_distributed_plan_matches_driver(monkeypatch):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+def test_adamic_adar_distributed_plan_matches_driver(monkeypatch):
+    """Past the edge gather cap, adamic_adar runs the distributed
+    wedge plan (apex term rides the wedge stream into one (x,y) Sum
+    groupby → anti-join → partial top-k) — identical top-20."""
+    from gocrawler_ray.pipelines import queries as q
+
+    a = q.q_adamic_adar(SF_DIR)
+    monkeypatch.setattr(q, "_gather_capped", lambda *x, **k: None)
+    b = q.q_adamic_adar(SF_DIR)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_bfs_distances_distributed_rounds_match_driver(monkeypatch):
+    """Past the edge gather cap, each BFS round is one map_batches
+    scan of the edge Dataset — identical dist table."""
+    from gocrawler_ray.pipelines import queries as q
+
+    a = q.q_bfs_distances(SF_DIR)
+    monkeypatch.setattr(q, "_gather_capped", lambda *x, **k: None)
+    b = q.q_bfs_distances(SF_DIR)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_cdc_dedup_distributed_plane_matches_driver(monkeypatch):
     """Past the chunk gather cap, the distinct plane runs as a
     distributed groupby on the chunk hash — identical totals."""
