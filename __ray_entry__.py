@@ -273,6 +273,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adamic_adar": q.q_adamic_adar,
         "burstiness": q.q_burstiness,
         "welch_ttest": q.q_welch_ttest,
+        "graph_diameter": q.q_graph_diameter,
+        "cuped_uplift": q.q_cuped_uplift,
+        "geo_knn": q.q_geo_knn,
     }
 
 
@@ -3758,5 +3761,84 @@ SELECT CAST(c.n AS BIGINT) AS n1, CAST(p.n AS BIGINT) AS n2,
                  / (CAST(p.n AS DOUBLE) * CAST(p.n - 1 AS DOUBLE))
                  / CAST(p.n AS DOUBLE)), 6) AS t
 FROM c, p
+"""
+    # double-sweep: second recursion seeded by the first's argmax
+    out["graph_diameter"] = """
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (7*doc_id+1) % nn.n AS dst
+  FROM documents, nn WHERE doc_id % 37 != 3
+  UNION ALL SELECT doc_id, (13*doc_id+2) % nn.n
+  FROM documents, nn WHERE doc_id % 37 != 3
+  UNION ALL SELECT doc_id, (29*doc_id+5) % nn.n
+  FROM documents, nn WHERE doc_id % 37 != 3),
+b0(node, dist) AS (
+  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  UNION
+  SELECT e.dst, b0.dist + 1 FROM b0 JOIN edges e ON e.src = b0.node
+  WHERE b0.dist < 64),
+d0 AS (SELECT node, min(dist) AS dist FROM b0 GROUP BY node),
+seed AS (SELECT node, dist FROM d0 ORDER BY dist DESC, node LIMIT 1),
+b1(node, dist) AS (
+  SELECT (SELECT node FROM seed), CAST(0 AS BIGINT)
+  UNION
+  SELECT e.dst, b1.dist + 1 FROM b1 JOIN edges e ON e.src = b1.node
+  WHERE b1.dist < 64),
+d1 AS (SELECT node, min(dist) AS dist FROM b1 GROUP BY node)
+SELECT (SELECT node FROM seed) AS sweep_seed,
+       (SELECT CAST(dist AS BIGINT) FROM seed) AS ecc0,
+       (SELECT CAST(max(dist) AS BIGINT) FROM d1) AS ecc_seed,
+       (SELECT node FROM d1 ORDER BY dist DESC, node LIMIT 1)
+         AS far_node,
+       (SELECT CAST(count(*) AS BIGINT) FROM d1) AS n_reachable
+"""
+    # CUPED: arms = user parity, pre/post split at the exact epoch
+    # midpoint; theta from pooled HUGEINT moments; identical float tree
+    out["cuped_uplift"] = """
+WITH mid AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS m
+             FROM events),
+u AS (SELECT user_id,
+             SUM(CASE WHEN epoch_us(ts) < mid.m
+                      THEN CAST(round(value * 1000) AS HUGEINT)
+                      ELSE 0 END) AS x,
+             SUM(CASE WHEN epoch_us(ts) >= mid.m
+                      THEN CAST(round(value * 1000) AS HUGEINT)
+                      ELSE 0 END) AS y
+      FROM events, mid GROUP BY user_id),
+m AS (SELECT CAST(count(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*x) AS sxx, SUM(x*y) AS sxy FROM u),
+a0 AS (SELECT CAST(count(*) AS HUGEINT) AS n0, SUM(x) AS sx0,
+              SUM(y) AS sy0 FROM u WHERE user_id % 2 = 0),
+a1 AS (SELECT CAST(count(*) AS HUGEINT) AS n1, SUM(x) AS sx1,
+              SUM(y) AS sy1 FROM u WHERE user_id % 2 = 1)
+SELECT CAST(a0.n0 AS BIGINT) AS n_a, CAST(a1.n1 AS BIGINT) AS n_b,
+  round(CAST(m.n*m.sxy - m.sx*m.sy AS DOUBLE)
+        / CAST(m.n*m.sxx - m.sx*m.sx AS DOUBLE), 6) AS theta,
+  round((CAST(a1.sy1 AS DOUBLE)/CAST(a1.n1 AS DOUBLE)
+         - CAST(a0.sy0 AS DOUBLE)/CAST(a0.n0 AS DOUBLE)) / 1000.0, 6)
+    AS uplift_raw,
+  round(((CAST(a1.sy1 AS DOUBLE)/CAST(a1.n1 AS DOUBLE)
+          - CAST(a0.sy0 AS DOUBLE)/CAST(a0.n0 AS DOUBLE))
+         - (CAST(m.n*m.sxy - m.sx*m.sy AS DOUBLE)
+            / CAST(m.n*m.sxx - m.sx*m.sx AS DOUBLE))
+           * (CAST(a1.sx1 AS DOUBLE)/CAST(a1.n1 AS DOUBLE)
+              - CAST(a0.sx0 AS DOUBLE)/CAST(a0.n0 AS DOUBLE)))
+        / 1000.0, 6) AS uplift_cuped
+FROM m, a0, a1
+"""
+    # md5-derived micro-degree coords; exact integer squared distance
+    out["geo_knn"] = """
+WITH g AS (SELECT doc_id,
+  CAST(CAST(('0x' || substr(md5('geolat:' || CAST(doc_id AS VARCHAR)),
+                            1, 16)) AS UBIGINT) % 180000001 AS BIGINT)
+    - 90000000 AS lat_u,
+  CAST(CAST(('0x' || substr(md5('geolon:' || CAST(doc_id AS VARCHAR)),
+                            1, 16)) AS UBIGINT) % 360000001 AS BIGINT)
+    - 180000000 AS lon_u
+  FROM documents)
+SELECT doc_id, lat_u, lon_u,
+       (lat_u - 37774900)*(lat_u - 37774900)
+         + (lon_u - (-122419400))*(lon_u - (-122419400)) AS d2
+FROM g ORDER BY d2, doc_id LIMIT 10
 """
     return out

@@ -10358,12 +10358,22 @@ def q_bfs_distances(sf_dir: str):
     parts = _shuffle_partitions(4 * n)
     docs = _pq(sf_dir, "documents", columns=["doc_id"], num_blocks=parts)
     edges = edges_dataset(docs, n)
-    MAX_ROUNDS = 64
-
-    dist = np.full(n, -1, dtype=np.int64)
-    dist[0] = 0
-
     edf = _gather_capped(edges)
+    dist = _bfs_dist_from(0, n, edf, edges)
+    return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                         "dist": dist})
+
+
+def _bfs_dist_from(seed: int, n: int, edf, edges,
+                   max_rounds: int = 64) -> np.ndarray:
+    """Directed BFS dist array from ``seed`` (−1 = unreachable). With a
+    gathered edge frame ``edf``: one CSR frontier sweep on the driver.
+    With ``edf=None``: each round is ONE map_batches scan of the edge
+    Dataset (frontier broadcast via ray.put; dist bounded by node
+    count — the pagerank/kcore family's budget)."""
+    dist = np.full(n, -1, dtype=np.int64)
+    dist[seed] = 0
+
     if edf is not None:  # CSR frontier sweep on the driver
         s = edf["src"].to_numpy(np.int64)
         d = edf["dst"].to_numpy(np.int64)
@@ -10371,8 +10381,8 @@ def q_bfs_distances(sf_dir: str):
         s, d = s[order], d[order]
         starts = np.searchsorted(s, np.arange(n))
         ends = np.searchsorted(s, np.arange(n) + 1)
-        frontier = np.array([0], dtype=np.int64)
-        for r in range(1, MAX_ROUNDS + 1):
+        frontier = np.array([seed], dtype=np.int64)
+        for r in range(1, max_rounds + 1):
             nxt = []
             for v in frontier:
                 nxt.append(d[starts[v]:ends[v]])
@@ -10385,11 +10395,10 @@ def q_bfs_distances(sf_dir: str):
                 break
             dist[cand] = r
             frontier = cand
-        return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
-                             "dist": dist})
+        return dist
 
-    frontier = np.array([0], dtype=np.int64)
-    for r in range(1, MAX_ROUNDS + 1):
+    frontier = np.array([seed], dtype=np.int64)
+    for r in range(1, max_rounds + 1):
         fref = ray.put(frontier)  # sorted node ids
 
         def nexts(t: pa.Table) -> pd.DataFrame:
@@ -10409,8 +10418,138 @@ def q_bfs_distances(sf_dir: str):
             break
         dist[cand] = r
         frontier = np.sort(cand)
-    return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
-                         "dist": dist})
+    return dist
+
+
+def q_graph_diameter(sf_dir: str):
+    """Double-sweep diameter probe of the directed link graph: BFS
+    from doc 0 picks the farthest reachable node (max dist, smallest
+    id on ties), a second BFS from THERE reports its eccentricity —
+    the classic 2-sweep lower bound on graph diameter (exact on trees,
+    near-exact on expander-like link graphs; a crawler reads it as
+    "how many waves until the frontier dies"). Both sweeps share
+    :func:`_bfs_dist_from` — one gathered CSR under the edge cap,
+    per-round Dataset scans past it — and the oracle is a PAIR of
+    recursive CTEs, the second seeded by the first's argmax."""
+    from ..stages.graph import edges_dataset
+
+    n = _doc_count(sf_dir)
+    parts = _shuffle_partitions(4 * n)
+    docs = _pq(sf_dir, "documents", columns=["doc_id"], num_blocks=parts)
+    edges = edges_dataset(docs, n)
+    edf = _gather_capped(edges)
+
+    d0 = _bfs_dist_from(0, n, edf, edges)
+    reach0 = np.nonzero(d0 >= 0)[0]
+    # argmax dist, smallest node on ties (reach0 ascending → argmax
+    # returns the first = smallest attaining node)
+    seed = int(reach0[np.argmax(d0[reach0])])
+    ecc0 = int(d0[seed])
+    d1 = _bfs_dist_from(seed, n, edf, edges)
+    reach1 = np.nonzero(d1 >= 0)[0]
+    far = int(reach1[np.argmax(d1[reach1])])
+    return pd.DataFrame({
+        "sweep_seed": [np.int64(seed)], "ecc0": [np.int64(ecc0)],
+        "ecc_seed": [np.int64(d1[far])], "far_node": [np.int64(far)],
+        "n_reachable": [np.int64(len(reach1))]})
+
+
+def q_cuped_uplift(sf_dir: str):
+    """CUPED-adjusted A/B uplift on event value — the
+    variance-reduction estimator an experimentation platform runs
+    (Deng et al. 2013): arms = user_id parity, pre/post periods split
+    at the corpus midpoint timestamp, covariate x = user's pre-period
+    value sum, outcome y = post-period sum; θ = cov(x,y)/var(x) pooled
+    over ALL users, uplift_cuped = uplift_raw − θ·(x̄_B − x̄_A).
+
+    Distribution: ONE pass emits per-(user) milliunit pre/post sum
+    partials (combined table bounded by user count); the driver closes
+    every moment in unbounded Python ints and evaluates the identical
+    float expression tree the oracle does. The midpoint comes from an
+    exact (min,max) epoch combine — no calendar functions."""
+    ev = _pq(sf_dir, "events", columns=["user_id", "ts", "value"],
+             num_blocks=_n_cpus())
+
+    def span(t: pa.Table) -> pd.DataFrame:
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        return pd.DataFrame({"mn": [np.int64(ts.min())],
+                             "mx": [np.int64(ts.max())]})
+
+    # per-block extrema gather — bounded by block count, not data size
+    ext = ev.map_batches(span, batch_format="pyarrow").to_pandas()
+    mid = (int(ext["mn"].min()) + int(ext["mx"].max())) // 2
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        v3 = np.rint(t.column("value").to_numpy() * 1000
+                     ).astype(np.int64)
+        pre = ts < mid
+        df = pd.DataFrame({
+            "user_id": t.column("user_id").to_numpy(
+                zero_copy_only=False),
+            "x": np.where(pre, v3, 0), "y": np.where(pre, 0, v3)})
+        return df.groupby("user_id", as_index=False).sum()
+
+    u = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"], ["x", "y"],
+    )
+    uid = u["user_id"].to_numpy(np.int64)
+    x = [int(v) for v in u["x"]]
+    y = [int(v) for v in u["y"]]
+    nn = len(u)
+    sx, sy = sum(x), sum(y)
+    sxx = sum(v * v for v in x)
+    sxy = sum(a_ * b_ for a_, b_ in zip(x, y))
+    theta = float(nn * sxy - sx * sy) / float(nn * sxx - sx * sx)
+    arm = uid % 2
+    n0, n1 = int((arm == 0).sum()), int((arm == 1).sum())
+    sx0 = sum(v for v, a_ in zip(x, arm) if a_ == 0)
+    sx1 = sx - sx0
+    sy0 = sum(v for v, a_ in zip(y, arm) if a_ == 0)
+    sy1 = sy - sy0
+    raw_m = float(sy1) / float(n1) - float(sy0) / float(n0)
+    dx_m = float(sx1) / float(n1) - float(sx0) / float(n0)
+    return pd.DataFrame({
+        "n_a": [np.int64(n0)], "n_b": [np.int64(n1)],
+        "theta": [round_half_away(np.array([theta]), 6)[0]],
+        "uplift_raw": [round_half_away(np.array([raw_m / 1000.0]),
+                                       6)[0]],
+        "uplift_cuped": [round_half_away(
+            np.array([(raw_m - theta * dx_m) / 1000.0]), 6)[0]]})
+
+
+def q_geo_knn(sf_dir: str):
+    """Geospatial k-nearest-neighbors: each doc gets a DETERMINISTIC
+    md5-derived coordinate (micro-degrees, the engine's synthetic
+    stand-in for a geo-tagged corpus) and the query returns the 10
+    docs nearest a fixed anchor by EXACT INTEGER squared planar
+    distance — no trig, no floats, so the top-k order can never
+    ulp-flip between engines. The scale shape is the canonical
+    distributed k-NN: map-only per-block partial top-k (blocks×10 rows
+    ever reach the driver), same as embedding_topk's reduce."""
+    from ..stages.sampling import _unit_hash
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id"],
+               num_blocks=_n_cpus())
+    LAT0, LON0, K = 37_774_900, -122_419_400, 10
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        lat = (_unit_hash(ids, "geolat:") % np.uint64(180_000_001)
+               ).astype(np.int64) - 90_000_000
+        lon = (_unit_hash(ids, "geolon:") % np.uint64(360_000_001)
+               ).astype(np.int64) - 180_000_000
+        d2 = (lat - LAT0) ** 2 + (lon - LON0) ** 2
+        df = pd.DataFrame({"doc_id": ids, "lat_u": lat, "lon_u": lon,
+                           "d2": d2}).sort_values(["d2", "doc_id"]
+                                                  ).head(K)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = docs.map_batches(block_topk, batch_format="pyarrow"
+                           ).to_pandas()
+    return (out.sort_values(["d2", "doc_id"]).head(K)
+            .astype(np.int64).reset_index(drop=True))
 
 
 def q_adamic_adar(sf_dir: str):
