@@ -276,6 +276,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_diameter": q.q_graph_diameter,
         "cuped_uplift": q.q_cuped_uplift,
         "geo_knn": q.q_geo_knn,
+        "kmv_distinct": q.q_kmv_distinct,
+        "lexical_richness": q.q_lexical_richness,
+        "open_orders_daily": q.q_open_orders_daily,
     }
 
 
@@ -3840,5 +3843,56 @@ SELECT doc_id, lat_u, lon_u,
        (lat_u - 37774900)*(lat_u - 37774900)
          + (lon_u - (-122419400))*(lon_u - (-122419400)) AS d2
 FROM g ORDER BY d2, doc_id LIMIT 10
+"""
+    # KMV estimate = (k-1)*2^64 // 64th-smallest md5; exact when <k
+    out["kmv_distinct"] = """
+WITH h AS (SELECT DISTINCT event_type,
+  CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 16))
+       AS UBIGINT) AS hv
+  FROM events),
+r AS (SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv)
+               AS rn
+      FROM h),
+k64 AS (SELECT event_type, hv AS hk FROM r WHERE rn = 64),
+nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_distinct
+       FROM h GROUP BY 1)
+SELECT nd.event_type,
+       CAST(CASE WHEN k64.hk IS NULL THEN nd.n_distinct
+            ELSE CAST((63 * CAST('18446744073709551616' AS HUGEINT))
+                      // CAST(k64.hk AS HUGEINT) AS BIGINT)
+            END AS BIGINT) AS kmv_est
+FROM nd LEFT JOIN k64 USING (event_type) ORDER BY event_type
+"""
+    # type-token ratio + hapax share as exact integer floors
+    out["lexical_richness"] = """
+WITH w AS (SELECT source, unnest(string_split(trim(text), ' ')) AS tok
+           FROM documents),
+st AS (SELECT source, tok, COUNT(*) AS c FROM w GROUP BY 1, 2),
+s AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax
+      FROM st GROUP BY 1)
+SELECT source, n_tokens, n_types, n_hapax,
+       n_types * 1000000 // n_tokens AS ttr6,
+       n_hapax * 1000000 // n_types AS hapax6
+FROM s ORDER BY source
+"""
+    # interval-stacking sweep: +1 at order day, -1 after last ship day
+    out["open_orders_daily"] = """
+WITH r AS (SELECT l_orderkey AS ok,
+                  max(epoch_us(l_shipdate)) // 86400000000 AS rd
+           FROM lineitem GROUP BY 1),
+o AS (SELECT o_orderkey AS ok,
+             epoch_us(o_orderdate) // 86400000000 AS od
+      FROM orders),
+j AS (SELECT o.od, r.rd FROM o JOIN r USING (ok)),
+d AS (SELECT od AS day, CAST(1 AS BIGINT) AS delta FROM j
+      UNION ALL SELECT rd + 1, CAST(-1 AS BIGINT) FROM j),
+g AS (SELECT day, SUM(delta) AS delta FROM d GROUP BY day)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(SUM(delta) OVER (ORDER BY day) AS BIGINT) AS open_orders
+FROM g ORDER BY day
 """
     return out

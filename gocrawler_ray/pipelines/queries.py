@@ -10802,3 +10802,157 @@ def q_welch_ttest(sf_dir: str):
         "mean2": [round_half_away(
             np.array([float(sv2) / float(n2) / 1000.0]), 6)[0]],
         "t": [round_half_away(np.array([t_stat]), 6)[0]]})
+
+
+def q_kmv_distinct(sf_dir: str):
+    """KMV (k-minimum-values) distinct-user sketch per event type —
+    the OTHER classic cardinality sketch next to hll_distinct, with a
+    deterministic md5 hash space shared verbatim with the oracle. The
+    partial is map-only and BOUNDED: each block contributes its k=64
+    smallest distinct user hashes per type (types × 64 rows), the
+    driver merges and closes est = (k−1)·2⁶⁴ // h_(k) in unbounded
+    ints; fewer than k distinct observed ⇒ the merged union IS the
+    exact distinct set and the count is exact (same CASE the oracle
+    evaluates)."""
+    from ..stages.sampling import _unit_hash
+
+    ev = _pq(sf_dir, "events", columns=["event_type", "user_id"],
+             num_blocks=_n_cpus())
+    K = 64
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        et = t.column("event_type").to_pandas().to_numpy()
+        hv = _unit_hash(
+            t.column("user_id").to_numpy(zero_copy_only=False), "kmv:")
+        df = pd.DataFrame({"event_type": et, "hv": hv})
+        df = df.drop_duplicates()
+        return (df.sort_values(["event_type", "hv"])
+                  .groupby("event_type", as_index=False).head(K))
+
+    mins = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for et, g in mins.groupby("event_type"):
+        hv = np.unique(g["hv"].to_numpy(np.uint64))
+        if len(hv) >= K:
+            est = ((K - 1) << 64) // int(hv[K - 1])
+        else:
+            est = len(hv)  # union of block top-ks = the full set
+        rows.append({"event_type": et, "kmv_est": np.int64(est)})
+    if not rows:
+        return pd.DataFrame(columns=["event_type", "kmv_est"])
+    return pd.DataFrame(rows).sort_values("event_type"
+                                          ).reset_index(drop=True)
+
+
+def q_lexical_richness(sf_dir: str):
+    """Per-source lexical richness: type-token ratio and hapax (freq-1)
+    share — the vocabulary-diversity screen a corpus-mix designer reads
+    next to source_kl's drift score (template-generated spam has LOW
+    TTR; scraped boilerplate has LOW hapax share). Same bounded
+    (source, token) count partial as source_kl; ratios close as exact
+    integer floors (×10⁶), so no float ever."""
+    docs = _pq(sf_dir, "documents", columns=["source", "text"],
+               num_blocks=_n_cpus())
+
+    def pair_counts(t: pa.Table) -> pd.DataFrame:
+        flat, di = _flat_tokens(t.column("text").to_pandas())
+        src = t.column("source").to_numpy(zero_copy_only=False)[di]
+        df = pd.DataFrame({"source": src, "tok": flat, "c": np.int64(1)})
+        return df.groupby(["source", "tok"], as_index=False).sum()
+
+    st = _combine_partials(
+        docs.map_batches(pair_counts, batch_format="pyarrow"),
+        ["source", "tok"], ["c"],
+    )
+    rows = []
+    for src, g in st.groupby("source"):
+        c = g["c"].to_numpy(np.int64)
+        n_tok, n_typ = int(c.sum()), len(c)
+        n_hapax = int((c == 1).sum())
+        rows.append({
+            "source": src, "n_tokens": np.int64(n_tok),
+            "n_types": np.int64(n_typ), "n_hapax": np.int64(n_hapax),
+            "ttr6": np.int64(n_typ * 1_000_000 // n_tok),
+            "hapax6": np.int64(n_hapax * 1_000_000 // n_typ)})
+    if not rows:
+        return pd.DataFrame(columns=["source", "n_tokens", "n_types",
+                                     "n_hapax", "ttr6", "hapax6"])
+    return pd.DataFrame(rows).sort_values("source"
+                                          ).reset_index(drop=True)
+
+
+def q_open_orders_daily(sf_dir: str):
+    """Open-order backlog timeline: for every day on which the count
+    changes, how many orders are in flight (placed but not yet fully
+    shipped — close = max ship day + 1). The classic interval-stacking
+    sweep, distributed as ±1 DELTA partials on a DAY-DOMAIN-BOUNDED
+    axis: per-order close days reduce per batch, the (day, delta)
+    combine is capped by the calendar, and the driver closes one
+    cumsum. Under the cap the per-order close table gathers once and
+    joins the broadcast orders map in pandas; past it a Ray
+    groupby-max + hash join produce the same deltas (fallback pinned
+    equal by test)."""
+    DAY = 86_400_000_000
+    parts = _shuffle_partitions(
+        _row_count(sf_dir, "lineitem"), _row_count(sf_dir, "orders")
+    )
+    li = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"],
+             num_blocks=parts)
+
+    def close_partial(t: pa.Table) -> pd.DataFrame:
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        rd = pc.cast(t.column("l_shipdate"), pa.int64()).to_numpy() // DAY
+        df = pd.DataFrame({"ok": ok, "rd": rd})
+        return df.groupby("ok", as_index=False).max()
+
+    closes = li.map_batches(close_partial, batch_format="pyarrow")
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"],
+                 num_blocks=parts)
+
+    cdf = _gather_capped(closes)
+    odf = _gather_capped(orders) if cdf is not None else None
+    if cdf is not None and odf is not None:  # driver close
+        per_order = cdf.groupby("ok", as_index=False)["rd"].max()
+        od = pd.DataFrame({
+            "ok": odf["o_orderkey"].to_numpy(np.int64),
+            "od": odf["o_orderdate"].to_numpy("datetime64[us]"
+                                              ).astype(np.int64) // DAY})
+        j = per_order.merge(od, on="ok", how="inner")
+        deltas = pd.concat([
+            pd.DataFrame({"day": j["od"], "delta": np.int64(1)}),
+            pd.DataFrame({"day": j["rd"] + 1, "delta": np.int64(-1)}),
+        ]).groupby("day", as_index=False)["delta"].sum()
+    else:  # distributed: groupby-max + hash join, delta partials
+        per_order = closes.groupby("ok").max("rd")
+
+        def od_of(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "ok2": t.column("o_orderkey"),
+                "od": pa.array(
+                    pc.cast(t.column("o_orderdate"), pa.int64()
+                            ).to_numpy() // DAY, pa.int64())})
+
+        j = per_order.join(
+            orders.map_batches(od_of, batch_format="pyarrow"),
+            join_type="inner", num_partitions=parts,
+            on=("ok",), right_on=("ok2",))
+
+        def to_deltas(t: pa.Table) -> pd.DataFrame:
+            rd = pc.cast(t.column("max(rd)"), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            od = t.column("od").to_numpy(zero_copy_only=False)
+            return pd.DataFrame({
+                "day": np.concatenate([od, rd + 1]),
+                "delta": np.concatenate([
+                    np.ones(len(od), np.int64),
+                    np.full(len(rd), -1, np.int64)])}
+            ).groupby("day", as_index=False).sum()
+
+        deltas = _combine_partials(
+            j.map_batches(to_deltas, batch_format="pyarrow"),
+            ["day"], ["delta"],
+        )
+    deltas = deltas.sort_values("day").reset_index(drop=True)
+    return pd.DataFrame({
+        "day": deltas["day"].to_numpy(np.int64),
+        "open_orders": np.cumsum(deltas["delta"].to_numpy(np.int64))})

@@ -251,6 +251,18 @@ def test_bfs_distances_distributed_rounds_match_driver(monkeypatch):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+def test_open_orders_distributed_plan_matches_driver(monkeypatch):
+    """Past the gather caps, open_orders_daily runs the Ray
+    groupby-max + hash-join + delta-partial plan — identical
+    timeline."""
+    from gocrawler_ray.pipelines import queries as q
+
+    a = q.q_open_orders_daily(SF_DIR)
+    monkeypatch.setattr(q, "_gather_capped", lambda *x, **k: None)
+    b = q.q_open_orders_daily(SF_DIR)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_cdc_dedup_distributed_plane_matches_driver(monkeypatch):
     """Past the chunk gather cap, the distinct plane runs as a
     distributed groupby on the chunk hash — identical totals."""
