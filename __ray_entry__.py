@@ -279,6 +279,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct": q.q_kmv_distinct,
         "lexical_richness": q.q_lexical_richness,
         "open_orders_daily": q.q_open_orders_daily,
+        "kruskal_wallis": q.q_kruskal_wallis,
+        "kendall_tau": q.q_kendall_tau,
+        "eps_segments": q.q_eps_segments,
     }
 
 
@@ -3894,5 +3897,79 @@ g AS (SELECT day, SUM(delta) AS delta FROM d GROUP BY day)
 SELECT CAST(day AS BIGINT) AS day,
        CAST(SUM(delta) OVER (ORDER BY day) AS BIGINT) AS open_orders
 FROM g ORDER BY day
+"""
+    # doubled tie-averaged ranks from the milliunit histogram; H, tie
+    # factor and corrected H as ×1e6 integer floors (HUGEINT, no float)
+    out["kruskal_wallis"] = """
+WITH h AS (SELECT event_type, CAST(round(value*1000) AS BIGINT) AS v,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+tv AS (SELECT v, SUM(c) AS t FROM h GROUP BY 1),
+r AS (SELECT v, 2*(SUM(t) OVER (ORDER BY v) - t) + t + 1 AS r2
+      FROM tv),
+g AS (SELECT event_type, CAST(SUM(h.c * r.r2) AS HUGEINT) AS r2g,
+             CAST(SUM(h.c) AS HUGEINT) AS ng
+      FROM h JOIN r USING (v) GROUP BY 1),
+tot AS (SELECT CAST(SUM(ng) AS HUGEINT) AS n,
+               SUM((1000000 * r2g * r2g) // (4 * ng)) AS s6
+        FROM g),
+tie AS (SELECT CAST(SUM(t*t*t - t) AS HUGEINT) AS tt FROM tv),
+cl AS (SELECT n,
+              (3 * s6) // (n * (n + 1)) - 3 * (n + 1) * 1000000 AS h6,
+              1000000 - (1000000 * tt) // (n*n*n - n) AS tie6
+       FROM tot, tie)
+SELECT CAST(n AS BIGINT) AS n, CAST(h6 AS BIGINT) AS h6,
+       CAST(tie6 AS BIGINT) AS tie6,
+       CAST((h6 * 1000000) // tie6 AS BIGINT) AS h_adj6
+FROM cl
+"""
+    # literal O(n²) pair join per type; engine closes the same counts
+    # from a 2-D prefix sum over the bounded (v, k) grid
+    out["kendall_tau"] = """
+WITH e AS (SELECT event_id, event_type,
+                  CAST(round(value*1000) AS BIGINT) AS v,
+                  CAST(json_extract(props, '$.k') AS BIGINT) AS k
+           FROM events),
+p AS (SELECT a.event_type,
+  SUM(CASE WHEN (a.v < b.v AND a.k < b.k)
+             OR (a.v > b.v AND a.k > b.k) THEN 1 ELSE 0 END) AS conc,
+  SUM(CASE WHEN (a.v < b.v AND a.k > b.k)
+             OR (a.v > b.v AND a.k < b.k) THEN 1 ELSE 0 END) AS disc,
+  SUM(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS tiev,
+  SUM(CASE WHEN a.k = b.k THEN 1 ELSE 0 END) AS tiek,
+  CAST(count(*) AS HUGEINT) AS n0
+  FROM e a JOIN e b ON a.event_type = b.event_type
+                   AND a.event_id < b.event_id
+  GROUP BY 1),
+n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM e
+      GROUP BY 1)
+SELECT p.event_type, n.n, CAST(conc AS BIGINT) AS conc,
+       CAST(disc AS BIGINT) AS disc,
+       CAST(CASE WHEN (n0 - tiev) * (n0 - tiek) = 0 THEN 0
+            ELSE (CAST(conc - disc AS HUGEINT) * abs(conc - disc)
+                  * 1000000) // ((n0 - tiev) * (n0 - tiek)) END
+            AS BIGINT) AS tau_s6
+FROM p JOIN n USING (event_type) ORDER BY event_type
+"""
+    # eps-gap segmentation of each type's sorted milliunit support
+    out["eps_segments"] = """
+WITH h AS (SELECT event_type, CAST(round(value*1000) AS BIGINT) AS v,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+m AS (SELECT *, CASE WHEN v - lag(v) OVER
+                       (PARTITION BY event_type ORDER BY v) > 1000
+                     OR lag(v) OVER
+                       (PARTITION BY event_type ORDER BY v) IS NULL
+                THEN 1 ELSE 0 END AS brk
+      FROM h),
+s AS (SELECT *, SUM(brk) OVER (PARTITION BY event_type ORDER BY v)
+                  AS seg
+      FROM m),
+per AS (SELECT event_type, seg, SUM(c) AS mass, max(v) - min(v) AS span
+        FROM s GROUP BY 1, 2)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(max(mass) AS BIGINT) AS max_mass,
+       CAST(max(span) AS BIGINT) AS max_span
+FROM per GROUP BY 1 ORDER BY event_type
 """
     return out

@@ -10956,3 +10956,186 @@ def q_open_orders_daily(sf_dir: str):
     return pd.DataFrame({
         "day": deltas["day"].to_numpy(np.int64),
         "open_orders": np.cumsum(deltas["delta"].to_numpy(np.int64))})
+
+
+def _tdiv(num: int, den: int) -> int:
+    """Integer division truncating toward ZERO — DuckDB's `//` semantics
+    (Python's `//` floors toward -inf, which differs on negative
+    numerators). Every signed fixed-point close that an oracle mirrors
+    with `//` must go through this so both sides truncate identically."""
+    q = abs(num) // abs(den)
+    return q if (num >= 0) == (den >= 0) else -q
+
+
+def q_kruskal_wallis(sf_dir: str):
+    """Kruskal–Wallis H test across the five event-type value
+    distributions — the k-sample generalization of mann_whitney (rank
+    ANOVA), answering "do ANY of the types spend from a different
+    distribution?" without normality assumptions. INTEGER-EXACT at any
+    scale: the partial is the VALUE-DOMAIN-bounded (type, milliunit)
+    count grid; tie-corrected average ranks are the DOUBLED integers
+    2·cum_before + t + 1 closed from the global histogram, and H, the
+    tie factor and the corrected H are all ×1e6 integer floors over
+    unbounded Python ints — the identical floor-expression tree the
+    oracle evaluates (no float anywhere)."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "value"],
+             num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas().to_numpy(),
+            "v": np.rint(t.column("value").to_numpy() * 1000
+                         ).astype(np.int64),
+            "c": np.int64(1),
+        })
+        return df.groupby(["event_type", "v"], as_index=False).sum()
+
+    grid = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "v"], ["c"],
+    )
+    if grid is None or len(grid) == 0:
+        return pd.DataFrame(columns=["n", "h6", "tie6", "h_adj6"])
+    marg = grid.groupby("v", as_index=False)["c"].sum().sort_values("v")
+    t_v = marg["c"].to_numpy(np.int64)
+    cum_before = np.concatenate([[0], np.cumsum(t_v)[:-1]])
+    r2 = 2 * cum_before + t_v + 1  # doubled average rank per distinct v
+    r2_of = dict(zip(marg["v"].to_numpy(np.int64).tolist(),
+                     r2.tolist()))
+    N = int(t_v.sum())
+    s6 = 0
+    for _, g in grid.groupby("event_type"):
+        c = g["c"].to_numpy(np.int64)
+        vs = g["v"].to_numpy(np.int64)
+        r2g = sum(int(ci) * r2_of[int(vi)] for ci, vi in zip(c, vs))
+        n_g = int(c.sum())
+        s6 += (10**6 * r2g * r2g) // (4 * n_g)
+    h6 = (3 * s6) // (N * (N + 1)) - 3 * (N + 1) * 10**6
+    T = sum(int(t) ** 3 - int(t) for t in t_v)
+    tie6 = 10**6 - (10**6 * T) // (N**3 - N)
+    h_adj6 = _tdiv(h6 * 10**6, tie6)
+    return pd.DataFrame({
+        "n": [np.int64(N)], "h6": [np.int64(h6)],
+        "tie6": [np.int64(tie6)], "h_adj6": [np.int64(h_adj6)]})
+
+
+def q_kendall_tau(sf_dir: str):
+    """Per-event-type Kendall tau-b between value and the props 'k'
+    campaign knob — the pairwise-concordance companion to
+    spearman_value_k (tau is what you trust when the relationship is
+    monotone but heavily tied). NO pair is ever enumerated: both axes
+    are DOMAIN-bounded (milliunit value × k∈[0,100)), so the partial is
+    the (type, v, k) count grid and the driver closes concordant /
+    discordant counts from one 2-D prefix-sum over the dense per-type
+    matrix — O(cells), exact unbounded-int arithmetic (object dtype past
+    the int64-safe size), vs the oracle's literal O(n²) pair join. The
+    signed effect closes as the ×1e6 trunc-div of (C−D)·|C−D| over
+    (n0−Tv)(n0−Tk) — tau_b², sign carried — matching DuckDB's
+    truncating `//`."""
+    from ..functions.text import json_int_field
+
+    ev = _pq(sf_dir, "events", columns=["event_type", "value", "props"],
+             num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas().to_numpy(),
+            "v": np.rint(t.column("value").to_numpy() * 1000
+                         ).astype(np.int64),
+            "k": json_int_field(t.column("props"), "k").to_numpy(
+                zero_copy_only=False),
+            "c": np.int64(1),
+        })
+        return df.groupby(["event_type", "v", "k"], as_index=False).sum()
+
+    grid = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "v", "k"], ["c"],
+    )
+    rows = []
+    for et, g in grid.groupby("event_type"):
+        vs = np.unique(g["v"].to_numpy(np.int64))
+        ks = np.unique(g["k"].to_numpy(np.int64))
+        vi = np.searchsorted(vs, g["v"].to_numpy(np.int64))
+        ki = np.searchsorted(ks, g["k"].to_numpy(np.int64))
+        n = int(g["c"].sum())
+        # int64 products are safe while C ≤ n²/2 < 2^63; past that the
+        # dense grid flips to Python-int (object) arithmetic
+        dt = np.int64 if n < 3_000_000_000 else object
+        M = np.zeros((len(vs), len(ks)), dtype=dt)
+        M[vi, ki] = g["c"].to_numpy(np.int64).astype(dt)
+        P = M.cumsum(axis=0).cumsum(axis=1)  # inclusive 2-D prefix
+        # S_lt[i,j] = #points with v' < vs[i] AND k' < ks[j]
+        S_lt = np.zeros_like(P)
+        S_lt[1:, 1:] = P[:-1, :-1]
+        row_tot = M.sum(axis=1).cumsum()  # #points with v' <= vs[i]
+        S_gt = np.zeros_like(P)  # v' < vs[i] AND k' > ks[j]
+        S_gt[1:, :] = (row_tot[:-1, None] - P[:-1, :])
+        C = int((M * S_lt).sum())
+        D = int((M * S_gt).sum())
+        tv = g.groupby("v")["c"].sum().to_numpy(np.int64)
+        tk = g.groupby("k")["c"].sum().to_numpy(np.int64)
+        Tv = sum(int(t) * (int(t) - 1) for t in tv) // 2
+        Tk = sum(int(t) * (int(t) - 1) for t in tk) // 2
+        n0 = n * (n - 1) // 2
+        num = (C - D) * abs(C - D) * 10**6
+        den = (n0 - Tv) * (n0 - Tk)
+        rows.append({
+            "event_type": et, "n": np.int64(n), "conc": np.int64(C),
+            "disc": np.int64(D),
+            "tau_s6": np.int64(_tdiv(num, den) if den else 0)})
+    if not rows:
+        return pd.DataFrame(
+            columns=["event_type", "n", "conc", "disc", "tau_s6"])
+    return pd.DataFrame(rows).sort_values("event_type"
+                                          ).reset_index(drop=True)
+
+
+def q_eps_segments(sf_dir: str):
+    """1-D epsilon-gap clustering of each event type's value support —
+    DBSCAN(minPts=1) on the value line: sorted distinct milliunit
+    values split wherever a gap exceeds eps=1000 (one currency unit).
+    Reports per type the segment count, the heaviest segment's event
+    mass and the widest segment's span — the shape screen that says
+    whether a type's spend is one band or many islands. The partial is
+    the bounded (type, v) histogram; the driver closes boundaries with
+    one diff over the sorted support. All integers."""
+    EPS = 1000
+    ev = _pq(sf_dir, "events", columns=["event_type", "value"],
+             num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas().to_numpy(),
+            "v": np.rint(t.column("value").to_numpy() * 1000
+                         ).astype(np.int64),
+            "c": np.int64(1),
+        })
+        return df.groupby(["event_type", "v"], as_index=False).sum()
+
+    grid = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "v"], ["c"],
+    )
+    rows = []
+    for et, g in grid.groupby("event_type"):
+        g = g.sort_values("v")
+        v = g["v"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        brk = np.concatenate([[True], np.diff(v) > EPS])
+        seg = np.cumsum(brk) - 1
+        n_seg = int(seg[-1]) + 1
+        mass = np.zeros(n_seg, np.int64)
+        np.add.at(mass, seg, c)
+        idx_first = np.flatnonzero(brk)
+        idx_last = np.concatenate([idx_first[1:] - 1, [len(v) - 1]])
+        span = v[idx_last] - v[idx_first]
+        rows.append({
+            "event_type": et, "n_segments": np.int64(n_seg),
+            "max_mass": np.int64(mass.max()),
+            "max_span": np.int64(span.max())})
+    if not rows:
+        return pd.DataFrame(
+            columns=["event_type", "n_segments", "max_mass", "max_span"])
+    return pd.DataFrame(rows).sort_values("event_type"
+                                          ).reset_index(drop=True)
