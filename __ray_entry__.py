@@ -282,6 +282,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kruskal_wallis": q.q_kruskal_wallis,
         "kendall_tau": q.q_kendall_tau,
         "eps_segments": q.q_eps_segments,
+        "ols2_hour_dow": q.q_ols2_hour_dow,
+        "theil_index": q.q_theil_index,
+        "harmonic_centrality": q.q_harmonic_centrality,
     }
 
 
@@ -3971,5 +3974,84 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_segments,
        CAST(max(mass) AS BIGINT) AS max_mass,
        CAST(max(span) AS BIGINT) AS max_span
 FROM per GROUP BY 1 ORDER BY event_type
+"""
+    # 3×3 normal equations closed by Cramer's rule in HUGEINT; each
+    # coefficient is the ×1e6 trunc-div of two cofactor expansions
+    out["ols2_hour_dow"] = """
+WITH e AS (SELECT event_type,
+  (epoch_us(ts) // 3600000000) % 24 AS h,
+  ((epoch_us(ts) // 86400000000) + 4) % 7 AS d,
+  CAST(round(value*1000) AS BIGINT) AS v
+  FROM events),
+m AS (SELECT event_type,
+  CAST(count(*) AS HUGEINT) AS n, CAST(SUM(h) AS HUGEINT) AS sh,
+  CAST(SUM(d) AS HUGEINT) AS sd, CAST(SUM(h*h) AS HUGEINT) AS shh,
+  CAST(SUM(d*d) AS HUGEINT) AS sdd, CAST(SUM(h*d) AS HUGEINT) AS shd,
+  CAST(SUM(v) AS HUGEINT) AS sv, CAST(SUM(v*h) AS HUGEINT) AS svh,
+  CAST(SUM(v*d) AS HUGEINT) AS svd
+  FROM e GROUP BY 1),
+c AS (SELECT event_type, n,
+  n*(shh*sdd - shd*shd) - sh*(sh*sdd - shd*sd)
+    + sd*(sh*shd - shh*sd) AS det,
+  sv*(shh*sdd - shd*shd) - sh*(svh*sdd - shd*svd)
+    + sd*(svh*shd - shh*svd) AS det0,
+  n*(svh*sdd - shd*svd) - sv*(sh*sdd - shd*sd)
+    + sd*(sh*svd - svh*sd) AS det1,
+  n*(shh*svd - svh*shd) - sh*(sh*svd - svh*sd)
+    + sv*(sh*shd - shh*sd) AS det2
+  FROM m)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+  CAST((1000000 * det0) // det AS BIGINT) AS b0_6,
+  CAST((1000000 * det1) // det AS BIGINT) AS b_hour6,
+  CAST((1000000 * det2) // det AS BIGINT) AS b_dow6
+FROM c ORDER BY event_type
+"""
+    # per-distinct-value Theil terms quantized to 1e-6 before the
+    # count-weighted integer sum (the source_kl quantization move)
+    out["theil_index"] = """
+WITH h AS (SELECT event_type, CAST(round(value*1000) AS BIGINT) AS v,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+s AS (SELECT event_type, CAST(SUM(v*c) AS BIGINT) AS sum3,
+             CAST(SUM(c) AS BIGINT) AS n
+      FROM h GROUP BY 1),
+t AS (SELECT h.event_type,
+  SUM(CAST(round(1000000.0
+        * (CAST(h.v AS DOUBLE)
+           / (CAST(s.sum3 AS DOUBLE) / CAST(s.n AS DOUBLE)))
+        * ln(CAST(h.v AS DOUBLE)
+             / (CAST(s.sum3 AS DOUBLE) / CAST(s.n AS DOUBLE))))
+      AS BIGINT) * h.c) AS q
+  FROM h JOIN s USING (event_type) GROUP BY 1)
+SELECT t.event_type, s.n, s.sum3, CAST(t.q // s.n AS BIGINT) AS theil6
+FROM t JOIN s USING (event_type) ORDER BY event_type
+"""
+    # 3-seed recursive-CTE BFS; per-distance terms close as 1e6 // d
+    out["harmonic_centrality"] = """
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (7*doc_id+1) % nn.n AS dst
+  FROM documents, nn WHERE doc_id % 37 != 3
+  UNION ALL SELECT doc_id, (13*doc_id+2) % nn.n
+  FROM documents, nn WHERE doc_id % 37 != 3
+  UNION ALL SELECT doc_id, (29*doc_id+5) % nn.n
+  FROM documents, nn WHERE doc_id % 37 != 3),
+indeg AS (SELECT dst AS v, CAST(count(*) AS BIGINT) AS c
+          FROM edges GROUP BY 1),
+seeds AS (SELECT v, c FROM indeg ORDER BY c DESC, v ASC LIMIT 3),
+bfs(seed, node, dist) AS (
+  SELECT v, v, CAST(0 AS BIGINT) FROM seeds
+  UNION
+  SELECT bfs.seed, e.dst, bfs.dist + 1
+  FROM bfs JOIN edges e ON e.src = bfs.node
+  WHERE bfs.dist < 64),
+d AS (SELECT seed, node, min(dist) AS dist FROM bfs GROUP BY 1, 2),
+hh AS (SELECT seed, CAST(count(*) AS BIGINT) AS n_reach,
+              CAST(SUM(1000000 // dist) AS BIGINT) AS h6
+       FROM d WHERE dist > 0 GROUP BY 1)
+SELECT s.v AS doc_id, s.c AS in_deg,
+       CAST(COALESCE(hh.n_reach, 0) AS BIGINT) AS n_reach,
+       CAST(COALESCE(hh.h6, 0) AS BIGINT) AS h6
+FROM seeds s LEFT JOIN hh ON hh.seed = s.v ORDER BY doc_id
 """
     return out

@@ -11139,3 +11139,154 @@ def q_eps_segments(sf_dir: str):
             columns=["event_type", "n_segments", "max_mass", "max_span"])
     return pd.DataFrame(rows).sort_values("event_type"
                                           ).reset_index(drop=True)
+
+
+def q_ols2_hour_dow(sf_dir: str):
+    """Two-feature OLS per event type — value (milliunits) regressed on
+    hour-of-day and day-of-week jointly, the multi-regressor step past
+    regr_by_type's single slope ("is the weekend effect real once you
+    control for hour?"). EXACT: the partial is the nine integer moment
+    sums (n, Σh, Σd, Σh², Σd², Σhd, Σv, Σvh, Σvd) per type — a
+    5-row combine at any corpus size — and the driver closes the 3×3
+    normal equations by CRAMER'S RULE in unbounded Python ints, emitting
+    each coefficient as the ×1e6 trunc-div of two determinants (the
+    identical HUGEINT cofactor expansion the oracle evaluates; no float,
+    no matrix solve)."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "ts", "value"],
+             num_blocks=_n_cpus())
+    HOUR, DAY = 3_600_000_000, 86_400_000_000
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        h = (ts // HOUR) % 24
+        d = (ts // DAY + 4) % 7
+        v = np.rint(t.column("value").to_numpy() * 1000).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas().to_numpy(),
+            "n": np.int64(1), "sh": h, "sd": d, "shh": h * h,
+            "sdd": d * d, "shd": h * d, "sv": v, "svh": v * h,
+            "svd": v * d})
+        return df.groupby("event_type", as_index=False).sum()
+
+    mom = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"],
+        ["n", "sh", "sd", "shh", "sdd", "shd", "sv", "svh", "svd"],
+    )
+    rows = []
+    for _, r in mom.iterrows():
+        n, sh, sd = int(r["n"]), int(r["sh"]), int(r["sd"])
+        shh, sdd, shd = int(r["shh"]), int(r["sdd"]), int(r["shd"])
+        sv, svh, svd = int(r["sv"]), int(r["svh"]), int(r["svd"])
+        det = (n * (shh * sdd - shd * shd)
+               - sh * (sh * sdd - shd * sd)
+               + sd * (sh * shd - shh * sd))
+        det0 = (sv * (shh * sdd - shd * shd)
+                - sh * (svh * sdd - shd * svd)
+                + sd * (svh * shd - shh * svd))
+        det1 = (n * (svh * sdd - shd * svd)
+                - sv * (sh * sdd - shd * sd)
+                + sd * (sh * svd - svh * sd))
+        det2 = (n * (shh * svd - svh * shd)
+                - sh * (sh * svd - svh * sd)
+                + sv * (sh * shd - shh * sd))
+        rows.append({
+            "event_type": r["event_type"], "n": np.int64(n),
+            "b0_6": np.int64(_tdiv(10**6 * det0, det)),
+            "b_hour6": np.int64(_tdiv(10**6 * det1, det)),
+            "b_dow6": np.int64(_tdiv(10**6 * det2, det))})
+    if not rows:
+        return pd.DataFrame(
+            columns=["event_type", "n", "b0_6", "b_hour6", "b_dow6"])
+    return pd.DataFrame(rows).sort_values("event_type"
+                                          ).reset_index(drop=True)
+
+
+def q_theil_index(sf_dir: str):
+    """Theil T inequality index of each event type's value distribution
+    — the log-based, exactly-decomposable cousin of revenue_gini ("how
+    concentrated is spend, in nats?"). The partial is the VALUE-DOMAIN-
+    bounded (type, milliunit) histogram; the driver quantizes each
+    distinct value's term (v/μ)·ln(v/μ) to 1e-6 BEFORE the count-
+    weighted exact integer sum (the source_kl / mutual_info move), so
+    the only floats are the per-distinct-value term evaluations the
+    oracle replicates verbatim; the close is one integer trunc-div
+    by n."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "value"],
+             num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas().to_numpy(),
+            "v": np.rint(t.column("value").to_numpy() * 1000
+                         ).astype(np.int64),
+            "c": np.int64(1),
+        })
+        return df.groupby(["event_type", "v"], as_index=False).sum()
+
+    grid = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "v"], ["c"],
+    )
+    rows = []
+    for et, g in grid.groupby("event_type"):
+        v = g["v"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        n, S = int(c.sum()), int((v * c).sum())
+        mu = S / n  # float64, the identical expression the oracle casts
+        ratio = v.astype(np.float64) / mu
+        t6 = round_half_away(1e6 * ratio * np.log(ratio)
+                             ).astype(np.int64)
+        q = int((t6.astype(object) * c.astype(object)).sum())
+        theil6 = _tdiv(q, n)
+        rows.append({"event_type": et, "n": np.int64(n),
+                     "sum3": np.int64(S), "theil6": np.int64(theil6)})
+    if not rows:
+        return pd.DataFrame(columns=["event_type", "n", "sum3",
+                                     "theil6"])
+    return pd.DataFrame(rows).sort_values("event_type"
+                                          ).reset_index(drop=True)
+
+
+def q_harmonic_centrality(sf_dir: str):
+    """Harmonic centrality of the three biggest link hubs: for the
+    top-3 in-degree pages (tie-break: smaller doc_id), H = Σ 1/d(u,v)
+    over all reachable v≠u — the "how fast can this page's influence
+    spread" score that closeness can't give on a disconnected web. Per-
+    distance terms quantize as 1e6 // d (integer floor, matching SQL),
+    so H6 is an exact integer sum over the BFS distance histogram. The
+    in-degree partial is node-count-bounded (the pagerank/kcore
+    budget); each hub's BFS reuses the bfs_distances sweep — CSR on the
+    driver under the cap, one map_batches scan per round past it. The
+    oracle is a 3-seed RECURSIVE CTE."""
+    from ..stages.graph import edges_dataset
+
+    n = _doc_count(sf_dir)
+    parts = _shuffle_partitions(4 * n)
+    docs = _pq(sf_dir, "documents", columns=["doc_id"], num_blocks=parts)
+    edges = edges_dataset(docs, n)
+
+    def dst_partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "v": t.column("dst").to_numpy(zero_copy_only=False),
+            "c": np.int64(1)})
+        return df.groupby("v", as_index=False).sum()
+
+    indeg = _combine_partials(
+        edges.map_batches(dst_partial, batch_format="pyarrow"),
+        ["v"], ["c"],
+    ).sort_values(["c", "v"], ascending=[False, True])
+    seeds = indeg.head(3)
+
+    edf = _gather_capped(edges)
+    rows = []
+    for _, s in seeds.iterrows():
+        u, d_in = int(s["v"]), int(s["c"])
+        dist = _bfs_dist_from(u, n, edf, edges)
+        reach = dist[(dist > 0)]
+        h6 = int(sum(10**6 // int(d) for d in reach))
+        rows.append({"doc_id": np.int64(u), "in_deg": np.int64(d_in),
+                     "n_reach": np.int64(len(reach)),
+                     "h6": np.int64(h6)})
+    return pd.DataFrame(rows).sort_values("doc_id"
+                                          ).reset_index(drop=True)
