@@ -285,6 +285,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ols2_hour_dow": q.q_ols2_hour_dow,
         "theil_index": q.q_theil_index,
         "harmonic_centrality": q.q_harmonic_centrality,
+        "type_hour_cosine": q.q_type_hour_cosine,
+        "type_user_jaccard": q.q_type_user_jaccard,
+        "dow_seasonality": q.q_dow_seasonality,
     }
 
 
@@ -4053,5 +4056,55 @@ SELECT s.v AS doc_id, s.c AS in_deg,
        CAST(COALESCE(hh.n_reach, 0) AS BIGINT) AS n_reach,
        CAST(COALESCE(hh.h6, 0) AS BIGINT) AS h6
 FROM seeds s LEFT JOIN hh ON hh.seed = s.v ORDER BY doc_id
+"""
+    # squared-cosine trick: (a·b)²·1e6 // (‖a‖²‖b‖²), no sqrt
+    out["type_hour_cosine"] = """
+WITH g AS (SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS h,
+                  CAST(count(*) AS HUGEINT) AS c
+           FROM events GROUP BY 1, 2),
+p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             SUM(a.c * b.c) AS dot
+      FROM g a JOIN g b ON a.h = b.h
+                       AND a.event_type < b.event_type
+      GROUP BY 1, 2),
+nrm AS (SELECT event_type, SUM(c*c) AS nn FROM g GROUP BY 1)
+SELECT p.type_a, p.type_b,
+       CAST((dot*dot*1000000) // (na.nn * nb.nn) AS BIGINT) AS cos2_6
+FROM p JOIN nrm na ON na.event_type = p.type_a
+       JOIN nrm nb ON nb.event_type = p.type_b
+ORDER BY 1, 2
+"""
+    # audience overlap; all pairs emitted even at zero intersection
+    out["type_user_jaccard"] = """
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM du
+      GROUP BY 1),
+p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_inter
+      FROM du a JOIN du b ON a.user_id = b.user_id
+                         AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+SELECT na.event_type AS type_a, nb.event_type AS type_b,
+       CAST(COALESCE(p.n_inter, 0) AS BIGINT) AS n_inter,
+       CAST(CASE WHEN na.n + nb.n - COALESCE(p.n_inter, 0) = 0 THEN 0
+            ELSE COALESCE(p.n_inter, 0) * 1000000
+                 // (na.n + nb.n - COALESCE(p.n_inter, 0)) END
+            AS BIGINT) AS jac6
+FROM n na JOIN n nb ON na.event_type < nb.event_type
+LEFT JOIN p ON p.type_a = na.event_type AND p.type_b = nb.event_type
+ORDER BY 1, 2
+"""
+    # ×7-normalized count and value shares per day of week
+    out["dow_seasonality"] = """
+WITH g AS (SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+                  CAST(count(*) AS HUGEINT) AS n,
+                  CAST(SUM(CAST(round(value*1000) AS BIGINT))
+                       AS HUGEINT) AS s3
+           FROM events GROUP BY 1),
+t AS (SELECT SUM(n) AS nn, SUM(s3) AS ss FROM g)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(n AS BIGINT) AS n,
+       CAST(n * 7 * 1000000 // t.nn AS BIGINT) AS cnt_idx6,
+       CAST(s3 * 7 * 1000000 // t.ss AS BIGINT) AS val_idx6
+FROM g, t ORDER BY dow
 """
     return out

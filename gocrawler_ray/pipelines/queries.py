@@ -11290,3 +11290,130 @@ def q_harmonic_centrality(sf_dir: str):
                      "h6": np.int64(h6)})
     return pd.DataFrame(rows).sort_values("doc_id"
                                           ).reset_index(drop=True)
+
+
+def q_type_hour_cosine(sf_dir: str):
+    """Pairwise cosine similarity between event types' 24-hour activity
+    profiles — "which behaviors share a daily rhythm?" (the profile-
+    space companion to type_affinity's co-user lift). The partial is
+    the bounded (type × 24) count grid; every pair closes as the EXACT
+    integer cos²×1e6 = (a·b)²·1e6 // (‖a‖²‖b‖²) — the squared-cosine
+    trick that avoids both sqrts (dot products of counts are
+    non-negative, so no sign is lost). Unbounded Python ints, no
+    float."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "ts"],
+             num_blocks=_n_cpus())
+    HOUR = 3_600_000_000
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas().to_numpy(),
+            "h": (ts // HOUR) % 24,
+            "c": np.int64(1)})
+        return df.groupby(["event_type", "h"], as_index=False).sum()
+
+    grid = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "h"], ["c"],
+    )
+    prof = {}
+    for et, g in grid.groupby("event_type"):
+        v = np.zeros(24, dtype=np.int64)
+        v[g["h"].to_numpy(np.int64)] = g["c"].to_numpy(np.int64)
+        prof[et] = v
+    ets = sorted(prof)
+    rows = []
+    for i, a in enumerate(ets):
+        for b in ets[i + 1:]:
+            # 24-term python-int dots: immune to int64 overflow at any
+            # corpus size (counts can exceed 3e9 per cell at 100 TB)
+            dot = sum(int(x) * int(y)
+                      for x, y in zip(prof[a], prof[b]))
+            na = sum(int(x) * int(x) for x in prof[a])
+            nb = sum(int(x) * int(x) for x in prof[b])
+            rows.append({
+                "type_a": a, "type_b": b,
+                "cos2_6": np.int64((dot * dot * 10**6) // (na * nb))})
+    if not rows:
+        return pd.DataFrame(columns=["type_a", "type_b", "cos2_6"])
+    return pd.DataFrame(rows).sort_values(["type_a", "type_b"]
+                                          ).reset_index(drop=True)
+
+
+def q_type_user_jaccard(sf_dir: str):
+    """Jaccard overlap between event types' USER SETS — "are clickers
+    the same people as buyers?", the audience-overlap matrix next to
+    type_hour_cosine's rhythm match. The partial is the distinct
+    (type, user) pair stream (bounded by users × types); the driver
+    closes each pair's |A∩B|·1e6 // |A∪B| from one sorted merge per
+    pair of per-type user arrays. Exact integers throughout."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "user_id"],
+             num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas().to_numpy(),
+            "user_id": t.column("user_id").to_numpy(
+                zero_copy_only=False)})
+        return df.drop_duplicates()
+
+    pairs = _combine_partials(
+        ev.map_batches(
+            lambda t: partial(t).assign(c=np.int64(1)),
+            batch_format="pyarrow"),
+        ["event_type", "user_id"], ["c"],
+    )
+    users = {et: np.unique(g["user_id"].to_numpy(np.int64))
+             for et, g in pairs.groupby("event_type")}
+    ets = sorted(users)
+    rows = []
+    for i, a in enumerate(ets):
+        for b in ets[i + 1:]:
+            inter = len(np.intersect1d(users[a], users[b],
+                                       assume_unique=True))
+            union = len(users[a]) + len(users[b]) - inter
+            rows.append({
+                "type_a": a, "type_b": b, "n_inter": np.int64(inter),
+                "jac6": np.int64(inter * 10**6 // union if union
+                                 else 0)})
+    if not rows:
+        return pd.DataFrame(columns=["type_a", "type_b", "n_inter",
+                                     "jac6"])
+    return pd.DataFrame(rows).sort_values(["type_a", "type_b"]
+                                          ).reset_index(drop=True)
+
+
+def q_dow_seasonality(sf_dir: str):
+    """Day-of-week seasonal index of event activity and spend: per dow,
+    count share and value share ×7 (so a flat week reads 1e6 across the
+    board) — the calendar-shape screen a capacity planner reads before
+    trusting any daily forecast. One bounded (dow) partial; the indices
+    close as exact integer floors (count_d·7·1e6 // N and
+    sum3_d·7·1e6 // S3)."""
+    ev = _pq(sf_dir, "events", columns=["ts", "value"],
+             num_blocks=_n_cpus())
+    DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "dow": (ts // DAY + 4) % 7,
+            "c": np.int64(1),
+            "s3": np.rint(t.column("value").to_numpy() * 1000
+                          ).astype(np.int64)})
+        return df.groupby("dow", as_index=False).sum()
+
+    g = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["dow"], ["c", "s3"],
+    ).sort_values("dow")
+    N, S = int(g["c"].sum()), int(g["s3"].sum())
+    return pd.DataFrame({
+        "dow": g["dow"].to_numpy(np.int64),
+        "n": g["c"].to_numpy(np.int64),
+        "cnt_idx6": np.array([int(c) * 7 * 10**6 // N
+                              for c in g["c"]], np.int64),
+        "val_idx6": np.array([int(s) * 7 * 10**6 // S
+                              for s in g["s3"]], np.int64),
+    }).reset_index(drop=True)
