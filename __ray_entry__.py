@@ -288,6 +288,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_hour_cosine": q.q_type_hour_cosine,
         "type_user_jaccard": q.q_type_user_jaccard,
         "dow_seasonality": q.q_dow_seasonality,
+        "decile_lift": q.q_decile_lift,
+        "supplier_hhi": q.q_supplier_hhi,
     }
 
 
@@ -4106,5 +4108,41 @@ SELECT CAST(dow AS BIGINT) AS dow, CAST(n AS BIGINT) AS n,
        CAST(n * 7 * 1000000 // t.nn AS BIGINT) AS cnt_idx6,
        CAST(s3 * 7 * 1000000 // t.ss AS BIGINT) AS val_idx6
 FROM g, t ORDER BY dow
+"""
+    # rank-width deciles over exact customer revenue; cumulative share
+    out["decile_lift"] = """
+WITH r AS (
+  SELECT o_custkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS x
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY 1),
+t AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx FROM r),
+s AS (SELECT CAST(x AS HUGEINT) AS x,
+             CAST(row_number() OVER (ORDER BY x) - 1 AS HUGEINT) AS rn
+      FROM r),
+d AS (SELECT CAST(rn * 10 // t.n AS BIGINT) AS decile,
+             CAST(count(*) AS BIGINT) AS n_cust, SUM(x) AS dsx
+      FROM s, t GROUP BY 1),
+c AS (SELECT *, SUM(dsx) OVER (ORDER BY decile) AS cum FROM d)
+SELECT decile, n_cust, round(CAST(dsx AS DOUBLE)/10000.0, 2) AS rev,
+       CAST(cum * 1000000 // t.sx AS BIGINT) AS cum_share6
+FROM c, t ORDER BY decile
+"""
+    # per-nation Herfindahl index of supplier revenue shares
+    out["supplier_hhi"] = """
+WITH r AS (SELECT l_suppkey,
+  sum(CAST(round(l_extendedprice*100) AS BIGINT)
+    * (100 - CAST(round(l_discount*100) AS BIGINT))) AS x
+  FROM lineitem GROUP BY 1),
+j AS (SELECT s_nationkey, CAST(x AS HUGEINT) AS x
+      FROM r JOIN supplier ON s_suppkey = l_suppkey),
+g AS (SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+             SUM(x) AS sx, SUM(x*x) AS sxx
+      FROM j GROUP BY 1)
+SELECT n_name, n_suppliers,
+       CAST(sxx * 1000000 // (sx*sx) AS BIGINT) AS hhi6
+FROM g JOIN nation ON n_nationkey = s_nationkey ORDER BY n_name
 """
     return out

@@ -11417,3 +11417,172 @@ def q_dow_seasonality(sf_dir: str):
         "val_idx6": np.array([int(s) * 7 * 10**6 // S
                               for s in g["s3"]], np.int64),
     }).reset_index(drop=True)
+
+
+def q_decile_lift(sf_dir: str):
+    """Customer revenue decile lift curve — customers ranked by exact
+    revenue, cut into 10 rank-width deciles, each reporting headcount,
+    revenue and CUMULATIVE revenue share (the table behind every
+    "bottom 50% of customers = X% of revenue" claim; the curve whose
+    single-number summary is revenue_gini). Distributed global order
+    WITHOUT a global sort: per-customer int revenue (custkey-bucket
+    groupby), then a 16-way VALUE-RANGE shuffle; pass 1 gathers the 16
+    bucket counts → rank offsets; pass 2 re-runs the range buckets with
+    the offsets in the task closure, so every row's global rank — and
+    decile rn·10//n — is known bucket-locally. Equal revenues straddling
+    a boundary are harmless: decile populations are fixed by rank
+    arithmetic and tied rows carry identical x, so the sums are
+    permutation-invariant (the gini tie argument). Per-decile sums ride
+    as strings (they exceed int64 at ~1e9 customers); the driver closes
+    160 rows in unbounded ints."""
+    from ..stages.temporal import _with_bucket
+
+    parts = _shuffle_partitions(
+        _row_count(sf_dir, "lineitem"), _row_count(sf_dir, "orders")
+    )
+    joined = _li_orders_custkey(sf_dir, parts)
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        return _per_customer_rev4(g)[["x"]]
+
+    revs = (
+        _with_bucket(joined, "o_custkey", 32)
+        .groupby("__bucket")
+        .map_groups(per_cust, batch_format="pandas")
+    ).materialize()  # consumed thrice: bounds, counts, decile pass
+
+    def mm(t: pa.Table) -> pd.DataFrame:
+        x = t.column("x").to_numpy()
+        return pd.DataFrame({"k": [0], "mn": [int(x.min())],
+                             "mx": [int(x.max())]}) if len(x) else \
+            pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                          "mn": pd.Series([], dtype=np.int64),
+                          "mx": pd.Series([], dtype=np.int64)})
+
+    bounds = pd.concat(
+        list(revs.map_batches(mm, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pandas")),
+        ignore_index=True)
+    lo, hi = int(bounds["mn"].min()), int(bounds["mx"].max())
+    width = max(1, (hi - lo) // 16 + 1)
+
+    def to_range_bucket(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy()
+        rb = ((x - lo) // width).astype(np.int64)
+        return pa.table({"x": t.column("x"), "__rb": pa.array(rb)})
+
+    rb_cnt = _combine_partials(
+        revs.map_batches(to_range_bucket, batch_format="pyarrow")
+            .map_batches(
+                lambda t: pd.DataFrame(
+                    {"rb": t.column("__rb").to_numpy(),
+                     "cnt": np.int64(1)}
+                ).groupby("rb", as_index=False).sum(),
+                batch_format="pyarrow"),
+        ["rb"], ["cnt"],
+    ).sort_values("rb")
+    n = int(rb_cnt["cnt"].sum())
+    offs = dict(zip(
+        rb_cnt["rb"].tolist(),
+        (np.cumsum(rb_cnt["cnt"].to_numpy(np.int64))
+         - rb_cnt["cnt"].to_numpy(np.int64)).tolist()))
+
+    def bucket_deciles(g: pd.DataFrame) -> pd.DataFrame:
+        o = offs[int(g["__rb"].iloc[0])]
+        x = np.sort(g["x"].to_numpy(np.int64))
+        dec = (o + np.arange(len(x), dtype=np.int64)) * 10 // n
+        out = []
+        for d in np.unique(dec):
+            xs = x[dec == d].astype(object)
+            out.append({"decile": np.int64(d),
+                        "n_cust": np.int64(len(xs)),
+                        "sx": str(int(xs.sum()))})
+        return pd.DataFrame(out)
+
+    parts_df = pd.concat(
+        list(revs.map_batches(to_range_bucket, batch_format="pyarrow")
+             .groupby("__rb")
+             .map_groups(bucket_deciles, batch_format="pandas")
+             .iter_batches(batch_size=1024, batch_format="pandas")),
+        ignore_index=True)
+    agg = []
+    for d, g in parts_df.groupby("decile"):
+        agg.append({"decile": int(d),
+                    "n_cust": int(g["n_cust"].sum()),
+                    "sx": sum(int(s) for s in g["sx"])})
+    agg.sort(key=lambda r: r["decile"])
+    total = sum(r["sx"] for r in agg)
+    cum, rows = 0, []
+    for r in agg:
+        cum += r["sx"]
+        rows.append({
+            "decile": np.int64(r["decile"]),
+            "n_cust": np.int64(r["n_cust"]),
+            "rev": round_half_away(
+                np.array([r["sx"] / 10000.0]), 2)[0],
+            "cum_share6": np.int64(cum * 10**6 // total)})
+    return pd.DataFrame(rows)
+
+
+def q_supplier_hhi(sf_dir: str):
+    """Herfindahl–Hirschman concentration of supplier revenue within
+    each nation — "is this nation's supply base one megavendor or a
+    real market?" (the supply-side mirror of decile_lift's demand
+    curve). Per-supplier exact revenue via a suppkey-bucket groupby;
+    nationkey attaches from the broadcast supplier map (hash-join
+    fallback past the cap); per-nation Σx and Σx² ride as STRINGS
+    (x² overflows int64 once a supplier clears ~1e9 in revenue) and
+    HHI closes as the exact integer (Σx²)·10⁶ // (Σx)² over ≤25
+    rows."""
+    from ..stages.temporal import _with_bucket
+
+    parts = _shuffle_partitions(_row_count(sf_dir, "lineitem"))
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_suppkey", "l_extendedprice", "l_discount"],
+             num_blocks=parts)
+
+    def per_supp(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "sk": g["l_suppkey"].to_numpy(np.int64),
+            "x": _rev4(g["l_extendedprice"].to_numpy(),
+                       g["l_discount"].to_numpy()),
+        }).groupby("sk", as_index=False)["x"].sum()
+
+    srev = (
+        _with_bucket(li, "l_suppkey", 32)
+        .groupby("__bucket")
+        .map_groups(per_supp, batch_format="pandas")
+    )
+    supp = _pq(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    attached = _broadcast_fact_attach(
+        srev, supp, "sk", "s_suppkey", ["s_nationkey"])
+    if attached is None:  # distributed hash join past the cap
+        attached = srev.join(
+            supp, join_type="inner", num_partitions=parts,
+            on=("sk",), right_on=("s_suppkey",))
+
+    def nation_stats(g: pd.DataFrame) -> pd.DataFrame:
+        x = g["x"].to_numpy(np.int64).astype(object)
+        return pd.DataFrame({
+            "nk": [np.int64(g["s_nationkey"].iloc[0])],
+            "n_suppliers": [np.int64(len(x))],
+            "sx": [str(int(x.sum()))],
+            "sxx": [str(int((x * x).sum()))]})
+
+    st = pd.concat(
+        list(attached.groupby("s_nationkey")
+             .map_groups(nation_stats, batch_format="pandas")
+             .iter_batches(batch_size=1024, batch_format="pandas")),
+        ignore_index=True)
+    nat = _gather_capped(_pq(sf_dir, "nation",
+                             columns=["n_nationkey", "n_name"]))
+    name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    rows = []
+    for r in st.itertuples():
+        sx, sxx = int(r.sx), int(r.sxx)
+        rows.append({
+            "n_name": name_of[int(r.nk)],
+            "n_suppliers": np.int64(r.n_suppliers),
+            "hhi6": np.int64(sxx * 10**6 // (sx * sx))})
+    return pd.DataFrame(rows).sort_values("n_name"
+                                          ).reset_index(drop=True)

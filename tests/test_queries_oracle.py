@@ -284,3 +284,14 @@ def test_item_cf_fallbacks_match_broadcast(monkeypatch):
     monkeypatch.setattr(q, "_broadcast_fact_attach", lambda *x, **k: None)
     b = q.q_item_cf(SF_DIR)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_supplier_hhi_fallback_matches_broadcast(monkeypatch):
+    """Past the supplier-map cap, supplier_hhi's nationkey attach runs
+    as a distributed hash join — identical concentration table."""
+    from gocrawler_ray.pipelines import queries as q
+
+    a = q.q_supplier_hhi(SF_DIR)
+    monkeypatch.setattr(q, "_broadcast_fact_attach", lambda *x, **k: None)
+    b = q.q_supplier_hhi(SF_DIR)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
