@@ -290,6 +290,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dow_seasonality": q.q_dow_seasonality,
         "decile_lift": q.q_decile_lift,
         "supplier_hhi": q.q_supplier_hhi,
+        "last_touch_attribution": q.q_last_touch_attribution,
+        "knn_degree_spectrum": q.q_knn_degree_spectrum,
+        "brand_type_cramer": q.q_brand_type_cramer,
     }
 
 
@@ -4144,5 +4147,60 @@ g AS (SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
 SELECT n_name, n_suppliers,
        CAST(sxx * 1000000 // (sx*sx) AS BIGINT) AS hhi6
 FROM g JOIN nation ON n_nationkey = s_nationkey ORDER BY n_name
+"""
+    # latest click ≤ purchase within 7 days; daily attributed credit
+    out["last_touch_attribution"] = """
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tu,
+                  CAST(round(value*1000) AS BIGINT) AS v3
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, epoch_us(ts) AS tu FROM events
+      WHERE event_type = 'click'),
+m AS (SELECT p.event_id, p.tu, p.v3, max(c.tu) AS ctu
+      FROM p LEFT JOIN c ON c.user_id = p.user_id
+             AND c.tu <= p.tu AND c.tu >= p.tu - 604800000000
+      GROUP BY 1, 2, 3)
+SELECT CAST(tu // 86400000000 AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_purch,
+       CAST(SUM(CASE WHEN ctu IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_attr,
+       CAST(SUM(CASE WHEN ctu IS NULL THEN 0 ELSE v3 END) AS BIGINT)
+         AS attr_v3
+FROM m GROUP BY 1 ORDER BY day
+"""
+    # edge-weighted avg neighbor in-degree per source in-degree class
+    out["knn_degree_spectrum"] = _EDGES_CTE + """,
+indeg AS (SELECT dst AS v, CAST(count(*) AS BIGINT) AS c
+          FROM edges GROUP BY 1),
+j AS (SELECT COALESCE(ds.c, 0) AS k, di.c AS nbr
+      FROM edges e JOIN indeg di ON di.v = e.dst
+      LEFT JOIN indeg ds ON ds.v = e.src)
+SELECT CAST(k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(SUM(nbr) * 1000000 // count(*) AS BIGINT) AS knn6
+FROM j GROUP BY 1 ORDER BY k
+"""
+    # χ² with 1e-6-quantized terms; V² as the pure integer division
+    out["brand_type_cramer"] = """
+WITH c AS (SELECT p_brand AS b, p_type AS k, COUNT(*) AS c
+           FROM part GROUP BY 1, 2),
+rt AS (SELECT b, SUM(c) AS r FROM c GROUP BY 1),
+ct AS (SELECT k, SUM(c) AS col FROM c GROUP BY 1),
+nt AS (SELECT SUM(c) AS n FROM c),
+grid AS (SELECT rt.b, ct.k, COALESCE(c.c, 0) AS o,
+                CAST(rt.r AS DOUBLE) * CAST(ct.col AS DOUBLE)
+                  / CAST(nt.n AS DOUBLE) AS e
+         FROM rt CROSS JOIN ct CROSS JOIN nt
+         LEFT JOIN c ON c.b = rt.b AND c.k = ct.k),
+q AS (SELECT CAST(round((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
+                        / e * 1000000) AS BIGINT) AS qq
+      FROM grid),
+dims AS (SELECT (SELECT COUNT(*) FROM rt) AS r,
+                (SELECT COUNT(*) FROM ct) AS cc,
+                (SELECT CAST(n AS BIGINT) FROM nt) AS n)
+SELECT n, CAST(r AS BIGINT) AS r_levels, CAST(cc AS BIGINT) AS c_levels,
+       round(CAST((SELECT SUM(qq) FROM q) AS DOUBLE) / 1000000.0, 6)
+         AS chi2,
+       CAST((SELECT SUM(qq) FROM q) // (n * (least(r, cc) - 1))
+            AS BIGINT) AS v2_6
+FROM dims
 """
     return out

@@ -11586,3 +11586,156 @@ def q_supplier_hhi(sf_dir: str):
             "hhi6": np.int64(sxx * 10**6 // (sx * sx))})
     return pd.DataFrame(rows).sort_values("n_name"
                                           ).reset_index(drop=True)
+
+
+def q_last_touch_attribution(sf_dir: str):
+    """Last-touch attribution: each purchase credits its value to the
+    latest click by the same user at-or-before it and within 7 days —
+    the marketing-credit join behind click_to_purchase's lag curve.
+    Distributed as ONE user-hash bucket shuffle; inside each bucket a
+    vectorized pd.merge_asof (by=user, tolerance=7d, backward) matches
+    every purchase, and what leaves the bucket is the CALENDAR-bounded
+    (day, n_purch, n_attr, attr_v3) partial — never the matches
+    themselves. Daily totals close as exact integer sums."""
+    from ..stages.temporal import _with_bucket
+
+    DAY = 86_400_000_000
+    WINDOW = 7 * DAY
+    ev = _pq(sf_dir, "events",
+             columns=["event_type", "user_id", "ts", "value"],
+             num_blocks=_n_cpus())
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t.column("event_type"),
+                     value_set=pa.array(["click", "purchase"]))
+        return t.filter(m)
+
+    def bucket_attr(g: pd.DataFrame) -> pd.DataFrame:
+        tu = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(np.int64), "tu": tu,
+            "et": g["event_type"].to_numpy(),
+            "v3": np.rint(g["value"].to_numpy(np.float64) * 1000
+                          ).astype(np.int64)})
+        p = df[df["et"] == "purchase"].sort_values("tu")
+        c = df[df["et"] == "click"].sort_values("tu")
+        m = pd.merge_asof(
+            p, c[["user_id", "tu"]].assign(ctu=c["tu"]),
+            on="tu", by="user_id", direction="backward",
+            tolerance=WINDOW)
+        day = m["tu"].to_numpy(np.int64) // DAY
+        attr = m["ctu"].notna().to_numpy()
+        out = pd.DataFrame({
+            "day": day, "n_purch": np.int64(1),
+            "n_attr": attr.astype(np.int64),
+            "attr_v3": np.where(attr, m["v3"].to_numpy(np.int64), 0)})
+        return out.groupby("day", as_index=False).sum()
+
+    parts = (
+        _with_bucket(ev.map_batches(keep, batch_format="pyarrow"),
+                     "user_id", 32)
+        .groupby("__bucket")
+        .map_groups(bucket_attr, batch_format="pandas")
+    )
+    out = _combine_partials(parts, ["day"],
+                            ["n_purch", "n_attr", "attr_v3"])
+    if out is None or len(out) == 0:
+        return pd.DataFrame(columns=["day", "n_purch", "n_attr",
+                                     "attr_v3"])
+    out = out.sort_values("day").reset_index(drop=True)
+    return pd.DataFrame({
+        "day": out["day"].to_numpy(np.int64),
+        "n_purch": out["n_purch"].to_numpy(np.int64),
+        "n_attr": out["n_attr"].to_numpy(np.int64),
+        "attr_v3": out["attr_v3"].to_numpy(np.int64)})
+
+
+def q_knn_degree_spectrum(sf_dir: str):
+    """Average neighbor in-degree per source in-degree class — the
+    k-nn(k) spectrum whose single-number slope is degree_assortativity
+    ("do popular pages link to popular pages, across the whole degree
+    range?"). In-degrees come from one node-count-bounded combine and
+    broadcast into a second edge scan via ray.put (the pagerank-family
+    budget); each edge emits into the bounded (k, cnt, Σindeg_dst)
+    grid and every class closes as the exact integer floor
+    Σindeg·1e6 // cnt."""
+    from ..stages.graph import edges_dataset
+
+    n = _doc_count(sf_dir)
+    parts = _shuffle_partitions(4 * n)
+    docs = _pq(sf_dir, "documents", columns=["doc_id"], num_blocks=parts)
+    edges = edges_dataset(docs, n)
+
+    def dst_partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "v": t.column("dst").to_numpy(zero_copy_only=False),
+            "c": np.int64(1)})
+        return df.groupby("v", as_index=False).sum()
+
+    ind = _combine_partials(
+        edges.map_batches(dst_partial, batch_format="pyarrow"),
+        ["v"], ["c"],
+    )
+    indeg = np.zeros(n, dtype=np.int64)
+    indeg[ind["v"].to_numpy(np.int64)] = ind["c"].to_numpy(np.int64)
+    ref = ray.put(indeg)
+
+    def edge_partial(t: pa.Table) -> pd.DataFrame:
+        deg = ray.get(ref)
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"k": deg[s], "cnt": np.int64(1),
+                           "s_nbr": deg[d]})
+        return df.groupby("k", as_index=False).sum()
+
+    g = _combine_partials(
+        edges.map_batches(edge_partial, batch_format="pyarrow"),
+        ["k"], ["cnt", "s_nbr"],
+    ).sort_values("k")
+    return pd.DataFrame({
+        "k": g["k"].to_numpy(np.int64),
+        "n_edges": g["cnt"].to_numpy(np.int64),
+        "knn6": np.array([int(s) * 10**6 // int(c) for s, c in
+                          zip(g["s_nbr"], g["cnt"])], np.int64),
+    }).reset_index(drop=True)
+
+
+def q_brand_type_cramer(sf_dir: str):
+    """Cramér's V association between part brand and type — "does
+    product line follow brand?", the effect-size reading chi2_type_dow
+    deliberately stops short of. Bounded (brand × container) count
+    grid; χ² terms quantize to 1e-6 before the exact integer sum (the
+    chi2 move), and V² closes as the pure integer division
+    q // (n·(min(r,c)−1)) — reported squared ×1e6 so no sqrt ever
+    enters the comparison."""
+    pt = _pq(sf_dir, "part", columns=["p_brand", "p_type"],
+             num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "b": t.column("p_brand").to_pandas().to_numpy(),
+            "k": t.column("p_type").to_pandas().to_numpy(),
+            "c": np.int64(1)})
+        return df.groupby(["b", "k"], as_index=False).sum()
+
+    grid = _combine_partials(
+        pt.map_batches(partial, batch_format="pyarrow"),
+        ["b", "k"], ["c"],
+    )
+    piv = grid.pivot_table(index="b", columns="k", values="c",
+                           aggfunc="sum", fill_value=0)
+    obs = piv.to_numpy(np.int64)
+    n = int(obs.sum())
+    row_t = obs.sum(axis=1).astype(np.float64)
+    col_t = obs.sum(axis=0).astype(np.float64)
+    exp = row_t[:, None] * col_t[None, :] / float(n)
+    dif = obs.astype(np.float64) - exp
+    q = int(round_half_away(dif * dif / exp * 1e6
+                            ).astype(np.int64).sum())
+    r, c_ = obs.shape
+    v2_6 = q // (n * (min(r, c_) - 1))
+    return pd.DataFrame({
+        "n": [np.int64(n)], "r_levels": [np.int64(r)],
+        "c_levels": [np.int64(c_)],
+        "chi2": round_half_away(np.array([q / 1e6]), 6),
+        "v2_6": [np.int64(v2_6)]})
