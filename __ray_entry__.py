@@ -293,6 +293,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_touch_attribution": q.q_last_touch_attribution,
         "knn_degree_spectrum": q.q_knn_degree_spectrum,
         "brand_type_cramer": q.q_brand_type_cramer,
+        "trigram_entropy": q.q_trigram_entropy,
+        "value_tail_probs": q.q_value_tail_probs,
+        "psi_drift": q.q_psi_drift,
     }
 
 
@@ -4202,5 +4205,70 @@ SELECT n, CAST(r AS BIGINT) AS r_levels, CAST(cc AS BIGINT) AS c_levels,
        CAST((SELECT SUM(qq) FROM q) // (n * (least(r, cc) - 1))
             AS BIGINT) AS v2_6
 FROM dims
+"""
+    # char-trigram entropy; terms quantized to 1e-6 (source_kl move)
+    out["trigram_entropy"] = """
+WITH tri AS (SELECT source,
+                    substr(lower(text), CAST(u.i AS INT), 3) AS tri
+             FROM documents d,
+                  unnest(range(1, length(d.text)-1)) AS u(i)),
+g AS (SELECT source, tri, CAST(count(*) AS BIGINT) AS c
+      FROM tri GROUP BY 1, 2),
+s AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS nd
+      FROM g GROUP BY 1),
+q AS (SELECT g.source,
+             SUM(CAST(round(1000000.0 * CAST(g.c AS DOUBLE)
+                 * ln(CAST(s.n AS DOUBLE) / CAST(g.c AS DOUBLE)))
+                 AS BIGINT)) AS q
+      FROM g JOIN s USING (source) GROUP BY 1)
+SELECT q.source, s.n AS n_trigrams, s.nd AS n_distinct,
+       CAST(q.q // s.n AS BIGINT) AS h6
+FROM q JOIN s USING (source) ORDER BY source
+"""
+    # fixed milliunit thresholds; floors close exact
+    out["value_tail_probs"] = """
+WITH e AS (SELECT event_type, CAST(round(value*1000) AS BIGINT) AS v3
+           FROM events),
+g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+  CAST(SUM(CASE WHEN v3 > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS g1,
+  CAST(SUM(CASE WHEN v3 > 10000 THEN 1 ELSE 0 END) AS BIGINT) AS g10,
+  CAST(SUM(CASE WHEN v3 > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS g100
+  FROM e GROUP BY 1)
+SELECT event_type, n, g1 * 1000000 // n AS p_gt1_6,
+       g10 * 1000000 // n AS p_gt10_6,
+       g100 * 1000000 // n AS p_gt100_6
+FROM g ORDER BY event_type
+"""
+    # PSI over fixed power-of-two bins between calendar halves
+    out["psi_drift"] = """
+WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  CAST(round(value*1000) AS BIGINT) AS v3
+           FROM events),
+mid AS (SELECT (min(day) + max(day) + 1) // 2 AS m FROM d),
+g AS (SELECT event_type,
+             CASE WHEN day >= mid.m THEN 1 ELSE 0 END AS half,
+             CAST(floor(log2(CAST(v3 AS DOUBLE))) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS c
+      FROM d, mid GROUP BY 1, 2, 3),
+n AS (SELECT event_type, half, CAST(SUM(c) AS BIGINT) AS n
+      FROM g GROUP BY 1, 2),
+j AS (SELECT a.event_type,
+             CAST(a.c AS DOUBLE) / CAST(na.n AS DOUBLE) AS p,
+             CAST(b.c AS DOUBLE) / CAST(nb.n AS DOUBLE) AS q
+      FROM g a JOIN g b ON a.event_type = b.event_type
+                       AND a.bin = b.bin
+                       AND a.half = 0 AND b.half = 1
+      JOIN n na ON na.event_type = a.event_type AND na.half = 0
+      JOIN n nb ON nb.event_type = a.event_type AND nb.half = 1),
+t AS (SELECT event_type,
+             SUM(CAST(round(1000000.0 * (p - q) * ln(p / q))
+                 AS BIGINT)) AS psi6
+      FROM j GROUP BY 1)
+SELECT n0.event_type, n0.n AS n_first, n1.n AS n_second,
+       CAST(COALESCE(t.psi6, 0) AS BIGINT) AS psi6
+FROM n n0 JOIN n n1 ON n1.event_type = n0.event_type
+                   AND n0.half = 0 AND n1.half = 1
+LEFT JOIN t ON t.event_type = n0.event_type ORDER BY 1
 """
     return out

@@ -11739,3 +11739,175 @@ def q_brand_type_cramer(sf_dir: str):
         "c_levels": [np.int64(c_)],
         "chi2": round_half_away(np.array([q / 1e6]), 6),
         "v2_6": [np.int64(v2_6)]})
+
+
+def q_trigram_entropy(sf_dir: str):
+    """Character-trigram Shannon entropy per source (nats) — the
+    boilerplate detector one level below lexical_richness: templated or
+    machine-generated text reuses character sequences, so its trigram
+    entropy sags even when its word-level TTR looks healthy. Trigrams
+    extract VECTORIZED (one utf-8 buffer per batch, three shifted
+    views, doc boundaries masked — no per-row loop); the partial is the
+    (source, trigram) count grid, DOMAIN-bounded by charset³. Each
+    distinct trigram's term c·ln(n/c) quantizes to 1e-6 before the
+    exact integer sum (the source_kl move); H6 closes as q // n."""
+    docs = _pq(sf_dir, "documents", columns=["source", "text"],
+               num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        texts = t.column("text").to_pylist()
+        srcs = t.column("source").to_pandas().to_numpy()
+        buf = np.frombuffer(
+            "".join(tx.lower() for tx in texts).encode("utf-8"),
+            dtype=np.uint8)
+        lens = np.array([len(tx.encode("utf-8")) for tx in
+                         (tx.lower() for tx in texts)], np.int64)
+        if not len(buf) or lens.sum() == 0:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "tri": pd.Series([], dtype=np.int64),
+                "c": pd.Series([], dtype=np.int64)})
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        # trigram start positions: all i with i+2 < doc_end
+        n_tri = np.maximum(lens - 2, 0)
+        di = np.repeat(np.arange(len(lens)), n_tri)
+        pos = (np.arange(int(n_tri.sum()))
+               - np.repeat(np.cumsum(n_tri) - n_tri, n_tri)
+               + starts[di])
+        tri = (buf[pos].astype(np.int64) * 65536
+               + buf[pos + 1].astype(np.int64) * 256
+               + buf[pos + 2].astype(np.int64))
+        df = pd.DataFrame({"source": srcs[di], "tri": tri,
+                           "c": np.int64(1)})
+        return df.groupby(["source", "tri"], as_index=False).sum()
+
+    grid = _combine_partials(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["source", "tri"], ["c"],
+    )
+    rows = []
+    for src, g in grid.groupby("source"):
+        c = g["c"].to_numpy(np.int64)
+        n = int(c.sum())
+        t6 = round_half_away(
+            1e6 * c.astype(np.float64)
+            * np.log(float(n) / c.astype(np.float64))).astype(np.int64)
+        q = int((t6.astype(object)).sum())
+        rows.append({"source": src, "n_trigrams": np.int64(n),
+                     "n_distinct": np.int64(len(c)),
+                     "h6": np.int64(_tdiv(q, n))})
+    if not rows:
+        return pd.DataFrame(columns=["source", "n_trigrams",
+                                     "n_distinct", "h6"])
+    return pd.DataFrame(rows).sort_values("source"
+                                          ).reset_index(drop=True)
+
+
+def q_value_tail_probs(sf_dir: str):
+    """Tail probabilities P(value > 1), P(> 10), P(> 100) per event
+    type, ×1e6 — the heavy-tail screen that says whether value_moments'
+    variance is trustworthy or one whale away from meaningless. One
+    map-only partial of four bounded counters per type; floors close
+    exact."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "value"],
+             num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        v3 = np.rint(t.column("value").to_numpy() * 1000
+                     ).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas().to_numpy(),
+            "n": np.int64(1),
+            "g1": (v3 > 1000).astype(np.int64),
+            "g10": (v3 > 10000).astype(np.int64),
+            "g100": (v3 > 100000).astype(np.int64)})
+        return df.groupby("event_type", as_index=False).sum()
+
+    g = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], ["n", "g1", "g10", "g100"],
+    ).sort_values("event_type")
+    return pd.DataFrame({
+        "event_type": g["event_type"].to_numpy(),
+        "n": g["n"].to_numpy(np.int64),
+        "p_gt1_6": np.array([int(a) * 10**6 // int(b)
+                             for a, b in zip(g["g1"], g["n"])], np.int64),
+        "p_gt10_6": np.array([int(a) * 10**6 // int(b)
+                              for a, b in zip(g["g10"], g["n"])],
+                             np.int64),
+        "p_gt100_6": np.array([int(a) * 10**6 // int(b)
+                               for a, b in zip(g["g100"], g["n"])],
+                              np.int64),
+    }).reset_index(drop=True)
+
+
+def q_psi_drift(sf_dir: str):
+    """Population Stability Index of each event type's value
+    distribution between the first and second half of the calendar —
+    the model-monitoring drift score (PSI > 0.2 = retrain) computed the
+    ray-native way: values bin into FIXED power-of-two milliunit bands
+    (⌊log2 v3⌋, ≤30 bins, data-independent), the partial is the bounded
+    (type, half, bin) grid, and the driver sums per-bin terms
+    (p−q)·ln(p/q) quantized to 1e-6 (bins missing on either side are
+    skipped on BOTH sides — the standard finite-sample convention). The
+    half boundary is the exact midpoint day of the observed range, from
+    one cheap min/max partial."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "ts", "value"],
+             num_blocks=_n_cpus())
+    DAY = 86_400_000_000
+
+    def mm(t: pa.Table) -> pd.DataFrame:
+        d = pc.cast(t.column("ts"), pa.int64()).to_numpy() // DAY
+        return pd.DataFrame({"k": [np.int64(0)],
+                             "mn": [np.int64(d.min())],
+                             "mx": [np.int64(d.max())]}) if len(d) else \
+            pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                          "mn": pd.Series([], dtype=np.int64),
+                          "mx": pd.Series([], dtype=np.int64)})
+
+    b = pd.concat(
+        list(ev.map_batches(mm, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pandas")),
+        ignore_index=True)
+    mid = (int(b["mn"].min()) + int(b["mx"].max()) + 1) // 2
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        d = pc.cast(t.column("ts"), pa.int64()).to_numpy() // DAY
+        v3 = np.rint(t.column("value").to_numpy() * 1000
+                     ).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas().to_numpy(),
+            "half": (d >= mid).astype(np.int64),
+            "bin": np.floor(np.log2(v3.astype(np.float64))
+                            ).astype(np.int64),
+            "c": np.int64(1)})
+        return df.groupby(["event_type", "half", "bin"],
+                          as_index=False).sum()
+
+    grid = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "half", "bin"], ["c"],
+    )
+    rows = []
+    for et, g in grid.groupby("event_type"):
+        piv = g.pivot_table(index="bin", columns="half", values="c",
+                            aggfunc="sum", fill_value=0)
+        c1 = piv[0].to_numpy(np.int64) if 0 in piv else \
+            np.zeros(len(piv), np.int64)
+        c2 = piv[1].to_numpy(np.int64) if 1 in piv else \
+            np.zeros(len(piv), np.int64)
+        n1, n2 = int(c1.sum()), int(c2.sum())
+        m = (c1 > 0) & (c2 > 0)
+        p = c1[m].astype(np.float64) / float(n1)
+        qq = c2[m].astype(np.float64) / float(n2)
+        t6 = round_half_away(1e6 * (p - qq) * np.log(p / qq)
+                             ).astype(np.int64)
+        rows.append({"event_type": et, "n_first": np.int64(n1),
+                     "n_second": np.int64(n2),
+                     "psi6": np.int64(int(t6.sum()))})
+    if not rows:
+        return pd.DataFrame(columns=["event_type", "n_first",
+                                     "n_second", "psi6"])
+    return pd.DataFrame(rows).sort_values("event_type"
+                                          ).reset_index(drop=True)
