@@ -296,6 +296,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trigram_entropy": q.q_trigram_entropy,
         "value_tail_probs": q.q_value_tail_probs,
         "psi_drift": q.q_psi_drift,
+        "returnflag_priority_lift": q.q_returnflag_priority_lift,
+        "ipc_roundtrip": q.q_ipc_roundtrip,
+        "peak_hour_share": q.q_peak_hour_share,
     }
 
 
@@ -4270,5 +4273,36 @@ SELECT n0.event_type, n0.n AS n_first, n1.n AS n_second,
 FROM n n0 JOIN n n1 ON n1.event_type = n0.event_type
                    AND n0.half = 0 AND n1.half = 1
 LEFT JOIN t ON t.event_type = n0.event_type ORDER BY 1
+"""
+    # full cross grid; exact integer lift o·N·1e6 // (rowT·colT)
+    out["returnflag_priority_lift"] = """
+WITH j AS (SELECT l_returnflag AS f, o_orderpriority AS p
+           FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+g AS (SELECT f, p, CAST(count(*) AS HUGEINT) AS c FROM j GROUP BY 1, 2),
+rt AS (SELECT f, SUM(c) AS r FROM g GROUP BY 1),
+ct AS (SELECT p, SUM(c) AS col FROM g GROUP BY 1),
+nt AS (SELECT SUM(c) AS n FROM g)
+SELECT rt.f AS l_returnflag, ct.p AS o_orderpriority,
+       CAST(COALESCE(g.c, 0) AS BIGINT) AS n,
+       CAST(COALESCE(g.c, 0) * nt.n * 1000000 // (rt.r * ct.col)
+            AS BIGINT) AS lift6
+FROM rt CROSS JOIN ct CROSS JOIN nt
+LEFT JOIN g ON g.f = rt.f AND g.p = ct.p
+ORDER BY 1, 2
+"""
+    out["ipc_roundtrip"] = out["jsonl_roundtrip"]
+    # argmax hour per type, ties to the earlier hour
+    out["peak_hour_share"] = """
+WITH g AS (SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS h,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY c DESC, h ASC) AS rn
+      FROM g),
+n AS (SELECT event_type, SUM(c) AS n FROM g GROUP BY 1)
+SELECT r.event_type, CAST(r.h AS BIGINT) AS peak_hour,
+       CAST(n.n AS BIGINT) AS n,
+       CAST(r.c * 1000000 // n.n AS BIGINT) AS peak_share6
+FROM r JOIN n USING (event_type) WHERE rn = 1 ORDER BY event_type
 """
     return out

@@ -11911,3 +11911,151 @@ def q_psi_drift(sf_dir: str):
                                      "n_second", "psi6"])
     return pd.DataFrame(rows).sort_values("event_type"
                                           ).reset_index(drop=True)
+
+
+def q_returnflag_priority_lift(sf_dir: str):
+    """Association lift between line return flag and order priority —
+    observed/expected per cell, ×1e6 ("are urgent orders returned more
+    often?"). The o_orderpriority attaches to the lineitem scan from
+    the broadcast orders map (hash-join fallback past the cap — the
+    star-join posture); the partial is the bounded (flag × priority)
+    grid and every cell closes as the EXACT integer
+    lift6 = o·N·10⁶ // (rowT·colT) — no float, no χ² detour."""
+    parts = _shuffle_partitions(
+        _row_count(sf_dir, "lineitem"), _row_count(sf_dir, "orders")
+    )
+    li = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"],
+             num_blocks=parts)
+    orders = _pq(sf_dir, "orders",
+                 columns=["o_orderkey", "o_orderpriority"],
+                 num_blocks=parts)
+
+    # priorities are a bounded enum — integer-code them so the
+    # broadcast attach stays int64 end to end
+    pr = _gather_capped(
+        orders.map_batches(
+            lambda t: pd.DataFrame(
+                {"p": t.column("o_orderpriority").to_pandas()}
+            ).drop_duplicates(),
+            batch_format="pyarrow"))
+    plist = sorted(pr["p"].unique()) if pr is not None else []
+    code_of = {p: i for i, p in enumerate(plist)}
+
+    def code(t: pa.Table) -> pa.Table:
+        p = t.column("o_orderpriority").to_pandas().map(code_of)
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "pcode": pa.array(p.to_numpy(np.int64), pa.int64())})
+
+    coded = orders.map_batches(code, batch_format="pyarrow")
+    attached = _broadcast_fact_attach(
+        li, coded, "l_orderkey", "o_orderkey", ["pcode"])
+    if attached is None:  # distributed hash join past the cap
+        attached = li.join(coded, join_type="inner",
+                           num_partitions=parts,
+                           on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "flag": t.column("l_returnflag").to_pandas().to_numpy(),
+            "pcode": t.column("pcode").to_numpy(zero_copy_only=False),
+            "c": np.int64(1)})
+        return df.groupby(["flag", "pcode"], as_index=False).sum()
+
+    grid = _combine_partials(
+        attached.map_batches(partial, batch_format="pyarrow"),
+        ["flag", "pcode"], ["c"],
+    )
+    piv = grid.pivot_table(index="flag", columns="pcode", values="c",
+                           aggfunc="sum", fill_value=0)
+    obs = piv.to_numpy(np.int64)
+    n = int(obs.sum())
+    rt = obs.sum(axis=1)
+    ct = obs.sum(axis=0)
+    rows = []
+    for i, f in enumerate(piv.index):
+        for j, pc_ in enumerate(piv.columns):
+            rows.append({
+                "l_returnflag": f,
+                "o_orderpriority": plist[int(pc_)],
+                "n": np.int64(obs[i, j]),
+                "lift6": np.int64(
+                    int(obs[i, j]) * n * 10**6
+                    // (int(rt[i]) * int(ct[j])))})
+    return pd.DataFrame(rows).sort_values(
+        ["l_returnflag", "o_orderpriority"]).reset_index(drop=True)
+
+
+def q_ipc_roundtrip(sf_dir: str):
+    """Arrow IPC (Feather) sink + source parity — the third format in
+    the round-trip family (csv_roundtrip / jsonl_roundtrip), exercising
+    the manifest pattern Ray Data lacks a built-in for: every block
+    dumps itself to one .arrow file inside map_batches (parallel,
+    driver never sees rows) and returns a one-row manifest; the read
+    side fans the manifest back out and each task mmap-loads its files.
+    Gated by the shared per-source audit aggregate."""
+    import pyarrow.feather as ft
+    import shutil
+    import uuid
+
+    out_dir = os.path.join(
+        "/tmp/gocrawler_ipc", sf_dir.strip("/").replace("/", "_"))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    docs = _pq(sf_dir, "documents",
+               columns=["doc_id", "source", "n_chars"],
+               num_blocks=_n_cpus())
+
+    def dump(t: pa.Table) -> pa.Table:
+        path = os.path.join(out_dir, f"{uuid.uuid4().hex}.arrow")
+        ft.write_feather(t, path)
+        return pa.table({"path": pa.array([path], pa.string()),
+                         "rows": pa.array([t.num_rows], pa.int64())})
+
+    manifest = docs.map_batches(dump, batch_format="pyarrow"
+                                ).to_pandas()  # one row per block
+
+    def load(t: pa.Table) -> pa.Table:
+        tabs = [ft.read_table(p) for p in t.column("path").to_pylist()]
+        return pa.concat_tables(tabs)
+
+    back = rd.from_items(
+        [{"path": p} for p in manifest["path"]]
+    ).map_batches(load, batch_size=1, batch_format="pyarrow")
+    return _format_roundtrip_agg(back)
+
+
+def q_peak_hour_share(sf_dir: str):
+    """Peak activity hour per event type and the share of traffic it
+    carries (×1e6) — the load-concentration number a capacity planner
+    pairs with dow_seasonality (ties break to the earlier hour on both
+    sides). Bounded (type × 24) partial; exact integer close."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "ts"],
+             num_blocks=_n_cpus())
+    HOUR = 3_600_000_000
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas().to_numpy(),
+            "h": (ts // HOUR) % 24, "c": np.int64(1)})
+        return df.groupby(["event_type", "h"], as_index=False).sum()
+
+    grid = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "h"], ["c"],
+    )
+    rows = []
+    for et, g in grid.groupby("event_type"):
+        g = g.sort_values(["c", "h"], ascending=[False, True])
+        n = int(g["c"].sum())
+        rows.append({
+            "event_type": et,
+            "peak_hour": np.int64(g["h"].iloc[0]),
+            "n": np.int64(n),
+            "peak_share6": np.int64(int(g["c"].iloc[0]) * 10**6 // n)})
+    if not rows:
+        return pd.DataFrame(columns=["event_type", "peak_hour", "n",
+                                     "peak_share6"])
+    return pd.DataFrame(rows).sort_values("event_type"
+                                          ).reset_index(drop=True)

@@ -295,3 +295,14 @@ def test_supplier_hhi_fallback_matches_broadcast(monkeypatch):
     monkeypatch.setattr(q, "_broadcast_fact_attach", lambda *x, **k: None)
     b = q.q_supplier_hhi(SF_DIR)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_returnflag_lift_fallback_matches_broadcast(monkeypatch):
+    """Past the orders-map cap, the priority attach runs as a
+    distributed hash join — identical lift grid."""
+    from gocrawler_ray.pipelines import queries as q
+
+    a = q.q_returnflag_priority_lift(SF_DIR)
+    monkeypatch.setattr(q, "_broadcast_fact_attach", lambda *x, **k: None)
+    b = q.q_returnflag_priority_lift(SF_DIR)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
