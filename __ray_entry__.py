@@ -299,6 +299,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returnflag_priority_lift": q.q_returnflag_priority_lift,
         "ipc_roundtrip": q.q_ipc_roundtrip,
         "peak_hour_share": q.q_peak_hour_share,
+        "new_vs_returning": q.q_new_vs_returning,
+        "crawl_fairness": q.q_crawl_fairness,
     }
 
 
@@ -4304,5 +4306,41 @@ SELECT r.event_type, CAST(r.h AS BIGINT) AS peak_hour,
        CAST(n.n AS BIGINT) AS n,
        CAST(r.c * 1000000 // n.n AS BIGINT) AS peak_share6
 FROM r JOIN n USING (event_type) WHERE rn = 1 ORDER BY event_type
+"""
+    # first-order-month split; months since 1970-01 on both sides
+    out["new_vs_returning"] = """
+WITH o AS (SELECT o_custkey,
+                  (year(o_orderdate) - 1970) * 12
+                    + month(o_orderdate) - 1 AS m,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+f AS (SELECT o_custkey, min(m) AS fm FROM o GROUP BY 1),
+j AS (SELECT o.m, CASE WHEN o.m = f.fm THEN 1 ELSE 0 END AS is_new,
+             o.cents
+      FROM o JOIN f USING (o_custkey)),
+g AS (SELECT m, CAST(SUM(is_new) AS BIGINT) AS n_new,
+             CAST(count(*) - SUM(is_new) AS BIGINT) AS n_ret,
+             CAST(SUM(CASE WHEN is_new = 1 THEN cents ELSE 0 END)
+                  AS BIGINT) AS new_cents,
+             CAST(SUM(CASE WHEN is_new = 0 THEN cents ELSE 0 END)
+                  AS BIGINT) AS ret_cents
+      FROM j GROUP BY 1)
+SELECT CAST(m AS BIGINT) AS month, n_new, n_ret, new_cents, ret_cents,
+       CAST(new_cents * 1000000 // (new_cents + ret_cents) AS BIGINT)
+         AS new_share6
+FROM g ORDER BY month
+"""
+    # Jain fairness over per-host fetched counts (crawled reachable set)
+    out["crawl_fairness"] = _BFS_CTE + """,
+mindepth AS (SELECT node FROM r GROUP BY node),
+h AS (SELECT 'www.synthd' || CAST(node % 3 AS VARCHAR) || '.mx' AS host
+      FROM mindepth),
+g AS (SELECT host, CAST(count(*) AS HUGEINT) AS x FROM h GROUP BY 1),
+t AS (SELECT CAST(count(*) AS HUGEINT) AS n, SUM(x) AS sx,
+             SUM(x*x) AS sxx
+      FROM g)
+SELECT CAST(n AS BIGINT) AS n_hosts, CAST(sx AS BIGINT) AS n_pages,
+       CAST(sx * sx * 1000000 // (n * sxx) AS BIGINT) AS jain6
+FROM t
 """
     return out

@@ -12059,3 +12059,106 @@ def q_peak_hour_share(sf_dir: str):
                                      "peak_share6"])
     return pd.DataFrame(rows).sort_values("event_type"
                                           ).reset_index(drop=True)
+
+
+def q_new_vs_returning(sf_dir: str):
+    """Monthly revenue split between NEW customers (first-ever order
+    that month) and returning ones — the growth-quality decomposition
+    behind ltv_cohorts ("is revenue growth acquisition or retention?").
+    Per-customer first month comes from one pre-reduced groupby-min
+    (batch partials compact the stream before the shuffle); it attaches
+    to the order scan via the broadcast map (hash-join fallback past
+    the cap) and the CALENDAR-bounded (month, new?) partial closes with
+    exact cents and integer-floor shares."""
+    parts = _shuffle_partitions(_row_count(sf_dir, "orders"))
+    orders = _pq(sf_dir, "orders",
+                 columns=["o_custkey", "o_orderdate", "o_totalprice"],
+                 num_blocks=parts)
+
+    def to_cm(t: pa.Table) -> pa.Table:
+        m = (t.column("o_orderdate").to_numpy(zero_copy_only=False)
+             .astype("datetime64[M]").astype(np.int64))
+        cents = np.rint(t.column("o_totalprice").to_numpy() * 100
+                        ).astype(np.int64)
+        return pa.table({
+            "ck": t.column("o_custkey"),
+            "m": pa.array(m, pa.int64()),
+            "cents": pa.array(cents, pa.int64())})
+
+    fact = orders.map_batches(to_cm, batch_format="pyarrow")
+    firsts = (
+        fact.map_batches(
+            lambda t: pd.DataFrame(
+                {"ck": t.column("ck").to_numpy(zero_copy_only=False),
+                 "m": t.column("m").to_numpy(zero_copy_only=False)}
+            ).groupby("ck", as_index=False).min(),
+            batch_format="pyarrow")
+        .groupby("ck").min("m")
+        .map_batches(
+            lambda t: pa.table({
+                "ck": t.column("ck"),
+                "fm": pc.cast(t.column("min(m)"), pa.int64())}),
+            batch_format="pyarrow")
+    )
+    attached = _broadcast_fact_attach(fact, firsts, "ck", "ck", ["fm"])
+    if attached is None:  # distributed hash join past the cap
+        attached = fact.join(
+            firsts.map_batches(
+                lambda t: t.rename_columns(["ck2", "fm"]),
+                batch_format="pyarrow"),
+            join_type="inner", num_partitions=parts,
+            on=("ck",), right_on=("ck2",))
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        m = t.column("m").to_numpy(zero_copy_only=False)
+        new = (m == t.column("fm").to_numpy(zero_copy_only=False)
+               ).astype(np.int64)
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        return pd.DataFrame({
+            "month": m, "n_new": new, "n_ret": 1 - new,
+            "new_cents": np.where(new == 1, cents, 0),
+            "ret_cents": np.where(new == 0, cents, 0),
+        }).groupby("month", as_index=False).sum()
+
+    g = _combine_partials(
+        attached.map_batches(partial, batch_format="pyarrow"),
+        ["month"], ["n_new", "n_ret", "new_cents", "ret_cents"],
+    ).sort_values("month")
+    return pd.DataFrame({
+        "month": g["month"].to_numpy(np.int64),
+        "n_new": g["n_new"].to_numpy(np.int64),
+        "n_ret": g["n_ret"].to_numpy(np.int64),
+        "new_cents": g["new_cents"].to_numpy(np.int64),
+        "ret_cents": g["ret_cents"].to_numpy(np.int64),
+        "new_share6": np.array(
+            [int(a) * 10**6 // (int(a) + int(b)) for a, b in
+             zip(g["new_cents"], g["ret_cents"])], np.int64),
+    }).reset_index(drop=True)
+
+
+def q_crawl_fairness(sf_dir: str):
+    """Jain's fairness index over per-host fetched-page counts from the
+    engine crawl's checkpoint — the single number behind
+    slot_apportionment ("did the politeness scheduler starve a host?").
+    Jain = (Σx)²/(n·Σx²) closes as an exact ×1e6 integer floor over the
+    host-bounded count combine; 1e6 = perfectly even, 1e6/n = one host
+    took everything."""
+    ckpt = _derived_crawl_ckpt(sf_dir)
+    from ..sources.tables import read_dataset
+
+    docs = read_dataset(os.path.join(ckpt, "docs"), columns=["host"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"host": t.column("host").to_pandas(),
+                           "x": np.int64(1)})
+        return df.groupby("host", as_index=False).sum()
+
+    g = _combine_partials(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["host"], ["x"],
+    )
+    xs = [int(x) for x in g["x"]]
+    n, sx, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+    return pd.DataFrame({
+        "n_hosts": [np.int64(n)], "n_pages": [np.int64(sx)],
+        "jain6": [np.int64(sx * sx * 10**6 // (n * sxx))]})

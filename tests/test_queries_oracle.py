@@ -306,3 +306,14 @@ def test_returnflag_lift_fallback_matches_broadcast(monkeypatch):
     monkeypatch.setattr(q, "_broadcast_fact_attach", lambda *x, **k: None)
     b = q.q_returnflag_priority_lift(SF_DIR)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_new_vs_returning_fallback_matches_broadcast(monkeypatch):
+    """Past the first-month-map cap, the fm attach runs as a
+    distributed hash join — identical monthly split."""
+    from gocrawler_ray.pipelines import queries as q
+
+    a = q.q_new_vs_returning(SF_DIR)
+    monkeypatch.setattr(q, "_broadcast_fact_attach", lambda *x, **k: None)
+    b = q.q_new_vs_returning(SF_DIR)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
