@@ -301,6 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_hour_share": q.q_peak_hour_share,
         "new_vs_returning": q.q_new_vs_returning,
         "crawl_fairness": q.q_crawl_fairness,
+        "scc_stats": q.q_scc_stats,
     }
 
 
@@ -4342,5 +4343,30 @@ t AS (SELECT CAST(count(*) AS HUGEINT) AS n, SUM(x) AS sx,
 SELECT CAST(n AS BIGINT) AS n_hosts, CAST(sx AS BIGINT) AS n_pages,
        CAST(sx * sx * 1000000 // (n * sxx) AS BIGINT) AS jain6
 FROM t
+"""
+    # SCC via full recursive reachability closure: label = min mutual
+    # partner; histogram of component sizes
+    out["scc_stats"] = """
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (7*doc_id+1) % nn.n AS dst
+  FROM documents, nn WHERE doc_id % 37 != 3
+  UNION ALL SELECT doc_id, (13*doc_id+2) % nn.n
+  FROM documents, nn WHERE doc_id % 37 != 3
+  UNION ALL SELECT doc_id, (29*doc_id+5) % nn.n
+  FROM documents, nn WHERE doc_id % 37 != 3),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+mut AS (SELECT r1.src AS v, r1.dst AS u FROM reach r1
+        JOIN reach r2 ON r2.src = r1.dst AND r2.dst = r1.src),
+lab AS (SELECT d.doc_id AS v,
+               least(d.doc_id, COALESCE(min(m.u), d.doc_id)) AS l
+        FROM documents d LEFT JOIN mut m ON m.v = d.doc_id
+        GROUP BY d.doc_id),
+sz AS (SELECT l, CAST(count(*) AS BIGINT) AS s FROM lab GROUP BY 1)
+SELECT CAST(s AS BIGINT) AS scc_size, CAST(count(*) AS BIGINT) AS n_sccs
+FROM sz GROUP BY 1 ORDER BY 1
 """
     return out

@@ -12162,3 +12162,181 @@ def q_crawl_fairness(sf_dir: str):
     return pd.DataFrame({
         "n_hosts": [np.int64(n)], "n_pages": [np.int64(sx)],
         "jain6": [np.int64(sx * sx * 10**6 // (n * sxx))]})
+
+
+def _minmerge_stream(parts: rd.Dataset, n: int, init: np.ndarray,
+                     vcol: str = "v", lcol: str = "l") -> np.ndarray:
+    """Node-bounded min-combine: stream (v, label) partials and fold
+    them into ``init`` with np.minimum.at — the min-aggregation twin of
+    _combine_partials (which only sums), used by the label-propagation
+    family whose per-node state is the pagerank/kcore node budget."""
+    lab = init.copy()
+    for b in parts.iter_batches(batch_size=65536, batch_format="pandas"):
+        if len(b):
+            np.minimum.at(lab, b[vcol].to_numpy(np.int64),
+                          b[lcol].to_numpy(np.int64))
+    return lab
+
+
+def _scc_labels(n: int, edf, edges: rd.Dataset,
+                max_rounds: int = 64) -> np.ndarray:
+    """SCC label per node (= min doc_id in its SCC). With a gathered
+    edge frame: one iterative Tarjan sweep on the driver. With
+    ``edf=None``: FW-BW-TRIM — per-node state stays node-bounded (the
+    pagerank/kcore budget) while every propagation round is ONE
+    distributed map_batches scan of the edge Dataset: (1) TRIM peels
+    zero-in/out-degree nodes (kills tendrils and chains, the classic
+    FW-BW weakness), (2) forward and backward min-label fixpoints F/B,
+    (3) nodes with F=B join SCC(F) and deactivate — at least the
+    minimum active node's whole SCC resolves per outer round."""
+    INF = np.int64(2**62)
+
+    if edf is not None:  # driver Tarjan (iterative, CSR)
+        s = edf["src"].to_numpy(np.int64)
+        d = edf["dst"].to_numpy(np.int64)
+        order = np.argsort(s, kind="stable")
+        s, d = s[order], d[order]
+        starts = np.searchsorted(s, np.arange(n))
+        ends = np.searchsorted(s, np.arange(n) + 1)
+        index = np.full(n, -1, np.int64)
+        low = np.zeros(n, np.int64)
+        onstk = np.zeros(n, bool)
+        stack: list[int] = []
+        scc = np.full(n, -1, np.int64)
+        counter = 0
+        for root in range(n):
+            if index[root] != -1:
+                continue
+            index[root] = low[root] = counter
+            counter += 1
+            stack.append(root)
+            onstk[root] = True
+            work = [(root, int(starts[root]))]
+            while work:
+                v, ptr = work[-1]
+                if ptr < ends[v]:
+                    work[-1] = (v, ptr + 1)
+                    w = int(d[ptr])
+                    if index[w] == -1:
+                        index[w] = low[w] = counter
+                        counter += 1
+                        stack.append(w)
+                        onstk[w] = True
+                        work.append((w, int(starts[w])))
+                    elif onstk[w]:
+                        low[v] = min(low[v], index[w])
+                else:
+                    work.pop()
+                    if work:
+                        pv = work[-1][0]
+                        low[pv] = min(low[pv], low[v])
+                    if low[v] == index[v]:
+                        comp = []
+                        while True:
+                            w = stack.pop()
+                            onstk[w] = False
+                            comp.append(w)
+                            if w == v:
+                                break
+                        mn = min(comp)
+                        for w in comp:
+                            scc[w] = mn
+        return scc
+
+    scc = np.full(n, -1, np.int64)
+    active = np.ones(n, bool)
+    for _outer in range(max_rounds):
+        while True:  # TRIM: iterated zero-degree peel
+            ref = ray.put(active)
+
+            def deg_partial(t: pa.Table) -> pd.DataFrame:
+                act = ray.get(ref)
+                s = t.column("src").to_numpy(zero_copy_only=False)
+                d = t.column("dst").to_numpy(zero_copy_only=False)
+                m = act[s] & act[d]
+                df = pd.DataFrame({
+                    "v": np.concatenate([s[m], d[m]]),
+                    "outd": np.concatenate([
+                        np.ones(int(m.sum()), np.int64),
+                        np.zeros(int(m.sum()), np.int64)]),
+                    "ind": np.concatenate([
+                        np.zeros(int(m.sum()), np.int64),
+                        np.ones(int(m.sum()), np.int64)])})
+                return df.groupby("v", as_index=False).sum()
+
+            deg = _combine_partials(
+                edges.map_batches(deg_partial, batch_format="pyarrow"),
+                ["v"], ["outd", "ind"],
+            )
+            outd = np.zeros(n, np.int64)
+            ind = np.zeros(n, np.int64)
+            if len(deg):
+                vv = deg["v"].to_numpy(np.int64)
+                outd[vv] = deg["outd"].to_numpy(np.int64)
+                ind[vv] = deg["ind"].to_numpy(np.int64)
+            trim = active & ((outd == 0) | (ind == 0))
+            if not trim.any():
+                break
+            scc[trim] = np.flatnonzero(trim)
+            active &= ~trim
+        if not active.any():
+            break
+
+        def fixpoint(reverse: bool) -> np.ndarray:
+            lab = np.where(active, np.arange(n, dtype=np.int64), INF)
+            for _r in range(max_rounds):
+                ref2 = ray.put((active, lab))
+                sc, dc = ("dst", "src") if reverse else ("src", "dst")
+
+                def prop(t: pa.Table) -> pd.DataFrame:
+                    act, lb = ray.get(ref2)
+                    s = t.column(sc).to_numpy(zero_copy_only=False)
+                    d = t.column(dc).to_numpy(zero_copy_only=False)
+                    m = act[s] & act[d]
+                    df = pd.DataFrame({"v": d[m], "l": lb[s[m]]})
+                    return df.groupby("v", as_index=False).min()
+
+                new = _minmerge_stream(
+                    edges.map_batches(prop, batch_format="pyarrow"),
+                    n, lab)
+                if np.array_equal(new, lab):
+                    return lab
+                lab = new
+            return lab
+
+        F = fixpoint(reverse=False)
+        B = fixpoint(reverse=True)
+        done = active & (F == B) & (F < INF)
+        if not done.any():  # safety: cannot progress further
+            scc[active] = np.flatnonzero(active)
+            break
+        scc[done] = F[done]
+        active &= ~done
+        if not active.any():
+            break
+    scc[scc < 0] = np.flatnonzero(scc < 0)  # round-cap stragglers
+    return scc
+
+
+def q_scc_stats(sf_dir: str):
+    """Strongly connected components of the directed link graph — the
+    DIRECTED counterpart of connected_components (a page cluster that
+    links back and forth is a crawl trap candidate; one-way tendrils
+    are not). Driver Tarjan under the edge cap; past it the FW-BW-TRIM
+    plan in _scc_labels keeps per-node state node-bounded and runs
+    every propagation round as one distributed edge scan. Output: the
+    SCC size histogram (label = min doc_id, same as the oracle's
+    recursive mutual-reachability closure)."""
+    from ..stages.graph import edges_dataset
+
+    n = _doc_count(sf_dir)
+    parts = _shuffle_partitions(4 * n)
+    docs = _pq(sf_dir, "documents", columns=["doc_id"], num_blocks=parts)
+    edges = edges_dataset(docs, n)
+    edf = _gather_capped(edges)
+    scc = _scc_labels(n, edf, edges)
+    sizes = np.bincount(scc)
+    sizes = sizes[sizes > 0]
+    uq, cnt = np.unique(sizes, return_counts=True)
+    return pd.DataFrame({"scc_size": uq.astype(np.int64),
+                         "n_sccs": cnt.astype(np.int64)})

@@ -317,3 +317,15 @@ def test_new_vs_returning_fallback_matches_broadcast(monkeypatch):
     monkeypatch.setattr(q, "_broadcast_fact_attach", lambda *x, **k: None)
     b = q.q_new_vs_returning(SF_DIR)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_scc_distributed_plan_matches_tarjan(monkeypatch):
+    """Past the edge cap, scc_stats runs the FW-BW-TRIM distributed
+    plan (node-bounded state, per-round edge scans) — identical SCC
+    size histogram to the driver Tarjan sweep."""
+    from gocrawler_ray.pipelines import queries as q
+
+    a = q.q_scc_stats(SF_DIR)
+    monkeypatch.setattr(q, "_gather_capped", lambda *x, **k: None)
+    b = q.q_scc_stats(SF_DIR)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
