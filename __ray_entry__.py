@@ -302,6 +302,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "new_vs_returning": q.q_new_vs_returning,
         "crawl_fairness": q.q_crawl_fairness,
         "scc_stats": q.q_scc_stats,
+        "type_hour_ruzicka": q.q_type_hour_ruzicka,
+        "orphan_pages": q.q_orphan_pages,
+        "chars_tokens_corr": q.q_chars_tokens_corr,
     }
 
 
@@ -4368,5 +4371,56 @@ lab AS (SELECT d.doc_id AS v,
 sz AS (SELECT l, CAST(count(*) AS BIGINT) AS s FROM lab GROUP BY 1)
 SELECT CAST(s AS BIGINT) AS scc_size, CAST(count(*) AS BIGINT) AS n_sccs
 FROM sz GROUP BY 1 ORDER BY 1
+"""
+    # weighted Jaccard over dense 24-hour profiles (zeros included)
+    out["type_hour_ruzicka"] = """
+WITH g AS (SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS h,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+ty AS (SELECT DISTINCT event_type FROM g),
+hr AS (SELECT unnest(range(24)) AS h),
+fg AS (SELECT ty.event_type, hr.h, COALESCE(g.c, 0) AS c
+       FROM ty CROSS JOIN hr
+       LEFT JOIN g ON g.event_type = ty.event_type AND g.h = hr.h),
+p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+             CAST(SUM(least(a.c, b.c)) AS BIGINT) AS smin,
+             CAST(SUM(greatest(a.c, b.c)) AS BIGINT) AS smax
+      FROM fg a JOIN fg b ON a.h = b.h
+                         AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+SELECT ta AS type_a, tb AS type_b, smin AS n_min,
+       CAST(CASE WHEN smax = 0 THEN 0
+            ELSE smin * 1000000 // smax END AS BIGINT) AS ruz6
+FROM p ORDER BY 1, 2
+"""
+    # in-degree-0 inventory per host
+    out["orphan_pages"] = _EDGES_CTE + """,
+indeg AS (SELECT dst AS v, count(*) AS c FROM edges GROUP BY 1),
+h AS (SELECT 'www.synthd' || CAST(doc_id % 3 AS VARCHAR) || '.mx'
+        AS host,
+      CASE WHEN i.v IS NULL THEN 1 ELSE 0 END AS orph
+      FROM documents LEFT JOIN indeg i ON i.v = doc_id)
+SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(SUM(orph) AS BIGINT) AS n_orphans
+FROM h GROUP BY 1 ORDER BY 1
+"""
+    # Pearson r between n_chars and whitespace token count per source
+    out["chars_tokens_corr"] = """
+WITH w AS (SELECT source, CAST(n_chars AS BIGINT) AS x,
+                  CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+                    AS y
+           FROM documents),
+m AS (SELECT source, CAST(count(*) AS HUGEINT) AS m,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x*y) AS HUGEINT) AS sxy,
+             CAST(SUM(x*x) AS HUGEINT) AS sxx,
+             CAST(SUM(y*y) AS HUGEINT) AS syy
+      FROM w GROUP BY 1)
+SELECT source, CAST(m AS BIGINT) AS n_docs,
+       round(CAST(m*sxy - sx*sy AS DOUBLE)
+             / (sqrt(CAST(m*sxx - sx*sx AS DOUBLE))
+                * sqrt(CAST(m*syy - sy*sy AS DOUBLE))), 6) AS corr
+FROM m ORDER BY source
 """
     return out

@@ -12340,3 +12340,134 @@ def q_scc_stats(sf_dir: str):
     uq, cnt = np.unique(sizes, return_counts=True)
     return pd.DataFrame({"scc_size": uq.astype(np.int64),
                          "n_sccs": cnt.astype(np.int64)})
+
+
+def q_type_hour_ruzicka(sf_dir: str):
+    """Weighted (Ruzicka) Jaccard between event types' 24-hour count
+    profiles — Σmin/Σmax over aligned hours, the magnitude-aware
+    companion to type_hour_cosine (cosine forgives scale; Ruzicka
+    punishes a type that is 10× busier at the same hours). Bounded
+    (type × 24) partial; every pair closes as exact integer
+    Σmin·1e6 // Σmax."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "ts"],
+             num_blocks=_n_cpus())
+    HOUR = 3_600_000_000
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas().to_numpy(),
+            "h": (ts // HOUR) % 24, "c": np.int64(1)})
+        return df.groupby(["event_type", "h"], as_index=False).sum()
+
+    grid = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "h"], ["c"],
+    )
+    prof = {}
+    for et, g in grid.groupby("event_type"):
+        v = np.zeros(24, dtype=np.int64)
+        v[g["h"].to_numpy(np.int64)] = g["c"].to_numpy(np.int64)
+        prof[et] = v
+    ets = sorted(prof)
+    rows = []
+    for i, a in enumerate(ets):
+        for b in ets[i + 1:]:
+            smin = int(np.minimum(prof[a], prof[b]).sum())
+            smax = int(np.maximum(prof[a], prof[b]).sum())
+            rows.append({
+                "type_a": a, "type_b": b, "n_min": np.int64(smin),
+                "ruz6": np.int64(smin * 10**6 // smax if smax else 0)})
+    if not rows:
+        return pd.DataFrame(columns=["type_a", "type_b", "n_min",
+                                     "ruz6"])
+    return pd.DataFrame(rows).sort_values(["type_a", "type_b"]
+                                          ).reset_index(drop=True)
+
+
+def q_orphan_pages(sf_dir: str):
+    """Orphan pages (in-degree 0 — discoverable only from the seed
+    list) per host: the dark-matter inventory a crawl-coverage audit
+    starts from. In-degrees combine node-bounded, broadcast once via
+    ray.put into the document scan; per-host counters close exact."""
+    from ..stages.graph import edges_dataset
+
+    n = _doc_count(sf_dir)
+    parts = _shuffle_partitions(4 * n)
+    docs = _pq(sf_dir, "documents", columns=["doc_id"], num_blocks=parts)
+    edges = edges_dataset(docs, n)
+
+    def dst_partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "v": t.column("dst").to_numpy(zero_copy_only=False),
+            "c": np.int64(1)})
+        return df.groupby("v", as_index=False).sum()
+
+    ind = _combine_partials(
+        edges.map_batches(dst_partial, batch_format="pyarrow"),
+        ["v"], ["c"],
+    )
+    indeg = np.zeros(n, dtype=np.int64)
+    indeg[ind["v"].to_numpy(np.int64)] = ind["c"].to_numpy(np.int64)
+    ref = ray.put(indeg)
+
+    def host_partial(t: pa.Table) -> pd.DataFrame:
+        deg = ray.get(ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False
+                                          ).astype(np.int64)
+        df = pd.DataFrame({
+            "h": ids % 3, "n_pages": np.int64(1),
+            "n_orphans": (deg[ids] == 0).astype(np.int64)})
+        return df.groupby("h", as_index=False).sum()
+
+    g = _combine_partials(
+        docs.map_batches(host_partial, batch_format="pyarrow"),
+        ["h"], ["n_pages", "n_orphans"],
+    ).sort_values("h")
+    return pd.DataFrame({
+        "host": [f"www.synthd{int(h)}.mx" for h in g["h"]],
+        "n_pages": g["n_pages"].to_numpy(np.int64),
+        "n_orphans": g["n_orphans"].to_numpy(np.int64),
+    }).reset_index(drop=True)
+
+
+def q_chars_tokens_corr(sf_dir: str):
+    """Per-source Pearson correlation between document char length and
+    whitespace token count — the tokenizer sanity screen (a source
+    whose chars and tokens decorrelate is full of unsegmented blobs or
+    markup). Integer moment partials per source (bounded combine);
+    each r closes with the assortativity expression tree — the only
+    floats are the final casts/sqrts the oracle replicates."""
+    docs = _pq(sf_dir, "documents",
+               columns=["source", "text", "n_chars"],
+               num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        texts = t.column("text").to_pandas()
+        _, di = _flat_tokens(texts)
+        tk = np.bincount(di, minlength=len(texts)).astype(np.int64)
+        x = t.column("n_chars").to_numpy(zero_copy_only=False
+                                         ).astype(np.int64)
+        df = pd.DataFrame({
+            "source": t.column("source").to_pandas().to_numpy(),
+            "m": np.int64(1), "sx": x, "sy": tk, "sxy": x * tk,
+            "sxx": x * x, "syy": tk * tk})
+        return df.groupby("source", as_index=False).sum()
+
+    out = _combine_partials(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["source"], ["m", "sx", "sy", "sxy", "sxx", "syy"],
+    )
+    rows = []
+    for r_ in out.itertuples():
+        m, sx, sy = int(r_.m), int(r_.sx), int(r_.sy)
+        sxy, sxx, syy = int(r_.sxy), int(r_.sxx), int(r_.syy)
+        num = m * sxy - sx * sy
+        vx, vy = m * sxx - sx * sx, m * syy - sy * sy
+        corr = float(num) / (np.sqrt(float(vx)) * np.sqrt(float(vy)))
+        rows.append({"source": r_.source, "n_docs": np.int64(m),
+                     "corr": round_half_away(np.array([corr]), 6)[0]})
+    if not rows:
+        return pd.DataFrame(columns=["source", "n_docs", "corr"])
+    return pd.DataFrame(rows).sort_values("source"
+                                          ).reset_index(drop=True)
