@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_hour_ruzicka": q.q_type_hour_ruzicka,
         "orphan_pages": q.q_orphan_pages,
         "chars_tokens_corr": q.q_chars_tokens_corr,
+        "gap_fill_ffill": q.q_gap_fill_ffill,
     }
 
 
@@ -4422,5 +4423,23 @@ SELECT source, CAST(m AS BIGINT) AS n_docs,
              / (sqrt(CAST(m*sxx - sx*sx AS DOUBLE))
                 * sqrt(CAST(m*syy - sy*sy AS DOUBLE))), 6) AS corr
 FROM m ORDER BY source
+"""
+    # dense day spine + forward fill over daily revenue cents
+    out["gap_fill_ffill"] = """
+WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+spine AS (SELECT unnest(range((SELECT min(day) FROM d),
+                              (SELECT max(day) FROM d) + 1)) AS day),
+j AS (SELECT spine.day, d.cents,
+             CASE WHEN d.day IS NULL THEN 1 ELSE 0 END AS was_missing
+      FROM spine LEFT JOIN d ON d.day = spine.day)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(last_value(cents IGNORE NULLS) OVER
+              (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS rev_cents,
+       CAST(was_missing AS BIGINT) AS was_missing
+FROM j ORDER BY day
 """
     return out

@@ -12471,3 +12471,37 @@ def q_chars_tokens_corr(sf_dir: str):
         return pd.DataFrame(columns=["source", "n_docs", "corr"])
     return pd.DataFrame(rows).sort_values("source"
                                           ).reset_index(drop=True)
+
+
+def q_gap_fill_ffill(sf_dir: str):
+    """Calendar densification + forward fill of the daily revenue
+    series: every day in [min, max] gets a row, missing days carry the
+    last observed value and a was_missing flag — the gap-repair step
+    every downstream forecaster assumes has already happened
+    (missing_days finds the holes; this closes them). Daily cents are
+    the shared calendar-bounded combine; the spine + fill is one driver
+    cumsum-index trick over ≤ a few thousand rows at any corpus
+    size."""
+    o = _pq(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"],
+            num_blocks=_n_cpus())
+    DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        d = pc.cast(t.column("o_orderdate"), pa.int64()).to_numpy() // DAY
+        cents = np.rint(t.column("o_totalprice").to_numpy() * 100
+                        ).astype(np.int64)
+        return pd.DataFrame({"day": d, "cents": cents}
+                            ).groupby("day", as_index=False).sum()
+
+    g = _combine_partials(
+        o.map_batches(partial, batch_format="pyarrow"),
+        ["day"], ["cents"],
+    ).sort_values("day")
+    days = g["day"].to_numpy(np.int64)
+    cents = g["cents"].to_numpy(np.int64)
+    spine = np.arange(days[0], days[-1] + 1, dtype=np.int64)
+    idx = np.searchsorted(days, spine, side="right") - 1
+    return pd.DataFrame({
+        "day": spine,
+        "rev_cents": cents[idx],
+        "was_missing": (~np.isin(spine, days)).astype(np.int64)})

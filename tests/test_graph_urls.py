@@ -166,3 +166,28 @@ def test_damped_pagerank_matches_numpy_floor_iteration(ray_session, dense_thresh
         w = nxt
     got = df.set_index("doc_id")["pr"].sort_index().to_numpy()
     assert (got == w).all()
+
+
+def test_scc_fwbw_matches_tarjan_on_random_graphs():
+    """The FW-BW-TRIM distributed SCC plan and the driver Tarjan sweep
+    are independent implementations — pit them against each other on
+    seeded random digraphs (including self-loops, chains and cycles)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gocrawler_ray.pipelines.queries import _scc_labels
+
+    rng = np.random.default_rng(7)
+    for trial in range(6):
+        n = int(rng.integers(5, 40))
+        m = int(rng.integers(0, 4 * n))
+        src = rng.integers(0, n, size=m).astype(np.int64)
+        dst = rng.integers(0, n, size=m).astype(np.int64)
+        edf = pd.DataFrame({"src": src, "dst": dst})
+        edges = rd.from_pandas(edf) if m else rd.from_pandas(
+            pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                          "dst": pd.Series([], dtype=np.int64)}))
+        a = _scc_labels(n, edf, edges)
+        b = _scc_labels(n, None, edges)
+        np.testing.assert_array_equal(a, b, err_msg=f"trial {trial}")
