@@ -306,6 +306,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orphan_pages": q.q_orphan_pages,
         "chars_tokens_corr": q.q_chars_tokens_corr,
         "gap_fill_ffill": q.q_gap_fill_ffill,
+        "langid_kappa": q.q_langid_kappa,
+        "backlog_aging": q.q_backlog_aging,
     }
 
 
@@ -4441,5 +4443,55 @@ SELECT CAST(day AS BIGINT) AS day,
                AND CURRENT ROW) AS BIGINT) AS rev_cents,
        CAST(was_missing AS BIGINT) AS was_missing
 FROM j ORDER BY day
+"""
+    # chance-corrected agreement between lang_id heuristic and truth
+    out["langid_kappa"] = f"""
+WITH s AS (
+  SELECT lang,
+         {s_de} AS s_de, {s_en} AS s_en, {s_es} AS s_es, {s_fr} AS s_fr
+  FROM documents),
+g AS (SELECT lang,
+  CASE
+    WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+    WHEN s_es >= s_fr THEN 'es'
+    ELSE 'fr' END AS guess
+  FROM s),
+c AS (SELECT lang, guess, CAST(count(*) AS HUGEINT) AS c
+      FROM g GROUP BY 1, 2),
+t AS (SELECT CAST(SUM(c) AS HUGEINT) AS n,
+             CAST(SUM(CASE WHEN lang = guess THEN c ELSE 0 END)
+                  AS HUGEINT) AS diag
+      FROM c),
+rt AS (SELECT lang AS lb, SUM(c) AS r FROM c GROUP BY 1),
+ct AS (SELECT guess AS lb, SUM(c) AS col FROM c GROUP BY 1),
+pe AS (SELECT CAST(COALESCE(SUM(rt.r * ct.col), 0) AS HUGEINT) AS pn
+       FROM rt JOIN ct USING (lb))
+SELECT CAST(t.n AS BIGINT) AS n, CAST(t.diag AS BIGINT) AS n_agree,
+       CAST(t.diag * 1000000 // t.n AS BIGINT) AS po6,
+       CAST((t.n * t.diag - pe.pn) * 1000000 // (t.n * t.n - pe.pn)
+            AS BIGINT) AS kappa6
+FROM t, pe
+"""
+    # backlog snapshot at the order-date midpoint; age bands
+    out["backlog_aging"] = """
+WITH r AS (SELECT l_orderkey AS ok,
+                  max(epoch_us(l_shipdate)) // 86400000000 AS rd
+           FROM lineitem GROUP BY 1),
+o AS (SELECT o_orderkey AS ok,
+             epoch_us(o_orderdate) // 86400000000 AS od,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+d AS (SELECT (min(od) + max(od)) // 2 AS snap FROM o),
+op AS (SELECT o.od, o.cents FROM o JOIN r USING (ok), d
+       WHERE o.od <= d.snap AND r.rd > d.snap),
+b AS (SELECT CASE WHEN d.snap - od <= 30 THEN '000-030'
+                  WHEN d.snap - od <= 90 THEN '031-090'
+                  ELSE '090+' END AS bucket, cents
+      FROM op, d)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM b GROUP BY 1 ORDER BY 1
 """
     return out

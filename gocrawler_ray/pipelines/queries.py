@@ -12505,3 +12505,140 @@ def q_gap_fill_ffill(sf_dir: str):
         "day": spine,
         "rev_cents": cents[idx],
         "was_missing": (~np.isin(spine, days)).astype(np.int64)})
+
+
+def q_langid_kappa(sf_dir: str):
+    """Cohen's kappa between the engine's stopword-profile language ID
+    (stages/textstats.lang_id — the fasttext-shaped stub) and the
+    corpus ground-truth lang label: chance-corrected agreement, the
+    honest version of raw accuracy when one language dominates. The
+    partial is the bounded (lang × guess) confusion grid; po, pe and
+    kappa close as exact unbounded-int arithmetic with kappa6 the
+    ×1e6 trunc-div (N·Σdiag − Σrᵢcᵢ) / (N² − Σrᵢcᵢ) the oracle
+    replicates in HUGEINT."""
+    from ..stages.textstats import lang_id
+
+    docs = _pq(sf_dir, "documents", columns=["lang", "text"],
+               num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        g = lang_id(t)
+        df = pd.DataFrame({
+            "lang": g.column("lang").to_pandas().to_numpy(),
+            "guess": g.column("lang_guess").to_pandas().to_numpy(),
+            "c": np.int64(1)})
+        return df.groupby(["lang", "guess"], as_index=False).sum()
+
+    grid = _combine_partials(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "guess"], ["c"],
+    )
+    N = int(grid["c"].sum())
+    diag = int(grid.loc[grid["lang"] == grid["guess"], "c"].sum())
+    rows_t = grid.groupby("lang")["c"].sum()
+    cols_t = grid.groupby("guess")["c"].sum()
+    labels = set(rows_t.index) | set(cols_t.index)
+    pe_num = sum(int(rows_t.get(lb, 0)) * int(cols_t.get(lb, 0))
+                 for lb in labels)
+    kappa6 = _tdiv((N * diag - pe_num) * 10**6, N * N - pe_num)
+    return pd.DataFrame({
+        "n": [np.int64(N)], "n_agree": [np.int64(diag)],
+        "po6": [np.int64(diag * 10**6 // N)],
+        "kappa6": [np.int64(kappa6)]})
+
+
+def q_backlog_aging(sf_dir: str):
+    """Order-backlog aging buckets at the calendar-midpoint snapshot:
+    orders placed but not fully shipped at the snapshot, banded by age
+    (≤30 / 31–90 / >90 days) with headcount and exact open cents — the
+    point-in-time cut of open_orders_daily's timeline. Per-order close
+    days reduce per batch; under the cap one driver join closes the
+    buckets, past it the same groupby-max + hash join re-executes
+    distributed (pinned equal by the shared fallback test pattern)."""
+    DAY = 86_400_000_000
+    parts = _shuffle_partitions(
+        _row_count(sf_dir, "lineitem"), _row_count(sf_dir, "orders")
+    )
+    li = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"],
+             num_blocks=parts)
+    orders = _pq(sf_dir, "orders",
+                 columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+                 num_blocks=parts)
+
+    def od_part(t: pa.Table) -> pd.DataFrame:
+        od = pc.cast(t.column("o_orderdate"), pa.int64()).to_numpy() // DAY
+        return pd.DataFrame({"k": [np.int64(0)],
+                             "mn": [np.int64(od.min())],
+                             "mx": [np.int64(od.max())]}) if len(od) else \
+            pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                          "mn": pd.Series([], dtype=np.int64),
+                          "mx": pd.Series([], dtype=np.int64)})
+
+    b = pd.concat(
+        list(orders.map_batches(od_part, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pandas")),
+        ignore_index=True)
+    snap = (int(b["mn"].min()) + int(b["mx"].max())) // 2
+
+    def close_partial(t: pa.Table) -> pd.DataFrame:
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        rd_ = pc.cast(t.column("l_shipdate"), pa.int64()).to_numpy() // DAY
+        return pd.DataFrame({"ok": ok, "rd": rd_}
+                            ).groupby("ok", as_index=False).max()
+
+    closes = li.map_batches(close_partial, batch_format="pyarrow")
+
+    def bucket_frame(od: np.ndarray, cents: np.ndarray) -> pd.DataFrame:
+        age = snap - od
+        lab = np.where(age <= 30, "000-030",
+                       np.where(age <= 90, "031-090", "090+"))
+        return pd.DataFrame({"bucket": lab, "n_orders": np.int64(1),
+                             "cents": cents}
+                            ).groupby("bucket", as_index=False).sum()
+
+    cdf = _gather_capped(closes)
+    odf = _gather_capped(orders) if cdf is not None else None
+    if cdf is not None and odf is not None:  # driver close
+        per_order = cdf.groupby("ok", as_index=False)["rd"].max()
+        od = (odf["o_orderdate"].to_numpy("datetime64[us]")
+              .astype(np.int64) // DAY)
+        o = pd.DataFrame({
+            "ok": odf["o_orderkey"].to_numpy(np.int64), "od": od,
+            "cents": np.rint(odf["o_totalprice"].to_numpy(np.float64)
+                             * 100).astype(np.int64)})
+        j = o.merge(per_order, on="ok", how="inner")
+        j = j[(j["od"] <= snap) & (j["rd"] > snap)]
+        out = bucket_frame(j["od"].to_numpy(np.int64),
+                           j["cents"].to_numpy(np.int64))
+    else:  # distributed: groupby-max + hash join, bucket partials
+        per_order = closes.groupby("ok").max("rd")
+
+        def od_of(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "ok2": t.column("o_orderkey"),
+                "od": pa.array(
+                    pc.cast(t.column("o_orderdate"), pa.int64()
+                            ).to_numpy() // DAY, pa.int64()),
+                "cents": pa.array(
+                    np.rint(t.column("o_totalprice").to_numpy() * 100
+                            ).astype(np.int64), pa.int64())})
+
+        j = per_order.join(
+            orders.map_batches(od_of, batch_format="pyarrow"),
+            join_type="inner", num_partitions=parts,
+            on=("ok",), right_on=("ok2",))
+
+        def to_buckets(t: pa.Table) -> pd.DataFrame:
+            rd_ = pc.cast(t.column("max(rd)"), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            od = t.column("od").to_numpy(zero_copy_only=False)
+            cents = t.column("cents").to_numpy(zero_copy_only=False)
+            m = (od <= snap) & (rd_ > snap)
+            return bucket_frame(od[m], cents[m])
+
+        out = _combine_partials(
+            j.map_batches(to_buckets, batch_format="pyarrow"),
+            ["bucket"], ["n_orders", "cents"],
+        )
+    return out.sort_values("bucket").reset_index(drop=True).astype(
+        {"n_orders": np.int64, "cents": np.int64})

@@ -329,3 +329,16 @@ def test_scc_distributed_plan_matches_tarjan(monkeypatch):
     monkeypatch.setattr(q, "_gather_capped", lambda *x, **k: None)
     b = q.q_scc_stats(SF_DIR)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_backlog_aging_fallback_matches_driver(monkeypatch):
+    """Past the caps, backlog_aging re-plans as groupby-max + hash
+    join with distributed bucket partials — identical aging table."""
+    from gocrawler_ray.pipelines import queries as q
+
+    a = q.q_backlog_aging(SF_DIR)
+    monkeypatch.setattr(q, "_gather_capped", lambda *x, **k: None)
+    b = q.q_backlog_aging(SF_DIR)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True),
+                                  check_dtype=False)
