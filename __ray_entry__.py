@@ -308,6 +308,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_fill_ffill": q.q_gap_fill_ffill,
         "langid_kappa": q.q_langid_kappa,
         "backlog_aging": q.q_backlog_aging,
+        "bowtie_decomposition": q.q_bowtie_decomposition,
+        "trimmed_mean": q.q_trimmed_mean,
     }
 
 
@@ -4493,5 +4495,64 @@ b AS (SELECT CASE WHEN d.snap - od <= 30 THEN '000-030'
 SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders,
        CAST(SUM(cents) AS BIGINT) AS cents
 FROM b GROUP BY 1 ORDER BY 1
+"""
+    # Broder bow-tie census against the recursive reachability closure
+    out["bowtie_decomposition"] = """
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (7*doc_id+1) % nn.n AS dst
+  FROM documents, nn WHERE doc_id % 37 != 3
+  UNION ALL SELECT doc_id, (13*doc_id+2) % nn.n
+  FROM documents, nn WHERE doc_id % 37 != 3
+  UNION ALL SELECT doc_id, (29*doc_id+5) % nn.n
+  FROM documents, nn WHERE doc_id % 37 != 3),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+mut AS (SELECT r1.src AS v, r1.dst AS u FROM reach r1
+        JOIN reach r2 ON r2.src = r1.dst AND r2.dst = r1.src),
+lab AS (SELECT d.doc_id AS v,
+               least(d.doc_id, COALESCE(min(m.u), d.doc_id)) AS l
+        FROM documents d LEFT JOIN mut m ON m.v = d.doc_id
+        GROUP BY d.doc_id),
+sz AS (SELECT l, count(*) AS s FROM lab GROUP BY 1),
+core AS (SELECT l FROM sz ORDER BY s DESC, l ASC LIMIT 1),
+coren AS (SELECT v FROM lab, core WHERE lab.l = core.l),
+outr AS (SELECT DISTINCT r.dst AS v FROM reach r
+         JOIN coren c ON r.src = c.v),
+inr AS (SELECT DISTINCT r.src AS v FROM reach r
+        JOIN coren c ON r.dst = c.v),
+cls AS (SELECT d.doc_id AS v,
+               CASE WHEN cn.v IS NOT NULL THEN 'CORE'
+                    WHEN i.v IS NOT NULL THEN 'IN'
+                    WHEN o.v IS NOT NULL THEN 'OUT'
+                    ELSE 'OTHER' END AS region
+        FROM documents d
+        LEFT JOIN coren cn ON cn.v = d.doc_id
+        LEFT JOIN inr i ON i.v = d.doc_id
+        LEFT JOIN outr o ON o.v = d.doc_id),
+g AS (SELECT region, CAST(count(*) AS BIGINT) AS n FROM cls
+      GROUP BY 1),
+r4 AS (SELECT unnest(['CORE', 'IN', 'OUT', 'OTHER']) AS region)
+SELECT r4.region, CAST(COALESCE(g.n, 0) AS BIGINT) AS n
+FROM r4 LEFT JOIN g USING (region) ORDER BY region
+"""
+    # drop n//10 from each tail by rank; tied sums are invariant
+    out["trimmed_mean"] = """
+WITH e AS (SELECT event_type, CAST(round(value*1000) AS BIGINT) AS v
+           FROM events),
+r AS (SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v)
+               AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM e),
+m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_used,
+             CAST(SUM(v) AS HUGEINT) AS s
+      FROM r WHERE rn > n // 10 AND rn <= n - n // 10
+      GROUP BY 1)
+SELECT event_type, n_used,
+       CAST(s * 1000000 // n_used AS BIGINT) AS mean_milli6
+FROM m ORDER BY event_type
 """
     return out

@@ -12642,3 +12642,152 @@ def q_backlog_aging(sf_dir: str):
         )
     return out.sort_values("bucket").reset_index(drop=True).astype(
         {"n_orders": np.int64, "cents": np.int64})
+
+
+def _bfs_reach_multi(seeds: np.ndarray, n: int, edf, edges: rd.Dataset,
+                     reverse: bool = False,
+                     max_rounds: int = 64) -> np.ndarray:
+    """Reachability bool array from a SEED SET (seeds themselves are
+    marked), optionally along reversed edges — the multi-source
+    generalization of _bfs_dist_from with the same two-path budget:
+    gathered CSR sweep under the edge cap, one distributed edge scan
+    per round past it."""
+    reached = np.zeros(n, dtype=bool)
+    reached[seeds] = True
+    frontier = np.sort(np.asarray(seeds, dtype=np.int64))
+
+    if edf is not None:
+        s = edf["src"].to_numpy(np.int64)
+        d = edf["dst"].to_numpy(np.int64)
+        if reverse:
+            s, d = d, s
+        order = np.argsort(s, kind="stable")
+        s, d = s[order], d[order]
+        starts = np.searchsorted(s, np.arange(n))
+        ends = np.searchsorted(s, np.arange(n) + 1)
+        for _r in range(max_rounds):
+            nxt = [d[starts[v]:ends[v]] for v in frontier]
+            if not nxt:
+                break
+            cand = (np.unique(np.concatenate(nxt)) if nxt
+                    else np.zeros(0, np.int64))
+            cand = cand[~reached[cand]]
+            if not len(cand):
+                break
+            reached[cand] = True
+            frontier = cand
+        return reached
+
+    sc, dc = ("dst", "src") if reverse else ("src", "dst")
+    for _r in range(max_rounds):
+        fref = ray.put(frontier)
+
+        def nexts(t: pa.Table) -> pd.DataFrame:
+            fr = ray.get(fref)
+            s = t.column(sc).to_numpy(zero_copy_only=False)
+            d = t.column(dc).to_numpy(zero_copy_only=False)
+            hit, _ = _sorted_lookup(fr, s)
+            return pd.DataFrame({"dst": np.unique(d[hit]),
+                                 "c": np.int64(1)})
+
+        cand = _combine_partials(
+            edges.map_batches(nexts, batch_format="pyarrow"),
+            ["dst"], ["c"],
+        )["dst"].to_numpy(np.int64)
+        cand = cand[~reached[cand]]
+        if not len(cand):
+            break
+        reached[cand] = True
+        frontier = np.sort(cand)
+    return reached
+
+
+def q_bowtie_decomposition(sf_dir: str):
+    """Bow-tie decomposition of the directed web (Broder et al.'s
+    CORE / IN / OUT / OTHER): the giant SCC, the pages that flow into
+    it, the pages it flows out to, and the disconnected rest — THE
+    canonical large-graph census a crawl-coverage planner starts from
+    (IN pages need seeds; OUT pages are reachable anyway). Composes
+    the repo's SCC labels (driver Tarjan / distributed FW-BW-TRIM)
+    with two multi-source BFS sweeps (forward + reversed edges), all
+    on the node-bounded budget; the oracle classifies against the full
+    recursive reachability closure."""
+    from ..stages.graph import edges_dataset
+
+    n = _doc_count(sf_dir)
+    parts = _shuffle_partitions(4 * n)
+    docs = _pq(sf_dir, "documents", columns=["doc_id"], num_blocks=parts)
+    edges = edges_dataset(docs, n)
+    edf = _gather_capped(edges)
+    scc = _scc_labels(n, edf, edges)
+    sizes = np.bincount(scc, minlength=n)
+    core_label = int(np.argmax(sizes))  # ties → smaller label
+    core = scc == core_label
+    core_ids = np.flatnonzero(core)
+    fwd = _bfs_reach_multi(core_ids, n, edf, edges, reverse=False)
+    bwd = _bfs_reach_multi(core_ids, n, edf, edges, reverse=True)
+    region = np.where(core, "CORE",
+                      np.where(bwd, "IN",
+                               np.where(fwd, "OUT", "OTHER")))
+    counts = pd.Series(region).value_counts()
+    return pd.DataFrame({
+        "region": ["CORE", "IN", "OUT", "OTHER"],
+        "n": [np.int64(counts.get(k, 0))
+              for k in ["CORE", "IN", "OUT", "OTHER"]],
+    }).sort_values("region").reset_index(drop=True)
+
+
+def q_trimmed_mean(sf_dir: str):
+    """10%-trimmed mean of value per event type — the outlier-immune
+    location estimate between winsorized_stats (clamps) and value_mad
+    (median): drop the n//10 smallest and largest observations, mean
+    the middle exactly. The bounded (type, milliunit) histogram gives
+    the cut boundaries by cumulative count, boundary cells split
+    partially (sums of equal values are permutation-invariant, so rank
+    ties cost nothing); mean closes as an exact ×1e6 integer floor of
+    milliunits."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "value"],
+             num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas().to_numpy(),
+            "v": np.rint(t.column("value").to_numpy() * 1000
+                         ).astype(np.int64),
+            "c": np.int64(1)})
+        return df.groupby(["event_type", "v"], as_index=False).sum()
+
+    grid = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "v"], ["c"],
+    )
+    rows = []
+    for et, g in grid.groupby("event_type"):
+        g = g.sort_values("v")
+        v = g["v"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        n = int(c.sum())
+        k = n // 10
+        cum = np.cumsum(c)
+        total = int((v.astype(object) * c.astype(object)).sum())
+        # bottom k: full cells where cum <= k, plus a partial cell
+        def cut_sum(vv, cc, cm, kk):
+            full = cm <= kk
+            s = int((vv[full].astype(object)
+                     * cc[full].astype(object)).sum())
+            taken = int(cm[full][-1]) if full.any() else 0
+            if taken < kk:
+                nxt = int(np.searchsorted(cm, kk, side="left"))
+                s += (kk - taken) * int(vv[nxt])
+            return s
+        bot = cut_sum(v, c, cum, k)
+        top = cut_sum(v[::-1], c[::-1], np.cumsum(c[::-1]), k)
+        mid = total - bot - top
+        n_used = n - 2 * k
+        rows.append({"event_type": et, "n_used": np.int64(n_used),
+                     "mean_milli6": np.int64(mid * 10**6 // n_used)})
+    if not rows:
+        return pd.DataFrame(columns=["event_type", "n_used",
+                                     "mean_milli6"])
+    return pd.DataFrame(rows).sort_values("event_type"
+                                          ).reset_index(drop=True)

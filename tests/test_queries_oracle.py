@@ -342,3 +342,14 @@ def test_backlog_aging_fallback_matches_driver(monkeypatch):
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True),
                                   check_dtype=False)
+
+
+def test_bowtie_distributed_plan_matches_driver(monkeypatch):
+    """Past the edge cap, bow-tie runs FW-BW-TRIM SCC + distributed
+    multi-source BFS rounds — identical census."""
+    from gocrawler_ray.pipelines import queries as q
+
+    a = q.q_bowtie_decomposition(SF_DIR)
+    monkeypatch.setattr(q, "_gather_capped", lambda *x, **k: None)
+    b = q.q_bowtie_decomposition(SF_DIR)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
