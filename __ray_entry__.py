@@ -310,6 +310,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "backlog_aging": q.q_backlog_aging,
         "bowtie_decomposition": q.q_bowtie_decomposition,
         "trimmed_mean": q.q_trimmed_mean,
+        "fill_time_percentiles": q.q_fill_time_percentiles,
+        "wave_branching": q.q_wave_branching,
     }
 
 
@@ -4554,5 +4556,41 @@ m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_used,
 SELECT event_type, n_used,
        CAST(s * 1000000 // n_used AS BIGINT) AS mean_milli6
 FROM m ORDER BY event_type
+"""
+    # PERCENTILE_DISC ranks over the calendar-bounded lag histogram
+    out["fill_time_percentiles"] = """
+WITH r AS (SELECT l_orderkey AS ok,
+                  max(epoch_us(l_shipdate)) // 86400000000 AS rd
+           FROM lineitem GROUP BY 1),
+o AS (SELECT o_orderkey AS ok,
+             epoch_us(o_orderdate) // 86400000000 AS od,
+             o_orderpriority AS prio
+      FROM orders),
+j AS (SELECT prio, rd - od AS lag FROM o JOIN r USING (ok)),
+g AS (SELECT prio, lag, CAST(count(*) AS BIGINT) AS c
+      FROM j GROUP BY 1, 2),
+w AS (SELECT prio, lag,
+             SUM(c) OVER (PARTITION BY prio ORDER BY lag) AS cum,
+             SUM(c) OVER (PARTITION BY prio) AS n
+      FROM g)
+SELECT prio AS o_orderpriority, CAST(MAX(n) AS BIGINT) AS n_orders,
+       CAST(MIN(CASE WHEN cum >= (n+1)//2 THEN lag END) AS BIGINT)
+         AS p50_days,
+       CAST(MIN(CASE WHEN cum >= (9*n+9)//10 THEN lag END) AS BIGINT)
+         AS p90_days
+FROM w GROUP BY prio ORDER BY 1
+"""
+    # wave-over-wave growth of the crawl frontier (min-depth census)
+    out["wave_branching"] = _BFS_CTE + """,
+mindepth AS (SELECT node, MIN(depth) AS depth FROM r GROUP BY node),
+g AS (SELECT depth, CAST(count(*) AS BIGINT) AS n
+      FROM mindepth GROUP BY 1),
+w AS (SELECT depth, n, lag(depth) OVER (ORDER BY depth) AS pd,
+             lag(n) OVER (ORDER BY depth) AS pn
+      FROM g)
+SELECT CAST(depth AS BIGINT) AS depth, n AS n_pages,
+       CAST(CASE WHEN pd IS NULL OR depth != pd + 1 THEN 0
+            ELSE n * 1000000 // pn END AS BIGINT) AS growth6
+FROM w ORDER BY depth
 """
     return out

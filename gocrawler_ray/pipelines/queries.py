@@ -12791,3 +12791,125 @@ def q_trimmed_mean(sf_dir: str):
                                      "mean_milli6"])
     return pd.DataFrame(rows).sort_values("event_type"
                                           ).reset_index(drop=True)
+
+
+def q_fill_time_percentiles(sf_dir: str):
+    """Order fill time (order date → last line shipped) p50/p90 per
+    order priority, PERCENTILE_DISC-exact: ranks are pure integer
+    arithmetic (⌈p·n⌉ over the cumulative histogram), so no
+    interpolation float ever appears. Per-order close days reduce per
+    batch (the open_orders_daily first stage); the (priority, lag)
+    grid is CALENDAR-bounded, so the cumulative walk closes on the
+    driver at any corpus size. Priority attaches via the broadcast
+    orders map with the hash-join fallback."""
+    DAY = 86_400_000_000
+    parts = _shuffle_partitions(
+        _row_count(sf_dir, "lineitem"), _row_count(sf_dir, "orders")
+    )
+    li = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"],
+             num_blocks=parts)
+    orders = _pq(sf_dir, "orders",
+                 columns=["o_orderkey", "o_orderdate",
+                          "o_orderpriority"],
+                 num_blocks=parts)
+
+    def close_partial(t: pa.Table) -> pd.DataFrame:
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        rd_ = pc.cast(t.column("l_shipdate"), pa.int64()).to_numpy() // DAY
+        return pd.DataFrame({"ok": ok, "rd": rd_}
+                            ).groupby("ok", as_index=False).max()
+
+    closes = li.map_batches(close_partial, batch_format="pyarrow")
+
+    cdf = _gather_capped(closes)
+    odf = _gather_capped(orders) if cdf is not None else None
+    if cdf is not None and odf is not None:  # driver close
+        per_order = cdf.groupby("ok", as_index=False)["rd"].max()
+        o = pd.DataFrame({
+            "ok": odf["o_orderkey"].to_numpy(np.int64),
+            "od": (odf["o_orderdate"].to_numpy("datetime64[us]")
+                   .astype(np.int64) // DAY),
+            "prio": odf["o_orderpriority"].to_numpy()})
+        j = o.merge(per_order, on="ok", how="inner")
+        grid = pd.DataFrame({
+            "prio": j["prio"],
+            "lag": j["rd"].to_numpy(np.int64)
+            - j["od"].to_numpy(np.int64),
+            "c": np.int64(1),
+        }).groupby(["prio", "lag"], as_index=False).sum()
+    else:  # distributed: groupby-max + hash join, grid partials
+        per_order = closes.groupby("ok").max("rd")
+
+        def od_of(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "ok2": t.column("o_orderkey"),
+                "od": pa.array(
+                    pc.cast(t.column("o_orderdate"), pa.int64()
+                            ).to_numpy() // DAY, pa.int64()),
+                "prio": t.column("o_orderpriority")})
+
+        jds = per_order.join(
+            orders.map_batches(od_of, batch_format="pyarrow"),
+            join_type="inner", num_partitions=parts,
+            on=("ok",), right_on=("ok2",))
+
+        def to_grid(t: pa.Table) -> pd.DataFrame:
+            rd_ = pc.cast(t.column("max(rd)"), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            od = t.column("od").to_numpy(zero_copy_only=False)
+            return pd.DataFrame({
+                "prio": t.column("prio").to_pandas().to_numpy(),
+                "lag": rd_ - od, "c": np.int64(1),
+            }).groupby(["prio", "lag"], as_index=False).sum()
+
+        grid = _combine_partials(
+            jds.map_batches(to_grid, batch_format="pyarrow"),
+            ["prio", "lag"], ["c"],
+        )
+    rows = []
+    for prio, g in grid.groupby("prio"):
+        g = g.sort_values("lag")
+        lag = g["lag"].to_numpy(np.int64)
+        cum = np.cumsum(g["c"].to_numpy(np.int64))
+        n = int(cum[-1])
+        r50, r90 = (n + 1) // 2, (9 * n + 9) // 10
+        p50 = int(lag[np.searchsorted(cum, r50, side="left")])
+        p90 = int(lag[np.searchsorted(cum, r90, side="left")])
+        rows.append({"o_orderpriority": prio, "n_orders": np.int64(n),
+                     "p50_days": np.int64(p50),
+                     "p90_days": np.int64(p90)})
+    return pd.DataFrame(rows).sort_values("o_orderpriority"
+                                          ).reset_index(drop=True)
+
+
+def q_wave_branching(sf_dir: str):
+    """Frontier branching factor per BFS wave of the engine crawl:
+    pages first fetched at each depth and the wave-over-wave growth
+    ratio ×1e6 — the number that says when the crawl flips from
+    expansion to saturation (reads the same checkpoint as
+    host_depth_profile; depth-bounded combine; integer floors)."""
+    ckpt = _derived_crawl_ckpt(sf_dir)
+    from ..sources.tables import read_dataset
+
+    docs = read_dataset(os.path.join(ckpt, "docs"), columns=["depth"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "depth": t.column("depth").to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "n": np.int64(1)})
+        return df.groupby("depth", as_index=False).sum()
+
+    g = _combine_partials(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["depth"], ["n"],
+    ).sort_values("depth").reset_index(drop=True)
+    n = g["n"].to_numpy(np.int64)
+    d = g["depth"].to_numpy(np.int64)
+    growth = np.zeros(len(n), np.int64)
+    for i in range(1, len(n)):
+        growth[i] = (int(n[i]) * 10**6 // int(n[i - 1])
+                     if d[i] == d[i - 1] + 1 else 0)
+    return pd.DataFrame({
+        "depth": d, "n_pages": n,
+        "growth6": growth}).reset_index(drop=True)

@@ -353,3 +353,14 @@ def test_bowtie_distributed_plan_matches_driver(monkeypatch):
     monkeypatch.setattr(q, "_gather_capped", lambda *x, **k: None)
     b = q.q_bowtie_decomposition(SF_DIR)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_fill_time_fallback_matches_driver(monkeypatch):
+    """Past the caps, fill-time percentiles re-plan as groupby-max +
+    hash join with distributed grid partials — identical table."""
+    from gocrawler_ray.pipelines import queries as q
+
+    a = q.q_fill_time_percentiles(SF_DIR)
+    monkeypatch.setattr(q, "_gather_capped", lambda *x, **k: None)
+    b = q.q_fill_time_percentiles(SF_DIR)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
