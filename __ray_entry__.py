@@ -312,6 +312,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trimmed_mean": q.q_trimmed_mean,
         "fill_time_percentiles": q.q_fill_time_percentiles,
         "wave_branching": q.q_wave_branching,
+        "personalized_pagerank": q.q_personalized_pagerank,
+        "never_ordered_parts": q.q_never_ordered_parts,
     }
 
 
@@ -4592,5 +4594,46 @@ SELECT CAST(depth AS BIGINT) AS depth, n AS n_pages,
        CAST(CASE WHEN pd IS NULL OR depth != pd + 1 THEN 0
             ELSE n * 1000000 // pn END AS BIGINT) AS growth6
 FROM w ORDER BY depth
+"""
+    # seed-teleport PPR: identical 3 integer-floor rounds, sparse out
+    out["personalized_pagerank"] = _EDGES_CTE + """,
+w0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(1000000 AS BIGINT) AS w),
+w1 AS (SELECT d.doc_id AS node,
+              CASE WHEN d.doc_id = 0 THEN 150000 ELSE 0 END
+                + COALESCE(SUM((85 * w0.w) // 300), 0) AS w
+       FROM documents d
+       LEFT JOIN edges e ON e.dst = d.doc_id
+       LEFT JOIN w0 ON w0.node = e.src
+       GROUP BY d.doc_id),
+w2 AS (SELECT d.doc_id AS node,
+              CASE WHEN d.doc_id = 0 THEN 150000 ELSE 0 END
+                + COALESCE(SUM(CASE WHEN w1.w > 0
+                               THEN (85 * w1.w) // 300 END), 0) AS w
+       FROM documents d
+       LEFT JOIN edges e ON e.dst = d.doc_id
+       LEFT JOIN w1 ON w1.node = e.src
+       GROUP BY d.doc_id),
+w3 AS (SELECT d.doc_id AS node,
+              CASE WHEN d.doc_id = 0 THEN 150000 ELSE 0 END
+                + COALESCE(SUM(CASE WHEN w2.w > 0
+                               THEN (85 * w2.w) // 300 END), 0) AS w
+       FROM documents d
+       LEFT JOIN edges e ON e.dst = d.doc_id
+       LEFT JOIN w2 ON w2.node = e.src
+       GROUP BY d.doc_id)
+SELECT node AS doc_id, CAST(w AS BIGINT) AS ppr
+FROM w3 WHERE w > 0 ORDER BY doc_id
+"""
+    # anti-join: parts absent from lineitem, per brand
+    out["never_ordered_parts"] = """
+WITH o AS (SELECT DISTINCT l_partkey AS pk FROM lineitem),
+g AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(SUM(CASE WHEN o.pk IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_never
+      FROM part LEFT JOIN o ON o.pk = p_partkey
+      GROUP BY 1)
+SELECT p_brand, n_parts, n_never,
+       n_never * 1000000 // n_parts AS never_share6
+FROM g ORDER BY p_brand
 """
     return out

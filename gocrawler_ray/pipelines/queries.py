@@ -12913,3 +12913,122 @@ def q_wave_branching(sf_dir: str):
     return pd.DataFrame({
         "depth": d, "n_pages": n,
         "growth6": growth}).reset_index(drop=True)
+
+
+def q_personalized_pagerank(sf_dir: str):
+    """Personalized PageRank from the seed page (doc 0): all teleport
+    mass returns to the seed, so scores measure proximity-weighted
+    authority AROUND the seed rather than global prestige — the
+    recrawl-priority signal for a site-focused crawl. Three rounds of
+    the SAME integer-floor power iteration as pagerank_damped
+    (per-edge ⌊85·w/300⌋, out-degree 3 by construction): node-bounded
+    weight arrays broadcast via ray.put, one distributed edge scan per
+    round; only nodes holding mass emit. The oracle unrolls the
+    identical three CTE rounds with the seed-only teleport."""
+    from ..stages.graph import edges_dataset
+
+    n = _doc_count(sf_dir)
+    parts = _shuffle_partitions(4 * n)
+    docs = _pq(sf_dir, "documents", columns=["doc_id"], num_blocks=parts)
+    edges = edges_dataset(docs, n)
+
+    w = np.zeros(n, dtype=np.int64)
+    w[0] = 1_000_000
+    for _round in range(3):
+        ref = ray.put(w)
+
+        def contrib(t: pa.Table) -> pd.DataFrame:
+            ww = ray.get(ref)
+            s = t.column("src").to_numpy(zero_copy_only=False)
+            d = t.column("dst").to_numpy(zero_copy_only=False)
+            m = ww[s] > 0
+            df = pd.DataFrame({"v": d[m], "c": (85 * ww[s[m]]) // 300})
+            return df.groupby("v", as_index=False).sum()
+
+        inc = _combine_partials(
+            edges.map_batches(contrib, batch_format="pyarrow"),
+            ["v"], ["c"],
+        )
+        w = np.zeros(n, dtype=np.int64)
+        w[0] = 150_000
+        if len(inc):
+            np.add.at(w, inc["v"].to_numpy(np.int64),
+                      inc["c"].to_numpy(np.int64))
+    nz = np.flatnonzero(w > 0)
+    return pd.DataFrame({"doc_id": nz.astype(np.int64),
+                         "ppr": w[nz].astype(np.int64)})
+
+
+def q_never_ordered_parts(sf_dir: str):
+    """Cold-inventory census: parts that appear in NO lineitem, per
+    brand with the never-ordered share ×1e6 — the anti-join every
+    assortment review starts from. Distinct ordered partkeys pre-reduce
+    per batch before one groupby; under the cap they broadcast as a
+    sorted array into the part scan (map-side anti-join, zero
+    shuffles), past it Ray's left_outer join + null filter runs the
+    same semantics."""
+    parts = _shuffle_partitions(
+        _row_count(sf_dir, "lineitem"), _row_count(sf_dir, "part")
+    )
+    li = _pq(sf_dir, "lineitem", columns=["l_partkey"],
+             num_blocks=parts)
+    pt = _pq(sf_dir, "part", columns=["p_partkey", "p_brand"],
+             num_blocks=parts)
+    ordered = (
+        li.map_batches(
+            lambda t: pd.DataFrame(
+                {"pk": t.column("l_partkey").to_numpy(
+                    zero_copy_only=False)}).drop_duplicates(),
+            batch_format="pyarrow")
+        .groupby("pk").count()
+    )
+    odf = _gather_capped(ordered)
+    if odf is not None:  # map-side anti-join against the sorted set
+        keys = np.sort(odf["pk"].to_numpy(np.int64))
+        kref = ray.put(keys)
+
+        def partial(t: pa.Table) -> pd.DataFrame:
+            ks = ray.get(kref)
+            pk = t.column("p_partkey").to_numpy(zero_copy_only=False)
+            hit, _ = _sorted_lookup(ks, pk)
+            return pd.DataFrame({
+                "p_brand": t.column("p_brand").to_pandas().to_numpy(),
+                "n_parts": np.int64(1),
+                "n_never": (~hit).astype(np.int64),
+            }).groupby("p_brand", as_index=False).sum()
+
+        g = _combine_partials(
+            pt.map_batches(partial, batch_format="pyarrow"),
+            ["p_brand"], ["n_parts", "n_never"],
+        )
+    else:  # distributed left_outer + null filter
+        j = pt.join(
+            ordered.map_batches(
+                lambda t: pa.table({
+                    "pk": t.column("pk"),
+                    "hit": pa.array(np.ones(t.num_rows, np.int64))}),
+                batch_format="pyarrow"),
+            join_type="left_outer", num_partitions=parts,
+            on=("p_partkey",), right_on=("pk",))
+
+        def partial2(t: pa.Table) -> pd.DataFrame:
+            hit = t.column("hit").to_pandas().fillna(0).to_numpy(
+                np.int64)
+            return pd.DataFrame({
+                "p_brand": t.column("p_brand").to_pandas().to_numpy(),
+                "n_parts": np.int64(1),
+                "n_never": (hit == 0).astype(np.int64),
+            }).groupby("p_brand", as_index=False).sum()
+
+        g = _combine_partials(
+            j.map_batches(partial2, batch_format="pyarrow"),
+            ["p_brand"], ["n_parts", "n_never"],
+        )
+    g = g.sort_values("p_brand").reset_index(drop=True)
+    return pd.DataFrame({
+        "p_brand": g["p_brand"],
+        "n_parts": g["n_parts"].to_numpy(np.int64),
+        "n_never": g["n_never"].to_numpy(np.int64),
+        "never_share6": np.array(
+            [int(a) * 10**6 // int(b) for a, b in
+             zip(g["n_never"], g["n_parts"])], np.int64)})

@@ -364,3 +364,14 @@ def test_fill_time_fallback_matches_driver(monkeypatch):
     monkeypatch.setattr(q, "_gather_capped", lambda *x, **k: None)
     b = q.q_fill_time_percentiles(SF_DIR)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_never_ordered_fallback_matches_broadcast(monkeypatch):
+    """Past the ordered-set cap, the anti-join runs as Ray left_outer
+    + null filter — identical cold-inventory table."""
+    from gocrawler_ray.pipelines import queries as q
+
+    a = q.q_never_ordered_parts(SF_DIR)
+    monkeypatch.setattr(q, "_gather_capped", lambda *x, **k: None)
+    b = q.q_never_ordered_parts(SF_DIR)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
