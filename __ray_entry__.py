@@ -314,6 +314,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wave_branching": q.q_wave_branching,
         "personalized_pagerank": q.q_personalized_pagerank,
         "never_ordered_parts": q.q_never_ordered_parts,
+        "linear_attribution": q.q_linear_attribution,
+        "token_pmi": q.q_token_pmi,
+        "bot_repetition": q.q_bot_repetition,
     }
 
 
@@ -4635,5 +4638,65 @@ g AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
 SELECT p_brand, n_parts, n_never,
        n_never * 1000000 // n_parts AS never_share6
 FROM g ORDER BY p_brand
+"""
+    # equal split across window clicks; credit = floor(v3·1e6 / k)
+    out["linear_attribution"] = """
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tu,
+                  CAST(round(value*1000) AS BIGINT) AS v3
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, epoch_us(ts) AS tu FROM events
+      WHERE event_type = 'click'),
+j AS (SELECT p.event_id, p.v3, c.tu AS ctu
+      FROM p JOIN c ON c.user_id = p.user_id
+            AND c.tu <= p.tu AND c.tu >= p.tu - 604800000000),
+k AS (SELECT event_id, CAST(count(*) AS BIGINT) AS k FROM j
+      GROUP BY 1),
+cr AS (SELECT j.ctu // 86400000000 AS day,
+              j.v3 * 1000000 // k.k AS credit
+       FROM j JOIN k USING (event_id))
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_credits,
+       CAST(SUM(credit) AS BIGINT) AS credit
+FROM cr GROUP BY 1 ORDER BY day
+"""
+    # doc-co-occurrence PMI, min support 10, top-20 deterministic
+    out["token_pmi"] = """
+WITH w AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+           FROM documents),
+d AS (SELECT DISTINCT doc_id, tok FROM w),
+cw AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+p AS (SELECT a.tok AS a, b.tok AS b, CAST(count(*) AS BIGINT) AS c
+      FROM d a JOIN d b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2 HAVING count(*) >= 10),
+s AS (SELECT p.a, p.b, p.c AS n_docs,
+             CAST(round(1000000.0 * log2(
+               CAST(p.c AS DOUBLE) * CAST(n.n AS DOUBLE)
+               / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))))
+               AS BIGINT) AS pmi6
+      FROM p CROSS JOIN n
+      JOIN cw ca ON ca.tok = p.a
+      JOIN cw cb ON cb.tok = p.b)
+SELECT a, b, n_docs, pmi6 FROM s ORDER BY pmi6 DESC, a, b LIMIT 20
+"""
+    # consecutive identical (type, value) pairs per user
+    out["bot_repetition"] = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu,
+                  CAST(round(value*1000) AS BIGINT) AS v3
+           FROM events),
+w AS (SELECT user_id, event_type, v3,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY tu)
+               AS pt,
+             lag(v3) OVER (PARTITION BY user_id ORDER BY tu) AS pv
+      FROM e),
+g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN event_type = pt AND v3 = pv
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_identical
+      FROM w WHERE pt IS NOT NULL GROUP BY 1)
+SELECT event_type, n_pairs, n_identical,
+       CAST(CASE WHEN n_pairs = 0 THEN 0
+            ELSE n_identical * 1000000 // n_pairs END AS BIGINT)
+         AS ident_share6
+FROM g ORDER BY event_type
 """
     return out

@@ -13032,3 +13032,201 @@ def q_never_ordered_parts(sf_dir: str):
         "never_share6": np.array(
             [int(a) * 10**6 // int(b) for a, b in
              zip(g["n_never"], g["n_parts"])], np.int64)})
+
+
+def q_linear_attribution(sf_dir: str):
+    """LINEAR multi-touch attribution: each purchase splits its value
+    EQUALLY across all of the user's clicks in the prior 7 days, and
+    credit lands on the CLICK day — the fairness-motivated counterpart
+    of last_touch_attribution (last-touch over-rewards the final ad).
+    Per-click credit is the deterministic floor v3·10⁶ // k (micro-
+    milliunits), so the split is exact integer arithmetic on both
+    sides. One user-hash bucket shuffle; inside each bucket each
+    purchase finds its click window with two searchsorteds and emits
+    numpy slices (the only Python iteration is over PURCHASES — the
+    conversion events, orders of magnitude sparser than the click
+    stream the kernel never loops over); what leaves the bucket is the
+    calendar-bounded (day, n_credits, credit) partial."""
+    from ..stages.temporal import _with_bucket
+
+    DAY = 86_400_000_000
+    WINDOW = 7 * DAY
+    ev = _pq(sf_dir, "events",
+             columns=["event_type", "user_id", "ts", "value"],
+             num_blocks=_n_cpus())
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t.column("event_type"),
+                     value_set=pa.array(["click", "purchase"]))
+        return t.filter(m)
+
+    def bucket_attr(g: pd.DataFrame) -> pd.DataFrame:
+        tu = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        v3 = np.rint(g["value"].to_numpy(np.float64) * 1000
+                     ).astype(np.int64)
+        # order clicks by (user, ts) so each user's clicks are a slice
+        cm = et == "click"
+        cu, ct = uid[cm], tu[cm]
+        co = np.lexsort((ct, cu))
+        cu, ct = cu[co], ct[co]
+        # per purchase: [lo, hi) = user's clicks in (t-7d, t]
+        pm = et == "purchase"
+        pu, pt, pv = uid[pm], tu[pm], v3[pm]
+        uniq, uidx = np.unique(cu, return_index=True)
+        uend = np.append(uidx[1:], len(cu))
+        pos = np.searchsorted(uniq, pu)
+        has = (pos < len(uniq))
+        pos = np.clip(pos, 0, max(len(uniq) - 1, 0))
+        has &= (uniq[pos] == pu) if len(uniq) else np.zeros(len(pu), bool)
+        rows = {"day": [], "n_credits": [], "credit": []}
+        for i in np.flatnonzero(has):
+            a, b_ = uidx[pos[i]], uend[pos[i]]
+            lo = np.searchsorted(ct[a:b_], pt[i] - WINDOW, side="left")
+            hi = np.searchsorted(ct[a:b_], pt[i], side="right")
+            k = hi - lo
+            if k <= 0:
+                continue
+            share = int(pv[i]) * 10**6 // int(k)
+            days = ct[a + lo:a + hi] // DAY
+            rows["day"].append(days)
+            rows["n_credits"].append(np.ones(k, np.int64))
+            rows["credit"].append(np.full(k, share, np.int64))
+        if not rows["day"]:
+            return pd.DataFrame({
+                "day": pd.Series([], dtype=np.int64),
+                "n_credits": pd.Series([], dtype=np.int64),
+                "credit": pd.Series([], dtype=np.int64)})
+        df = pd.DataFrame({
+            "day": np.concatenate(rows["day"]),
+            "n_credits": np.concatenate(rows["n_credits"]),
+            "credit": np.concatenate(rows["credit"])})
+        return df.groupby("day", as_index=False).sum()
+
+    parts = (
+        _with_bucket(ev.map_batches(keep, batch_format="pyarrow"),
+                     "user_id", 32)
+        .groupby("__bucket")
+        .map_groups(bucket_attr, batch_format="pandas")
+    )
+    out = _combine_partials(parts, ["day"], ["n_credits", "credit"])
+    if out is None or len(out) == 0:
+        return pd.DataFrame(columns=["day", "n_credits", "credit"])
+    out = out.sort_values("day").reset_index(drop=True)
+    return pd.DataFrame({
+        "day": out["day"].to_numpy(np.int64),
+        "n_credits": out["n_credits"].to_numpy(np.int64),
+        "credit": out["credit"].to_numpy(np.int64)})
+
+
+def q_token_pmi(sf_dir: str):
+    """Top-20 token pairs by pointwise mutual information over
+    document co-occurrence (min support 10 docs) — the collocation
+    detector one level above top_bigrams (PMI finds tokens that travel
+    together anywhere in a doc, not just adjacent). The corpus
+    vocabulary is bounded, so per-doc distinct-token pairs emit into a
+    vocab²-bounded combine; PMI quantizes as
+    round(1e6·log2(c_xy·N / (c_x·c_y))) — exact integer compare, ties
+    broken lexicographically."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"],
+               num_blocks=_n_cpus())
+
+    def pair_partial(t: pa.Table) -> pd.DataFrame:
+        flat, di = _flat_tokens(t.column("text").to_pandas())
+        df = pd.DataFrame({"d": di, "w": flat}).drop_duplicates()
+        out_a, out_b = [], []
+        for _, g in df.groupby("d"):
+            ws = np.sort(g["w"].to_numpy())
+            k = len(ws)
+            if k < 2:
+                continue
+            ii, jj = np.triu_indices(k, 1)
+            out_a.append(ws[ii])
+            out_b.append(ws[jj])
+        if not out_a:
+            return pd.DataFrame({
+                "a": pd.Series([], dtype=object),
+                "b": pd.Series([], dtype=object),
+                "c": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({
+            "a": np.concatenate(out_a), "b": np.concatenate(out_b),
+            "c": np.int64(1)}).groupby(["a", "b"],
+                                       as_index=False).sum()
+
+    def tok_partial(t: pa.Table) -> pd.DataFrame:
+        flat, di = _flat_tokens(t.column("text").to_pandas())
+        df = pd.DataFrame({"d": di, "w": flat}).drop_duplicates()
+        return pd.DataFrame({"w": df["w"], "c": np.int64(1)}
+                            ).groupby("w", as_index=False).sum()
+
+    def doc_count(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({"k": [np.int64(0)],
+                             "n": [np.int64(t.num_rows)]})
+
+    pairs = _combine_partials(
+        docs.map_batches(pair_partial, batch_format="pyarrow"),
+        ["a", "b"], ["c"])
+    toks = _combine_partials(
+        docs.map_batches(tok_partial, batch_format="pyarrow"),
+        ["w"], ["c"])
+    N = int(_combine_partials(
+        docs.map_batches(doc_count, batch_format="pyarrow"),
+        ["k"], ["n"])["n"].sum())
+    cof = dict(zip(toks["w"], toks["c"].astype(int)))
+    p = pairs[pairs["c"] >= 10].copy()
+    pmi = [int(round_half_away(np.array([
+        1e6 * np.log2(int(c) * N / (cof[a] * cof[b]))]))[0])
+        for a, b, c in zip(p["a"], p["b"], p["c"])]
+    p["pmi6"] = np.array(pmi, dtype=np.int64) if len(p) else \
+        pd.Series([], dtype=np.int64)
+    p = p.sort_values(["pmi6", "a", "b"],
+                      ascending=[False, True, True]).head(20)
+    return pd.DataFrame({
+        "a": p["a"].to_numpy(), "b": p["b"].to_numpy(),
+        "n_docs": p["c"].to_numpy(np.int64),
+        "pmi6": p["pmi6"].to_numpy(np.int64)}).reset_index(drop=True)
+
+
+def q_bot_repetition(sf_dir: str):
+    """Bot-signal screen: per event type, the share of consecutive
+    same-user events that repeat the IDENTICAL (type, milliunit value)
+    pair — organic users vary, replay bots don't. One user-hash bucket
+    shuffle; inside each bucket a lexsort + one shifted compare
+    (vectorized), leaving a 5-row (type, pairs, identical) combine."""
+    from ..stages.temporal import _with_bucket
+
+    ev = _pq(sf_dir, "events",
+             columns=["event_type", "user_id", "ts", "value"],
+             num_blocks=_n_cpus())
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        tu = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        v3 = np.rint(g["value"].to_numpy(np.float64) * 1000
+                     ).astype(np.int64)
+        o = np.lexsort((tu, uid))
+        uid, et, v3 = uid[o], et[o], v3[o]
+        same_user = uid[1:] == uid[:-1]
+        ident = same_user & (et[1:] == et[:-1]) & (v3[1:] == v3[:-1])
+        return pd.DataFrame({
+            "event_type": et[1:][same_user],
+            "n_pairs": np.int64(1),
+            "n_identical": ident[same_user].astype(np.int64),
+        }).groupby("event_type", as_index=False).sum()
+
+    g = _combine_partials(
+        _with_bucket(ev, "user_id", 32)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas"),
+        ["event_type"], ["n_pairs", "n_identical"],
+    ).sort_values("event_type")
+    return pd.DataFrame({
+        "event_type": g["event_type"].to_numpy(),
+        "n_pairs": g["n_pairs"].to_numpy(np.int64),
+        "n_identical": g["n_identical"].to_numpy(np.int64),
+        "ident_share6": np.array(
+            [int(a) * 10**6 // int(b) if int(b) else 0 for a, b in
+             zip(g["n_identical"], g["n_pairs"])], np.int64),
+    }).reset_index(drop=True)
