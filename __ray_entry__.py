@@ -317,6 +317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linear_attribution": q.q_linear_attribution,
         "token_pmi": q.q_token_pmi,
         "bot_repetition": q.q_bot_repetition,
+        "bucket_label_purity": q.q_bucket_label_purity,
+        "dow_adjusted_anomalies": q.q_dow_adjusted_anomalies,
     }
 
 
@@ -4698,5 +4700,56 @@ SELECT event_type, n_pairs, n_identical,
             ELSE n_identical * 1000000 // n_pairs END AS BIGINT)
          AS ident_share6
 FROM g ORDER BY event_type
+"""
+    # rp_buckets' exact sign-LSH buckets joined to labels; majority mass
+    out["bucket_label_purity"] = """
+WITH v AS (
+  SELECT vec_id, i AS dim,
+         CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000)
+              AS BIGINT) AS v6
+  FROM embeddings, UNNEST(range(len(embedding))) AS t(i)),
+signs AS (
+  SELECT i AS dim,
+         CAST(('0x' || substr(md5('rp' || CAST(i AS VARCHAR)), 1, 16))
+              AS UBIGINT) AS hv
+  FROM (SELECT unnest(range((SELECT len(embedding) FROM embeddings
+                             LIMIT 1))) AS i)),
+proj AS (
+  SELECT v.vec_id, j.j,
+         SUM(v.v6 * (CASE WHEN (s.hv >> CAST(j.j AS INT)) & 1 = 1
+                          THEN 1 ELSE -1 END)) AS p
+  FROM v JOIN signs s USING (dim)
+  CROSS JOIN (SELECT unnest(range(8)) AS j) j
+  GROUP BY v.vec_id, j.j),
+bkt AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN p > 0 THEN 1 << CAST(j AS INT) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id),
+g AS (SELECT bucket, e.label, CAST(count(*) AS BIGINT) AS c
+      FROM bkt JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+m AS (SELECT bucket, MAX(c) AS maj FROM g GROUP BY 1),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(SUM(maj) AS BIGINT) AS sm FROM m),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+SELECT t.n_buckets, nn.n AS n_vecs,
+       CAST(t.sm * 1000000 // nn.n AS BIGINT) AS purity6
+FROM t, nn
+"""
+    # weekday-effect-adjusted daily counts; top-10 anomalies
+    out["dow_adjusted_anomalies"] = """
+WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM d),
+w AS (SELECT (day + 4) % 7 AS dow, CAST(SUM(n) AS BIGINT) AS s
+      FROM d GROUP BY 1),
+i AS (SELECT dow, s * 7 * 1000000 // t.nn AS idx6 FROM w, t),
+a AS (SELECT d.day, d.n,
+             CASE WHEN i.idx6 = 0 THEN 0
+                  ELSE d.n * 1000000 // i.idx6 END AS adj
+      FROM d JOIN i ON i.dow = (d.day + 4) % 7)
+SELECT CAST(day AS BIGINT) AS day, n, CAST(adj AS BIGINT) AS adj
+FROM a ORDER BY adj DESC, day ASC LIMIT 10
 """
     return out

@@ -13230,3 +13230,92 @@ def q_bot_repetition(sf_dir: str):
             [int(a) * 10**6 // int(b) if int(b) else 0 for a, b in
              zip(g["n_identical"], g["n_pairs"])], np.int64),
     }).reset_index(drop=True)
+
+
+def q_bucket_label_purity(sf_dir: str):
+    """Label purity of the sign-LSH buckets from rp_buckets: per-bucket
+    majority-label mass over total — the one-number check of whether
+    the ANN sharding respects class structure (purity ≈ top-1 accuracy
+    of a bucket-vote classifier). Same deterministic md5 ±1 planes and
+    1e-6 fixed-point projection as rp_buckets (exact integer bucket
+    ids on both sides); the (bucket, label) combine is bounded by
+    2⁸ × labels and purity closes as an exact ×1e6 floor."""
+    from ..functions.urls import md5_hash64_many
+    from ..stages.similarity import _emb_matrix
+
+    emb = _pq(sf_dir, "embeddings",
+              columns=["vec_id", "embedding", "label"],
+              num_blocks=_n_cpus())
+    first = emb.take(1)[0]
+    dim = len(first["embedding"])
+    h = md5_hash64_many([f"rp{d}" for d in range(dim)])
+    signs = (
+        ((h[:, None] >> np.arange(8, dtype=np.uint64)[None, :])
+         & np.uint64(1)).astype(np.int64) * 2 - 1
+    )
+    sref = ray.put(signs)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        s = ray.get(sref)
+        m = _emb_matrix(t, "embedding")
+        if not len(m):
+            return pd.DataFrame({
+                "bucket": pd.Series([], dtype=np.int64),
+                "label": pd.Series([], dtype=np.int64),
+                "c": pd.Series([], dtype=np.int64)})
+        v6 = round_half_away(m * 1_000_000).astype(np.int64)
+        proj = v6 @ s  # (n, 8) exact integer projections
+        bucket = ((proj > 0).astype(np.int64)
+                  * (1 << np.arange(8, dtype=np.int64))[None, :]
+                  ).sum(axis=1)
+        df = pd.DataFrame({
+            "bucket": bucket,
+            "label": t.column("label").to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "c": np.int64(1)})
+        return df.groupby(["bucket", "label"], as_index=False).sum()
+
+    grid = _combine_partials(
+        emb.map_batches(partial, batch_format="pyarrow"),
+        ["bucket", "label"], ["c"],
+    )
+    maj = grid.groupby("bucket")["c"].max()
+    n = int(grid["c"].sum())
+    return pd.DataFrame({
+        "n_buckets": [np.int64(len(maj))],
+        "n_vecs": [np.int64(n)],
+        "purity6": [np.int64(int(maj.sum()) * 10**6 // n)]})
+
+
+def q_dow_adjusted_anomalies(sf_dir: str):
+    """Top-10 anomaly days after removing the weekday effect: daily
+    event counts are rescaled by the dow_seasonality index
+    (adj = n·1e6 // idx6(dow)), so a busy Saturday no longer reads as
+    an anomaly just for being Saturday. Calendar-bounded (day) and
+    (dow) combines; adjusted scores are exact integer floors; top-10
+    by adj desc, day asc — fully deterministic."""
+    ev = _pq(sf_dir, "events", columns=["ts"], num_blocks=_n_cpus())
+    DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        d = pc.cast(t.column("ts"), pa.int64()).to_numpy() // DAY
+        return pd.DataFrame({"day": d, "n": np.int64(1)}
+                            ).groupby("day", as_index=False).sum()
+
+    g = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["day"], ["n"],
+    ).sort_values("day")
+    day = g["day"].to_numpy(np.int64)
+    n = g["n"].to_numpy(np.int64)
+    N = int(n.sum())
+    dow = (day + 4) % 7
+    dsum = np.zeros(7, np.int64)
+    np.add.at(dsum, dow, n)
+    idx6 = np.array([int(s) * 7 * 10**6 // N for s in dsum], np.int64)
+    adj = np.array([int(c) * 10**6 // int(idx6[w]) if idx6[w] else 0
+                    for c, w in zip(n, dow)], np.int64)
+    out = pd.DataFrame({"day": day, "n": n, "adj": adj})
+    out = out.sort_values(["adj", "day"],
+                          ascending=[False, True]).head(10)
+    return out.reset_index(drop=True)
