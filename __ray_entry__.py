@@ -319,6 +319,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bot_repetition": q.q_bot_repetition,
         "bucket_label_purity": q.q_bucket_label_purity,
         "dow_adjusted_anomalies": q.q_dow_adjusted_anomalies,
+        "customer_features": q.q_customer_features,
+        "log2_hist": q.q_log2_hist,
     }
 
 
@@ -4751,5 +4753,36 @@ a AS (SELECT d.day, d.n,
       FROM d JOIN i ON i.dow = (d.day + 4) % 7)
 SELECT CAST(day AS BIGINT) AS day, n, CAST(adj AS BIGINT) AS adj
 FROM a ORDER BY adj DESC, day ASC LIMIT 10
+"""
+    # per-customer churn features; months since 1970-01 convention
+    out["customer_features"] = """
+WITH o AS (SELECT o_custkey,
+                  epoch_us(o_orderdate) // 86400000000 AS d,
+                  (year(o_orderdate) - 1970) * 12
+                    + month(o_orderdate) - 1 AS mo,
+                  CAST(round(o_totalprice*100) AS BIGINT) AS cents
+           FROM orders),
+h AS (SELECT max(d) AS horizon FROM o),
+g AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS frequency,
+             CAST(SUM(cents) AS BIGINT) AS monetary_cents,
+             CAST(min(d) AS BIGINT) AS dmin,
+             CAST(max(d) AS BIGINT) AS dmax,
+             CAST(count(DISTINCT mo) AS BIGINT) AS n_months
+      FROM o GROUP BY 1)
+SELECT o_custkey, CAST(h.horizon - dmax AS BIGINT) AS recency_days,
+       frequency, monetary_cents,
+       CAST(CASE WHEN frequency > 1
+            THEN (dmax - dmin) * 1000000 // (frequency - 1)
+            ELSE 0 END AS BIGINT) AS gap_days6,
+       n_months
+FROM g, h ORDER BY o_custkey
+"""
+    # fixed ⌊log2⌋ milliunit bands per type
+    out["log2_hist"] = """
+SELECT event_type,
+       CAST(floor(log2(CAST(round(value*1000) AS DOUBLE))) AS BIGINT)
+         AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
     return out

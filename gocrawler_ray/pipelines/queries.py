@@ -13319,3 +13319,105 @@ def q_dow_adjusted_anomalies(sf_dir: str):
     out = out.sort_values(["adj", "day"],
                           ascending=[False, True]).head(10)
     return out.reset_index(drop=True)
+
+
+def q_customer_features(sf_dir: str):
+    """Feature-store materialization: one wide row per customer with
+    the churn-model features (recency days vs corpus horizon, order
+    frequency, exact monetary cents, mean inter-order gap ×1e6,
+    distinct active months) — the per-entity feature build every
+    training pipeline runs before a model sees data. ONE custkey-bucket
+    shuffle; the kernel closes every feature from the customer's own
+    sorted slice (vectorized), and the output is the materialized
+    feature frame itself (row count scales with customers — by design
+    for a feature table). The corpus horizon comes from one scalar
+    min/max partial."""
+    from ..stages.temporal import _with_bucket
+
+    DAY = 86_400_000_000
+    parts = _shuffle_partitions(_row_count(sf_dir, "orders"))
+    orders = _pq(sf_dir, "orders",
+                 columns=["o_custkey", "o_orderdate", "o_totalprice"],
+                 num_blocks=parts)
+
+    def mx(t: pa.Table) -> pd.DataFrame:
+        d = pc.cast(t.column("o_orderdate"), pa.int64()).to_numpy() // DAY
+        return pd.DataFrame({"k": [np.int64(0)],
+                             "mx": [np.int64(d.max())]}) if len(d) else \
+            pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                          "mx": pd.Series([], dtype=np.int64)})
+
+    horizon = int(pd.concat(
+        list(orders.map_batches(mx, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pandas")),
+        ignore_index=True)["mx"].max())
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        ck = g["o_custkey"].to_numpy(np.int64)
+        d = (g["o_orderdate"].to_numpy("datetime64[us]")
+             .astype(np.int64) // DAY)
+        mo = (g["o_orderdate"].to_numpy("datetime64[M]")
+              .astype(np.int64))
+        cents = np.rint(g["o_totalprice"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        o = np.lexsort((d, ck))
+        ck, d, mo, cents = ck[o], d[o], mo[o], cents[o]
+        first = np.concatenate([[True], ck[1:] != ck[:-1]])
+        gid = np.cumsum(first) - 1
+        n_g = int(gid[-1]) + 1 if len(gid) else 0
+        freq = np.bincount(gid, minlength=n_g).astype(np.int64)
+        mon = np.zeros(n_g, np.int64)
+        np.add.at(mon, gid, cents)
+        dmin = np.full(n_g, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(dmin, gid, d)
+        dmax = np.zeros(n_g, np.int64)
+        np.maximum.at(dmax, gid, d)
+        # distinct months: new (customer, month) transitions in the
+        # (ck, d)-sorted order (months are monotone within a customer)
+        newmo = first | (np.concatenate([[np.int64(0)], mo[:-1]]) != mo)
+        nmo = np.bincount(gid[newmo], minlength=n_g).astype(np.int64)
+        gap6 = np.where(
+            freq > 1,
+            (dmax - dmin) * 10**6 // np.maximum(freq - 1, 1), 0)
+        return pd.DataFrame({
+            "o_custkey": ck[first],
+            "recency_days": horizon - dmax,
+            "frequency": freq,
+            "monetary_cents": mon,
+            "gap_days6": gap6,
+            "n_months": nmo})
+
+    out = (
+        _with_bucket(orders, "o_custkey", 32)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas")
+    ).to_pandas()
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+def q_log2_hist(sf_dir: str):
+    """Fixed power-of-two milliunit histogram of value per event type
+    (⌊log2 v3⌋ bands — the data-independent bins psi_drift compares
+    across halves, exposed as the inspectable distribution itself).
+    Map-only bounded partial; exact counts."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "value"],
+             num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        v3 = np.rint(t.column("value").to_numpy() * 1000
+                     ).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas().to_numpy(),
+            "bin": np.floor(np.log2(v3.astype(np.float64))
+                            ).astype(np.int64),
+            "n": np.int64(1)})
+        return df.groupby(["event_type", "bin"], as_index=False).sum()
+
+    g = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "bin"], ["n"],
+    ).sort_values(["event_type", "bin"]).reset_index(drop=True)
+    return pd.DataFrame({
+        "event_type": g["event_type"].to_numpy(),
+        "bin": g["bin"].to_numpy(np.int64),
+        "n": g["n"].to_numpy(np.int64)})
