@@ -321,6 +321,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dow_adjusted_anomalies": q.q_dow_adjusted_anomalies,
         "customer_features": q.q_customer_features,
         "log2_hist": q.q_log2_hist,
+        "nation_share_of_region": q.q_nation_share_of_region,
+        "qq_click_purchase": q.q_qq_click_purchase,
     }
 
 
@@ -4784,5 +4786,43 @@ SELECT event_type,
          AS bin,
        CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    # two-level percent-of-parent rollup (region → nation)
+    out["nation_share_of_region"] = """
+WITH j AS (SELECT c_nationkey AS nk,
+                  CAST(round(o_totalprice*100) AS BIGINT) AS cents
+           FROM orders JOIN customer ON c_custkey = o_custkey),
+g AS (SELECT nk, CAST(SUM(cents) AS BIGINT) AS cents FROM j
+      GROUP BY 1),
+d AS (SELECT r_name, n_name, g.cents,
+             CAST(SUM(g.cents) OVER (PARTITION BY r_name) AS BIGINT)
+               AS rtot
+      FROM g JOIN nation ON n_nationkey = g.nk
+      JOIN region ON r_regionkey = n_regionkey)
+SELECT r_name, n_name, cents,
+       CAST(cents * 1000000 // rtot AS BIGINT) AS region_share6
+FROM d ORDER BY r_name, n_name
+"""
+    # PERCENTILE_DISC ranks at 5..95 step 5 for both distributions
+    out["qq_click_purchase"] = """
+WITH h AS (SELECT event_type, CAST(round(value*1000) AS BIGINT) AS v,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events WHERE event_type IN ('click', 'purchase')
+           GROUP BY 1, 2),
+w AS (SELECT event_type, v,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM h),
+ps AS (SELECT unnest(range(5, 100, 5)) AS p),
+q AS (SELECT ps.p, w.event_type,
+             MIN(CASE WHEN cum >= (ps.p * n + 99) // 100 THEN v END)
+               AS qv
+      FROM ps CROSS JOIN w GROUP BY 1, 2)
+SELECT CAST(a.p AS BIGINT) AS p,
+       CAST(a.qv AS BIGINT) AS click_v3,
+       CAST(b.qv AS BIGINT) AS purchase_v3
+FROM q a JOIN q b ON a.p = b.p
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+ORDER BY p
 """
     return out

@@ -13421,3 +13421,101 @@ def q_log2_hist(sf_dir: str):
         "event_type": g["event_type"].to_numpy(),
         "bin": g["bin"].to_numpy(np.int64),
         "n": g["n"].to_numpy(np.int64)})
+
+
+def q_nation_share_of_region(sf_dir: str):
+    """Percent-of-parent rollup: each nation's exact order revenue and
+    its share of its REGION's total ×1e6 — the two-level hierarchy
+    read (region → nation) that revenue_rollup's flat grouping can't
+    give. Customer nation attaches to the order scan via the broadcast
+    customer map (hash-join fallback past the cap); the (nation)
+    combine is 25-bounded and the region parent sums close on the
+    driver with the 5-row nation/region dimension join."""
+    parts = _shuffle_partitions(
+        _row_count(sf_dir, "orders"), _row_count(sf_dir, "customer")
+    )
+    orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_totalprice"],
+                 num_blocks=parts)
+    cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_nationkey"],
+               num_blocks=parts)
+    attached = _broadcast_fact_attach(
+        orders, cust, "o_custkey", "c_custkey", ["c_nationkey"])
+    if attached is None:  # distributed hash join past the cap
+        attached = orders.join(
+            cust, join_type="inner", num_partitions=parts,
+            on=("o_custkey",), right_on=("c_custkey",))
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cents = np.rint(t.column("o_totalprice").to_numpy() * 100
+                        ).astype(np.int64)
+        return pd.DataFrame({
+            "nk": t.column("c_nationkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "cents": cents,
+        }).groupby("nk", as_index=False).sum()
+
+    g = _combine_partials(
+        attached.map_batches(partial, batch_format="pyarrow"),
+        ["nk"], ["cents"],
+    )
+    nat = _gather_capped(_pq(sf_dir, "nation",
+                             columns=["n_nationkey", "n_name",
+                                      "n_regionkey"]))
+    reg = _gather_capped(_pq(sf_dir, "region",
+                             columns=["r_regionkey", "r_name"]))
+    j = g.merge(nat, left_on="nk", right_on="n_nationkey")
+    j = j.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    rtot = j.groupby("r_name")["cents"].transform("sum")
+    return pd.DataFrame({
+        "r_name": j["r_name"],
+        "n_name": j["n_name"],
+        "cents": j["cents"].astype(np.int64),
+        "region_share6": np.array(
+            [int(a) * 10**6 // int(b) for a, b in
+             zip(j["cents"], rtot)], np.int64),
+    }).sort_values(["r_name", "n_name"]).reset_index(drop=True)
+
+
+def q_qq_click_purchase(sf_dir: str):
+    """Q–Q table between the click and purchase value distributions:
+    PERCENTILE_DISC-exact quantiles of BOTH at p = 5%..95% step 5 —
+    the distribution-shape comparison behind ks_test's single number
+    ("purchases aren't just shifted clicks, their tail bends here").
+    Both quantile sets close from ONE value-domain-bounded histogram
+    pass; ranks are pure integer ⌈p·n⌉ arithmetic."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "value"],
+             num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        et = t.column("event_type").to_pandas().to_numpy()
+        m = (et == "click") | (et == "purchase")
+        v3 = np.rint(t.column("value").to_numpy()[m] * 1000
+                     ).astype(np.int64)
+        return pd.DataFrame({"event_type": et[m], "v": v3,
+                             "c": np.int64(1)}
+                            ).groupby(["event_type", "v"],
+                                      as_index=False).sum()
+
+    grid = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "v"], ["c"],
+    )
+
+    def quantiles(g: pd.DataFrame) -> dict[int, int]:
+        g = g.sort_values("v")
+        v = g["v"].to_numpy(np.int64)
+        cum = np.cumsum(g["c"].to_numpy(np.int64))
+        n = int(cum[-1])
+        out = {}
+        for p in range(5, 100, 5):
+            r = (p * n + 99) // 100  # ⌈p·n/100⌉
+            out[p] = int(v[np.searchsorted(cum, r, side="left")])
+        return out
+
+    qc = quantiles(grid[grid["event_type"] == "click"])
+    qp = quantiles(grid[grid["event_type"] == "purchase"])
+    ps = list(range(5, 100, 5))
+    return pd.DataFrame({
+        "p": np.array(ps, np.int64),
+        "click_v3": np.array([qc[p] for p in ps], np.int64),
+        "purchase_v3": np.array([qp[p] for p in ps], np.int64)})

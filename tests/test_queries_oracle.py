@@ -375,3 +375,14 @@ def test_never_ordered_fallback_matches_broadcast(monkeypatch):
     monkeypatch.setattr(q, "_gather_capped", lambda *x, **k: None)
     b = q.q_never_ordered_parts(SF_DIR)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_nation_share_fallback_matches_broadcast(monkeypatch):
+    """Past the customer-map cap, the nation attach runs as a
+    distributed hash join — identical rollup."""
+    from gocrawler_ray.pipelines import queries as q
+
+    a = q.q_nation_share_of_region(SF_DIR)
+    monkeypatch.setattr(q, "_broadcast_fact_attach", lambda *x, **k: None)
+    b = q.q_nation_share_of_region(SF_DIR)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
