@@ -323,6 +323,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "log2_hist": q.q_log2_hist,
         "nation_share_of_region": q.q_nation_share_of_region,
         "qq_click_purchase": q.q_qq_click_purchase,
+        "host_link_matrix": q.q_host_link_matrix,
+        "power_users": q.q_power_users,
     }
 
 
@@ -4824,5 +4826,32 @@ SELECT CAST(a.p AS BIGINT) AS p,
 FROM q a JOIN q b ON a.p = b.p
 WHERE a.event_type = 'click' AND b.event_type = 'purchase'
 ORDER BY p
+"""
+    # host × host link flow with row shares
+    out["host_link_matrix"] = _EDGES_CTE + """,
+g AS (SELECT 'www.synthd' || CAST(src % 3 AS VARCHAR) || '.mx'
+        AS src_host,
+      'www.synthd' || CAST(dst % 3 AS VARCHAR) || '.mx' AS dst_host,
+      CAST(count(*) AS BIGINT) AS n
+      FROM edges GROUP BY 1, 2)
+SELECT src_host, dst_host, n AS n_links,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY src_host)
+            AS BIGINT) AS row_share6
+FROM g ORDER BY src_host, dst_host
+"""
+    # users active in EVERY one of the final 4 Monday-aligned weeks
+    out["power_users"] = """
+WITH w AS (SELECT DISTINCT user_id,
+                  (epoch_us(ts) + 259200000000) // 604800000000 AS wk
+           FROM events),
+mx AS (SELECT max(wk) AS lw FROM w),
+f AS (SELECT user_id, count(*) AS k FROM w, mx
+      WHERE wk >= lw - 3 GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_active,
+       CAST(SUM(CASE WHEN k = 4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_power,
+       CAST(SUM(CASE WHEN k = 4 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS power_share6
+FROM f
 """
     return out

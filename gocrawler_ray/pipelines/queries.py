@@ -13519,3 +13519,102 @@ def q_qq_click_purchase(sf_dir: str):
         "p": np.array(ps, np.int64),
         "click_v3": np.array([qc[p] for p in ps], np.int64),
         "purchase_v3": np.array([qp[p] for p in ps], np.int64)})
+
+
+def q_host_link_matrix(sf_dir: str):
+    """Full host-to-host link matrix of the derived web (source host ×
+    destination host, count and row share ×1e6) — the off-diagonal
+    mass host_link_locality's single ratio collapses away; a frontier
+    dispatcher reads it as "which politeness queue feeds which". Pure
+    map-side arithmetic over the edge stream; 9-cell bounded
+    combine."""
+    from ..stages.graph import edges_dataset
+
+    n = _doc_count(sf_dir)
+    docs = _pq(sf_dir, "documents", columns=["doc_id"],
+               num_blocks=_n_cpus())
+    edges = edges_dataset(docs, n)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"hs": s % 3, "hd": d % 3,
+                             "n": np.int64(1)}
+                            ).groupby(["hs", "hd"],
+                                      as_index=False).sum()
+
+    g = _combine_partials(
+        edges.map_batches(partial, batch_format="pyarrow"),
+        ["hs", "hd"], ["n"],
+    )
+    rt = g.groupby("hs")["n"].transform("sum")
+    g = g.sort_values(["hs", "hd"]).reset_index(drop=True)
+    return pd.DataFrame({
+        "src_host": [f"www.synthd{int(h)}.mx" for h in g["hs"]],
+        "dst_host": [f"www.synthd{int(h)}.mx" for h in g["hd"]],
+        "n_links": g["n"].to_numpy(np.int64),
+        "row_share6": np.array(
+            [int(a) * 10**6 // int(b) for a, b in
+             zip(g["n"], rt.loc[g.index])], np.int64)})
+
+
+def q_power_users(sf_dir: str):
+    """Power-user census: of the users active in the corpus' final 4
+    ISO weeks, how many were active in EVERY one of them — the
+    habit-formation number stickiness's DAU/WAU ratio only hints at.
+    Distinct (user, week) pairs pre-reduce per batch; one user-hash
+    bucket groupby counts distinct final-window weeks per user; the
+    close is a 2-counter combine. The week horizon comes from one
+    scalar max partial."""
+    from ..stages.temporal import _with_bucket
+
+    WEEK = 7 * 86_400_000_000
+    ev = _pq(sf_dir, "events", columns=["user_id", "ts"],
+             num_blocks=_n_cpus())
+
+    def mx(t: pa.Table) -> pd.DataFrame:
+        w = (pc.cast(t.column("ts"), pa.int64()).to_numpy()
+             + 3 * 86_400_000_000) // WEEK  # Monday-aligned weeks
+        return pd.DataFrame({"k": [np.int64(0)],
+                             "mx": [np.int64(w.max())]}) if len(w) else \
+            pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                          "mx": pd.Series([], dtype=np.int64)})
+
+    last_w = int(pd.concat(
+        list(ev.map_batches(mx, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pandas")),
+        ignore_index=True)["mx"].max())
+    lo_w = last_w - 3
+
+    def keep(t: pa.Table) -> pa.Table:
+        w = (pc.cast(t.column("ts"), pa.int64()).to_numpy()
+             + 3 * 86_400_000_000) // WEEK
+        m = w >= lo_w
+        return pa.table({
+            "user_id": pa.array(
+                t.column("user_id").to_numpy(zero_copy_only=False)[m],
+                pa.int64()),
+            "week": pa.array(w[m], pa.int64())})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["user_id", "week"]].drop_duplicates()
+        per = d.groupby("user_id").size()
+        return pd.DataFrame({
+            "k": [np.int64(0)],
+            "n_active": [np.int64(len(per))],
+            "n_power": [np.int64(int((per == 4).sum()))]})
+
+    g = _combine_partials(
+        _with_bucket(ev.map_batches(keep, batch_format="pyarrow"),
+                     "user_id", 32)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas"),
+        ["k"], ["n_active", "n_power"],
+    )
+    n_active = int(g["n_active"].sum())
+    n_power = int(g["n_power"].sum())
+    return pd.DataFrame({
+        "n_active": [np.int64(n_active)],
+        "n_power": [np.int64(n_power)],
+        "power_share6": [np.int64(n_power * 10**6 // n_active
+                                  if n_active else 0)]})
