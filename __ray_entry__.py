@@ -325,6 +325,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qq_click_purchase": q.q_qq_click_purchase,
         "host_link_matrix": q.q_host_link_matrix,
         "power_users": q.q_power_users,
+        "dup_rate_by_source": q.q_dup_rate_by_source,
+        "logprob_buckets": q.q_logprob_buckets,
     }
 
 
@@ -4853,5 +4855,38 @@ SELECT CAST(count(*) AS BIGINT) AS n_active,
        CAST(SUM(CASE WHEN k = 4 THEN 1 ELSE 0 END) * 1000000
             // count(*) AS BIGINT) AS power_share6
 FROM f
+"""
+    # per-source exact duplication rate (same doc_id<20 copy injection
+    # as exact_dedup so the rate is nonzero at gate scale)
+    out["dup_rate_by_source"] = """
+WITH aug AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT source, text FROM documents WHERE doc_id < 20),
+g AS (SELECT source, count(*) AS n_docs,
+             count(DISTINCT md5(text)) AS n_distinct
+      FROM aug GROUP BY source)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       CAST((n_docs - n_distinct) * 1000000 // n_docs AS BIGINT)
+         AS dup_share6
+FROM g ORDER BY source
+"""
+    # LM-quality mix census: floor buckets of the SAME round-6 score
+    # the unigram_logprob gate proves equal on both sides
+    out["logprob_buckets"] = """
+WITH words AS (
+  SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS w FROM documents
+),
+counts AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+tot AS (SELECT sum(c) AS t FROM counts),
+sc AS (SELECT doc_id,
+              round(avg(log2(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))), 6)
+                AS a
+       FROM words JOIN counts USING (w), tot GROUP BY doc_id)
+SELECT d.source, CAST(floor(sc.a) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM sc JOIN documents d USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
 """
     return out

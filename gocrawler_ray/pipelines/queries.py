@@ -13618,3 +13618,126 @@ def q_power_users(sf_dir: str):
         "n_power": [np.int64(n_power)],
         "power_share6": [np.int64(n_power * 10**6 // n_active
                                   if n_active else 0)]})
+
+
+def q_dup_rate_by_source(sf_dir: str):
+    """Per-source exact duplication-rate audit — the curation dashboard
+    number behind 'which feed is flooding the corpus with copies'
+    (doc_id<20 copies injected as in exact_dedup so the rate is
+    nonzero at gate scale).
+
+    ONE scan, one bounded exchange: each block pre-reduces to distinct
+    (source, content-md5) pairs with local multiplicities, pairs route
+    by pair hash (same pair → same bucket, so per-bucket distinct
+    counts are globally exact while one source's hashes spread over all
+    buckets — no hot-source bucket), and the close combines ≤
+    sources × buckets partial rows. Nothing content-sized ever lands
+    on the driver."""
+    from ..functions.urls import md5_hex_arrow
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text", "source"],
+               num_blocks=_n_cpus())
+
+    def copies(t: pa.Table) -> pa.Table:
+        t2 = t.filter(pc.less(t.column("doc_id"), 20))
+        return pa.table({"doc_id": pc.add(t2.column("doc_id"), 10000),
+                         "text": t2.column("text"),
+                         "source": t2.column("source")})
+
+    aug = docs.union(docs.map_batches(copies, batch_format="pyarrow"))
+
+    def local(t: pa.Table) -> pa.Table:
+        df = (pd.DataFrame({
+                "source": t.column("source").to_numpy(zero_copy_only=False),
+                "h": np.asarray(md5_hex_arrow(t.column("text")),
+                                dtype=object)})
+              .groupby(["source", "h"], sort=False).size()
+              .reset_index(name="n"))
+        ph = pd.util.hash_pandas_object(df[["source", "h"]],
+                                        index=False).to_numpy()
+        return pa.table({
+            "source": pa.array(df["source"].to_numpy(dtype=object),
+                               pa.string()),
+            "h": pa.array(df["h"].to_numpy(dtype=object), pa.string()),
+            "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+            "__bucket": pa.array((ph % np.uint64(64)).astype(np.int32),
+                                 pa.int32()),
+        })
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby(["source", "h"], sort=False)["n"].sum()
+               .reset_index())
+        return (agg.groupby("source", sort=False)
+                .agg(n_docs=("n", "sum"), n_distinct=("h", "size"))
+                .reset_index())
+
+    parts = (aug.map_batches(local, batch_format="pyarrow")
+             .groupby("__bucket").map_groups(bucket, batch_format="pandas"))
+    out = _combine_partials(parts, ["source"], ["n_docs", "n_distinct"])
+    out = out.sort_values("source").reset_index(drop=True)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_distinct"] = out["n_distinct"].astype(np.int64)
+    out["dup_share6"] = ((out["n_docs"] - out["n_distinct"]) * 10**6
+                         // out["n_docs"]).astype(np.int64)
+    return out[["source", "n_docs", "n_distinct", "dup_share6"]]
+
+
+def q_logprob_buckets(sf_dir: str):
+    """LM-quality mix census: doc counts per (source, ⌊mean log2 token
+    probability⌋) cell — the perplexity-bucket composition report a
+    curation run reads before choosing per-source mixing weights.
+
+    Same two zero-shuffle passes as unigram_logprob (vocabulary
+    partials → broadcast LM; Heaps' law bounds the broadcast), then the
+    scoring scan buckets each doc and pre-reduces to (source, bucket)
+    count partials per batch — the close combines a few dozen cells.
+    Bucketing floors the SAME round-to-6 value the unigram_logprob gate
+    already proves equal on both sides, so the floor cannot straddle."""
+    docs = _pq(sf_dir, "documents", columns=["text", "source"],
+               num_blocks=_n_cpus())
+
+    def count_partial(t: pa.Table) -> pd.DataFrame:
+        flat, _ = _flat_tokens(t.column("text").to_pandas())
+        if len(flat) == 0:
+            return pd.DataFrame({"w": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype=np.int64)})
+        vc = pd.Series(flat, dtype=object).value_counts()
+        return pd.DataFrame({"w": vc.index.to_numpy(dtype=object),
+                             "c": vc.to_numpy(np.int64)})
+
+    partials = docs.map_batches(count_partial, batch_format="pyarrow")
+    vocab = _combine_partials(partials, ["w"], ["c"], cap=2_000_000)
+    if vocab is None:  # pragma: no cover - vocab past the broadcast cap
+        summed = partials.groupby("w").sum("c")
+        vocab = summed.to_pandas().rename(columns={"sum(c)": "c"})
+    vocab = vocab.sort_values("w").reset_index(drop=True)
+    total = float(vocab["c"].sum())
+    lm_ref = ray.put(
+        (vocab["w"].to_numpy(dtype=object),
+         np.log2(vocab["c"].to_numpy(np.float64) / total))
+    )
+
+    def score(t: pa.Table) -> pd.DataFrame:
+        words, logp = ray.get(lm_ref)
+        texts = t.column("text").to_pandas()
+        flat, di = _flat_tokens(texts)
+        lens = np.bincount(di, minlength=len(texts)).astype(np.int64)
+        vals = logp[np.searchsorted(words, flat)]
+        starts = np.zeros(len(texts), dtype=np.int64)
+        starts[1:] = np.cumsum(lens)[:-1]
+        nz = lens > 0
+        sums = np.zeros(len(texts))
+        sums[nz] = np.add.reduceat(vals, starts[nz]) if nz.any() else 0.0
+        avg = sums[nz] / lens[nz]
+        b = np.floor(round_half_away(avg, 6)).astype(np.int64)
+        src = t.column("source").to_numpy(zero_copy_only=False)[nz]
+        return (pd.DataFrame({"source": src, "bucket": b})
+                .groupby(["source", "bucket"], sort=False).size()
+                .reset_index(name="n_docs"))
+
+    out = _combine_partials(docs.map_batches(score, batch_format="pyarrow"),
+                            ["source", "bucket"], ["n_docs"])
+    out = out.sort_values(["source", "bucket"]).reset_index(drop=True)
+    out["bucket"] = out["bucket"].astype(np.int64)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out[["source", "bucket", "n_docs"]]
