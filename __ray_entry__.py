@@ -327,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "power_users": q.q_power_users,
         "dup_rate_by_source": q.q_dup_rate_by_source,
         "logprob_buckets": q.q_logprob_buckets,
+        "containment_pairs": q.q_containment_pairs,
     }
 
 
@@ -4888,5 +4889,31 @@ SELECT d.source, CAST(floor(sc.a) AS BIGINT) AS bucket,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM sc JOIN documents d USING (doc_id)
 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    # exact overlap-coefficient (containment) join: same gram pipeline
+    # as _PAIRS_SQL, metric inter/min, over token-prefix quote docs
+    out["containment_pairs"] = """
+WITH aug AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id + 30000 AS VARCHAR),
+         array_to_string(
+           string_split(trim(text), ' ')[
+             1:greatest(4, (2 * len(string_split(trim(text), ' '))) // 5)],
+           ' ')
+  FROM documents WHERE doc_id < 10),
+words AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws
+          FROM aug),
+grams AS (SELECT doc_id,
+  CASE WHEN len(ws) <= 3 THEN [array_to_string(ws, ' ')]
+       ELSE list_transform(range(1, len(ws)-1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+  END AS gs FROM words),
+gsets AS (SELECT doc_id, list_distinct(gs) AS gs FROM grams),
+pairs AS (SELECT a.doc_id AS a, b.doc_id AS b,
+  len(list_intersect(a.gs, b.gs)) * 1.0
+    / least(len(a.gs), len(b.gs)) AS c
+  FROM gsets a JOIN gsets b ON a.doc_id < b.doc_id)
+SELECT a, b, round(c, 6) AS c FROM pairs WHERE c >= 0.8 ORDER BY a, b
 """
     return out

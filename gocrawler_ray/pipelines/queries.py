@@ -13741,3 +13741,42 @@ def q_logprob_buckets(sf_dir: str):
     out["bucket"] = out["bucket"].astype(np.int64)
     out["n_docs"] = out["n_docs"].astype(np.int64)
     return out[["source", "bucket", "n_docs"]]
+
+
+def q_containment_pairs(sf_dir: str):
+    """EXACT overlap-coefficient (containment) self-join — quote/subset
+    detection over the documents corpus with injected token-prefix
+    quotes (doc_id<10 → +30000, the first max(4, 2·len//5) tokens):
+    those pairs sit at C = 1.0 but Jaccard ≈ 0.4, which Jaccard-LSH
+    and the Jaccard prefix filter structurally miss
+    (stages/dedup.py::containment_join — probe-prefix × full-index
+    bucketing with deterministic recall, distributed pair plane past
+    the driver cap). Returns (a, b, c) with exact C ≥ 0.8."""
+    from ..stages.dedup import containment_join
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"],
+               num_blocks=_n_cpus())
+
+    def quotes(t: pa.Table) -> pa.Table:
+        t2 = t.filter(pc.less(t.column("doc_id"), 10))
+        texts = []
+        for x in t2.column("text").to_pylist():
+            toks = (x or "").split()
+            n = max(4, 2 * len(toks) // 5)
+            texts.append(" ".join(toks[:n]))
+        return pa.table({"doc_id": pc.add(t2.column("doc_id"), 30000),
+                         "text": pa.array(texts, pa.string())})
+
+    aug = docs.union(docs.map_batches(quotes, batch_format="pyarrow"))
+    ds = aug.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.string()),
+            "text": t.column("text"),
+        }),
+        batch_format="pyarrow",
+    )
+    # freq_order off: flat shingle-df corpus (same adjudication as
+    # ngram_jaccard_pairs — the sampled-df pass finds an empty hot set)
+    out = containment_join(ds, k=3, threshold=0.8, freq_order=False)
+    out["c"] = round_half_away(out["c"].to_numpy(), 6)
+    return out

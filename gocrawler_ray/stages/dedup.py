@@ -1156,7 +1156,8 @@ def _blob_sets(colarr) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _jaccard_pairwise_blobs(
-    t: pa.Table, threshold: float, with_value: bool
+    t: pa.Table, threshold: float, with_value: bool,
+    metric: str = "jaccard",
 ) -> pa.Table:
     """Exact Jaccard per row from two sorted-unique shingle-blob
     columns (``sh_a``, ``sh_b``) — the distributed verify's per-batch
@@ -1177,8 +1178,13 @@ def _jaccard_pairwise_blobs(
     both_empty = (na == 0) & (nb == 0)
     keep[both_empty] = True
     jv[both_empty] = 1.0
-    # lossless size prefilter: J ≤ min/max < threshold ⇒ reject
-    cand = (np.minimum(na, nb) >= threshold * np.maximum(na, nb)) & ~both_empty
+    if metric == "overlap":
+        # C = inter/min has no size prefilter (any nonempty pair can
+        # reach 1.0); one-sided-empty pairs are 0 by convention
+        cand = (na > 0) & (nb > 0)
+    else:
+        # lossless size prefilter: J ≤ min/max < threshold ⇒ reject
+        cand = (np.minimum(na, nb) >= threshold * np.maximum(na, nb)) & ~both_empty
     idx = np.flatnonzero(cand)
     if idx.size:
         la, lb = na[idx], nb[idx]
@@ -1200,8 +1206,11 @@ def _jaccard_pairwise_blobs(
         eq = (cv[1:] == cv[:-1]) & (pv[1:] == pv[:-1])
         cs = np.concatenate(([0], np.cumsum(eq)))
         inter = cs[seg_end - 1] - cs[seg_start]
-        union = la + lb - inter
-        jvals = inter / union
+        if metric == "overlap":
+            jvals = inter / np.minimum(la, lb)
+        else:
+            union = la + lb - inter
+            jvals = inter / union
         keep[idx] = jvals >= threshold
         jv[idx] = jvals
     out = t.select(["a", "b"])
@@ -1219,6 +1228,7 @@ def _verify_pairs_ds(
     with_value: bool = False,
     num_partitions: int | None = None,
     id_broadcast_cap: int = 4_000_000,
+    metric: str = "jaccard",
 ) -> rd.Dataset:
     """DISTRIBUTED exact-Jaccard verify of a candidate-pair Dataset —
     neither the pairs nor the shingle sets ever land on the driver
@@ -1340,7 +1350,7 @@ def _verify_pairs_ds(
          ("sh_b", pa.binary())],
     )
     return j2.map_batches(
-        lambda t: _jaccard_pairwise_blobs(t, threshold, with_value),
+        lambda t: _jaccard_pairwise_blobs(t, threshold, with_value, metric),
         batch_format="pyarrow",
     )
 
@@ -2164,5 +2174,295 @@ def ngram_jaccard_join(
     lo = np.minimum(kept["a"], kept["b"])
     hi = np.maximum(kept["a"], kept["b"])
     return pd.DataFrame({"a": lo, "b": hi, "j": kept["j"]}).sort_values(
+        ["a", "b"]
+    ).reset_index(drop=True)
+
+
+def _containment_rows(
+    t: pa.Table, col: str, k: int, threshold: float,
+    hot: np.ndarray | None = None,
+) -> pa.Table:
+    """(shingle_hash, doc_id, is_probe) rows for the containment join:
+    EVERY unique shingle of every doc (the index side), with the
+    AllPairs prefix flagged ``is_probe``.
+
+    Pigeonhole for overlap coefficient: C(A,B) = |A∩B|/min(|A|,|B|)
+    ≥ t requires |A∩B| ≥ ceil(t·|S|) for the smaller side S, so S's
+    (|S|-ceil(t|S|)+1)-prefix under any fixed total order must contain
+    an intersection element — which lies in the LARGER side's full
+    set. Probe-prefix × full-index bucketing therefore has ZERO false
+    negatives, while probe×probe alone (the Jaccard prefix filter)
+    would miss low-Jaccard/high-containment pairs — exactly the quote/
+    subset pairs this join exists for. ``hot`` orders boilerplate
+    shingles out of prefixes (performance only; recall exact)."""
+    texts = t.column(col).to_pandas().fillna("")
+    ids = t.column("doc_id")
+    flat, lengths = _shingles_of(texts, k)
+    n = len(texts)
+    if flat.size == 0:
+        return pa.table({
+            "band_key": pa.array(np.zeros(0, np.uint64)),
+            "doc_id": ids.slice(0, 0),
+            "is_probe": pa.array([], pa.bool_()),
+        })
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    if hot is not None and hot.size:
+        pos_h = np.searchsorted(hot, flat)
+        is_hot = (pos_h < hot.size) & (
+            hot[np.minimum(pos_h, hot.size - 1)] == flat
+        )
+        order = np.lexsort((flat, is_hot, doc_idx))
+    else:
+        order = np.lexsort((flat, doc_idx))
+    d, h = doc_idx[order], flat[order]
+    keep = np.ones(len(h), dtype=bool)
+    keep[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+    d, h = d[keep], h[keep]
+    uniq = np.bincount(d, minlength=n)
+    req = np.maximum(1, np.ceil(uniq * threshold - 1e-9)).astype(np.int64)
+    plen = uniq - req + 1
+    seg = np.zeros(n, dtype=np.int64)
+    np.cumsum(uniq[:-1], out=seg[1:])
+    pos = np.arange(len(d), dtype=np.int64) - seg[d]
+    return pa.table({
+        "band_key": pa.array(h),
+        "doc_id": ids.take(pa.array(d, pa.int64())),
+        "is_probe": pa.array(pos < plen[d]),
+    })
+
+
+def _overlap_values(a_ids: list, b_ids: list, sets: dict) -> np.ndarray:
+    """Exact overlap coefficient |A∩B| / min(|A|,|B|) per candidate
+    pair over sorted-unique shingle arrays. No size prefilter exists
+    for this metric (any nonempty pair can reach 1.0); candidate lists
+    are probe-prefix-bounded, so the per-pair searchsorted loop is
+    driver-scale work — the distributed plane uses the blob kernel."""
+    vals = np.zeros(len(a_ids), dtype=np.float64)
+    for i, (x, y) in enumerate(zip(a_ids, b_ids)):
+        A, B = sets[x], sets[y]
+        if not A.size and not B.size:
+            vals[i] = 1.0
+            continue
+        if not A.size or not B.size:
+            continue
+        small, big = (A, B) if A.size <= B.size else (B, A)
+        pos = np.searchsorted(big, small)
+        np.minimum(pos, big.size - 1, out=pos)
+        vals[i] = float((big[pos] == small).sum()) / small.size
+    return vals
+
+
+def containment_join(
+    ds: rd.Dataset,
+    col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    bucket_cap: int = 8192,
+    freq_order: bool = True,
+    pair_driver_cap=_UNSET,
+) -> pd.DataFrame:
+    """EXACT overlap-coefficient (containment) self-join: pairs with
+    |A∩B| / min(|A|,|B|) ≥ t over word-k-gram shingle sets — the
+    quote/subset-detection dedup flavor. Jaccard-based LSH structurally
+    misses these pairs (a doc quoted inside one 10× larger has J ≈ 0.1
+    at C = 1.0); the probe-prefix × full-index plan keeps deterministic
+    recall (see :func:`_containment_rows`).
+
+    Driver fast path under ``pair_driver_cap`` band rows: one capped
+    gather + argsort + per-bucket probe×member emission. Past the cap
+    the ENTIRE plane distributes: probe rows hash-join index rows on
+    shingle hash (fat index shingles past ``bucket_cap`` first degrade
+    to their min-doc star with a logged completeness warning — the
+    deterministic analogue of the minhash star reduction), pairs dedup
+    by a hash-shuffled groupby, and the exact verify co-partitions
+    shingle blobs with the pairs (``_verify_pairs_ds`` with the
+    overlap metric). Returns DataFrame(a, b, c) with exact c ≥ t,
+    a < b."""
+    import ray
+    import ray.data.aggregate as agg
+
+    if id_col != "doc_id":
+        ds = ds.map_batches(
+            lambda t: t.append_column("doc_id", t.column(id_col)),
+            batch_format="pyarrow",
+        )
+    hot_ref = None
+    if freq_order:
+        hot_ref = ray.put(_sample_hot_shingles(ds, col, k))
+
+    def rows_batch(t: pa.Table) -> pa.Table:
+        return _containment_rows(
+            t, col, k, threshold,
+            hot=(ray.get(hot_ref) if hot_ref is not None else None),
+        )
+
+    bands = ds.map_batches(rows_batch, batch_format="pyarrow")
+    driver_cap = _pair_cap(pair_driver_cap)
+
+    # ---- capped driver plane -------------------------------------
+    frames: list[pd.DataFrame] | None = [] if driver_cap is not None else None
+    total = 0
+    if frames is not None:
+        for b in bands.iter_batches(batch_size=65536, batch_format="pandas"):
+            frames.append(b)
+            total += len(b)
+            if total > driver_cap:
+                frames = None
+                break
+    if frames is not None:
+        if not total:
+            return pd.DataFrame({"a": [], "b": [], "c": np.zeros(0)})
+        df = pd.concat(frames, ignore_index=True)
+        bh = df["band_key"].to_numpy()
+        order = np.argsort(bh, kind="stable")
+        bh = bh[order]
+        docs = df["doc_id"].to_numpy()[order]
+        probes = df["is_probe"].to_numpy()[order]
+        change = np.empty(len(bh), dtype=bool)
+        change[0] = True
+        change[1:] = bh[1:] != bh[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(bh))
+        sizes = ends - starts
+        a_parts: list[np.ndarray] = []
+        b_parts: list[np.ndarray] = []
+        n_capped = 0
+        for gi in np.flatnonzero(sizes >= 2):
+            s, e = starts[gi], ends[gi]
+            ids_g = docs[s:e]
+            if sizes[gi] > bucket_cap:
+                anchor = ids_g.min()
+                others = ids_g[ids_g != anchor]
+                a_parts.append(np.full(len(others), anchor, dtype=object))
+                b_parts.append(others)
+                n_capped += len(others)
+                continue
+            p_ids = ids_g[probes[s:e]]
+            if not len(p_ids):
+                continue
+            a_ = np.repeat(p_ids, len(ids_g))
+            b_ = np.tile(ids_g, len(p_ids))
+            m = a_ != b_
+            a_parts.append(a_[m])
+            b_parts.append(b_[m])
+        if n_capped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "containment_join: %d candidate edges star-reduced from "
+                "oversized index shingle buckets (> %d docs share a "
+                "shingle) — pair list complete only for in-cap buckets",
+                n_capped, bucket_cap,
+            )
+        if not a_parts:
+            return pd.DataFrame({"a": [], "b": [], "c": np.zeros(0)})
+        a_all = np.concatenate(a_parts)
+        b_all = np.concatenate(b_parts)
+        lo = np.minimum(a_all, b_all)
+        hi = np.maximum(a_all, b_all)
+        cand = pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
+        cand_ids = sorted(set(cand["a"]) | set(cand["b"]))
+        sets = _candidate_shingle_sets(ds, cand_ids, col, k)
+        vals = _overlap_values(cand["a"].tolist(), cand["b"].tolist(), sets)
+        out = pd.DataFrame({"a": cand["a"].to_numpy(),
+                            "b": cand["b"].to_numpy(), "c": vals})
+        out = out[out["c"] >= threshold]
+        return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+    # ---- distributed plane ---------------------------------------
+    def probe_rows(t: pa.Table) -> pa.Table:
+        t2 = t.filter(t.column("is_probe"))
+        return pa.table({"band_key": t2.column("band_key"),
+                         "pa_id": t2.column("doc_id")})
+
+    probe = bands.map_batches(probe_rows, batch_format="pyarrow")
+    index = bands.map_batches(
+        lambda t: pa.table({"band_key": t.column("band_key"),
+                            "pb_id": t.column("doc_id")}),
+        batch_format="pyarrow",
+    ).materialize()
+    num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    join_kw = dict(aggregator_ray_remote_args={"num_cpus": 0.25})
+    dfc = index.groupby("band_key").count().to_pandas()
+    hot_keys = np.sort(
+        dfc.loc[dfc["count()"] > bucket_cap, "band_key"]
+        .to_numpy(np.uint64)
+    )
+    if hot_keys.size:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "containment_join: %d index shingles past bucket_cap=%d "
+            "star-reduced to their min doc — pair list complete only "
+            "for in-cap shingles", hot_keys.size, bucket_cap,
+        )
+        hk_ref = ray.put(hot_keys)
+
+        def cold_rows(t: pa.Table) -> pa.Table:
+            hk = ray.get(hk_ref)
+            bk = t.column("band_key").to_numpy()
+            pos = np.searchsorted(hk, bk)
+            is_hot = (pos < hk.size) & (
+                hk[np.minimum(pos, hk.size - 1)] == bk
+            )
+            return t.filter(pa.array(~is_hot))
+
+        def hot_min_partial(t: pa.Table) -> pd.DataFrame:
+            hk = ray.get(hk_ref)
+            bk = t.column("band_key").to_numpy()
+            pos = np.searchsorted(hk, bk)
+            is_hot = (pos < hk.size) & (
+                hk[np.minimum(pos, hk.size - 1)] == bk
+            )
+            sub = pd.DataFrame({
+                "band_key": bk[is_hot],
+                "pb_id": t.column("pb_id").to_numpy(
+                    zero_copy_only=False)[is_hot],
+            })
+            return sub.groupby("band_key", sort=False)["pb_id"].min(
+            ).reset_index()
+
+        hot_frames = [
+            b for b in index.map_batches(
+                hot_min_partial, batch_format="pyarrow"
+            ).iter_batches(batch_size=65536, batch_format="pandas")
+        ]
+        hot_min = (pd.concat(hot_frames, ignore_index=True)
+                   .groupby("band_key", sort=False)["pb_id"].min()
+                   .reset_index())
+        cold = index.map_batches(cold_rows, batch_format="pyarrow")
+        idx2 = cold.union(rd.from_pandas(hot_min))
+    else:
+        idx2 = index
+    cand = probe.join(idx2, "inner", num_partitions,
+                      on=("band_key",), **join_kw)
+
+    def norm_pairs(t: pa.Table) -> pa.Table:
+        a = t.column("pa_id").to_numpy(zero_copy_only=False)
+        b = t.column("pb_id").to_numpy(zero_copy_only=False)
+        m = a != b
+        a, b = a[m], b[m]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        id_t = t.column("pa_id").type
+        return pa.table({"a": pa.array(lo, id_t), "b": pa.array(hi, id_t)})
+
+    idx_sch = index.schema()
+    pair_ty = _pa_id_type(idx_sch.types[idx_sch.names.index("pb_id")])
+    deduped = _fix_empty_blocks(
+        cand.map_batches(norm_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(agg.Count(alias_name="n"))
+        .materialize(),
+        [("a", pair_ty), ("b", pair_ty), ("n", pa.int64())],
+    )
+    vp = _verify_pairs_ds(
+        ds, deduped, col, k, threshold, with_value=True, metric="overlap"
+    ).to_pandas()
+    if not len(vp):
+        return pd.DataFrame({"a": [], "b": [], "c": np.zeros(0)})
+    lo = np.minimum(vp["a"], vp["b"])
+    hi = np.maximum(vp["a"], vp["b"])
+    return pd.DataFrame({"a": lo, "b": hi, "c": vp["j"]}).sort_values(
         ["a", "b"]
     ).reset_index(drop=True)

@@ -457,3 +457,94 @@ def test_emit_pairs_grouped_parallel_plane_matches_serial(ray_session):
         ser.sort_values(key).reset_index(drop=True)[key],
         par.sort_values(key).reset_index(drop=True)[key],
     )
+
+
+def _overlap_brute(a: str, b: str, k: int = 3) -> float:
+    import re
+
+    def sh(t):
+        ws = re.findall(r"\w+", (t or "").lower())
+        return set(" ".join(ws[i:i + k])
+                   for i in range(max(1, len(ws) - k + 1)))
+
+    A, B = sh(a), sh(b)
+    return len(A & B) / min(len(A), len(B))
+
+
+def _containment_corpus():
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(40):
+        words = list(rng.choice(vocab, size=rng.integers(6, 30)))
+        rows.append({"doc_id": f"d{i:03d}", "text": " ".join(words)})
+    # planted quotes: strict token-prefix subsets of bigger docs —
+    # containment 1.0 but Jaccard well below any LSH threshold
+    for i in (0, 1, 2):
+        toks = rows[i]["text"].split()
+        n = max(4, 2 * len(toks) // 5)
+        rows.append({"doc_id": f"q{i}", "text": " ".join(toks[:n])})
+    rows.append({"doc_id": "e3", "text": ""})
+    rows.append({"doc_id": "e4", "text": ""})
+    rows.append({"doc_id": "e5", "text": "solo"})
+    return rows
+
+
+def test_containment_join_matches_bruteforce():
+    """Probe-prefix × full-index candidate generation is EXACT for the
+    overlap coefficient: equals all-pairs C >= tau, including the
+    planted low-Jaccard/high-containment quote pairs."""
+    from gocrawler_ray.stages.dedup import containment_join
+
+    rows = _containment_corpus()
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(4)
+    for tau in (0.6, 0.8, 0.95):
+        got = containment_join(ds, threshold=tau, k=3, freq_order=False)
+        got_pairs = set(zip(got["a"], got["b"]))
+        ids = sorted(texts)
+        want = {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1:]
+            if _overlap_brute(texts[a], texts[b], 3) >= tau
+        }
+        assert got_pairs == want, f"tau={tau}"
+        for a, b, c in zip(got["a"], got["b"], got["c"]):
+            assert abs(c - _overlap_brute(texts[a], texts[b], 3)) < 1e-12
+        # the quote pairs must be present (they are what this join adds
+        # over the Jaccard prefix filter)
+        if tau <= 0.95:
+            for i in (0, 1, 2):
+                pair = tuple(sorted((f"d{i:03d}", f"q{i}")))
+                assert pair in got_pairs
+
+
+def test_containment_distributed_plane_matches_driver_path():
+    from gocrawler_ray.stages.dedup import containment_join
+
+    rows = _containment_corpus()
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(4)
+    fast = containment_join(ds, threshold=0.8, k=3, freq_order=False)
+    slow = containment_join(ds, threshold=0.8, k=3, freq_order=False,
+                            pair_driver_cap=None)
+    pd.testing.assert_frame_equal(
+        fast.reset_index(drop=True), slow.reset_index(drop=True)
+    )
+    assert len(fast) >= 3
+
+
+def test_containment_join_bucket_cap_star_degrades():
+    """Degenerate corpus: every doc identical → the index bucket blows
+    past bucket_cap and degrades to the min-doc star, O(m) pairs."""
+    from gocrawler_ray.stages.dedup import containment_join
+
+    rows = [{"doc_id": f"d{i:02d}",
+             "text": "same text for all documents here"}
+            for i in range(20)]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    got = containment_join(ds, threshold=0.9, bucket_cap=4,
+                           freq_order=False)
+    pairs = set(zip(got["a"], got["b"]))
+    assert len(pairs) == 19
+    assert all(a == "d00" for a, _ in pairs)
