@@ -328,6 +328,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate_by_source": q.q_dup_rate_by_source,
         "logprob_buckets": q.q_logprob_buckets,
         "containment_pairs": q.q_containment_pairs,
+        "frontier_dedup_rate": q.q_frontier_dedup_rate,
+        "seasonality_strength": q.q_seasonality_strength,
     }
 
 
@@ -4915,5 +4917,40 @@ pairs AS (SELECT a.doc_id AS a, b.doc_id AS b,
     / least(len(a.gs), len(b.gs)) AS c
   FROM gsets a JOIN gsets b ON a.doc_id < b.doc_id)
 SELECT a, b, round(c, 6) AS c FROM pairs WHERE c >= 0.8 ORDER BY a, b
+"""
+    # per-wave URL-seen hit rate: candidates(d) = edges out of
+    # min-depth-d nodes; new(d+1) = nodes first reached at d+1
+    out["frontier_dedup_rate"] = _BFS_CTE + """,
+mindepth AS (SELECT node, MIN(depth) AS depth FROM r GROUP BY node),
+cand AS (SELECT m.depth AS d, count(*) AS n_candidates
+         FROM mindepth m JOIN edges e ON e.src = m.node
+         GROUP BY m.depth),
+news AS (SELECT depth AS d, count(*) AS n_new FROM mindepth
+         GROUP BY depth)
+SELECT CAST(c.d AS BIGINT) AS depth,
+       CAST(c.n_candidates AS BIGINT) AS n_candidates,
+       CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+       CAST((c.n_candidates - COALESCE(n.n_new, 0)) * 1000000
+            // c.n_candidates AS BIGINT) AS seen_rate6
+FROM cand c LEFT JOIN news n ON n.d = c.d + 1
+ORDER BY depth
+"""
+    # exact eta^2 of daily counts by position-in-week, complete weeks
+    out["seasonality_strength"] = """
+WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS c
+           FROM events GROUP BY 1),
+b AS (SELECT min(day) AS d0, (max(day) - min(day) + 1) // 7 AS W FROM d),
+h AS (SELECT (day - b.d0) % 7 AS g, c FROM d, b WHERE day < b.d0 + 7*b.W),
+gs AS (SELECT g, CAST(sum(c) AS HUGEINT) AS s FROM h GROUP BY g),
+t AS (SELECT CAST(sum(c) AS HUGEINT) AS T,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS Q FROM h),
+nd AS (SELECT 7 * (SELECT sum(s*s) FROM gs) - t.T * t.T AS num,
+              7 * b.W * t.Q - t.T * t.T AS den
+       FROM t, b)
+SELECT CAST(b.W AS BIGINT) AS n_weeks,
+       CAST(t.T AS BIGINT) AS n_events,
+       CAST(CASE WHEN nd.den > 0 THEN nd.num * 1000000 // nd.den
+                 ELSE 0 END AS BIGINT) AS eta2_6
+FROM b, t, nd
 """
     return out

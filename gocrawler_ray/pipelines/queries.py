@@ -13780,3 +13780,112 @@ def q_containment_pairs(sf_dir: str):
     out = containment_join(ds, k=3, threshold=0.8, freq_order=False)
     out["c"] = round_half_away(out["c"].to_numpy(), 6)
     return out
+
+
+def q_frontier_dedup_rate(sf_dir: str):
+    """Per-wave URL-seen hit rate of the engine crawl: of the candidate
+    links wave d emitted, what share the dedup layer swallowed (already
+    fetched, duplicate within the wave, or self-link) instead of
+    fetching at wave d+1 — THE load number for sizing the cuckoo-shard
+    actor pool (T1/J2: at 10^10-frontier scale, seen-hits are the
+    requests the shards absorb so the fetchers never see them).
+
+    Reads the same checkpoint as wave_branching; one spans-explode
+    partial per batch (link spans per depth + rows per depth — captcha
+    pages carry no link spans, so the ok-only filter is implicit in the
+    data), depth-bounded combine, integer-floor close. The oracle
+    replays the BFS reachability CTE: candidates(d) = edges out of
+    min-depth-d nodes, new(d+1) = nodes first reached at d+1."""
+    ckpt = _derived_crawl_ckpt(sf_dir)
+    from ..sources.tables import read_dataset
+
+    docs = read_dataset(os.path.join(ckpt, "docs"),
+                        columns=["depth", "spans"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        depth = (t.column("depth").to_numpy(zero_copy_only=False)
+                 .astype(np.int64))
+        spans = t.column("spans").combine_chunks()
+        flat = pc.list_flatten(spans)
+        n_spans = pc.list_value_length(spans).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        row_of = np.repeat(np.arange(len(t), dtype=np.int64), n_spans)
+        if len(flat):
+            is_link = pc.equal(flat.field("kind"), "link").to_numpy(
+                zero_copy_only=False)
+            links = np.bincount(row_of[is_link], minlength=len(t))
+        else:
+            links = np.zeros(len(t), dtype=np.int64)
+        df = pd.DataFrame({"depth": depth, "n_pages": np.int64(1),
+                           "n_links": links.astype(np.int64)})
+        return df.groupby("depth", as_index=False).sum()
+
+    g = _combine_partials(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["depth"], ["n_pages", "n_links"],
+    ).sort_values("depth").reset_index(drop=True)
+    d = g["depth"].to_numpy(np.int64)
+    pages = g["n_pages"].to_numpy(np.int64)
+    links = g["n_links"].to_numpy(np.int64)
+    new_next = {int(dd): int(pp) for dd, pp in zip(d, pages)}
+    rows = []
+    for i in range(len(d)):
+        cand = int(links[i])
+        if cand == 0:
+            continue
+        nn = new_next.get(int(d[i]) + 1, 0)
+        rows.append({"depth": int(d[i]), "n_candidates": cand,
+                     "n_new": nn,
+                     "seen_rate6": (cand - nn) * 10**6 // cand})
+    out = pd.DataFrame(rows, columns=["depth", "n_candidates", "n_new",
+                                      "seen_rate6"])
+    return out.astype({"depth": np.int64, "n_candidates": np.int64,
+                       "n_new": np.int64, "seen_rate6": np.int64})
+
+
+def q_seasonality_strength(sf_dir: str):
+    """Exact weekly-seasonality strength (one-way eta-squared of daily
+    event counts grouped by position-in-week) over the corpus' complete
+    weeks — the single number that says how much of daily-volume
+    variance the weekly cycle explains (0 = flat, 1e6 = perfectly
+    periodic), computed BEFORE anyone trusts a dow-adjusted forecast.
+
+    Restricting to whole weeks from the first event day makes every
+    group the same size W, so eta² = (7·ΣS_g² − T²)/(7W·Q − T²) closes
+    in EXACT unbounded-int arithmetic (missing days count as zero days
+    via the sums — they never need rows). One day-bounded count
+    partial; everything else is driver integer math."""
+    ev = _pq(sf_dir, "events", columns=["ts"], num_blocks=_n_cpus())
+    DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        day = pc.cast(t.column("ts"), pa.int64()).to_numpy() // DAY
+        df = pd.DataFrame({"day": day, "n": np.int64(1)})
+        return df.groupby("day", as_index=False).sum()
+
+    g = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"), ["day"], ["n"])
+    if g is None or not len(g):  # pragma: no cover - empty events
+        return pd.DataFrame({"n_weeks": pd.Series([], dtype=np.int64),
+                             "n_events": pd.Series([], dtype=np.int64),
+                             "eta2_6": pd.Series([], dtype=np.int64)})
+    g = g.sort_values("day").reset_index(drop=True)
+    days = g["day"].to_numpy(np.int64)
+    cnt = g["n"].to_numpy(np.int64)
+    d0 = int(days.min())
+    W = (int(days.max()) - d0 + 1) // 7
+    m = days < d0 + 7 * W
+    days, cnt = days[m], cnt[m]
+    s_g = [0] * 7
+    T = 0
+    Q = 0
+    for dd, cc in zip(days.tolist(), cnt.tolist()):
+        s_g[(dd - d0) % 7] += cc
+        T += cc
+        Q += cc * cc
+    num = 7 * sum(x * x for x in s_g) - T * T
+    den = 7 * W * Q - T * T
+    eta = num * 10**6 // den if den > 0 else 0
+    return pd.DataFrame({"n_weeks": [np.int64(W)],
+                         "n_events": [np.int64(T)],
+                         "eta2_6": [np.int64(eta)]})
