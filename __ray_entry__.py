@@ -330,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": q.q_containment_pairs,
         "frontier_dedup_rate": q.q_frontier_dedup_rate,
         "seasonality_strength": q.q_seasonality_strength,
+        "centroid_distances": q.q_centroid_distances,
     }
 
 
@@ -4952,5 +4953,20 @@ SELECT CAST(b.W AS BIGINT) AS n_weeks,
        CAST(CASE WHEN nd.den > 0 THEN nd.num * 1000000 // nd.den
                  ELSE 0 END AS BIGINT) AS eta2_6
 FROM b, t, nd
+"""
+    # pairwise centroid separation over the round-6 centroid table,
+    # lifted to exact micro-unit ints so no float sum crosses the gate
+    out["centroid_distances"] = """
+WITH c AS (
+  SELECT label, i AS dim,
+         round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS centroid
+  FROM embeddings, UNNEST(range(len(embedding))) AS t(i)
+  GROUP BY label, i),
+ci AS (SELECT label, dim,
+              CAST(round(centroid * 1000000) AS BIGINT) AS c6 FROM c)
+SELECT a.label AS label_a, b.label AS label_b,
+       CAST(sum((a.c6 - b.c6) * (a.c6 - b.c6)) AS BIGINT) AS d2_12
+FROM ci a JOIN ci b ON a.dim = b.dim AND a.label < b.label
+GROUP BY 1, 2 ORDER BY 1, 2
 """
     return out

@@ -13889,3 +13889,38 @@ def q_seasonality_strength(sf_dir: str):
     return pd.DataFrame({"n_weeks": [np.int64(W)],
                          "n_events": [np.int64(T)],
                          "eta2_6": [np.int64(eta)]})
+
+
+def q_centroid_distances(sf_dir: str):
+    """Class-separation matrix: squared L2 distance between every pair
+    of per-label embedding centroids — the scorecard read next to
+    label_centroids before trusting a label-conditioned sampler or an
+    IVF coarse quantizer (well-separated centroids ⇒ cheap routing).
+
+    Closes ENTIRELY over the round-6 centroid table the
+    label_centroids gate already proves equal on both sides, lifted to
+    exact micro-unit integers (c6 = round(centroid·1e6)) so the
+    distance sums are order-free integer arithmetic — no float
+    summation ever crosses the gate. Driver math over a labels×dims
+    bounded frame; the corpus pass is label_centroids' shuffle-free
+    partial combine."""
+    cents = q_label_centroids(sf_dir)
+    c6 = np.rint(cents["centroid"].to_numpy() * 1e6).astype(np.int64)
+    labels = cents["label"].to_numpy(np.int64)
+    dims = cents["dim"].to_numpy(np.int64)
+    uniq = np.unique(labels)
+    d = int(dims.max()) + 1
+    mat = np.zeros((len(uniq), d), dtype=np.int64)
+    li = np.searchsorted(uniq, labels)
+    mat[li, dims] = c6
+    rows = []
+    for i in range(len(uniq)):
+        for j in range(i + 1, len(uniq)):
+            diff = mat[i] - mat[j]
+            rows.append({
+                "label_a": int(uniq[i]), "label_b": int(uniq[j]),
+                "d2_12": int((diff * diff).sum()),
+            })
+    out = pd.DataFrame(rows, columns=["label_a", "label_b", "d2_12"])
+    return out.astype({"label_a": np.int64, "label_b": np.int64,
+                       "d2_12": np.int64})
