@@ -331,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frontier_dedup_rate": q.q_frontier_dedup_rate,
         "seasonality_strength": q.q_seasonality_strength,
         "centroid_distances": q.q_centroid_distances,
+        "brand_premium": q.q_brand_premium,
     }
 
 
@@ -4968,5 +4969,22 @@ SELECT a.label AS label_a, b.label AS label_b,
        CAST(sum((a.c6 - b.c6) * (a.c6 - b.c6)) AS BIGINT) AS d2_12
 FROM ci a JOIN ci b ON a.dim = b.dim AND a.label < b.label
 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    # mix-adjusted brand premium: integer-floor means on both sides
+    out["brand_premium"] = """
+WITH cells AS (
+  SELECT p_brand AS brand, p_type AS ptype, count(*) AS n,
+         sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM part GROUP BY 1, 2),
+tm AS (SELECT ptype, sum(cents) * 10000 // sum(n) AS m6
+       FROM cells GROUP BY ptype),
+br AS (SELECT brand, sum(c.n) AS n, sum(c.cents) AS cents,
+              sum(CAST(c.n AS HUGEINT) * tm.m6) AS ep
+       FROM cells c JOIN tm USING (ptype) GROUP BY brand)
+SELECT brand, CAST(n AS BIGINT) AS n_parts,
+       CAST(cents * 10000 // n AS BIGINT) AS actual6,
+       CAST(ep // n AS BIGINT) AS expected6,
+       CAST(cents * 10000 // n - ep // n AS BIGINT) AS premium6
+FROM br ORDER BY brand
 """
     return out

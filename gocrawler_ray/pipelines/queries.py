@@ -13924,3 +13924,53 @@ def q_centroid_distances(sf_dir: str):
     out = pd.DataFrame(rows, columns=["label_a", "label_b", "d2_12"])
     return out.astype({"label_a": np.int64, "label_b": np.int64,
                        "d2_12": np.int64})
+
+
+def q_brand_premium(sf_dir: str):
+    """Mix-adjusted brand price premium (direct standardization): per
+    brand, its mean retail price minus the price its PRODUCT-TYPE MIX
+    would predict from type-level means — the scorecard that separates
+    'expensive brand' from 'brand that sells expensive categories'.
+
+    One (brand, type) cell partial pass (cells bounded by the catalog
+    taxonomy, not rows), driver integer close: prices lift to cents
+    (⌊p·100+0.5⌋, the price_cents convention), means floor to
+    micro-dollars with identical operands on both sides, expected =
+    Σ_type n_bt · type_mean6 // n_b — every division an integer floor,
+    so the gate is arithmetic-identity, not float luck."""
+    pt = _pq(sf_dir, "part", columns=["p_brand", "p_type", "p_retailprice"],
+             num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cents = np.floor(
+            t.column("p_retailprice").to_numpy(zero_copy_only=False)
+            * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "brand": t.column("p_brand").to_numpy(zero_copy_only=False),
+            "ptype": t.column("p_type").to_numpy(zero_copy_only=False),
+            "n": np.int64(1), "cents": cents})
+        return df.groupby(["brand", "ptype"], as_index=False).sum()
+
+    g = _combine_partials(
+        pt.map_batches(partial, batch_format="pyarrow"),
+        ["brand", "ptype"], ["n", "cents"])
+    tm = g.groupby("ptype", as_index=False).agg(tn=("n", "sum"),
+                                                tc=("cents", "sum"))
+    tm["m6"] = [int(c) * 10**4 // int(n)
+                for c, n in zip(tm["tc"], tm["tn"])]
+    g = g.merge(tm[["ptype", "m6"]], on="ptype")
+    g["exp_part"] = g["n"].astype(object) * g["m6"].astype(object)
+    br = g.groupby("brand", as_index=False).agg(
+        n=("n", "sum"), cents=("cents", "sum"), ep=("exp_part", "sum"))
+    rows = []
+    for _, r in br.iterrows():
+        actual6 = int(r["cents"]) * 10**4 // int(r["n"])
+        expected6 = int(r["ep"]) // int(r["n"])
+        rows.append({"brand": r["brand"], "n_parts": int(r["n"]),
+                     "actual6": actual6, "expected6": expected6,
+                     "premium6": actual6 - expected6})
+    out = pd.DataFrame(rows, columns=["brand", "n_parts", "actual6",
+                                      "expected6", "premium6"])
+    out = out.sort_values("brand").reset_index(drop=True)
+    return out.astype({"n_parts": np.int64, "actual6": np.int64,
+                       "expected6": np.int64, "premium6": np.int64})
