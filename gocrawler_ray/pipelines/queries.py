@@ -12086,13 +12086,19 @@ def q_new_vs_returning(sf_dir: str):
             "cents": pa.array(cents, pa.int64())})
 
     fact = orders.map_batches(to_cm, batch_format="pyarrow")
+    def first_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"ck": t.column("ck").to_numpy(zero_copy_only=False),
+             "m": t.column("m").to_numpy(zero_copy_only=False)}
+        ).groupby("ck", as_index=False).min()
+        # Arrow block out (pandas blocks cost the downstream
+        # sort-groupby 13x — see never_ordered_parts)
+        return pa.table({
+            "ck": pa.array(df["ck"].to_numpy(np.int64), pa.int64()),
+            "m": pa.array(df["m"].to_numpy(np.int64), pa.int64())})
+
     firsts = (
-        fact.map_batches(
-            lambda t: pd.DataFrame(
-                {"ck": t.column("ck").to_numpy(zero_copy_only=False),
-                 "m": t.column("m").to_numpy(zero_copy_only=False)}
-            ).groupby("ck", as_index=False).min(),
-            batch_format="pyarrow")
+        fact.map_batches(first_partial, batch_format="pyarrow")
         .groupby("ck").min("m")
         .map_batches(
             lambda t: pa.table({
@@ -12974,11 +12980,13 @@ def q_never_ordered_parts(sf_dir: str):
              num_blocks=parts)
     pt = _pq(sf_dir, "part", columns=["p_partkey", "p_brand"],
              num_blocks=parts)
+    # Arrow blocks into the shuffle: Ray's sort-groupby over pandas
+    # blocks measured 13x slower (29 s vs 2.2 s at sf0.1) than over
+    # Arrow blocks for this exact stream
     ordered = (
         li.map_batches(
-            lambda t: pd.DataFrame(
-                {"pk": t.column("l_partkey").to_numpy(
-                    zero_copy_only=False)}).drop_duplicates(),
+            lambda t: pa.table(
+                {"pk": pc.unique(t.column("l_partkey").combine_chunks())}),
             batch_format="pyarrow")
         .groupby("pk").count()
     )
