@@ -332,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seasonality_strength": q.q_seasonality_strength,
         "centroid_distances": q.q_centroid_distances,
         "brand_premium": q.q_brand_premium,
+        "quantization_recall": q.q_quantization_recall,
     }
 
 
@@ -4986,5 +4987,45 @@ SELECT brand, CAST(n AS BIGINT) AS n_parts,
        CAST(ep // n AS BIGINT) AS expected6,
        CAST(cents * 10000 // n - ep // n AS BIGINT) AS premium6
 FROM br ORDER BY brand
+"""
+    # overlap@10 of int8-quantized vs exact fixed-point top-10, both
+    # integer-scored with (score DESC, vec_id) tie pinning
+    out["quantization_recall"] = """
+WITH v AS (
+  SELECT vec_id, i AS dim, CAST(embedding[i + 1] AS DOUBLE) AS val
+  FROM embeddings, UNNEST(range(len(embedding))) AS t(i)),
+stats AS (SELECT dim, MIN(val) AS mn, MAX(val) AS mx FROM v GROUP BY dim),
+codes AS (
+  SELECT v.vec_id, v.dim,
+         CASE WHEN s.mx > s.mn
+              THEN CAST(floor((v.val - s.mn) / (s.mx - s.mn) * 255 + 0.5)
+                        AS BIGINT)
+              ELSE 0 END AS c
+  FROM v JOIN stats s USING (dim)),
+v6 AS (SELECT vec_id, dim,
+              CAST(round(val * 1000000) AS BIGINT) AS x FROM v),
+qs AS (SELECT unnest(range(1, 6)) AS qid),
+es AS (SELECT q.qid, a.vec_id, SUM(a.x * b.x) AS score
+       FROM v6 a JOIN v6 b USING (dim) JOIN qs q ON b.vec_id = q.qid
+       GROUP BY 1, 2),
+et AS (SELECT qid, vec_id FROM (
+         SELECT qid, vec_id,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY score DESC, vec_id) AS rn
+         FROM es) WHERE rn <= 10),
+cs AS (SELECT q.qid, a.vec_id, SUM(a.c * b.c) AS score
+       FROM codes a JOIN codes b USING (dim) JOIN qs q ON b.vec_id = q.qid
+       GROUP BY 1, 2),
+ct AS (SELECT qid, vec_id FROM (
+         SELECT qid, vec_id,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY score DESC, vec_id) AS rn
+         FROM cs) WHERE rn <= 10),
+ov AS (SELECT et.qid, count(*) AS n
+       FROM et JOIN ct USING (qid, vec_id) GROUP BY et.qid)
+SELECT CAST(q.qid AS BIGINT) AS query_id,
+       CAST(COALESCE(ov.n, 0) AS BIGINT) AS n_overlap,
+       CAST(COALESCE(ov.n, 0) * 1000000 // 10 AS BIGINT) AS recall6
+FROM qs q LEFT JOIN ov ON ov.qid = q.qid ORDER BY query_id
 """
     return out

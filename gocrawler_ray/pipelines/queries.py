@@ -13982,3 +13982,102 @@ def q_brand_premium(sf_dir: str):
     out = out.sort_values("brand").reset_index(drop=True)
     return out.astype({"n_parts": np.int64, "actual6": np.int64,
                        "expected6": np.int64, "premium6": np.int64})
+
+
+def q_quantization_recall(sf_dir: str):
+    """ANN-quality audit: per query, overlap@10 between the int8
+    scalar-quantized top-10 (quantized_topk's scorer) and the EXACT
+    top-10 by fixed-point dot product — the recall-of-the-compressed-
+    index number a retrieval stack reads before trading 8× memory for
+    quantization error. Queries = vec_ids 1..5.
+
+    One stats pass (per-dim min/max partials, dims × blocks rows),
+    then ONE corpus scan scores BOTH representations per batch (int64
+    matmuls against the 5 broadcast query rows) and emits per-query
+    per-scorer top-10 partials — the driver merges blocks × 5 × 2 × 10
+    rows and closes the overlap count. Both scores are exact integers
+    (codes 0..255; values in round-6 micro-units), so ranking ties pin
+    by vec_id identically on both sides."""
+    from ..stages.similarity import _emb_matrix
+
+    emb = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+              num_blocks=_n_cpus())
+    QIDS = np.arange(1, 6, dtype=np.int64)
+
+    def mm_partial(t: pa.Table) -> pd.DataFrame:
+        m = _emb_matrix(t, "embedding")
+        if not len(m):
+            return pd.DataFrame({"dim": pd.Series([], dtype=np.int64),
+                                 "mn": pd.Series([], dtype=np.float64),
+                                 "mx": pd.Series([], dtype=np.float64)})
+        return pd.DataFrame({"dim": np.arange(m.shape[1], dtype=np.int64),
+                             "mn": m.min(axis=0), "mx": m.max(axis=0)})
+
+    stats = pd.concat(
+        list(emb.map_batches(mm_partial, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pandas")),
+        ignore_index=True,
+    ).groupby("dim", as_index=False).agg(mn=("mn", "min"), mx=("mx", "max"))
+    mn = stats.sort_values("dim")["mn"].to_numpy(np.float64)
+    mx = stats.sort_values("dim")["mx"].to_numpy(np.float64)
+    rng = mx - mn
+    safe = np.where(rng > 0, rng, 1.0)
+
+    def quantize(m: np.ndarray) -> np.ndarray:
+        c = np.floor((m - mn) / safe * 255 + 0.5).astype(np.int64)
+        c[:, rng <= 0] = 0
+        return c
+
+    qdf = (emb.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("vec_id"),
+                                    pa.array(QIDS, pa.int64()))),
+        batch_format="pyarrow").to_pandas().sort_values("vec_id"))
+    Q = np.stack([np.asarray(v, np.float64) for v in qdf["embedding"]])
+    bref = ray.put((mn, safe, rng, quantize(Q), np.rint(Q * 1e6)
+                    .astype(np.int64)))
+
+    def topk_partial(t: pa.Table) -> pd.DataFrame:
+        mn_, safe_, rng_, Qc, Q6 = ray.get(bref)
+        m = _emb_matrix(t, "embedding")
+        if not len(m):
+            return pd.DataFrame({
+                "scorer": pd.Series([], dtype=np.int64),
+                "query_id": pd.Series([], dtype=np.int64),
+                "vec_id": pd.Series([], dtype=np.int64),
+                "score": pd.Series([], dtype=np.int64)})
+        ids = (t.column("vec_id").to_numpy(zero_copy_only=False)
+               .astype(np.int64))
+        c = np.floor((m - mn_) / safe_ * 255 + 0.5).astype(np.int64)
+        c[:, rng_ <= 0] = 0
+        sq = c @ Qc.T
+        se = np.rint(m * 1e6).astype(np.int64) @ Q6.T
+        out = []
+        for s_idx, sc in ((0, se), (1, sq)):
+            for qi in range(sc.shape[1]):
+                top = np.lexsort((ids, -sc[:, qi]))[:10]
+                out.append(pd.DataFrame({
+                    "scorer": np.int64(s_idx),
+                    "query_id": np.int64(qi + 1),
+                    "vec_id": ids[top],
+                    "score": sc[top, qi]}))
+        return pd.concat(out, ignore_index=True)
+
+    parts = pd.concat(
+        list(emb.map_batches(topk_partial, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pandas")),
+        ignore_index=True)
+    rows = []
+    for qid in QIDS:
+        tops = {}
+        for s_idx in (0, 1):
+            sub = parts[(parts["scorer"] == s_idx)
+                        & (parts["query_id"] == qid)]
+            sub = sub.sort_values(["score", "vec_id"],
+                                  ascending=[False, True]).head(10)
+            tops[s_idx] = set(sub["vec_id"].tolist())
+        n = len(tops[0] & tops[1])
+        rows.append({"query_id": int(qid), "n_overlap": n,
+                     "recall6": n * 10**6 // 10})
+    out = pd.DataFrame(rows, columns=["query_id", "n_overlap", "recall6"])
+    return out.astype({"query_id": np.int64, "n_overlap": np.int64,
+                       "recall6": np.int64})
