@@ -333,6 +333,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centroid_distances": q.q_centroid_distances,
         "brand_premium": q.q_brand_premium,
         "quantization_recall": q.q_quantization_recall,
+        "naive_forecast_mae": q.q_naive_forecast_mae,
+        "host_wave_share": q.q_host_wave_share,
     }
 
 
@@ -5027,5 +5029,32 @@ SELECT CAST(q.qid AS BIGINT) AS query_id,
        CAST(COALESCE(ov.n, 0) AS BIGINT) AS n_overlap,
        CAST(COALESCE(ov.n, 0) * 1000000 // 10 AS BIGINT) AS recall6
 FROM qs q LEFT JOIN ov ON ov.qid = q.qid ORDER BY query_id
+"""
+    # seasonal-naive backtest over the full calendar (missing days = 0)
+    out["naive_forecast_mae"] = """
+WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS c
+           FROM events GROUP BY 1),
+b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+cal AS (SELECT unnest(range(b.lo + 7, b.hi + 1)) AS day FROM b),
+e AS (SELECT cal.day, COALESCE(t.c, 0) AS c, COALESCE(p.c, 0) AS p
+      FROM cal LEFT JOIN d t ON t.day = cal.day
+      LEFT JOIN d p ON p.day = cal.day - 7)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(abs(c - p)) AS BIGINT) AS total_abs_err,
+       CAST(sum(abs(c - p)) * 1000000 // count(*) AS BIGINT) AS mae6
+FROM e
+"""
+    # per-wave host fetch share (host of node = node % 3 convention)
+    out["host_wave_share"] = _BFS_CTE + """,
+mindepth AS (SELECT node, MIN(depth) AS depth FROM r GROUP BY node),
+g AS (SELECT depth,
+             'www.synthd' || CAST(node % 3 AS VARCHAR) || '.mx' AS host,
+             count(*) AS n
+      FROM mindepth GROUP BY 1, 2)
+SELECT CAST(depth AS BIGINT) AS depth, host,
+       CAST(n AS BIGINT) AS n_pages,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY depth)
+            AS BIGINT) AS share6
+FROM g ORDER BY depth, host
 """
     return out

@@ -14081,3 +14081,70 @@ def q_quantization_recall(sf_dir: str):
     out = pd.DataFrame(rows, columns=["query_id", "n_overlap", "recall6"])
     return out.astype({"query_id": np.int64, "n_overlap": np.int64,
                        "recall6": np.int64})
+
+
+def q_naive_forecast_mae(sf_dir: str):
+    """Forecast backtest: mean absolute error of the seasonal-naive
+    predictor (today's event count = count 7 days ago) over every day
+    with a week-old reference — the baseline number any fancier
+    forecaster must beat, and the honest way to quote forecastability
+    without fitting anything. One day-bounded count partial; the close
+    is driver integer math (sum |Δ| and an exact ppm floor)."""
+    ev = _pq(sf_dir, "events", columns=["ts"], num_blocks=_n_cpus())
+    DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        day = pc.cast(t.column("ts"), pa.int64()).to_numpy() // DAY
+        return (pd.DataFrame({"day": day, "n": np.int64(1)})
+                .groupby("day", as_index=False).sum())
+
+    g = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"), ["day"], ["n"])
+    counts = {int(d): int(n) for d, n in zip(g["day"], g["n"])}
+    if not counts:  # pragma: no cover - empty events
+        return pd.DataFrame({"n_days": pd.Series([], dtype=np.int64),
+                             "total_abs_err": pd.Series([], dtype=np.int64),
+                             "mae6": pd.Series([], dtype=np.int64)})
+    lo, hi = min(counts), max(counts)
+    n_days = 0
+    tot = 0
+    for d in range(lo + 7, hi + 1):
+        # every calendar day in range scores (missing days count 0)
+        n_days += 1
+        tot += abs(counts.get(d, 0) - counts.get(d - 7, 0))
+    return pd.DataFrame({
+        "n_days": [np.int64(n_days)],
+        "total_abs_err": [np.int64(tot)],
+        "mae6": [np.int64(tot * 10**6 // n_days if n_days else 0)]})
+
+
+def q_host_wave_share(sf_dir: str):
+    """Politeness fairness over time: per BFS wave, each host's share
+    of the pages fetched that wave — the longitudinal view behind
+    crawl_fairness's single Jain number (a scheduler can be fair in
+    aggregate while starving a host early). Reads the crawl checkpoint;
+    one (depth × host)-bounded count partial; integer-floor shares."""
+    ckpt = _derived_crawl_ckpt(sf_dir)
+    from ..sources.tables import read_dataset
+
+    docs = read_dataset(os.path.join(ckpt, "docs"),
+                        columns=["depth", "host"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        return (pd.DataFrame({
+            "depth": t.column("depth").to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "host": t.column("host").to_numpy(zero_copy_only=False),
+            "n_pages": np.int64(1)})
+            .groupby(["depth", "host"], as_index=False).sum())
+
+    g = _combine_partials(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["depth", "host"], ["n_pages"])
+    tot = g.groupby("depth")["n_pages"].transform("sum")
+    g["share6"] = (g["n_pages"].astype(np.int64) * 10**6
+                   // tot.astype(np.int64))
+    g = g.sort_values(["depth", "host"]).reset_index(drop=True)
+    return g.astype({"depth": np.int64, "n_pages": np.int64,
+                     "share6": np.int64})[
+        ["depth", "host", "n_pages", "share6"]]
