@@ -335,6 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantization_recall": q.q_quantization_recall,
         "naive_forecast_mae": q.q_naive_forecast_mae,
         "host_wave_share": q.q_host_wave_share,
+        "source_dup_mass": q.q_source_dup_mass,
     }
 
 
@@ -5056,5 +5057,21 @@ SELECT CAST(depth AS BIGINT) AS depth, host,
        CAST(n * 1000000 // SUM(n) OVER (PARTITION BY depth)
             AS BIGINT) AS share6
 FROM g ORDER BY depth, host
+"""
+    # per-source duplicated-5-gram occurrence mass
+    out["source_dup_mass"] = """
+WITH words AS (
+  SELECT doc_id, source, string_split(trim(text), ' ') AS w
+  FROM documents),
+grams AS (
+  SELECT doc_id, source,
+         array_to_string(list_slice(w, i, i + 4), ' ') AS g
+  FROM words, UNNEST(range(1, len(w) - 3)) AS t(i)),
+gd AS (SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g)
+SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS dup_mass6
+FROM grams JOIN gd USING (g) GROUP BY source ORDER BY source
 """
     return out

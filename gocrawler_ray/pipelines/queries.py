@@ -14148,3 +14148,101 @@ def q_host_wave_share(sf_dir: str):
     return g.astype({"depth": np.int64, "n_pages": np.int64,
                      "share6": np.int64})[
         ["depth", "host", "n_pages", "share6"]]
+
+
+def q_source_dup_mass(sf_dir: str, cap: int = 5_000_000):
+    """Duplication pressure by feed: per source, the share of its word
+    5-gram OCCURRENCES that are corpus-repeated (the gram appears in
+    >1 distinct doc) — repeated_ngrams' per-doc signal rolled up to the
+    level a curation run actually acts on ('which feed is template
+    spam'). Same two passes: distinct-docs-per-gram partials combine
+    under the cap and the dup set broadcasts as a zero-copy uint64
+    array into a map-only probe emitting source-bounded sums; past the
+    cap the dup set stays a Dataset and the probe is a left_semi join
+    (the repeated_ngrams fallback), with the same bounded close."""
+    n = 5
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text", "source"],
+               num_blocks=_n_cpus())
+
+    def gram_doc_partial(t: pa.Table) -> pd.DataFrame:
+        flat, di = _flat_tokens(t.column("text").to_pandas())
+        grams, gdi = _word_ngram_hashes(flat, di, n)
+        if len(grams) == 0:
+            return pd.DataFrame({"g": pd.Series([], dtype=np.int64),
+                                 "nd": pd.Series([], dtype=np.int64)})
+        pairs = pd.DataFrame({"g": grams, "d": gdi})
+        nd = pairs.drop_duplicates().groupby("g", as_index=False).size()
+        return nd.rename(columns={"size": "nd"})
+
+    partials = docs.map_batches(gram_doc_partial, batch_format="pyarrow")
+    counts = _combine_partials(partials, ["g"], ["nd"], cap=cap)
+    if counts is not None:
+        dup = np.sort(counts.loc[counts["nd"] > 1, "g"]
+                      .to_numpy(np.int64))
+        dref = ray.put(dup)
+
+        def probe(t: pa.Table) -> pd.DataFrame:
+            ds_ = ray.get(dref)
+            flat, di = _flat_tokens(t.column("text").to_pandas())
+            grams, gdi = _word_ngram_hashes(flat, di, n)
+            src = t.column("source").to_numpy(zero_copy_only=False)
+            if len(grams) == 0:
+                return pd.DataFrame({
+                    "source": pd.Series([], dtype=object),
+                    "n_grams": pd.Series([], dtype=np.int64),
+                    "n_dup": pd.Series([], dtype=np.int64)})
+            pos = np.searchsorted(ds_, grams)
+            hit = (pos < ds_.size) & (
+                ds_[np.minimum(pos, max(ds_.size - 1, 0))] == grams)
+            return (pd.DataFrame({"source": src[gdi],
+                                  "n_grams": np.int64(1),
+                                  "n_dup": hit.astype(np.int64)})
+                    .groupby("source", as_index=False).sum())
+
+        g = _combine_partials(docs.map_batches(probe,
+                                               batch_format="pyarrow"),
+                              ["source"], ["n_grams", "n_dup"])
+    else:  # pragma: no cover - gram domain past the broadcast cap
+        summed = partials.groupby("g").sum("nd")
+        dup_ds = summed.map_batches(
+            lambda t: t.filter(pc.greater(t.column("sum(nd)"), 1))
+            .select(["g"]), batch_format="pyarrow")
+
+        def gram_rows(t: pa.Table) -> pa.Table:
+            flat, di = _flat_tokens(t.column("text").to_pandas())
+            grams, gdi = _word_ngram_hashes(flat, di, n)
+            src = t.column("source").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "source": pa.array(src[gdi], pa.string()),
+                "g": pa.array(grams, type=pa.int64())})
+
+        grams_ds = docs.map_batches(gram_rows, batch_format="pyarrow")
+        tot = _combine_partials(
+            grams_ds.map_batches(
+                lambda t: pd.DataFrame(
+                    {"source": t.column("source").to_numpy(
+                        zero_copy_only=False),
+                     "n_grams": np.int64(1)})
+                .groupby("source", as_index=False).sum(),
+                batch_format="pyarrow"),
+            ["source"], ["n_grams"])
+        hits = grams_ds.join(
+            dup_ds, join_type="left_semi",
+            num_partitions=_shuffle_partitions(
+                _row_count(sf_dir, "documents")),
+            on=("g",))
+        dups = _combine_partials(
+            hits.map_batches(
+                lambda t: pd.DataFrame(
+                    {"source": t.column("source").to_numpy(
+                        zero_copy_only=False),
+                     "n_dup": np.int64(1)})
+                .groupby("source", as_index=False).sum(),
+                batch_format="pyarrow"),
+            ["source"], ["n_dup"])
+        g = tot.merge(dups, on="source", how="left").fillna({"n_dup": 0})
+    g = g.sort_values("source").reset_index(drop=True)
+    g["n_grams"] = g["n_grams"].astype(np.int64)
+    g["n_dup"] = g["n_dup"].astype(np.int64)
+    g["dup_mass6"] = (g["n_dup"] * 10**6 // g["n_grams"]).astype(np.int64)
+    return g[["source", "n_grams", "n_dup", "dup_mass6"]]

@@ -562,3 +562,13 @@ def test_bm25_scores_monotone_in_tf(ray_session):
     pd.testing.assert_frame_equal(a, b)
     assert (a["score6"] > 0).all()
     assert (a["score6"].to_numpy()[:-1] >= a["score6"].to_numpy()[1:]).all()
+
+
+def test_source_dup_mass_fallback_matches_broadcast(ray_session):
+    """The distributed left_semi fallback (cap=0) equals the broadcast
+    dup-set probe — the 100 TB plan is pinned to the fast path."""
+    from gocrawler_ray.pipelines.queries import q_source_dup_mass
+
+    fast = q_source_dup_mass(SF)
+    slow = q_source_dup_mass(SF, cap=0)
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
