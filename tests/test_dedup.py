@@ -548,3 +548,37 @@ def test_containment_join_bucket_cap_star_degrades():
     pairs = set(zip(got["a"], got["b"]))
     assert len(pairs) == 19
     assert all(a == "d00" for a, _ in pairs)
+
+
+def test_containment_join_freq_order_exact_on_skewed_corpus():
+    """Boilerplate-heavy corpus through the containment join: the hot
+    ordering pushes footer shingles out of PROBE prefixes (they stay on
+    the index side), and recall must remain exact either way."""
+    from gocrawler_ray.stages.dedup import containment_join
+
+    footer = " ".join(f"boiler plate footer token{i % 5}"
+                      for i in range(12))
+    rows = []
+    for i in range(32):
+        rows.append({"doc_id": f"d{i:03d}",
+                     "text": f"unique head {i} alpha {i*3} " + footer})
+    # a quote: head-only prefix of d000 (no footer) — low Jaccard vs
+    # d000 but high containment
+    toks = rows[0]["text"].split()
+    rows.append({"doc_id": "q0", "text": " ".join(toks[:6])})
+    rows.append({"doc_id": "e1", "text": rows[0]["text"]})
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(2)
+
+    for fo in (True, False):
+        got = containment_join(ds, threshold=0.7, k=3, freq_order=fo)
+        got_pairs = set(zip(got["a"], got["b"]))
+        ids = sorted(texts)
+        want = {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1:]
+            if _overlap_brute(texts[a], texts[b], 3) >= 0.7
+        }
+        assert got_pairs == want, f"freq_order={fo}"
+        assert tuple(sorted(("d000", "q0"))) in got_pairs
