@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "naive_forecast_mae": q.q_naive_forecast_mae,
         "host_wave_share": q.q_host_wave_share,
         "source_dup_mass": q.q_source_dup_mass,
+        "timed_funnel": q.q_timed_funnel,
     }
 
 
@@ -5073,5 +5074,26 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
        CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000
             // count(*) AS BIGINT) AS dup_mass6
 FROM grams JOIN gd USING (g) GROUP BY source ORDER BY source
+"""
+    # time-constrained funnel: view -> click <=1h -> purchase <=24h
+    out["timed_funnel"] = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')),
+base AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+conv AS (
+  SELECT DISTINCT c.user_id
+  FROM e c
+  WHERE c.event_type = 'click'
+    AND EXISTS (SELECT 1 FROM e v
+                WHERE v.user_id = c.user_id AND v.event_type = 'view'
+                  AND v.t < c.t AND v.t >= c.t - 3600000000)
+    AND EXISTS (SELECT 1 FROM e p
+                WHERE p.user_id = c.user_id
+                  AND p.event_type = 'purchase'
+                  AND p.t > c.t AND p.t <= c.t + 86400000000))
+SELECT CAST((SELECT count(*) FROM base) AS BIGINT) AS n_users,
+       CAST((SELECT count(*) FROM conv) AS BIGINT) AS n_converted,
+       CAST((SELECT count(*) FROM conv) * 1000000
+            // (SELECT count(*) FROM base) AS BIGINT) AS conv_share6
 """
     return out

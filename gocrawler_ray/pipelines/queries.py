@@ -14246,3 +14246,70 @@ def q_source_dup_mass(sf_dir: str, cap: int = 5_000_000):
     g["n_dup"] = g["n_dup"].astype(np.int64)
     g["dup_mass6"] = (g["n_dup"] * 10**6 // g["n_grams"]).astype(np.int64)
     return g[["source", "n_grams", "n_dup", "dup_mass6"]]
+
+
+def q_timed_funnel(sf_dir: str):
+    """Time-constrained conversion funnel: users with a view → click
+    within 1 HOUR → purchase within 24 HOURS of that click — the
+    attribution-grade funnel (funnel_users' ordered-subsequence check
+    says 'eventually'; marketing windows say 'within the session').
+
+    One user-hash bucket shuffle; the bucket kernel packs every user's
+    events onto one number line (user_rank × BIG + relative_ts, BIG >
+    bucket time span + both windows, so windows can never cross a user
+    boundary) and closes all three stages with FOUR global
+    searchsorteds — no per-user Python. Bound: user_rank × BIG must fit
+    int64, i.e. ~3e5 users per bucket at multi-year µs spans — raise
+    num_buckets with corpus size (the shuffle key, not the kernel, is
+    the scale lever). Exact-count close; integer-floor share."""
+    from ..stages.temporal import _with_bucket
+
+    HOUR = 3_600_000_000
+    DAY = 86_400_000_000
+    ev = _pq(sf_dir, "events", columns=["user_id", "event_type", "ts"],
+             num_blocks=_n_cpus())
+
+    def keep(t: pa.Table) -> pa.Table:
+        t2 = t.filter(pc.is_in(
+            t.column("event_type"),
+            pa.array(["view", "click", "purchase"])))
+        et = t2.column("event_type").to_numpy(zero_copy_only=False)
+        kind = np.zeros(len(t2), np.int8)
+        kind[et == "click"] = 1
+        kind[et == "purchase"] = 2
+        return pa.table({
+            "user_id": t2.column("user_id"),
+            "ts": pc.cast(t2.column("ts"), pa.int64()),
+            "kind": pa.array(kind, pa.int8())})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy(np.int64)
+        kind = g["kind"].to_numpy()
+        _, inv = np.unique(uid, return_inverse=True)
+        rel = ts - ts.min()
+        big = int(rel.max()) + 2 * DAY + HOUR + 10
+        key = inv.astype(np.int64) * big + rel
+        v = np.sort(key[kind == 0])
+        c = np.sort(key[kind == 1])
+        p = np.sort(key[kind == 2])
+        has_v = np.searchsorted(v, c) > np.searchsorted(v, c - HOUR)
+        cg = c[has_v]
+        conv = cg[np.searchsorted(p, cg + DAY, side="right")
+                  > np.searchsorted(p, cg, side="right")]
+        return pd.DataFrame({
+            "k": [np.int64(0)],
+            "n_users": [np.int64(len(np.unique(key[kind == 0] // big)))],
+            "n_conv": [np.int64(len(np.unique(conv // big)))]})
+
+    g = _combine_partials(
+        _with_bucket(ev.map_batches(keep, batch_format="pyarrow"),
+                     "user_id", 32)
+        .groupby("__bucket").map_groups(kernel, batch_format="pandas"),
+        ["k"], ["n_users", "n_conv"])
+    nb = int(g["n_users"].sum())
+    nc = int(g["n_conv"].sum())
+    return pd.DataFrame({
+        "n_users": [np.int64(nb)],
+        "n_converted": [np.int64(nc)],
+        "conv_share6": [np.int64(nc * 10**6 // nb if nb else 0)]})
