@@ -337,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_wave_share": q.q_host_wave_share,
         "source_dup_mass": q.q_source_dup_mass,
         "timed_funnel": q.q_timed_funnel,
+        "click_value_uplift": q.q_click_value_uplift,
     }
 
 
@@ -5095,5 +5096,24 @@ SELECT CAST((SELECT count(*) FROM base) AS BIGINT) AS n_users,
        CAST((SELECT count(*) FROM conv) AS BIGINT) AS n_converted,
        CAST((SELECT count(*) FROM conv) * 1000000
             // (SELECT count(*) FROM base) AS BIGINT) AS conv_share6
+"""
+    # purchases with/without a click in the preceding hour, exact means
+    out["click_value_uplift"] = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t,
+                  CAST(round(value * 1000) AS BIGINT) AS v3
+           FROM events WHERE event_type IN ('click', 'purchase')),
+p AS (SELECT user_id, t, v3,
+             EXISTS (SELECT 1 FROM e c
+                     WHERE c.user_id = p0.user_id
+                       AND c.event_type = 'click'
+                       AND c.t < p0.t AND c.t >= p0.t - 3600000000)
+               AS clicked
+      FROM e p0 WHERE event_type = 'purchase'),
+g AS (SELECT CASE WHEN clicked THEN 'clicked' ELSE 'bare' END AS cohort,
+             count(*) AS n, sum(v3) AS s3
+      FROM p GROUP BY 1)
+SELECT cohort, CAST(n AS BIGINT) AS n_purchases,
+       CAST(s3 * 1000 // n AS BIGINT) AS mean6
+FROM g ORDER BY cohort DESC
 """
     return out

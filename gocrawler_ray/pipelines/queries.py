@@ -14313,3 +14313,70 @@ def q_timed_funnel(sf_dir: str):
         "n_users": [np.int64(nb)],
         "n_converted": [np.int64(nc)],
         "conv_share6": [np.int64(nc * 10**6 // nb if nb else 0)]})
+
+
+def q_click_value_uplift(sf_dir: str):
+    """Click-attribution value split: purchases WITH a click in the
+    preceding hour (same user) vs without, with exact mean purchase
+    values — the first number an attribution discussion reaches for
+    ('do clicked purchases actually spend more?').
+
+    Same packed-number-line kernel as timed_funnel (user_rank × BIG +
+    relative_ts, one global searchsorted instead of per-user windows);
+    purchase values ride along in milli-units so each bucket emits two
+    (n, sum3) partials and the means close as integer floors."""
+    from ..stages.temporal import _with_bucket
+
+    HOUR = 3_600_000_000
+    ev = _pq(sf_dir, "events", columns=["user_id", "event_type", "ts",
+                                        "value"],
+             num_blocks=_n_cpus())
+
+    def keep(t: pa.Table) -> pa.Table:
+        t2 = t.filter(pc.is_in(t.column("event_type"),
+                               pa.array(["click", "purchase"])))
+        et = t2.column("event_type").to_numpy(zero_copy_only=False)
+        v3 = np.rint(t2.column("value").to_numpy(zero_copy_only=False)
+                     * 1000).astype(np.int64)
+        return pa.table({
+            "user_id": t2.column("user_id"),
+            "ts": pc.cast(t2.column("ts"), pa.int64()),
+            "is_p": pa.array(et == "purchase"),
+            "v3": pa.array(v3, pa.int64())})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy(np.int64)
+        isp = g["is_p"].to_numpy(bool)
+        v3 = g["v3"].to_numpy(np.int64)
+        _, inv = np.unique(uid, return_inverse=True)
+        rel = ts - ts.min()
+        big = int(rel.max()) + 2 * HOUR + 10
+        key = inv.astype(np.int64) * big + rel
+        c = np.sort(key[~isp])
+        pk = key[isp]
+        pv = v3[isp]
+        clicked = (np.searchsorted(c, pk)
+                   > np.searchsorted(c, pk - HOUR))
+        return pd.DataFrame({
+            "k": [np.int64(0)],
+            "n_clicked": [np.int64(int(clicked.sum()))],
+            "sum3_clicked": [np.int64(int(pv[clicked].sum()))],
+            "n_bare": [np.int64(int((~clicked).sum()))],
+            "sum3_bare": [np.int64(int(pv[~clicked].sum()))]})
+
+    g = _combine_partials(
+        _with_bucket(ev.map_batches(keep, batch_format="pyarrow"),
+                     "user_id", 32)
+        .groupby("__bucket").map_groups(kernel, batch_format="pandas"),
+        ["k"], ["n_clicked", "sum3_clicked", "n_bare", "sum3_bare"])
+    rows = []
+    for label, n, s3 in (
+        ("clicked", int(g["n_clicked"].sum()),
+         int(g["sum3_clicked"].sum())),
+        ("bare", int(g["n_bare"].sum()), int(g["sum3_bare"].sum())),
+    ):
+        rows.append({"cohort": label, "n_purchases": n,
+                     "mean6": s3 * 1000 // n if n else 0})
+    out = pd.DataFrame(rows, columns=["cohort", "n_purchases", "mean6"])
+    return out.astype({"n_purchases": np.int64, "mean6": np.int64})
