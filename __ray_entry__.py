@@ -338,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_dup_mass": q.q_source_dup_mass,
         "timed_funnel": q.q_timed_funnel,
         "click_value_uplift": q.q_click_value_uplift,
+        "partition_pruned_read": q.q_partition_pruned_read,
     }
 
 
@@ -5115,5 +5116,15 @@ g AS (SELECT CASE WHEN clicked THEN 'clicked' ELSE 'bare' END AS cohort,
 SELECT cohort, CAST(n AS BIGINT) AS n_purchases,
        CAST(s3 * 1000 // n AS BIGINT) AS mean6
 FROM g ORDER BY cohort DESC
+"""
+    # pruned single-partition read-back vs the original table
+    out["partition_pruned_read"] = """
+SELECT epoch_us(ts) // 86400000000 AS day,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum3,
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) * 1000 // count(*)
+            AS BIGINT) AS mean6
+FROM events WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY 1
 """
     return out

@@ -14380,3 +14380,49 @@ def q_click_value_uplift(sf_dir: str):
                      "mean6": s3 * 1000 // n if n else 0})
     out = pd.DataFrame(rows, columns=["cohort", "n_purchases", "mean6"])
     return out.astype({"n_purchases": np.int64, "mean6": np.int64})
+
+
+_PART_SINK_CACHE: dict = {}
+
+
+def q_partition_pruned_read(sf_dir: str):
+    """Partition-pruned read-back through the resumable sink: events
+    are written ONCE per session through write_partitioned (hive
+    layout, _SUCCESS-sealed directories — the 100 TB output contract,
+    SURVEY §4.3), then ONLY the purchase partition is read back BY
+    PATH, so no byte of the other partitions leaves storage — the
+    partition-pruning half of 'prune at the read' that column pruning
+    alone can't give. The read-back aggregates daily purchase value
+    (day-bounded partials, integer-floor means), gated against SQL
+    over the ORIGINAL table — the round-trip must preserve every row
+    exactly."""
+    from ..sources.tables import read_dataset, write_partitioned
+
+    root = _PART_SINK_CACHE.get(sf_dir)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="events_part_", dir="/tmp")
+        ev = _pq(sf_dir, "events", columns=["event_type", "ts", "value"],
+                 num_blocks=_n_cpus())
+        write_partitioned(ev, root, "event_type")
+        _PART_SINK_CACHE[sf_dir] = root
+    ds = read_dataset(os.path.join(root, "event_type=purchase"),
+                      columns=["ts", "value"])
+    DAY = 86_400_000_000
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        day = pc.cast(t.column("ts"), pa.int64()).to_numpy() // DAY
+        v3 = np.rint(t.column("value").to_numpy(zero_copy_only=False)
+                     * 1000).astype(np.int64)
+        return (pd.DataFrame({"day": day, "n_purchases": np.int64(1),
+                              "sum3": v3})
+                .groupby("day", as_index=False).sum())
+
+    g = _combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day"], ["n_purchases", "sum3"])
+    g = g.sort_values("day").reset_index(drop=True)
+    g["mean6"] = (g["sum3"].astype(np.int64) * 1000
+                  // g["n_purchases"].astype(np.int64))
+    return g.astype({"day": np.int64, "n_purchases": np.int64,
+                     "sum3": np.int64, "mean6": np.int64})[
+        ["day", "n_purchases", "sum3", "mean6"]]
