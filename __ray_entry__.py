@@ -339,6 +339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "timed_funnel": q.q_timed_funnel,
         "click_value_uplift": q.q_click_value_uplift,
         "partition_pruned_read": q.q_partition_pruned_read,
+        "resume_skip_audit": q.q_resume_skip_audit,
     }
 
 
@@ -5126,5 +5127,13 @@ SELECT epoch_us(ts) // 86400000000 AS day,
             AS BIGINT) AS mean6
 FROM events WHERE event_type = 'purchase'
 GROUP BY 1 ORDER BY 1
+"""
+    # every distinct partition seals exactly once; the resume re-run
+    # seals nothing
+    out["resume_skip_audit"] = """
+SELECT DISTINCT event_type AS partition_value,
+       CAST(1 AS BIGINT) AS sealed_first_run,
+       CAST(0 AS BIGINT) AS sealed_second_run
+FROM events ORDER BY 1
 """
     return out

@@ -14426,3 +14426,34 @@ def q_partition_pruned_read(sf_dir: str):
     return g.astype({"day": np.int64, "n_purchases": np.int64,
                      "sum3": np.int64, "mean6": np.int64})[
         ["day", "n_purchases", "sum3", "mean6"]]
+
+
+def q_resume_skip_audit(sf_dir: str):
+    """Resume contract as a driver query: write the events table
+    through the resumable hive sink partitioned by event_type, then
+    RE-RUN the identical write — the second pass must skip every
+    sealed partition at the source (no re-read, no re-write) and seal
+    nothing new. Emits one row per partition with both passes' sealed
+    counts; the engine also hard-asserts the re-run sealed zero (the
+    north rule's no-duplicate-work-after-restart guarantee, S7/§4.3,
+    over DERIVED outputs — test_resume pins the same contract for the
+    crawl store)."""
+    from ..sources.tables import write_partitioned
+
+    root = tempfile.mkdtemp(prefix="resume_audit_", dir="/tmp")
+
+    def ev():
+        return _pq(sf_dir, "events", columns=["event_type", "event_id"],
+                   num_blocks=_n_cpus())
+
+    first = write_partitioned(ev(), root, "event_type")
+    second = write_partitioned(ev(), root, "event_type")
+    assert second == [], (
+        f"resume re-run resealed partitions: {second}")
+    rows = [{"partition_value": v, "sealed_first_run": 1,
+             "sealed_second_run": 0} for v in sorted(first)]
+    out = pd.DataFrame(rows, columns=["partition_value",
+                                      "sealed_first_run",
+                                      "sealed_second_run"])
+    return out.astype({"sealed_first_run": np.int64,
+                       "sealed_second_run": np.int64})
