@@ -340,6 +340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_value_uplift": q.q_click_value_uplift,
         "partition_pruned_read": q.q_partition_pruned_read,
         "resume_skip_audit": q.q_resume_skip_audit,
+        "span_offset_profile": q.q_span_offset_profile,
     }
 
 
@@ -5135,5 +5136,28 @@ SELECT DISTINCT event_type AS partition_value,
        CAST(1 AS BIGINT) AS sealed_first_run,
        CAST(0 AS BIGINT) AS sealed_second_run
 FROM events ORDER BY 1
+"""
+    # per-kind span count + offset sum from the synthesis formulas
+    # over the BFS-reachable set (offsets: text 0+1+4, detail 2,
+    # price 3, review 5, meta 6+7, media 8, link 9+10+11, captcha 0)
+    out["span_offset_profile"] = _BFS_CTE + """,
+reach AS (SELECT node AS doc_id FROM r GROUP BY node),
+d AS (SELECT doc.doc_id FROM documents doc JOIN reach USING (doc_id)),
+norm AS (SELECT count(*) AS n FROM d WHERE doc_id % 37 != 3),
+cap AS (SELECT count(*) AS n FROM d WHERE doc_id % 37 = 3),
+spans AS (
+  SELECT 'text' AS kind, 3 * norm.n AS n_spans,
+         5 * norm.n AS sum_offsets FROM norm
+  UNION ALL SELECT 'detail', n, 2 * n FROM norm
+  UNION ALL SELECT 'price', n, 3 * n FROM norm
+  UNION ALL SELECT 'review', n, 5 * n FROM norm
+  UNION ALL SELECT 'meta', 2 * n, 13 * n FROM norm
+  UNION ALL SELECT 'media', n, 8 * n FROM norm
+  UNION ALL SELECT 'link', 3 * n, 30 * n FROM norm
+  UNION ALL SELECT 'captcha', n, 0 FROM cap)
+SELECT kind, CAST(n_spans AS BIGINT) AS n_spans,
+       CAST(sum_offsets AS BIGINT) AS sum_offsets,
+       CAST(sum_offsets * 1000000 // n_spans AS BIGINT) AS mean_off6
+FROM spans WHERE n_spans > 0 ORDER BY kind
 """
     return out

@@ -14457,3 +14457,43 @@ def q_resume_skip_audit(sf_dir: str):
                                       "sealed_second_run"])
     return out.astype({"sealed_first_run": np.int64,
                        "sealed_second_run": np.int64})
+
+
+def q_span_offset_profile(sf_dir: str):
+    """Span-ORDER analytics over the interleaved payload: per span
+    kind, how many spans the crawl fetched and where they sit in the
+    document (sum + integer-floor mean of the offset column) — the
+    positional fingerprint that makes span order auditable at a
+    glance (M7's positional parse makes order load-bearing; a parser
+    regression that reorders spans moves these means before any
+    content diff notices). Zero-copy list<struct> explode; the
+    combine is bounded by the kind vocabulary."""
+    ckpt = _derived_crawl_ckpt(sf_dir)
+    from ..sources.tables import read_dataset
+
+    docs = read_dataset(os.path.join(ckpt, "docs"), columns=["spans"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        spans = t.column("spans").combine_chunks()
+        flat = pc.list_flatten(spans)
+        if not len(flat):
+            return pd.DataFrame({
+                "kind": pd.Series([], dtype=str),
+                "n_spans": pd.Series([], dtype=np.int64),
+                "sum_offsets": pd.Series([], dtype=np.int64)})
+        return (pd.DataFrame({
+            "kind": flat.field("kind").to_numpy(zero_copy_only=False),
+            "n_spans": np.int64(1),
+            "sum_offsets": flat.field("offset").to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+            .groupby("kind", as_index=False).sum())
+
+    g = _combine_partials(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["kind"], ["n_spans", "sum_offsets"])
+    g = g.sort_values("kind").reset_index(drop=True)
+    g["mean_off6"] = (g["sum_offsets"].astype(np.int64) * 10**6
+                      // g["n_spans"].astype(np.int64))
+    return g.astype({"n_spans": np.int64, "sum_offsets": np.int64,
+                     "mean_off6": np.int64})[
+        ["kind", "n_spans", "sum_offsets", "mean_off6"]]
