@@ -341,6 +341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partition_pruned_read": q.q_partition_pruned_read,
         "resume_skip_audit": q.q_resume_skip_audit,
         "span_offset_profile": q.q_span_offset_profile,
+        "gate_bias_matrix": q.q_gate_bias_matrix,
     }
 
 
@@ -5159,5 +5160,35 @@ SELECT kind, CAST(n_spans AS BIGINT) AS n_spans,
        CAST(sum_offsets AS BIGINT) AS sum_offsets,
        CAST(sum_offsets * 1000000 // n_spans AS BIGINT) AS mean_off6
 FROM spans WHERE n_spans > 0 ORDER BY kind
+"""
+    # per-language Gopher keep rate + English-stopword-rule failures
+    out["gate_bias_matrix"] = f"""
+WITH c AS (
+  SELECT lang,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '\\w+')) AS n_words,
+         length(text) - len(regexp_extract_all(text, '\\W'))
+           AS word_chars,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+         len(regexp_extract_all(lower(text), '\\b({en_alt})\\b'))
+           AS n_stop
+  FROM documents),
+f AS (
+  SELECT lang,
+    CASE WHEN n_stop < 2 THEN 1 ELSE 0 END AS fail_stop,
+    CASE WHEN (n_words < 10 OR n_words > 10000)
+           OR (word_chars < 3*n_words OR word_chars > 10*n_words)
+           OR 10*n_punct >= n_chars
+           OR n_stop < 2
+           OR 5*n_digit >= n_chars THEN 0 ELSE 1 END AS keep
+  FROM c),
+g AS (SELECT lang, count(*) AS n_docs, sum(keep) AS n_keep,
+             sum(fail_stop) AS n_fail_stop FROM f GROUP BY lang)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_keep AS BIGINT) AS n_keep,
+       CAST(n_fail_stop AS BIGINT) AS n_fail_stop,
+       CAST(n_keep * 1000000 // n_docs AS BIGINT) AS keep_share6
+FROM g ORDER BY lang
 """
     return out

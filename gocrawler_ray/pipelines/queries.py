@@ -14497,3 +14497,49 @@ def q_span_offset_profile(sf_dir: str):
     return g.astype({"n_spans": np.int64, "sum_offsets": np.int64,
                      "mean_off6": np.int64})[
         ["kind", "n_spans", "sum_offsets", "mean_off6"]]
+
+
+def q_gate_bias_matrix(sf_dir: str):
+    """Language-bias audit of the Gopher quality gate: per language,
+    how many docs pass the composite filter and how many fail the
+    ENGLISH-stopword rule specifically — the known failure mode of
+    English-centric gates on multilingual corpora (they silently
+    depress non-English keep rates; this matrix is the number a
+    curation review reads before applying per-language thresholds).
+    Same integer cross-multiplication flags as gopher_filter, rolled
+    up to a language-bounded partial combine."""
+    from ..stages.textstats import _EN_STOP_RE, _count
+
+    docs = _pq(sf_dir, "documents", columns=["text", "lang"],
+               num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        txt = pc.fill_null(t.column("text"), "")
+        n_chars = pc.utf8_length(txt).to_numpy().astype(np.int64)
+        n_words = _count(txt, r"\w+")
+        word_chars = n_chars - _count(txt, r"\W")
+        n_punct = _count(txt, r"[^\w\s]")
+        n_digit = _count(txt, r"[0-9]")
+        n_stop = _count(pc.utf8_lower(txt), _EN_STOP_RE)
+        f_words = (n_words < 10) | (n_words > 10_000)
+        f_wlen = (word_chars < 3 * n_words) | (word_chars > 10 * n_words)
+        f_sym = 10 * n_punct >= n_chars
+        f_stop = n_stop < 2
+        f_dig = 5 * n_digit >= n_chars
+        keep = ~(f_words | f_wlen | f_sym | f_stop | f_dig)
+        return (pd.DataFrame({
+            "lang": t.column("lang").to_numpy(zero_copy_only=False),
+            "n_docs": np.int64(1),
+            "n_keep": keep.astype(np.int64),
+            "n_fail_stop": f_stop.astype(np.int64)})
+            .groupby("lang", as_index=False).sum())
+
+    g = _combine_partials(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["lang"], ["n_docs", "n_keep", "n_fail_stop"])
+    g = g.sort_values("lang").reset_index(drop=True)
+    g["keep_share6"] = (g["n_keep"].astype(np.int64) * 10**6
+                        // g["n_docs"].astype(np.int64))
+    return g.astype({"n_docs": np.int64, "n_keep": np.int64,
+                     "n_fail_stop": np.int64, "keep_share6": np.int64})[
+        ["lang", "n_docs", "n_keep", "n_fail_stop", "keep_share6"]]
