@@ -342,6 +342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resume_skip_audit": q.q_resume_skip_audit,
         "span_offset_profile": q.q_span_offset_profile,
         "gate_bias_matrix": q.q_gate_bias_matrix,
+        "lang_confusion_matrix": q.q_lang_confusion_matrix,
     }
 
 
@@ -5190,5 +5191,25 @@ SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
        CAST(n_fail_stop AS BIGINT) AS n_fail_stop,
        CAST(n_keep * 1000000 // n_docs AS BIGINT) AS keep_share6
 FROM g ORDER BY lang
+"""
+    # full (true lang x guess) confusion matrix with row shares
+    out["lang_confusion_matrix"] = f"""
+WITH s AS (
+  SELECT lang,
+         {s_de} AS s_de, {s_en} AS s_en, {s_es} AS s_es, {s_fr} AS s_fr
+  FROM documents),
+g AS (SELECT lang,
+  CASE
+    WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+    WHEN s_es >= s_fr THEN 'es'
+    ELSE 'fr' END AS guess
+  FROM s),
+c AS (SELECT lang, guess, count(*) AS n FROM g GROUP BY 1, 2)
+SELECT lang, guess, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY lang)
+            AS BIGINT) AS row_share6
+FROM c ORDER BY lang, guess
 """
     return out

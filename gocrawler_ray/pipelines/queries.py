@@ -14543,3 +14543,34 @@ def q_gate_bias_matrix(sf_dir: str):
     return g.astype({"n_docs": np.int64, "n_keep": np.int64,
                      "n_fail_stop": np.int64, "keep_share6": np.int64})[
         ["lang", "n_docs", "n_keep", "n_fail_stop", "keep_share6"]]
+
+
+def q_lang_confusion_matrix(sf_dir: str):
+    """Full language-ID confusion matrix (true lang × guess) with
+    per-true-language recall shares — the detailed eval behind
+    langid_kappa's single chance-corrected number: which languages the
+    stopword-profile classifier actually confuses, and in which
+    direction. Bounded (lang × guess) count partials; integer-floor
+    row shares."""
+    from ..stages.textstats import lang_id
+
+    docs = _pq(sf_dir, "documents", columns=["lang", "text"],
+               num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        g = lang_id(t)
+        return (pd.DataFrame({
+            "lang": g.column("lang").to_pandas().to_numpy(),
+            "guess": g.column("lang_guess").to_pandas().to_numpy(),
+            "n": np.int64(1)})
+            .groupby(["lang", "guess"], as_index=False).sum())
+
+    g = _combine_partials(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "guess"], ["n"])
+    tot = g.groupby("lang")["n"].transform("sum")
+    g["row_share6"] = (g["n"].astype(np.int64) * 10**6
+                       // tot.astype(np.int64))
+    g = g.sort_values(["lang", "guess"]).reset_index(drop=True)
+    return g.astype({"n": np.int64, "row_share6": np.int64})[
+        ["lang", "guess", "n", "row_share6"]]
