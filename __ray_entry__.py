@@ -343,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_offset_profile": q.q_span_offset_profile,
         "gate_bias_matrix": q.q_gate_bias_matrix,
         "lang_confusion_matrix": q.q_lang_confusion_matrix,
+        "captcha_rate_by_wave": q.q_captcha_rate_by_wave,
     }
 
 
@@ -5211,5 +5212,18 @@ SELECT lang, guess, CAST(n AS BIGINT) AS n,
        CAST(n * 1000000 // SUM(n) OVER (PARTITION BY lang)
             AS BIGINT) AS row_share6
 FROM c ORDER BY lang, guess
+"""
+    # captcha incidence per first-reach wave (captcha: doc_id%37 = 3)
+    out["captcha_rate_by_wave"] = _BFS_CTE + """,
+mindepth AS (SELECT node, MIN(depth) AS depth FROM r GROUP BY node),
+g AS (SELECT depth, count(*) AS n_pages,
+             SUM(CASE WHEN node % 37 = 3 THEN 1 ELSE 0 END)
+               AS n_captcha
+      FROM mindepth GROUP BY depth)
+SELECT CAST(depth AS BIGINT) AS depth,
+       CAST(n_pages AS BIGINT) AS n_pages,
+       CAST(n_captcha AS BIGINT) AS n_captcha,
+       CAST(n_captcha * 1000000 // n_pages AS BIGINT) AS captcha_rate6
+FROM g ORDER BY depth
 """
     return out

@@ -14574,3 +14574,46 @@ def q_lang_confusion_matrix(sf_dir: str):
     g = g.sort_values(["lang", "guess"]).reset_index(drop=True)
     return g.astype({"n": np.int64, "row_share6": np.int64})[
         ["lang", "guess", "n", "row_share6"]]
+
+
+def q_captcha_rate_by_wave(sf_dir: str):
+    """Captcha-wall incidence per BFS wave — the longitudinal
+    complement to captcha_rate_by_host: a rising per-wave rate means
+    the crawl is walking into throttling as it goes deeper (the signal
+    to slow the politeness budget), which the per-host aggregate
+    averages away. Captcha fetches are identified by their single
+    kind='captcha' span (S8: the wall page IS the payload);
+    depth-bounded count partials; integer-floor rates."""
+    ckpt = _derived_crawl_ckpt(sf_dir)
+    from ..sources.tables import read_dataset
+
+    docs = read_dataset(os.path.join(ckpt, "docs"),
+                        columns=["depth", "spans"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        spans = t.column("spans").combine_chunks()
+        flat = pc.list_flatten(spans)
+        n_spans = pc.list_value_length(spans).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        row_of = np.repeat(np.arange(len(t), dtype=np.int64), n_spans)
+        is_cap = np.zeros(len(t), dtype=bool)
+        if len(flat):
+            cap_rows = row_of[pc.equal(flat.field("kind"), "captcha")
+                              .to_numpy(zero_copy_only=False)]
+            is_cap[np.unique(cap_rows)] = True
+        return (pd.DataFrame({
+            "depth": t.column("depth").to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "n_pages": np.int64(1),
+            "n_captcha": is_cap.astype(np.int64)})
+            .groupby("depth", as_index=False).sum())
+
+    g = _combine_partials(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["depth"], ["n_pages", "n_captcha"])
+    g = g.sort_values("depth").reset_index(drop=True)
+    g["captcha_rate6"] = (g["n_captcha"].astype(np.int64) * 10**6
+                          // g["n_pages"].astype(np.int64))
+    return g.astype({"depth": np.int64, "n_pages": np.int64,
+                     "n_captcha": np.int64, "captcha_rate6": np.int64})[
+        ["depth", "n_pages", "n_captcha", "captcha_rate6"]]
