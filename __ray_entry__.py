@@ -344,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gate_bias_matrix": q.q_gate_bias_matrix,
         "lang_confusion_matrix": q.q_lang_confusion_matrix,
         "captcha_rate_by_wave": q.q_captcha_rate_by_wave,
+        "link_wave_locality": q.q_link_wave_locality,
     }
 
 
@@ -5225,5 +5226,16 @@ SELECT CAST(depth AS BIGINT) AS depth,
        CAST(n_captcha AS BIGINT) AS n_captcha,
        CAST(n_captcha * 1000000 // n_pages AS BIGINT) AS captcha_rate6
 FROM g ORDER BY depth
+"""
+    # signed wave delta src_first_wave - dst_first_wave per link
+    out["link_wave_locality"] = _BFS_CTE + """,
+mindepth AS (SELECT node, MIN(depth) AS depth FROM r GROUP BY node),
+e2 AS (SELECT ms.depth AS sd, md.depth AS dd
+       FROM edges e
+       JOIN mindepth ms ON e.src = ms.node
+       JOIN mindepth md ON e.dst = md.node)
+SELECT CAST(sd - dd AS BIGINT) AS wave_delta,
+       CAST(count(*) AS BIGINT) AS n_links
+FROM e2 GROUP BY 1 ORDER BY 1
 """
     return out

@@ -14617,3 +14617,80 @@ def q_captcha_rate_by_wave(sf_dir: str):
     return g.astype({"depth": np.int64, "n_pages": np.int64,
                      "n_captcha": np.int64, "captcha_rate6": np.int64})[
         ["depth", "n_pages", "n_captcha", "captcha_rate6"]]
+
+
+def q_link_wave_locality(sf_dir: str):
+    """Wave-locality histogram of the crawl's link structure: for every
+    link a fetched page emitted, the signed wave delta between the
+    SOURCE's first-fetch wave and the TARGET's (−1 = the link
+    discovered its target next wave; 0 = same wave; k>0 = it points k
+    waves BACK) — the frontier-memory working-set profile: mass at
+    large deltas means the URL-seen set must keep old waves hot
+    forever, mass at −1 means it could age them out.
+
+    Doc ids parse from the synthesis URLs (sku = 10^12 + id); the
+    (doc, wave) map attaches to the link stream via the broadcast
+    searchsorted path with the hash-join fallback past the cap
+    (_broadcast_fact_attach — the caps pick the plan); the close is a
+    delta-bounded count combine."""
+    ckpt = _derived_crawl_ckpt(sf_dir)
+    from ..sources.tables import read_dataset
+
+    docs = read_dataset(os.path.join(ckpt, "docs"),
+                        columns=["url", "depth", "spans"])
+
+    def _ids_of(urls: np.ndarray) -> np.ndarray:
+        # url_of: ...?sku=<10^12 + id> — fixed 13-digit tail
+        return np.array([int(u[-13:]) - 10**12 for u in urls],
+                        dtype=np.int64)
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        spans = t.column("spans").combine_chunks()
+        flat = pc.list_flatten(spans)
+        n_spans = pc.list_value_length(spans).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        row_of = np.repeat(np.arange(len(t), dtype=np.int64), n_spans)
+        if len(flat):
+            is_link = pc.equal(flat.field("kind"), "link").to_numpy(
+                zero_copy_only=False)
+            refs = flat.field("media_ref").to_numpy(
+                zero_copy_only=False)[is_link]
+            rows = row_of[is_link]
+        else:
+            refs = np.array([], dtype=object)
+            rows = np.array([], dtype=np.int64)
+        sd = (t.column("depth").to_numpy(zero_copy_only=False)
+              .astype(np.int64))[rows]
+        return pa.table({
+            "dst_id": pa.array(_ids_of(refs), pa.int64()),
+            "src_depth": pa.array(sd, pa.int64())})
+
+    def depth_rows(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(_ids_of(urls), pa.int64()),
+            "dst_depth": pc.cast(t.column("depth"), pa.int64())})
+
+    edges = docs.map_batches(edge_rows, batch_format="pyarrow")
+    depth_ds = docs.map_batches(depth_rows, batch_format="pyarrow")
+    attached = _broadcast_fact_attach(edges, depth_ds, "dst_id",
+                                      "doc_id", ["dst_depth"])
+    if attached is None:  # pragma: no cover - node map past the cap
+        attached = edges.join(
+            depth_ds, join_type="inner",
+            num_partitions=_shuffle_partitions(
+                _row_count(sf_dir, "documents")),
+            on=("dst_id",), right_on=("doc_id",))
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        delta = (t.column("src_depth").to_numpy(zero_copy_only=False)
+                 - t.column("dst_depth").to_numpy(zero_copy_only=False))
+        return (pd.DataFrame({"wave_delta": delta.astype(np.int64),
+                              "n_links": np.int64(1)})
+                .groupby("wave_delta", as_index=False).sum())
+
+    g = _combine_partials(
+        attached.map_batches(partial, batch_format="pyarrow"),
+        ["wave_delta"], ["n_links"])
+    g = g.sort_values("wave_delta").reset_index(drop=True)
+    return g.astype({"wave_delta": np.int64, "n_links": np.int64})
