@@ -345,6 +345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion_matrix": q.q_lang_confusion_matrix,
         "captcha_rate_by_wave": q.q_captcha_rate_by_wave,
         "link_wave_locality": q.q_link_wave_locality,
+        "usable_tokens_by_source": q.q_usable_tokens_by_source,
     }
 
 
@@ -5237,5 +5238,38 @@ e2 AS (SELECT ms.depth AS sd, md.depth AS dd
 SELECT CAST(sd - dd AS BIGINT) AS wave_delta,
        CAST(count(*) AS BIGINT) AS n_links
 FROM e2 GROUP BY 1 ORDER BY 1
+"""
+    # post-Gopher-gate whitespace-token budget per source
+    out["usable_tokens_by_source"] = f"""
+WITH c AS (
+  SELECT source,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '\\w+')) AS n_words,
+         length(text) - len(regexp_extract_all(text, '\\W'))
+           AS word_chars,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+         len(regexp_extract_all(lower(text), '\\b({en_alt})\\b'))
+           AS n_stop,
+         len(regexp_extract_all(text, '\\S+')) AS ws
+  FROM documents),
+f AS (
+  SELECT source, ws,
+    CASE WHEN (n_words < 10 OR n_words > 10000)
+           OR (word_chars < 3*n_words OR word_chars > 10*n_words)
+           OR 10*n_punct >= n_chars
+           OR n_stop < 2
+           OR 5*n_digit >= n_chars THEN 0 ELSE 1 END AS keep
+  FROM c),
+g AS (SELECT source, count(*) AS n_docs, sum(keep) AS n_kept,
+             sum(ws) AS tokens_total, sum(keep * ws) AS tokens_kept
+      FROM f GROUP BY 1)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_kept AS BIGINT) AS n_kept,
+       CAST(tokens_total AS BIGINT) AS tokens_total,
+       CAST(tokens_kept AS BIGINT) AS tokens_kept,
+       CAST(tokens_kept * 1000000 // tokens_total AS BIGINT)
+         AS kept_share6
+FROM g ORDER BY source
 """
     return out

@@ -14694,3 +14694,51 @@ def q_link_wave_locality(sf_dir: str):
         ["wave_delta"], ["n_links"])
     g = g.sort_values("wave_delta").reset_index(drop=True)
     return g.astype({"wave_delta": np.int64, "n_links": np.int64})
+
+
+def q_usable_tokens_by_source(sf_dir: str):
+    """Post-gate token budget per feed: of each source's whitespace
+    tokens, how many survive the Gopher quality gate — THE number a
+    mixture plan allocates against (raw token counts overstate feeds
+    full of filtered boilerplate). One fused map pass (gate flags +
+    token count share the same Arrow RE2 scans, no second read);
+    source-bounded partials; integer-floor share."""
+    from ..stages.textstats import _EN_STOP_RE, _count
+
+    docs = _pq(sf_dir, "documents", columns=["text", "source"],
+               num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        txt = pc.fill_null(t.column("text"), "")
+        n_chars = pc.utf8_length(txt).to_numpy().astype(np.int64)
+        n_words = _count(txt, r"\w+")
+        word_chars = n_chars - _count(txt, r"\W")
+        n_punct = _count(txt, r"[^\w\s]")
+        n_digit = _count(txt, r"[0-9]")
+        n_stop = _count(pc.utf8_lower(txt), _EN_STOP_RE)
+        ws = _count(txt, r"\S+")
+        keep = ~((n_words < 10) | (n_words > 10_000)
+                 | (word_chars < 3 * n_words)
+                 | (word_chars > 10 * n_words)
+                 | (10 * n_punct >= n_chars)
+                 | (n_stop < 2)
+                 | (5 * n_digit >= n_chars))
+        return (pd.DataFrame({
+            "source": t.column("source").to_numpy(zero_copy_only=False),
+            "n_docs": np.int64(1),
+            "n_kept": keep.astype(np.int64),
+            "tokens_total": ws.astype(np.int64),
+            "tokens_kept": (ws * keep).astype(np.int64)})
+            .groupby("source", as_index=False).sum())
+
+    g = _combine_partials(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["source"], ["n_docs", "n_kept", "tokens_total", "tokens_kept"])
+    g = g.sort_values("source").reset_index(drop=True)
+    g["kept_share6"] = (g["tokens_kept"].astype(np.int64) * 10**6
+                        // g["tokens_total"].astype(np.int64))
+    return g.astype({c: np.int64 for c in
+                     ["n_docs", "n_kept", "tokens_total", "tokens_kept",
+                      "kept_share6"]})[
+        ["source", "n_docs", "n_kept", "tokens_total", "tokens_kept",
+         "kept_share6"]]
