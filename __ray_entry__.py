@@ -346,6 +346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "captcha_rate_by_wave": q.q_captcha_rate_by_wave,
         "link_wave_locality": q.q_link_wave_locality,
         "usable_tokens_by_source": q.q_usable_tokens_by_source,
+        "cluster_separation": q.q_cluster_separation,
     }
 
 
@@ -5271,5 +5272,45 @@ SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
        CAST(tokens_kept * 1000000 // tokens_total AS BIGINT)
          AS kept_share6
 FROM g ORDER BY source
+"""
+    # intra-label scatter vs nearest-other-centroid, exact micro-ints
+    out["cluster_separation"] = """
+WITH v AS (
+  SELECT vec_id, label, i AS dim,
+         CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000)
+              AS BIGINT) AS x6
+  FROM embeddings, UNNEST(range(len(embedding))) AS t(i)),
+c AS (
+  SELECT label, i AS dim,
+         CAST(round(round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6)
+                    * 1000000) AS BIGINT) AS c6
+  FROM embeddings, UNNEST(range(len(embedding))) AS t(i)
+  GROUP BY label, i),
+terms AS (
+  SELECT v.label,
+         CAST(sum(CAST(v.x6 AS HUGEINT) * v.x6) AS HUGEINT) AS sq,
+         CAST(sum(CAST(v.x6 AS HUGEINT) * c.c6) AS HUGEINT) AS xc,
+         CAST(sum(CAST(c.c6 AS HUGEINT) * c.c6) AS HUGEINT) AS cc
+  FROM v JOIN c ON v.label = c.label AND v.dim = c.dim
+  GROUP BY v.label),
+nvec AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+intra AS (
+  SELECT t.label, nvec.n,
+         (t.sq - 2 * t.xc + t.cc) // nvec.n AS intra_mean12
+  FROM terms t JOIN nvec USING (label)),
+cd AS (
+  SELECT a.label AS la, b.label AS lb,
+         CAST(sum(CAST(a.c6 - b.c6 AS HUGEINT) * (a.c6 - b.c6))
+              AS HUGEINT) AS d2
+  FROM c a JOIN c b ON a.dim = b.dim AND a.label != b.label
+  GROUP BY 1, 2),
+nearest AS (SELECT la AS label, min(d2) AS nearest_d2 FROM cd GROUP BY la)
+SELECT i.label, CAST(i.n AS BIGINT) AS n,
+       CAST(i.intra_mean12 AS BIGINT) AS intra_mean12,
+       CAST(ne.nearest_d2 AS BIGINT) AS nearest_d2_12,
+       CAST(CASE WHEN i.intra_mean12 > 0
+                 THEN ne.nearest_d2 * 1000000 // i.intra_mean12
+                 ELSE 0 END AS BIGINT) AS sep_ratio6
+FROM intra i JOIN nearest ne USING (label) ORDER BY i.label
 """
     return out

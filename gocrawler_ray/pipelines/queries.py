@@ -14742,3 +14742,80 @@ def q_usable_tokens_by_source(sf_dir: str):
                       "kept_share6"]})[
         ["source", "n_docs", "n_kept", "tokens_total", "tokens_kept",
          "kept_share6"]]
+
+
+def q_cluster_separation(sf_dir: str):
+    """Cluster-quality audit over the label 'clustering' of the
+    embedding table: per label, the mean squared distance to its OWN
+    round-6 centroid (intra scatter) vs the squared distance to the
+    NEAREST other centroid — the silhouette-style separation ratio
+    that says whether label-conditioned routing (IVF coarse layer,
+    per-class samplers) will actually discriminate.
+
+    Exact end to end: values lift to micro-unit ints and the intra
+    scatter closes by the sum-of-squares identity Σ|x−c|² = Σ|x|² −
+    2·c·Σx + n|c|² over (label × dim)-bounded integer partials — no
+    float sum ever crosses the gate (centroids are the round-6 values
+    the label_centroids gate already proves equal)."""
+    from ..stages.similarity import _emb_matrix
+
+    emb = _pq(sf_dir, "embeddings", columns=["embedding", "label"],
+              num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        m = _emb_matrix(t, "embedding")
+        x6 = np.rint(m * 1e6).astype(np.int64)
+        labels = t.column("label").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        d = x6.shape[1]
+        sums = np.zeros((len(uniq), d), dtype=np.int64)
+        np.add.at(sums, inv, x6)
+        rowsq = (x6 * x6).sum(axis=1)  # ≤ dims·(1e6)² per row: int64-safe
+        sq = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sq, inv, rowsq)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        # per-label scalars ride the (label, dim) partial on dim 0
+        dim0 = np.tile(np.arange(d), len(uniq)) == 0
+        return pd.DataFrame({
+            "label": np.repeat(uniq, d).astype(np.int64),
+            "dim": np.tile(np.arange(d, dtype=np.int64), len(uniq)),
+            "s6": sums.ravel(),
+            "sq12": np.where(dim0, np.repeat(sq, d), 0),
+            "n": np.where(dim0, np.repeat(counts, d), 0).astype(np.int64)})
+
+    g = _combine_partials(
+        emb.map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"], ["s6", "sq12", "n"])
+    cents = q_label_centroids(sf_dir)
+    c6 = np.rint(cents["centroid"].to_numpy() * 1e6).astype(np.int64)
+    cl = cents["label"].to_numpy(np.int64)
+    cd = cents["dim"].to_numpy(np.int64)
+    uniq = np.unique(cl)
+    d = int(cd.max()) + 1
+    cmat = np.zeros((len(uniq), d), dtype=np.int64)
+    cmat[np.searchsorted(uniq, cl), cd] = c6
+    g = g.sort_values(["label", "dim"]).reset_index(drop=True)
+    smat = np.zeros((len(uniq), d), dtype=object)
+    smat[np.searchsorted(uniq, g["label"].to_numpy(np.int64)),
+         g["dim"].to_numpy(np.int64)] = g["s6"].to_numpy(np.int64)
+    per = g.groupby("label", as_index=False).agg(
+        sq12=("sq12", "sum"), n=("n", "sum"))
+    rows = []
+    for i, lb in enumerate(uniq):
+        n = int(per.loc[per["label"] == lb, "n"].iloc[0])
+        sq = int(per.loc[per["label"] == lb, "sq12"].iloc[0])
+        c = cmat[i].astype(object)
+        s = smat[i]
+        intra = sq - 2 * int((c * s).sum()) + n * int((c * c).sum())
+        others = [int(((cmat[j].astype(object) - c) ** 2).sum())
+                  for j in range(len(uniq)) if j != i]
+        nearest = min(others) if others else 0
+        intra_mean = intra // n if n else 0
+        rows.append({
+            "label": int(lb), "n": n, "intra_mean12": intra_mean,
+            "nearest_d2_12": nearest,
+            "sep_ratio6": (nearest * 10**6 // intra_mean
+                           if intra_mean > 0 else 0)})
+    out = pd.DataFrame(rows, columns=["label", "n", "intra_mean12",
+                                      "nearest_d2_12", "sep_ratio6"])
+    return out.astype({c: np.int64 for c in out.columns})
