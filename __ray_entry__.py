@@ -347,6 +347,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_wave_locality": q.q_link_wave_locality,
         "usable_tokens_by_source": q.q_usable_tokens_by_source,
         "cluster_separation": q.q_cluster_separation,
+        "brand_return_rate": q.q_brand_return_rate,
+        "repeat_customer_share": q.q_repeat_customer_share,
     }
 
 
@@ -5312,5 +5314,26 @@ SELECT i.label, CAST(i.n AS BIGINT) AS n,
                  THEN ne.nearest_d2 * 1000000 // i.intra_mean12
                  ELSE 0 END AS BIGINT) AS sep_ratio6
 FROM intra i JOIN nearest ne USING (label) ORDER BY i.label
+"""
+    out["brand_return_rate"] = """
+SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_returned,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS return_rate6
+FROM lineitem JOIN part ON p_partkey = l_partkey
+GROUP BY 1 ORDER BY 1
+"""
+    out["repeat_customer_share"] = """
+WITH pc AS (SELECT o_custkey AS ck, count(*) AS n FROM orders
+            GROUP BY 1),
+j AS (SELECT c_nationkey AS nation,
+             CASE WHEN n >= 2 THEN 1 ELSE 0 END AS rep
+      FROM pc JOIN customer ON c_custkey = ck)
+SELECT CAST(nation AS BIGINT) AS nation,
+       CAST(count(*) AS BIGINT) AS n_buyers,
+       CAST(sum(rep) AS BIGINT) AS n_repeat,
+       CAST(sum(rep) * 1000000 // count(*) AS BIGINT) AS repeat_share6
+FROM j GROUP BY 1 ORDER BY 1
 """
     return out

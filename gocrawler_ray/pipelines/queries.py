@@ -14819,3 +14819,165 @@ def q_cluster_separation(sf_dir: str):
     out = pd.DataFrame(rows, columns=["label", "n", "intra_mean12",
                                       "nearest_d2_12", "sep_ratio6"])
     return out.astype({c: np.int64 for c in out.columns})
+
+
+def q_brand_return_rate(sf_dir: str):
+    """Return-rate scorecard per part brand: share of lineitems flagged
+    R — the merchandising-quality number behind returned_top_customers'
+    customer view. Star shape: the part dimension broadcasts as a
+    (p_partkey → brand-code) int index into the streaming lineitem
+    scan (hash-join fallback past the cap via _broadcast_fact_attach);
+    the close is a brand-bounded count combine with integer-floor
+    rates."""
+    parts = _shuffle_partitions(_row_count(sf_dir, "lineitem"))
+    li = _pq(sf_dir, "lineitem", columns=["l_partkey", "l_returnflag"],
+             num_blocks=parts)
+    pt = _pq(sf_dir, "part", columns=["p_partkey", "p_brand"],
+             num_blocks=_n_cpus())
+    pdf = _gather_capped(pt)
+    brands = None
+    if pdf is not None:
+        brands = np.sort(pdf["p_brand"].unique())
+        code_of = {b: i for i, b in enumerate(brands)}
+
+        def to_code(t: pa.Table) -> pa.Table:
+            codes = np.array([code_of[b] for b in
+                              t.column("p_brand").to_numpy(
+                                  zero_copy_only=False)], dtype=np.int64)
+            return pa.table({
+                "p_partkey": pc.cast(t.column("p_partkey"), pa.int64()),
+                "bcode": pa.array(codes, pa.int64())})
+
+        build = pt.map_batches(to_code, batch_format="pyarrow")
+        fact = li.map_batches(
+            lambda t: pa.table({
+                "l_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+                "is_r": pc.cast(pc.equal(t.column("l_returnflag"), "R"),
+                                pa.int64())}),
+            batch_format="pyarrow")
+        attached = _broadcast_fact_attach(fact, build, "l_partkey",
+                                          "p_partkey", ["bcode"])
+    else:  # pragma: no cover - part dim past the gather cap
+        attached = None
+    if attached is None:  # distributed hash-join plan
+        attached = li.map_batches(
+            lambda t: pa.table({
+                "l_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+                "is_r": pc.cast(pc.equal(t.column("l_returnflag"), "R"),
+                                pa.int64())}),
+            batch_format="pyarrow").join(
+            pt.map_batches(
+                lambda t: pa.table({
+                    "p_partkey": pc.cast(t.column("p_partkey"),
+                                         pa.int64()),
+                    "p_brand": t.column("p_brand")}),
+                batch_format="pyarrow"),
+            join_type="inner", num_partitions=parts,
+            on=("l_partkey",), right_on=("p_partkey",))
+
+        def partial_b(t: pa.Table) -> pd.DataFrame:
+            return (pd.DataFrame({
+                "brand": t.column("p_brand").to_numpy(
+                    zero_copy_only=False),
+                "n_lines": np.int64(1),
+                "n_returned": t.column("is_r").to_numpy(
+                    zero_copy_only=False)})
+                .groupby("brand", as_index=False).sum())
+
+        g = _combine_partials(
+            attached.map_batches(partial_b, batch_format="pyarrow"),
+            ["brand"], ["n_lines", "n_returned"])
+    else:
+
+        def partial(t: pa.Table) -> pd.DataFrame:
+            return (pd.DataFrame({
+                "bcode": t.column("bcode").to_numpy(zero_copy_only=False),
+                "n_lines": np.int64(1),
+                "n_returned": t.column("is_r").to_numpy(
+                    zero_copy_only=False)})
+                .groupby("bcode", as_index=False).sum())
+
+        g = _combine_partials(
+            attached.map_batches(partial, batch_format="pyarrow"),
+            ["bcode"], ["n_lines", "n_returned"])
+        g["brand"] = brands[g["bcode"].to_numpy(np.int64)]
+    g = g.sort_values("brand").reset_index(drop=True)
+    g["return_rate6"] = (g["n_returned"].astype(np.int64) * 10**6
+                         // g["n_lines"].astype(np.int64))
+    return g.astype({"n_lines": np.int64, "n_returned": np.int64,
+                     "return_rate6": np.int64})[
+        ["brand", "n_lines", "n_returned", "return_rate6"]]
+
+
+def q_repeat_customer_share(sf_dir: str):
+    """Repeat-buyer share per nation: of each nation's customers WITH
+    at least one order, how many ordered twice or more — the
+    acquisition-vs-loyalty geography behind new_vs_returning's time
+    view. Per-customer order counts pre-reduce per batch, one
+    customer-hash bucket groupby makes them exact, the nation attach
+    broadcasts (customers' nations are dimension-bounded per bucket
+    close), and the close is a nation-bounded combine."""
+    from ..stages.temporal import _with_bucket
+
+    orders = _pq(sf_dir, "orders", columns=["o_custkey"],
+                 num_blocks=_n_cpus())
+    cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_nationkey"],
+               num_blocks=_n_cpus())
+
+    def pre(t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        u, cnt = np.unique(ck, return_counts=True)
+        return pa.table({"ck": pa.array(u.astype(np.int64), pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("ck", as_index=False)["n"].sum()
+        return pd.DataFrame({
+            "ck": agg["ck"].to_numpy(np.int64),
+            "repeat": (agg["n"].to_numpy(np.int64) >= 2)
+            .astype(np.int64)})
+
+    per_cust = (_with_bucket(orders.map_batches(pre,
+                                                batch_format="pyarrow"),
+                             "ck", 32)
+                .groupby("__bucket")
+                .map_groups(kernel, batch_format="pandas"))
+    nat = _broadcast_fact_attach(
+        per_cust.map_batches(
+            lambda t: pa.table({
+                "ck": pc.cast(t.column("ck"), pa.int64()),
+                "repeat": pc.cast(t.column("repeat"), pa.int64())}),
+            batch_format="pyarrow"),
+        cust.map_batches(
+            lambda t: pa.table({
+                "c_custkey": pc.cast(t.column("c_custkey"), pa.int64()),
+                "nation": pc.cast(t.column("c_nationkey"), pa.int64())}),
+            batch_format="pyarrow"),
+        "ck", "c_custkey", ["nation"])
+    if nat is None:  # pragma: no cover - customer dim past the cap
+        nat = per_cust.join(
+            cust, join_type="inner",
+            num_partitions=_shuffle_partitions(
+                _row_count(sf_dir, "customer")),
+            on=("ck",), right_on=("c_custkey",)).map_batches(
+            lambda t: t.append_column(
+                "nation", pc.cast(t.column("c_nationkey"), pa.int64())),
+            batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        return (pd.DataFrame({
+            "nation": t.column("nation").to_numpy(zero_copy_only=False),
+            "n_buyers": np.int64(1),
+            "n_repeat": t.column("repeat").to_numpy(
+                zero_copy_only=False)})
+            .groupby("nation", as_index=False).sum())
+
+    g = _combine_partials(
+        nat.map_batches(partial, batch_format="pyarrow"),
+        ["nation"], ["n_buyers", "n_repeat"])
+    g = g.sort_values("nation").reset_index(drop=True)
+    g["repeat_share6"] = (g["n_repeat"].astype(np.int64) * 10**6
+                          // g["n_buyers"].astype(np.int64))
+    return g.astype({"nation": np.int64, "n_buyers": np.int64,
+                     "n_repeat": np.int64, "repeat_share6": np.int64})[
+        ["nation", "n_buyers", "n_repeat", "repeat_share6"]]
