@@ -349,6 +349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_separation": q.q_cluster_separation,
         "brand_return_rate": q.q_brand_return_rate,
         "repeat_customer_share": q.q_repeat_customer_share,
+        "single_source_parts": q.q_single_source_parts,
     }
 
 
@@ -5335,5 +5336,15 @@ SELECT CAST(nation AS BIGINT) AS nation,
        CAST(sum(rep) AS BIGINT) AS n_repeat,
        CAST(sum(rep) * 1000000 // count(*) AS BIGINT) AS repeat_share6
 FROM j GROUP BY 1 ORDER BY 1
+"""
+    out["single_source_parts"] = """
+WITH pp AS (SELECT l_partkey, count(DISTINCT l_suppkey) AS ns
+            FROM lineitem GROUP BY 1),
+h AS (SELECT ns, count(*) AS n_parts FROM pp GROUP BY ns),
+t AS (SELECT sum(n_parts) AS tot FROM h)
+SELECT CAST(ns AS BIGINT) AS n_suppliers,
+       CAST(n_parts AS BIGINT) AS n_parts,
+       CAST(n_parts * 1000000 // t.tot AS BIGINT) AS part_share6
+FROM h, t ORDER BY n_suppliers
 """
     return out

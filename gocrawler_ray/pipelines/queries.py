@@ -14981,3 +14981,36 @@ def q_repeat_customer_share(sf_dir: str):
     return g.astype({"nation": np.int64, "n_buyers": np.int64,
                      "n_repeat": np.int64, "repeat_share6": np.int64})[
         ["nation", "n_buyers", "n_repeat", "repeat_share6"]]
+
+
+def q_single_source_parts(sf_dir: str):
+    """Supply-risk census: distribution of parts by how many DISTINCT
+    suppliers ever shipped them — the single-source-risk histogram a
+    procurement review starts from (n_suppliers = 1 is the fragile
+    bucket). Level 1 is the exact grouped count-distinct plane
+    (pair-hash bucket dedup — stages/aggregates.count_distinct, the
+    same-pair-same-bucket exchange); level 2 re-reduces the per-part
+    counts to a histogram bounded by the max supplier fan-out, so
+    nothing part-scale lands on the driver."""
+    from ..stages.aggregates import count_distinct
+
+    li = _pq(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"],
+             num_blocks=_n_cpus())
+    per_part = count_distinct(li, key_col="l_partkey",
+                              value_col="l_suppkey")
+
+    def hist_partial(t: pa.Table) -> pd.DataFrame:
+        return (pd.DataFrame({
+            "n_suppliers": t.column("n_distinct").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "n_parts": np.int64(1)})
+            .groupby("n_suppliers", as_index=False).sum())
+
+    g = _combine_partials(
+        per_part.map_batches(hist_partial, batch_format="pyarrow"),
+        ["n_suppliers"], ["n_parts"])
+    g = g.sort_values("n_suppliers").reset_index(drop=True)
+    tot = int(g["n_parts"].sum())
+    g["part_share6"] = (g["n_parts"].astype(np.int64) * 10**6 // tot)
+    return g.astype({"n_suppliers": np.int64, "n_parts": np.int64,
+                     "part_share6": np.int64})
