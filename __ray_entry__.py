@@ -350,6 +350,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_return_rate": q.q_brand_return_rate,
         "repeat_customer_share": q.q_repeat_customer_share,
         "single_source_parts": q.q_single_source_parts,
+        "hour_dow_heatmap": q.q_hour_dow_heatmap,
+        "order_month_profile": q.q_order_month_profile,
     }
 
 
@@ -5346,5 +5348,29 @@ SELECT CAST(ns AS BIGINT) AS n_suppliers,
        CAST(n_parts AS BIGINT) AS n_parts,
        CAST(n_parts * 1000000 // t.tot AS BIGINT) AS part_share6
 FROM h, t ORDER BY n_suppliers
+"""
+    out["hour_dow_heatmap"] = """
+WITH e AS (
+  SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+         (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
+         CAST(round(value * 1000) AS BIGINT) AS v3
+  FROM events),
+g AS (SELECT dow, hour, count(*) AS n, sum(v3) AS s3
+      FROM e GROUP BY 1, 2)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
+       CAST(n AS BIGINT) AS n_events, CAST(s3 AS BIGINT) AS sum3,
+       CAST(s3 * 1000 // n AS BIGINT) AS mean6
+FROM g ORDER BY dow, hour
+"""
+    out["order_month_profile"] = """
+WITH o AS (SELECT month(o_orderdate) AS m,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+g AS (SELECT m, count(*) AS n, sum(cents) AS c FROM o GROUP BY m),
+t AS (SELECT sum(n) AS tn FROM g)
+SELECT CAST(m AS BIGINT) AS month, CAST(n AS BIGINT) AS n_orders,
+       CAST(c AS BIGINT) AS cents,
+       CAST(n * 12 * 1000000 // t.tn AS BIGINT) AS count_index6
+FROM g, t ORDER BY month
 """
     return out

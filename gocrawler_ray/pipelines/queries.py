@@ -15014,3 +15014,63 @@ def q_single_source_parts(sf_dir: str):
     g["part_share6"] = (g["n_parts"].astype(np.int64) * 10**6 // tot)
     return g.astype({"n_suppliers": np.int64, "n_parts": np.int64,
                      "part_share6": np.int64})
+
+
+def q_hour_dow_heatmap(sf_dir: str):
+    """The 168-cell (day-of-week × hour) activity heatmap with exact
+    mean event values — the ops view behind dow_seasonality and
+    events_hourly combined: WHERE in the week the load and the spend
+    actually sit. One calendar-bounded (≤168 cells) count partial;
+    integer-floor means in micro-units."""
+    ev = _pq(sf_dir, "events", columns=["ts", "value"],
+             num_blocks=_n_cpus())
+    DAY = 86_400_000_000
+    HOUR = 3_600_000_000
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        v3 = np.rint(t.column("value").to_numpy(zero_copy_only=False)
+                     * 1000).astype(np.int64)
+        return (pd.DataFrame({
+            "dow": (ts // DAY + 4) % 7,
+            "hour": (ts % DAY) // HOUR,
+            "n_events": np.int64(1), "sum3": v3})
+            .groupby(["dow", "hour"], as_index=False).sum())
+
+    g = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["dow", "hour"], ["n_events", "sum3"])
+    g = g.sort_values(["dow", "hour"]).reset_index(drop=True)
+    g["mean6"] = (g["sum3"].astype(np.int64) * 1000
+                  // g["n_events"].astype(np.int64))
+    return g.astype({"dow": np.int64, "hour": np.int64,
+                     "n_events": np.int64, "sum3": np.int64,
+                     "mean6": np.int64})
+
+
+def q_order_month_profile(sf_dir: str):
+    """Order seasonality by calendar month (1–12): order counts,
+    revenue cents and the ×12 seasonal index (1e6 = flat year) — the
+    orders-side complement to the events-side dow_seasonality. One
+    12-cell partial; every index an integer floor."""
+    orders = _pq(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"],
+                 num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        d = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+        month = (d.astype("datetime64[M]").astype(np.int64) % 12) + 1
+        cents = np.rint(t.column("o_totalprice").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        return (pd.DataFrame({"month": month.astype(np.int64),
+                              "n_orders": np.int64(1), "cents": cents})
+                .groupby("month", as_index=False).sum())
+
+    g = _combine_partials(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["month"], ["n_orders", "cents"])
+    g = g.sort_values("month").reset_index(drop=True)
+    tot_n = int(g["n_orders"].sum())
+    g["count_index6"] = (g["n_orders"].astype(np.int64) * 12 * 10**6
+                         // tot_n)
+    return g.astype({"month": np.int64, "n_orders": np.int64,
+                     "cents": np.int64, "count_index6": np.int64})
