@@ -352,6 +352,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "single_source_parts": q.q_single_source_parts,
         "hour_dow_heatmap": q.q_hour_dow_heatmap,
         "order_month_profile": q.q_order_month_profile,
+        "segment_priority_mix": q.q_segment_priority_mix,
+        "round_value_bias": q.q_round_value_bias,
     }
 
 
@@ -5372,5 +5374,24 @@ SELECT CAST(m AS BIGINT) AS month, CAST(n AS BIGINT) AS n_orders,
        CAST(c AS BIGINT) AS cents,
        CAST(n * 12 * 1000000 // t.tn AS BIGINT) AS count_index6
 FROM g, t ORDER BY month
+"""
+    out["segment_priority_mix"] = """
+WITH j AS (SELECT c_mktsegment AS segment,
+                  o_orderpriority AS priority
+           FROM orders JOIN customer ON c_custkey = o_custkey),
+g AS (SELECT segment, priority, count(*) AS n FROM j GROUP BY 1, 2)
+SELECT segment, priority, CAST(n AS BIGINT) AS n_orders,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY segment)
+            AS BIGINT) AS seg_share6
+FROM g ORDER BY segment, priority
+"""
+    out["round_value_bias"] = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN CAST(round(value * 1000) AS BIGINT) % 1000 = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_round,
+       CAST(SUM(CASE WHEN CAST(round(value * 1000) AS BIGINT) % 1000 = 0
+                     THEN 1 ELSE 0 END) * 1000000 // count(*)
+            AS BIGINT) AS round_share6
+FROM events GROUP BY 1 ORDER BY 1
 """
     return out

@@ -15074,3 +15074,100 @@ def q_order_month_profile(sf_dir: str):
                          // tot_n)
     return g.astype({"month": np.int64, "n_orders": np.int64,
                      "cents": np.int64, "count_index6": np.int64})
+
+
+def q_segment_priority_mix(sf_dir: str):
+    """Market-segment × order-priority mix: the (segment, priority)
+    cross-tab with within-segment shares — the demand-shape view a
+    fulfilment planner reads next to order_priority_counts. The
+    customer dimension broadcasts as a (custkey → segment-code) int
+    index into the order scan (hash-join fallback past the cap); the
+    close combines ≤ segments × priorities cells."""
+    orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"],
+                 num_blocks=_n_cpus())
+    cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"],
+               num_blocks=_n_cpus())
+    cdf = _gather_capped(cust)
+    if cdf is not None:
+        segs = np.sort(cdf["c_mktsegment"].unique())
+        code_of = {sg: i for i, sg in enumerate(segs)}
+        build = cust.map_batches(
+            lambda t: pa.table({
+                "c_custkey": pc.cast(t.column("c_custkey"), pa.int64()),
+                "scode": pa.array(
+                    [code_of[x] for x in t.column("c_mktsegment")
+                     .to_numpy(zero_copy_only=False)], pa.int64())}),
+            batch_format="pyarrow")
+        fact = orders.map_batches(
+            lambda t: pa.table({
+                "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+                "o_orderpriority": t.column("o_orderpriority")}),
+            batch_format="pyarrow")
+        attached = _broadcast_fact_attach(fact, build, "o_custkey",
+                                          "c_custkey", ["scode"])
+        assert attached is not None
+
+        def partial(t: pa.Table) -> pd.DataFrame:
+            return (pd.DataFrame({
+                "scode": t.column("scode").to_numpy(zero_copy_only=False),
+                "priority": t.column("o_orderpriority").to_numpy(
+                    zero_copy_only=False),
+                "n_orders": np.int64(1)})
+                .groupby(["scode", "priority"], as_index=False).sum())
+
+        g = _combine_partials(
+            attached.map_batches(partial, batch_format="pyarrow"),
+            ["scode", "priority"], ["n_orders"])
+        g["segment"] = segs[g["scode"].to_numpy(np.int64)]
+    else:  # pragma: no cover - customer dim past the gather cap
+        j = orders.join(
+            cust, join_type="inner",
+            num_partitions=_shuffle_partitions(
+                _row_count(sf_dir, "orders")),
+            on=("o_custkey",), right_on=("c_custkey",))
+        g = _combine_partials(
+            j.map_batches(
+                lambda t: pd.DataFrame({
+                    "segment": t.column("c_mktsegment").to_numpy(
+                        zero_copy_only=False),
+                    "priority": t.column("o_orderpriority").to_numpy(
+                        zero_copy_only=False),
+                    "n_orders": np.int64(1)})
+                .groupby(["segment", "priority"], as_index=False).sum(),
+                batch_format="pyarrow"),
+            ["segment", "priority"], ["n_orders"])
+    tot = g.groupby("segment")["n_orders"].transform("sum")
+    g["seg_share6"] = (g["n_orders"].astype(np.int64) * 10**6
+                       // tot.astype(np.int64))
+    g = g.sort_values(["segment", "priority"]).reset_index(drop=True)
+    return g.astype({"n_orders": np.int64, "seg_share6": np.int64})[
+        ["segment", "priority", "n_orders", "seg_share6"]]
+
+
+def q_round_value_bias(sf_dir: str):
+    """Round-number bias audit: per event type, the share of values
+    landing on whole units (v.000) — benford_cents' cousin for spotting
+    synthetic or hand-entered pricing (organic values spread across the
+    milli-digits; generated ones clump on round marks). Map-only,
+    type-bounded combine, integer-floor shares."""
+    ev = _pq(sf_dir, "events", columns=["event_type", "value"],
+             num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        v3 = np.rint(t.column("value").to_numpy(zero_copy_only=False)
+                     * 1000).astype(np.int64)
+        return (pd.DataFrame({
+            "event_type": t.column("event_type").to_numpy(
+                zero_copy_only=False),
+            "n": np.int64(1),
+            "n_round": (v3 % 1000 == 0).astype(np.int64)})
+            .groupby("event_type", as_index=False).sum())
+
+    g = _combine_partials(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], ["n", "n_round"])
+    g = g.sort_values("event_type").reset_index(drop=True)
+    g["round_share6"] = (g["n_round"].astype(np.int64) * 10**6
+                         // g["n"].astype(np.int64))
+    return g.astype({"n": np.int64, "n_round": np.int64,
+                     "round_share6": np.int64})
