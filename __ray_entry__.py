@@ -354,6 +354,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_month_profile": q.q_order_month_profile,
         "segment_priority_mix": q.q_segment_priority_mix,
         "round_value_bias": q.q_round_value_bias,
+        "discount_uplift_curve": q.q_discount_uplift_curve,
+        "gate_length_bias": q.q_gate_length_bias,
     }
 
 
@@ -5393,5 +5395,44 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                      THEN 1 ELSE 0 END) * 1000000 // count(*)
             AS BIGINT) AS round_share6
 FROM events GROUP BY 1 ORDER BY 1
+"""
+    out["discount_uplift_curve"] = """
+WITH l AS (
+  SELECT CAST(round(l_discount * 100) AS BIGINT) AS d,
+         CAST(round(l_quantity) AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS gross
+  FROM lineitem)
+SELECT d AS discount_pct, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(q) AS BIGINT) AS qty,
+       CAST(sum(gross) AS BIGINT) AS gross_cents,
+       CAST(sum(gross * (100 - d)) // 100 AS BIGINT) AS net_cents
+FROM l GROUP BY 1 ORDER BY 1
+"""
+    out["gate_length_bias"] = f"""
+WITH c AS (
+  SELECT length(text) AS n_chars,
+         len(regexp_extract_all(text, '\\w+')) AS n_words,
+         length(text) - len(regexp_extract_all(text, '\\W'))
+           AS word_chars,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+         len(regexp_extract_all(lower(text), '\\b({en_alt})\\b'))
+           AS n_stop
+  FROM documents),
+f AS (
+  SELECT least(n_chars // 256, 15) AS len_bucket,
+    CASE WHEN (n_words < 10 OR n_words > 10000)
+           OR (word_chars < 3*n_words OR word_chars > 10*n_words)
+           OR 10*n_punct >= n_chars
+           OR n_stop < 2
+           OR 5*n_digit >= n_chars THEN 0 ELSE 1 END AS keep
+  FROM c),
+g AS (SELECT len_bucket, count(*) AS n_docs, sum(keep) AS n_keep
+      FROM f GROUP BY 1)
+SELECT CAST(len_bucket AS BIGINT) AS len_bucket,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_keep AS BIGINT) AS n_keep,
+       CAST(n_keep * 1000000 // n_docs AS BIGINT) AS keep_share6
+FROM g ORDER BY len_bucket
 """
     return out

@@ -15171,3 +15171,79 @@ def q_round_value_bias(sf_dir: str):
                          // g["n"].astype(np.int64))
     return g.astype({"n": np.int64, "n_round": np.int64,
                      "round_share6": np.int64})
+
+
+def q_discount_uplift_curve(sf_dir: str):
+    """Discount-band economics: per discount percent band, line count,
+    quantity moved, gross vs discounted revenue (exact cents) — the
+    curve a pricing review reads to see what each extra point of
+    discount actually bought. Map-only over four pruned columns;
+    the combine is bounded by the discount domain (11 bands)."""
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_discount", "l_quantity", "l_extendedprice"],
+             num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        disc = np.rint(t.column("l_discount").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        qty = np.rint(t.column("l_quantity").to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        gross = np.rint(t.column("l_extendedprice").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        net = gross * (100 - disc)  # cents × 100
+        return (pd.DataFrame({
+            "discount_pct": disc, "n_lines": np.int64(1),
+            "qty": qty, "gross_cents": gross, "net_c100": net})
+            .groupby("discount_pct", as_index=False).sum())
+
+    g = _combine_partials(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["discount_pct"], ["n_lines", "qty", "gross_cents", "net_c100"])
+    g = g.sort_values("discount_pct").reset_index(drop=True)
+    g["net_cents"] = g["net_c100"].astype(np.int64) // 100
+    return g.astype({c: np.int64 for c in
+                     ["discount_pct", "n_lines", "qty", "gross_cents",
+                      "net_cents"]})[
+        ["discount_pct", "n_lines", "qty", "gross_cents", "net_cents"]]
+
+
+def q_gate_length_bias(sf_dir: str):
+    """Length-bias audit of the Gopher gate: keep rate by document
+    length bucket (256-char bins, capped at 15) — the companion to
+    gate_bias_matrix's language axis: composite gates systematically
+    drop short docs (word-count floor) and the bin curve shows exactly
+    where the cliff sits. Same integer flag kernel; bin-bounded
+    combine."""
+    from ..stages.textstats import _EN_STOP_RE, _count
+
+    docs = _pq(sf_dir, "documents", columns=["text"],
+               num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        txt = pc.fill_null(t.column("text"), "")
+        n_chars = pc.utf8_length(txt).to_numpy().astype(np.int64)
+        n_words = _count(txt, r"\w+")
+        word_chars = n_chars - _count(txt, r"\W")
+        n_punct = _count(txt, r"[^\w\s]")
+        n_digit = _count(txt, r"[0-9]")
+        n_stop = _count(pc.utf8_lower(txt), _EN_STOP_RE)
+        keep = ~((n_words < 10) | (n_words > 10_000)
+                 | (word_chars < 3 * n_words)
+                 | (word_chars > 10 * n_words)
+                 | (10 * n_punct >= n_chars)
+                 | (n_stop < 2)
+                 | (5 * n_digit >= n_chars))
+        return (pd.DataFrame({
+            "len_bucket": np.minimum(n_chars // 256, 15),
+            "n_docs": np.int64(1),
+            "n_keep": keep.astype(np.int64)})
+            .groupby("len_bucket", as_index=False).sum())
+
+    g = _combine_partials(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["len_bucket"], ["n_docs", "n_keep"])
+    g = g.sort_values("len_bucket").reset_index(drop=True)
+    g["keep_share6"] = (g["n_keep"].astype(np.int64) * 10**6
+                        // g["n_docs"].astype(np.int64))
+    return g.astype({"len_bucket": np.int64, "n_docs": np.int64,
+                     "n_keep": np.int64, "keep_share6": np.int64})
