@@ -14289,6 +14289,9 @@ def q_timed_funnel(sf_dir: str):
         _, inv = np.unique(uid, return_inverse=True)
         rel = ts - ts.min()
         big = int(rel.max()) + 2 * DAY + HOUR + 10
+        # loud failure instead of silent int64 wrap: raise num_buckets
+        # if a bucket ever packs more users x span than 2^62
+        assert int(inv.max() if len(inv) else 0) * big < 2**62
         key = inv.astype(np.int64) * big + rel
         v = np.sort(key[kind == 0])
         c = np.sort(key[kind == 1])
@@ -14352,6 +14355,7 @@ def q_click_value_uplift(sf_dir: str):
         _, inv = np.unique(uid, return_inverse=True)
         rel = ts - ts.min()
         big = int(rel.max()) + 2 * HOUR + 10
+        assert int(inv.max() if len(inv) else 0) * big < 2**62
         key = inv.astype(np.int64) * big + rel
         c = np.sort(key[~isp])
         pk = key[isp]
