@@ -356,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "round_value_bias": q.q_round_value_bias,
         "discount_uplift_curve": q.q_discount_uplift_curve,
         "gate_length_bias": q.q_gate_length_bias,
+        "most_duplicated_docs": q.q_most_duplicated_docs,
     }
 
 
@@ -5434,5 +5435,24 @@ SELECT CAST(len_bucket AS BIGINT) AS len_bucket,
        CAST(n_keep AS BIGINT) AS n_keep,
        CAST(n_keep * 1000000 // n_docs AS BIGINT) AS keep_share6
 FROM g ORDER BY len_bucket
+"""
+    out["most_duplicated_docs"] = """
+WITH words AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(list_slice(w, i, i + 4), ' ') AS g
+  FROM words, UNNEST(range(1, len(w) - 3)) AS t(i)
+),
+gd AS (SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g),
+pd AS (SELECT doc_id, count(*) AS n_grams,
+              CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_dup
+       FROM grams JOIN gd USING (g) GROUP BY doc_id)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, n_dup,
+       CAST(n_dup * 1000000 // greatest(n_grams, 1) AS BIGINT)
+         AS dup_share6
+FROM pd
+ORDER BY dup_share6 DESC, doc_id LIMIT 20
 """
     return out

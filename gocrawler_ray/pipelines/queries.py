@@ -15251,3 +15251,34 @@ def q_gate_length_bias(sf_dir: str):
                         // g["n_docs"].astype(np.int64))
     return g.astype({"len_bucket": np.int64, "n_docs": np.int64,
                      "n_keep": np.int64, "keep_share6": np.int64})
+
+
+def q_most_duplicated_docs(sf_dir: str):
+    """Template-spam shortlist: the 20 documents with the highest
+    duplicated-5-gram share (ties to the smaller doc_id) — the
+    actionable tail of repeated_ngrams' per-doc signal, the docs a
+    curation pass eyeballs first. Chains the same dup-set probe into a
+    per-block partial top-k (≤ blocks × 20 rows gather) — no full-doc
+    ranking ever materializes."""
+    per_doc = q_repeated_ngrams(sf_dir)
+
+    def topk_partial(t: pa.Table) -> pd.DataFrame:
+        ng = t.column("n_grams").to_numpy(zero_copy_only=False)
+        nd = t.column("n_dup").to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        share = nd * 10**6 // np.maximum(ng, 1)
+        top = np.lexsort((ids, -share))[:20]
+        return pd.DataFrame({
+            "doc_id": ids[top].astype(np.int64),
+            "n_grams": ng[top].astype(np.int64),
+            "n_dup": nd[top].astype(np.int64),
+            "dup_share6": share[top].astype(np.int64)})
+
+    parts = pd.concat(
+        list(per_doc.map_batches(topk_partial, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pandas")),
+        ignore_index=True)
+    parts = parts.sort_values(["dup_share6", "doc_id"],
+                              ascending=[False, True]).head(20)
+    return parts.reset_index(drop=True).astype(
+        {c: np.int64 for c in parts.columns})
