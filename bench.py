@@ -278,7 +278,8 @@ def run_dedup_distributed() -> dict:
     import __ray_entry__ as entry
 
     names = ["minhash_pairs", "simhash_pairs", "ngram_jaccard_pairs",
-             "dup_cluster_sizes", "connected_components"]
+             "dup_cluster_sizes", "connected_components",
+             "containment_pairs"]
     q = entry.queries()
     timings: dict[str, float] = {}
     rows: dict[str, dict[str, int]] = {}
