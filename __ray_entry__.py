@@ -357,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discount_uplift_curve": q.q_discount_uplift_curve,
         "gate_length_bias": q.q_gate_length_bias,
         "most_duplicated_docs": q.q_most_duplicated_docs,
+        "transition_lift": q.q_transition_lift,
     }
 
 
@@ -5454,5 +5455,23 @@ SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, n_dup,
          AS dup_share6
 FROM pd
 ORDER BY dup_share6 DESC, doc_id LIMIT 20
+"""
+    out["transition_lift"] = """
+WITH s AS (
+  SELECT event_type AS prev_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events),
+c AS (SELECT prev_type, next_type, CAST(count(*) AS HUGEINT) AS n
+      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT sum(n) AS N FROM c),
+r AS (SELECT prev_type, sum(n) AS rn FROM c GROUP BY 1),
+k AS (SELECT next_type, sum(n) AS cn FROM c GROUP BY 1)
+SELECT c.prev_type, c.next_type, CAST(c.n AS BIGINT) AS n,
+       CAST(c.n * t.N * 1000000 // (r.rn * k.cn) AS BIGINT) AS lift6
+FROM c
+JOIN r USING (prev_type) JOIN k USING (next_type)
+CROSS JOIN t
+ORDER BY prev_type, next_type
 """
     return out

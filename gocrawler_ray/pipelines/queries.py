@@ -15282,3 +15282,48 @@ def q_most_duplicated_docs(sf_dir: str):
                               ascending=[False, True]).head(20)
     return parts.reset_index(drop=True).astype(
         {c: np.int64 for c in parts.columns})
+
+
+def q_transition_lift(sf_dir: str):
+    """Sequence-mining lift on the user transition matrix: for every
+    (prev, next) event pair, observed transitions vs the independence
+    expectation — lift6 = n·N·1e6 // (row_n·col_n), the integer-exact
+    'is this sequence real or just marginals' screen that the raw
+    Markov probabilities (event_transitions) can't answer. Same ONE
+    user-bucket shuffle + shifted-compare kernel; the lift closes on
+    the types²-bounded grid with pure integer arithmetic."""
+    from ..stages.temporal import _with_bucket
+
+    ev = _pq(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "event_type"],
+             num_blocks=_n_cpus())
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((
+            g["event_id"].to_numpy(np.int64),
+            g["ts"].astype("int64").to_numpy(),
+            g["user_id"].to_numpy(np.int64),
+        ))
+        u = g["user_id"].to_numpy(np.int64)[order]
+        et = g["event_type"].to_numpy()[order]
+        same = u[1:] == u[:-1]
+        df = pd.DataFrame({"prev_type": et[:-1][same],
+                           "next_type": et[1:][same]})
+        out = df.groupby(["prev_type", "next_type"],
+                         as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    out = _combine_partials(
+        _with_bucket(ev, "user_id", 32)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas"),
+        ["prev_type", "next_type"], ["n"])
+    N = int(out["n"].sum())
+    row = out.groupby("prev_type")["n"].transform("sum")
+    col = out.groupby("next_type")["n"].transform("sum")
+    out["lift6"] = [int(n) * N * 10**6 // (int(r) * int(c))
+                    for n, r, c in zip(out["n"], row, col)]
+    out = out.sort_values(["prev_type", "next_type"]).reset_index(
+        drop=True)
+    return out.astype({"n": np.int64, "lift6": np.int64})[
+        ["prev_type", "next_type", "n", "lift6"]]
