@@ -358,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gate_length_bias": q.q_gate_length_bias,
         "most_duplicated_docs": q.q_most_duplicated_docs,
         "transition_lift": q.q_transition_lift,
+        "session_conversion": q.q_session_conversion,
     }
 
 
@@ -5473,5 +5474,25 @@ FROM c
 JOIN r USING (prev_type) JOIN k USING (next_type)
 CROSS JOIN t
 ORDER BY prev_type, next_type
+"""
+    out["session_conversion"] = """
+WITH e AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM e),
+g AS (SELECT user_id, sid, count(*) AS n,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM s GROUP BY 1, 2),
+b AS (SELECT CASE WHEN n <= 5 THEN n WHEN n <= 10 THEN 6 ELSE 7 END
+               AS bkt, conv FROM g)
+SELECT CAST(bkt AS BIGINT) AS size_bucket,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(conv) AS BIGINT) AS n_converting,
+       CAST(sum(conv) * 1000000 // count(*) AS BIGINT) AS conv_share6
+FROM b GROUP BY 1 ORDER BY 1
 """
     return out

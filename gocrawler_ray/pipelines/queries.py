@@ -15327,3 +15327,51 @@ def q_transition_lift(sf_dir: str):
         drop=True)
     return out.astype({"n": np.int64, "lift6": np.int64})[
         ["prev_type", "next_type", "n", "lift6"]]
+
+
+def q_session_conversion(sf_dir: str):
+    """Session-outcome analytics: conversion rate by session size — of
+    the 6-hour-gap sessions with k events, how many contain a purchase
+    (the 'do longer sessions convert' curve product teams actually
+    plot; sessionize alone reports shape, not outcome). ONE user-hash
+    bucket shuffle; the kernel segments sessions with a shifted
+    compare + cumsum (no per-session Python) and emits size-bucket
+    partials (1..5, 6-10, 11+); integer-floor shares."""
+    from ..stages.temporal import _with_bucket
+
+    GAP = 21_600_000_000
+    ev = _pq(sf_dir, "events",
+             columns=["user_id", "ts", "event_type"],
+             num_blocks=_n_cpus())
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((
+            g["ts"].astype("int64").to_numpy(),
+            g["user_id"].to_numpy(np.int64),
+        ))
+        u = g["user_id"].to_numpy(np.int64)[order]
+        ts = g["ts"].astype("int64").to_numpy()[order]
+        isp = (g["event_type"].to_numpy()[order] == "purchase")
+        brk = np.ones(len(u), dtype=np.int64)
+        if len(u) > 1:
+            brk[1:] = ((u[1:] != u[:-1])
+                       | (ts[1:] - ts[:-1] > GAP)).astype(np.int64)
+        sid = np.cumsum(brk) - 1
+        n_sess = int(sid[-1]) + 1 if len(sid) else 0
+        n = np.bincount(sid, minlength=n_sess)
+        conv = np.bincount(sid[isp], minlength=n_sess) > 0
+        bkt = np.where(n <= 5, n, np.where(n <= 10, 6, 7))
+        return (pd.DataFrame({"size_bucket": bkt.astype(np.int64),
+                              "n_sessions": np.int64(1),
+                              "n_converting": conv.astype(np.int64)})
+                .groupby("size_bucket", as_index=False).sum())
+
+    g = _combine_partials(
+        _with_bucket(ev, "user_id", 32)
+        .groupby("__bucket").map_groups(kernel, batch_format="pandas"),
+        ["size_bucket"], ["n_sessions", "n_converting"])
+    g = g.sort_values("size_bucket").reset_index(drop=True)
+    g["conv_share6"] = (g["n_converting"].astype(np.int64) * 10**6
+                        // g["n_sessions"].astype(np.int64))
+    return g.astype({"size_bucket": np.int64, "n_sessions": np.int64,
+                     "n_converting": np.int64, "conv_share6": np.int64})
