@@ -359,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "most_duplicated_docs": q.q_most_duplicated_docs,
         "transition_lift": q.q_transition_lift,
         "session_conversion": q.q_session_conversion,
+        "user_lifespan_hist": q.q_user_lifespan_hist,
     }
 
 
@@ -5494,5 +5495,21 @@ SELECT CAST(bkt AS BIGINT) AS size_bucket,
        CAST(sum(conv) AS BIGINT) AS n_converting,
        CAST(sum(conv) * 1000000 // count(*) AS BIGINT) AS conv_share6
 FROM b GROUP BY 1 ORDER BY 1
+"""
+    out["user_lifespan_hist"] = """
+WITH u AS (
+  SELECT user_id,
+         epoch_us(max(ts)) // 86400000000
+           - epoch_us(min(ts)) // 86400000000 AS span
+  FROM events GROUP BY 1),
+b AS (SELECT CASE WHEN span = 0 THEN 0 WHEN span <= 7 THEN 1
+                  WHEN span <= 30 THEN 2 WHEN span <= 90 THEN 3
+                  ELSE 4 END AS bkt FROM u),
+g AS (SELECT bkt, count(*) AS n FROM b GROUP BY 1),
+t AS (SELECT sum(n) AS tn FROM g)
+SELECT CAST(bkt AS BIGINT) AS span_bucket,
+       CAST(n AS BIGINT) AS n_users,
+       CAST(n * 1000000 // t.tn AS BIGINT) AS user_share6
+FROM g, t ORDER BY span_bucket
 """
     return out

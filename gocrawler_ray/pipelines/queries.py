@@ -15375,3 +15375,53 @@ def q_session_conversion(sf_dir: str):
                         // g["n_sessions"].astype(np.int64))
     return g.astype({"size_bucket": np.int64, "n_sessions": np.int64,
                      "n_converting": np.int64, "conv_share6": np.int64})
+
+
+def q_user_lifespan_hist(sf_dir: str):
+    """User lifetime-span census: days between each user's first and
+    last event, bucketed (0 same-day, 1-7, 8-30, 31-90, 91+) — the
+    engagement-duration histogram behind retention_cohorts' monthly
+    view. Per-batch (user → min/max ts) pre-reduce in ARROW blocks,
+    one user-hash bucket groupby closes the extrema exactly, and the
+    bucket kernel emits 5-cell partials."""
+    from ..stages.temporal import _with_bucket
+
+    DAY = 86_400_000_000
+    ev = _pq(sf_dir, "events", columns=["user_id", "ts"],
+             num_blocks=_n_cpus())
+
+    def pre(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        u, inv = np.unique(uid, return_inverse=True)
+        mn = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
+        mx = np.full(len(u), np.iinfo(np.int64).min, dtype=np.int64)
+        np.minimum.at(mn, inv, ts)
+        np.maximum.at(mx, inv, ts)
+        return pa.table({
+            "user_id": pa.array(u.astype(np.int64), pa.int64()),
+            "mn": pa.array(mn, pa.int64()),
+            "mx": pa.array(mx, pa.int64())})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("user_id", as_index=False).agg(
+            mn=("mn", "min"), mx=("mx", "max"))
+        span = ((agg["mx"].to_numpy(np.int64) // DAY)
+                - (agg["mn"].to_numpy(np.int64) // DAY))
+        bkt = np.select(
+            [span == 0, span <= 7, span <= 30, span <= 90],
+            [0, 1, 2, 3], default=4)
+        return (pd.DataFrame({"span_bucket": bkt.astype(np.int64),
+                              "n_users": np.int64(1)})
+                .groupby("span_bucket", as_index=False).sum())
+
+    g = _combine_partials(
+        _with_bucket(ev.map_batches(pre, batch_format="pyarrow"),
+                     "user_id", 32)
+        .groupby("__bucket").map_groups(kernel, batch_format="pandas"),
+        ["span_bucket"], ["n_users"])
+    g = g.sort_values("span_bucket").reset_index(drop=True)
+    tot = int(g["n_users"].sum())
+    g["user_share6"] = (g["n_users"].astype(np.int64) * 10**6 // tot)
+    return g.astype({"span_bucket": np.int64, "n_users": np.int64,
+                     "user_share6": np.int64})
