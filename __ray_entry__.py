@@ -360,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transition_lift": q.q_transition_lift,
         "session_conversion": q.q_session_conversion,
         "user_lifespan_hist": q.q_user_lifespan_hist,
+        "dup_pair_source_split": q.q_dup_pair_source_split,
     }
 
 
@@ -5512,4 +5513,17 @@ SELECT CAST(bkt AS BIGINT) AS span_bucket,
        CAST(n * 1000000 // t.tn AS BIGINT) AS user_share6
 FROM g, t ORDER BY span_bucket
 """
+    out["dup_pair_source_split"] = _PAIRS_SQL.replace(
+        "SELECT a, b FROM pairs WHERE j >= 0.6",
+        """SELECT
+  CAST(SUM(CASE WHEN da.source = db.source THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_within,
+  CAST(SUM(CASE WHEN da.source != db.source THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_cross,
+  CAST(SUM(CASE WHEN da.source = db.source THEN 1 ELSE 0 END)
+       * 1000000 // greatest(count(*), 1) AS BIGINT) AS within_share6
+FROM pairs
+JOIN documents da ON da.doc_id = CAST(pairs.a AS BIGINT) % 20000
+JOIN documents db ON db.doc_id = CAST(pairs.b AS BIGINT) % 20000
+WHERE j >= 0.6""")
     return out

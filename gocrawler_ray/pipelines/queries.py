@@ -15425,3 +15425,46 @@ def q_user_lifespan_hist(sf_dir: str):
     g["user_share6"] = (g["n_users"].astype(np.int64) * 10**6 // tot)
     return g.astype({"span_bucket": np.int64, "n_users": np.int64,
                      "user_share6": np.int64})
+
+
+def q_dup_pair_source_split(sf_dir: str):
+    """Syndication split of the near-dup pair set: how many verified
+    near-dup pairs join docs of the SAME source vs different sources —
+    within-feed pairs mean template reuse (dedup per feed suffices);
+    cross-feed pairs mean syndication (dedup must be global). Sources
+    attach to the BOUNDED pair output only: the pair-member id set
+    broadcasts into one filtered documents scan (never the corpus),
+    and the split closes as three integers."""
+    pairs = q_minhash_pairs(sf_dir)
+    if isinstance(pairs, rd.Dataset):  # pragma: no cover - frame today
+        pairs = pairs.to_pandas()
+    elif isinstance(pairs, pa.Table):
+        pairs = pairs.to_pandas()
+    base = lambda s: np.array([int(str(x)) % 20000 for x in s],
+                              dtype=np.int64)
+    ia, ib = base(pairs["a"]), base(pairs["b"])
+    ids = np.unique(np.concatenate([ia, ib]))
+    ids_ref = ray.put(ids)
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "source"],
+               num_blocks=_n_cpus())
+
+    def fetch(t: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(want, d)
+        hit = (pos < want.size) & (
+            want[np.minimum(pos, max(want.size - 1, 0))] == d)
+        return t.filter(pa.array(hit))
+
+    small = docs.map_batches(fetch, batch_format="pyarrow").to_pandas()
+    src_of = dict(zip(small["doc_id"].astype(np.int64),
+                      small["source"]))
+    same = np.array([src_of[x] == src_of[y] for x, y in zip(ia, ib)])
+    n_within = int(same.sum())
+    n_cross = int((~same).sum())
+    tot = max(n_within + n_cross, 1)
+    return pd.DataFrame({
+        "n_within": [np.int64(n_within)],
+        "n_cross": [np.int64(n_cross)],
+        "within_share6": [np.int64(n_within * 10**6 // tot)]})
