@@ -361,6 +361,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_conversion": q.q_session_conversion,
         "user_lifespan_hist": q.q_user_lifespan_hist,
         "dup_pair_source_split": q.q_dup_pair_source_split,
+        "dup_purchase_audit": q.q_dup_purchase_audit,
+        "linenumber_contiguity": q.q_linenumber_contiguity,
     }
 
 
@@ -5526,4 +5528,27 @@ FROM pairs
 JOIN documents da ON da.doc_id = CAST(pairs.a AS BIGINT) % 20000
 JOIN documents db ON db.doc_id = CAST(pairs.b AS BIGINT) % 20000
 WHERE j >= 0.6""")
+    out["dup_purchase_audit"] = """
+WITH p AS (
+  SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events WHERE event_type = 'purchase'),
+g AS (SELECT count(*) AS n,
+             SUM(CASE WHEN gap IS NOT NULL AND gap <= 300000000
+                      THEN 1 ELSE 0 END) AS r FROM p)
+SELECT CAST(n AS BIGINT) AS n_purchases, CAST(r AS BIGINT) AS n_rapid,
+       CAST(r * 1000000 // n AS BIGINT) AS rapid_share6
+FROM g
+"""
+    out["linenumber_contiguity"] = """
+WITH o AS (SELECT l_orderkey, count(*) AS c, max(l_linenumber) AS mx,
+                  min(l_linenumber) AS mn
+           FROM lineitem GROUP BY 1),
+g AS (SELECT count(*) AS n,
+             SUM(CASE WHEN mx = c AND mn = 1 THEN 0 ELSE 1 END) AS v
+      FROM o)
+SELECT CAST(n AS BIGINT) AS n_orders, CAST(v AS BIGINT) AS n_violating,
+       CAST((n - v) * 1000000 // n AS BIGINT) AS clean_share6
+FROM g
+"""
     return out

@@ -15468,3 +15468,98 @@ def q_dup_pair_source_split(sf_dir: str):
         "n_within": [np.int64(n_within)],
         "n_cross": [np.int64(n_cross)],
         "within_share6": [np.int64(n_within * 10**6 // tot)]})
+
+
+def q_dup_purchase_audit(sf_dir: str):
+    """Duplicate-transaction screen: purchases landing within 5 minutes
+    of the same user's PREVIOUS purchase — the double-charge audit a
+    payments review runs before any revenue number is trusted. One
+    user-bucket shuffle; the kernel is a lexsort + shifted compare on
+    purchases only; the close is three integers."""
+    from ..stages.temporal import _with_bucket
+
+    WINDOW = 300_000_000  # 5 min in µs
+    ev = _pq(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "event_type"],
+             num_blocks=_n_cpus())
+
+    def keep(t: pa.Table) -> pa.Table:
+        t2 = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        return pa.table({
+            "event_id": pc.cast(t2.column("event_id"), pa.int64()),
+            "user_id": pc.cast(t2.column("user_id"), pa.int64()),
+            "ts": pc.cast(t2.column("ts"), pa.int64())})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["event_id"].to_numpy(np.int64),
+                            g["ts"].to_numpy(np.int64),
+                            g["user_id"].to_numpy(np.int64)))
+        u = g["user_id"].to_numpy(np.int64)[order]
+        ts = g["ts"].to_numpy(np.int64)[order]
+        rapid = np.zeros(len(u), dtype=bool)
+        if len(u) > 1:
+            rapid[1:] = (u[1:] == u[:-1]) & (ts[1:] - ts[:-1] <= WINDOW)
+        return pd.DataFrame({"k": [np.int64(0)],
+                             "n_purchases": [np.int64(len(u))],
+                             "n_rapid": [np.int64(int(rapid.sum()))]})
+
+    g = _combine_partials(
+        _with_bucket(ev.map_batches(keep, batch_format="pyarrow"),
+                     "user_id", 32)
+        .groupby("__bucket").map_groups(kernel, batch_format="pandas"),
+        ["k"], ["n_purchases", "n_rapid"])
+    np_, nr = int(g["n_purchases"].sum()), int(g["n_rapid"].sum())
+    return pd.DataFrame({
+        "n_purchases": [np.int64(np_)],
+        "n_rapid": [np.int64(nr)],
+        "rapid_share6": [np.int64(nr * 10**6 // np_ if np_ else 0)]})
+
+
+def q_linenumber_contiguity(sf_dir: str):
+    """Referential-integrity audit beyond fk_orphans: are each order's
+    line numbers exactly 1..k (max == count == distinct)? Emits total
+    orders, violating orders and the clean share — the ingestion-sanity
+    check that catches dropped or doubled lines before any per-line
+    aggregate is trusted. Per-batch (order → count, max, min) partials
+    pre-reduce in Arrow; one order-hash bucket groupby closes exactly;
+    3-integer summary."""
+    from ..stages.temporal import _with_bucket
+
+    li = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"],
+             num_blocks=_n_cpus())
+
+    def pre(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ln = (t.column("l_linenumber").to_numpy(zero_copy_only=False)
+              .astype(np.int64))
+        u, inv = np.unique(ok, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        mx = np.full(len(u), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, inv, ln)
+        mn = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mn, inv, ln)
+        return pa.table({
+            "okey": pa.array(u.astype(np.int64), pa.int64()),
+            "cnt": pa.array(cnt, pa.int64()),
+            "mx": pa.array(mx, pa.int64()),
+            "mn": pa.array(mn, pa.int64())})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("okey", as_index=False).agg(
+            cnt=("cnt", "sum"), mx=("mx", "max"), mn=("mn", "min"))
+        ok_flag = ((agg["mx"] == agg["cnt"]) & (agg["mn"] == 1))
+        return pd.DataFrame({
+            "k": [np.int64(0)],
+            "n_orders": [np.int64(len(agg))],
+            "n_violating": [np.int64(int((~ok_flag).sum()))]})
+
+    g = _combine_partials(
+        _with_bucket(li.map_batches(pre, batch_format="pyarrow"),
+                     "okey", 32)
+        .groupby("__bucket").map_groups(kernel, batch_format="pandas"),
+        ["k"], ["n_orders", "n_violating"])
+    no, nv = int(g["n_orders"].sum()), int(g["n_violating"].sum())
+    return pd.DataFrame({
+        "n_orders": [np.int64(no)],
+        "n_violating": [np.int64(nv)],
+        "clean_share6": [np.int64((no - nv) * 10**6 // no if no else 0)]})
