@@ -363,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_pair_source_split": q.q_dup_pair_source_split,
         "dup_purchase_audit": q.q_dup_purchase_audit,
         "linenumber_contiguity": q.q_linenumber_contiguity,
+        "compaction_plan": q.q_compaction_plan,
     }
 
 
@@ -5550,5 +5551,25 @@ g AS (SELECT count(*) AS n,
 SELECT CAST(n AS BIGINT) AS n_orders, CAST(v AS BIGINT) AS n_violating,
        CAST((n - v) * 1000000 // n AS BIGINT) AS clean_share6
 FROM g
+"""
+    # next-fit-decreasing compaction groups, replayed as a recursion
+    out["compaction_plan"] = """
+WITH RECURSIVE cells AS (
+  SELECT source, lang, CAST(sum(length(text)) AS BIGINT) AS bytes
+  FROM documents GROUP BY 1, 2),
+ord AS (SELECT *, row_number() OVER (
+          ORDER BY bytes DESC, source, lang) AS rn FROM cells),
+rec(rn, grp, acc) AS (
+  SELECT 1, 1, (SELECT bytes FROM ord WHERE rn = 1)
+  UNION ALL
+  SELECT o.rn,
+         CASE WHEN rec.acc + o.bytes > 100000 THEN rec.grp + 1
+              ELSE rec.grp END,
+         CASE WHEN rec.acc + o.bytes > 100000 THEN o.bytes
+              ELSE rec.acc + o.bytes END
+  FROM rec JOIN ord o ON o.rn = rec.rn + 1)
+SELECT o.source, o.lang, o.bytes, CAST(r.grp AS BIGINT) AS group_id
+FROM ord o JOIN rec r USING (rn)
+ORDER BY o.source, o.lang
 """
     return out

@@ -15563,3 +15563,46 @@ def q_linenumber_contiguity(sf_dir: str):
         "n_orders": [np.int64(no)],
         "n_violating": [np.int64(nv)],
         "clean_share6": [np.int64((no - nv) * 10**6 // no if no else 0)]})
+
+
+def q_compaction_plan(sf_dir: str):
+    """Small-file compaction plan (the storage-maintenance op every
+    streaming sink eventually needs): pack the (source × lang)
+    partition cells into merge groups of ≤ 100 kB text bytes by
+    next-fit-decreasing — deterministic, single-accumulator greedy, the
+    same recurrence class as pack_sequences (an oversized cell keeps
+    its own group; the overflowing cell OPENS the next group). Cell
+    sizing is one taxonomy-bounded byte partial; the plan is driver
+    arithmetic over ≤ sources × langs rows; the oracle replays the
+    identical recurrence as a recursive CTE."""
+    BUDGET = 100_000
+    docs = _pq(sf_dir, "documents", columns=["source", "lang", "text"],
+               num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        return (pd.DataFrame({
+            "source": t.column("source").to_numpy(zero_copy_only=False),
+            "lang": t.column("lang").to_numpy(zero_copy_only=False),
+            "bytes": pc.utf8_length(pc.fill_null(t.column("text"), ""))
+            .to_numpy(zero_copy_only=False).astype(np.int64)})
+            .groupby(["source", "lang"], as_index=False).sum())
+
+    g = _combine_partials(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["source", "lang"], ["bytes"])
+    g = g.sort_values(["bytes", "source", "lang"],
+                      ascending=[False, True, True]).reset_index(drop=True)
+    grp = np.zeros(len(g), dtype=np.int64)
+    gid, acc = 1, 0
+    for i, b in enumerate(g["bytes"].astype(int)):
+        if i == 0:
+            acc = b
+        elif acc + b > BUDGET:
+            gid += 1
+            acc = b
+        else:
+            acc += b
+        grp[i] = gid
+    g["group_id"] = grp
+    return g.astype({"bytes": np.int64, "group_id": np.int64})[
+        ["source", "lang", "bytes", "group_id"]]
