@@ -364,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_purchase_audit": q.q_dup_purchase_audit,
         "linenumber_contiguity": q.q_linenumber_contiguity,
         "compaction_plan": q.q_compaction_plan,
+        "politeness_schedule_audit": q.q_politeness_schedule_audit,
     }
 
 
@@ -5571,5 +5572,23 @@ rec(rn, grp, acc) AS (
 SELECT o.source, o.lang, o.bytes, CAST(r.grp AS BIGINT) AS group_id
 FROM ord o JOIN rec r USING (rn)
 ORDER BY o.source, o.lang
+"""
+    # closed-form politeness schedule per (wave, host): start_k = k*D
+    # (delay chain binds: P*D >= L for every synthd host config)
+    out["politeness_schedule_audit"] = _BFS_CTE + """,
+mindepth AS (SELECT node, MIN(depth) AS depth FROM r GROUP BY node),
+hcfg AS (SELECT * FROM (VALUES
+  ('www.synthd0.mx', 100, 50), ('www.synthd1.mx', 200, 60),
+  ('www.synthd2.mx', 300, 70)) v(host, d, l)),
+g AS (SELECT depth AS wave,
+             'www.synthd' || CAST(node % 3 AS VARCHAR) || '.mx' AS host,
+             count(*) AS n
+      FROM mindepth GROUP BY 1, 2)
+SELECT CAST(g.wave AS BIGINT) AS wave, g.host,
+       CAST(g.n AS BIGINT) AS n_scheduled,
+       CAST(h.d * g.n * (g.n - 1) // 2 AS BIGINT) AS sum_start_ms,
+       CAST((g.n - 1) * h.d + h.l AS BIGINT) AS max_end_ms
+FROM g JOIN hcfg h USING (host)
+ORDER BY wave, host
 """
     return out

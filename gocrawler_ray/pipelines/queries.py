@@ -15606,3 +15606,59 @@ def q_compaction_plan(sf_dir: str):
     g["group_id"] = grp
     return g.astype({"bytes": np.int64, "group_id": np.int64})[
         ["source", "lang", "bytes", "group_id"]]
+
+
+def q_politeness_schedule_audit(sf_dir: str):
+    """The politeness SCHEDULE itself, oracle-gated (previously only
+    golden/property-tested): per (wave, host), the scheduled request
+    count, makespan and the SUM of virtual start times read back from
+    the checkpoint's schedule tables. With this corpus' host configs
+    the delay chain binds (P·D ≥ L), so the closed form collapses to
+    start_k = k·D — the oracle recomputes n, (n−1)·D + L and
+    D·n·(n−1)/2 from BFS reachability alone, so any regression in the
+    scheduler's ordering, spacing or slot math breaks the hash gate.
+    Streams each wave's schedule with host-bounded partials; waves are
+    bounded by the BFS diameter."""
+    import glob as _glob
+
+    ckpt = _derived_crawl_ckpt(sf_dir)
+    from ..sources.tables import read_dataset
+
+    frames = []
+    for d in sorted(_glob.glob(os.path.join(ckpt, "schedule", "wave=*"))):
+        wave = int(d.rsplit("=", 1)[1])
+        ds = read_dataset(d, columns=["url", "sched_start_ms",
+                                      "sched_end_ms"])
+
+        def partial(t: pa.Table, wave=wave) -> pd.DataFrame:
+            urls = t.column("url").to_numpy(zero_copy_only=False)
+            host = np.array([u.split("://", 1)[1].split("/", 1)[0]
+                             for u in urls], dtype=object)
+            return (pd.DataFrame({
+                "wave": np.int64(wave), "host": host,
+                "n_scheduled": np.int64(1),
+                "sum_start_ms": t.column("sched_start_ms").to_numpy(
+                    zero_copy_only=False).astype(np.int64),
+                "max_end_ms": t.column("sched_end_ms").to_numpy(
+                    zero_copy_only=False).astype(np.int64)})
+                .groupby(["wave", "host"], as_index=False)
+                .agg(n_scheduled=("n_scheduled", "sum"),
+                     sum_start_ms=("sum_start_ms", "sum"),
+                     max_end_ms=("max_end_ms", "max")))
+
+        # ONE host-bounded gather per wave closes sums AND the max
+        # (max does not SUM-combine through _combine_partials)
+        bs = list(ds.map_batches(partial, batch_format="pyarrow")
+                  .iter_batches(batch_size=65536, batch_format="pandas"))
+        if not bs:  # terminal wave writes an empty schedule table
+            continue
+        parts = pd.concat(bs, ignore_index=True)
+        frames.append(parts.groupby(["wave", "host"], as_index=False)
+                      .agg(n_scheduled=("n_scheduled", "sum"),
+                           sum_start_ms=("sum_start_ms", "sum"),
+                           max_end_ms=("max_end_ms", "max")))
+    g = pd.concat(frames, ignore_index=True)
+    g = g.sort_values(["wave", "host"]).reset_index(drop=True)
+    return g.astype({"wave": np.int64, "n_scheduled": np.int64,
+                     "sum_start_ms": np.int64, "max_end_ms": np.int64})[
+        ["wave", "host", "n_scheduled", "sum_start_ms", "max_end_ms"]]
