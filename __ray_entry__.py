@@ -365,6 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linenumber_contiguity": q.q_linenumber_contiguity,
         "compaction_plan": q.q_compaction_plan,
         "politeness_schedule_audit": q.q_politeness_schedule_audit,
+        "crawl_order_audit": q.q_crawl_order_audit,
     }
 
 
@@ -5590,5 +5591,21 @@ SELECT CAST(g.wave AS BIGINT) AS wave, g.host,
        CAST((g.n - 1) * h.d + h.l AS BIGINT) AS max_end_ms
 FROM g JOIN hcfg h USING (host)
 ORDER BY wave, host
+"""
+    # contiguous per-(wave, host) seq blocks of the global crawl order
+    out["crawl_order_audit"] = _BFS_CTE + """,
+mindepth AS (SELECT node, MIN(depth) AS depth FROM r GROUP BY node),
+g AS (SELECT depth AS wave,
+             'www.synthd' || CAST(node % 3 AS VARCHAR) || '.mx' AS host,
+             CAST(count(*) AS HUGEINT) AS n
+      FROM mindepth GROUP BY 1, 2),
+o AS (SELECT *, SUM(n) OVER (ORDER BY wave, host
+                             ROWS UNBOUNDED PRECEDING) - n AS base
+      FROM g)
+SELECT CAST(wave AS BIGINT) AS wave, host,
+       CAST(n AS BIGINT) AS n_urls,
+       CAST(base AS BIGINT) AS min_seq,
+       CAST(n * base + n * (n - 1) // 2 AS BIGINT) AS sum_seq
+FROM o ORDER BY wave, host
 """
     return out

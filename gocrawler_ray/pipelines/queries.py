@@ -15662,3 +15662,53 @@ def q_politeness_schedule_audit(sf_dir: str):
     return g.astype({"wave": np.int64, "n_scheduled": np.int64,
                      "sum_start_ms": np.int64, "max_end_ms": np.int64})[
         ["wave", "host", "n_scheduled", "sum_start_ms", "max_end_ms"]]
+
+
+def q_crawl_order_audit(sf_dir: str):
+    """The global crawl ORDER (O1) itself, oracle-gated: per (wave,
+    host), the count, MINIMUM and SUM of the checkpoint schedule's
+    global ``seq`` ranks. Because the frontier's total order is (wave,
+    priority, host, url) and each wave carries a single priority class
+    on this corpus, every (wave, host) owns one CONTIGUOUS seq block —
+    so the oracle reconstructs min = running base and sum = n·base +
+    n(n−1)/2 from BFS counts alone, and any reordering anywhere in the
+    frontier pipeline (sort keys, seq offsets, salting) breaks the
+    hash gate. Same host-bounded per-wave gathers as
+    politeness_schedule_audit."""
+    import glob as _glob
+
+    ckpt = _derived_crawl_ckpt(sf_dir)
+    from ..sources.tables import read_dataset
+
+    frames = []
+    for d in sorted(_glob.glob(os.path.join(ckpt, "schedule", "wave=*"))):
+        wave = int(d.rsplit("=", 1)[1])
+        ds = read_dataset(d, columns=["url", "seq"])
+
+        def partial(t: pa.Table, wave=wave) -> pd.DataFrame:
+            urls = t.column("url").to_numpy(zero_copy_only=False)
+            host = np.array([u.split("://", 1)[1].split("/", 1)[0]
+                             for u in urls], dtype=object)
+            seq = (t.column("seq").to_numpy(zero_copy_only=False)
+                   .astype(np.int64))
+            return (pd.DataFrame({
+                "wave": np.int64(wave), "host": host,
+                "n_urls": np.int64(1), "min_seq": seq, "sum_seq": seq})
+                .groupby(["wave", "host"], as_index=False)
+                .agg(n_urls=("n_urls", "sum"), min_seq=("min_seq", "min"),
+                     sum_seq=("sum_seq", "sum")))
+
+        bs = list(ds.map_batches(partial, batch_format="pyarrow")
+                  .iter_batches(batch_size=65536, batch_format="pandas"))
+        if not bs:
+            continue
+        parts = pd.concat(bs, ignore_index=True)
+        frames.append(parts.groupby(["wave", "host"], as_index=False)
+                      .agg(n_urls=("n_urls", "sum"),
+                           min_seq=("min_seq", "min"),
+                           sum_seq=("sum_seq", "sum")))
+    g = pd.concat(frames, ignore_index=True)
+    g = g.sort_values(["wave", "host"]).reset_index(drop=True)
+    return g.astype({"wave": np.int64, "n_urls": np.int64,
+                     "min_seq": np.int64, "sum_seq": np.int64})[
+        ["wave", "host", "n_urls", "min_seq", "sum_seq"]]
