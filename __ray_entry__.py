@@ -366,6 +366,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compaction_plan": q.q_compaction_plan,
         "politeness_schedule_audit": q.q_politeness_schedule_audit,
         "crawl_order_audit": q.q_crawl_order_audit,
+        "crawl_manifest_audit": q.q_crawl_manifest_audit,
+        "seen_shard_audit": q.q_seen_shard_audit,
     }
 
 
@@ -5607,5 +5609,24 @@ SELECT CAST(wave AS BIGINT) AS wave, host,
        CAST(base AS BIGINT) AS min_seq,
        CAST(n * base + n * (n - 1) // 2 AS BIGINT) AS sum_seq
 FROM o ORDER BY wave, host
+"""
+    # per-wave admitted/scheduled counters vs first-reach census, plus
+    # the terminal zero wave the loop records before stopping
+    out["crawl_manifest_audit"] = _BFS_CTE + """,
+mindepth AS (SELECT node, MIN(depth) AS depth FROM r GROUP BY node),
+g AS (SELECT depth AS wave, count(*) AS n FROM mindepth GROUP BY 1)
+SELECT CAST(wave AS BIGINT) AS wave, CAST(n AS BIGINT) AS admitted,
+       CAST(n AS BIGINT) AS scheduled
+FROM g
+UNION ALL
+SELECT CAST(max(wave) + 1 AS BIGINT), 0, 0 FROM g
+ORDER BY wave
+"""
+    # final persisted seen-set = the reached census (4 shards is the
+    # derived crawl's num_seen_shards config)
+    out["seen_shard_audit"] = _BFS_CTE + """
+SELECT CAST(4 AS BIGINT) AS n_shards,
+       CAST(count(DISTINCT node) AS BIGINT) AS n_seen
+FROM r
 """
     return out

@@ -15712,3 +15712,48 @@ def q_crawl_order_audit(sf_dir: str):
     return g.astype({"wave": np.int64, "n_urls": np.int64,
                      "min_seq": np.int64, "sum_seq": np.int64})[
         ["wave", "host", "n_urls", "min_seq", "sum_seq"]]
+
+
+def q_crawl_manifest_audit(sf_dir: str):
+    """The crawl's RECORDED per-wave metrics (T7/A1 — the manifest's
+    admitted/scheduled counters, the engine's replacement for the
+    reference's mutex-guarded visitsCount, scraper.go:40-46) gated
+    against BFS truth: every wave's counters must equal the
+    first-reach census, and the terminal wave must record zero. A
+    counter drifting from the data it describes is the classic silent
+    metrics bug; this makes it a hash-gate failure."""
+    import json as _json
+
+    ckpt = _derived_crawl_ckpt(sf_dir)
+    man = _json.load(open(os.path.join(ckpt, "MANIFEST.json")))
+    rows = sorted(
+        (int(w), int(s["admitted"]), int(s["scheduled"]))
+        for w, s in man["wave_stats"].items())
+    return pd.DataFrame(
+        [{"wave": w, "admitted": a, "scheduled": s} for w, a, s in rows]
+    ).astype({"wave": np.int64, "admitted": np.int64,
+              "scheduled": np.int64})
+
+
+def q_seen_shard_audit(sf_dir: str):
+    """The PERSISTED URL-seen state (the cuckoo shard snapshots a
+    resume actually restores, S7/T1) gated against BFS truth: the
+    final wave's shard files deserialize and their key counts must sum
+    to exactly the reached-page census — so a snapshot that lost or
+    duplicated keys (the resume-correctness failure mode) breaks the
+    hash gate, not just the kill/resume integration test."""
+    from ..state.cuckoo import CuckooFilter
+
+    ckpt = _derived_crawl_ckpt(sf_dir)
+    import glob as _glob
+    import json as _json
+
+    man = _json.load(open(os.path.join(ckpt, "MANIFEST.json")))
+    final = max(man["committed_waves"])
+    paths = sorted(_glob.glob(
+        os.path.join(ckpt, "urlseen", f"wave={final}", "shard=*.bin")))
+    counts = [CuckooFilter.restore(open(p, "rb").read()).count
+              for p in paths]
+    return pd.DataFrame({
+        "n_shards": [np.int64(len(counts))],
+        "n_seen": [np.int64(int(sum(counts)))]})
