@@ -15757,3 +15757,38 @@ def q_seen_shard_audit(sf_dir: str):
     return pd.DataFrame({
         "n_shards": [np.int64(len(counts))],
         "n_seen": [np.int64(int(sum(counts)))]})
+
+
+def q_lineage_audit(sf_dir: str):
+    """Fetch-lineage integrity (S6/M13): per wave, how many checkpoint
+    rows carry a req_id equal to md5 of their OWN stored url — the
+    reference's request-identity contract
+    (/root/reference/pkg/scraper/scraper.go:112), recomputed from the
+    data rather than trusted. The oracle demands every row pass, so a
+    lineage writer that drifted from the id function (or a corrupted
+    checkpoint column) fails the hash gate. Zero-copy md5 over the url
+    column; depth-bounded combine."""
+    from ..functions.urls import md5_hex_arrow
+
+    ckpt = _derived_crawl_ckpt(sf_dir)
+    from ..sources.tables import read_dataset
+
+    docs = read_dataset(os.path.join(ckpt, "docs"),
+                        columns=["url", "req_id", "depth"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        want = np.asarray(md5_hex_arrow(t.column("url")), dtype=object)
+        got = t.column("req_id").to_numpy(zero_copy_only=False)
+        return (pd.DataFrame({
+            "wave": t.column("depth").to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "n_rows": np.int64(1),
+            "n_req_id_ok": (want == got).astype(np.int64)})
+            .groupby("wave", as_index=False).sum())
+
+    g = _combine_partials(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["wave"], ["n_rows", "n_req_id_ok"])
+    g = g.sort_values("wave").reset_index(drop=True)
+    return g.astype({"wave": np.int64, "n_rows": np.int64,
+                     "n_req_id_ok": np.int64})
