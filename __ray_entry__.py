@@ -369,6 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_manifest_audit": q.q_crawl_manifest_audit,
         "seen_shard_audit": q.q_seen_shard_audit,
         "lineage_audit": q.q_lineage_audit,
+        "quarantine_audit": q.q_quarantine_audit,
     }
 
 
@@ -5636,6 +5637,15 @@ mindepth AS (SELECT node, MIN(depth) AS depth FROM r GROUP BY node),
 g AS (SELECT depth AS wave, count(*) AS n FROM mindepth GROUP BY 1)
 SELECT CAST(wave AS BIGINT) AS wave, CAST(n AS BIGINT) AS n_rows,
        CAST(n AS BIGINT) AS n_req_id_ok
+FROM g ORDER BY wave
+"""
+    # per-wave quarantine-store row counts vs the BFS captcha census
+    out["quarantine_audit"] = _BFS_CTE + """,
+mindepth AS (SELECT node, MIN(depth) AS depth FROM r GROUP BY node),
+g AS (SELECT depth AS wave, count(*) AS n FROM mindepth
+      WHERE node % 37 = 3 GROUP BY 1)
+SELECT CAST(wave AS BIGINT) AS wave,
+       CAST(n AS BIGINT) AS n_quarantined
 FROM g ORDER BY wave
 """
     return out

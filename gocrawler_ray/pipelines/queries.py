@@ -15792,3 +15792,29 @@ def q_lineage_audit(sf_dir: str):
     g = g.sort_values("wave").reset_index(drop=True)
     return g.astype({"wave": np.int64, "n_rows": np.int64,
                      "n_req_id_ok": np.int64})
+
+
+def q_quarantine_audit(sf_dir: str):
+    """The captcha-quarantine STORE itself (S8), gated per wave: the
+    sidecar's quarantine tables must hold exactly the BFS captcha
+    census (doc_id % 37 = 3 among that wave's first-reach set) — so a
+    sidecar regression that drops or duplicates quarantine rows fails
+    the hash gate, independent of the docs-table span view
+    (captcha_rate_by_wave). Reads each wave's quarantine table;
+    host-bounded gathers; empty waves contribute zero rows on both
+    sides."""
+    import glob as _glob
+
+    ckpt = _derived_crawl_ckpt(sf_dir)
+    from ..sources.tables import read_dataset
+
+    rows = []
+    for d in sorted(_glob.glob(os.path.join(ckpt, "quarantine",
+                                            "wave=*"))):
+        wave = int(d.rsplit("=", 1)[1])
+        ds = read_dataset(d, columns=["req_id"])
+        n = ds.count()
+        if n:
+            rows.append({"wave": wave, "n_quarantined": n})
+    out = pd.DataFrame(rows, columns=["wave", "n_quarantined"])
+    return out.astype({"wave": np.int64, "n_quarantined": np.int64})
