@@ -370,6 +370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seen_shard_audit": q.q_seen_shard_audit,
         "lineage_audit": q.q_lineage_audit,
         "quarantine_audit": q.q_quarantine_audit,
+        "order_total_consistency": q.q_order_total_consistency,
     }
 
 
@@ -5647,5 +5648,23 @@ g AS (SELECT depth AS wave, count(*) AS n FROM mindepth
 SELECT CAST(wave AS BIGINT) AS wave,
        CAST(n AS BIGINT) AS n_quarantined
 FROM g ORDER BY wave
+"""
+    out["order_total_consistency"] = """
+WITH lo AS (
+  SELECT l_orderkey AS okey,
+         sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             * (100 - CAST(round(l_discount * 100) AS HUGEINT))
+             * (100 + CAST(round(l_tax * 100) AS HUGEINT))) AS s4
+  FROM lineitem GROUP BY 1),
+j AS (SELECT (s4 + 5000) // 10000 AS derived,
+             CAST(round(o_totalprice * 100) AS HUGEINT) AS tc
+      FROM lo JOIN orders ON o_orderkey = okey),
+g AS (SELECT count(*) AS n,
+             SUM(CASE WHEN derived = tc THEN 1 ELSE 0 END) AS ne,
+             SUM(abs(derived - tc)) AS sd FROM j)
+SELECT CAST(n AS BIGINT) AS n_orders, CAST(ne AS BIGINT) AS n_exact,
+       CAST(ne * 1000000 // n AS BIGINT) AS exact_share6,
+       CAST(sd * 1000000 // n AS BIGINT) AS mean_abs_delta_cents6
+FROM g
 """
     return out

@@ -15818,3 +15818,98 @@ def q_quarantine_audit(sf_dir: str):
             rows.append({"wave": wave, "n_quarantined": n})
     out = pd.DataFrame(rows, columns=["wave", "n_quarantined"])
     return out.astype({"wave": np.int64, "n_quarantined": np.int64})
+
+
+def q_order_total_consistency(sf_dir: str):
+    """Warehouse reconciliation: does o_totalprice equal the
+    lineitem-derived total Σ extendedprice·(1−discount)·(1+tax)? Emits
+    how many orders match to the cent and the mean absolute delta —
+    the financial-integrity audit run before any revenue report, with
+    whatever the data's truth is (both engines compute the identical
+    fixed-point expression, so the gate holds regardless of whether
+    the synthesis maintains the invariant). Per-order cent sums
+    pre-reduce in Arrow through one order-hash bucket groupby; the
+    order header attaches via the broadcast path with the hash-join
+    fallback; 3-integer close."""
+    from ..stages.temporal import _with_bucket
+
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_extendedprice", "l_discount",
+                      "l_tax"],
+             num_blocks=_n_cpus())
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"],
+                 num_blocks=_n_cpus())
+
+    def pre(t: pa.Table) -> pa.Table:
+        ok = (t.column("l_orderkey").to_numpy(zero_copy_only=False)
+              .astype(np.int64))
+        ep = np.rint(t.column("l_extendedprice").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        dc = np.rint(t.column("l_discount").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        tx = np.rint(t.column("l_tax").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        # cents × 10^4: ep·(100−d)·(100+t)
+        val = ep * (100 - dc) * (100 + tx)
+        u, inv = np.unique(ok, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, val)
+        return pa.table({"okey": pa.array(u, pa.int64()),
+                         "s4": pa.array(s, pa.int64())})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("okey", as_index=False)["s4"].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    per_order = (_with_bucket(li.map_batches(pre, batch_format="pyarrow"),
+                              "okey", 32)
+                 .groupby("__bucket")
+                 .map_groups(kernel, batch_format="pandas"))
+    attached = _broadcast_fact_attach(
+        per_order,
+        orders.map_batches(
+            lambda t: pa.table({
+                "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "tc": pa.array(np.rint(
+                    t.column("o_totalprice").to_numpy(
+                        zero_copy_only=False) * 100).astype(np.int64),
+                    pa.int64())}),
+            batch_format="pyarrow"),
+        "okey", "o_orderkey", ["tc"])
+    if attached is None:  # pragma: no cover - orders past the cap
+        attached = per_order.join(
+            orders, join_type="inner",
+            num_partitions=_shuffle_partitions(
+                _row_count(sf_dir, "orders")),
+            on=("okey",), right_on=("o_orderkey",)).map_batches(
+            lambda t: t.append_column(
+                "tc", pa.array(np.rint(
+                    t.column("o_totalprice").to_numpy(
+                        zero_copy_only=False) * 100).astype(np.int64),
+                    pa.int64())),
+            batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        # derived total back to cents with half-away rounding of the
+        # ×10^4 fixed-point sum: (s4 + 5000) // 10000
+        s4 = t.column("s4").to_numpy(zero_copy_only=False)
+        tc = t.column("tc").to_numpy(zero_copy_only=False)
+        derived = (s4 + 5000) // 10000
+        delta = np.abs(derived - tc)
+        return pd.DataFrame({
+            "k": [np.int64(0)],
+            "n_orders": [np.int64(len(s4))],
+            "n_exact": [np.int64(int((delta == 0).sum()))],
+            "sum_abs_delta": [np.int64(int(delta.sum()))]})
+
+    g = _combine_partials(
+        attached.map_batches(partial, batch_format="pyarrow"),
+        ["k"], ["n_orders", "n_exact", "sum_abs_delta"])
+    no = int(g["n_orders"].sum())
+    ne = int(g["n_exact"].sum())
+    sd = int(g["sum_abs_delta"].sum())
+    return pd.DataFrame({
+        "n_orders": [np.int64(no)], "n_exact": [np.int64(ne)],
+        "exact_share6": [np.int64(ne * 10**6 // no if no else 0)],
+        "mean_abs_delta_cents6": [np.int64(sd * 10**6 // no
+                                           if no else 0)]})
