@@ -15619,45 +15619,43 @@ def q_politeness_schedule_audit(sf_dir: str):
     scheduler's ordering, spacing or slot math breaks the hash gate.
     Streams each wave's schedule with host-bounded partials; waves are
     bounded by the BFS diameter."""
-    import glob as _glob
-
     ckpt = _derived_crawl_ckpt(sf_dir)
     from ..sources.tables import read_dataset
 
-    frames = []
-    for d in sorted(_glob.glob(os.path.join(ckpt, "schedule", "wave=*"))):
-        wave = int(d.rsplit("=", 1)[1])
-        ds = read_dataset(d, columns=["url", "sched_start_ms",
-                                      "sched_end_ms"])
+    # ONE hive read of the whole schedule tree (wave is the partition
+    # column; the terminal wave's empty table has no files to list)
+    ds = read_dataset(os.path.join(ckpt, "schedule"),
+                      columns=["url", "sched_start_ms", "sched_end_ms",
+                               "wave"])
 
-        def partial(t: pa.Table, wave=wave) -> pd.DataFrame:
-            urls = t.column("url").to_numpy(zero_copy_only=False)
-            host = np.array([u.split("://", 1)[1].split("/", 1)[0]
-                             for u in urls], dtype=object)
-            return (pd.DataFrame({
-                "wave": np.int64(wave), "host": host,
-                "n_scheduled": np.int64(1),
-                "sum_start_ms": t.column("sched_start_ms").to_numpy(
-                    zero_copy_only=False).astype(np.int64),
-                "max_end_ms": t.column("sched_end_ms").to_numpy(
-                    zero_copy_only=False).astype(np.int64)})
-                .groupby(["wave", "host"], as_index=False)
-                .agg(n_scheduled=("n_scheduled", "sum"),
-                     sum_start_ms=("sum_start_ms", "sum"),
-                     max_end_ms=("max_end_ms", "max")))
+    def partial(t: pa.Table) -> pd.DataFrame:
+        urls = t.column("url").to_numpy(zero_copy_only=False)
+        host = np.array([u.split("://", 1)[1].split("/", 1)[0]
+                         for u in urls], dtype=object)
+        return (pd.DataFrame({
+            "wave": t.column("wave").to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "host": host,
+            "n_scheduled": np.int64(1),
+            "sum_start_ms": t.column("sched_start_ms").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "max_end_ms": t.column("sched_end_ms").to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+            .groupby(["wave", "host"], as_index=False)
+            .agg(n_scheduled=("n_scheduled", "sum"),
+                 sum_start_ms=("sum_start_ms", "sum"),
+                 max_end_ms=("max_end_ms", "max")))
 
-        # ONE host-bounded gather per wave closes sums AND the max
-        # (max does not SUM-combine through _combine_partials)
-        bs = list(ds.map_batches(partial, batch_format="pyarrow")
-                  .iter_batches(batch_size=65536, batch_format="pandas"))
-        if not bs:  # terminal wave writes an empty schedule table
-            continue
-        parts = pd.concat(bs, ignore_index=True)
-        frames.append(parts.groupby(["wave", "host"], as_index=False)
-                      .agg(n_scheduled=("n_scheduled", "sum"),
-                           sum_start_ms=("sum_start_ms", "sum"),
-                           max_end_ms=("max_end_ms", "max")))
-    g = pd.concat(frames, ignore_index=True)
+    # ONE (wave × host)-bounded gather closes sums AND the max
+    # (max does not SUM-combine through _combine_partials)
+    parts = pd.concat(
+        list(ds.map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pandas")),
+        ignore_index=True)
+    g = (parts.groupby(["wave", "host"], as_index=False)
+         .agg(n_scheduled=("n_scheduled", "sum"),
+              sum_start_ms=("sum_start_ms", "sum"),
+              max_end_ms=("max_end_ms", "max")))
     g = g.sort_values(["wave", "host"]).reset_index(drop=True)
     return g.astype({"wave": np.int64, "n_scheduled": np.int64,
                      "sum_start_ms": np.int64, "max_end_ms": np.int64})[
@@ -15675,39 +15673,35 @@ def q_crawl_order_audit(sf_dir: str):
     frontier pipeline (sort keys, seq offsets, salting) breaks the
     hash gate. Same host-bounded per-wave gathers as
     politeness_schedule_audit."""
-    import glob as _glob
-
     ckpt = _derived_crawl_ckpt(sf_dir)
     from ..sources.tables import read_dataset
 
-    frames = []
-    for d in sorted(_glob.glob(os.path.join(ckpt, "schedule", "wave=*"))):
-        wave = int(d.rsplit("=", 1)[1])
-        ds = read_dataset(d, columns=["url", "seq"])
+    ds = read_dataset(os.path.join(ckpt, "schedule"),
+                      columns=["url", "seq", "wave"])
 
-        def partial(t: pa.Table, wave=wave) -> pd.DataFrame:
-            urls = t.column("url").to_numpy(zero_copy_only=False)
-            host = np.array([u.split("://", 1)[1].split("/", 1)[0]
-                             for u in urls], dtype=object)
-            seq = (t.column("seq").to_numpy(zero_copy_only=False)
-                   .astype(np.int64))
-            return (pd.DataFrame({
-                "wave": np.int64(wave), "host": host,
-                "n_urls": np.int64(1), "min_seq": seq, "sum_seq": seq})
-                .groupby(["wave", "host"], as_index=False)
-                .agg(n_urls=("n_urls", "sum"), min_seq=("min_seq", "min"),
-                     sum_seq=("sum_seq", "sum")))
+    def partial(t: pa.Table) -> pd.DataFrame:
+        urls = t.column("url").to_numpy(zero_copy_only=False)
+        host = np.array([u.split("://", 1)[1].split("/", 1)[0]
+                         for u in urls], dtype=object)
+        seq = (t.column("seq").to_numpy(zero_copy_only=False)
+               .astype(np.int64))
+        return (pd.DataFrame({
+            "wave": t.column("wave").to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "host": host,
+            "n_urls": np.int64(1), "min_seq": seq, "sum_seq": seq})
+            .groupby(["wave", "host"], as_index=False)
+            .agg(n_urls=("n_urls", "sum"), min_seq=("min_seq", "min"),
+                 sum_seq=("sum_seq", "sum")))
 
-        bs = list(ds.map_batches(partial, batch_format="pyarrow")
-                  .iter_batches(batch_size=65536, batch_format="pandas"))
-        if not bs:
-            continue
-        parts = pd.concat(bs, ignore_index=True)
-        frames.append(parts.groupby(["wave", "host"], as_index=False)
-                      .agg(n_urls=("n_urls", "sum"),
-                           min_seq=("min_seq", "min"),
-                           sum_seq=("sum_seq", "sum")))
-    g = pd.concat(frames, ignore_index=True)
+    parts = pd.concat(
+        list(ds.map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pandas")),
+        ignore_index=True)
+    g = (parts.groupby(["wave", "host"], as_index=False)
+         .agg(n_urls=("n_urls", "sum"),
+              min_seq=("min_seq", "min"),
+              sum_seq=("sum_seq", "sum")))
     g = g.sort_values(["wave", "host"]).reset_index(drop=True)
     return g.astype({"wave": np.int64, "n_urls": np.int64,
                      "min_seq": np.int64, "sum_seq": np.int64})[
@@ -15803,21 +15797,25 @@ def q_quarantine_audit(sf_dir: str):
     (captcha_rate_by_wave). Reads each wave's quarantine table;
     host-bounded gathers; empty waves contribute zero rows on both
     sides."""
-    import glob as _glob
-
     ckpt = _derived_crawl_ckpt(sf_dir)
     from ..sources.tables import read_dataset
 
-    rows = []
-    for d in sorted(_glob.glob(os.path.join(ckpt, "quarantine",
-                                            "wave=*"))):
-        wave = int(d.rsplit("=", 1)[1])
-        ds = read_dataset(d, columns=["req_id"])
-        n = ds.count()
-        if n:
-            rows.append({"wave": wave, "n_quarantined": n})
-    out = pd.DataFrame(rows, columns=["wave", "n_quarantined"])
-    return out.astype({"wave": np.int64, "n_quarantined": np.int64})
+    ds = read_dataset(os.path.join(ckpt, "quarantine"),
+                      columns=["req_id", "wave"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        return (pd.DataFrame({
+            "wave": t.column("wave").to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "n_quarantined": np.int64(1)})
+            .groupby("wave", as_index=False).sum())
+
+    g = _combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["wave"], ["n_quarantined"])
+    g = g[g["n_quarantined"] > 0].sort_values("wave").reset_index(
+        drop=True)
+    return g.astype({"wave": np.int64, "n_quarantined": np.int64})
 
 
 def q_order_total_consistency(sf_dir: str):
