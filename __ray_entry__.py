@@ -371,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineage_audit": q.q_lineage_audit,
         "quarantine_audit": q.q_quarantine_audit,
         "order_total_consistency": q.q_order_total_consistency,
+        "rich_club": q.q_rich_club,
     }
 
 
@@ -5666,5 +5667,30 @@ SELECT CAST(n AS BIGINT) AS n_orders, CAST(ne AS BIGINT) AS n_exact,
        CAST(ne * 1000000 // n AS BIGINT) AS exact_share6,
        CAST(sd * 1000000 // n AS BIGINT) AS mean_abs_delta_cents6
 FROM g
+"""
+    out["rich_club"] = _EDGES_CTE + """,
+deg AS (
+  SELECT node, SUM(c) AS d FROM (
+    SELECT src AS node, count(*) AS c FROM edges GROUP BY 1
+    UNION ALL SELECT dst, count(*) FROM edges GROUP BY dst) u
+  GROUP BY node),
+ks AS (SELECT unnest([8, 10, 12]) AS k),
+club AS (SELECT ks.k, deg.node FROM ks JOIN deg ON deg.d > ks.k),
+ne AS (SELECT c1.k, count(*) AS e
+       FROM edges
+       JOIN club c1 ON c1.node = edges.src
+       JOIN club c2 ON c2.node = edges.dst AND c2.k = c1.k
+       WHERE edges.src != edges.dst
+       GROUP BY c1.k),
+cm AS (SELECT k, count(*) AS m FROM club GROUP BY k)
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST(COALESCE(cm.m, 0) AS BIGINT) AS n_nodes,
+       CAST(COALESCE(ne.e, 0) AS BIGINT) AS n_edges,
+       CAST(CASE WHEN COALESCE(cm.m, 0) > 1
+                 THEN COALESCE(ne.e, 0) * 1000000
+                      // (cm.m * (cm.m - 1))
+                 ELSE 0 END AS BIGINT) AS density6
+FROM ks LEFT JOIN cm USING (k) LEFT JOIN ne USING (k)
+ORDER BY k
 """
     return out

@@ -15911,3 +15911,57 @@ def q_order_total_consistency(sf_dir: str):
         "exact_share6": [np.int64(ne * 10**6 // no if no else 0)],
         "mean_abs_delta_cents6": [np.int64(sd * 10**6 // no
                                            if no else 0)]})
+
+
+def q_rich_club(sf_dir: str):
+    """Rich-club connectivity of the link graph: for degree thresholds
+    k ∈ {8, 10, 12}, the edge density among pages whose total degree
+    exceeds k — a rising φ(k) means the hub pages preferentially link
+    to EACH OTHER (the web's rich-club effect), which matters for
+    crawl scheduling because hub-to-hub links keep re-feeding the
+    frontier's hot set. Degrees come from the distributed degree
+    table; each club broadcasts as a sorted id array into ONE edge
+    scan that counts all three clubs' internal edges per batch
+    (club-bounded combine); densities close as ×1e6 integer floors
+    over the directed ordered-pair count."""
+    from ..stages.graph import degree_table, edges_dataset
+
+    KS = [8, 10, 12]
+    n = _doc_count(sf_dir)
+    parts = _shuffle_partitions(4 * n)
+    docs = _pq(sf_dir, "documents", columns=["doc_id"], num_blocks=parts)
+    deg = degree_table(docs, n=n, num_partitions=parts).to_pandas()
+    tot = (deg["in_degree"].to_numpy(np.int64)
+           + deg["out_degree"].to_numpy(np.int64))
+    ids = deg["doc_id"].to_numpy(np.int64)
+    clubs = {k: np.sort(ids[tot > k]) for k in KS}
+    cref = ray.put(clubs)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cl = ray.get(cref)
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        dst = t.column("dst").to_numpy(zero_copy_only=False)
+        rows = []
+        for k, members in cl.items():
+            sh, _ = _sorted_lookup(members, src)
+            dh, _ = _sorted_lookup(members, dst)
+            rows.append({"k": np.int64(k),
+                         "n_edges": np.int64(
+                             int((sh & dh & (src != dst)).sum()))})
+        return pd.DataFrame(rows)
+
+    edges = edges_dataset(_pq(sf_dir, "documents", columns=["doc_id"],
+                              num_blocks=parts), n)
+    g = _combine_partials(
+        edges.map_batches(partial, batch_format="pyarrow"),
+        ["k"], ["n_edges"])
+    out = []
+    for k in KS:
+        m = int(len(clubs[k]))
+        e = int(g.loc[g["k"] == k, "n_edges"].sum()) if len(g) else 0
+        poss = m * (m - 1)
+        out.append({"k": k, "n_nodes": m, "n_edges": e,
+                    "density6": e * 10**6 // poss if poss else 0})
+    return pd.DataFrame(out, columns=["k", "n_nodes", "n_edges",
+                                      "density6"]).astype(
+        {c: np.int64 for c in ["k", "n_nodes", "n_edges", "density6"]})
