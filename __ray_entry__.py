@@ -372,6 +372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quarantine_audit": q.q_quarantine_audit,
         "order_total_consistency": q.q_order_total_consistency,
         "rich_club": q.q_rich_club,
+        "markov_entropy": q.q_markov_entropy,
     }
 
 
@@ -5692,5 +5693,22 @@ SELECT CAST(ks.k AS BIGINT) AS k,
                  ELSE 0 END AS BIGINT) AS density6
 FROM ks LEFT JOIN cm USING (k) LEFT JOIN ne USING (k)
 ORDER BY k
+"""
+    out["markov_entropy"] = """
+WITH s AS (
+  SELECT event_type AS prev_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events),
+c AS (SELECT prev_type, next_type, count(*) AS n
+      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT sum(n) AS N FROM c),
+r AS (SELECT prev_type, sum(n) AS rn FROM c GROUP BY 1)
+SELECT CAST(t.N AS BIGINT) AS n_transitions,
+       round(-SUM((CAST(c.n AS DOUBLE) / t.N)
+                  * log2(CAST(c.n AS DOUBLE) / r.rn)), 6)
+         AS h_cond_bits
+FROM c JOIN r USING (prev_type) CROSS JOIN t
+GROUP BY t.N
 """
     return out

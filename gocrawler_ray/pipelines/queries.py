@@ -15965,3 +15965,48 @@ def q_rich_club(sf_dir: str):
     return pd.DataFrame(out, columns=["k", "n_nodes", "n_edges",
                                       "density6"]).astype(
         {c: np.int64 for c in ["k", "n_nodes", "n_edges", "density6"]})
+
+
+def q_markov_entropy(sf_dir: str):
+    """Behavioral predictability: the conditional entropy H(next|prev)
+    of the user event-transition process in bits — the single number
+    that says how far any next-event predictor can possibly get
+    (transition_lift shows WHICH pairs deviate; this is how much
+    structure there is at all). Same one-shuffle transition grid; the
+    entropy closes on the driver over ≤ types² cells with round-6
+    doubles (identical operand expressions on both sides, the
+    hour_entropy convention)."""
+    from ..stages.temporal import _with_bucket
+
+    ev = _pq(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "event_type"],
+             num_blocks=_n_cpus())
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((
+            g["event_id"].to_numpy(np.int64),
+            g["ts"].astype("int64").to_numpy(),
+            g["user_id"].to_numpy(np.int64),
+        ))
+        u = g["user_id"].to_numpy(np.int64)[order]
+        et = g["event_type"].to_numpy()[order]
+        same = u[1:] == u[:-1]
+        df = pd.DataFrame({"prev_type": et[:-1][same],
+                           "next_type": et[1:][same]})
+        out = df.groupby(["prev_type", "next_type"],
+                         as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    out = _combine_partials(
+        _with_bucket(ev, "user_id", 32)
+        .groupby("__bucket")
+        .map_groups(kernel, batch_format="pandas"),
+        ["prev_type", "next_type"], ["n"])
+    N = int(out["n"].sum())
+    row = out.groupby("prev_type")["n"].transform("sum")
+    p_joint = out["n"].to_numpy(np.float64) / float(N)
+    p_cond = out["n"].to_numpy(np.float64) / row.to_numpy(np.float64)
+    h = float(-(p_joint * np.log2(p_cond)).sum())
+    return pd.DataFrame({
+        "n_transitions": [np.int64(N)],
+        "h_cond_bits": [round_half_away(np.array([h]), 6)[0]]})
