@@ -373,6 +373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_total_consistency": q.q_order_total_consistency,
         "rich_club": q.q_rich_club,
         "markov_entropy": q.q_markov_entropy,
+        "media_decode_batches": q.q_media_decode_batches,
     }
 
 
@@ -5710,5 +5711,19 @@ SELECT CAST(t.N AS BIGINT) AS n_transitions,
          AS h_cond_bits
 FROM c JOIN r USING (prev_type) CROSS JOIN t
 GROUP BY t.N
+"""
+    out["media_decode_batches"] = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 3 AS fmt_idx,
+         length(text) AS nbytes
+  FROM documents),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY fmt_idx ORDER BY doc_id) - 1 AS rk FROM m)
+SELECT CAST(fmt_idx AS BIGINT) AS fmt_idx,
+       CAST(rk // 64 AS BIGINT) AS batch_id,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(nbytes) AS BIGINT) AS sum_bytes
+FROM r GROUP BY 1, 2 ORDER BY 1, 2
 """
     return out

@@ -16010,3 +16010,41 @@ def q_markov_entropy(sf_dir: str):
     return pd.DataFrame({
         "n_transitions": [np.int64(N)],
         "h_cond_bits": [round_half_away(np.array([h]), 6)[0]]})
+
+
+def q_media_decode_batches(sf_dir: str):
+    """Decode-pool work plan for the media corpus: group media items
+    into codec-HOMOGENEOUS batches of 64 (per md5-derived format, in
+    doc order) with per-batch payload byte totals — the actor-pool
+    input manifest that keeps one decoder hot per batch and bounds
+    per-task object-store bytes. One groupby per format (3 codec
+    groups; the in-group plan is the same sequential recurrence class
+    as pack_sequences — md5-shard the ids for wider parallelism at
+    scale); bin-bounded output."""
+    from ..functions.urls import md5_hex_arrow
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"],
+               num_blocks=_n_cpus())
+
+    def rows(t: pa.Table) -> pa.Table:
+        h = md5_hex_arrow(t.column("text"))
+        fmt = np.array([int(x[:2], 16) % 3 for x in h], dtype=np.int64)
+        return pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "fmt_idx": pa.array(fmt, pa.int64()),
+            "nbytes": pc.cast(pc.utf8_length(
+                pc.fill_null(t.column("text"), "")), pa.int64())})
+
+    def plan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        g["batch_id"] = np.arange(len(g), dtype=np.int64) // 64
+        return (g.groupby(["fmt_idx", "batch_id"], as_index=False)
+                .agg(n_items=("doc_id", "size"),
+                     sum_bytes=("nbytes", "sum")))
+
+    out = (docs.map_batches(rows, batch_format="pyarrow")
+           .groupby("fmt_idx").map_groups(plan, batch_format="pandas")
+           .to_pandas())
+    out = out.sort_values(["fmt_idx", "batch_id"]).reset_index(drop=True)
+    return out.astype({c: np.int64 for c in
+                       ["fmt_idx", "batch_id", "n_items", "sum_bytes"]})
