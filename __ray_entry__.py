@@ -374,6 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rich_club": q.q_rich_club,
         "markov_entropy": q.q_markov_entropy,
         "media_decode_batches": q.q_media_decode_batches,
+        "neyman_allocation": q.q_neyman_allocation,
     }
 
 
@@ -5725,5 +5726,24 @@ SELECT CAST(fmt_idx AS BIGINT) AS fmt_idx,
        CAST(count(*) AS BIGINT) AS n_items,
        CAST(sum(nbytes) AS BIGINT) AS sum_bytes
 FROM r GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    out["neyman_allocation"] = """
+WITH st AS (
+  SELECT lang, source, count(*) AS n,
+         CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS sxx
+  FROM documents GROUP BY 1, 2),
+w AS (SELECT lang, source, n, n * sxx - sx * sx AS v FROM st),
+t AS (SELECT sum(v) AS tot FROM w),
+h AS (SELECT w.*, 1000 * v // t.tot AS base, 1000 * v % t.tot AS rem
+      FROM w, t),
+l AS (SELECT 1000 - sum(base) AS leftover FROM h),
+rk AS (SELECT *, row_number() OVER (
+         ORDER BY rem DESC, lang, source) AS r FROM h)
+SELECT lang, source, CAST(n AS BIGINT) AS n_docs,
+       CAST(v AS BIGINT) AS weight,
+       CAST(base + CASE WHEN rk.r <= l.leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM rk, l ORDER BY lang, source
 """
     return out

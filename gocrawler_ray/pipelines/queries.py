@@ -16048,3 +16048,48 @@ def q_media_decode_batches(sf_dir: str):
     out = out.sort_values(["fmt_idx", "batch_id"]).reset_index(drop=True)
     return out.astype({c: np.int64 for c in
                        ["fmt_idx", "batch_id", "n_items", "sum_bytes"]})
+
+
+def q_neyman_allocation(sf_dir: str):
+    """Survey-design sample allocation: split a 1000-doc annotation
+    budget across (lang × source) strata proportionally to the exact
+    integer dispersion weight V_h = N_h·Σx² − (Σx)² of doc length (the
+    variance-proportional form of Neyman allocation, kept integer so
+    no sqrt crosses the gate), rounded by Hamilton largest remainder
+    (ties to the smaller stratum key — the slot_apportionment
+    convention). One taxonomy-bounded sufficient-stats partial; the
+    allocation is driver integer arithmetic the oracle replays with
+    HUGEINT + a remainder-rank window."""
+    BUDGET = 1000
+    docs = _pq(sf_dir, "documents", columns=["lang", "source", "n_chars"],
+               num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        x = (t.column("n_chars").to_numpy(zero_copy_only=False)
+             .astype(np.int64))
+        return (pd.DataFrame({
+            "lang": t.column("lang").to_numpy(zero_copy_only=False),
+            "source": t.column("source").to_numpy(zero_copy_only=False),
+            "n": np.int64(1), "sx": x, "sxx": x * x})
+            .groupby(["lang", "source"], as_index=False).sum())
+
+    g = _combine_partials(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "source"], ["n", "sx", "sxx"])
+    g = g.sort_values(["lang", "source"]).reset_index(drop=True)
+    v = [int(n) * int(sxx) - int(sx) ** 2
+         for n, sx, sxx in zip(g["n"], g["sx"], g["sxx"])]
+    tot = sum(v)
+    base = [BUDGET * w // tot for w in v]
+    rem = [BUDGET * w % tot for w in v]
+    leftover = BUDGET - sum(base)
+    order = sorted(range(len(v)),
+                   key=lambda i: (-rem[i], g["lang"].iloc[i],
+                                  g["source"].iloc[i]))
+    alloc = list(base)
+    for i in order[:leftover]:
+        alloc[i] += 1
+    g["weight"] = [np.int64(w) for w in v]
+    g["alloc"] = np.array(alloc, dtype=np.int64)
+    g["n_docs"] = g["n"].astype(np.int64)
+    return g[["lang", "source", "n_docs", "weight", "alloc"]]
