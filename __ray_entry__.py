@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_entropy": q.q_markov_entropy,
         "media_decode_batches": q.q_media_decode_batches,
         "neyman_allocation": q.q_neyman_allocation,
+        "purchase_growth": q.q_purchase_growth,
     }
 
 
@@ -5745,5 +5746,22 @@ SELECT lang, source, CAST(n AS BIGINT) AS n_docs,
        CAST(base + CASE WHEN rk.r <= l.leftover THEN 1 ELSE 0 END
             AS BIGINT) AS alloc
 FROM rk, l ORDER BY lang, source
+"""
+    out["purchase_growth"] = """
+WITH p AS (
+  SELECT user_id, CAST(round(value * 1000) AS BIGINT) AS v3,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'purchase'),
+f AS (SELECT a.user_id, a.v3 AS v1, b.v3 AS v2
+      FROM p a JOIN p b ON a.user_id = b.user_id
+      WHERE a.rn = 1 AND b.rn = 2),
+g AS (SELECT count(*) AS n,
+             SUM(CASE WHEN v2 > v1 THEN 1 ELSE 0 END) AS ngrew,
+             SUM(CASE WHEN v2 = v1 THEN 1 ELSE 0 END) AS nt FROM f)
+SELECT CAST(n AS BIGINT) AS n_repeat_buyers,
+       CAST(ngrew AS BIGINT) AS n_grew, CAST(nt AS BIGINT) AS n_tied,
+       CAST(ngrew * 1000000 // n AS BIGINT) AS grew_share6
+FROM g
 """
     return out

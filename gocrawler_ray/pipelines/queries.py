@@ -16093,3 +16093,58 @@ def q_neyman_allocation(sf_dir: str):
     g["alloc"] = np.array(alloc, dtype=np.int64)
     g["n_docs"] = g["n"].astype(np.int64)
     return g[["lang", "source", "n_docs", "weight", "alloc"]]
+
+
+def q_purchase_growth(sf_dir: str):
+    """Basket-growth screen: among users with ≥ 2 purchases, how many
+    spent MORE on their second purchase than their first (ties split
+    out) — the early-lifecycle expansion signal ltv_cohorts aggregates
+    away. One user-bucket shuffle; the kernel lexsorts (user, ts, id),
+    takes each user's first two purchases by position, and compares
+    exact milli-unit values; 4-integer close."""
+    from ..stages.temporal import _with_bucket
+
+    ev = _pq(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "event_type", "value"],
+             num_blocks=_n_cpus())
+
+    def keep(t: pa.Table) -> pa.Table:
+        t2 = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        return pa.table({
+            "event_id": pc.cast(t2.column("event_id"), pa.int64()),
+            "user_id": pc.cast(t2.column("user_id"), pa.int64()),
+            "ts": pc.cast(t2.column("ts"), pa.int64()),
+            "v3": pa.array(np.rint(
+                t2.column("value").to_numpy(zero_copy_only=False)
+                * 1000).astype(np.int64), pa.int64())})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["event_id"].to_numpy(np.int64),
+                            g["ts"].to_numpy(np.int64),
+                            g["user_id"].to_numpy(np.int64)))
+        u = g["user_id"].to_numpy(np.int64)[order]
+        v = g["v3"].to_numpy(np.int64)[order]
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, len(u)))
+        two = starts[lens >= 2]
+        v1, v2 = v[two], v[two + 1]
+        return pd.DataFrame({
+            "k": [np.int64(0)],
+            "n_repeat_buyers": [np.int64(len(two))],
+            "n_grew": [np.int64(int((v2 > v1).sum()))],
+            "n_tied": [np.int64(int((v2 == v1).sum()))]})
+
+    g = _combine_partials(
+        _with_bucket(ev.map_batches(keep, batch_format="pyarrow"),
+                     "user_id", 32)
+        .groupby("__bucket").map_groups(kernel, batch_format="pandas"),
+        ["k"], ["n_repeat_buyers", "n_grew", "n_tied"])
+    nr = int(g["n_repeat_buyers"].sum())
+    ngrew = int(g["n_grew"].sum())
+    nt = int(g["n_tied"].sum())
+    return pd.DataFrame({
+        "n_repeat_buyers": [np.int64(nr)],
+        "n_grew": [np.int64(ngrew)], "n_tied": [np.int64(nt)],
+        "grew_share6": [np.int64(ngrew * 10**6 // nr if nr else 0)]})
