@@ -376,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode_batches": q.q_media_decode_batches,
         "neyman_allocation": q.q_neyman_allocation,
         "purchase_growth": q.q_purchase_growth,
+        "activity_spikes": q.q_activity_spikes,
     }
 
 
@@ -5763,5 +5764,13 @@ SELECT CAST(n AS BIGINT) AS n_repeat_buyers,
        CAST(ngrew AS BIGINT) AS n_grew, CAST(nt AS BIGINT) AS n_tied,
        CAST(ngrew * 1000000 // n AS BIGINT) AS grew_share6
 FROM g
+"""
+    out["activity_spikes"] = """
+WITH c AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day, count(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(day AS BIGINT) AS day,
+       CAST(n AS BIGINT) AS n
+FROM c ORDER BY n DESC, user_id, day LIMIT 20
 """
     return out

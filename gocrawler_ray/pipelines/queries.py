@@ -16148,3 +16148,51 @@ def q_purchase_growth(sf_dir: str):
         "n_repeat_buyers": [np.int64(nr)],
         "n_grew": [np.int64(ngrew)], "n_tied": [np.int64(nt)],
         "grew_share6": [np.int64(ngrew * 10**6 // nr if nr else 0)]})
+
+
+def q_activity_spikes(sf_dir: str):
+    """Burst shortlist: the 20 hottest (user, day) cells by event count
+    (ties to smaller user then earlier day) — the review queue a
+    rate-limit/abuse screen opens first, complementing burstiness'
+    per-user dispersion score with the actual incidents. Per-batch
+    (user, day) pre-reduce, one pair-bucket groupby makes counts
+    exact, per-block partial top-20 bounds the gather to blocks × 20."""
+    from ..stages.temporal import _with_bucket
+
+    DAY = 86_400_000_000
+    ev = _pq(sf_dir, "events", columns=["user_id", "ts"],
+             num_blocks=_n_cpus())
+
+    def pre(t: pa.Table) -> pa.Table:
+        df = (pd.DataFrame({
+            "user_id": t.column("user_id").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "day": pc.cast(t.column("ts"), pa.int64()).to_numpy() // DAY,
+            "n": np.int64(1)})
+            .groupby(["user_id", "day"], as_index=False).sum())
+        return pa.table({
+            "user_id": pa.array(df["user_id"].to_numpy(np.int64)),
+            "day": pa.array(df["day"].to_numpy(np.int64)),
+            "n": pa.array(df["n"].to_numpy(np.int64)),
+            "__key": pa.array(
+                df["user_id"].to_numpy(np.int64) * 100003
+                + df["day"].to_numpy(np.int64), pa.int64())})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby(["user_id", "day"], as_index=False)["n"].sum())
+        top = agg.sort_values(["n", "user_id", "day"],
+                              ascending=[False, True, True]).head(20)
+        return top
+
+    parts = pd.concat(
+        list(_with_bucket(ev.map_batches(pre, batch_format="pyarrow"),
+                          "__key", 32)
+             .groupby("__bucket").map_groups(kernel,
+                                             batch_format="pandas")
+             .iter_batches(batch_size=65536, batch_format="pandas")),
+        ignore_index=True)
+    out = parts.sort_values(["n", "user_id", "day"],
+                            ascending=[False, True, True]).head(20)
+    return out.reset_index(drop=True).astype(
+        {"user_id": np.int64, "day": np.int64, "n": np.int64})[
+        ["user_id", "day", "n"]]
