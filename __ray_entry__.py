@@ -377,6 +377,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neyman_allocation": q.q_neyman_allocation,
         "purchase_growth": q.q_purchase_growth,
         "activity_spikes": q.q_activity_spikes,
+        "lead_words": q.q_lead_words,
+        "same_day_orders": q.q_same_day_orders,
     }
 
 
@@ -5772,5 +5774,25 @@ WITH c AS (
 SELECT CAST(user_id AS BIGINT) AS user_id, CAST(day AS BIGINT) AS day,
        CAST(n AS BIGINT) AS n
 FROM c ORDER BY n DESC, user_id, day LIMIT 20
+"""
+    out["lead_words"] = """
+WITH f AS (
+  SELECT string_split(trim(text), ' ')[1] AS word FROM documents
+  WHERE trim(text) != ''),
+c AS (SELECT word, count(*) AS n FROM f GROUP BY 1),
+t AS (SELECT sum(n) AS tot FROM c)
+SELECT word, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000000 // t.tot AS BIGINT) AS share6
+FROM c, t ORDER BY n DESC, word LIMIT 20
+"""
+    out["same_day_orders"] = """
+WITH c AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+                  count(*) AS n
+           FROM orders GROUP BY 1, 2),
+g AS (SELECT count(*) AS nc,
+             SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS nm FROM c)
+SELECT CAST(nc AS BIGINT) AS n_cust_days, CAST(nm AS BIGINT) AS n_multi,
+       CAST(nm * 1000000 // nc AS BIGINT) AS multi_share6
+FROM g
 """
     return out

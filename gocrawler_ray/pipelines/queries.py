@@ -16196,3 +16196,77 @@ def q_activity_spikes(sf_dir: str):
     return out.reset_index(drop=True).astype(
         {"user_id": np.int64, "day": np.int64, "n": np.int64})[
         ["user_id", "day", "n"]]
+
+
+def q_lead_words(sf_dir: str):
+    """Template-opener audit: the 20 most common document FIRST words
+    with corpus share — near-identical openers across a feed are the
+    cheapest template-spam tell (the 5-gram dup machinery finds the
+    bodies; this finds the headline pattern). Map-only first-token
+    extraction (one Arrow split per batch), vocabulary-bounded
+    combine, exact-integer shares, ties to the lexicographically
+    smaller word."""
+    docs = _pq(sf_dir, "documents", columns=["text"],
+               num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        texts = t.column("text").to_pandas().fillna("")
+        first = texts.str.split(n=1).str[0].fillna("")
+        vc = first[first != ""].value_counts()
+        return pd.DataFrame({"word": vc.index.to_numpy(dtype=object),
+                             "n": vc.to_numpy(np.int64)})
+
+    g = _combine_partials(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["word"], ["n"])
+    tot = int(g["n"].sum())
+    g = g.sort_values(["n", "word"],
+                      ascending=[False, True]).head(20).reset_index(
+        drop=True)
+    g["share6"] = (g["n"].astype(np.int64) * 10**6 // tot)
+    return g.astype({"n": np.int64, "share6": np.int64})[
+        ["word", "n", "share6"]]
+
+
+def q_same_day_orders(sf_dir: str):
+    """Same-day multi-order share: how many (customer, day) cells hold
+    more than one order — the order-side duplicate/split-basket screen
+    (dup_purchase_audit's cousin on the transactional table). One
+    cell-bounded pre-reduce + pair-bucket groupby; 3-integer close."""
+    from ..stages.temporal import _with_bucket
+
+    orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_orderdate"],
+                 num_blocks=_n_cpus())
+
+    def pre(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+        day = d.astype("datetime64[D]").astype(np.int64)
+        df = (pd.DataFrame({
+            "ck": t.column("o_custkey").to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "day": day, "n": np.int64(1)})
+            .groupby(["ck", "day"], as_index=False).sum())
+        return pa.table({
+            "ck": pa.array(df["ck"].to_numpy(np.int64)),
+            "day": pa.array(df["day"].to_numpy(np.int64)),
+            "n": pa.array(df["n"].to_numpy(np.int64)),
+            "__key": pa.array(df["ck"].to_numpy(np.int64) * 100003
+                              + df["day"].to_numpy(np.int64), pa.int64())})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["ck", "day"], as_index=False)["n"].sum()
+        return pd.DataFrame({
+            "k": [np.int64(0)],
+            "n_cells": [np.int64(len(agg))],
+            "n_multi": [np.int64(int((agg["n"] >= 2).sum()))]})
+
+    g = _combine_partials(
+        _with_bucket(orders.map_batches(pre, batch_format="pyarrow"),
+                     "__key", 32)
+        .groupby("__bucket").map_groups(kernel, batch_format="pandas"),
+        ["k"], ["n_cells", "n_multi"])
+    nc = int(g["n_cells"].sum())
+    nm = int(g["n_multi"].sum())
+    return pd.DataFrame({
+        "n_cust_days": [np.int64(nc)], "n_multi": [np.int64(nm)],
+        "multi_share6": [np.int64(nm * 10**6 // nc if nc else 0)]})
