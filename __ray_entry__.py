@@ -379,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "activity_spikes": q.q_activity_spikes,
         "lead_words": q.q_lead_words,
         "same_day_orders": q.q_same_day_orders,
+        "value_sorted_head": q.q_value_sorted_head,
     }
 
 
@@ -5794,5 +5795,11 @@ g AS (SELECT count(*) AS nc,
 SELECT CAST(nc AS BIGINT) AS n_cust_days, CAST(nm AS BIGINT) AS n_multi,
        CAST(nm * 1000000 // nc AS BIGINT) AS multi_share6
 FROM g
+"""
+    out["value_sorted_head"] = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(round(value * 1000) AS BIGINT) AS v3
+FROM events
+ORDER BY v3, event_id LIMIT 20
 """
     return out

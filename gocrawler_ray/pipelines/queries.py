@@ -16270,3 +16270,27 @@ def q_same_day_orders(sf_dir: str):
     return pd.DataFrame({
         "n_cust_days": [np.int64(nc)], "n_multi": [np.int64(nm)],
         "multi_share6": [np.int64(nm * 10**6 // nc if nc else 0)]})
+
+
+def q_value_sorted_head(sf_dir: str):
+    """Ray Data's NATIVE global sort exercised end to end: the 20
+    smallest (value, event_id) events via ``Dataset.sort(...).limit()``
+    — the range-shuffle all-to-all every "ORDER BY ... LIMIT" becomes
+    when the data no longer fits one node (the partial-top-k kernels
+    elsewhere avoid it; this query deliberately takes the native path
+    so the operator itself stays under the hash gate). Milli-unit
+    integer sort keys; the unique event_id pins total order."""
+    ev = _pq(sf_dir, "events", columns=["event_id", "ts", "value"],
+             num_blocks=_n_cpus())
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "v3": pa.array(np.rint(
+                t.column("value").to_numpy(zero_copy_only=False)
+                * 1000).astype(np.int64), pa.int64())})
+
+    out = (ev.map_batches(keyed, batch_format="pyarrow")
+           .sort(["v3", "event_id"]).limit(20).to_pandas())
+    return out.astype({"event_id": np.int64, "v3": np.int64})[
+        ["event_id", "v3"]]
