@@ -380,6 +380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lead_words": q.q_lead_words,
         "same_day_orders": q.q_same_day_orders,
         "value_sorted_head": q.q_value_sorted_head,
+        "native_group_aggs": q.q_native_group_aggs,
     }
 
 
@@ -5801,5 +5802,13 @@ SELECT CAST(event_id AS BIGINT) AS event_id,
        CAST(round(value * 1000) AS BIGINT) AS v3
 FROM events
 ORDER BY v3, event_id LIMIT 20
+"""
+    out["native_group_aggs"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum3,
+       CAST(min(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS min3,
+       CAST(max(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS max3
+FROM events GROUP BY 1 ORDER BY 1
 """
     return out

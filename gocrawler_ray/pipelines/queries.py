@@ -16294,3 +16294,36 @@ def q_value_sorted_head(sf_dir: str):
            .sort(["v3", "event_id"]).limit(20).to_pandas())
     return out.astype({"event_id": np.int64, "v3": np.int64})[
         ["event_id", "v3"]]
+
+
+def q_native_group_aggs(sf_dir: str):
+    """Ray Data's NATIVE grouped multi-aggregate path (``groupby(...)
+    .aggregate(Count, Sum, Min, Max)``) under the hash gate — the
+    repo's hand-rolled partial combines exist for plans Ray's
+    aggregate can't express (exact quantiles, sketches, fused stats);
+    this query pins the native operator itself, on exact milli-unit
+    integers, so a Ray upgrade that changes aggregate semantics or
+    null handling is caught by the gate and not by a silent drift."""
+    import ray.data.aggregate as agg
+
+    ev = _pq(sf_dir, "events", columns=["event_type", "value"],
+             num_blocks=_n_cpus())
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "v3": pa.array(np.rint(
+                t.column("value").to_numpy(zero_copy_only=False)
+                * 1000).astype(np.int64), pa.int64())})
+
+    out = (ev.map_batches(keyed, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(agg.Count(alias_name="n_events"),
+                      agg.Sum("v3", alias_name="sum3"),
+                      agg.Min("v3", alias_name="min3"),
+                      agg.Max("v3", alias_name="max3"))
+           .to_pandas())
+    out = out.sort_values("event_type").reset_index(drop=True)
+    return out.astype({"n_events": np.int64, "sum3": np.int64,
+                       "min3": np.int64, "max3": np.int64})[
+        ["event_type", "n_events", "sum3", "min3", "max3"]]
