@@ -381,6 +381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "same_day_orders": q.q_same_day_orders,
         "value_sorted_head": q.q_value_sorted_head,
         "native_group_aggs": q.q_native_group_aggs,
+        "native_unique": q.q_native_unique,
     }
 
 
@@ -5810,5 +5811,8 @@ SELECT event_type,
        CAST(min(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS min3,
        CAST(max(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS max3
 FROM events GROUP BY 1 ORDER BY 1
+"""
+    out["native_unique"] = """
+SELECT DISTINCT event_type FROM events ORDER BY 1
 """
     return out

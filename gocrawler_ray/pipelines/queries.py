@@ -16327,3 +16327,16 @@ def q_native_group_aggs(sf_dir: str):
     return out.astype({"n_events": np.int64, "sum3": np.int64,
                        "min3": np.int64, "max3": np.int64})[
         ["event_type", "n_events", "sum3", "min3", "max3"]]
+
+
+def q_native_unique(sf_dir: str):
+    """``Dataset.unique`` — the last native wide op without its own
+    gate (sort/limit, groupby-aggregate and the joins have theirs):
+    the distinct event-type domain via Ray's native distinct, returned
+    sorted. Trivial output, deliberate coverage: SURVEY §2's contract
+    maps DISTINCT to this operator, so it stays pinned across Ray
+    upgrades."""
+    ev = _pq(sf_dir, "events", columns=["event_type"],
+             num_blocks=_n_cpus())
+    vals = sorted(ev.unique("event_type"))
+    return pd.DataFrame({"event_type": vals})
