@@ -582,3 +582,34 @@ def test_containment_join_freq_order_exact_on_skewed_corpus():
         }
         assert got_pairs == want, f"freq_order={fo}"
         assert tuple(sorted(("d000", "q0"))) in got_pairs
+
+
+@pytest.mark.parametrize("seed", [3, 17, 91])
+def test_containment_join_random_corpora_exact(seed):
+    """Randomized corpora across seeds, including threshold edge 1.0
+    (prefix collapses to a single shingle — recall must still be exact
+    for true-duplicate and true-superset pairs)."""
+    from gocrawler_ray.stages.dedup import containment_join
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"v{i}" for i in range(25)]
+    rows = []
+    for i in range(30):
+        words = list(rng.choice(vocab, size=rng.integers(4, 22)))
+        rows.append({"doc_id": f"d{i:03d}", "text": " ".join(words)})
+    rows.append({"doc_id": "x1", "text": rows[0]["text"]})  # exact dup
+    toks = rows[1]["text"].split()
+    rows.append({"doc_id": "x2", "text": " ".join(toks[:max(4, len(toks) // 2)])})
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(3)
+    for tau in (0.5, 1.0):
+        got = containment_join(ds, threshold=tau, k=3, freq_order=False)
+        got_pairs = set(zip(got["a"], got["b"]))
+        ids = sorted(texts)
+        want = {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1:]
+            if _overlap_brute(texts[a], texts[b], 3) >= tau
+        }
+        assert got_pairs == want, f"seed={seed} tau={tau}"
