@@ -382,6 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_sorted_head": q.q_value_sorted_head,
         "native_group_aggs": q.q_native_group_aggs,
         "native_unique": q.q_native_unique,
+        "containment_dedup": q.q_containment_dedup,
     }
 
 
@@ -5814,5 +5815,39 @@ FROM events GROUP BY 1 ORDER BY 1
 """
     out["native_unique"] = """
 SELECT DISTINCT event_type FROM events ORDER BY 1
+"""
+    # containment dedup survivors: contained-in-strictly-larger dropped,
+    # equal-size pairs drop the larger doc_id
+    out["containment_dedup"] = """
+WITH aug AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id + 30000 AS VARCHAR),
+         array_to_string(
+           string_split(trim(text), ' ')[
+             1:greatest(4, (2 * len(string_split(trim(text), ' '))) // 5)],
+           ' ')
+  FROM documents WHERE doc_id < 10),
+words AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws
+          FROM aug),
+grams AS (SELECT doc_id,
+  CASE WHEN len(ws) <= 3 THEN [array_to_string(ws, ' ')]
+       ELSE list_transform(range(1, len(ws)-1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+  END AS gs FROM words),
+gsets AS (SELECT doc_id, list_distinct(gs) AS gs FROM grams),
+pairs AS (SELECT a.doc_id AS a, len(a.gs) AS na,
+                 b.doc_id AS b, len(b.gs) AS nb,
+                 len(list_intersect(a.gs, b.gs)) * 1.0
+                   / least(len(a.gs), len(b.gs)) AS c
+          FROM gsets a JOIN gsets b ON a.doc_id < b.doc_id),
+drops AS (
+  SELECT DISTINCT CASE WHEN na < nb THEN a
+                       WHEN nb < na THEN b
+                       ELSE greatest(a, b) END AS doc_id
+  FROM pairs WHERE c >= 0.9)
+SELECT doc_id FROM aug
+WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+ORDER BY doc_id
 """
     return out

@@ -16340,3 +16340,61 @@ def q_native_unique(sf_dir: str):
              num_blocks=_n_cpus())
     vals = sorted(ev.unique("event_type"))
     return pd.DataFrame({"event_type": vals})
+
+
+def q_containment_dedup(sf_dir: str):
+    """Containment DEDUP — the survivor set the containment join
+    exists for: over the quote-augmented corpus, any doc whose shingle
+    set is ≥ 0.9-contained in a STRICTLY larger doc's set is dropped
+    (the quote dies, the superset survives); equal-size near-dup pairs
+    drop the larger doc_id (the min-id keeper convention). The pair
+    plane is containment_join (deterministic recall); set sizes come
+    from the pair members ONLY (candidate-bounded fetch); the corpus
+    anti-joins the bounded drop set map-side. Returns surviving
+    doc_ids."""
+    from ..stages.dedup import _candidate_shingle_sets, containment_join
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"],
+               num_blocks=_n_cpus())
+
+    def quotes(t: pa.Table) -> pa.Table:
+        t2 = t.filter(pc.less(t.column("doc_id"), 10))
+        texts = []
+        for x in t2.column("text").to_pylist():
+            toks = (x or "").split()
+            n = max(4, 2 * len(toks) // 5)
+            texts.append(" ".join(toks[:n]))
+        return pa.table({"doc_id": pc.add(t2.column("doc_id"), 30000),
+                         "text": pa.array(texts, pa.string())})
+
+    aug = docs.union(docs.map_batches(quotes, batch_format="pyarrow"))
+    ds = aug.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.string()),
+            "text": t.column("text")}),
+        batch_format="pyarrow")
+    pairs = containment_join(ds, k=3, threshold=0.9, freq_order=False)
+    drop: set = set()
+    if len(pairs):
+        ids = sorted(set(pairs["a"]) | set(pairs["b"]))
+        sets = _candidate_shingle_sets(ds, ids, "text", 3)
+        for a, b in zip(pairs["a"], pairs["b"]):
+            na, nb = sets[a].size, sets[b].size
+            if na < nb:
+                drop.add(a)
+            elif nb < na:
+                drop.add(b)
+            else:
+                drop.add(max(a, b))
+    dref = ray.put(np.array(sorted(drop), dtype=object))
+
+    def keep(t: pa.Table) -> pa.Table:
+        dr = ray.get(dref)
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        if not dr.size:
+            return t.select(["doc_id"])
+        m = ~np.isin(d, dr)
+        return pa.table({"doc_id": pa.array(d[m], pa.string())})
+
+    out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
