@@ -383,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "native_group_aggs": q.q_native_group_aggs,
         "native_unique": q.q_native_unique,
         "containment_dedup": q.q_containment_dedup,
+        "shingle_df_profile": q.q_shingle_df_profile,
     }
 
 
@@ -5849,5 +5850,25 @@ drops AS (
 SELECT doc_id FROM aug
 WHERE doc_id NOT IN (SELECT doc_id FROM drops)
 ORDER BY doc_id
+"""
+    out["shingle_df_profile"] = """
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws
+  FROM documents),
+grams AS (SELECT doc_id,
+  CASE WHEN len(ws) <= 3 THEN [array_to_string(ws, ' ')]
+       ELSE list_transform(range(1, len(ws)-1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+  END AS gs FROM words),
+gd AS (SELECT g, count(DISTINCT doc_id) AS nd
+       FROM grams, UNNEST(list_distinct(gs)) AS t(g) GROUP BY g),
+b AS (SELECT CASE WHEN nd = 1 THEN 0 WHEN nd = 2 THEN 1
+                  WHEN nd <= 10 THEN 2 WHEN nd <= 100 THEN 3
+                  ELSE 4 END AS bkt FROM gd),
+g2 AS (SELECT bkt, count(*) AS n FROM b GROUP BY 1),
+t AS (SELECT sum(n) AS tn FROM g2)
+SELECT CAST(bkt AS BIGINT) AS df_bucket, CAST(n AS BIGINT) AS n_shingles,
+       CAST(n * 1000000 // t.tn AS BIGINT) AS share6
+FROM g2, t ORDER BY df_bucket
 """
     return out

@@ -16398,3 +16398,45 @@ def q_containment_dedup(sf_dir: str):
 
     out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_shingle_df_profile(sf_dir: str):
+    """Shingle document-frequency histogram (3-grams; buckets 1, 2,
+    3-10, 11-100, 100+) — the measured skew profile behind the
+    freq_order design decision in the near-dup joins (BASELINE.md's
+    'this corpus' shingle df is FLAT' claim, now hash-gated instead of
+    asserted): a Zipfian bucket tail says turn hot-shingle prefix
+    reordering ON, a flat one says the pass is pure cost. Per-batch
+    distinct-doc gram partials (sum-exact because a doc lives in one
+    row) combine under the repeated_ngrams cap; the histogram close is
+    5 integers."""
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"],
+               num_blocks=_n_cpus())
+    n = 3
+
+    def gram_doc_partial(t: pa.Table) -> pd.DataFrame:
+        flat, di = _flat_tokens(t.column("text").to_pandas())
+        grams, gdi = _word_ngram_hashes(flat, di, n)
+        if len(grams) == 0:
+            return pd.DataFrame({"g": pd.Series([], dtype=np.int64),
+                                 "nd": pd.Series([], dtype=np.int64)})
+        pairs = pd.DataFrame({"g": grams, "d": gdi})
+        nd = pairs.drop_duplicates().groupby("g", as_index=False).size()
+        return nd.rename(columns={"size": "nd"})
+
+    partials = docs.map_batches(gram_doc_partial, batch_format="pyarrow")
+    counts = _combine_partials(partials, ["g"], ["nd"], cap=5_000_000)
+    if counts is None:  # pragma: no cover - gram domain past the cap
+        summed = partials.groupby("g").sum("nd").to_pandas()
+        counts = summed.rename(columns={"sum(nd)": "nd"})
+    nd = counts["nd"].to_numpy(np.int64)
+    bkt = np.select([nd == 1, nd == 2, nd <= 10, nd <= 100],
+                    [0, 1, 2, 3], default=4)
+    g = (pd.DataFrame({"df_bucket": bkt.astype(np.int64),
+                       "n_shingles": np.int64(1)})
+         .groupby("df_bucket", as_index=False).sum())
+    g = g.sort_values("df_bucket").reset_index(drop=True)
+    tot = int(g["n_shingles"].sum())
+    g["share6"] = (g["n_shingles"].astype(np.int64) * 10**6 // tot)
+    return g.astype({"df_bucket": np.int64, "n_shingles": np.int64,
+                     "share6": np.int64})
