@@ -384,6 +384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "native_unique": q.q_native_unique,
         "containment_dedup": q.q_containment_dedup,
         "shingle_df_profile": q.q_shingle_df_profile,
+        "vocab_growth": q.q_vocab_growth,
     }
 
 
@@ -5870,5 +5871,18 @@ t AS (SELECT sum(n) AS tn FROM g2)
 SELECT CAST(bkt AS BIGINT) AS df_bucket, CAST(n AS BIGINT) AS n_shingles,
        CAST(n * 1000000 // t.tn AS BIGINT) AS share6
 FROM g2, t ORDER BY df_bucket
+"""
+    out["vocab_growth"] = """
+WITH tm AS (
+  SELECT w AS tok, min(doc_id) AS mn
+  FROM (SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS w
+        FROM documents) GROUP BY w),
+nn2 AS (SELECT count(*) AS n FROM documents),
+ps AS (SELECT unnest([10, 25, 50, 100]) AS pct)
+SELECT CAST(ps.pct AS BIGINT) AS pct,
+       CAST(nn2.n * ps.pct // 100 AS BIGINT) AS n_docs,
+       CAST((SELECT count(*) FROM tm
+             WHERE tm.mn < nn2.n * ps.pct // 100) AS BIGINT) AS vocab
+FROM ps, nn2 ORDER BY pct
 """
     return out

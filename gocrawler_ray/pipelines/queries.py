@@ -16440,3 +16440,42 @@ def q_shingle_df_profile(sf_dir: str):
     g["share6"] = (g["n_shingles"].astype(np.int64) * 10**6 // tot)
     return g.astype({"df_bucket": np.int64, "n_shingles": np.int64,
                      "share6": np.int64})
+
+
+def q_vocab_growth(sf_dir: str):
+    """Heaps'-law measurement: vocabulary size after 10/25/50/100 % of
+    the corpus (by doc_id order) — the growth curve behind the
+    'vocabulary stays broadcastable at 100 TB' claim the LM/vocab
+    broadcasts rely on (unigram_logprob, doc_frequency), measured
+    instead of asserted. ONE pass: each token's MINIMUM doc_id
+    (vocab-bounded (token, min) partials, driver min-combine); each
+    prefix's vocabulary is then a searchsorted count — no second
+    scan."""
+    n_docs = _doc_count(sf_dir)
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"],
+               num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        flat, di = _flat_tokens(t.column("text").to_pandas())
+        if not len(flat):
+            return pd.DataFrame({"tok": pd.Series([], dtype=object),
+                                 "mn": pd.Series([], dtype=np.int64)})
+        ids = (t.column("doc_id").to_numpy(zero_copy_only=False)
+               .astype(np.int64))[di]
+        df = pd.DataFrame({"tok": flat, "mn": ids})
+        return df.groupby("tok", as_index=False)["mn"].min()
+
+    frames = list(docs.map_batches(partial, batch_format="pyarrow")
+                  .iter_batches(batch_size=65536,
+                                batch_format="pandas"))
+    toks = pd.concat(frames, ignore_index=True)
+    mins = toks.groupby("tok")["mn"].min().to_numpy(np.int64)
+    mins.sort()
+    rows = []
+    for pct in (10, 25, 50, 100):
+        thr = n_docs * pct // 100
+        rows.append({"pct": pct, "n_docs": thr,
+                     "vocab": int(np.searchsorted(mins, thr))})
+    return pd.DataFrame(rows).astype({"pct": np.int64,
+                                      "n_docs": np.int64,
+                                      "vocab": np.int64})
