@@ -16465,10 +16465,22 @@ def q_vocab_growth(sf_dir: str):
         df = pd.DataFrame({"tok": flat, "mn": ids})
         return df.groupby("tok", as_index=False)["mn"].min()
 
-    frames = list(docs.map_batches(partial, batch_format="pyarrow")
-                  .iter_batches(batch_size=65536,
-                                batch_format="pandas"))
-    toks = pd.concat(frames, ignore_index=True)
+    # incremental min-compaction: the gather never holds more than
+    # ~2 compaction windows of (token, min) rows (vocab-bounded by
+    # Heaps' law — the very claim this query measures)
+    acc: pd.DataFrame | None = None
+    pending: list[pd.DataFrame] = []
+    pend_rows = 0
+    for b in docs.map_batches(partial, batch_format="pyarrow")                  .iter_batches(batch_size=65536, batch_format="pandas"):
+        pending.append(b)
+        pend_rows += len(b)
+        if pend_rows >= 500_000:
+            chunk = pd.concat(([acc] if acc is not None else [])
+                              + pending, ignore_index=True)
+            acc = chunk.groupby("tok", as_index=False)["mn"].min()
+            pending, pend_rows = [], 0
+    toks = pd.concat(([acc] if acc is not None else []) + pending,
+                     ignore_index=True)
     mins = toks.groupby("tok")["mn"].min().to_numpy(np.int64)
     mins.sort()
     rows = []
