@@ -385,6 +385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_dedup": q.q_containment_dedup,
         "shingle_df_profile": q.q_shingle_df_profile,
         "vocab_growth": q.q_vocab_growth,
+        "span_ref_integrity": q.q_span_ref_integrity,
     }
 
 
@@ -5884,5 +5885,26 @@ SELECT CAST(ps.pct AS BIGINT) AS pct,
        CAST((SELECT count(*) FROM tm
              WHERE tm.mn < nn2.n * ps.pct // 100) AS BIGINT) AS vocab
 FROM ps, nn2 ORDER BY pct
+"""
+    # refs: media spans 1 each, link spans 3 per norm doc, all valid
+    # https; every other kind refless
+    out["span_ref_integrity"] = _BFS_CTE + """,
+reach AS (SELECT node AS doc_id FROM r GROUP BY node),
+d AS (SELECT doc.doc_id FROM documents doc JOIN reach USING (doc_id)),
+norm AS (SELECT count(*) AS n FROM d WHERE doc_id % 37 != 3),
+cap AS (SELECT count(*) AS n FROM d WHERE doc_id % 37 = 3),
+k AS (
+  SELECT 'text' AS kind, 3 * norm.n AS s, 0 AS wr, 0 AS vr FROM norm
+  UNION ALL SELECT 'detail', n, 0, 0 FROM norm
+  UNION ALL SELECT 'price', n, 0, 0 FROM norm
+  UNION ALL SELECT 'review', n, 0, 0 FROM norm
+  UNION ALL SELECT 'meta', 2 * n, 0, 0 FROM norm
+  UNION ALL SELECT 'media', n, n, n FROM norm
+  UNION ALL SELECT 'link', 3 * n, 3 * n, 3 * n FROM norm
+  UNION ALL SELECT 'captcha', n, 0, 0 FROM cap)
+SELECT kind, CAST(s AS BIGINT) AS n_spans,
+       CAST(wr AS BIGINT) AS n_with_ref,
+       CAST(vr AS BIGINT) AS n_ref_valid
+FROM k WHERE s > 0 ORDER BY kind
 """
     return out

@@ -16491,3 +16491,46 @@ def q_vocab_growth(sf_dir: str):
     return pd.DataFrame(rows).astype({"pct": np.int64,
                                       "n_docs": np.int64,
                                       "vocab": np.int64})
+
+
+def q_span_ref_integrity(sf_dir: str):
+    """media_ref integrity over the interleaved payload: per span
+    kind, how many spans carry a non-empty ref and how many of those
+    parse as well-formed https URLs — the payload-contract audit for
+    the `spans: list<struct<kind,text,media_ref,offset>>` schema (the
+    input_hint's one typed side-channel): media and link spans must
+    ALL carry valid refs, every other kind none. Zero-copy explode +
+    one vectorized prefix check; kind-bounded combine."""
+    ckpt = _derived_crawl_ckpt(sf_dir)
+    from ..sources.tables import read_dataset
+
+    docs = read_dataset(os.path.join(ckpt, "docs"), columns=["spans"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        spans = t.column("spans").combine_chunks()
+        flat = pc.list_flatten(spans)
+        if not len(flat):
+            return pd.DataFrame({
+                "kind": pd.Series([], dtype=str),
+                "n_spans": pd.Series([], dtype=np.int64),
+                "n_with_ref": pd.Series([], dtype=np.int64),
+                "n_ref_valid": pd.Series([], dtype=np.int64)})
+        refs = flat.field("media_ref")
+        nonempty = pc.not_equal(pc.fill_null(refs, ""), "")
+        valid = pc.and_(nonempty, pc.starts_with(
+            pc.fill_null(refs, ""), "https://"))
+        return (pd.DataFrame({
+            "kind": flat.field("kind").to_numpy(zero_copy_only=False),
+            "n_spans": np.int64(1),
+            "n_with_ref": nonempty.to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "n_ref_valid": valid.to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+            .groupby("kind", as_index=False).sum())
+
+    g = _combine_partials(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["kind"], ["n_spans", "n_with_ref", "n_ref_valid"])
+    g = g.sort_values("kind").reset_index(drop=True)
+    return g.astype({"n_spans": np.int64, "n_with_ref": np.int64,
+                     "n_ref_valid": np.int64})
