@@ -386,6 +386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shingle_df_profile": q.q_shingle_df_profile,
         "vocab_growth": q.q_vocab_growth,
         "span_ref_integrity": q.q_span_ref_integrity,
+        "wave_bytes": q.q_wave_bytes,
     }
 
 
@@ -5906,5 +5907,45 @@ SELECT kind, CAST(s AS BIGINT) AS n_spans,
        CAST(wr AS BIGINT) AS n_with_ref,
        CAST(vr AS BIGINT) AS n_ref_valid
 FROM k WHERE s > 0 ORDER BY kind
+"""
+    # per-wave codepoint totals from the synthesis length formulas
+    out["wave_bytes"] = _BFS_CTE + """,
+mindepth AS (SELECT node, MIN(depth) AS depth FROM r GROUP BY node),
+nn2 AS (SELECT count(*) AS n FROM documents),
+dd AS (SELECT doc.*, m.depth AS wave
+       FROM documents doc JOIN mindepth m ON m.node = doc.doc_id),
+link_chars AS (
+  SELECT d0.doc_id,
+         SUM(1 + length(CAST((v.a * d0.doc_id + v.b) % nn2.n
+                             AS VARCHAR))) AS chars
+  FROM dd d0, nn2, (VALUES (7, 1), (13, 2), (29, 5)) v(a, b)
+  WHERE d0.doc_id % 37 != 3
+  GROUP BY d0.doc_id),
+per_doc AS (
+  SELECT dd.wave,
+         CASE WHEN dd.doc_id % 37 = 3
+              THEN 20 + length(CAST(dd.doc_id AS VARCHAR))
+              ELSE
+           (10 + length(CAST(dd.doc_id AS VARCHAR)))
+         + (6 + length(dd.source)) + length(dd.text)
+         + (6 + length(dd.lang))
+         + (12 + length(CAST(dd.n_chars AS VARCHAR)))
+         + (4 + length(CAST(dd.doc_id AS VARCHAR))) + 7
+         + (8 + length(CAST(dd.doc_id AS VARCHAR)))
+         + (CASE WHEN dd.doc_id % 3 = 0
+                 THEN 10 + length(CAST(dd.doc_id AS VARCHAR))
+                 ELSE length(dd.source) + 8
+                      + length(CAST(dd.doc_id AS VARCHAR)) END)
+         + (29 + length(CAST(dd.doc_id % 28 + 1 AS VARCHAR))) + 4
+         + (13 + length(CAST(dd.doc_id AS VARCHAR)) + length(dd.lang))
+         + (33 + length(CAST(dd.doc_id AS VARCHAR)))
+         + 8
+         + COALESCE(lc.chars, 0)
+         END AS chars
+  FROM dd LEFT JOIN link_chars lc USING (doc_id))
+SELECT CAST(wave AS BIGINT) AS wave,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(chars) AS BIGINT) AS sum_chars
+FROM per_doc GROUP BY wave ORDER BY wave
 """
     return out

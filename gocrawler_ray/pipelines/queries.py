@@ -16534,3 +16534,44 @@ def q_span_ref_integrity(sf_dir: str):
     g = g.sort_values("kind").reset_index(drop=True)
     return g.astype({"n_spans": np.int64, "n_with_ref": np.int64,
                      "n_ref_valid": np.int64})
+
+
+def q_wave_bytes(sf_dir: str):
+    """Crawl bandwidth curve: total text codepoints fetched per BFS
+    wave (all spans of every page first fetched that wave) — the
+    ingest-volume number a capacity plan reads next to wave_branching's
+    page counts (pages and bytes diverge when captcha walls or short
+    pages cluster in a wave). Zero-copy spans explode; depth-bounded
+    combine; the oracle rebuilds every synthesis length formula per
+    wave."""
+    ckpt = _derived_crawl_ckpt(sf_dir)
+    from ..sources.tables import read_dataset
+
+    docs = read_dataset(os.path.join(ckpt, "docs"),
+                        columns=["depth", "spans"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        spans = t.column("spans").combine_chunks()
+        flat = pc.list_flatten(spans)
+        n_spans = pc.list_value_length(spans).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        row_of = np.repeat(np.arange(len(t), dtype=np.int64), n_spans)
+        depth = (t.column("depth").to_numpy(zero_copy_only=False)
+                 .astype(np.int64))
+        if len(flat):
+            chars = pc.utf8_length(flat.field("text")).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            per_row = np.bincount(row_of, weights=chars,
+                                  minlength=len(t)).astype(np.int64)
+        else:
+            per_row = np.zeros(len(t), dtype=np.int64)
+        return (pd.DataFrame({"wave": depth, "n_pages": np.int64(1),
+                              "sum_chars": per_row})
+                .groupby("wave", as_index=False).sum())
+
+    g = _combine_partials(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["wave"], ["n_pages", "sum_chars"])
+    g = g.sort_values("wave").reset_index(drop=True)
+    return g.astype({"wave": np.int64, "n_pages": np.int64,
+                     "sum_chars": np.int64})
