@@ -387,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": q.q_vocab_growth,
         "span_ref_integrity": q.q_span_ref_integrity,
         "wave_bytes": q.q_wave_bytes,
+        "crawl_critical_path": q.q_crawl_critical_path,
     }
 
 
@@ -5947,5 +5948,23 @@ SELECT CAST(wave AS BIGINT) AS wave,
        CAST(count(*) AS BIGINT) AS n_pages,
        CAST(sum(chars) AS BIGINT) AS sum_chars
 FROM per_doc GROUP BY wave ORDER BY wave
+"""
+    # per-wave makespan + bottleneck host from the closed form
+    out["crawl_critical_path"] = _BFS_CTE + """,
+mindepth AS (SELECT node, MIN(depth) AS depth FROM r GROUP BY node),
+hcfg AS (SELECT * FROM (VALUES
+  ('www.synthd0.mx', 100, 50), ('www.synthd1.mx', 200, 60),
+  ('www.synthd2.mx', 300, 70)) v(host, d, l)),
+g AS (SELECT depth AS wave,
+             'www.synthd' || CAST(node % 3 AS VARCHAR) || '.mx' AS host,
+             count(*) AS n
+      FROM mindepth GROUP BY 1, 2),
+m AS (SELECT g.wave, g.host, (g.n - 1) * h.d + h.l AS makespan
+      FROM g JOIN hcfg h USING (host)),
+rk AS (SELECT *, row_number() OVER (
+         PARTITION BY wave ORDER BY makespan DESC, host) AS r FROM m)
+SELECT CAST(wave AS BIGINT) AS wave, host AS bottleneck_host,
+       CAST(makespan AS BIGINT) AS makespan_ms
+FROM rk WHERE r = 1 ORDER BY wave
 """
     return out

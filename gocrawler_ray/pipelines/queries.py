@@ -16575,3 +16575,43 @@ def q_wave_bytes(sf_dir: str):
     g = g.sort_values("wave").reset_index(drop=True)
     return g.astype({"wave": np.int64, "n_pages": np.int64,
                      "sum_chars": np.int64})
+
+
+def q_crawl_critical_path(sf_dir: str):
+    """The politeness-bound crawl duration model: per wave, the
+    makespan (slowest host's last virtual end time) and WHICH host is
+    the bottleneck (ties to the smaller host name) — the critical-path
+    view that says where raising max_parallel or splitting a host
+    would actually shorten the crawl, plus the total across waves.
+    Same single hive scan as politeness_schedule_audit; per-wave
+    argmax over the host-bounded grid."""
+    ckpt = _derived_crawl_ckpt(sf_dir)
+    from ..sources.tables import read_dataset
+
+    ds = read_dataset(os.path.join(ckpt, "schedule"),
+                      columns=["url", "sched_end_ms", "wave"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        urls = t.column("url").to_numpy(zero_copy_only=False)
+        host = np.array([u.split("://", 1)[1].split("/", 1)[0]
+                         for u in urls], dtype=object)
+        return (pd.DataFrame({
+            "wave": t.column("wave").to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "host": host,
+            "end_ms": t.column("sched_end_ms").to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+            .groupby(["wave", "host"], as_index=False)["end_ms"].max())
+
+    parts = pd.concat(
+        list(ds.map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_size=65536, batch_format="pandas")),
+        ignore_index=True)
+    g = parts.groupby(["wave", "host"], as_index=False)["end_ms"].max()
+    g = g.sort_values(["wave", "end_ms", "host"],
+                      ascending=[True, False, True])
+    top = g.groupby("wave", as_index=False).first().rename(
+        columns={"host": "bottleneck_host", "end_ms": "makespan_ms"})
+    top = top.sort_values("wave").reset_index(drop=True)
+    return top.astype({"wave": np.int64, "makespan_ms": np.int64})[
+        ["wave", "bottleneck_host", "makespan_ms"]]
