@@ -388,6 +388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_ref_integrity": q.q_span_ref_integrity,
         "wave_bytes": q.q_wave_bytes,
         "crawl_critical_path": q.q_crawl_critical_path,
+        "refetch_tiers": q.q_refetch_tiers,
     }
 
 
@@ -5966,5 +5967,27 @@ rk AS (SELECT *, row_number() OVER (
 SELECT CAST(wave AS BIGINT) AS wave, host AS bottleneck_host,
        CAST(makespan AS BIGINT) AS makespan_ms
 FROM rk WHERE r = 1 ORDER BY wave
+"""
+    # in-degree tercile tiers: per in-degree value, its block of ranks
+    # lands in one tier iff the BLOCK START is below the cut
+    out["refetch_tiers"] = _EDGES_CTE + """,
+ind AS (SELECT dst AS node, count(*) AS d FROM edges GROUP BY 1),
+alln AS (SELECT doc_id AS node, COALESCE(ind.d, 0) AS d
+         FROM documents LEFT JOIN ind ON ind.node = documents.doc_id),
+h AS (SELECT d, count(*) AS c FROM alln GROUP BY d),
+o AS (SELECT *, SUM(c) OVER (ORDER BY d
+                             ROWS UNBOUNDED PRECEDING) - c AS lo_rank
+      FROM h),
+t AS (SELECT d, c,
+             CASE WHEN lo_rank < (SELECT count(*) FROM alln) // 3 THEN 2
+                  WHEN lo_rank < 2 * (SELECT count(*) FROM alln) // 3
+                    THEN 1
+                  ELSE 0 END AS tier
+      FROM o)
+SELECT CAST(tier AS BIGINT) AS tier,
+       CAST(sum(c) AS BIGINT) AS n_pages,
+       CAST(min(d) AS BIGINT) AS min_indegree,
+       CAST(max(d) AS BIGINT) AS max_indegree
+FROM t GROUP BY tier ORDER BY tier
 """
     return out

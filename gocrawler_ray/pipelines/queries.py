@@ -16615,3 +16615,60 @@ def q_crawl_critical_path(sf_dir: str):
     top = top.sort_values("wave").reset_index(drop=True)
     return top.astype({"wave": np.int64, "makespan_ms": np.int64})[
         ["wave", "bottleneck_host", "makespan_ms"]]
+
+
+def q_refetch_tiers(sf_dir: str):
+    """Recrawl freshness tiering: split pages into three refetch tiers
+    by link in-degree terciles (rank cuts at n/3 and 2n/3 over the
+    (in_degree, node) order — the authority-based schedule where hub
+    pages refresh daily and leaves monthly). The in-degree histogram
+    is DOMAIN-bounded (fan-in ≤ a few dozen on any web-shaped graph),
+    so the tercile thresholds close exactly from bounded count
+    partials — no global sort; the tier census is a second pass over
+    the same histogram."""
+    from ..stages.graph import edges_dataset
+
+    n = _doc_count(sf_dir)
+    parts = _shuffle_partitions(4 * n)
+    docs = _pq(sf_dir, "documents", columns=["doc_id"], num_blocks=parts)
+    edges = edges_dataset(docs, n)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        dst = t.column("dst").to_numpy(zero_copy_only=False)
+        vc = pd.Series(dst).value_counts()
+        return pd.DataFrame({"node": vc.index.to_numpy(np.int64),
+                             "ind": vc.to_numpy(np.int64)})
+
+    per_node = _combine_partials(
+        edges.map_batches(partial, batch_format="pyarrow"),
+        ["node"], ["ind"])
+    # zero-in-degree pages exist too (n nodes total)
+    n_zero = n - len(per_node)
+    hist = per_node.groupby("ind").size().to_dict()
+    if n_zero:
+        hist[0] = hist.get(0, 0) + n_zero
+    # rank cuts over (in_degree asc) order
+    cut1, cut2 = n // 3, 2 * n // 3
+    rows = []
+    cum = 0
+    tier_of_ind = {}
+    for ind in sorted(hist):
+        lo_rank = cum
+        cum += hist[ind]
+        tier_of_ind[ind] = (2 if lo_rank < cut1
+                            else (1 if lo_rank < cut2 else 0))
+    # tier 0 = hubs (highest in-degree block), 2 = leaves
+    cen: dict = {}
+    for ind, c in hist.items():
+        t_ = tier_of_ind[ind]
+        d = cen.setdefault(t_, [0, None, None])
+        d[0] += c
+        d[1] = ind if d[1] is None else min(d[1], ind)
+        d[2] = ind if d[2] is None else max(d[2], ind)
+    for t_ in sorted(cen):
+        c, mn, mx = cen[t_]
+        rows.append({"tier": t_, "n_pages": c,
+                     "min_indegree": mn, "max_indegree": mx})
+    return pd.DataFrame(rows).astype(
+        {c: np.int64 for c in ["tier", "n_pages", "min_indegree",
+                               "max_indegree"]})
