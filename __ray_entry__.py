@@ -389,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wave_bytes": q.q_wave_bytes,
         "crawl_critical_path": q.q_crawl_critical_path,
         "refetch_tiers": q.q_refetch_tiers,
+        "top_discoverers": q.q_top_discoverers,
     }
 
 
@@ -5989,5 +5990,16 @@ SELECT CAST(tier AS BIGINT) AS tier,
        CAST(min(d) AS BIGINT) AS min_indegree,
        CAST(max(d) AS BIGINT) AS max_indegree
 FROM t GROUP BY tier ORDER BY tier
+"""
+    out["top_discoverers"] = _BFS_CTE + """,
+mindepth AS (SELECT node, MIN(depth) AS depth FROM r GROUP BY node),
+e2 AS (SELECT e.src, count(*) AS n
+       FROM edges e
+       JOIN mindepth ms ON e.src = ms.node
+       JOIN mindepth md ON e.dst = md.node
+       WHERE md.depth = ms.depth + 1
+       GROUP BY e.src)
+SELECT CAST(src AS BIGINT) AS src, CAST(n AS BIGINT) AS n_discovered
+FROM e2 ORDER BY n DESC, src LIMIT 20
 """
     return out

@@ -16672,3 +16672,80 @@ def q_refetch_tiers(sf_dir: str):
     return pd.DataFrame(rows).astype(
         {c: np.int64 for c in ["tier", "n_pages", "min_indegree",
                                "max_indegree"]})
+
+
+def q_top_discoverers(sf_dir: str):
+    """Discovery attribution: the 20 pages whose out-links pointed at
+    the most NEXT-wave pages (edges with dst first fetched exactly one
+    wave after src) — the 'productive hub' list a seed-selection pass
+    reads (link_degrees counts all links; this counts only the ones
+    that actually grew the frontier). Same packed edge stream + depth
+    attach as link_wave_locality; per-src partials pre-reduce per
+    batch and the shortlist closes by partial top-k."""
+    ckpt = _derived_crawl_ckpt(sf_dir)
+    from ..sources.tables import read_dataset
+
+    docs = read_dataset(os.path.join(ckpt, "docs"),
+                        columns=["url", "depth", "spans"])
+
+    def _ids_of(urls: np.ndarray) -> np.ndarray:
+        return np.array([int(u[-13:]) - 10**12 for u in urls],
+                        dtype=np.int64)
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        spans = t.column("spans").combine_chunks()
+        flat = pc.list_flatten(spans)
+        n_spans = pc.list_value_length(spans).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        row_of = np.repeat(np.arange(len(t), dtype=np.int64), n_spans)
+        if len(flat):
+            is_link = pc.equal(flat.field("kind"), "link").to_numpy(
+                zero_copy_only=False)
+            refs = flat.field("media_ref").to_numpy(
+                zero_copy_only=False)[is_link]
+            rows = row_of[is_link]
+        else:
+            refs = np.array([], dtype=object)
+            rows = np.array([], dtype=np.int64)
+        src = _ids_of(t.column("url").to_numpy(
+            zero_copy_only=False))[rows]
+        sd = (t.column("depth").to_numpy(zero_copy_only=False)
+              .astype(np.int64))[rows]
+        return pa.table({
+            "src": pa.array(src, pa.int64()),
+            "src_depth": pa.array(sd, pa.int64()),
+            "dst_id": pa.array(_ids_of(refs), pa.int64())})
+
+    def depth_rows(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(_ids_of(urls), pa.int64()),
+            "dst_depth": pc.cast(t.column("depth"), pa.int64())})
+
+    edges = docs.map_batches(edge_rows, batch_format="pyarrow")
+    depth_ds = docs.map_batches(depth_rows, batch_format="pyarrow")
+    attached = _broadcast_fact_attach(edges, depth_ds, "dst_id",
+                                      "doc_id", ["dst_depth"])
+    if attached is None:  # pragma: no cover - node map past the cap
+        attached = edges.join(
+            depth_ds, join_type="inner",
+            num_partitions=_shuffle_partitions(
+                _row_count(sf_dir, "documents")),
+            on=("dst_id",), right_on=("doc_id",))
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        sd = t.column("src_depth").to_numpy(zero_copy_only=False)
+        dd = t.column("dst_depth").to_numpy(zero_copy_only=False)
+        m = dd == sd + 1
+        vc = pd.Series(src[m]).value_counts()
+        return pd.DataFrame({"src": vc.index.to_numpy(np.int64),
+                             "n_discovered": vc.to_numpy(np.int64)})
+
+    g = _combine_partials(
+        attached.map_batches(partial, batch_format="pyarrow"),
+        ["src"], ["n_discovered"])
+    g = g.sort_values(["n_discovered", "src"],
+                      ascending=[False, True]).head(20).reset_index(
+        drop=True)
+    return g.astype({"src": np.int64, "n_discovered": np.int64})
