@@ -390,6 +390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_critical_path": q.q_crawl_critical_path,
         "refetch_tiers": q.q_refetch_tiers,
         "top_discoverers": q.q_top_discoverers,
+        "seed_coverage": q.q_seed_coverage,
     }
 
 
@@ -6001,5 +6002,35 @@ e2 AS (SELECT e.src, count(*) AS n
        GROUP BY e.src)
 SELECT CAST(src AS BIGINT) AS src, CAST(n AS BIGINT) AS n_discovered
 FROM e2 ORDER BY n DESC, src LIMIT 20
+"""
+    # reach from seed 0 alone vs the two-seed crawl
+    out["seed_coverage"] = """
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (7*doc_id+1) % nn.n AS dst
+  FROM documents, nn WHERE doc_id % 37 != 3
+  UNION ALL SELECT doc_id, (13*doc_id+2) % nn.n
+  FROM documents, nn WHERE doc_id % 37 != 3
+  UNION ALL SELECT doc_id, (29*doc_id+5) % nn.n
+  FROM documents, nn WHERE doc_id % 37 != 3
+),
+r(node, depth) AS (
+  SELECT * FROM (VALUES (CAST(0 AS BIGINT), 0), (CAST(1 AS BIGINT), 0))
+  UNION
+  SELECT e.dst, r.depth + 1 FROM r JOIN edges e ON e.src = r.node
+  WHERE r.depth < 20),
+r0(node, depth) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, r0.depth + 1 FROM r0 JOIN edges e ON e.src = r0.node
+  WHERE r0.depth < 64),
+b AS (SELECT count(DISTINCT node) AS nb FROM r),
+s0 AS (SELECT count(DISTINCT node) AS n0 FROM r0)
+SELECT CAST(b.nb AS BIGINT) AS n_reach_both,
+       CAST(s0.n0 AS BIGINT) AS n_reach_seed0,
+       CAST(b.nb - s0.n0 AS BIGINT) AS n_at_risk,
+       CAST((b.nb - s0.n0) * 1000000 // b.nb AS BIGINT)
+         AS at_risk_share6
+FROM b, s0
 """
     return out

@@ -16749,3 +16749,32 @@ def q_top_discoverers(sf_dir: str):
                       ascending=[False, True]).head(20).reset_index(
         drop=True)
     return g.astype({"src": np.int64, "n_discovered": np.int64})
+
+
+def q_seed_coverage(sf_dir: str):
+    """Seed-robustness census: how much of the crawl's reach survives
+    if seed 1 is lost — pages reachable from seed 0 alone vs the
+    two-seed crawl, and the at-risk share (the number that justifies
+    seed diversity before a domain migration kills a seed URL).
+    Reuses the BFS-distance sweep from seed 0 (bfs_distances' plan)
+    and the crawl checkpoint's census for the two-seed reach;
+    3-integer close."""
+    from .queries import q_bfs_distances  # self-import for clarity
+
+    dist = q_bfs_distances(sf_dir)
+    if isinstance(dist, rd.Dataset):  # pragma: no cover
+        dist = dist.to_pandas()
+    n_seed0 = int((dist["dist"].to_numpy() >= 0).sum())
+
+    ckpt = _derived_crawl_ckpt(sf_dir)
+    from ..sources.tables import read_dataset
+
+    n_both = read_dataset(os.path.join(ckpt, "docs"),
+                          columns=["depth"]).count()
+    at_risk = n_both - n_seed0
+    return pd.DataFrame({
+        "n_reach_both": [np.int64(n_both)],
+        "n_reach_seed0": [np.int64(n_seed0)],
+        "n_at_risk": [np.int64(at_risk)],
+        "at_risk_share6": [np.int64(at_risk * 10**6 // n_both
+                                    if n_both else 0)]})
