@@ -16759,8 +16759,6 @@ def q_seed_coverage(sf_dir: str):
     Reuses the BFS-distance sweep from seed 0 (bfs_distances' plan)
     and the crawl checkpoint's census for the two-seed reach;
     3-integer close."""
-    from .queries import q_bfs_distances  # self-import for clarity
-
     dist = q_bfs_distances(sf_dir)
     if isinstance(dist, rd.Dataset):  # pragma: no cover
         dist = dist.to_pandas()
