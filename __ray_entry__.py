@@ -391,6 +391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "refetch_tiers": q.q_refetch_tiers,
         "top_discoverers": q.q_top_discoverers,
         "seed_coverage": q.q_seed_coverage,
+        "canonical_collisions": q.q_canonical_collisions,
     }
 
 
@@ -6032,5 +6033,21 @@ SELECT CAST(b.nb AS BIGINT) AS n_reach_both,
        CAST((b.nb - s0.n0) * 1000000 // b.nb AS BIGINT)
          AS at_risk_share6
 FROM b, s0
+"""
+    # raw spellings vs distinct canonical forms over the messy fixture
+    out["canonical_collisions"] = """
+WITH norm AS (
+  SELECT CASE doc_id % 4
+    WHEN 0 THEN 'https://www.mixup.com.mx/Mixup/detproducto.aspx?sku='
+                || doc_id
+    WHEN 1 THEN 'https://www.synthd1.mx:8080/shop/Home.aspx'
+    WHEN 2 THEN 'http://news.site.mx/'
+    ELSE 'https://shop.example.mx/p?q=' || doc_id END AS u
+  FROM documents)
+SELECT CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(count(DISTINCT u) AS BIGINT) AS n_canonical,
+       CAST((count(*) - count(DISTINCT u)) * 1000000 // count(*)
+            AS BIGINT) AS inflation6
+FROM norm
 """
     return out

@@ -16776,3 +16776,48 @@ def q_seed_coverage(sf_dir: str):
         "n_at_risk": [np.int64(at_risk)],
         "at_risk_share6": [np.int64(at_risk * 10**6 // n_both
                                     if n_both else 0)]})
+
+
+def q_canonical_collisions(sf_dir: str):
+    """Frontier inflation from URL spelling variants: over the messy
+    fixture, how many RAW spellings collapse to the same canonical
+    form after normalization — the quantified version of the problem
+    url_normalize exists to solve (one page entering the URL-seen set
+    under several spellings burns seen-set memory AND politeness
+    budget). The distinct count runs through the exact pair-bucket
+    plane (stages/aggregates.count_distinct); 3-integer close."""
+    from ..functions.urls import normalize_urls
+    from ..stages.aggregates import count_distinct
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        urls = np.empty(len(ids), dtype=object)
+        for j, d in enumerate(ids):
+            m = d % 4
+            if m == 0:
+                urls[j] = ("HTTPS://WWW.MixUp.COM.MX:443/Mixup/"
+                           f"detproducto.aspx?sku={d}#ref")
+            elif m == 1:
+                urls[j] = (f"https://www.synthd1.mx:8080/shop/"
+                           f"Home.aspx#frag{d}")
+            elif m == 2:
+                urls[j] = f"HTTP://News.Site.MX:80#top{d}"
+            else:
+                urls[j] = f"https://shop.example.mx/p?q={d}"
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    ds = docs.map_batches(build, batch_format="pyarrow").map_batches(
+        lambda t: pa.table({
+            "k": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+            "u": normalize_urls(t.column("url"))}),
+        batch_format="pyarrow")
+    n_raw = _doc_count(sf_dir)
+    nd = count_distinct(ds, key_col="k", value_col="u").to_pandas()
+    n_canon = int(nd["n_distinct"].iloc[0]) if len(nd) else 0
+    return pd.DataFrame({
+        "n_raw": [np.int64(n_raw)],
+        "n_canonical": [np.int64(n_canon)],
+        "inflation6": [np.int64((n_raw - n_canon) * 10**6 // n_raw
+                               if n_raw else 0)]})
