@@ -392,6 +392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_discoverers": q.q_top_discoverers,
         "seed_coverage": q.q_seed_coverage,
         "canonical_collisions": q.q_canonical_collisions,
+        "order_status_mix": q.q_order_status_mix,
     }
 
 
@@ -6049,5 +6050,15 @@ SELECT CAST(count(*) AS BIGINT) AS n_raw,
        CAST((count(*) - count(DISTINCT u)) * 1000000 // count(*)
             AS BIGINT) AS inflation6
 FROM norm
+"""
+    out["order_status_mix"] = """
+WITH g AS (SELECT year(o_orderdate) AS year, o_orderstatus AS status,
+                  count(*) AS n
+           FROM orders GROUP BY 1, 2)
+SELECT CAST(year AS BIGINT) AS year, status,
+       CAST(n AS BIGINT) AS n_orders,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY year) AS BIGINT)
+         AS year_share6
+FROM g ORDER BY year, status
 """
     return out

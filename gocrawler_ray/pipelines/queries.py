@@ -16821,3 +16821,34 @@ def q_canonical_collisions(sf_dir: str):
         "n_canonical": [np.int64(n_canon)],
         "inflation6": [np.int64((n_raw - n_canon) * 10**6 // n_raw
                                if n_raw else 0)]})
+
+
+def q_order_status_mix(sf_dir: str):
+    """Order-status composition by order year: per (year, status),
+    order count and within-year share — the fulfilment-state census
+    over time (a rising year-over-year open share is the backlog
+    alarm backlog_aging details). One (year × status)-bounded
+    partial; integer-floor shares."""
+    orders = _pq(sf_dir, "orders", columns=["o_orderdate", "o_orderstatus"],
+                 num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        d = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+        yr = d.astype("datetime64[Y]").astype(np.int64) + 1970
+        return (pd.DataFrame({
+            "year": yr,
+            "status": t.column("o_orderstatus").to_numpy(
+                zero_copy_only=False),
+            "n_orders": np.int64(1)})
+            .groupby(["year", "status"], as_index=False).sum())
+
+    g = _combine_partials(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["year", "status"], ["n_orders"])
+    tot = g.groupby("year")["n_orders"].transform("sum")
+    g["year_share6"] = (g["n_orders"].astype(np.int64) * 10**6
+                        // tot.astype(np.int64))
+    g = g.sort_values(["year", "status"]).reset_index(drop=True)
+    return g.astype({"year": np.int64, "n_orders": np.int64,
+                     "year_share6": np.int64})[
+        ["year", "status", "n_orders", "year_share6"]]
