@@ -393,6 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seed_coverage": q.q_seed_coverage,
         "canonical_collisions": q.q_canonical_collisions,
         "order_status_mix": q.q_order_status_mix,
+        "doc_length_quantiles": q.q_doc_length_quantiles,
     }
 
 
@@ -6060,5 +6061,11 @@ SELECT CAST(year AS BIGINT) AS year, status,
        CAST(n * 1000000 // SUM(n) OVER (PARTITION BY year) AS BIGINT)
          AS year_share6
 FROM g ORDER BY year, status
+"""
+    out["doc_length_quantiles"] = """
+SELECT lang, count(*) AS n,
+       round(quantile_cont(n_chars, 0.5), 6) AS q50,
+       round(quantile_cont(n_chars, 0.9), 6) AS q90
+FROM documents GROUP BY lang ORDER BY lang
 """
     return out

@@ -16852,3 +16852,21 @@ def q_order_status_mix(sf_dir: str):
     return g.astype({"year": np.int64, "n_orders": np.int64,
                      "year_share6": np.int64})[
         ["year", "status", "n_orders", "year_share6"]]
+
+
+def q_doc_length_quantiles(sf_dir: str):
+    """Per-language document-length norms: exact p50/p90 of n_chars
+    per lang (quantile_cont semantics) — the length-prior a curation
+    pass consults before setting per-language truncation or minimum
+    thresholds (gate_length_bias shows the gate's length cliff; this
+    shows where each language's mass actually sits). Same one-shuffle
+    multi-key segment kernel as group_quantiles."""
+    from ..stages.aggregates import group_quantiles
+
+    docs = _pq(sf_dir, "documents", columns=["lang", "n_chars"],
+               num_blocks=_n_cpus())
+    out = group_quantiles(docs, key_col="lang", value_col="n_chars",
+                          qs=(0.5, 0.9))
+    if isinstance(out, rd.Dataset):
+        out = out.to_pandas()
+    return out.sort_values("lang").reset_index(drop=True)
