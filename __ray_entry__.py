@@ -394,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_collisions": q.q_canonical_collisions,
         "order_status_mix": q.q_order_status_mix,
         "doc_length_quantiles": q.q_doc_length_quantiles,
+        "supplier_balance_profile": q.q_supplier_balance_profile,
     }
 
 
@@ -6067,5 +6068,19 @@ SELECT lang, count(*) AS n,
        round(quantile_cont(n_chars, 0.5), 6) AS q50,
        round(quantile_cont(n_chars, 0.9), 6) AS q90
 FROM documents GROUP BY lang ORDER BY lang
+"""
+    out["supplier_balance_profile"] = """
+WITH s AS (SELECT s_nationkey AS nation,
+                  CAST(round(s_acctbal * 100) AS HUGEINT) AS cents
+           FROM supplier),
+g AS (SELECT nation, count(*) AS n, sum(cents) AS c,
+             SUM(CASE WHEN cents < 0 THEN 1 ELSE 0 END) AS nd
+      FROM s GROUP BY 1)
+SELECT CAST(nation AS BIGINT) AS nation,
+       CAST(n AS BIGINT) AS n_suppliers,
+       CAST(c * 10000 // n AS BIGINT) AS mean6,
+       CAST(nd AS BIGINT) AS n_debt,
+       CAST(nd * 1000000 // n AS BIGINT) AS debt_share6
+FROM g ORDER BY nation
 """
     return out

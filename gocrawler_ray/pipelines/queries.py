@@ -16870,3 +16870,44 @@ def q_doc_length_quantiles(sf_dir: str):
     if isinstance(out, rd.Dataset):
         out = out.to_pandas()
     return out.sort_values("lang").reset_index(drop=True)
+
+
+def q_supplier_balance_profile(sf_dir: str):
+    """Supplier financial-health census per nation: count, exact mean
+    account balance (micro-units) and the in-debt share — the
+    counterparty-risk screen next to supplier_hhi's concentration
+    number. One nation-bounded partial; integer-floor means and
+    shares (balances lift to cents; negatives floor toward −∞
+    identically on both sides via HUGEINT // on the oracle)."""
+    sup = _pq(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"],
+              num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cents = np.rint(t.column("s_acctbal").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        return (pd.DataFrame({
+            "nation": t.column("s_nationkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "n_suppliers": np.int64(1),
+            "cents": cents,
+            "n_debt": (cents < 0).astype(np.int64)})
+            .groupby("nation", as_index=False).sum())
+
+    g = _combine_partials(
+        sup.map_batches(partial, batch_format="pyarrow"),
+        ["nation"], ["n_suppliers", "cents", "n_debt"])
+    g = g.sort_values("nation").reset_index(drop=True)
+    # DuckDB integer // TRUNCATES toward zero on negatives (Python
+    # floors) — match DuckDB explicitly so an in-debt nation total
+    # cannot flake the gate
+    def _tdiv(a: int, b: int) -> int:
+        return a // b if a >= 0 else -((-a) // b)
+
+    mean6 = [_tdiv(int(c) * 10**4, int(n))
+             for c, n in zip(g["cents"], g["n_suppliers"])]
+    g["mean6"] = np.array(mean6, dtype=np.int64)
+    g["debt_share6"] = (g["n_debt"].astype(np.int64) * 10**6
+                        // g["n_suppliers"].astype(np.int64))
+    return g.astype({"nation": np.int64, "n_suppliers": np.int64,
+                     "n_debt": np.int64})[
+        ["nation", "n_suppliers", "mean6", "n_debt", "debt_share6"]]
