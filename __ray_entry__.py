@@ -395,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_status_mix": q.q_order_status_mix,
         "doc_length_quantiles": q.q_doc_length_quantiles,
         "supplier_balance_profile": q.q_supplier_balance_profile,
+        "entry_event_mix": q.q_entry_event_mix,
     }
 
 
@@ -6082,5 +6083,18 @@ SELECT CAST(nation AS BIGINT) AS nation,
        CAST(nd AS BIGINT) AS n_debt,
        CAST(nd * 1000000 // n AS BIGINT) AS debt_share6
 FROM g ORDER BY nation
+"""
+    out["entry_event_mix"] = """
+WITH f AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+g AS (SELECT event_type AS entry_type, count(*) AS n
+      FROM f WHERE rn = 1 GROUP BY 1),
+t AS (SELECT sum(n) AS tn FROM g)
+SELECT entry_type, CAST(n AS BIGINT) AS n_users,
+       CAST(n * 1000000 // t.tn AS BIGINT) AS user_share6
+FROM g, t ORDER BY entry_type
 """
     return out

@@ -16911,3 +16911,37 @@ def q_supplier_balance_profile(sf_dir: str):
     return g.astype({"nation": np.int64, "n_suppliers": np.int64,
                      "n_debt": np.int64})[
         ["nation", "n_suppliers", "mean6", "n_debt", "debt_share6"]]
+
+
+def q_entry_event_mix(sf_dir: str):
+    """Entry-point mix: each user's FIRST event type (pinned (ts,
+    event_id) order) as a census with shares — the acquisition-surface
+    view user_paths' full journeys bury (what share of users enter
+    through a view vs a search vs a direct purchase). One user-bucket
+    shuffle; first-of-segment kernel; type-bounded combine."""
+    from ..stages.temporal import _with_bucket
+
+    ev = _pq(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "event_type"],
+             num_blocks=_n_cpus())
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["event_id"].to_numpy(np.int64),
+                            g["ts"].astype("int64").to_numpy(),
+                            g["user_id"].to_numpy(np.int64)))
+        u = g["user_id"].to_numpy(np.int64)[order]
+        et = g["event_type"].to_numpy()[order]
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        vc = pd.Series(et[first]).value_counts()
+        return pd.DataFrame({"entry_type": vc.index.to_numpy(object),
+                             "n_users": vc.to_numpy(np.int64)})
+
+    g = _combine_partials(
+        _with_bucket(ev, "user_id", 32)
+        .groupby("__bucket").map_groups(kernel, batch_format="pandas"),
+        ["entry_type"], ["n_users"])
+    g = g.sort_values("entry_type").reset_index(drop=True)
+    tot = int(g["n_users"].sum())
+    g["user_share6"] = (g["n_users"].astype(np.int64) * 10**6 // tot)
+    return g.astype({"n_users": np.int64, "user_share6": np.int64})
