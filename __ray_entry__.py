@@ -396,6 +396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": q.q_doc_length_quantiles,
         "supplier_balance_profile": q.q_supplier_balance_profile,
         "entry_event_mix": q.q_entry_event_mix,
+        "exit_event_mix": q.q_exit_event_mix,
     }
 
 
@@ -6096,5 +6097,18 @@ t AS (SELECT sum(n) AS tn FROM g)
 SELECT entry_type, CAST(n AS BIGINT) AS n_users,
        CAST(n * 1000000 // t.tn AS BIGINT) AS user_share6
 FROM g, t ORDER BY entry_type
+"""
+    out["exit_event_mix"] = """
+WITH f AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+g AS (SELECT event_type AS exit_type, count(*) AS n
+      FROM f WHERE rn = 1 GROUP BY 1),
+t AS (SELECT sum(n) AS tn FROM g)
+SELECT exit_type, CAST(n AS BIGINT) AS n_users,
+       CAST(n * 1000000 // t.tn AS BIGINT) AS user_share6
+FROM g, t ORDER BY exit_type
 """
     return out

@@ -16945,3 +16945,36 @@ def q_entry_event_mix(sf_dir: str):
     tot = int(g["n_users"].sum())
     g["user_share6"] = (g["n_users"].astype(np.int64) * 10**6 // tot)
     return g.astype({"n_users": np.int64, "user_share6": np.int64})
+
+
+def q_exit_event_mix(sf_dir: str):
+    """Exit-point mix: each user's LAST event type — entry_event_mix's
+    churn-side mirror (a corpus whose journeys end on views, not
+    purchases, has a conversion leak; one that ends on purchases has
+    healthy session closure). Same kernel, last-of-segment."""
+    from ..stages.temporal import _with_bucket
+
+    ev = _pq(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "event_type"],
+             num_blocks=_n_cpus())
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["event_id"].to_numpy(np.int64),
+                            g["ts"].astype("int64").to_numpy(),
+                            g["user_id"].to_numpy(np.int64)))
+        u = g["user_id"].to_numpy(np.int64)[order]
+        et = g["event_type"].to_numpy()[order]
+        last = np.ones(len(u), dtype=bool)
+        last[:-1] = u[1:] != u[:-1]
+        vc = pd.Series(et[last]).value_counts()
+        return pd.DataFrame({"exit_type": vc.index.to_numpy(object),
+                             "n_users": vc.to_numpy(np.int64)})
+
+    g = _combine_partials(
+        _with_bucket(ev, "user_id", 32)
+        .groupby("__bucket").map_groups(kernel, batch_format="pandas"),
+        ["exit_type"], ["n_users"])
+    g = g.sort_values("exit_type").reset_index(drop=True)
+    tot = int(g["n_users"].sum())
+    g["user_share6"] = (g["n_users"].astype(np.int64) * 10**6 // tot)
+    return g.astype({"n_users": np.int64, "user_share6": np.int64})
