@@ -397,6 +397,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_balance_profile": q.q_supplier_balance_profile,
         "entry_event_mix": q.q_entry_event_mix,
         "exit_event_mix": q.q_exit_event_mix,
+        "value_by_entry_type": q.q_value_by_entry_type,
+        "quantity_hist": q.q_quantity_hist,
     }
 
 
@@ -6110,5 +6112,32 @@ t AS (SELECT sum(n) AS tn FROM g)
 SELECT exit_type, CAST(n AS BIGINT) AS n_users,
        CAST(n * 1000000 // t.tn AS BIGINT) AS user_share6
 FROM g, t ORDER BY exit_type
+"""
+    out["value_by_entry_type"] = """
+WITH f AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+e AS (SELECT user_id, event_type AS entry_type FROM f WHERE rn = 1),
+p AS (SELECT user_id,
+             sum(CAST(round(value * 1000) AS BIGINT)) AS s3
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+g AS (SELECT e.entry_type, count(*) AS n,
+             sum(COALESCE(p.s3, 0)) AS s3
+      FROM e LEFT JOIN p USING (user_id) GROUP BY 1)
+SELECT entry_type, CAST(n AS BIGINT) AS n_users,
+       CAST(s3 AS BIGINT) AS sum3,
+       CAST(s3 * 1000 // n AS BIGINT) AS mean_per_user6
+FROM g ORDER BY entry_type
+"""
+    out["quantity_hist"] = """
+WITH g AS (SELECT CAST(round(l_quantity) AS BIGINT) AS quantity,
+                  count(*) AS n
+           FROM lineitem GROUP BY 1),
+t AS (SELECT sum(n) AS tn FROM g)
+SELECT quantity, CAST(n AS BIGINT) AS n_lines,
+       CAST(n * 1000000 // t.tn AS BIGINT) AS share6
+FROM g, t ORDER BY quantity
 """
     return out

@@ -16978,3 +16978,73 @@ def q_exit_event_mix(sf_dir: str):
     tot = int(g["n_users"].sum())
     g["user_share6"] = (g["n_users"].astype(np.int64) * 10**6 // tot)
     return g.astype({"n_users": np.int64, "user_share6": np.int64})
+
+
+def q_value_by_entry_type(sf_dir: str):
+    """Acquisition-surface value: users grouped by their ENTRY event
+    type, with each group's purchase-value total and exact mean per
+    user — the census that prices an acquisition channel
+    (entry_event_mix counts heads; this weighs wallets). One bucket
+    kernel computes first-type AND per-user purchase milli-sums in the
+    same pass; type-bounded combine; integer-floor means."""
+    from ..stages.temporal import _with_bucket
+
+    ev = _pq(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "event_type",
+                      "value"],
+             num_blocks=_n_cpus())
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["event_id"].to_numpy(np.int64),
+                            g["ts"].astype("int64").to_numpy(),
+                            g["user_id"].to_numpy(np.int64)))
+        u = g["user_id"].to_numpy(np.int64)[order]
+        et = g["event_type"].to_numpy()[order]
+        v3 = np.rint(g["value"].to_numpy(np.float64)[order]
+                     * 1000).astype(np.int64)
+        isp = et == "purchase"
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        seg = np.cumsum(first) - 1
+        n_seg = int(seg[-1]) + 1 if len(seg) else 0
+        psum = np.zeros(n_seg, dtype=np.int64)
+        np.add.at(psum, seg[isp], v3[isp])
+        df = pd.DataFrame({"entry_type": et[first],
+                           "n_users": np.int64(1), "sum3": psum})
+        return df.groupby("entry_type", as_index=False).sum()
+
+    g = _combine_partials(
+        _with_bucket(ev, "user_id", 32)
+        .groupby("__bucket").map_groups(kernel, batch_format="pandas"),
+        ["entry_type"], ["n_users", "sum3"])
+    g = g.sort_values("entry_type").reset_index(drop=True)
+    g["mean_per_user6"] = (g["sum3"].astype(np.int64) * 1000
+                           // g["n_users"].astype(np.int64))
+    return g.astype({"n_users": np.int64, "sum3": np.int64,
+                     "mean_per_user6": np.int64})[
+        ["entry_type", "n_users", "sum3", "mean_per_user6"]]
+
+
+def q_quantity_hist(sf_dir: str):
+    """Lineitem quantity histogram — the order-size demand curve over
+    the bounded quantity domain (value_hist's fixed-bin pattern on the
+    transactional table): per integer quantity, line count and share.
+    Map-only bincount partials; domain-bounded combine."""
+    li = _pq(sf_dir, "lineitem", columns=["l_quantity"],
+             num_blocks=_n_cpus())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        q = np.rint(t.column("l_quantity").to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        vc = pd.Series(q).value_counts()
+        return pd.DataFrame({"quantity": vc.index.to_numpy(np.int64),
+                             "n_lines": vc.to_numpy(np.int64)})
+
+    g = _combine_partials(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["quantity"], ["n_lines"])
+    g = g.sort_values("quantity").reset_index(drop=True)
+    tot = int(g["n_lines"].sum())
+    g["share6"] = (g["n_lines"].astype(np.int64) * 10**6 // tot)
+    return g.astype({"quantity": np.int64, "n_lines": np.int64,
+                     "share6": np.int64})
