@@ -9,7 +9,7 @@ Datasets. Each wave is ONE streaming Ray job:
                     concurrency-capped: the stage is RPC-bound)
       → robots gate (T3: admitted-but-never-fetched)
       → fetch (S2/J3, task-based with worker-cached zero-copy corpus)
-      → checkpoint docs/wave=k (atomic rename ⇒ the resume point)
+      → checkpoint docs/wave=k (marker-sealed ⇒ the resume point)
 
 followed by O(wave) driver work: the politeness *sidecar*. Because the
 politeness budget is a deterministic VIRTUAL clock (stages/politeness.py)
@@ -53,7 +53,7 @@ import ray
 import ray.data as rd
 
 from ..config import CrawlConfig, ShopProfile
-from ..sources.tables import write_dataset, write_table
+from ..sources.tables import parquet_num_rows, write_dataset, write_table
 from ..state.checkpoint import CheckpointStore
 from ..stages.candidates import CandidateFilter
 from ..stages.extract import extract_links
@@ -124,8 +124,15 @@ def run_crawl(
     resume: bool = False,
     corpus_index: dict | None = None,
     corpus_refs: tuple | None = None,
+    ckpt_fs=None,
 ) -> CrawlResult:
     """Run (or resume) a crawl; all state lands under ``ckpt_root``.
+
+    ``ckpt_root`` may be any fsspec URI (local path, ``s3://…``,
+    ``norename://`` in the rename-free proof tests); ``ckpt_fs``
+    optionally supplies a pre-built filesystem instance. All checkpoint
+    commits are marker-seal (sources/fsio), so the store works on object
+    stores with no atomic rename.
 
     ``corpus`` is the synthetic web (J3); in production the Fetcher is an
     HTTP client and this argument disappears. ``corpus_index`` lets the
@@ -135,7 +142,7 @@ def run_crawl(
     simulation setup (see bench.py).
     """
     t0 = time.time()
-    ckpt = CheckpointStore(ckpt_root)
+    ckpt = CheckpointStore(ckpt_root, fs=ckpt_fs)
     host_cfg = HostConfig(hosts, default_delay_ms=cfg.default_crawl_delay_ms,
                           default_parallel=cfg.max_parallel_per_host)
     shards = create_shards(cfg.num_seen_shards, cfg.cuckoo_capacity)
@@ -295,7 +302,7 @@ def _wave_job(
     index_ref,
 ) -> int:
     """The ONE Ray job of a wave: filter -> admit -> robots -> fetch ->
-    docs checkpoint (atomic rename = resume point). Returns the admitted
+    docs checkpoint (marker-sealed = resume point). Returns the admitted
     row count (cheap: parquet footers only).
 
     batch_size=None -> one batch per block: an explicit batch_size makes
@@ -335,18 +342,13 @@ def _wave_job(
             batch_format="pyarrow",
             batch_size=None,
         )
-    write_dataset(fetched, ckpt.docs_uri(wave))
+    write_dataset(fetched, ckpt.docs_uri(wave), fs=ckpt.fs)
 
-    import glob as _glob
-    import os as _os
-
-    import pyarrow.parquet as _pq
-
-    files = _glob.glob(_os.path.join(ckpt.docs_uri(wave), "*.parquet"))
-    if not files:  # empty wave: Ray writes zero files
-        write_table(DOCS_SCHEMA.empty_table(), ckpt.docs_uri(wave))
+    n = parquet_num_rows(ckpt.docs_uri(wave), fs=ckpt.fs)
+    if n < 0:  # empty wave: Ray writes zero files
+        write_table(DOCS_SCHEMA.empty_table(), ckpt.docs_uri(wave), fs=ckpt.fs)
         return 0
-    return sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+    return n
 
 
 _SIDECAR_LIGHT = ["url", "host", "depth", "priority", "status", "req_id",
@@ -379,16 +381,20 @@ def _politeness_sidecar(
     from ..sources.tables import read_table
 
     if n_admitted == 0:
-        write_table(SCHEDULE_SCHEMA.empty_table(), ckpt.schedule_uri(wave))
-        write_table(QUARANTINE_SCHEMA.empty_table(), ckpt.quarantine_uri(wave))
+        write_table(SCHEDULE_SCHEMA.empty_table(), ckpt.schedule_uri(wave),
+                    fs=ckpt.fs)
+        write_table(QUARANTINE_SCHEMA.empty_table(), ckpt.quarantine_uri(wave),
+                    fs=ckpt.fs)
         return 0, 0
 
     if n_admitted <= cfg.driver_schedule_limit:
-        light = read_table(ckpt.docs_uri(wave), columns=_SIDECAR_LIGHT)
+        light = read_table(ckpt.docs_uri(wave), columns=_SIDECAR_LIGHT,
+                           fs=ckpt.fs)
         quarantined = light.filter(
             pc.not_equal(light.column("captcha_text"), "")
         ).select(["url", "req_id", "host", "depth", "captcha_text"])
-        write_table(quarantined.cast(QUARANTINE_SCHEMA), ckpt.quarantine_uri(wave))
+        write_table(quarantined.cast(QUARANTINE_SCHEMA),
+                    ckpt.quarantine_uri(wave), fs=ckpt.fs)
         sched_tbl = light.filter(
             pc.not_equal(light.column("status"), "robots_denied")
         ).select(["url", "host", "priority"])
@@ -413,6 +419,7 @@ def _politeness_sidecar(
                 SCHEDULE_SCHEMA
             ),
             ckpt.schedule_uri(wave),
+            fs=ckpt.fs,
         )
         return n_admitted, n_sched
 
@@ -432,12 +439,10 @@ def _politeness_sidecar(
         .cast(QUARANTINE_SCHEMA),
         batch_format="pyarrow",
     )
-    write_dataset(quar, ckpt.quarantine_uri(wave))
-    import glob as _glob
-    import os as _os
-
-    if not _glob.glob(_os.path.join(ckpt.quarantine_uri(wave), "*.parquet")):
-        write_table(QUARANTINE_SCHEMA.empty_table(), ckpt.quarantine_uri(wave))
+    write_dataset(quar, ckpt.quarantine_uri(wave), fs=ckpt.fs)
+    if parquet_num_rows(ckpt.quarantine_uri(wave), fs=ckpt.fs) < 0:
+        write_table(QUARANTINE_SCHEMA.empty_table(), ckpt.quarantine_uri(wave),
+                    fs=ckpt.fs)
 
     # per-batch (priority, host) count partials → bounded driver combine
     def count_partial(t: pa.Table) -> pa.Table:
@@ -465,7 +470,8 @@ def _politeness_sidecar(
     )
     offsets = compute_seq_offsets(counts, seq_base)
     if n_sched == 0:
-        write_table(SCHEDULE_SCHEMA.empty_table(), ckpt.schedule_uri(wave))
+        write_table(SCHEDULE_SCHEMA.empty_table(), ckpt.schedule_uri(wave),
+                    fs=ckpt.fs)
         return n_admitted, 0
     # RANGE-salted distributed schedule: a plain groupby(host) on a Zipf
     # frontier puts ~half the wave in one straggler group, and
@@ -491,5 +497,5 @@ def _politeness_sidecar(
         lambda t: t.select(["url", "seq", "sched_start_ms", "sched_end_ms"]),
         batch_format="pyarrow",
     )
-    write_dataset(sched_ds, ckpt.schedule_uri(wave))
+    write_dataset(sched_ds, ckpt.schedule_uri(wave), fs=ckpt.fs)
     return n_admitted, n_sched

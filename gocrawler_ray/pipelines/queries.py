@@ -31,6 +31,7 @@ from ..stages.dedup import MinHasher, exact_dedup, jaccard, minhash_lsh_dedup, a
 from ..stages.extract import parse_items
 from ..stages.similarity import brute_force_topk, ivf_topk, lsh_topk
 from ..stages.textstats import fingerprint, lang_id, text_quality, token_counts
+from ..state.checkpoint import CheckpointStore
 from .derived import derive_corpus, derived_profile, url_of
 from .crawl import run_crawl
 
@@ -15716,10 +15717,8 @@ def q_crawl_manifest_audit(sf_dir: str):
     first-reach census, and the terminal wave must record zero. A
     counter drifting from the data it describes is the classic silent
     metrics bug; this makes it a hash-gate failure."""
-    import json as _json
-
     ckpt = _derived_crawl_ckpt(sf_dir)
-    man = _json.load(open(os.path.join(ckpt, "MANIFEST.json")))
+    man = CheckpointStore(ckpt).load_manifest()
     rows = sorted(
         (int(w), int(s["admitted"]), int(s["scheduled"]))
         for w, s in man["wave_stats"].items())
@@ -15740,9 +15739,8 @@ def q_seen_shard_audit(sf_dir: str):
 
     ckpt = _derived_crawl_ckpt(sf_dir)
     import glob as _glob
-    import json as _json
 
-    man = _json.load(open(os.path.join(ckpt, "MANIFEST.json")))
+    man = CheckpointStore(ckpt).load_manifest()
     final = max(man["committed_waves"])
     paths = sorted(_glob.glob(
         os.path.join(ckpt, "urlseen", f"wave={final}", "shard=*.bin")))

@@ -1,0 +1,155 @@
+"""Object-store-safe commit protocol (round-4 verdict #1): every store
+commit is marker-seal, never rename. ``NoRenameFileSystem`` raises on
+every rename entry point, so a green kill/resume crawl through
+``norename://`` PROVES the checkpoint protocol works where rename is
+unavailable (S3/GCS semantics); the manifest tests pin the versioned
+sealed-commit recovery rules."""
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pytest
+
+from gocrawler_ray.config import CrawlConfig
+from gocrawler_ray.corpus import CorpusSpec, generate, profile_of
+from gocrawler_ray.pipelines.crawl import run_crawl
+from gocrawler_ray.sources.fsio import NoRenameFileSystem, is_sealed, url_to_fs
+from gocrawler_ray.sources.tables import (
+    parquet_num_rows,
+    read_table,
+    write_table,
+)
+from gocrawler_ray.state.checkpoint import CheckpointStore
+
+SPEC = CorpusSpec(n_docs=250, n_hosts=2)
+CFG = CrawlConfig(num_seen_shards=4, fetcher_concurrency=2, batch_size=512)
+
+
+def test_norename_fs_forbids_every_rename_alias(tmp_path):
+    fs = NoRenameFileSystem()
+    src = str(tmp_path / "a")
+    with open(src, "w") as f:
+        f.write("x")
+    for name in ("mv", "move", "rename", "mv_file"):
+        with pytest.raises(AssertionError, match="rename is forbidden"):
+            getattr(fs, name)(src, str(tmp_path / "b"))
+
+
+def test_kill_resume_through_norename_store(ray_session):
+    """The headline bar: a crawl killed after 2 waves and resumed through
+    a filesystem with NO rename resumes with zero duplicate fetches and
+    ends bit-identical (lineage key set) to an uninterrupted plain-local
+    run — the single-node resume contract carried to object stores."""
+    t = generate(SPEC)
+    prof = profile_of(SPEC)
+
+    full_root = "/tmp/gocrawler_test/fsio_full"
+    nr_root = "/tmp/gocrawler_test/fsio_norename"
+    shutil.rmtree(full_root, ignore_errors=True)
+    shutil.rmtree(nr_root, ignore_errors=True)
+
+    run_crawl(t["corpus"], t["hosts"], t["seeds"], prof, CFG, full_root)
+
+    uri = "norename://" + nr_root
+    cfg_cut = CrawlConfig(**{**CFG.__dict__, "max_waves": 2})
+    run_crawl(t["corpus"], t["hosts"], t["seeds"], prof, cfg_cut, uri)
+    run_crawl(t["corpus"], t["hosts"], t["seeds"], prof, CFG, uri, resume=True)
+
+    full = CheckpointStore(full_root).read_all_lineage_table()
+    part = CheckpointStore(uri).read_all_lineage_table()
+
+    urls = part.column("url").to_pylist()
+    assert len(urls) == len(set(urls))  # zero duplicate fetches
+
+    def key(tbl):
+        return sorted(
+            (r["seq"], r["url"], r["status"], r["sched_start_ms"])
+            for r in tbl.to_pylist()
+        )
+
+    assert key(full) == key(part)
+
+    # every committed directory carries the seal marker
+    fs, path = url_to_fs(uri)
+    for sub in ("docs", "schedule", "quarantine"):
+        for d in sorted(os.listdir(os.path.join(nr_root, sub))):
+            assert is_sealed(fs, os.path.join(nr_root, sub, d)), (sub, d)
+
+
+def test_manifest_recovery_ignores_unsealed_and_corrupt_versions(tmp_path):
+    """A kill mid-commit leaves an unsealed (or torn) manifest version;
+    recovery must take the previous SEALED commit, never the wreck."""
+    root = str(tmp_path / "ck")
+    ck = CheckpointStore(root)
+    ck.commit_wave(0, 10, stats={"admitted": 3, "scheduled": 2})
+    mdir = os.path.join(root, "manifest")
+
+    # crash A: next version written but never sealed -> invisible
+    with open(os.path.join(mdir, "v00000002.json"), "w") as f:
+        json.dump({"committed_waves": [0, 1], "seq_counter": 99}, f)
+    assert ck.load_manifest()["seq_counter"] == 10
+
+    # crash B: sealed but torn JSON (broken store) -> fall back a version
+    with open(os.path.join(mdir, "v00000003.json"), "w") as f:
+        f.write('{"committed_waves": [0, 1')
+    open(os.path.join(mdir, "v00000003.json.sealed"), "w").close()
+    assert ck.load_manifest()["seq_counter"] == 10
+
+    # a real next commit supersedes both wrecks
+    os.remove(os.path.join(mdir, "v00000003.json"))
+    os.remove(os.path.join(mdir, "v00000003.json.sealed"))
+    os.remove(os.path.join(mdir, "v00000002.json"))
+    ck.commit_wave(1, 20, stats={"admitted": 5, "scheduled": 5})
+    m = ck.load_manifest()
+    assert m["seq_counter"] == 20 and m["committed_waves"] == [0, 1]
+    assert m["wave_stats"]["0"] == {"admitted": 3, "scheduled": 2}
+
+
+def test_manifest_legacy_single_file_fallback(tmp_path):
+    """Pre-marker-seal trees carry a root MANIFEST.json — still readable."""
+    root = str(tmp_path / "legacy")
+    os.makedirs(root)
+    with open(os.path.join(root, "MANIFEST.json"), "w") as f:
+        json.dump({"committed_waves": [0], "seq_counter": 7}, f)
+    assert CheckpointStore(root).load_manifest()["seq_counter"] == 7
+
+
+def test_unsealed_shard_snapshot_rejected(ray_session, tmp_path):
+    """restore_shards requires the snapshot seal: a kill mid-save leaves
+    an unsealed wave dir, which resume must treat as missing (and the
+    crawl then fails loudly rather than silently re-admitting urls)."""
+    from gocrawler_ray.stages.urlseen import create_shards
+
+    root = str(tmp_path / "ck")
+    ck = CheckpointStore(root)
+    shards = create_shards(2, 4096)
+    try:
+        ck.save_shards(shards, 0)
+        assert ck.restore_shards(shards, 0)
+        # simulate the kill: marker gone, files present
+        os.remove(os.path.join(root, "urlseen", "wave=0", "_SUCCESS"))
+        assert not ck.restore_shards(shards, 0)
+    finally:
+        import ray
+
+        for s in shards:
+            ray.kill(s)
+
+
+def test_write_table_seals_and_roundtrips_on_memory_uri():
+    """Driver-side sealed tables work on a pure-URI object-store stand-in
+    (memory:// — no local paths anywhere in the write or read)."""
+    uri = "memory://fsio_t1"
+    t = pa.table({"a": pa.array([1, 2, 3], pa.int64()), "b": ["x", "y", "z"]})
+    write_table(t, uri)
+    fs, path = url_to_fs(uri)
+    assert is_sealed(fs, path)
+    assert read_table(uri).equals(t)
+    assert read_table(uri, columns=["a"]).column_names == ["a"]
+    assert parquet_num_rows(uri) == 3
+    # overwrite clears then re-seals
+    write_table(t.slice(0, 1), uri)
+    assert read_table(uri).num_rows == 1
+    fs.rm(path, recursive=True)

@@ -116,8 +116,9 @@ def test_write_partitioned_resume_with_encoded_values(ray_session, tmp_path):
 def test_lance_branch_stub_backed(monkeypatch, tmp_path):
     """Execute the HAVE_LANCE=True arms of write_table / write_dataset /
     read_table / read_dataset at least once (round-2 verdict #5): a stub
-    lance module stands in for the absent wheel; the atomicity contract
-    (temp-dir-then-rename) must hold identically on the Lance arms."""
+    lance module stands in for the absent wheel; the commit contract
+    (marker-seal, round-4 verdict #1) must hold identically on the
+    Lance arms."""
     import pyarrow.parquet as pq
 
     from gocrawler_ray.sources import tables as tm
@@ -147,6 +148,7 @@ def test_lance_branch_stub_backed(monkeypatch, tmp_path):
     uri = str(tmp_path / "lance_tbl")
     tm.write_table(t, uri)                      # lance write arm
     assert os.path.isdir(uri) and not glob.glob(f"{uri}.tmp-*")
+    assert os.path.exists(os.path.join(uri, "_SUCCESS"))  # sealed
     got = tm.read_table(uri)                    # lance read arm
     assert got.equals(t)
     assert tm.read_table(uri, columns=["a"]).column_names == ["a"]
@@ -190,7 +192,8 @@ def test_lance_real_round_trip_when_wheel_present(tmp_path):
     })
     uri = str(tmp_path / "real_lance_tbl")
     tm.write_table(t, uri)
-    assert not glob.glob(f"{uri}.tmp-*")  # atomic rename contract
+    assert not glob.glob(f"{uri}.tmp-*")  # no temp-dir litter
+    assert os.path.exists(os.path.join(uri, "_SUCCESS"))  # sealed commit
     assert tm.read_table(uri).sort_by("a").equals(t)
     assert tm.read_table(uri, columns=["a"]).column_names == ["a"]
 

@@ -76,6 +76,10 @@ def main() -> None:
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
+    only = os.environ.get("GRAFT_ORACLE_ONLY")
+    if only:  # spot-check mode: comma-separated names (no artifact write)
+        names = {n.strip() for n in only.split(",") if n.strip()}
+        queries = {k: v for k, v in queries.items() if k in names}
     out: dict[str, dict] = {}
     t_all = time.time()
     for name in sorted(queries):
@@ -126,13 +130,17 @@ def main() -> None:
         "elapsed_sec": round(time.time() - t_all, 1),
         "queries": out,
     }
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        f"ORACLE_FULL_r{rnd}.json",
-    )
-    with open(path, "w") as f:
-        json.dump(artifact, f, indent=1)
-    print(f"{n_pass}/{len(out)} pass → {path}", file=sys.stderr)
+    if only:
+        print(f"{n_pass}/{len(out)} pass (spot-check, no artifact)",
+              file=sys.stderr)
+    else:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            f"ORACLE_FULL_r{rnd}.json",
+        )
+        with open(path, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"{n_pass}/{len(out)} pass → {path}", file=sys.stderr)
     ray.shutdown()
 
 
