@@ -125,6 +125,19 @@ class CrawlConfig:
     # real HTTP client; real_time additionally paces on the wall clock.
     enforce_politeness: bool = False
     real_time: bool = False
+    # clock seam for real_time pacing (stages/dispatch.WallClock when
+    # None; tests inject FakeClock to drive the wall-pacing code path
+    # on a fake-latency virtual clock)
+    clock: object = None
+    # max rows one polite-dispatch group may hold (enforced mode): hosts
+    # above this split into contiguous rank ranges (chunked dispatch,
+    # stages/dispatch.py) so a Zipf head host never materializes one
+    # giant frame in one task. The cap picks the PLAN, never the
+    # semantics — the equality test pins chunked == whole-host outputs.
+    dispatch_chunk_rows: int = 2_000_000
+    # sample modulus for the chunk-boundary hash sample (1-in-mod rows;
+    # tests set 1 so tiny corpora still exercise real chunk splits)
+    dispatch_sample_mod: int = 512
     # waves up to this many rows are politeness-scheduled on the driver
     # (closed-form vectorized — ~1s per 2M rows; the admitted table is
     # already resident for the seq-count pass). Bigger waves use the

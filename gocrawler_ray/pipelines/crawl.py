@@ -325,17 +325,68 @@ def _wave_job(
     )
     flagged = unseen.map_batches(_RobotsFlag(host_cfg), batch_format="pyarrow")
     if cfg.enforce_politeness:
-        # budget-enforcing dispatch: one serialized, ordered, validated
-        # group per host (stages/dispatch.py) — the real-HTTP-fetcher mode
+        # budget-enforcing dispatch (stages/dispatch.py) — the
+        # real-HTTP-fetcher mode. The wave's pre-fetch frontier columns
+        # are materialized ONCE (small: url/host/depth/priority + flags;
+        # object-store resident, spills) because (a) the plan pick needs
+        # per-host counts and (b) SeenFilter admissions are one-shot —
+        # re-executing the lazy pipeline would re-ask the shards and see
+        # everything as already seen.
         from ..stages.dispatch import make_polite_dispatch
 
-        fetched = flagged.groupby("host").map_groups(
-            make_polite_dispatch(
-                host_cfg, make_fetch_fn(corpus_ref, index_ref),
-                real_time=cfg.real_time,
-            ),
-            batch_format="pandas",
-        )
+        fetch_fn = make_fetch_fn(corpus_ref, index_ref)
+        flagged = flagged.materialize()
+        live_counts = _live_host_counts(flagged)
+        if (
+            not live_counts
+            or max(live_counts.values()) <= cfg.dispatch_chunk_rows
+        ):
+            # every host fits one group: one serialized, ordered,
+            # validated group per host
+            fetched = flagged.groupby("host").map_groups(
+                make_polite_dispatch(
+                    host_cfg, fetch_fn,
+                    real_time=cfg.real_time, clock=cfg.clock,
+                ),
+                batch_format="pandas",
+            )
+        else:
+            # CHUNKED dispatch (round-4 verdict #2): a Zipf head host
+            # above dispatch_chunk_rows is range-salted into contiguous
+            # (priority, url) rank ranges (same machinery as the
+            # distributed schedule sidecar) and each ≤chunk group
+            # dispatches with its exact global rank offset — start
+            # times, budget validation and outputs bit-identical to
+            # whole-host dispatch (pinned by test), peak group memory
+            # bounded by the cap. Robots-denied rows never rank: they
+            # bypass dispatch straight into the fetch stamp.
+            from ..stages.salting import assign_range_salts, range_rank_offsets
+
+            live = flagged.map_batches(
+                lambda t: t.filter(pc.invert(t.column("robots_denied"))),
+                batch_format="pyarrow",
+            )
+            denied = flagged.map_batches(
+                lambda t: t.filter(t.column("robots_denied")),
+                batch_format="pyarrow",
+            )
+            salted = assign_range_salts(
+                live, live_counts, target_range_rows=cfg.dispatch_chunk_rows,
+                sample_mod=cfg.dispatch_sample_mod,
+            )
+            offs = range_rank_offsets(salted)
+            fetched = salted.groupby(["host", "salt"]).map_groups(
+                make_polite_dispatch(
+                    host_cfg, fetch_fn,
+                    real_time=cfg.real_time, clock=cfg.clock,
+                    rank_offset=offs,
+                ),
+                batch_format="pandas",
+            ).union(
+                denied.map_batches(
+                    fetch_fn, batch_format="pyarrow", batch_size=None
+                )
+            )
     else:
         fetched = flagged.map_batches(
             make_fetch_fn(corpus_ref, index_ref),
@@ -349,6 +400,30 @@ def _wave_job(
         write_table(DOCS_SCHEMA.empty_table(), ckpt.docs_uri(wave), fs=ckpt.fs)
         return 0
     return n
+
+
+def _live_host_counts(flagged: rd.Dataset) -> dict[str, int]:
+    """Per-host count of dispatchable (non-robots-denied) rows: per-batch
+    pyarrow partials → driver combine bounded by hosts × blocks, never
+    rows. Feeds the dispatch plan pick and the chunk rank offsets."""
+
+    def part(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(t.column("robots_denied")))
+        df = (
+            t.select(["host"])
+            .to_pandas()
+            .groupby("host", as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = flagged.map_batches(part, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return {}
+    return {
+        str(h): int(n) for h, n in parts.groupby("host")["n"].sum().items()
+    }
 
 
 _SIDECAR_LIGHT = ["url", "host", "depth", "priority", "status", "req_id",

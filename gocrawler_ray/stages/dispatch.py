@@ -8,10 +8,10 @@ HTTP client: the reference's ``LimitRule{Parallelism, Delay}`` is a real
 request-time throttle (/root/reference/pkg/scraper/scraper.go:101-105).
 
 ``CrawlConfig(enforce_politeness=True)`` routes each wave's admitted urls
-through ``groupby("host").map_groups(polite_dispatch)`` instead: ALL of a
-host's requests flow through ONE group invocation, which
+through a ``groupby(...).map_groups(polite_dispatch)`` instead. Each
+group invocation
 
-1. orders them in crawl order (priority, url) — identical to the
+1. orders its rows in crawl order (priority, url) — identical to the
    schedule sidecar, so seq/golden outputs are unchanged;
 2. computes the same closed-form virtual start times and VALIDATES the
    two politeness invariants before dispatching (consecutive starts ≥
@@ -19,15 +19,28 @@ host's requests flow through ONE group invocation, which
    times: ``starts[k] − starts[k−P] ≥ latency``), raising loudly if the
    budget would be violated;
 3. dispatches the fetch in start-time order, optionally pacing on the
-   WALL clock (``real_time=True`` sleeps until each request's virtual
-   start — the production HTTP mode; tests and the synthetic bench keep
-   the clock virtual).
+   clock (``real_time=True`` sleeps until each request's virtual
+   start — the production HTTP mode; the ``clock`` seam lets tests run
+   the same code path on a fake-latency virtual clock).
 
-Skew note: this path pays a groupby(host) shuffle per wave, and a Zipf
-head host serializes behind one group — that is INHERENT to politeness
-(a polite crawler cannot parallelize one host past max_parallel), so the
-straggler is the budget, not a bug. The analytic sidecar path remains
-the default when fetches are simulated.
+Skew / memory (round-4 verdict #2): a plain ``groupby("host")`` hands
+ALL of a host's wave slice to one task as one pandas frame — a Zipf head
+host at frontier scale is tens of GB. Because the virtual start of
+request *k* is a closed form of its GLOBAL rank within the host's
+(priority, url) order, a host can be dispatched in bounded ORDERED
+CHUNKS instead: ``pipelines/crawl.py`` range-salts hot hosts into
+contiguous rank ranges (stages/salting.assign_range_salts — the same
+machinery that distributes the schedule sidecar) and passes
+``rank_offset[(host, salt)]`` here, so every group is ≤ chunk_rows and
+the start times (and budget validation, which re-derives the ``P``
+formula predecessors before the chunk) are bit-identical to whole-host
+dispatch — the equality test pins it. Wall-clock note: chunks of one
+host pace independently against absolute virtual starts from their own
+task start, so cross-chunk pacing is best-effort exactly like the
+single-group path's behavior under slow fetches (sleep-until-virtual-
+start never dispatches EARLY; a straggling task dispatches late). The
+wall-clock straggler of a polite hot host is inherent (one host cannot
+exceed max_parallel); the memory no longer is.
 """
 
 from __future__ import annotations
@@ -41,13 +54,40 @@ import pyarrow as pa
 from .politeness import HostConfig
 
 
-def virtual_starts(n: int, delay: int, par: int, lat: int) -> np.ndarray:
-    """Closed-form virtual start times (same math as the sidecar):
-    t_k = max(k·D, ⌊k/P⌋·L + (k mod P)·D)."""
-    k = np.arange(n, dtype=np.int64)
+class WallClock:
+    """Production clock: monotonic + real sleep."""
+
+    monotonic = staticmethod(time.monotonic)
+    sleep = staticmethod(time.sleep)
+
+
+class FakeClock:
+    """Virtual clock for exercising ``real_time=True`` without waiting:
+    ``sleep`` advances virtual time instantly and records the request."""
+
+    def __init__(self, start: float = 0.0):
+        self.t = float(start)
+        self.sleeps: list[float] = []
+
+    def monotonic(self) -> float:
+        return self.t
+
+    def sleep(self, s: float) -> None:
+        self.sleeps.append(float(s))
+        self.t += float(s)
+
+
+def virtual_starts_at(k: np.ndarray, delay: int, par: int, lat: int) -> np.ndarray:
+    """Closed-form virtual start times at arbitrary global ranks ``k``
+    (same math as the sidecar): t_k = max(k·D, ⌊k/P⌋·L + (k mod P)·D)."""
+    k = np.asarray(k, dtype=np.int64)
     if par * delay >= lat:
         return k * delay
     return (k // par) * lat + (k % par) * delay
+
+
+def virtual_starts(n: int, delay: int, par: int, lat: int) -> np.ndarray:
+    return virtual_starts_at(np.arange(n, dtype=np.int64), delay, par, lat)
 
 
 def check_budget(starts: np.ndarray, delay: int, par: int, lat: int) -> None:
@@ -68,47 +108,73 @@ def check_budget(starts: np.ndarray, delay: int, par: int, lat: int) -> None:
             )
 
 
+def check_budget_window(
+    base: int, m: int, delay: int, par: int, lat: int
+) -> np.ndarray:
+    """Validate the budget for global ranks [base, base+m) INCLUDING the
+    chunk's formula predecessors (ranks base−P … base−1), so a chunk
+    boundary cannot hide a violation; returns the chunk's own starts."""
+    lo = max(0, base - par)
+    window = virtual_starts_at(np.arange(lo, base + m), delay, par, lat)
+    check_budget(window, delay, par, lat)
+    return window[base - lo:]
+
+
 def make_polite_dispatch(
     host_cfg: HostConfig,
     fetch_fn,
     real_time: bool = False,
     dispatch_log: list | None = None,
+    clock=None,
+    rank_offset: dict | None = None,
 ):
-    """Per-host-group dispatcher: order → validate budget → fetch in order.
+    """Per-group dispatcher: order → validate budget → fetch in order.
 
     ``fetch_fn`` is the batched fetch callable (pa.Table → pa.Table);
     rows are handed to it in dispatch order, so a real HTTP fetcher
     drop-in honors the budget by construction. ``dispatch_log`` (tests)
-    collects (host, url, virtual_start) in dispatch order.
+    collects (host, url, virtual_start) in dispatch order. ``clock``
+    (default WallClock) is the real_time pacing seam. ``rank_offset``
+    switches to CHUNKED mode: groups are (host, salt) contiguous rank
+    ranges and the global rank of local row j is
+    ``rank_offset[(host, salt)] + j`` (robots-denied rows must then be
+    routed around dispatch by the caller — ranks count live rows only).
     """
+    clk = clock if clock is not None else WallClock()
 
     def dispatch(g: pd.DataFrame) -> pa.Table:
         host = str(g["host"].iloc[0])
         g = g.sort_values(["priority", "url"], kind="mergesort").reset_index(drop=True)
-        denied = (
-            g["robots_denied"].to_numpy()
-            if "robots_denied" in g.columns
-            else np.zeros(len(g), dtype=bool)
-        )
+        if rank_offset is None:
+            denied = (
+                g["robots_denied"].to_numpy()
+                if "robots_denied" in g.columns
+                else np.zeros(len(g), dtype=bool)
+            )
+            base = 0
+        else:
+            denied = np.zeros(len(g), dtype=bool)  # caller pre-filtered
+            base = int(rank_offset[(host, int(g["salt"].iloc[0]))])
         live = g[~denied]
         delay = host_cfg.delay.get(host, host_cfg.default_delay)
         par = host_cfg.parallel.get(host, host_cfg.default_parallel)
         lat = host_cfg.latency.get(host, host_cfg.default_latency)
-        starts = virtual_starts(len(live), delay, par, lat)
-        check_budget(starts, delay, par, lat)
+        starts = check_budget_window(base, len(live), delay, par, lat)
         if dispatch_log is not None:
             dispatch_log.extend(
                 (host, u, int(s)) for u, s in zip(live["url"], starts)
             )
-        if real_time:  # pragma: no cover - wall-clock mode for real HTTP
-            t0 = time.monotonic()
+        if real_time:
+            t0 = clk.monotonic()
             for s in starts:
-                lag = s / 1000.0 - (time.monotonic() - t0)
+                lag = s / 1000.0 - (clk.monotonic() - t0)
                 if lag > 0:
-                    time.sleep(lag)
+                    clk.sleep(lag)
         # batched fetch in dispatch order (robots-denied rows ride along
         # at the tail: never dispatched, fetch_fn marks them denied)
         ordered = pd.concat([live, g[denied]], ignore_index=True)
+        if "salt" in ordered.columns:
+            ordered = ordered.drop(columns=["salt"])
         return fetch_fn(pa.Table.from_pandas(ordered, preserve_index=False))
 
     return dispatch

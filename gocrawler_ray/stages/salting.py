@@ -45,21 +45,21 @@ def _sort_key(priority: np.ndarray, url: np.ndarray) -> np.ndarray:
     return np.char.add(np.char.add(p, "|"), url.astype(str))
 
 
-def schedule_wave_distributed(
+def assign_range_salts(
     ds: rd.Dataset,
-    host_cfg: HostConfig,
-    seq_offsets: dict[tuple[int, str], int],
-    counts: pd.DataFrame,
+    host_total: dict[str, int],
     target_range_rows: int = 2_000_000,
     sample_mod: int = 512,
     sample_seed: int = 97,
 ) -> rd.Dataset:
-    """(url, host, priority) dataset → (url, seq, sched_start_ms,
-    sched_end_ms), range-salted. ``counts`` = exact per-(priority, host)
-    row counts (the same tiny aggregate that feeds ``seq_offsets``)."""
-    from ray.data.aggregate import Count
-
-    host_total = counts.groupby("host")["n"].sum()
+    """Append a ``salt`` column cutting each hot host's sorted
+    (priority, url) key domain into ``ceil(count / target_range_rows)``
+    contiguous ranges at seeded-hash-sample quantiles (steps 1-3 of the
+    module docstring). Shared by the distributed schedule sidecar and the
+    chunked polite dispatcher (stages/dispatch.py) — both rely on ranges
+    being CONTIGUOUS in the (priority, url) order so global ranks are
+    range offset + local rank. Consumes ``ds`` twice (sample + salt map):
+    callers pass a re-executable or materialized dataset."""
     n_salts = {
         h: max(1, -(-int(c) // target_range_rows)) for h, c in host_total.items()
     }
@@ -103,7 +103,54 @@ def schedule_wave_distributed(
                 salt[m] = np.searchsorted(b, key[m], side="right").astype(np.int32)
         return t.append_column("salt", pa.array(salt))
 
-    salted = ds.map_batches(add_salt, batch_format="pyarrow")
+    return ds.map_batches(add_salt, batch_format="pyarrow")
+
+
+def range_rank_offsets(salted: rd.Dataset) -> dict[tuple[str, int], int]:
+    """Exact global rank offset of every (host, salt) range: rows of the
+    host in earlier (smaller-salt) ranges. Per-batch pyarrow partials →
+    driver combine bounded by hosts × salts, never rows (house rule)."""
+
+    def part(t: pa.Table) -> pa.Table:
+        df = (
+            t.select(["host", "salt"])
+            .to_pandas()
+            .groupby(["host", "salt"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = salted.map_batches(part, batch_format="pyarrow").to_pandas()
+    seg = (
+        parts.groupby(["host", "salt"], as_index=False)["n"]
+        .sum()
+        .sort_values(["host", "salt"])
+    )
+    seg["off"] = seg.groupby("host")["n"].cumsum() - seg["n"]
+    return {
+        (str(r["host"]), int(r["salt"])): int(r["off"]) for _, r in seg.iterrows()
+    }
+
+
+def schedule_wave_distributed(
+    ds: rd.Dataset,
+    host_cfg: HostConfig,
+    seq_offsets: dict[tuple[int, str], int],
+    counts: pd.DataFrame,
+    target_range_rows: int = 2_000_000,
+    sample_mod: int = 512,
+    sample_seed: int = 97,
+) -> rd.Dataset:
+    """(url, host, priority) dataset → (url, seq, sched_start_ms,
+    sched_end_ms), range-salted. ``counts`` = exact per-(priority, host)
+    row counts (the same tiny aggregate that feeds ``seq_offsets``)."""
+    from ray.data.aggregate import Count
+
+    host_total = counts.groupby("host")["n"].sum()
+    salted = assign_range_salts(
+        ds, dict(host_total), target_range_rows, sample_mod, sample_seed
+    )
 
     # -- exact per-(host, salt, priority) counts → cumulative offsets ----
     seg = (
