@@ -92,25 +92,28 @@ class _RobotsFlag:
         self.cfg = host_cfg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
+        # Arrow kernels end to end (round-4 verdict #6): one RE2 strip of
+        # scheme://host, then per rule-carrying host (config-bounded, few)
+        # an equality + starts_with kernel — no pandas round-trip on the
+        # crawl hot path
         n = batch.num_rows
         denied = np.zeros(n, dtype=bool)
         hosts_with_rules = [h for h, p in self.cfg.disallow.items() if p]
-        if hosts_with_rules:
-            hosts = batch.column("host").to_pandas()
-            urls = batch.column("url").to_pandas()
-            # path+query = url minus scheme://host
-            pathq = urls.str.replace(r"^[a-z]+://[^/]*", "", regex=True)
+        if hosts_with_rules and n:
+            hosts = batch.column("host")
+            pathq = pc.replace_substring_regex(
+                batch.column("url"), r"^[a-z]+://[^/]*", ""
+            )
             for h in hosts_with_rules:
-                m = (hosts == h).to_numpy()
+                m = pc.equal(hosts, pa.scalar(h)).to_numpy(zero_copy_only=False)
                 if not m.any():
                     continue
-                sub = pathq[m]
-                hit = np.zeros(int(m.sum()), dtype=bool)
+                hit = np.zeros(n, dtype=bool)
                 for prefix in self.cfg.disallow[h]:
-                    hit |= sub.str.startswith(prefix).to_numpy()
-                denied[m] = hit
+                    hit |= pc.starts_with(pathq, prefix).to_numpy(
+                        zero_copy_only=False
+                    )
+                denied |= m & hit
         return batch.append_column("robots_denied", pa.array(denied))
 
 

@@ -302,12 +302,19 @@ def q_crawl_flagship(sf_dir: str):
     items = build_items(_from_arrow_sliced(docs), analyzer_concurrency=2)
 
     def project(t: pa.Table) -> pa.Table:
+        # first-review extraction via Arrow offsets (functions/lists —
+        # round-4 verdict #3): no to_pylist, no per-row Python
+        from ..functions.lists import first_list_element
+
         skus = pc.cast(
             pc.replace_substring_regex(t.column("doc_id"), r"^.*sku=", ""),
             pa.int64(),
         )
-        reviews = t.column("reviews").to_pylist()
-        first = [(r[0] if r else None) for r in reviews]
+        first = first_list_element(t.column("reviews"))
+
+        def rf(name, default):
+            return pc.fill_null(pc.struct_field(first, name), pa.scalar(default))
+
         return pa.table(
             {
                 "doc_id": pc.subtract(skus, pa.scalar(10**12, pa.int64())),
@@ -316,32 +323,23 @@ def q_crawl_flagship(sf_dir: str):
                 "brand": t.column("brand"),
                 "description": t.column("description"),
                 "price_cents": t.column("price_cents"),
-                "r_author": pa.array(
-                    [x["author"] if x else "" for x in first], pa.string()
-                ),
-                "r_stars": pa.array(
-                    [x["stars"] if x else 0.0 for x in first], pa.float64()
-                ),
-                "r_date": pa.array(
-                    [x["date"] if x else "" for x in first], pa.string()
-                ),
-                "r_title": pa.array(
-                    [x["title"] if x else "" for x in first], pa.string()
-                ),
-                "r_content": pa.array(
-                    [x["content"] if x else "" for x in first], pa.string()
-                ),
-                "sentiment": pa.array(
-                    [x["sentiment"] if x else "" for x in first], pa.string()
-                ),
-                "n_entities": pa.array(
-                    [len(x["entities"]) if x else 0 for x in first], pa.int64()
+                "r_author": rf("author", ""),
+                "r_stars": rf("stars", 0.0),
+                "r_date": rf("date", ""),
+                "r_title": rf("title", ""),
+                "r_content": rf("content", ""),
+                "sentiment": rf("sentiment", ""),
+                "n_entities": pc.cast(
+                    pc.fill_null(
+                        pc.list_value_length(pc.struct_field(first, "entities")),
+                        0,
+                    ),
+                    pa.int64(),
                 ),
                 "meta_keywords": t.column("meta_keywords"),
                 "meta_description": t.column("meta_description"),
-                "first_image": pa.array(
-                    [(im[0] if im else "") for im in t.column("image_urls").to_pylist()],
-                    pa.string(),
+                "first_image": pc.fill_null(
+                    first_list_element(t.column("image_urls")), pa.scalar("")
                 ),
             }
         )
@@ -386,6 +384,10 @@ def q_amazon_flagship(sf_dir: str):
     )
 
     def project(t: pa.Table) -> pa.Table:
+        # Arrow-offsets first-review + vectorized details-map lookup
+        # (functions/lists — round-4 verdict #3): no per-row Python
+        from ..functions.lists import first_list_element, kv_lookup
+
         ids = pc.cast(
             pc.replace_substring_regex(
                 pc.replace_substring_regex(t.column("doc_id"), r"^.*/dp/B", ""),
@@ -393,15 +395,10 @@ def q_amazon_flagship(sf_dir: str):
             ),
             pa.int64(),
         )
-        details = t.column("details").to_pylist()
-        reviews = t.column("reviews").to_pylist()
-        first = [(r[0] if r else None) for r in reviews]
+        first = first_list_element(t.column("reviews"))
 
-        def dval(dm, key):
-            for kv in dm:
-                if kv["key"] == key:
-                    return kv["value"]
-            return ""
+        def rf(name, default):
+            return pc.fill_null(pc.struct_field(first, name), pa.scalar(default))
 
         return pa.table(
             {
@@ -411,12 +408,12 @@ def q_amazon_flagship(sf_dir: str):
                 "brand": t.column("brand"),
                 "rating": t.column("rating"),
                 "price_cents": t.column("price_cents"),
-                "d_fabricante": pa.array([dval(d, "Fabricante") for d in details], pa.string()),
-                "d_asin": pa.array([dval(d, "ASIN") for d in details], pa.string()),
-                "r_author": pa.array([x["author"] if x else "" for x in first], pa.string()),
-                "r_stars": pa.array([x["stars"] if x else 0.0 for x in first], pa.float64()),
-                "r_date": pa.array([x["date"] if x else "" for x in first], pa.string()),
-                "r_sentiment": pa.array([x["sentiment"] if x else "" for x in first], pa.string()),
+                "d_fabricante": kv_lookup(t.column("details"), "Fabricante"),
+                "d_asin": kv_lookup(t.column("details"), "ASIN"),
+                "r_author": rf("author", ""),
+                "r_stars": rf("stars", 0.0),
+                "r_date": rf("date", ""),
+                "r_sentiment": rf("sentiment", ""),
             }
         )
 

@@ -1754,6 +1754,21 @@ def simhash_near_dup(
                         "— raise shingle_radius for this corpus",
                         max_h2, shingle_radius,
                     )
+                # debug gate (round-4 verdict #5): under
+                # GRAFT_SIMHASH_MARGIN_ASSERT a re-seeded gate corpus
+                # whose true pairs drift toward the radius FAILS loudly
+                # here instead of flaking the exact-equality oracle gate
+                # with a silently-missed pair
+                import os as _os
+
+                if _os.environ.get("GRAFT_SIMHASH_MARGIN_ASSERT"):
+                    assert max_h2 <= shingle_radius - 6, (
+                        f"simhash shingle prefilter margin exhausted: "
+                        f"max true-pair shingle hamming {max_h2} vs "
+                        f"radius {shingle_radius} (need ≥6 bits of "
+                        f"margin) — raise shingle_radius before trusting "
+                        f"the exact-equality gate on this corpus"
+                    )
             return kept
 
     # coarse-band regime past the cap: candidates stay a DATASET end to

@@ -165,6 +165,43 @@ def test_simhash_shingle_prefilter_keeps_every_verified_pair(radius2):
     assert np.array_equal(simhash64_shingles(texts), h2)
 
 
+def test_simhash_margin_assert_debug_mode(monkeypatch):
+    """GRAFT_SIMHASH_MARGIN_ASSERT (round-4 verdict #5): the shingle
+    prefilter's probabilistic radius must keep ≥6 bits of margin over the
+    worst verified pair — passes at the production radius, and a radius
+    deliberately shaved to the observed maximum fails LOUDLY instead of
+    letting a re-seeded corpus flake the exact-equality gate."""
+    from gocrawler_ray.stages.dedup import (
+        hamming64,
+        simhash64_shingles,
+        simhash_near_dup,
+    )
+
+    rows = []
+    for i in range(8):
+        ws = BASE.split()
+        ws[3 + i] = f"edit{i}"
+        rows.append({"doc_id": f"n{i:03d}", "text": " ".join(ws)})
+    rows.append({"doc_id": "n900", "text": BASE})
+    ds = rd.from_items(rows)
+    kw = dict(col="text", id_col="doc_id", band_bits=4, threshold=0.6,
+              bucket_cap=1 << 20, hamming_radius=16)
+
+    monkeypatch.setenv("GRAFT_SIMHASH_MARGIN_ASSERT", "1")
+    pairs = simhash_near_dup(ds, **kw, shingle_radius=26)  # healthy margin
+    assert len(pairs) >= 8
+
+    # worst observed true-pair shingle hamming on this corpus
+    h2 = dict(zip([r["doc_id"] for r in rows],
+                  simhash64_shingles(pd.Series([r["text"] for r in rows]))))
+    worst = max(
+        int(hamming64(np.array([h2[a]], np.uint64), np.array([h2[b]], np.uint64))[0])
+        for a, b in pairs
+    )
+    with pytest.raises(AssertionError, match="margin exhausted"):
+        simhash_near_dup(ds, **kw, shingle_radius=worst + 2)
+
+
 def test_embedding_near_dup():
     rng = np.random.RandomState(3)
     vecs = rng.standard_normal((40, 16))
