@@ -3570,15 +3570,19 @@ def q_repeated_ngrams(sf_dir: str, cap: int = 5_000_000):
     docs = _pq(sf_dir, "documents", columns=["doc_id", "text"],
                num_blocks=_n_cpus())
 
-    def gram_doc_partial(t: pa.Table) -> pd.DataFrame:
+    def gram_doc_partial(t: pa.Table) -> pa.Table:
+        # emits PYARROW (house rule): the past-cap fallback feeds this
+        # straight into Ray's sort-based groupby, where pandas blocks
+        # are ~13x slower through the shuffle
         flat, di = _flat_tokens(t.column("text").to_pandas())
         grams, gdi = _word_ngram_hashes(flat, di, n)
         if len(grams) == 0:
-            return pd.DataFrame({"g": pd.Series([], dtype=np.int64),
-                                 "nd": pd.Series([], dtype=np.int64)})
+            return pa.table({"g": pa.array([], pa.int64()),
+                             "nd": pa.array([], pa.int64())})
         pairs = pd.DataFrame({"g": grams, "d": gdi})
         nd = pairs.drop_duplicates().groupby("g", as_index=False).size()
-        return nd.rename(columns={"size": "nd"})
+        return pa.table({"g": pa.array(nd["g"].to_numpy(np.int64)),
+                         "nd": pa.array(nd["size"].to_numpy(np.int64))})
 
     partials = docs.map_batches(gram_doc_partial, batch_format="pyarrow")
     counts = _combine_partials(partials, ["g"], ["nd"], cap=cap)
@@ -12182,8 +12186,7 @@ def _minmerge_stream(parts: rd.Dataset, n: int, init: np.ndarray,
     return lab
 
 
-def _scc_labels(n: int, edf, edges: rd.Dataset,
-                max_rounds: int = 64) -> np.ndarray:
+def _scc_labels(n: int, edf, edges: rd.Dataset) -> np.ndarray:
     """SCC label per node (= min doc_id in its SCC). With a gathered
     edge frame: one iterative Tarjan sweep on the driver. With
     ``edf=None``: FW-BW-TRIM — per-node state stays node-bounded (the
@@ -12192,7 +12195,17 @@ def _scc_labels(n: int, edf, edges: rd.Dataset,
     zero-in/out-degree nodes (kills tendrils and chains, the classic
     FW-BW weakness), (2) forward and backward min-label fixpoints F/B,
     (3) nodes with F=B join SCC(F) and deactivate — at least the
-    minimum active node's whole SCC resolves per outer round."""
+    minimum active node's whole SCC resolves per outer round.
+
+    NO ROUND CAPS (post-r4 ADVICE): the min-label fixpoints iterate to
+    convergence — they terminate within the active subgraph's diameter,
+    so a crawl-trap ring longer than any fixed cap (the exact structure
+    this query hunts) still labels correctly instead of silently
+    degrading to singletons; the outer loop terminates because every
+    round resolves at least the SCC of the minimum active label (its
+    F and B both equal itself). Past 64 outer rounds — a long chain of
+    non-trivial SCCs — progress is logged loudly so a pathological
+    graph is visible, never wrong."""
     INF = np.int64(2**62)
 
     if edf is not None:  # driver Tarjan (iterative, CSR)
@@ -12249,7 +12262,18 @@ def _scc_labels(n: int, edf, edges: rd.Dataset,
 
     scc = np.full(n, -1, np.int64)
     active = np.ones(n, bool)
-    for _outer in range(max_rounds):
+    _outer = 0
+    while True:
+        _outer += 1
+        if _outer > 64 and _outer % 16 == 1:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "_scc_labels: outer round %d, %d nodes still active "
+                "(long chain of non-trivial SCCs — correct but slow; "
+                "consider the driver-Tarjan plan via a larger edge cap)",
+                _outer, int(active.sum()),
+            )
         while True:  # TRIM: iterated zero-degree peel
             ref = ray.put(active)
 
@@ -12287,8 +12311,10 @@ def _scc_labels(n: int, edf, edges: rd.Dataset,
             break
 
         def fixpoint(reverse: bool) -> np.ndarray:
+            # iterate to CONVERGENCE — bounded by the active subgraph's
+            # diameter, so long rings resolve exactly (no round cap)
             lab = np.where(active, np.arange(n, dtype=np.int64), INF)
-            for _r in range(max_rounds):
+            while True:
                 ref2 = ray.put((active, lab))
                 sc, dc = ("dst", "src") if reverse else ("src", "dst")
 
@@ -12306,19 +12332,22 @@ def _scc_labels(n: int, edf, edges: rd.Dataset,
                 if np.array_equal(new, lab):
                     return lab
                 lab = new
-            return lab
 
         F = fixpoint(reverse=False)
         B = fixpoint(reverse=True)
         done = active & (F == B) & (F < INF)
-        if not done.any():  # safety: cannot progress further
-            scc[active] = np.flatnonzero(active)
-            break
+        if not done.any():
+            # unreachable by construction (the minimum active label's
+            # SCC always has F=B=itself) — if it ever fires the labels
+            # would be wrong, so fail loudly rather than degrade
+            raise RuntimeError(
+                "_scc_labels made no progress with "
+                f"{int(active.sum())} active nodes — labeling bug"
+            )
         scc[done] = F[done]
         active &= ~done
         if not active.any():
             break
-    scc[scc < 0] = np.flatnonzero(scc < 0)  # round-cap stragglers
     return scc
 
 
@@ -13767,7 +13796,12 @@ def q_containment_pairs(sf_dir: str):
         t2 = t.filter(pc.less(t.column("doc_id"), 10))
         texts = []
         for x in t2.column("text").to_pylist():
-            toks = (x or "").split()
+            # single-space split after space-trim, KEEPING empty
+            # tokens — byte-identical to the oracle's
+            # string_split(trim(text), ' ') on any whitespace shape
+            # (post-r4 ADVICE: .split() drops empties and splits on
+            # tabs/newlines, a latent gate mismatch)
+            toks = (x or "").strip(" ").split(" ")
             n = max(4, 2 * len(toks) // 5)
             texts.append(" ".join(toks[:n]))
         return pa.table({"doc_id": pc.add(t2.column("doc_id"), 30000),
@@ -14162,15 +14196,19 @@ def q_source_dup_mass(sf_dir: str, cap: int = 5_000_000):
     docs = _pq(sf_dir, "documents", columns=["doc_id", "text", "source"],
                num_blocks=_n_cpus())
 
-    def gram_doc_partial(t: pa.Table) -> pd.DataFrame:
+    def gram_doc_partial(t: pa.Table) -> pa.Table:
+        # emits PYARROW (house rule): the past-cap fallback feeds this
+        # straight into Ray's sort-based groupby, where pandas blocks
+        # are ~13x slower through the shuffle
         flat, di = _flat_tokens(t.column("text").to_pandas())
         grams, gdi = _word_ngram_hashes(flat, di, n)
         if len(grams) == 0:
-            return pd.DataFrame({"g": pd.Series([], dtype=np.int64),
-                                 "nd": pd.Series([], dtype=np.int64)})
+            return pa.table({"g": pa.array([], pa.int64()),
+                             "nd": pa.array([], pa.int64())})
         pairs = pd.DataFrame({"g": grams, "d": gdi})
         nd = pairs.drop_duplicates().groupby("g", as_index=False).size()
-        return nd.rename(columns={"size": "nd"})
+        return pa.table({"g": pa.array(nd["g"].to_numpy(np.int64)),
+                         "nd": pa.array(nd["size"].to_numpy(np.int64))})
 
     partials = docs.map_batches(gram_doc_partial, batch_format="pyarrow")
     counts = _combine_partials(partials, ["g"], ["nd"], cap=cap)
@@ -16356,7 +16394,12 @@ def q_containment_dedup(sf_dir: str):
         t2 = t.filter(pc.less(t.column("doc_id"), 10))
         texts = []
         for x in t2.column("text").to_pylist():
-            toks = (x or "").split()
+            # single-space split after space-trim, KEEPING empty
+            # tokens — byte-identical to the oracle's
+            # string_split(trim(text), ' ') on any whitespace shape
+            # (post-r4 ADVICE: .split() drops empties and splits on
+            # tabs/newlines, a latent gate mismatch)
+            toks = (x or "").strip(" ").split(" ")
             n = max(4, 2 * len(toks) // 5)
             texts.append(" ".join(toks[:n]))
         return pa.table({"doc_id": pc.add(t2.column("doc_id"), 30000),
@@ -16409,15 +16452,19 @@ def q_shingle_df_profile(sf_dir: str):
                num_blocks=_n_cpus())
     n = 3
 
-    def gram_doc_partial(t: pa.Table) -> pd.DataFrame:
+    def gram_doc_partial(t: pa.Table) -> pa.Table:
+        # emits PYARROW (house rule): the past-cap fallback feeds this
+        # straight into Ray's sort-based groupby, where pandas blocks
+        # are ~13x slower through the shuffle
         flat, di = _flat_tokens(t.column("text").to_pandas())
         grams, gdi = _word_ngram_hashes(flat, di, n)
         if len(grams) == 0:
-            return pd.DataFrame({"g": pd.Series([], dtype=np.int64),
-                                 "nd": pd.Series([], dtype=np.int64)})
+            return pa.table({"g": pa.array([], pa.int64()),
+                             "nd": pa.array([], pa.int64())})
         pairs = pd.DataFrame({"g": grams, "d": gdi})
         nd = pairs.drop_duplicates().groupby("g", as_index=False).size()
-        return nd.rename(columns={"size": "nd"})
+        return pa.table({"g": pa.array(nd["g"].to_numpy(np.int64)),
+                         "nd": pa.array(nd["size"].to_numpy(np.int64))})
 
     partials = docs.map_batches(gram_doc_partial, batch_format="pyarrow")
     counts = _combine_partials(partials, ["g"], ["nd"], cap=5_000_000)

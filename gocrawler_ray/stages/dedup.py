@@ -2399,18 +2399,33 @@ def containment_join(
     ).materialize()
     num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
     join_kw = dict(aggregator_ray_remote_args={"num_cpus": 0.25})
-    dfc = index.groupby("band_key").count().to_pandas()
-    hot_keys = np.sort(
-        dfc.loc[dfc["count()"] > bucket_cap, "band_key"]
-        .to_numpy(np.uint64)
+    # hot-key detection stays DISTRIBUTED (post-r4 ADVICE): filter the
+    # per-shingle count Dataset to count > bucket_cap before gathering,
+    # so the driver sees only the hot keys — bounded by
+    # corpus_size/bucket_cap, never O(distinct shingles)
+    hot_df = (
+        index.groupby("band_key")
+        .count()
+        .map_batches(
+            lambda t: t.filter(
+                pc.greater(t.column("count()"), pa.scalar(bucket_cap))
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
     )
+    hot_keys = np.sort(hot_df["band_key"].to_numpy(np.uint64)) if len(
+        hot_df
+    ) else np.empty(0, np.uint64)
+    hot_star = None
     if hot_keys.size:
         import logging
 
         logging.getLogger(__name__).warning(
             "containment_join: %d index shingles past bucket_cap=%d "
             "star-reduced to their min doc — pair list complete only "
-            "for in-cap shingles", hot_keys.size, bucket_cap,
+            "for in-cap shingles (same star degradation as the driver "
+            "plane)", hot_keys.size, bucket_cap,
         )
         hk_ref = ray.put(hot_keys)
 
@@ -2445,9 +2460,40 @@ def containment_join(
         ]
         hot_min = (pd.concat(hot_frames, ignore_index=True)
                    .groupby("band_key", sort=False)["pb_id"].min()
-                   .reset_index())
+                   .reset_index()
+                   .sort_values("band_key")
+                   .reset_index(drop=True))
         cold = index.map_batches(cold_rows, batch_format="pyarrow")
         idx2 = cold.union(rd.from_pandas(hot_min))
+        # plane parity (post-r4 ADVICE): the driver plane stars EVERY
+        # member of an over-cap bucket to the min anchor; the probe ×
+        # reduced-index join alone only reaches members whose PROBE
+        # prefix carries the hot shingle (a strict subset). Emit the
+        # (anchor, member) rows from the FULL index side too, so the
+        # two planes produce the identical candidate set — pinned by
+        # test_containment_planes_agree_past_bucket_cap.
+        hv_ref = ray.put(hot_min["pb_id"].to_numpy(dtype=object))
+
+        def hot_star_pairs(t: pa.Table) -> pa.Table:
+            hk = ray.get(hk_ref)
+            hv = ray.get(hv_ref)
+            bk = t.column("band_key").to_numpy()
+            pos = np.searchsorted(hk, bk)
+            is_hot = (pos < hk.size) & (
+                hk[np.minimum(pos, hk.size - 1)] == bk
+            )
+            members = t.column("pb_id").to_numpy(
+                zero_copy_only=False)[is_hot]
+            anchors = hv[pos[is_hot]]
+            m = members != anchors
+            lo = np.minimum(anchors[m], members[m])
+            hi = np.maximum(anchors[m], members[m])
+            id_t = t.column("pb_id").type
+            return pa.table(
+                {"a": pa.array(lo, id_t), "b": pa.array(hi, id_t)}
+            )
+
+        hot_star = index.map_batches(hot_star_pairs, batch_format="pyarrow")
     else:
         idx2 = index
     cand = probe.join(idx2, "inner", num_partitions,
@@ -2464,8 +2510,11 @@ def containment_join(
 
     idx_sch = index.schema()
     pair_ty = _pa_id_type(idx_sch.types[idx_sch.names.index("pb_id")])
+    pair_stream = cand.map_batches(norm_pairs, batch_format="pyarrow")
+    if hot_star is not None:
+        pair_stream = pair_stream.union(hot_star)
     deduped = _fix_empty_blocks(
-        cand.map_batches(norm_pairs, batch_format="pyarrow")
+        pair_stream
         .groupby(["a", "b"])
         .aggregate(agg.Count(alias_name="n"))
         .materialize(),

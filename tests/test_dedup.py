@@ -571,6 +571,35 @@ def test_containment_distributed_plane_matches_driver_path():
     assert len(fast) >= 3
 
 
+def test_containment_planes_agree_past_bucket_cap():
+    """Post-r4 ADVICE: the two containment planes must agree when a
+    bucket trips bucket_cap. One quote doc (the min id, so it anchors
+    the star) is contained in 12 big docs with disjoint filler — every
+    quote shingle's bucket holds 13 > cap docs, and most big docs do NOT
+    carry a quote shingle in their probe prefix, so the probe×index join
+    alone would miss their anchor pairs; the full-index star emission
+    restores them and the planes produce identical verified output."""
+    from gocrawler_ray.stages.dedup import containment_join
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [{"doc_id": "a00", "text": quote}]
+    for i in range(12):
+        filler = " ".join(f"w{i}x{j}" for j in range(40))
+        rows.append({"doc_id": f"b{i:02d}", "text": filler + " " + quote})
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(4)
+    kw = dict(threshold=0.9, k=3, bucket_cap=4, freq_order=False)
+    fast = containment_join(ds, **kw)
+    slow = containment_join(ds, **kw, pair_driver_cap=None)
+    pd.testing.assert_frame_equal(
+        fast.reset_index(drop=True), slow.reset_index(drop=True)
+    )
+    # every big doc pairs with the quote anchor (C = 1.0) even though
+    # the hot buckets star-degraded
+    pairs = set(zip(fast["a"], fast["b"]))
+    for i in range(12):
+        assert ("a00", f"b{i:02d}") in pairs
+
+
 def test_containment_join_bucket_cap_star_degrades():
     """Degenerate corpus: every doc identical → the index bucket blows
     past bucket_cap and degrades to the min-doc star, O(m) pairs."""

@@ -191,3 +191,35 @@ def test_scc_fwbw_matches_tarjan_on_random_graphs():
         a = _scc_labels(n, edf, edges)
         b = _scc_labels(n, None, edges)
         np.testing.assert_array_equal(a, b, err_msg=f"trial {trial}")
+
+
+def test_scc_fwbw_long_ring_past_old_round_cap():
+    """Regression (post-r4 ADVICE): a directed RING is one SCC with
+    diameter = n; the old 64-round fixpoint cap silently mislabeled any
+    ring longer than 64 as singletons — exactly the crawl-trap shape
+    q_scc_stats hunts. 70 > 64 forces full convergence, plus a chain of
+    2-cycles to exercise multiple outer rounds."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gocrawler_ray.pipelines.queries import _scc_labels
+
+    n_ring = 70
+    src = list(range(n_ring))
+    dst = [(i + 1) % n_ring for i in range(n_ring)]
+    # chain of three 2-cycles hanging off the ring: (70,71) (72,73) (74,75)
+    for a, b in [(70, 71), (72, 73), (74, 75)]:
+        src += [a, b]
+        dst += [b, a]
+    src += [0, 71, 73]   # ring → first 2-cycle → second → third
+    dst += [70, 72, 74]
+    n = 76
+    edf = pd.DataFrame({"src": np.array(src, np.int64),
+                        "dst": np.array(dst, np.int64)})
+    got = _scc_labels(n, None, rd.from_pandas(edf))
+    want = _scc_labels(n, edf, rd.from_pandas(edf))
+    np.testing.assert_array_equal(got, want)
+    # the ring is ONE component labeled by its min node
+    assert (got[:n_ring] == 0).all()
+    assert got[70] == got[71] == 70 and got[74] == got[75] == 74
