@@ -399,6 +399,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exit_event_mix": q.q_exit_event_mix,
         "value_by_entry_type": q.q_value_by_entry_type,
         "quantity_hist": q.q_quantity_hist,
+        "external_sort_ranks": q.q_external_sort_ranks,
+        "external_sort_manifest": q.q_external_sort_manifest,
     }
 
 
@@ -6139,5 +6141,28 @@ t AS (SELECT sum(n) AS tn FROM g)
 SELECT quantity, CAST(n AS BIGINT) AS n_lines,
        CAST(n * 1000000 // t.tn AS BIGINT) AS share6
 FROM g, t ORDER BY quantity
+"""
+    # global total order through the external-sort plane: the key at
+    # every N/16-th global rank (plus the last) of ORDER BY v3, event_id
+    out["external_sort_ranks"] = """
+WITH k AS (SELECT CAST(event_id AS BIGINT) AS event_id,
+                  CAST(round(value * 1000) AS BIGINT) AS v3
+           FROM events),
+r AS (SELECT event_id, v3,
+             row_number() OVER (ORDER BY v3, event_id) - 1 AS rn
+      FROM k),
+n AS (SELECT count(*) AS n FROM events),
+probes AS (
+  SELECT DISTINCT (t.i * n.n) // 16 AS rn FROM range(16) t(i), n
+  UNION SELECT n - 1 FROM n)
+SELECT CAST(r.rn AS BIGINT) AS rank, r.v3, r.event_id
+FROM r JOIN probes p ON p.rn = r.rn
+ORDER BY rank
+"""
+    out["external_sort_manifest"] = """
+SELECT CAST(count(*) AS BIGINT) AS total_rows,
+       CAST(1 AS BIGINT) AS monotonic,
+       CAST(1 AS BIGINT) AS sealed
+FROM events
 """
     return out

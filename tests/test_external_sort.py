@@ -1,0 +1,91 @@
+"""External sort plane (stages/external_sort.py): the concatenation of
+sealed sorted runs is exactly the global order, rank probes resolve
+without re-shuffle, and a crashed run resumes at run granularity."""
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from gocrawler_ray.stages.external_sort import (
+    external_sort_write,
+    keys_at_ranks,
+    sample_boundaries,
+)
+
+ROOT = "/tmp/gocrawler_test/extsort"
+
+
+def _ds(n=5000, seed=3):
+    rng = np.random.RandomState(seed)
+    keys = rng.randint(-10**6, 10**6, size=n).astype(np.int64)
+    return rd.from_arrow(pa.table({
+        "k": keys, "payload": np.arange(n, dtype=np.int64),
+    })).repartition(6), keys
+
+
+def _global_keys(root):
+    out = []
+    for d in sorted(
+        glob.glob(os.path.join(root, "sorted", "range=*")),
+        key=lambda p: int(p.split("=")[1]),
+    ):
+        out.append(pq.read_table(d, columns=["k"])["k"].to_numpy())
+    return np.concatenate(out)
+
+
+def test_external_sort_total_order(ray_session):
+    shutil.rmtree(ROOT, ignore_errors=True)
+    ds, keys = _ds()
+    man = external_sort_write(ds, ROOT, "k", n_ranges=8)
+    assert man["total_rows"] == len(keys)
+    assert man["monotonic"]
+    got = _global_keys(ROOT)
+    np.testing.assert_array_equal(got, np.sort(keys))
+    # rank probes equal the sorted array at those ranks
+    ranks = [0, 1, 999, 2500, len(keys) - 1]
+    assert keys_at_ranks(man, ranks) == [
+        (r, int(np.sort(keys)[r])) for r in ranks
+    ]
+    # multiple real ranges, each bounded well below the whole
+    assert len(man["runs"]) >= 6
+    assert max(r["rows"] for r in man["runs"]) < len(keys) / 2
+
+
+def test_external_sort_resumes_at_run_granularity(ray_session):
+    root = ROOT + "_resume"
+    shutil.rmtree(root, ignore_errors=True)
+    ds, keys = _ds(seed=5)
+    man1 = external_sort_write(ds, root, "k", n_ranges=8)
+    victim = man1["runs"][2]["range_id"]
+    vdir = os.path.join(root, "sorted", f"range={victim}")
+    os.remove(os.path.join(vdir, "_SUCCESS"))  # crash: run unsealed
+    before = {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(os.path.join(root, "sorted", "range=*", "*.parquet"))
+        if f"range={victim}/" not in f
+    }
+    man2 = external_sort_write(ds, root, "k", n_ranges=8)
+    after = {f: os.stat(f).st_mtime_ns for f in before}
+    assert after == before  # sealed runs untouched byte-for-byte
+    assert os.path.exists(os.path.join(vdir, "_SUCCESS"))  # rebuilt
+    assert man2 == man1
+    np.testing.assert_array_equal(_global_keys(root), np.sort(keys))
+
+
+def test_sample_boundaries_degrade_and_balance(ray_session):
+    # thin data: fewer samples than ranges -> one range, still correct
+    ds, keys = _ds(n=40)
+    b = sample_boundaries(ds, "k", n_ranges=16, sample_mod=256)
+    assert b.size == 0
+    root = ROOT + "_thin"
+    shutil.rmtree(root, ignore_errors=True)
+    man = external_sort_write(ds, root, "k", n_ranges=16)
+    np.testing.assert_array_equal(_global_keys(root), np.sort(keys))
+    assert man["monotonic"] and man["total_rows"] == 40
