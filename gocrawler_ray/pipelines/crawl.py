@@ -128,6 +128,7 @@ def run_crawl(
     corpus_index: dict | None = None,
     corpus_refs: tuple | None = None,
     ckpt_fs=None,
+    fetch_fn=None,
 ) -> CrawlResult:
     """Run (or resume) a crawl; all state lands under ``ckpt_root``.
 
@@ -143,6 +144,14 @@ def run_crawl(
     (corpus_ref, index_ref) lets a bench pre-stage the simulated web in
     the object store so the timed window is the crawl itself, not the
     simulation setup (see bench.py).
+
+    ``fetch_fn`` swaps the transport: any batched callable with the
+    Fetcher contract (ordered rows in, DOCS_SCHEMA lineage rows out) —
+    e.g. ``stages.fetcher.HttpFetcher(client, decode)`` over a real
+    HTTP client. The whole engine (seen set, robots, politeness
+    dispatch, checkpoints, resume) is transport-agnostic; the
+    fake-transport crawl test pins that an HttpFetcher-driven crawl
+    equals the corpus-lookup crawl page for page.
     """
     t0 = time.time()
     ckpt = CheckpointStore(ckpt_root, fs=ckpt_fs)
@@ -234,7 +243,7 @@ def run_crawl(
                 break
             n_admitted = _wave_job(
                 frontier_in, wave, ckpt, profile, cfg, host_cfg, shards,
-                corpus_ref, index_ref,
+                corpus_ref, index_ref, fetch_fn,
             )
             ckpt.save_shards(shards, wave)
             prev = chain_sidecar(wave, prev, n_admitted)
@@ -303,6 +312,7 @@ def _wave_job(
     shards: list,
     corpus_ref,
     index_ref,
+    fetch_fn=None,
 ) -> int:
     """The ONE Ray job of a wave: filter -> admit -> robots -> fetch ->
     docs checkpoint (marker-sealed = resume point). Returns the admitted
@@ -337,7 +347,7 @@ def _wave_job(
         # everything as already seen.
         from ..stages.dispatch import make_polite_dispatch
 
-        fetch_fn = make_fetch_fn(corpus_ref, index_ref)
+        fetch_fn = fetch_fn or make_fetch_fn(corpus_ref, index_ref)
         flagged = flagged.materialize()
         live_counts = _live_host_counts(flagged)
         if (
@@ -392,7 +402,7 @@ def _wave_job(
             )
     else:
         fetched = flagged.map_batches(
-            make_fetch_fn(corpus_ref, index_ref),
+            fetch_fn or make_fetch_fn(corpus_ref, index_ref),
             batch_format="pyarrow",
             batch_size=None,
         )

@@ -306,3 +306,71 @@ def test_http_fetcher_under_real_time_dispatch_budget():
     starts = np.array([s for _, _, s in log])
     assert (np.diff(starts) >= 250).all()
     assert clk.t >= starts[-1] / 1000.0
+
+
+def test_http_transport_crawl_equals_corpus_crawl(ray_session):
+    """The whole engine is transport-agnostic: run_crawl(fetch_fn=
+    HttpFetcher(client, decode)) over a scripted HTTP transport serving
+    the same synthetic web produces the same pages, statuses, spans and
+    politeness schedule as the corpus-lookup Fetcher — the drop-in-real-
+    crawler contract of the S2 seam (scraper.go:79-99)."""
+    import json
+
+    from gocrawler_ray.config import CrawlConfig
+    from gocrawler_ray.corpus import CorpusSpec, generate, profile_of
+    from gocrawler_ray.pipelines.crawl import run_crawl
+    from gocrawler_ray.sources.tables import read_table
+    from gocrawler_ray.stages.fetcher import HttpClient, HttpFetcher
+
+    spec = CorpusSpec(n_docs=250, n_hosts=2)
+    t = generate(spec)
+    prof = profile_of(spec)
+    cfg = CrawlConfig(num_seen_shards=2, fetcher_concurrency=2,
+                      batch_size=512)
+
+    class CorpusHttpClient(HttpClient):
+        """Serves the synthetic web as an HTTP transport (200 + JSON
+        payload, 404 for urls outside the corpus)."""
+
+        def __init__(self, pages):
+            self.pages = pages
+
+        def get(self, url, headers):
+            if url in self.pages:
+                return 200, self.pages[url]
+            return 404, b""
+
+    pages = {
+        r["doc_id"]: json.dumps(r["spans"]).encode()
+        for r in t["corpus"].to_pylist()
+    }
+    fetchers = {
+        "corpus": None,
+        "http": HttpFetcher(CorpusHttpClient(pages),
+                            lambda p: json.loads(p.decode())),
+    }
+    outs = {}
+    for mode, fn in fetchers.items():
+        root = f"/tmp/gocrawler_test/transport_{mode}"
+        shutil.rmtree(root, ignore_errors=True)
+        run_crawl(t["corpus"], t["hosts"], t["seeds"], prof, cfg, root,
+                  fetch_fn=fn)
+        docs, sched = [], []
+        for d in sorted(os.listdir(os.path.join(root, "docs"))):
+            tb = read_table(os.path.join(root, "docs", d))
+            docs.extend(sorted(
+                (r["url"], r["status"], r["depth"], r["header_idx"],
+                 tuple((s["kind"], s["text"], s["media_ref"], s["offset"])
+                       for s in (r["spans"] or [])))
+                for r in tb.to_pylist()
+            ))
+        for d in sorted(os.listdir(os.path.join(root, "schedule"))):
+            tb = read_table(os.path.join(root, "schedule", d))
+            sched.extend(sorted(
+                (r["url"], r["seq"], r["sched_start_ms"])
+                for r in tb.to_pylist()
+            ))
+        outs[mode] = (docs, sched)
+    assert outs["corpus"][0] == outs["http"][0]
+    assert outs["corpus"][1] == outs["http"][1]
+    assert sum(1 for r in outs["http"][0] if r[1] == "ok") > 100
