@@ -20,9 +20,7 @@ protocol rename-free in tests.
 
 from __future__ import annotations
 
-import os
 import posixpath
-import shutil
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -89,7 +87,7 @@ def parquet_num_rows(uri: str, fs=None) -> int:
 
 
 def write_partitioned(
-    ds, root: str, partition_col: str, resume: bool = True
+    ds, root: str, partition_col: str, resume: bool = True, fs=None
 ) -> list[str]:
     """Resumable hive-partitioned Parquet sink — the 100 TB output
     contract (SURVEY §4.3): one directory per partition value, each
@@ -100,26 +98,33 @@ def write_partitioned(
     unsealed directory is discarded — the write itself is not atomic
     per file, the marker is the commit point), and (c) never writes one
     giant file. Returns the partition values sealed by THIS call.
+    ``root`` may be any fsspec URI (marker-seal, rename-free — the same
+    commit primitive as the checkpoint store).
 
     The skip-filter broadcasts only the sealed-value set (bounded by
     partition cardinality, never row count); everything else streams.
     """
+    import posixpath
+
     import pyarrow.compute as pc
     from urllib.parse import unquote
 
-    os.makedirs(root, exist_ok=True)
+    from .fsio import SEAL, is_sealed, seal_dir
+
+    fs, path = url_to_fs(root, fs)
+    fs.makedirs(path, exist_ok=True)
     done: set[str] = set()
-    for d in os.listdir(root):
-        p = os.path.join(root, d)
-        if "=" not in d or not os.path.isdir(p):
+    for p in fs.ls(path):
+        d = posixpath.basename(p.rstrip("/"))
+        if "=" not in d or not fs.isdir(p):
             continue
-        if resume and os.path.exists(os.path.join(p, "_SUCCESS")):
+        if resume and is_sealed(fs, p):
             # hive dirs carry URL-ENCODED values (space, '/', '=', '%'):
             # decode before comparing against raw column values, or an
             # encoded partition would be silently re-written on resume
             done.add(unquote(d.split("=", 1)[1]))
         else:  # half-written (or resume=False): rebuild from scratch
-            shutil.rmtree(p)
+            fs.rm(p, recursive=True)
     if done:
         done_arr = pa.array(sorted(done), pa.string())
 
@@ -128,15 +133,18 @@ def write_partitioned(
             return t.filter(pc.invert(pc.is_in(vals, value_set=done_arr)))
 
         ds = ds.map_batches(drop_done, batch_format="pyarrow")
-    ds.write_parquet(root, partition_cols=[partition_col])
+    pafs = arrow_fs(fs)
+    if pafs is None:
+        ds.write_parquet(path, partition_cols=[partition_col])
+    else:
+        ds.write_parquet(path, partition_cols=[partition_col], filesystem=pafs)
     sealed = []
-    for d in sorted(os.listdir(root)):
-        p = os.path.join(root, d)
-        if "=" in d and os.path.isdir(p) and not os.path.exists(
-            os.path.join(p, "_SUCCESS")
+    for p in sorted(fs.ls(path)):
+        d = posixpath.basename(p.rstrip("/"))
+        if "=" in d and fs.isdir(p) and not fs.exists(
+            posixpath.join(p, SEAL)
         ):
-            with open(os.path.join(p, "_SUCCESS"), "w"):
-                pass
+            seal_dir(fs, p)
             sealed.append(unquote(d.split("=", 1)[1]))
     return sealed
 

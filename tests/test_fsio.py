@@ -153,3 +153,39 @@ def test_write_table_seals_and_roundtrips_on_memory_uri():
     write_table(t.slice(0, 1), uri)
     assert read_table(uri).num_rows == 1
     fs.rm(path, recursive=True)
+
+
+def test_write_partitioned_through_norename_store(ray_session, tmp_path):
+    """The hive output sink's resume contract holds on a rename-free
+    store: sealed partitions skip, the damaged one rebuilds."""
+    import glob
+
+    import ray.data as rd
+
+    from gocrawler_ray.sources.tables import write_partitioned
+
+    root = str(tmp_path / "part")
+    uri = "norename://" + root
+    t = pa.table({
+        "p": pa.array([i % 4 for i in range(800)], pa.int64()),
+        "v": pa.array(range(800), pa.int64()),
+    })
+    sealed = write_partitioned(rd.from_arrow(t).repartition(3), uri, "p")
+    assert sorted(sealed) == ["0", "1", "2", "3"]
+    shutil.rmtree(os.path.join(root, "p=2"))
+    os.makedirs(os.path.join(root, "p=2"))  # half-written, no seal
+    before = {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(os.path.join(root, "p=*", "*.parquet"))
+        if "p=2" not in f
+    }
+    sealed2 = write_partitioned(rd.from_arrow(t).repartition(3), uri, "p")
+    assert sealed2 == ["2"]
+    assert {f: os.stat(f).st_mtime_ns for f in before} == before
+    import pandas as pd
+
+    got = pd.concat(
+        pd.read_parquet(f)
+        for f in glob.glob(os.path.join(root, "p=*", "*.parquet"))
+    )
+    assert sorted(got["v"]) == list(range(800))
