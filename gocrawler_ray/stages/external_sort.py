@@ -164,6 +164,21 @@ def external_sort_write(
     }
 
 
+def iter_global_order(manifest: dict, columns=None, batch_size: int = 65536):
+    """Stream pyarrow RecordBatches in GLOBAL key order by walking the
+    sealed runs in range order — runs are internally sorted and their
+    key ranges are disjoint ascending, so plain concatenation IS the
+    total order. Memory is one parquet row-group at a time; no shuffle,
+    no driver materialization — the ordered-consumption contract a
+    100 TB ORDER BY exists to serve (dataloaders, merge consumers)."""
+    for r in manifest["runs"]:
+        pf = pq.ParquetFile(os.path.join(
+            manifest["root"], "sorted", f"range={r['range_id']}",
+            "run.parquet",
+        ))
+        yield from pf.iter_batches(batch_size=batch_size, columns=columns)
+
+
 def keys_at_ranks(manifest: dict, ranks: list[int]) -> list[tuple[int, int]]:
     """(rank, key) at each global 0-based rank — resolved to (run,
     offset) via the manifest cumsum, touching ONLY the runs that hold a

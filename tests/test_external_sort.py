@@ -89,3 +89,17 @@ def test_sample_boundaries_degrade_and_balance(ray_session):
     man = external_sort_write(ds, root, "k", n_ranges=16)
     np.testing.assert_array_equal(_global_keys(root), np.sort(keys))
     assert man["monotonic"] and man["total_rows"] == 40
+
+
+def test_iter_global_order_streams_sorted(ray_session):
+    from gocrawler_ray.stages.external_sort import iter_global_order
+
+    root = ROOT + "_stream"
+    shutil.rmtree(root, ignore_errors=True)
+    ds, keys = _ds(seed=9)
+    man = external_sort_write(ds, root, "k", n_ranges=8)
+    got = np.concatenate([
+        b.column("k").to_numpy()
+        for b in iter_global_order(man, columns=["k"], batch_size=512)
+    ])
+    np.testing.assert_array_equal(got, np.sort(keys))
