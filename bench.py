@@ -265,6 +265,73 @@ def run_pregen() -> dict:
     return {"metric": "pregen", "value": n_docs, "unit": "docs"}
 
 
+def run_external_sort() -> dict:
+    """A/B the durable external-sort plane against Ray's native
+    ``Dataset.sort`` materializing the same total order to parquet —
+    same input, same key, same output width ($GRAFT_EXTSORT_ROWS rows,
+    default 20M). The external plane additionally leaves sealed,
+    run-resumable output with a global-rank manifest, which the native
+    sort does not; the A/B prices that durability."""
+    _init_ray(NUM_CPUS)
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gocrawler_ray.stages.external_sort import (
+        external_sort_write,
+        keys_at_ranks,
+    )
+
+    n = int(os.environ.get("GRAFT_EXTSORT_ROWS", 20_000_000))
+
+    def keyed(t: pa.Table) -> pa.Table:
+        i = t.column("id").to_numpy().astype(np.uint64)
+        z = i * np.uint64(0x9E3779B97F4A7C15)  # mix: uniform random-ish keys
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z ^= z >> np.uint64(27)
+        return pa.table({
+            "k": pa.array((z >> np.uint64(1)).astype(np.int64)),
+            "payload": t.column("id"),
+        })
+
+    def ds():
+        return rd.range(n, override_num_blocks=NUM_CPUS * 2).map_batches(
+            keyed, batch_format="pyarrow"
+        )
+
+    root = f"{BENCH_ROOT}/extsort"
+    shutil.rmtree(root, ignore_errors=True)
+    t0 = time.time()
+    man = external_sort_write(ds(), root, "k", n_ranges=NUM_CPUS * 2)
+    t_ext = round(time.time() - t0, 3)
+    assert man["total_rows"] == n and man["monotonic"]
+    probes = keys_at_ranks(man, [0, n // 2, n - 1])
+    assert probes[0][1] <= probes[1][1] <= probes[2][1]
+
+    nat_root = f"{BENCH_ROOT}/extsort_native"
+    shutil.rmtree(nat_root, ignore_errors=True)
+    t0 = time.time()
+    ds().sort("k").write_parquet(nat_root)
+    t_nat = round(time.time() - t0, 3)
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(nat_root, ignore_errors=True)
+    return {
+        "metric": "external_sort_sec",
+        "value": t_ext,
+        "unit": "sec",
+        "queries": {
+            "external_sort_write": t_ext,
+            "native_sort_write": t_nat,
+            "rows_per_sec_external": round(n / t_ext, 1),
+            "rows_per_sec_native": round(n / t_nat, 1),
+            "n_runs": len(man["runs"]),
+        },
+        "rows": n,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+
+
 def run_dedup_distributed() -> dict:
     """Run the near-dup pair family through BOTH planes at $GRAFT_SF_DIR:
     the driver fast path (default caps) and the forced fully-distributed
@@ -365,6 +432,8 @@ if __name__ == "__main__":
         result = run_stats(sys.argv[sys.argv.index("--stats") + 1])
     elif "--dedup-distributed" in sys.argv:
         result = run_dedup_distributed()
+    elif "--external-sort" in sys.argv:
+        result = run_external_sort()
     elif "--probe-pruned-read" in sys.argv:
         result = run_probe_pruned_read()
     elif "--scaling" in sys.argv:
