@@ -189,3 +189,39 @@ def test_write_partitioned_through_norename_store(ray_session, tmp_path):
         for f in glob.glob(os.path.join(root, "p=*", "*.parquet"))
     )
     assert sorted(got["v"]) == list(range(800))
+
+
+def test_all_distributed_paths_compose_with_resume(ray_session):
+    """Composition pin: enforced CHUNKED dispatch + the DISTRIBUTED
+    range-salted schedule sidecar (driver_schedule_limit=0) + the
+    rename-free store + a kill/resume — every scale path at once — must
+    still equal the default-config uninterrupted run."""
+    t = generate(SPEC)
+    prof = profile_of(SPEC)
+    base_root = "/tmp/gocrawler_test/compose_base"
+    dist_root = "/tmp/gocrawler_test/compose_dist"
+    shutil.rmtree(base_root, ignore_errors=True)
+    shutil.rmtree(dist_root, ignore_errors=True)
+
+    run_crawl(t["corpus"], t["hosts"], t["seeds"], prof, CFG, base_root)
+
+    kw = dict(CFG.__dict__, enforce_politeness=True, dispatch_chunk_rows=20,
+              dispatch_sample_mod=1, driver_schedule_limit=0)
+    uri = "norename://" + dist_root
+    run_crawl(t["corpus"], t["hosts"], t["seeds"], prof,
+              CrawlConfig(**{**kw, "max_waves": 2}), uri)
+    run_crawl(t["corpus"], t["hosts"], t["seeds"], prof,
+              CrawlConfig(**kw), uri, resume=True)
+
+    base = CheckpointStore(base_root).read_all_lineage_table()
+    dist = CheckpointStore(uri).read_all_lineage_table()
+    urls = dist.column("url").to_pylist()
+    assert len(urls) == len(set(urls))  # zero duplicate fetches
+
+    def key(tbl):
+        return sorted(
+            (r["seq"], r["url"], r["status"], r["sched_start_ms"])
+            for r in tbl.to_pylist()
+        )
+
+    assert key(base) == key(dist)
