@@ -401,6 +401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_hist": q.q_quantity_hist,
         "external_sort_ranks": q.q_external_sort_ranks,
         "external_sort_manifest": q.q_external_sort_manifest,
+        "external_sort_order_sum": q.q_external_sort_order_sum,
     }
 
 
@@ -6164,5 +6165,18 @@ SELECT CAST(count(*) AS BIGINT) AS total_rows,
        CAST(1 AS BIGINT) AS monotonic,
        CAST(1 AS BIGINT) AS sealed
 FROM events
+"""
+    # full-sequence order checksum over the external-sorted key stream
+    out["external_sort_order_sum"] = """
+WITH k AS (SELECT CAST(event_id AS BIGINT) AS event_id,
+                  CAST(round(value * 1000) AS BIGINT) AS v3
+           FROM events),
+r AS (SELECT v3 * 2147483648 + event_id AS key,
+             row_number() OVER (ORDER BY v3, event_id) - 1 AS rn
+      FROM k)
+SELECT CAST(count(*) AS BIGINT) AS total_rows,
+       CAST(sum(((rn % 1000003) * (((key % 1000003) + 1000003) % 1000003))
+                % 1000003) AS BIGINT) AS order_sum
+FROM r
 """
     return out

@@ -1068,3 +1068,41 @@ def q_external_sort_manifest(sf_dir: str):
         "monotonic": [np.int64(1 if man["monotonic"] else 0)],
         "sealed": [np.int64(1 if sealed else 0)],
     })
+
+
+def q_external_sort_order_sum(sf_dir: str):
+    """FULL-SEQUENCE order gate for the external-sort plane: an
+    order-SENSITIVE checksum Σ (rank mod M)·(key mod M) mod M over the
+    ENTIRE global sequence (not just rank probes) — any transposition,
+    loss or duplication anywhere in the 2M-key order moves it. Scale
+    plan: each sealed run knows its global rank offset from the
+    manifest cumsum, so one Ray task per run computes its partial
+    checksum independently (no sequential scan, nothing row-scale on
+    the driver) and the driver sums #runs integers. The oracle
+    recomputes the identical sum with row_number() OVER (ORDER BY …)."""
+    import pyarrow.parquet as _pq2
+
+    import ray as _ray
+
+    man = _external_sorted_events(sf_dir)
+    M = 1_000_003
+    cum = man["cum_rows"]
+
+    @_ray.remote(num_cpus=1)
+    def run_partial(root: str, key_col: str, rid: int, base: int) -> int:
+        t = _pq2.read_table(
+            os.path.join(root, "sorted", f"range={rid}"), columns=[key_col]
+        )
+        k = t.column(key_col).to_numpy()
+        rn = np.arange(base, base + len(k), dtype=np.int64)
+        km = ((k % M) + M) % M  # match DuckDB's sign-of-dividend %
+        return int((((rn % M) * km) % M).sum())
+
+    parts = _ray.get([
+        run_partial.remote(man["root"], man["key_col"], r["range_id"], cum[i])
+        for i, r in enumerate(man["runs"])
+    ])
+    return pd.DataFrame({
+        "total_rows": [np.int64(man["total_rows"])],
+        "order_sum": [np.int64(sum(parts))],
+    })
