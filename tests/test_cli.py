@@ -54,3 +54,33 @@ def test_cli_list_and_query(tmp_path, capsys):
 def test_cli_requires_subcommand():
     with pytest.raises(SystemExit):
         main([])
+
+
+def test_ray_job_entry_run_and_resume(tmp_path):
+    """The `ray job submit` entrypoint (tools/ray_job_entry.py) as the
+    driver would run it: own Ray session per invocation, cut at 2 waves,
+    resubmitted with --resume — completes with no duplicate fetches.
+    Subprocess-based because the job script owns its session (the one
+    legitimate ray.init outside bench/tests per the driver contract)."""
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools", "ray_job_entry.py")
+    ckpt = str(tmp_path / "jobck")
+    common = [sys.executable, script, "--n-docs", "250", "--n-hosts", "2",
+              "--num-seen-shards", "4", "--ckpt-root", ckpt]
+    out1 = subprocess.run(common + ["--max-waves", "2"], check=True,
+                          capture_output=True, text=True, cwd=str(tmp_path))
+    r1 = json.loads(out1.stdout.strip().splitlines()[-1])
+    assert r1["waves"] == 2
+    out2 = subprocess.run(common + ["--resume"], check=True,
+                          capture_output=True, text=True, cwd=str(tmp_path))
+    r2 = json.loads(out2.stdout.strip().splitlines()[-1])
+    assert r2["resume"] and r2["waves"] >= 1
+
+    from gocrawler_ray.state.checkpoint import CheckpointStore
+
+    lin = CheckpointStore(ckpt).read_all_lineage_table()
+    urls = lin.column("url").to_pylist()
+    assert len(urls) == len(set(urls))  # zero duplicate fetches
