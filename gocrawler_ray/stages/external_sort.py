@@ -28,14 +28,16 @@ repo's crash contract:
 Scale plan: the only all-to-all is the hive scatter (3), keyed by
 range_id with quantile-balanced ranges (skew-bounded like the salted
 politeness schedule); the driver holds ONLY the sample and the
-manifest. Keys are caller-encoded int64 composites — at true 100 TB
-width use a wider encoding or chained keys per range; the plan is
-unchanged.
+manifest. ``root`` may be any fsspec URI — every commit is marker-seal
+(sources/fsio), so the runs live on S3/GCS with no rename anywhere
+(proven through ``norename://``). Keys are caller-encoded int64
+composites — at true 100 TB width use a wider encoding or chained keys
+per range; the plan is unchanged.
 """
 
 from __future__ import annotations
 
-import os
+import posixpath
 
 import numpy as np
 import pyarrow as pa
@@ -45,7 +47,15 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
+from ..sources.fsio import SEAL, arrow_fs, clear_dir, is_sealed, url_to_fs
 from ..sources.tables import write_partitioned
+
+
+def _read_table(fs, path: str, columns=None) -> pa.Table:
+    pafs = arrow_fs(fs)
+    if pafs is None:
+        return pq.read_table(path, columns=columns)
+    return pq.read_table(path, columns=columns, filesystem=pafs)
 
 
 def sample_boundaries(
@@ -82,10 +92,15 @@ def external_sort_write(
     n_ranges: int = 16,
     sample_mod: int = 256,
     resume: bool = True,
+    fs=None,
 ) -> dict:
-    """Range-scatter + per-range sorted sealed runs under ``root``;
-    returns the manifest (see module docstring). Rows must carry an
-    int64 ``key_col`` encoding the FULL sort order (ties included)."""
+    """Range-scatter + per-range sorted sealed runs under ``root`` (any
+    fsspec URI); returns the manifest (see module docstring). Rows must
+    carry an int64 ``key_col`` encoding the FULL sort order (ties
+    included). ``manifest["root"]`` keeps the URI, so the consumers
+    (:func:`iter_global_order`, :func:`keys_at_ranks`) re-resolve the
+    same store."""
+    fs, path = url_to_fs(root, fs)
     bounds = sample_boundaries(ds, key_col, n_ranges, sample_mod)
     b_ref = ray.put(bounds)
 
@@ -97,29 +112,34 @@ def external_sort_write(
         )
         return t.append_column("range_id", pa.array(rid.astype(np.int64)))
 
-    scatter_root = os.path.join(root, "scatter")
+    scatter_path = posixpath.join(path, "scatter")
     write_partitioned(
         ds.map_batches(scatter, batch_format="pyarrow"),
-        scatter_root, "range_id", resume=resume,
+        scatter_path, "range_id", resume=resume, fs=fs,
     )
 
-    sorted_root = os.path.join(root, "sorted")
-    os.makedirs(sorted_root, exist_ok=True)
-    range_dirs = sorted(
-        (int(d.split("=")[1]), d)
-        for d in os.listdir(scatter_root)
-        if d.startswith("range_id=")
+    sorted_path = posixpath.join(path, "sorted")
+    fs.makedirs(sorted_path, exist_ok=True)
+    rids = sorted(
+        int(d.split("=")[1])
+        for p in fs.ls(scatter_path)
+        if (d := posixpath.basename(p.rstrip("/"))).startswith("range_id=")
     )
 
     @ray.remote(num_cpus=1)
-    def sort_run(rid: int, src: str, dst: str) -> tuple[int, int, int, int]:
-        t = pq.read_table(src)
+    def sort_run(r_fs, rid: int, src: str, dst: str) -> tuple[int, int, int, int]:
+        t = _read_table(r_fs, src)
         t = t.drop_columns([c for c in ("range_id",) if c in t.column_names])
         t = t.take(pc.sort_indices(t, sort_keys=[(key_col, "ascending")]))
-        os.makedirs(dst, exist_ok=True)
-        pq.write_table(t, os.path.join(dst, "run.parquet"))
-        with open(os.path.join(dst, "_SUCCESS"), "w"):
-            pass
+        r_fs.makedirs(dst, exist_ok=True)
+        pafs = arrow_fs(r_fs)
+        where = posixpath.join(dst, "run.parquet")
+        if pafs is None:
+            pq.write_table(t, where)
+        else:
+            pq.write_table(t, where, filesystem=pafs)
+        with r_fs.open(posixpath.join(dst, SEAL), "wb") as f:
+            f.write(b"")
         k = t.column(key_col)
         return (
             rid, t.num_rows,
@@ -128,10 +148,10 @@ def external_sort_write(
         )
 
     futs, cached = [], []
-    for rid, d in range_dirs:
-        dst = os.path.join(sorted_root, f"range={rid}")
-        if resume and os.path.exists(os.path.join(dst, "_SUCCESS")):
-            t = pq.read_table(dst, columns=[key_col])
+    for rid in rids:
+        dst = posixpath.join(sorted_path, f"range={rid}")
+        if resume and is_sealed(fs, dst):
+            t = _read_table(fs, dst, columns=[key_col])
             k = t.column(key_col)
             cached.append((
                 rid, t.num_rows,
@@ -139,10 +159,10 @@ def external_sort_write(
                 int(pc.max(k).as_py()) if t.num_rows else 0,
             ))
             continue
-        import shutil
-
-        shutil.rmtree(dst, ignore_errors=True)  # half-written: rebuild
-        futs.append(sort_run.remote(rid, os.path.join(scatter_root, d), dst))
+        clear_dir(fs, dst)  # half-written: rebuild
+        futs.append(sort_run.remote(
+            fs, rid, posixpath.join(scatter_path, f"range_id={rid}"), dst
+        ))
 
     runs = sorted(cached + ray.get(futs))
     rows = [r[1] for r in runs]
@@ -164,26 +184,32 @@ def external_sort_write(
     }
 
 
-def iter_global_order(manifest: dict, columns=None, batch_size: int = 65536):
+def iter_global_order(manifest: dict, columns=None, batch_size: int = 65536,
+                      fs=None):
     """Stream pyarrow RecordBatches in GLOBAL key order by walking the
     sealed runs in range order — runs are internally sorted and their
     key ranges are disjoint ascending, so plain concatenation IS the
     total order. Memory is one parquet row-group at a time; no shuffle,
     no driver materialization — the ordered-consumption contract a
     100 TB ORDER BY exists to serve (dataloaders, merge consumers)."""
+    fs, path = url_to_fs(manifest["root"], fs)
+    pafs = arrow_fs(fs)
     for r in manifest["runs"]:
-        pf = pq.ParquetFile(os.path.join(
-            manifest["root"], "sorted", f"range={r['range_id']}",
-            "run.parquet",
-        ))
+        where = posixpath.join(
+            path, "sorted", f"range={r['range_id']}", "run.parquet"
+        )
+        pf = pq.ParquetFile(
+            where if pafs is None else pafs.open_input_file(where)
+        )
         yield from pf.iter_batches(batch_size=batch_size, columns=columns)
 
 
-def keys_at_ranks(manifest: dict, ranks: list[int]) -> list[tuple[int, int]]:
+def keys_at_ranks(manifest: dict, ranks: list[int], fs=None) -> list[tuple[int, int]]:
     """(rank, key) at each global 0-based rank — resolved to (run,
     offset) via the manifest cumsum, touching ONLY the runs that hold a
     probed rank (the point of a durable total order: random access to
     the global sequence without any re-shuffle)."""
+    fs, path = url_to_fs(manifest["root"], fs)
     cum = np.asarray(manifest["cum_rows"], np.int64)
     out = []
     by_need: dict[int, list[int]] = {}
@@ -192,8 +218,8 @@ def keys_at_ranks(manifest: dict, ranks: list[int]) -> list[tuple[int, int]]:
         by_need.setdefault(run, []).append(r)
     for run, rs in sorted(by_need.items()):
         rid = manifest["runs"][run]["range_id"]
-        t = pq.read_table(
-            os.path.join(manifest["root"], "sorted", f"range={rid}"),
+        t = _read_table(
+            fs, posixpath.join(path, "sorted", f"range={rid}"),
             columns=[manifest["key_col"]],
         )
         k = t.column(manifest["key_col"])

@@ -103,3 +103,23 @@ def test_iter_global_order_streams_sorted(ray_session):
         for b in iter_global_order(man, columns=["k"], batch_size=512)
     ])
     np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_external_sort_through_norename_uri(ray_session, tmp_path):
+    """The whole plane — scatter, run sort (inside Ray tasks), seals,
+    rank probes, ordered scan — works on a rename-free store URI."""
+    from gocrawler_ray.stages.external_sort import iter_global_order
+
+    root = str(tmp_path / "nr_extsort")
+    uri = "norename://" + root
+    ds, keys = _ds(n=2000, seed=11)
+    man = external_sort_write(ds, uri, "k", n_ranges=4)
+    assert man["total_rows"] == 2000 and man["monotonic"]
+    got = np.concatenate([
+        b.column("k").to_numpy() for b in iter_global_order(man)
+    ])
+    np.testing.assert_array_equal(got, np.sort(keys))
+    ranks = [0, 777, 1999]
+    assert keys_at_ranks(man, ranks) == [
+        (r, int(np.sort(keys)[r])) for r in ranks
+    ]
