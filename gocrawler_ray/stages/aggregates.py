@@ -387,7 +387,7 @@ def hll_registers(
 
     # registers are sketch-sized BY DESIGN (≤2^p rows per block), so the
     # final MAX-merge is a driver combine of partials — the same bounded-
-    # key pattern as pipelines/queries.py::_combine_partials; a Ray
+    # key pattern as pipelines/queries/_core.py::_combine_partials; a Ray
     # groupby here would pay a full sort-shuffle launch (~3 s fixed) to
     # merge a few thousand ints. At extreme block counts (100 TB ⇒ ~1e5
     # blocks ⇒ ≤1e8 partial rows) insert one coalescing repartition
