@@ -123,3 +123,38 @@ def test_external_sort_through_norename_uri(ray_session, tmp_path):
     assert keys_at_ranks(man, ranks) == [
         (r, int(np.sort(keys)[r])) for r in ranks
     ]
+
+
+def test_external_sort_property_random_workloads(ray_session, tmp_path):
+    """Property sweep: arbitrary key distributions (heavy duplication,
+    negatives, tiny domains — the shapes that break range partitioners)
+    always yield the exact global order and correct rank probes."""
+    from hypothesis import given, settings, strategies as st
+
+    counter = [0]
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        n=st.integers(30, 1500),
+        n_ranges=st.integers(2, 12),
+        dom=st.integers(1, 10**6),
+        seed=st.integers(0, 10**6),
+    )
+    def check(n, n_ranges, dom, seed):
+        rng = np.random.RandomState(seed)
+        keys = rng.randint(-dom, dom + 1, size=n).astype(np.int64)
+        ds = rd.from_arrow(pa.table({
+            "k": keys, "payload": np.arange(n, dtype=np.int64),
+        })).repartition(4)
+        counter[0] += 1
+        root = str(tmp_path / f"prop{counter[0]}")
+        man = external_sort_write(ds, root, "k", n_ranges=n_ranges,
+                                  sample_mod=4)
+        want = np.sort(keys)
+        np.testing.assert_array_equal(_global_keys(root), want)
+        assert man["total_rows"] == n and man["monotonic"]
+        ranks = sorted({0, n // 3, n - 1})
+        assert keys_at_ranks(man, ranks) == [(r, int(want[r])) for r in ranks]
+        shutil.rmtree(root, ignore_errors=True)
+
+    check()
