@@ -7,6 +7,7 @@ over stored items). Re-expressed for the Ray engine:
     python -m gocrawler_ray crawl  --corpus DIR --out CKPT [--resume]
     python -m gocrawler_ray query  NAME --sf-dir DIR [--out FILE.parquet]
     python -m gocrawler_ray list
+    python -m gocrawler_ray extsort --input T.parquet --key C --out DIR
 
 ``gen`` materializes a deterministic synthetic web (the sandbox's
 stand-in for HTTP — see stages/fetcher.py for the actor seam a real
@@ -128,6 +129,53 @@ def _cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_extsort(args: argparse.Namespace) -> int:
+    """Durable total order of a parquet table by an int64 column —
+    the external-sort plane as a user-facing command."""
+    _ensure_ray(args.cpus)
+    import pyarrow.compute as pc
+
+    from .sources.tables import read_dataset
+    from .stages.external_sort import external_sort_write
+
+    cols = (
+        None  # all columns
+        if args.columns is None
+        else [args.key] + [c for c in args.columns.split(",") if c]
+    )
+    ds = read_dataset(args.input, columns=cols)
+    schema = ds.schema()
+    if args.key not in schema.names:
+        print(f"error: no column {args.key!r} in {args.input} "
+              f"(columns: {schema.names})", file=sys.stderr)
+        return 2
+    kt = schema.types[schema.names.index(args.key)]
+    if not str(kt).startswith("int"):
+        print(f"error: sort key {args.key!r} must be an integer column "
+              f"(got {kt}); encode a composite int64 key first",
+              file=sys.stderr)
+        return 2
+    if args.key != "k":
+        import pyarrow as pa
+
+        ds = ds.map_batches(
+            lambda t: t.append_column(
+                "k", pc.cast(t.column(args.key), pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+    man = external_sort_write(
+        ds, args.out, "k", n_ranges=args.ranges, resume=not args.no_resume
+    )
+    print(json.dumps({
+        "out": args.out,
+        "total_rows": man["total_rows"],
+        "n_runs": len(man["runs"]),
+        "monotonic": man["monotonic"],
+    }))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="gocrawler_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -159,6 +207,21 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--head", type=int, default=10)
     q.add_argument("--cpus", type=int, default=None)
     q.set_defaults(fn=_cmd_query)
+
+    e = sub.add_parser(
+        "extsort",
+        help="durable external sort of a parquet table by an int64 key",
+    )
+    e.add_argument("--input", required=True, help="parquet file or dir")
+    e.add_argument("--key", required=True, help="int64 sort-key column")
+    e.add_argument("--columns", default=None,
+                   help="comma-separated payload columns to carry")
+    e.add_argument("--out", required=True,
+                   help="run-tree root (any fsspec URI)")
+    e.add_argument("--ranges", type=int, default=16)
+    e.add_argument("--no-resume", action="store_true")
+    e.add_argument("--cpus", type=int, default=None)
+    e.set_defaults(fn=_cmd_extsort)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -84,3 +84,33 @@ def test_ray_job_entry_run_and_resume(tmp_path):
     lin = CheckpointStore(ckpt).read_all_lineage_table()
     urls = lin.column("url").to_pylist()
     assert len(urls) == len(set(urls))  # zero duplicate fetches
+
+
+def test_cli_extsort(tmp_path, capsys):
+    """`extsort` runs the durable external sort over a parquet input and
+    leaves a sealed, globally-ordered run tree."""
+    import glob
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "t.parquet")
+    rng = np.random.RandomState(3)
+    keys = rng.randint(-1000, 1000, size=2000).astype(np.int64)
+    pq.write_table(pa.table({"c": keys, "v": np.arange(2000)}), src)
+    out = str(tmp_path / "sorted_tree")
+    assert main(["extsort", "--input", src, "--key", "c",
+                 "--out", out, "--ranges", "4"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["total_rows"] == 2000 and res["monotonic"]
+    got = np.concatenate([
+        pq.read_table(d, columns=["k"])["k"].to_numpy()
+        for d in sorted(glob.glob(os.path.join(out, "sorted", "range=*")),
+                        key=lambda p: int(p.split("=")[1]))
+    ])
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+    # non-integer key fails loudly
+    assert main(["extsort", "--input", src, "--key", "missing",
+                 "--out", out]) != 0
