@@ -344,16 +344,27 @@ def test_http_transport_crawl_equals_corpus_crawl(ray_session):
         r["doc_id"]: json.dumps(r["spans"]).encode()
         for r in t["corpus"].to_pylist()
     }
+    def http_fetcher():
+        return HttpFetcher(CorpusHttpClient(pages),
+                           lambda p: json.loads(p.decode()))
+
+    # http_enforced = the FULL production wiring: HttpFetcher through
+    # chunked budget-enforcing dispatch on a fake clock
+    enforced = CrawlConfig(
+        num_seen_shards=2, fetcher_concurrency=2, batch_size=512,
+        enforce_politeness=True, dispatch_chunk_rows=20,
+        dispatch_sample_mod=1, real_time=True, clock=FakeClock(),
+    )
     fetchers = {
-        "corpus": None,
-        "http": HttpFetcher(CorpusHttpClient(pages),
-                            lambda p: json.loads(p.decode())),
+        "corpus": (None, cfg),
+        "http": (http_fetcher(), cfg),
+        "http_enforced": (http_fetcher(), enforced),
     }
     outs = {}
-    for mode, fn in fetchers.items():
+    for mode, (fn, c) in fetchers.items():
         root = f"/tmp/gocrawler_test/transport_{mode}"
         shutil.rmtree(root, ignore_errors=True)
-        run_crawl(t["corpus"], t["hosts"], t["seeds"], prof, cfg, root,
+        run_crawl(t["corpus"], t["hosts"], t["seeds"], prof, c, root,
                   fetch_fn=fn)
         docs, sched = [], []
         for d in sorted(os.listdir(os.path.join(root, "docs"))):
@@ -373,4 +384,6 @@ def test_http_transport_crawl_equals_corpus_crawl(ray_session):
         outs[mode] = (docs, sched)
     assert outs["corpus"][0] == outs["http"][0]
     assert outs["corpus"][1] == outs["http"][1]
+    assert outs["corpus"][0] == outs["http_enforced"][0]
+    assert outs["corpus"][1] == outs["http_enforced"][1]
     assert sum(1 for r in outs["http"][0] if r[1] == "ok") > 100
