@@ -8,6 +8,7 @@ over stored items). Re-expressed for the Ray engine:
     python -m gocrawler_ray query  NAME --sf-dir DIR [--out FILE.parquet]
     python -m gocrawler_ray list
     python -m gocrawler_ray extsort --input T.parquet --key C --out DIR
+    python -m gocrawler_ray status  --ckpt CKPT [--verify]
 
 ``gen`` materializes a deterministic synthetic web (the sandbox's
 stand-in for HTTP — see stages/fetcher.py for the actor seam a real
@@ -129,6 +130,48 @@ def _cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_status(args: argparse.Namespace) -> int:
+    """Inspect a crawl checkpoint (works on any fsspec URI): committed
+    waves, per-wave counters, seq position — what a resume would see.
+    Pure manifest/metadata reads; no Ray session, no data scans."""
+    from .sources.tables import parquet_num_rows
+    from .state.checkpoint import CheckpointStore
+
+    ck = CheckpointStore(args.ckpt)
+    m = ck.load_manifest()
+    if m is None:
+        print(json.dumps({"ckpt": args.ckpt, "committed_waves": [],
+                          "resumable": False}))
+        return 0
+    waves = sorted(m.get("committed_waves", []))
+    stats = m.get("wave_stats", {})
+    out = {
+        "ckpt": args.ckpt,
+        "committed_waves": waves,
+        "seq_counter": m.get("seq_counter"),
+        "num_seen_shards": m.get("num_seen_shards"),
+        "resumable": bool(waves),
+        "waves": [
+            {"wave": w, **stats.get(str(w), {})} for w in waves
+        ],
+        "admitted_total": sum(
+            int(s.get("admitted", 0)) for s in stats.values()
+        ),
+        "scheduled_total": sum(
+            int(s.get("scheduled", 0)) for s in stats.values()
+        ),
+    }
+    if args.verify:  # footer-only row counts per committed wave
+        for rec in out["waves"]:
+            n = parquet_num_rows(ck.docs_uri(rec["wave"]), fs=ck.fs)
+            rec["docs_rows"] = max(0, n)
+            rec["docs_match"] = (
+                n == rec.get("admitted") if "admitted" in rec else None
+            )
+    print(json.dumps(out))
+    return 0
+
+
 def _cmd_extsort(args: argparse.Namespace) -> int:
     """Durable total order of a parquet table by an int64 column —
     the external-sort plane as a user-facing command."""
@@ -222,6 +265,15 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--no-resume", action="store_true")
     e.add_argument("--cpus", type=int, default=None)
     e.set_defaults(fn=_cmd_extsort)
+
+    s = sub.add_parser(
+        "status", help="inspect a crawl checkpoint (manifest summary)"
+    )
+    s.add_argument("--ckpt", required=True,
+                   help="checkpoint root (any fsspec URI)")
+    s.add_argument("--verify", action="store_true",
+                   help="also check docs row counts vs recorded counters")
+    s.set_defaults(fn=_cmd_status)
 
     args = p.parse_args(argv)
     return args.fn(args)

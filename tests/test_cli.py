@@ -114,3 +114,28 @@ def test_cli_extsort(tmp_path, capsys):
     # non-integer key fails loudly
     assert main(["extsort", "--input", src, "--key", "missing",
                  "--out", out]) != 0
+
+
+def test_cli_status(tmp_path, capsys):
+    """`status` summarizes a checkpoint from the manifest (and --verify
+    cross-checks docs row counts against the recorded counters)."""
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    assert main(["gen", "--docs", "250", "--hosts", "2", "--out", corpus]) == 0
+    capsys.readouterr()
+    assert main(["crawl", "--corpus", corpus, "--out", ckpt,
+                 "--shards", "2", "--fetchers", "1"]) == 0
+    crawl = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    assert main(["status", "--ckpt", ckpt, "--verify"]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["resumable"] and st["committed_waves"] == sorted(
+        st["committed_waves"])
+    assert st["admitted_total"] == crawl["admitted"]
+    assert st["scheduled_total"] == crawl["fetched"]
+    assert all(w["docs_match"] for w in st["waves"])
+
+    # empty/unknown checkpoint: not resumable, no crash
+    assert main(["status", "--ckpt", str(tmp_path / "nope")]) == 0
+    st2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert not st2["resumable"]
