@@ -402,6 +402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "external_sort_ranks": q.q_external_sort_ranks,
         "external_sort_manifest": q.q_external_sort_manifest,
         "external_sort_order_sum": q.q_external_sort_order_sum,
+        "sort_merge_revenue": q.q_sort_merge_revenue,
     }
 
 
@@ -6178,5 +6179,13 @@ SELECT CAST(count(*) AS BIGINT) AS total_rows,
        CAST(sum(((rn % 1000003) * (((key % 1000003) + 1000003) % 1000003))
                 % 1000003) AS BIGINT) AS order_sum
 FROM r
+"""
+    # sort-merge join plane: per-priority lineitem count + quantity sum
+    out["sort_merge_revenue"] = """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY 1
 """
     return out

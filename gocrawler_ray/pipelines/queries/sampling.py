@@ -1106,3 +1106,73 @@ def q_external_sort_order_sum(sf_dir: str):
         "total_rows": [np.int64(man["total_rows"])],
         "order_sum": [np.int64(sum(parts))],
     })
+
+
+_MERGE_JOIN_CACHE: dict = {}
+
+
+def q_sort_merge_revenue(sf_dir: str):
+    """SORT-MERGE JOIN plane (the "sort once, join many" warehouse
+    pattern — a genuinely different execution strategy from the
+    catalog's hash/broadcast joins): orders and lineitem are externally
+    sorted by orderkey into range-CO-PARTITIONED sealed run trees
+    (lineitem reuses orders' sampled boundaries), then the join is one
+    independent Ray task per range — ZERO shuffle at join time, and the
+    durable runs amortize over every later join on the same key. Each
+    range task merge-joins its two sorted slices and pre-reduces to a
+    per-priority partial; the driver combines #ranges × 5 rows. Gated
+    against the plain SQL join: per o_orderpriority, lineitem count and
+    exact integer quantity sum."""
+    from ...stages.external_sort import external_sort_write, merge_join_sorted
+
+    key = (sf_dir, "sort_merge")
+    if key not in _MERGE_JOIN_CACHE:
+        orders = _pq(sf_dir, "orders",
+                     columns=["o_orderkey", "o_orderpriority"],
+                     num_blocks=_n_cpus()).map_batches(
+            lambda t: pa.table({
+                "k": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "prio": t.column("o_orderpriority"),
+            }), batch_format="pyarrow")
+        li = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"],
+                 num_blocks=_n_cpus()).map_batches(
+            lambda t: pa.table({
+                "k": pc.cast(t.column("l_orderkey"), pa.int64()),
+                "qty": pa.array(np.rint(
+                    t.column("l_quantity").to_numpy(zero_copy_only=False)
+                ).astype(np.int64)),
+            }), batch_format="pyarrow")
+        root = tempfile.mkdtemp(prefix="smj_", dir="/tmp")
+        man_o = external_sort_write(orders, os.path.join(root, "orders"),
+                                    "k", n_ranges=8)
+        man_l = external_sort_write(li, os.path.join(root, "lineitem"),
+                                    "k", boundaries=man_o["boundaries"])
+        _MERGE_JOIN_CACHE[key] = (man_o, man_l)
+    man_o, man_l = _MERGE_JOIN_CACHE[key]
+
+    def reduce_range(ta: pa.Table, tb: pa.Table) -> dict:
+        # both slices sorted by k: locate each lineitem's order row via
+        # searchsorted (orderkey unique in orders), then pre-reduce
+        ka = ta.column("k").to_numpy()
+        kb = tb.column("k").to_numpy()
+        pos = np.searchsorted(ka, kb)
+        pos = np.clip(pos, 0, max(len(ka) - 1, 0))
+        m = (ka[pos] == kb) if len(ka) else np.zeros(len(kb), bool)
+        prio = ta.column("prio").to_numpy(zero_copy_only=False)[pos[m]]
+        qty = tb.column("qty").to_numpy()[m]
+        df = pd.DataFrame({"prio": prio, "n": np.int64(1), "q": qty})
+        return df.groupby("prio", as_index=False).sum().to_dict("list")
+
+    parts = merge_join_sorted(man_o, man_l, reduce_range)
+    acc: dict[str, list[int]] = {}
+    for p in parts:
+        for pr, n, qv in zip(p["prio"], p["n"], p["q"]):
+            a = acc.setdefault(pr, [0, 0])
+            a[0] += int(n)
+            a[1] += int(qv)
+    rows = sorted(acc.items())
+    return pd.DataFrame({
+        "o_orderpriority": [r[0] for r in rows],
+        "n_lines": np.array([r[1][0] for r in rows], np.int64),
+        "sum_qty": np.array([r[1][1] for r in rows], np.int64),
+    })

@@ -93,15 +93,22 @@ def external_sort_write(
     sample_mod: int = 256,
     resume: bool = True,
     fs=None,
+    boundaries: np.ndarray | None = None,
 ) -> dict:
     """Range-scatter + per-range sorted sealed runs under ``root`` (any
     fsspec URI); returns the manifest (see module docstring). Rows must
     carry an int64 ``key_col`` encoding the FULL sort order (ties
     included). ``manifest["root"]`` keeps the URI, so the consumers
     (:func:`iter_global_order`, :func:`keys_at_ranks`) re-resolve the
-    same store."""
+    same store. ``boundaries`` overrides the sampled ones — two tables
+    sorted with IDENTICAL boundaries are range-co-partitioned, which is
+    what :func:`merge_join_sorted` needs."""
     fs, path = url_to_fs(root, fs)
-    bounds = sample_boundaries(ds, key_col, n_ranges, sample_mod)
+    bounds = (
+        np.asarray(boundaries, np.int64)
+        if boundaries is not None
+        else sample_boundaries(ds, key_col, n_ranges, sample_mod)
+    )
     b_ref = ray.put(bounds)
 
     def scatter(t: pa.Table) -> pa.Table:
@@ -174,6 +181,7 @@ def external_sort_write(
     return {
         "root": root,
         "key_col": key_col,
+        "boundaries": bounds.tolist(),
         "runs": [
             {"range_id": r[0], "rows": r[1], "min_key": r[2], "max_key": r[3]}
             for r in runs
@@ -202,6 +210,45 @@ def iter_global_order(manifest: dict, columns=None, batch_size: int = 65536,
             where if pafs is None else pafs.open_input_file(where)
         )
         yield from pf.iter_batches(batch_size=batch_size, columns=columns)
+
+
+def merge_join_sorted(man_a: dict, man_b: dict, reduce_fn, fs=None) -> list:
+    """SORT-MERGE JOIN over two run trees built with IDENTICAL
+    boundaries (pass ``boundaries=man_a["boundaries"]`` to the second
+    ``external_sort_write``): the trees are range-CO-PARTITIONED, so
+    range *i* of A can only join range *i* of B and the join is one
+    independent Ray task per range — no shuffle at join time (the sorts
+    already paid it ONCE, and the durable runs amortize across every
+    subsequent join: the warehouse "sort once, join many" pattern, the
+    execution plane hash/broadcast joins don't cover).
+
+    ``reduce_fn(table_a, table_b) -> partial`` runs inside each range
+    task on the two sorted in-range tables (each bounded by the range
+    size) and returns a small picklable partial; the driver gets the
+    list of partials — bounded by #ranges, never rows."""
+    if man_a["boundaries"] != man_b["boundaries"]:
+        raise ValueError(
+            "merge_join_sorted needs range-co-partitioned inputs: build "
+            "both trees with identical boundaries"
+        )
+    fs_a, path_a = url_to_fs(man_a["root"], fs)
+    fs_b, path_b = url_to_fs(man_b["root"], fs)
+
+    @ray.remote(num_cpus=1)
+    def join_range(rid: int) -> object:
+        ta = _read_table(
+            fs_a, posixpath.join(path_a, "sorted", f"range={rid}")
+        )
+        tb = _read_table(
+            fs_b, posixpath.join(path_b, "sorted", f"range={rid}")
+        )
+        return reduce_fn(ta, tb)
+
+    rids = sorted(
+        {r["range_id"] for r in man_a["runs"]}
+        & {r["range_id"] for r in man_b["runs"]}
+    )
+    return ray.get([join_range.remote(rid) for rid in rids])
 
 
 def keys_at_ranks(manifest: dict, ranks: list[int], fs=None) -> list[tuple[int, int]]:

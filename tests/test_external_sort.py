@@ -10,6 +10,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
+import pytest
 
 import ray.data as rd
 
@@ -158,3 +159,42 @@ def test_external_sort_property_random_workloads(ray_session, tmp_path):
         shutil.rmtree(root, ignore_errors=True)
 
     check()
+
+
+def test_merge_join_sorted_co_partitioned(ray_session, tmp_path):
+    """Sort-merge join over co-partitioned run trees equals a plain
+    merge; trees with different boundaries are refused loudly."""
+    import pandas as pd
+
+    from gocrawler_ray.stages.external_sort import merge_join_sorted
+
+    rng = np.random.RandomState(13)
+    ka = np.sort(rng.choice(5000, size=400, replace=False)).astype(np.int64)
+    va = rng.randint(0, 100, size=400).astype(np.int64)
+    kb = rng.choice(5000, size=3000).astype(np.int64)
+    wb = rng.randint(0, 10, size=3000).astype(np.int64)
+    ds_a = rd.from_arrow(pa.table({"k": ka, "v": va})).repartition(3)
+    ds_b = rd.from_arrow(pa.table({"k": kb, "w": wb})).repartition(5)
+    man_a = external_sort_write(ds_a, str(tmp_path / "a"), "k",
+                                n_ranges=6, sample_mod=2)
+    man_b = external_sort_write(ds_b, str(tmp_path / "b"), "k",
+                                boundaries=man_a["boundaries"])
+
+    def red(ta, tb):
+        a = ta.to_pandas()
+        b = tb.to_pandas()
+        j = b.merge(a, on="k", how="inner")
+        return (len(j), int((j["v"] * j["w"]).sum()))
+
+    parts = merge_join_sorted(man_a, man_b, red)
+    got_n = sum(p[0] for p in parts)
+    got_s = sum(p[1] for p in parts)
+    ref = (pd.DataFrame({"k": kb, "w": wb})
+           .merge(pd.DataFrame({"k": ka, "v": va}), on="k", how="inner"))
+    assert got_n == len(ref)
+    assert got_s == int((ref["v"] * ref["w"]).sum())
+
+    man_c = external_sort_write(ds_b, str(tmp_path / "c"), "k",
+                                n_ranges=3, sample_mod=2)
+    with pytest.raises(ValueError, match="co-partitioned"):
+        merge_join_sorted(man_a, man_c, red)
