@@ -13,10 +13,16 @@ criterion — the identical crawl job on the identical input at TWO
 parallelism levels in fresh processes (num_cpus=2 and num_cpus=8, with
 Arrow's thread pool capped to match), reporting URLs/s at both plus
 ``efficiency = (rate_4N / rate_N) / 4``. The scaling corpus is larger
-(10M pages) than the headline corpus so per-wave compute dominates the
+(20M pages) than the headline corpus so per-wave compute dominates the
 wave-synchronous fixed costs; see BASELINE.md for the analysis and for
 why the 8→32 pair on this single machine saturates memory-level
 parallelism instead of measuring the engine.
+
+Other flags: ``--dedup-distributed`` (near-dup family, driver fast
+path AND forced distributed plane, row counts asserted equal),
+``--external-sort`` (durable external sort vs native ``Dataset.sort``
+A/B), ``--probe-pruned-read`` (wave-read projection A/B, re-run on Ray
+upgrades), ``--stats NAME`` (ds.stats() of one catalog query).
 
 All corpora are deterministic synthetic webs (gocrawler_ray.corpus),
 generated once in parallel and cached under /tmp/gocrawler_bench.
